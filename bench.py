@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Method per BASELINE.md: session reused, each query run twice, warm (second)
+time reported; fixed SparkSession startup excluded from per-query numbers
+and reported separately under "startup_sec".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q_pricing_summary",
+    "q_join_5way",
+    "q_topk",
+    "q_window_rank",
+    "q_grid3d",
+    "q_events_tumbling",
+    "q_dedup_docs",
+    "q_arr_l2",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    t0 = time.time()
+    from pyspec_spark import registry
+    from pyspec_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark("pyspec_spark_bench")
+    spark.range(1).count()  # force JVM+session init
+    startup = time.time() - t0
+
+    names = [n for n in HEADLINE if n in registry.QUERIES]
+    times: dict[str, float] = {}
+    for name in names:
+        fn = registry.QUERIES[name]
+        for _ in range(2):  # cold then warm
+            t = time.time()
+            fn(spark, sf_dir).collect()
+            dt = time.time() - t
+        times[name] = round(dt, 4)
+
+    total = round(sum(times.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_warm_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "startup_sec": round(startup, 2),
+                "n_queries": len(times),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

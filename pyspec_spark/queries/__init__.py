@@ -1,0 +1,3 @@
+"""Declared t2 queries — importing this package registers all of them."""
+
+import pyspec_spark.queries.relational  # noqa: F401

@@ -1,0 +1,40 @@
+"""Testdata table loading.
+
+Mirrors the reference's data-access layer (``pyspec/spec.py``
+``SpecDataFile`` — open file, expose scans as tables; SURVEY.md §1 D1-D3)
+over the driver's parquet star schema.  One DataFrame per table; reads are
+plain ``spark.read.parquet`` so Catalyst gets full pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register temp views so SQL-form queries can run via spark.sql."""
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
