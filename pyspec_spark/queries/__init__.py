@@ -1,3 +1,4 @@
 """Declared t2 queries — importing this package registers all of them."""
 
 import pyspec_spark.queries.relational  # noqa: F401
+import pyspec_spark.queries.grids  # noqa: F401
