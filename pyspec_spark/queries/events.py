@@ -1,0 +1,212 @@
+"""Event-stream queries — batch twins of the streaming operators
+(SURVEY.md §2.10, Stage 3).  The reference is batch-only; its
+append-only SPEC files + manual `reload` polling (`pyspec/spec.py`) are
+the moral ancestor of a file stream.  The actual Structured Streaming
+executions of these live in ``pyspec_spark/streaming/`` and are
+twin-tested against these batch forms (§5.4).
+
+Scale notes: tumbling/sliding aggregations are keyed groupBys with
+time-bucket keys — partial agg + bounded key space per watermark window.
+Session windows are gap-and-island (two window passes over one
+per-user shuffle).  The enrich join broadcasts the dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspec_spark.functions.determinism import dsum
+from pyspec_spark.registry import query
+from pyspec_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# ST1 twin — tumbling 1-hour window aggregation, via the real window()
+# operator (streaming-identical logical shape).
+# ---------------------------------------------------------------------------
+@query(
+    "q_events_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST2 twin — sliding window (1 hour every 30 minutes): each event belongs
+# to two windows.  Oracle = union of the two shifted tumbling framings.
+# ---------------------------------------------------------------------------
+@query(
+    "q_events_sliding",
+    oracle="""
+WITH starts AS (
+  SELECT to_timestamp(CAST(FLOOR(epoch_us(ts::TIMESTAMP) / 1800000000) AS BIGINT) * 1800)::TIMESTAMP AS win_start,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT to_timestamp(CAST(FLOOR(epoch_us(ts::TIMESTAMP) / 1800000000) AS BIGINT) * 1800 - 1800)::TIMESTAMP AS win_start,
+         event_type, value
+  FROM events
+)
+SELECT win_start, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM starts
+GROUP BY 1, 2
+""",
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST3 twin — session windows (30-minute gap) as gap-and-island:
+# lag -> new-session flag -> cumulative session index -> aggregate.
+# Session bounds reported as integer epoch-microseconds (exact).
+# ---------------------------------------------------------------------------
+@query(
+    "q_events_session",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, value, epoch_us(ts::TIMESTAMP) AS us,
+         CASE WHEN epoch_us(ts::TIMESTAMP)
+                   - LAG(epoch_us(ts::TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 1800000000
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, value, us,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM marked
+)
+SELECT user_id, session_id,
+       MIN(us) AS session_start_us, MAX(us) AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_id
+""",
+)
+def q_events_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.when(
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w) > 1_800_000_000)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.withColumn("session_id", F.sum("new_session").over(w2))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("us").alias("session_start_us"),
+        F.max("us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        dsum("value", "sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST5 twin — stateful dedup == distinct over the dedup key.
+# ---------------------------------------------------------------------------
+@query(
+    "q_events_dedup",
+    oracle="""
+SELECT user_id, event_type, COUNT(*) AS n_dups,
+       MIN(event_id) AS first_event
+FROM events
+GROUP BY user_id, event_type
+""",
+)
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_dups"), F.min("event_id").alias("first_event")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ST6 twin — stream-static enrichment join: events x customer dimension
+# (user_id shares the custkey domain).  Dimension broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "q_events_enrich",
+    oracle="""
+SELECT c_mktsegment, event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+""",
+)
+def q_events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F8 — JSON extraction from events.props ('{"k": <int>}'), cast to
+# BIGINT both sides to dodge quoting differences.
+# ---------------------------------------------------------------------------
+@query(
+    "q_json_extract",
+    oracle="""
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
+    )

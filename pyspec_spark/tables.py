@@ -27,7 +27,26 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
+    default.  Read nanos as LONG (legacy conf, session-settable) and
+    truncate to microsecond timestamps with integer division — the same
+    truncation DuckDB applies reading NANOS into its us TIMESTAMP, so
+    both engines see identical values.  (Float division would corrupt:
+    epoch-nanos ~1.7e18 exceeds double's 2^53 integer range.)
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes)["ts"] == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
