@@ -4,3 +4,5 @@ import pyspec_spark.queries.relational  # noqa: F401
 import pyspec_spark.queries.grids  # noqa: F401
 import pyspec_spark.queries.windows  # noqa: F401
 import pyspec_spark.queries.events  # noqa: F401
+import pyspec_spark.queries.arrays  # noqa: F401
+import pyspec_spark.queries.llm  # noqa: F401

@@ -1,0 +1,167 @@
+"""Array-column queries — MCA-spectra analogs (SURVEY.md §2.8 F9-F10,
+§2.12 L6; Stage 4).
+
+Reference locus: `pyspec/spec.py` `@A` multichannel-analyzer handling [M]
+— one fixed-length array per scan point; channel math (total counts,
+channel slices, per-channel sums) is the idiom.  Substrate here:
+`embeddings.embedding` (list<float>[64], verified).
+
+Cross-engine notes:
+- Spark `posexplode` is 0-based, DuckDB `generate_subscripts` 1-based:
+  channel ids are normalized to 1-based.
+- float32 elements are cast to DOUBLE before any arithmetic so neither
+  engine does float32 math.
+- Per-vector reductions use a DECIMAL accumulator inside Spark's
+  higher-order `aggregate` (no shuffle, stays JVM-side, exact) and
+  unnest+decimal-SUM in DuckDB — identical exact values.
+
+Scale notes: per-row HOF reductions are embarrassingly parallel (no
+shuffle); the per-channel aggregation shuffles on a 64-value key —
+bounded cardinality, partial agg does the work map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspec_spark.registry import query
+from pyspec_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# F9 — array length (MCA channel count).
+# ---------------------------------------------------------------------------
+@query(
+    "q_arr_len",
+    oracle="""
+SELECT CAST(len(embedding) AS INT) AS n_channels, COUNT(*) AS n_vecs,
+       MIN(vec_id) AS min_vec
+FROM embeddings
+GROUP BY 1
+""",
+)
+def q_arr_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.groupBy(F.size("embedding").alias("n_channels")).agg(
+        F.count("*").alias("n_vecs"), F.min("vec_id").alias("min_vec")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — element access (channel slice: first/last/mid channel).
+# ---------------------------------------------------------------------------
+@query(
+    "q_arr_elem",
+    oracle="""
+SELECT vec_id,
+       ROUND(CAST(embedding[1]  AS DOUBLE), 6) AS ch1,
+       ROUND(CAST(embedding[32] AS DOUBLE), 6) AS ch32,
+       ROUND(CAST(embedding[64] AS DOUBLE), 6) AS ch64
+FROM embeddings
+WHERE vec_id <= 500
+""",
+)
+def q_arr_elem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.where(F.col("vec_id") <= 500).select(
+        "vec_id",
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("ch1"),
+        F.round(F.element_at("embedding", 32).cast("double"), 6).alias("ch32"),
+        F.round(F.element_at("embedding", 64).cast("double"), 6).alias("ch64"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F9 — per-channel sums across all spectra (MCA accumulation).
+# ---------------------------------------------------------------------------
+@query(
+    "q_arr_channel_sum",
+    oracle="""
+WITH ch AS (
+  SELECT generate_subscripts(embedding, 1) AS channel,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT channel, COUNT(*) AS n,
+       CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_v
+FROM ch
+GROUP BY channel
+""",
+)
+def q_arr_channel_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    ch = e.select(F.posexplode("embedding").alias("pos", "raw")).select(
+        (F.col("pos") + 1).alias("channel"), F.col("raw").cast("double").alias("v")
+    )
+    return ch.groupBy("channel").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_v"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10 — per-vector L2 norm (MCA total-counts / similarity primitive).
+# Spark: higher-order aggregate with DECIMAL accumulator — exact, no
+# shuffle, whole-stage JVM.  DuckDB: unnest + decimal SUM.
+# ---------------------------------------------------------------------------
+@query(
+    "q_arr_l2",
+    oracle="""
+WITH ch AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, SUM(CAST(v * v AS DECIMAL(28,10))) AS ss
+  FROM ch
+  GROUP BY vec_id
+)
+SELECT vec_id, ROUND(SQRT(CAST(ss AS DOUBLE)), 6) AS l2_norm
+FROM s
+""",
+)
+def q_arr_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    ss = F.aggregate(
+        "embedding",
+        F.lit(0).cast("decimal(28,10)"),
+        lambda acc, x: (
+            acc + (x.cast("double") * x.cast("double")).cast("decimal(28,10)")
+        ).cast("decimal(28,10)"),
+    )
+    return e.select(
+        "vec_id", F.round(F.sqrt(ss.cast("double")), 6).alias("l2_norm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L6 — per-label embedding centroid (posexplode -> bounded-key groupBy).
+# ---------------------------------------------------------------------------
+@query(
+    "q_embed_centroid",
+    oracle="""
+WITH ch AS (
+  SELECT label, generate_subscripts(embedding, 1) AS channel,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+)
+SELECT label, channel,
+       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(v), 6) AS centroid_v,
+       COUNT(*) AS n
+FROM ch
+GROUP BY label, channel
+""",
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    ch = e.select("label", F.posexplode("embedding").alias("pos", "raw")).select(
+        "label",
+        (F.col("pos") + 1).alias("channel"),
+        F.col("raw").cast("double").alias("v"),
+    )
+    return ch.groupBy("label", "channel").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(18,6)")).cast("double") / F.count("v"), 6
+        ).alias("centroid_v"),
+        F.count("*").alias("n"),
+    )

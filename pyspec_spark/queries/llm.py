@@ -1,0 +1,221 @@
+"""LLM-data-pipeline queries over `documents` (SURVEY.md §2.12, Stage 4).
+
+Pure north-star extensions (no reference analog — the reference is an
+x-ray toolkit); these are the operations a 100 TB training-data pipeline
+needs, declared with oracles where SQL-expressible.  The heavier
+operators (MinHash-LSH, SimHash, ANN search) live in
+``pyspec_spark/operators/`` and surface here as rows-only queries.
+
+Scale notes:
+- Exact dedup is groupBy(md5) — hash-partitioned, no skew (uniform hash).
+- The n-gram Jaccard near-dup is the *inverted-index* self-join: explode
+  distinct shingles, equi-join on shingle, count co-occurrences.  Its
+  scale failure mode is hot shingles (stopword bigrams appearing in most
+  docs); production mitigation = drop shingles with document frequency
+  above a cutoff (same trick as stop-word removal), which also bounds
+  the join fan-out.  A df-cutoff is applied here for exactly that reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspec_spark.registry import query
+from pyspec_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# L1 — exact dedup: canonical doc per text hash.
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_docs",
+    oracle="""
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def q_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3 — per-document text statistics (token counting via single-space
+# split, verified identical semantics cross-engine on this corpus).
+# ---------------------------------------------------------------------------
+@query(
+    "q_text_stats",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_char,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq_tokens,
+       ROUND(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS avg_token_len
+FROM documents
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_char"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.round(
+            (F.length("text") - n_tokens + 1).cast("double") / n_tokens, 6
+        ).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L4 — language / source distribution.
+# ---------------------------------------------------------------------------
+@query(
+    "q_lang_dist",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents
+GROUP BY lang
+""",
+)
+def q_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: common-token ratio + length features (higher-order
+# filter over the token array; lambda runs JVM-side in Spark).
+# ---------------------------------------------------------------------------
+_COMMON = ("the", "a", "data", "row", "table", "value")
+_COMMON_SQL = ", ".join(f"'{w}'" for w in _COMMON)
+
+
+@query(
+    "q_doc_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS toks, length(text) AS n_char
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(len(toks) AS INT) AS n_tokens,
+       ROUND(CAST(len(list_filter(toks, x -> x IN ({_COMMON_SQL}))) AS DOUBLE)
+             / len(toks), 6) AS common_ratio,
+       ROUND(CAST(n_char AS DOUBLE) / len(toks), 6) AS chars_per_token
+FROM t
+""",
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    common = F.filter(
+        toks, lambda x: x.isin(*_COMMON)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.round(F.size(common).cast("double") / F.size(toks), 6).alias(
+            "common_ratio"
+        ),
+        F.round(F.length("text").cast("double") / F.size(toks), 6).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 (exact form) — n-gram Jaccard near-dup via shingle inverted-index
+# self-join.  Token-bigram shingles; document-frequency cutoff bounds the
+# fan-out of hot shingles (the production scale mitigation).  The
+# approximate MinHash-LSH variant is `operators/dedup.py` (rows-only).
+# ---------------------------------------------------------------------------
+_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(string_split(text, ' '))),
+                                 i -> string_split(text, ' ')[i] || ' ' ||
+                                      string_split(text, ' ')[i + 1])) AS shingle
+    FROM documents
+    WHERE doc_id < 500
+  )
+),
+filtered AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle
+                    HAVING COUNT(*) <= 50)
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM filtered GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM filtered a JOIN filtered b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
+"""
+
+
+@query("q_jaccard_neardup", oracle=_JACCARD_ORACLE)
+def q_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    toks = F.split("text", " ")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    sh = (
+        d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
+        .distinct()
+    )
+    # document-frequency cutoff: drop hot shingles (bounds join fan-out)
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= 50)
+        .select("shingle")
+    )
+    filtered = sh.join(F.broadcast(df_ok), "shingle")
+    sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = filtered.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = filtered.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .where(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
