@@ -1,0 +1,240 @@
+"""SPEC file Python DataSource (Spark 4 DataSource API) — SURVEY.md §2
+S1/S2, §4.3 item 1.
+
+The reference's only optimization is its scan index: `pyspec/spec.py`
+`SpecDataFile.index()` records each scan's byte offset so `sf[n]` parses
+one block.  Distributed translation: **one input partition per scan
+block** and `scan_number` filter pushdown, so a scan-number predicate
+becomes partition pruning — the exact same byte-skipping, executor-side.
+
+Usage:
+    spark.dataSource.register(SpecDataSource)
+    pts   = spark.read.format("specfile").option("path", f).load()
+    scans = (spark.read.format("specfile").option("path", f)
+                  .option("table", "scans").load())
+
+Two logical tables (FIXTURES.md B1 schemas):
+  points: file, scan_number, point_index, values MAP<STRING,DOUBLE>,
+          mca ARRAY<DOUBLE>
+  scans:  file, scan_number, command, ts TIMESTAMP, count_time, monitor,
+          hkl ARRAY<DOUBLE>, ub ARRAY<DOUBLE>, wavelength,
+          motors MAP<STRING,DOUBLE>, columns ARRAY<STRING>,
+          n_points_declared INT, aborted BOOLEAN
+
+Scale notes: the driver-side index pass reads only `#S` line offsets
+(regex scan, no block parse).  Each executor task re-reads just its
+[start, end) byte range.  At 100 TB (many files x many scans) the
+partition list is file-metadata-sized, and pruning keeps point queries
+O(one block).  Appended files (pyspec `reload`) are handled by re-running
+load() — offsets are recomputed, matching the reference's manual re-poll.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob as globmod
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+POINTS_SCHEMA = StructType(
+    [
+        StructField("file", StringType()),
+        StructField("scan_number", IntegerType()),
+        StructField("point_index", IntegerType()),
+        StructField("values", MapType(StringType(), DoubleType())),
+        StructField("mca", ArrayType(DoubleType()), nullable=True),
+    ]
+)
+
+SCANS_SCHEMA = StructType(
+    [
+        StructField("file", StringType()),
+        StructField("scan_number", IntegerType()),
+        StructField("command", StringType()),
+        StructField("ts", TimestampType(), nullable=True),
+        StructField("count_time", DoubleType(), nullable=True),
+        StructField("monitor", DoubleType(), nullable=True),
+        StructField("hkl", ArrayType(DoubleType()), nullable=True),
+        StructField("ub", ArrayType(DoubleType()), nullable=True),
+        StructField("wavelength", DoubleType(), nullable=True),
+        StructField("motors", MapType(StringType(), DoubleType())),
+        StructField("columns", ArrayType(StringType())),
+        StructField("n_points_declared", IntegerType(), nullable=True),
+        StructField("aborted", BooleanType()),
+    ]
+)
+
+
+class _ScanPartition(InputPartition):
+    def __init__(self, path: str, scan_number: int, start: int, end: int):
+        self.path = path
+        self.scan_number = scan_number
+        self.start = start
+        self.end = end
+
+
+def _resolve_paths(path_opt: str) -> list[str]:
+    paths: list[str] = []
+    for p in path_opt.split(","):
+        p = p.strip()
+        if not p:
+            continue
+        if os.path.isdir(p):
+            paths.extend(sorted(globmod.glob(os.path.join(p, "*"))))
+        else:
+            paths.extend(sorted(globmod.glob(p)) or [p])
+    return [p for p in paths if os.path.isfile(p)]
+
+
+class SpecDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict, table: str):
+        self.options = options
+        self.table = table
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("specfile source requires .option('path', ...)")
+        self._scan_filter: set[int] | None = None  # None = no pruning
+        self._min_scan: int | None = None
+        self._max_scan: int | None = None
+
+    # -- filter pushdown (Spark 4.1 Python DataSource API) -----------------
+    def pushFilters(self, filters):  # noqa: N802  (API name)
+        try:
+            from pyspark.sql.datasource import (
+                EqualTo,
+                GreaterThan,
+                GreaterThanOrEqual,
+                In,
+                LessThan,
+                LessThanOrEqual,
+            )
+        except ImportError:  # pragma: no cover - older API
+            yield from filters
+            return
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr else None
+            if col != "scan_number":
+                yield f
+                continue
+            if isinstance(f, EqualTo):
+                s = {f.value}
+                self._scan_filter = s if self._scan_filter is None else (self._scan_filter & s)
+            elif isinstance(f, In):
+                s = set(f.values)
+                self._scan_filter = s if self._scan_filter is None else (self._scan_filter & s)
+            elif isinstance(f, GreaterThan):
+                self._min_scan = max(self._min_scan or f.value + 1, f.value + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                self._min_scan = max(self._min_scan or f.value, f.value)
+            elif isinstance(f, LessThan):
+                self._max_scan = min(
+                    self._max_scan if self._max_scan is not None else f.value - 1,
+                    f.value - 1,
+                )
+            elif isinstance(f, LessThanOrEqual):
+                self._max_scan = min(
+                    self._max_scan if self._max_scan is not None else f.value, f.value
+                )
+            else:
+                yield f
+
+    def _keep(self, scan_number: int) -> bool:
+        if self._scan_filter is not None and scan_number not in self._scan_filter:
+            return False
+        if self._min_scan is not None and scan_number < self._min_scan:
+            return False
+        if self._max_scan is not None and scan_number > self._max_scan:
+            return False
+        return True
+
+    # -- partition planning: the scan index, one partition per block -------
+    def partitions(self):
+        from pyspec_spark.sources.spec_format import index_scans
+
+        parts: list[_ScanPartition] = []
+        for path in _resolve_paths(self.path):
+            with open(path, encoding="utf-8", errors="replace") as fh:
+                text = fh.read()
+            for scan_number, start, end in index_scans(text):
+                if self._keep(scan_number):
+                    parts.append(_ScanPartition(path, scan_number, start, end))
+        return parts
+
+    # -- per-partition read: parse ONE scan block ---------------------------
+    def read(self, partition: _ScanPartition) -> Iterator[tuple]:
+        from pyspec_spark.sources.spec_format import (
+            parse_file_header,
+            parse_scan_block,
+        )
+
+        with open(partition.path, encoding="utf-8", errors="replace") as fh:
+            text = fh.read()
+        header = parse_file_header(text)
+        block = text[partition.start : partition.end]
+        scan = parse_scan_block(block, header.motor_names)
+        fname = os.path.basename(partition.path)
+
+        if self.table == "scans":
+            ts = (
+                datetime.datetime.fromtimestamp(scan.ts)
+                if scan.ts is not None
+                else None
+            )
+            yield (
+                fname,
+                scan.scan_number,
+                scan.command,
+                ts,
+                scan.count_time,
+                scan.monitor,
+                scan.hkl,
+                scan.ub,
+                scan.wavelength,
+                scan.motors,
+                scan.columns,
+                scan.n_points_declared,
+                scan.aborted,
+            )
+            return
+
+        cols = scan.columns
+        for i, row in enumerate(scan.data):
+            values = dict(zip(cols, row))
+            yield (fname, scan.scan_number, i, values, scan.mca[i])
+
+
+class SpecDataSource(DataSource):
+    """spark.read.format("specfile") — SPEC scan files as DataFrames."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "specfile"
+
+    def schema(self):
+        table = self.options.get("table", "points")
+        return SCANS_SCHEMA if table == "scans" else POINTS_SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return SpecDataSourceReader(self.options, self.options.get("table", "points"))
+
+
+def register(spark) -> None:
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # pragma: no cover — static conf on some builds
+        pass
+    spark.dataSource.register(SpecDataSource)

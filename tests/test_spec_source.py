@@ -1,0 +1,144 @@
+"""Golden + behavior tests for the SPEC DataSource (SURVEY.md §2 S1/S2,
+§5.2 layer 2).  Fixtures: synthetic SPEC files per FIXTURES.md B1."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.fixtures import MOTORS_0, MOTORS_1, SPEC_COLUMNS, make_spec_dir
+
+
+@pytest.fixture(scope="module")
+def spec_dir(tmp_path_factory):
+    base = tmp_path_factory.mktemp("spec_files")
+    truths = make_spec_dir(str(base))
+    return str(base), truths
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    from pyspec_spark.sources.spec_datasource import register
+
+    register(spark)
+    return spark
+
+
+def _points(spark, path, **opts):
+    r = spark.read.format("specfile").option("path", path)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_point_counts_match_truth(registered, spec_dir):
+    spark = registered
+    base, truths = spec_dir
+    df = _points(spark, base)
+    got = {
+        (r["file"], r["scan_number"]): r["n"]
+        for r in df.groupBy("file", "scan_number").count().withColumnRenamed("count", "n").collect()
+    }
+    for t in truths:
+        fname = t["file"]
+        for n, s in t["scans"].items():
+            expected = s["n_points"]
+            if fname == "exp0.spec" and n == 19:
+                expected += t["dup_19"]["n_points"]
+            assert got[(fname, n)] == expected, (fname, n)
+
+
+def test_values_map_and_columns(registered, spec_dir):
+    spark = registered
+    base, truths = spec_dir
+    row = (
+        _points(spark, base)
+        .where("file = 'exp1.spec' AND scan_number = 2 AND point_index = 0")
+        .collect()[0]
+    )
+    assert set(row["values"].keys()) == set(SPEC_COLUMNS)
+    assert row["values"]["Monitor"] > 9e4
+
+
+def test_scan_metadata(registered, spec_dir):
+    spark = registered
+    base, truths = spec_dir
+    scans = _points(spark, base, table="scans")
+    r = {s["scan_number"]: s for s in scans.where("file = 'exp0.spec'").collect()}
+    truth = truths[0]["scans"]
+    # UB, wavelength, motors, monitor
+    assert r[3]["wavelength"] == pytest.approx(1.5405)
+    assert list(r[3]["ub"]) == pytest.approx(truth[3]["ub"])
+    assert r[3]["monitor"] == pytest.approx(truth[3]["monitor"], rel=1e-6)
+    assert r[4]["monitor"] is None  # even scans have no #M
+    m = r[5]["motors"]
+    assert set(m.keys()) == set(MOTORS_0 + MOTORS_1)
+    for k, v in truth[5]["motors"].items():
+        assert m[k] == pytest.approx(v, abs=1e-4)
+    # aborted quirk
+    assert r[13]["aborted"] is True
+    assert r[13]["n_points_declared"] == 41
+    # alt-columns quirk
+    assert list(r[21]["columns"]) == truth[21]["columns"]
+    # command + date
+    assert r[1]["command"].startswith("ascan th")
+    assert r[1]["ts"] is not None and r[1]["ts"].year == 2011
+
+
+def test_mca_attached(registered, spec_dir):
+    spark = registered
+    base, _ = spec_dir
+    rows = (
+        _points(spark, base)
+        .where("file = 'exp0.spec' AND scan_number = 7 AND mca IS NOT NULL")
+        .collect()
+    )
+    assert len(rows) == 2  # two points carry spectra
+    assert all(len(r["mca"]) == 1024 for r in rows)
+
+
+def test_duplicate_scan_number_kept(registered, spec_dir):
+    spark = registered
+    base, _ = spec_dir
+    scans = _points(spark, base, table="scans")
+    dups = scans.where("file = 'exp0.spec' AND scan_number = 19").collect()
+    assert len(dups) == 2
+
+
+def test_scan_number_pushdown_prunes_partitions(registered, spec_dir):
+    """scan_number predicates must prune scan-block partitions in the
+    reader (the distributed twin of pyspec's byte-offset index)."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
+
+    from pyspec_spark.sources.spec_datasource import SpecDataSourceReader
+
+    spark = registered
+    base, _ = spec_dir
+    # end-to-end: filtered read returns the right rows
+    assert _points(spark, base).where("scan_number = 5").count() == 3 * 81
+    # reader-level: partition list shrinks under pushdown
+    full = SpecDataSourceReader({"path": base}, "points")
+    assert len(full.partitions()) == 3 * 25 + 1  # 25 scans/file + 1 dup block
+    eq = SpecDataSourceReader({"path": base}, "points")
+    rejected = list(eq.pushFilters([EqualTo(("scan_number",), 5)]))
+    assert rejected == []
+    assert len(eq.partitions()) == 3  # one block per file
+    rng = SpecDataSourceReader({"path": base}, "points")
+    list(rng.pushFilters([GreaterThanOrEqual(("scan_number",), 10), LessThan(("scan_number",), 12)]))
+    assert len(rng.partitions()) == 6  # scans 10,11 in each of 3 files
+
+
+def test_reload_append_pattern(registered, spec_dir, tmp_path):
+    """pyspec `reload`: re-running load() after append sees new scans."""
+    import shutil
+
+    spark = registered
+    base, _ = spec_dir
+    f = tmp_path / "grow.spec"
+    shutil.copyfile(f"{base}/exp2.spec", f)
+    n0 = _points(spark, str(f), table="scans").count()
+    with open(f"{base}/exp2.spec") as src, open(f, "a") as dst:
+        text = src.read()
+        block = text[text.rindex("#S ") :].replace("#S 25", "#S 26")
+        dst.write("\n" + block)
+    n1 = _points(spark, str(f), table="scans").count()
+    assert n1 == n0 + 1
