@@ -1,0 +1,97 @@
+"""Distributed per-group curve fitting — SURVEY.md §2 X4/UD2, §3.1 E3.
+
+Reference: `pyspec/fit.py` [H] — fit one (x, y, e) series in-process.
+Distributed form: `groupBy(keys).applyInPandas(fit_fn, schema)` — one
+Arrow batch per series, numpy LM inside the Python worker, a small
+fit-record row out.  The driver never sees raw points.
+
+Scale notes: per-series work is independent (embarrassingly parallel);
+the only shuffle is the groupBy that co-locates each series.  Empty and
+degenerate groups return a row with converged=false rather than
+raising (the applyInPandas empty-group trap, SURVEY §7 risk 3).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FIT_SCHEMA = StructType(
+    [
+        StructField("series_id", StringType()),
+        StructField("models", StringType()),
+        StructField("p", ArrayType(DoubleType())),
+        StructField("stderr", ArrayType(DoubleType())),
+        StructField("chi2", DoubleType()),
+        StructField("n_points", IntegerType()),
+        StructField("n_iter", IntegerType()),
+        StructField("converged", BooleanType()),
+    ]
+)
+
+
+def fit_groups(
+    df: DataFrame,
+    kinds: list[str],
+    key: str = "series_id",
+    x: str = "x",
+    y: str = "y",
+    e: str | None = "e",
+) -> DataFrame:
+    """Fit `kinds` (e.g. ["gauss"] or ["linear","gauss"]) to every group."""
+    import numpy as np
+
+    from pyspec_spark.functions.fitfuncs import fit_series
+
+    def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        sid = str(pdf[key].iloc[0]) if len(pdf) else ""
+        xs = pdf[x].to_numpy(dtype=float)
+        order = np.argsort(xs)
+        xs = xs[order]
+        ys = pdf[y].to_numpy(dtype=float)[order]
+        es = pdf[e].to_numpy(dtype=float)[order] if e and e in pdf else None
+        n_params = sum(
+            {"constant": 1, "linear": 2, "power": 2, "gauss": 3, "lor": 3, "pvoight": 4}[k]
+            for k in kinds
+        )
+        if len(xs) <= n_params:
+            return pd.DataFrame(
+                [
+                    {
+                        "series_id": sid,
+                        "models": "+".join(kinds),
+                        "p": None,
+                        "stderr": None,
+                        "chi2": float("nan"),
+                        "n_points": int(len(xs)),
+                        "n_iter": 0,
+                        "converged": False,
+                    }
+                ]
+            )
+        r = fit_series(kinds, xs, ys, es)
+        return pd.DataFrame(
+            [
+                {
+                    "series_id": sid,
+                    "models": "+".join(kinds),
+                    "p": [float(v) for v in r["p"]],
+                    "stderr": [float(v) for v in r["stderr"]],
+                    "chi2": r["chi2"],
+                    "n_points": int(len(xs)),
+                    "n_iter": int(r["n_iter"]),
+                    "converged": bool(r["converged"]),
+                }
+            ]
+        )
+
+    return df.groupBy(key).applyInPandas(fit_one, FIT_SCHEMA)

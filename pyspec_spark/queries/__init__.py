@@ -7,3 +7,4 @@ import pyspec_spark.queries.events  # noqa: F401
 import pyspec_spark.queries.arrays  # noqa: F401
 import pyspec_spark.queries.llm  # noqa: F401
 import pyspec_spark.queries.scalars  # noqa: F401
+import pyspec_spark.queries.fitting  # noqa: F401
