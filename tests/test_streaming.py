@@ -1,0 +1,148 @@
+"""Streaming twin tests (SURVEY.md §5.2 layer 4 + ST4 watermark
+semantics, FIXTURES.md B4): each streaming op, executed over the sf0.001
+events table replayed as a chunked file stream, must equal its batch twin
+at stream end; late data beyond the watermark is dropped."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def event_chunks(spark, tmp_path_factory):
+    """Events split into 10 parquet chunk-files, ordered by ts (in-order
+    replay) — B4's micro-batch source."""
+    from pyspec_spark.tables import table
+
+    base = str(tmp_path_factory.mktemp("stream_src"))
+    ev = table(spark, SF, "events").orderBy("ts")
+    n = ev.count()
+    pdf = ev.toPandas()
+    chunk = (n + 9) // 10
+    for i in range(10):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            part.to_parquet(
+                os.path.join(base, f"chunk_{i:02d}.parquet"),
+                index=False,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+    return base, n
+
+
+def _collect_sorted(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+@pytest.mark.parametrize("op_name", ["tumbling", "sliding", "session"])
+def test_stream_equals_batch(spark, event_chunks, op_name):
+    import pyspec_spark.streaming.events as se
+    from pyspec_spark.tables import table
+
+    base, _ = event_chunks
+    op = getattr(se, op_name)
+    stream = se.read_event_stream(spark, base, max_files_per_trigger=2)
+    se.run_to_memory(op(stream), f"t_{op_name}", output_mode="complete")
+    got = spark.table(f"t_{op_name}")
+    want = op(table(spark, SF, "events"))
+    cols = want.columns
+    assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
+
+
+def test_stream_dedup_counts(spark, event_chunks):
+    import pyspec_spark.streaming.events as se
+    from pyspec_spark.tables import table
+
+    base, _ = event_chunks
+    stream = se.read_event_stream(spark, base, max_files_per_trigger=2)
+    se.run_to_memory(se.dedup(stream), "t_dedup", output_mode="append")
+    got = spark.table("t_dedup")
+    want = table(spark, SF, "events").dropDuplicates(["user_id", "event_type"])
+    # Within-watermark dedup only guarantees uniqueness inside the state
+    # retention horizon: a key recurring after eviction is re-emitted.  So
+    # the DISTINCT key set equals the batch twin's, and the emitted row
+    # count sits between distinct-keys and total events.
+    gk = set(map(tuple, got.select("user_id", "event_type").distinct().collect()))
+    wk = set(map(tuple, want.select("user_id", "event_type").collect()))
+    assert gk == wk
+    n_events = table(spark, SF, "events").count()
+    assert len(wk) <= got.count() <= n_events
+
+
+def test_stream_enrich_equals_batch(spark, event_chunks):
+    import pyspec_spark.streaming.events as se
+    from pyspec_spark.tables import table
+
+    base, _ = event_chunks
+    stream = se.read_event_stream(spark, base, max_files_per_trigger=3)
+    se.run_to_memory(
+        se.enrich(stream, table(spark, SF, "customer")), "t_enrich", "append"
+    )
+    got = spark.table("t_enrich")
+    want = se.enrich(table(spark, SF, "events"), table(spark, SF, "customer"))
+    cols = ["event_id", "user_id", "event_type", "c_mktsegment"]
+    assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """ST4: with a 10-minute watermark, events arriving after the
+    watermark has passed their window are dropped from append output."""
+    import pandas as pd
+
+    import pyspec_spark.streaming.events as se
+
+    base = str(tmp_path / "late_src")
+    os.makedirs(base)
+    # Watermark filtering lags one batch (the filter in batch N uses the
+    # watermark computed after batch N-1), so: b0 advances event time,
+    # b1 is a spacer that commits the advanced watermark, b2 carries the
+    # late row — by then the 00:00-01:00 window is finalized.
+    rows0 = []
+    for h in range(3):
+        for i in range(10):
+            rows0.append((h * 100 + i, pd.Timestamp(f"2024-01-01 {h:02d}:30:00"),
+                          1, "view", 1.0, "{}"))
+    rows1 = [(500, pd.Timestamp("2024-01-01 03:30:00"), 1, "view", 1.0, "{}")]
+    rows2 = [(9999, pd.Timestamp("2024-01-01 00:45:00"), 1, "view", 100.0, "{}"),
+             (10000, pd.Timestamp("2024-01-01 04:30:00"), 1, "view", 1.0, "{}")]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    kw = dict(index=False, coerce_timestamps="us", allow_truncated_timestamps=True)
+    for i, rows in enumerate([rows0, rows1, rows2]):
+        f = f"{base}/b{i}.parquet"
+        pd.DataFrame(rows, columns=cols).to_parquet(f, **kw)
+        # file source orders batches by modification time — make it explicit
+        os.utime(f, (1000000000 + 100 * i, 1000000000 + 100 * i))
+
+    stream = se.read_event_stream(spark, base, max_files_per_trigger=1)
+    se.run_to_memory(se.tumbling(stream), "t_late", output_mode="append")
+    got = {r["bucket"].hour: r for r in spark.table("t_late").collect()}
+    # hour-0 window was finalized before the late row arrived: n==10 and
+    # the 100.0 value is NOT included
+    assert got[0]["n"] == 10
+    assert got[0]["sum_value"] == pytest.approx(10.0)
+
+
+def test_parquet_sink_and_foreach_batch(spark, event_chunks, tmp_path):
+    import pyspec_spark.streaming.events as se
+
+    base, n = event_chunks
+    stream = se.read_event_stream(spark, base, max_files_per_trigger=5)
+    out = str(tmp_path / "sink")
+    se.run_to_parquet(
+        se.enrich(stream, __import__("pyspec_spark.tables", fromlist=["table"]).table(spark, SF, "customer")),
+        out,
+        str(tmp_path / "ckpt"),
+    )
+    sunk = spark.read.parquet(out)
+    assert sunk.count() > 0
+    # foreachBatch: accumulate batch row counts
+    seen = []
+    stream2 = se.read_event_stream(spark, base, max_files_per_trigger=5)
+    se.run_foreach_batch(stream2, lambda df, bid: seen.append(df.count()), "append")
+    assert sum(seen) == n
