@@ -1,0 +1,199 @@
+"""Near-duplicate detection operators — SURVEY.md §2.12 L1/L2 and the
+north-star training-data-pipeline brief (MinHash+LSH, SimHash).
+
+All signature computation stays JVM-side via higher-order functions over
+the token/shingle arrays (xxhash64 is Spark's built-in seeded-by-concat
+64-bit hash) — no Python in the hot path.  The only shuffles are the
+band-bucket join (MinHash) / band-prefix join (SimHash), which is the
+textbook inverted-index LSH plan:
+
+  shingle -> n minhashes (map-only) -> explode b bands -> groupBy
+  (band, hash) buckets -> within-bucket pairs -> verify.
+
+Scale notes: band buckets are the skew risk (a degenerate band value
+collecting millions of docs); `max_bucket` caps verification fan-out the
+same way the Jaccard query caps shingle document-frequency.  Verification
+of candidates re-estimates similarity from the full signatures (cheap,
+already materialized) rather than re-reading text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("_toks", F.split(F.col(text_col), " "))
+
+
+def shingles(df: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
+    """Distinct token k-gram shingles as an array column (map-only)."""
+    toks = F.split(F.col(text_col), " ")
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return df.withColumn("_shingles", F.array_distinct(sh))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    shingle_k: int = 2,
+) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[n_hashes]) — one pass, no shuffle.
+
+    sig[i] = min over shingles of xxhash64(shingle, salt_i); the salt is
+    folded in by concatenation (Spark's xxhash64 seed argument is fixed).
+    """
+    with_sh = shingles(df, text_col, shingle_k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                F.col("_shingles"),
+                lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))),
+            )
+        ),
+    )
+    return with_sh.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidates(
+    sigs: DataFrame, bands: int = 16, max_bucket: int = 1000
+) -> DataFrame:
+    """Candidate pairs from banded LSH over the signatures.
+
+    rows_per_band = n_hashes / bands; a pair is a candidate if any band's
+    sub-signature hashes equal.  `max_bucket` drops degenerate buckets
+    (hot-key mitigation at scale).
+    """
+    n_hashes = len(sigs.select("sig").first()["sig"])
+    r = n_hashes // bands
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice("sig", b * r + 1, r))
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    sized = banded.groupBy("band", "band_hash").agg(
+        F.collect_list("id").alias("ids"), F.count("*").alias("n")
+    )
+    ok = sized.where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    a = ok.select("band", "band_hash", F.explode("ids").alias("id_a"))
+    b = ok.select("band", "band_hash", F.explode("ids").alias("id_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup: candidates + signature-estimated
+    Jaccard >= threshold.  Output: (id_a, id_b, est_jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).cache()
+    cand = lsh_candidates(sigs, bands)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
+        )
+    ) / F.lit(n_hashes)
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc: per-bit majority vote over token hashes.
+
+    Vectorized numpy pandas-UDF (per-row bit unpacking is the rare case
+    where Python beats a 64-way HOF expression tree)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    toks_hashed = tokenize(df, text_col).withColumn(
+        "_th", F.transform("_toks", lambda t: F.xxhash64(t))
+    )
+
+    @pandas_udf(LongType())
+    def sim(hashes: pd.Series) -> pd.Series:
+        out = np.empty(len(hashes), dtype=np.int64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                out[i] = 0
+                continue
+            arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            bitmat = (arr[:, None] >> np.arange(bits, dtype=np.uint64)[None, :]) & 1
+            votes = bitmat.sum(axis=0) * 2 > len(arr)
+            out[i] = np.int64(
+                np.bitwise_or.reduce(
+                    (votes.astype(np.uint64) << np.arange(bits, dtype=np.uint64))
+                ).astype(np.uint64).view(np.int64)
+            )
+        return pd.Series(out)
+
+    return toks_hashed.select(F.col(id_col).alias("id"), sim("_th").alias("simhash"))
+
+
+def simhash_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup: band-prefix blocking (8 x 8-bit bands: by
+    pigeonhole, two docs within hamming distance 7 share at least one
+    exact band — a recall *guarantee* up to max_hamming-1=7), then exact
+    hamming verification via bit_count(xor)."""
+    sh = simhash(df, id_col, text_col).cache()
+    bands = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 8 * b).bitwiseAND(F.lit(0xFF))
+                    for b in range(8)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a = bands.select("band", "band_val", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = bands.select("band", "band_val", F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns — SURVEY.md §2.12 L5 and the
+north-star ANN brief.
+
+Three tiers, same answer shape (vec_id, score):
+- `cosine_topk` — exact brute force: JVM-side zip_with/aggregate dot
+  product against a broadcast query vector, TakeOrderedAndProject top-k.
+  The correctness baseline and the right plan up to ~10^7 vectors/task.
+- `lsh_topk` — random-hyperplane LSH: signatures computed JVM-side from
+  a seeded driver-generated plane matrix (literal arrays), Hamming-band
+  blocking, exact re-rank inside candidate buckets.  The 100 TB path:
+  candidate generation is an equi-join on band values.
+- `ivf_topk` — inverted-file: k-means-lite centroids (deterministic
+  seeded sample + a few Lloyd iterations on a sample), assign each
+  vector to its nearest centroid (map-only), probe the closest n_probe
+  cells at query time.  Mirrors production IVF layouts where each cell
+  is a partition/file — partition pruning for vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot_expr(vec_col, qlit):
+    """JVM dot product: sum over zip_with(vec, query, *)."""
+    return F.aggregate(
+        F.zip_with(vec_col, qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_expr(vec_col):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec_col, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query: list[float] | np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against one query vector (brute force)."""
+    q = np.asarray(query, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    cos = _dot_expr(F.col(vec_col), qlit) / (_norm_expr(F.col(vec_col)) * qn)
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), cos.alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signatures(
+    emb: DataFrame,
+    n_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane signature as a BIGINT (bit i = sign of dot with
+    plane i).  Planes are literals — no join, pure codegen."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits = []
+    for i in range(n_planes):
+        plit = F.array(*[F.lit(float(v)) for v in planes[i]])
+        bit = (_dot_expr(F.col(vec_col), plit) > 0).cast("long")
+        bits.append(F.shiftleft(bit, i))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col), sig.alias("sig"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    query: list[float] | np.ndarray,
+    k: int = 10,
+    n_planes: int = 16,
+    max_hamming: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: candidates = vectors whose signature is within
+    `max_hamming` bits of the query's, exact cosine re-rank on those."""
+    q = np.asarray(query, dtype=np.float64)
+    dim = q.size
+    planes = _hyperplanes(dim, n_planes, seed)
+    q_sig = 0
+    for i in range(n_planes):
+        if float(planes[i] @ q) > 0:
+            q_sig |= 1 << i
+    sigs = lsh_signatures(emb, n_planes, seed, id_col, vec_col)
+    cand = sigs.where(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(q_sig))) <= max_hamming
+    )
+    qn = float(np.linalg.norm(q))
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    cos = _dot_expr(F.col(vec_col), qlit) / (_norm_expr(F.col(vec_col)) * qn)
+    return (
+        cand.select("vec_id", cos.alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(k)
+    )
+
+
+def train_centroids(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 5,
+    sample: int = 2000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic k-means-lite on a driver-side sample (IVF training
+    is always a sample-based step; the full data never leaves executors)."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=n_cells, replace=False)]
+    for _ in range(n_iter):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                C[c] = X[m].mean(0)
+    return C
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only cell assignment: argmin distance over literal centroids.
+    At rest this becomes the partition key (write .partitionBy('cell'))."""
+    n_cells = centroids.shape[0]
+    dists = []
+    for c in range(n_cells):
+        clit = F.array(*[F.lit(float(v)) for v in centroids[c]])
+        d2 = F.aggregate(
+            F.zip_with(F.col(vec_col), clit, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(d2)
+    arr = F.array(*dists)
+    cell = F.expr(
+        "array_position(" + "d_arr" + ", array_min(d_arr)) - 1"
+    )
+    return (
+        emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col), arr.alias("d_arr"))
+        .withColumn("cell", cell.cast("int"))
+        .drop("d_arr")
+    )
+
+
+def ivf_topk(
+    emb_assigned: DataFrame,
+    centroids: np.ndarray,
+    query: list[float] | np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe nearest cells, exact re-rank inside them."""
+    q = np.asarray(query, dtype=np.float64)
+    order = np.argsort(((centroids - q) ** 2).sum(1))
+    probe = [int(c) for c in order[:n_probe]]
+    qn = float(np.linalg.norm(q))
+    qlit = F.array(*[F.lit(float(v)) for v in q])
+    cos = _dot_expr(F.col(vec_col), qlit) / (_norm_expr(F.col(vec_col)) * qn)
+    return (
+        emb_assigned.where(F.col("cell").isin(probe))
+        .select("vec_id", cos.alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(k)
+    )

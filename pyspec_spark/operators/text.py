@@ -1,0 +1,139 @@
+"""Text-analysis operators — the north-star training-data brief
+(language ID, quality scoring, token counting, fingerprinting).
+
+Scale notes: profile training collects only a tiny per-language model to
+the driver (bounded by n_langs x n_features) and broadcasts it back as
+literals inside a vectorized pandas UDF; classification itself is
+map-only.  Fingerprints/token counts are pure JVM expressions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pretokenizer: word pieces OR single non-space symbols (the
+# regex shape GPT-style BPE vocabularies use for pretokenization)
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    return df.withColumns(
+        {
+            "n_ws_tokens": F.size(F.split(F.col(text_col), r"\s+")),
+            "n_bpe_tokens": F.size(
+                F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH), F.lit(0))
+            ),
+        }
+    )
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", window: int = 8
+) -> DataFrame:
+    """Winnowing-style document fingerprint: min rolling hash over token
+    `window`-grams (one 64-bit value per doc; robust to small edits at
+    the margins).  Pure JVM higher-order expressions."""
+    toks = F.split(F.col(text_col), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (window - 1), F.lit(1))),
+        lambda i: F.xxhash64(
+            F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(window)])
+        ),
+    )
+    return df.withColumn("fingerprint", F.array_min(grams))
+
+
+def char_ngram_profile(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text", n_top: int = 50
+) -> dict[str, list[str]]:
+    """Train per-language character-trigram rank profiles (the classic
+    Cavnar-Trenkle n-gram language-ID scheme).  Returns {lang: [top
+    trigrams in rank order]} — a tiny driver-side model."""
+    tri = df.select(
+        F.col(lang_col).alias("lang"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(text_col) - 2, F.lit(1))),
+                lambda i: F.col(text_col).substr(i, F.lit(3)),
+            )
+        ).alias("tri"),
+    )
+    counts = tri.groupBy("lang", "tri").count()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("count"), "tri")
+    top = counts.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= n_top)
+    profiles: dict[str, list[str]] = {}
+    for r in top.orderBy("lang", "rk").collect():
+        profiles.setdefault(r["lang"], []).append(r["tri"])
+    return profiles
+
+
+def lang_id(
+    df: DataFrame, profiles: dict[str, list[str]], text_col: str = "text"
+) -> DataFrame:
+    """Classify by out-of-place distance between the document's trigram
+    ranks and each language profile (vectorized pandas UDF; profiles are
+    broadcast inside the closure)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    langs = sorted(profiles)
+    rank_maps = {
+        lang: {t: i for i, t in enumerate(profiles[lang])} for lang in langs
+    }
+    n_top = max(len(v) for v in profiles.values())
+
+    @pandas_udf(StringType())
+    def classify(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if not t:
+                out.append(langs[0])
+                continue
+            from collections import Counter
+
+            tris = Counter(t[i : i + 3] for i in range(max(len(t) - 2, 1)))
+            doc_rank = [g for g, _ in sorted(tris.items(), key=lambda kv: (-kv[1], kv[0]))[:n_top]]
+            best, best_d = langs[0], float("inf")
+            for lang in langs:
+                rm = rank_maps[lang]
+                d = sum(
+                    abs(i - rm[g]) if g in rm else n_top
+                    for i, g in enumerate(doc_rank)
+                )
+                if d < best_d:
+                    best, best_d = lang, d
+            out.append(best)
+        return pd.Series(out)
+
+    return df.withColumn("lang_pred", classify(F.col(text_col)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality heuristics (length, token diversity, symbol
+    ratio) — map-only JVM expressions."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n_tok = F.size(toks)
+    uniq_ratio = F.size(F.array_distinct(toks)) / n_tok
+    sym_ratio = (
+        F.length(F.regexp_replace(F.col(text_col), r"[A-Za-z0-9\s]", ""))
+        / F.length(text_col)
+    )
+    length_ok = (F.length(text_col) >= 50) & (F.length(text_col) <= 100_000)
+    score = (
+        F.when(length_ok, 0.4).otherwise(0.0)
+        + uniq_ratio * 0.4
+        + (1.0 - F.least(sym_ratio * 5.0, F.lit(1.0))) * 0.2
+    )
+    return df.withColumns(
+        {
+            "uniq_token_ratio": F.round(uniq_ratio, 6),
+            "symbol_ratio": F.round(sym_ratio, 6),
+            "quality": F.round(score, 6),
+        }
+    )
