@@ -7,5 +7,6 @@ import pyspec_spark.queries.events  # noqa: F401
 import pyspec_spark.queries.arrays  # noqa: F401
 import pyspec_spark.queries.llm  # noqa: F401
 import pyspec_spark.queries.llm_advanced  # noqa: F401
+import pyspec_spark.queries.joins_advanced  # noqa: F401
 import pyspec_spark.queries.scalars  # noqa: F401
 import pyspec_spark.queries.fitting  # noqa: F401

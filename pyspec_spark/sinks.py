@@ -1,0 +1,55 @@
+"""Sinks — SURVEY.md §2.1 S6.
+
+The reference's "sinks" are matplotlib plots and numpy dumps of grids /
+fit tables (`pyspec/spec.py` SpecPlot, `pyspec/ccd/plotter.py` [M]); the
+engine equivalent is columnar persistence of result tables.  Parquet,
+partitioned by the natural query key, so downstream reads prune:
+
+- grids partition by the outermost voxel axis (`gx`) — a cut query
+  (`WHERE gx = k`, §2 A5) then touches one directory;
+- fit tables partition by scan/group key;
+- generic `write_result` keeps explicit control of layout + mode.
+
+Scale notes: partition count = distinct values of the partition column —
+keep it the coarse axis (hundreds of dirs), never a high-cardinality key
+(millions of tiny files is the classic parquet-lake failure).  Writers
+coalesce small outputs so local runs don't emit one file per shuffle
+partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_result(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    coalesce: int | None = None,
+) -> None:
+    """Persist a result table as parquet with optional partitioning.
+    Pass ``coalesce=1`` for small summary outputs so local runs don't
+    emit one file per shuffle partition; leave None for large results
+    (the write parallelism then follows the plan's partitioning)."""
+    out = df.coalesce(coalesce) if coalesce else df
+    w = out.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_grid(grid: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist a gridder output (gx, gy, gz, n, mean_i, stderr_i ...)
+    partitioned by the outer axis for cut-query pruning."""
+    grid.write.mode(mode).partitionBy("gx").parquet(path)
+
+
+def read_grid(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_fits(fits: DataFrame, path: str, group_col: str, mode: str = "overwrite") -> None:
+    """Persist a fit-record table partitioned by the grouping key."""
+    fits.write.mode(mode).partitionBy(group_col).parquet(path)
