@@ -1,0 +1,212 @@
+"""Property-based tests (SURVEY.md §5.2 layer 3, Hypothesis):
+
+- SPEC parser round-trip: emit random scan blocks -> parse -> equality
+- grid invariants: voxel occupancy sums to row count; 2-D cut of the 3-D
+  grid equals the direct 2-D aggregation
+- exact-dedup idempotence
+- bucketed range join == naive theta join for arbitrary intervals/widths
+- as-of join == pandas merge_asof ground truth
+
+Spark examples are bounded (max_examples small, deadline off) — each
+example runs distributed jobs."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# SPEC parser round-trip (pure Python — generous example budget)
+# ---------------------------------------------------------------------------
+
+_names = st.lists(
+    st.text(alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz", min_size=1, max_size=8),
+    min_size=1,
+    max_size=6,
+    unique=True,
+)
+_floats = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+).map(lambda v: float(f"{v:.6g}"))  # SPEC text carries %.6g precision
+
+
+@given(
+    scan_no=st.integers(min_value=1, max_value=9999),
+    cols=_names,
+    data=st.data(),
+)
+@settings(max_examples=200, deadline=None)
+def test_spec_block_roundtrip(scan_no, cols, data):
+    from pyspec_spark.sources.spec_format import parse_scan_block
+
+    n_rows = data.draw(st.integers(min_value=0, max_value=12))
+    rows = [
+        [data.draw(_floats) for _ in cols] for _ in range(n_rows)
+    ]
+    block_lines = [f"#S {scan_no} ascan th 0 1 {max(n_rows - 1, 1)} 1"]
+    block_lines.append("#T 1 (Seconds)")
+    block_lines.append("#N %d" % len(cols))
+    block_lines.append("#L " + "  ".join(cols))
+    for r in rows:
+        block_lines.append(" ".join(f"{v:.6g}" for v in r))
+    scan = parse_scan_block("\n".join(block_lines) + "\n", [])
+    assert scan.scan_number == scan_no
+    assert scan.columns == list(cols)
+    assert len(scan.data) == n_rows
+    for got, want in zip(scan.data, rows):
+        for g, w in zip(got, want):
+            assert g == pytest.approx(w, rel=1e-5, abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Spark-backed properties: few examples, shared session
+# ---------------------------------------------------------------------------
+
+_small_floats = st.floats(min_value=-100, max_value=100, allow_nan=False,
+                          allow_infinity=False)
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grid_invariants(spark, data):
+    """Sum of voxel occupancy == input rows; 2-D cut == direct 2-D agg."""
+    n = data.draw(st.integers(min_value=1, max_value=200))
+    pts = [
+        (data.draw(_small_floats), data.draw(_small_floats),
+         data.draw(_small_floats), abs(data.draw(_small_floats)) + 0.1)
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(pts, "qx double, qy double, qz double, i double")
+    dq = data.draw(st.sampled_from([1.0, 5.0, 25.0]))
+    g = df.select(
+        F.floor(F.col("qx") / dq).alias("gx"),
+        F.floor(F.col("qy") / dq).alias("gy"),
+        F.floor(F.col("qz") / dq).alias("gz"),
+        "i",
+    )
+    grid3 = g.groupBy("gx", "gy", "gz").agg(
+        F.count("*").alias("n"), F.sum("i").alias("si")
+    )
+    assert grid3.agg(F.sum("n")).collect()[0][0] == n
+    # cut: re-aggregate the 3-D grid over gz vs aggregate the points directly
+    cut = grid3.groupBy("gx", "gy").agg(
+        F.sum("n").alias("n"), F.sum("si").alias("si")
+    )
+    direct = g.groupBy("gx", "gy").agg(
+        F.count("*").alias("n"), F.sum("i").alias("si")
+    )
+    got = {(r["gx"], r["gy"]): (r["n"], r["si"]) for r in cut.collect()}
+    want = {(r["gx"], r["gy"]): (r["n"], r["si"]) for r in direct.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert got[k][1] == pytest.approx(want[k][1], rel=1e-9)
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_dedup_idempotent(spark, data):
+    n = data.draw(st.integers(min_value=1, max_value=50))
+    texts = [
+        data.draw(st.sampled_from(["aaa", "bbb", "ccc", "ddd", "eee"]))
+        for _ in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    def dedup(d):
+        return (
+            d.groupBy("text")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "text")
+        )
+
+    once = dedup(df)
+    twice = dedup(once)
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
+    assert len(a) == len(set(texts))
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_range_join_bucketed_property(spark, data):
+    from pyspec_spark.operators.joins import range_join_bucketed
+
+    n_facts = data.draw(st.integers(min_value=1, max_value=60))
+    n_ranges = data.draw(st.integers(min_value=1, max_value=8))
+    facts = [(i, data.draw(_small_floats)) for i in range(n_facts)]
+    ranges = []
+    for j in range(n_ranges):
+        lo = data.draw(_small_floats)
+        width = abs(data.draw(_small_floats)) + 1e-6
+        ranges.append((j, lo, lo + width))
+    width_b = data.draw(st.sampled_from([0.5, 3.0, 50.0, 1000.0]))
+    fdf = spark.createDataFrame(facts, "fid long, v double")
+    rdf = spark.createDataFrame(ranges, "rid long, lo double, hi double")
+    got = sorted(
+        (r["fid"], r["rid"])
+        for r in range_join_bucketed(fdf, rdf, "v", bucket_width=width_b).collect()
+    )
+    want = sorted(
+        (fid, rid)
+        for fid, v in facts
+        for rid, lo, hi in ranges
+        if lo <= v < hi
+    )
+    assert got == want
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_join_matches_pandas(spark, data):
+    from pyspec_spark.operators.joins import asof_join
+
+    n_l = data.draw(st.integers(min_value=0, max_value=30))
+    n_r = data.draw(st.integers(min_value=1, max_value=30))
+    keys = [0, 1, 2]
+    # unique (key, ts) on the left — the operator's documented contract
+    lpairs = data.draw(
+        st.lists(
+            st.tuples(st.sampled_from(keys), st.integers(0, 100)),
+            min_size=n_l, max_size=n_l, unique=True,
+        )
+    )
+    left = [(k, t, float(100 * k + t)) for k, t in lpairs]
+    right = [
+        (i, data.draw(st.sampled_from(keys)), data.draw(st.integers(0, 100)))
+        for i in range(n_r)
+    ]
+    ldf = spark.createDataFrame(left or [], "k int, t int, px double") if left else \
+        spark.createDataFrame([], "k int, t int, px double")
+    rdf = spark.createDataFrame(right, "rid long, k int, t int")
+    got = {
+        r["rid"]: r["px"]
+        for r in asof_join(
+            ldf, rdf, key="k", left_ts="t", right_ts="t",
+            payload=["px"], right_id="rid",
+        ).collect()
+    }
+    lp = pd.DataFrame(left, columns=["k", "t", "px"]).sort_values("t")
+    rp = pd.DataFrame(right, columns=["rid", "k", "t"]).sort_values("t")
+    if len(lp):
+        m = pd.merge_asof(rp, lp, on="t", by="k", direction="backward")
+        want = {
+            int(r.rid): (None if math.isnan(r.px) else r.px)
+            for r in m.itertuples()
+        }
+    else:
+        want = {int(r.rid): None for r in rp.itertuples()}
+    assert got == want
