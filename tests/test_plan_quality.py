@@ -1,0 +1,92 @@
+"""Plan-quality gate (the 100 TB posture, enforced): pushdown, pruning,
+broadcast selection, top-k physical operator, partial aggregation, and
+shuffle counts for the headline queries.  A regression that silently
+de-optimizes a plan fails here even while results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspec_spark import registry
+from pyspec_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    has_partial_aggregate,
+    has_take_ordered,
+    physical_plan,
+    pushed_filters,
+    read_schemas,
+)
+
+SF = "/root/testdata/sf0.001"
+
+registry.load_all()
+
+
+def _plan(spark, name):
+    return physical_plan(registry.QUERIES[name](spark, SF))
+
+
+def test_pricing_summary_plan(spark):
+    p = _plan(spark, "q_pricing_summary")
+    # date predicate reaches the parquet scan
+    assert any("l_shipdate" in f for f in pushed_filters(p))
+    # column pruning: only the 7 needed columns are read (of 16)
+    (cols,) = read_schemas(p)
+    assert len(cols) == 7 and "l_comment" not in cols
+    # partial->final agg, exactly one shuffle
+    assert has_partial_aggregate(p)
+    assert count_exchanges(p) == 1
+
+
+def test_projection_prunes_scan(spark):
+    p = _plan(spark, "q_project")
+    for cols in read_schemas(p):
+        assert len(cols) <= 5, f"unpruned scan: {cols}"
+        assert "l_comment" not in cols
+
+
+def test_scan_select_pushes_key(spark):
+    p = _plan(spark, "q_scan_select")
+    assert any("EqualTo" in f or "l_orderkey" in f for f in pushed_filters(p))
+
+
+def test_broadcast_join_is_broadcast(spark):
+    p = _plan(spark, "q_join_bcast")
+    assert has_broadcast_join(p)
+
+
+def test_5way_join_broadcasts_dims(spark):
+    p = _plan(spark, "q_join_5way")
+    assert has_broadcast_join(p)
+    # the only shuffles allowed: final aggregation (+ at most the big
+    # fact join pre-AQE); dims must NOT shuffle
+    assert count_exchanges(p) <= 3
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    p = _plan(spark, "q_topk")
+    assert has_take_ordered(p)
+
+
+def test_grid3d_single_shuffle(spark):
+    p = _plan(spark, "q_grid3d")
+    assert has_partial_aggregate(p)
+    assert count_exchanges(p) == 1
+
+
+def test_events_tumbling_single_shuffle(spark):
+    p = _plan(spark, "q_events_tumbling")
+    assert count_exchanges(p) == 1
+
+
+def test_dedup_docs_single_shuffle(spark):
+    p = _plan(spark, "q_dedup_docs")
+    assert has_partial_aggregate(p)
+    assert count_exchanges(p) == 1
+
+
+@pytest.mark.parametrize("name", ["q_norm", "q_filter_pred", "q_math_funcs"])
+def test_maponly_queries_have_no_shuffle(spark, name):
+    p = _plan(spark, name)
+    assert count_exchanges(p) == 0, f"{name} should be map-only"
