@@ -59,9 +59,39 @@ def dround(c: Column, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def dsum_split(c: Column | str, alias: str | None = None) -> Column:
+    """Order-independent sum for LARGE-magnitude doubles (e.g. squared
+    prices ~1e10) where `_fixed6` would overflow: split each value into
+    integer part (long) and micro-rounded fraction (long), sum both
+    exactly, recombine in plain IEEE double ops.
+
+    Cross-engine gotchas baked in (all verified empirically):
+    - FLOOR, not CAST(x AS BIGINT): DuckDB rounds double->int casts,
+      Spark truncates.
+    - final recombination must be double arithmetic (`shi + smic/1e6`):
+      DuckDB's Int128-decimal -> DOUBLE conversion is off by one ulp for
+      some values, so a decimal-typed final would hash-mismatch.
+    Exact while per-group SUM(floor(x)) < 2^53 and deterministic until
+    long overflow (~9e18).  SQL twin: :func:`sql_dsum_split`.
+    """
+    col = _col(c)
+    hi = F.sum(F.floor(col).cast("bigint")).cast("double")
+    mic = F.sum(F.round((col - F.floor(col)) * 1e6).cast("bigint")).cast("double")
+    out = hi + mic / 1e6
+    return out.alias(alias) if alias else out
+
+
 # SQL-side equivalents, for building oracle strings consistently.
 def sql_dsum(expr: str, alias: str) -> str:
     return f"CAST(SUM(CAST({expr} AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def sql_dsum_split(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(FLOOR({expr}) AS BIGINT)) AS DOUBLE)"
+        f" + CAST(SUM(CAST(ROUND(({expr} - FLOOR({expr})) * 1e6) AS BIGINT)) AS DOUBLE)"
+        f" / 1e6 AS {alias}"
+    )
 
 
 def sql_davg(expr: str, alias: str) -> str:

@@ -30,7 +30,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspec_spark.functions.determinism import davg, dsum, sql_davg, sql_dsum
+from pyspec_spark.functions.determinism import (
+    davg,
+    dsum,
+    dsum_split,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_split,
+)
 from pyspec_spark.registry import query
 from pyspec_spark.tables import table
 
@@ -64,8 +71,8 @@ def _voxels(li: DataFrame) -> DataFrame:
 WITH b AS (
   SELECT CAST(FLOOR(l_quantity / 5) AS BIGINT) AS bin,
          COUNT(*) AS n,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+         {sql_dsum('l_extendedprice', 'sy')},
+         {sql_dsum_split('l_extendedprice * l_extendedprice', 'syy')}
   FROM lineitem
   GROUP BY 1
 )
@@ -82,11 +89,7 @@ def q_grid1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.groupBy(F.expr("CAST(FLOOR(l_quantity / 5) AS BIGINT)").alias("bin")).agg(
         F.count("*").alias("n"),
         dsum("l_extendedprice", "sy"),
-        F.sum(
-            (F.col("l_extendedprice") * F.col("l_extendedprice")).cast("decimal(38,6)")
-        )
-        .cast("double")
-        .alias("syy"),
+        dsum_split(F.col("l_extendedprice") * F.col("l_extendedprice"), "syy"),
     )
     stderr = F.when(
         F.col("n") > 1,
@@ -114,8 +117,8 @@ def q_grid1d(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH v AS (
   SELECT {_GX} AS gx, {_GY} AS gy, {_GZ} AS gz,
          COUNT(*) AS n,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS si,
-         CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sii
+         {sql_dsum('l_extendedprice', 'si')},
+         {sql_dsum_split('l_extendedprice * l_extendedprice', 'sii')}
   FROM lineitem
   GROUP BY 1, 2, 3
 )
@@ -135,9 +138,7 @@ def q_grid3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n"),
             dsum("intensity", "si"),
-            F.sum((F.col("intensity") * F.col("intensity")).cast("decimal(38,6)"))
-            .cast("double")
-            .alias("sii"),
+            dsum_split(F.col("intensity") * F.col("intensity"), "sii"),
         )
     )
     stderr = F.when(
@@ -242,12 +243,12 @@ def q_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "q_centroid",
-    oracle="""
+    oracle=f"""
 WITH s AS (
   SELECT l_returnflag,
-         CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxw,
-         CAST(SUM(CAST(l_quantity * l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxxw,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sw
+         {sql_dsum_split('l_quantity * l_extendedprice', 'sxw')},
+         {sql_dsum_split('l_quantity * l_quantity * l_extendedprice', 'sxxw')},
+         {sql_dsum('l_extendedprice', 'sw')}
   FROM lineitem
   GROUP BY l_returnflag
 )
@@ -260,16 +261,11 @@ FROM s
 def q_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     s = li.groupBy("l_returnflag").agg(
-        F.sum((F.col("l_quantity") * F.col("l_extendedprice")).cast("decimal(38,6)"))
-        .cast("double")
-        .alias("sxw"),
-        F.sum(
-            (
-                F.col("l_quantity") * F.col("l_quantity") * F.col("l_extendedprice")
-            ).cast("decimal(38,6)")
-        )
-        .cast("double")
-        .alias("sxxw"),
+        dsum_split(F.col("l_quantity") * F.col("l_extendedprice"), "sxw"),
+        dsum_split(
+            F.col("l_quantity") * F.col("l_quantity") * F.col("l_extendedprice"),
+            "sxxw",
+        ),
         dsum("l_extendedprice", "sw"),
     )
     c = F.col("sxw") / F.col("sw")
