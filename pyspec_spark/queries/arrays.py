@@ -137,6 +137,13 @@ def q_arr_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # L6 — per-label embedding centroid (posexplode -> bounded-key groupBy).
 # ---------------------------------------------------------------------------
+# Mean in exact integer micro-units, rounded to the nearest micro by one
+# deterministic IEEE step.  The naive ROUND(decimal_sum/count, 6) form is
+# a cross-engine trap here: per-element 6dp quantization makes the exact
+# mean land ON half-micro boundaries systematically (small integer
+# denominators), and the engines' decimal->double conversions differ by
+# an ulp, flipping the rounding (observed at sf0.1).  With both engines
+# computing fl(bigint)/fl(count) the inputs to ROUND are bit-identical.
 @query(
     "q_embed_centroid",
     oracle="""
@@ -146,7 +153,8 @@ WITH ch AS (
   FROM embeddings
 )
 SELECT label, channel,
-       ROUND(CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / COUNT(v), 6) AS centroid_v,
+       ROUND(CAST(SUM(CAST(ROUND(v * 1e6) AS BIGINT)) AS DOUBLE) / COUNT(v))
+         / 1e6 AS centroid_v,
        COUNT(*) AS n
 FROM ch
 GROUP BY label, channel
@@ -159,9 +167,10 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).alias("channel"),
         F.col("raw").cast("double").alias("v"),
     )
+    micro_mean = F.round(
+        F.sum(F.round(F.col("v") * 1e6).cast("bigint")).cast("double") / F.count("v")
+    )
     return ch.groupBy("label", "channel").agg(
-        F.round(
-            F.sum(F.col("v").cast("decimal(18,6)")).cast("double") / F.count("v"), 6
-        ).alias("centroid_v"),
+        (micro_mean / 1e6).alias("centroid_v"),
         F.count("*").alias("n"),
     )
