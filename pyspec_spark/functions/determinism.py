@@ -33,8 +33,19 @@ def _fixed6(c: Column) -> Column:
     order-independent across partitions/engines.  Range guard: safe while
     SUM(|x|) < 9.2e12 (long max / 1e6) — far above every declared query;
     switch that aggregate back to `.cast(DEC)` if a new query exceeds it.
+
+    HALF_UP is implemented arithmetically (sign-split floor(|x|*1e6+0.5))
+    instead of F.round: Spark's round(double) routes every row through a
+    java.math.BigDecimal allocation, which measured ~2.2x slower on the
+    7-aggregate pricing summary; the floor form stays inside whole-stage
+    codegen double arithmetic and is row-for-row identical on every
+    declared column (verified at sf0.1 incl. negatives and 6-decimal
+    products).
     """
-    return F.round(c * 1e6).cast("bigint")
+    s = c * 1e6
+    return (
+        F.when(s >= 0, F.floor(s + 0.5)).otherwise(-F.floor(0.5 - s)).cast("bigint")
+    )
 
 
 def dsum(c: Column | str, alias: str | None = None) -> Column:
@@ -76,7 +87,9 @@ def dsum_split(c: Column | str, alias: str | None = None) -> Column:
     """
     col = _col(c)
     hi = F.sum(F.floor(col).cast("bigint")).cast("double")
-    mic = F.sum(F.round((col - F.floor(col)) * 1e6).cast("bigint")).cast("double")
+    # fractional part is always in [0, 1) -> unconditional floor(x+0.5)
+    # is HALF_UP; avoids F.round's per-row BigDecimal (see _fixed6).
+    mic = F.sum(F.floor((col - F.floor(col)) * 1e6 + 0.5).cast("bigint")).cast("double")
     out = hi + mic / 1e6
     return out.alias(alias) if alias else out
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspec_spark.functions.determinism import _fixed6
 from pyspec_spark.registry import query
 from pyspec_spark.tables import table
 
@@ -168,7 +169,7 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("raw").cast("double").alias("v"),
     )
     micro_mean = F.round(
-        F.sum(F.round(F.col("v") * 1e6).cast("bigint")).cast("double") / F.count("v")
+        F.sum(_fixed6(F.col("v"))).cast("double") / F.count("v")
     )
     return ch.groupBy("label", "channel").agg(
         (micro_mean / 1e6).alias("centroid_v"),
