@@ -15,11 +15,21 @@ Determinism rules (SURVEY.md §5.3) apply to every registered pair:
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from typing import Any
 
 QUERIES: dict[str, Callable[[Any, str], Any]] = {}
 ORACLES: dict[str, str] = {}
+
+# Built-DataFrame cache (a prepared-statement cache): builders are pure
+# functions of (spark, sf_dir) and DataFrames are immutable, so the
+# analyzed plan can be reused across calls.  Building a complex declared
+# query costs 100-700 ms of driver-side py4j expression construction +
+# analysis; execution itself is unaffected (every collect() still runs
+# the full job).  Keyed by applicationId so a restarted session never
+# sees plans from a dead context.
+_DF_CACHE: dict[tuple[str, str, str], Any] = {}
 
 
 def query(name: str, oracle: str | None = None):
@@ -28,11 +38,21 @@ def query(name: str, oracle: str | None = None):
     def deco(fn):
         if name in QUERIES:
             raise ValueError(f"duplicate query registration: {name}")
-        QUERIES[name] = fn
+
+        @functools.wraps(fn)
+        def cached(spark: Any, sf_dir: str) -> Any:
+            key = (spark.sparkContext.applicationId, sf_dir, name)
+            df = _DF_CACHE.get(key)
+            if df is None:
+                df = fn(spark, sf_dir)
+                _DF_CACHE[key] = df
+            return df
+
+        QUERIES[name] = cached
         if oracle is not None:
             ORACLES[name] = oracle.strip()
-        fn.__query_name__ = name
-        return fn
+        cached.__query_name__ = name
+        return cached
 
     return deco
 

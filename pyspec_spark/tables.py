@@ -24,12 +24,27 @@ TABLES = (
 )
 
 
+# DataFrame cache keyed by (applicationId, sf_dir, name).  A fresh
+# spark.read.parquet costs ~80 ms of driver work (file listing + footer
+# schema read via py4j) on EVERY query build; the resolved read relation
+# is immutable, so reusing it is free and exact.  applicationId scopes
+# entries to a live SparkContext (a restarted session gets a new id, so
+# stale DataFrames are never resurrected).
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    if name == "events":
-        return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _CACHE[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
