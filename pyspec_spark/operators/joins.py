@@ -111,3 +111,41 @@ def asof_join(
         F.col("_last_pay").getField(p).alias(p) for p in payload
     ]
     return res.select(*keep)
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str | None = None,
+    n_salts: int = 16,
+    how: str = "inner",
+    salt: Column | None = None,
+) -> DataFrame:
+    """Skew-resistant shuffle equi-join (the manual fallback when AQE's
+    skew-join splitting can't apply, e.g. under a required distribution).
+
+    A handful of hot keys (one Bragg peak's scan_number; one power-user's
+    user_id) sends every hot row to a single reducer in a plain shuffle
+    join.  Salting spreads them: the fact side gains
+    ``_salt in [0, n_salts)`` (derived from non-key data, NOT the join
+    key — same-key rows must scatter), the dim side is exploded
+    ``n_salts``-fold with every salt value, and the join runs on
+    ``(key, _salt)``.  Exact for inner/left joins: each fact row still
+    matches exactly the dim rows its key matches, once.
+
+    Cost model: dim side inflates n_salts-fold — use for skewed
+    fact⨝small-dim joins (the common case), never dim⨝dim.  ``n_salts``
+    should be ~the reducer-count you want the hottest key spread over.
+    """
+    dim_key = dim_key or key
+    if salt is None:
+        salt = F.floor(F.rand(seed=42) * n_salts).cast("int")
+    f = facts.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    joined = f.join(
+        d, (f[key] == d[dim_key]) & (f["_salt"] == d["_salt"]), how
+    )
+    return joined.drop("_salt")

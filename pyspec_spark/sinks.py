@@ -53,3 +53,35 @@ def read_grid(spark: SparkSession, path: str) -> DataFrame:
 def write_fits(fits: DataFrame, path: str, group_col: str, mode: str = "overwrite") -> None:
     """Persist a fit-record table partitioned by the grouping key."""
     fits.write.mode(mode).partitionBy(group_col).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_keys: list[str],
+    n_buckets: int,
+    path: str | None = None,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) by its join
+    key — the co-located-join layout for the 100 TB posture.
+
+    Two tables bucketed by the same key with the same bucket count join
+    bucket-to-bucket with NO shuffle exchange (and, when ``sort_by``
+    matches the key, no sort either): the classic pattern for a fact
+    table joined repeatedly on the same key (lineitem⨝orders on
+    orderkey, frames⨝scan-metadata on scan_number — SURVEY.md §2 J2).
+    A `groupBy` on the bucket key likewise skips its exchange.  Bucket
+    count is fixed at write time — size it to the target cluster
+    (e.g. 2-4x total cores), not the toy test value.
+
+    Bucketing metadata lives in the session catalog (``saveAsTable``);
+    pass ``path`` to keep the files in an external location.
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table_name)

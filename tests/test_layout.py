@@ -1,0 +1,84 @@
+"""Physical-layout tools for the 100 TB posture: bucketed co-located
+joins (no shuffle exchange) and salted skew joins (hot keys spread over
+many reducers) — asserted on plans AND on result equivalence."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspec_spark.operators.joins import salted_join
+from pyspec_spark.plans import count_exchanges, physical_plan
+from pyspec_spark.sinks import write_bucketed
+from pyspec_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    """Force shuffle-join planning so the bucketing/salting effect is
+    visible (broadcast would hide the exchange at toy scale)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path_factory, no_broadcast):
+    base = tmp_path_factory.mktemp("bucketed")
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_extendedprice")
+    od = table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    write_bucketed(
+        li, "li_bucketed", ["l_orderkey"], 4,
+        path=str(base / "li"), sort_by=["l_orderkey"],
+    )
+    write_bucketed(
+        od, "od_bucketed", ["o_orderkey"], 4,
+        path=str(base / "od"), sort_by=["o_orderkey"],
+    )
+    try:
+        a = spark.table("li_bucketed")
+        b = spark.table("od_bucketed")
+        j = a.join(b, a.l_orderkey == b.o_orderkey)
+        plan = physical_plan(j)
+        # bucket-to-bucket: no shuffle, and sortBy removed the sorts too
+        assert count_exchanges(plan) == 0, plan
+        assert "SortMergeJoin" in plan
+        # result equivalence vs the plain (shuffled) join
+        expected = li.join(od, li.l_orderkey == od.o_orderkey).count()
+        assert j.count() == expected
+        # groupBy on the bucket key also skips its exchange
+        g = a.groupBy("l_orderkey").count()
+        assert count_exchanges(physical_plan(g)) == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS od_bucketed")
+
+
+def test_salted_join_matches_plain_join(spark, no_broadcast):
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    od = table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    plain = li.join(od, li.l_orderkey == od.o_orderkey)
+    salted = salted_join(li, od, "l_orderkey", "o_orderkey", n_salts=8)
+    assert salted.count() == plain.count()
+    # exact multiset equivalence on an aggregate
+    p = plain.groupBy("o_custkey").count().orderBy("o_custkey").collect()
+    s = salted.groupBy("o_custkey").count().orderBy("o_custkey").collect()
+    assert p == s
+
+
+def test_salted_left_join_keeps_unmatched(spark, no_broadcast):
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    # dim restricted to half the keys -> left join must keep the rest
+    od = (
+        table(spark, SF, "orders")
+        .where("o_orderkey % 2 = 0")
+        .select("o_orderkey", "o_custkey")
+    )
+    plain = li.join(od, li.l_orderkey == od.o_orderkey, "left")
+    salted = salted_join(li, od, "l_orderkey", "o_orderkey", n_salts=4, how="left")
+    assert salted.count() == plain.count()
+    assert (
+        salted.where("o_custkey IS NULL").count()
+        == plain.where("o_custkey IS NULL").count()
+    )
