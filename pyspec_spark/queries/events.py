@@ -210,3 +210,30 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", (F.col("k") % 10).alias("k_mod"))
         .agg(F.count("*").alias("n"), F.sum("k").alias("sum_k"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Cascading rollup (continuous-aggregate / hypertable pattern) — the
+# declared daily level is derived minute -> hour -> day purely by merging
+# partial aggregates (operators/rollup.py); the oracle aggregates the raw
+# table directly.  Equality proves the merge cascade is exact.
+# ---------------------------------------------------------------------------
+@query(
+    "q_events_rollup",
+    oracle="""
+SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_v,
+       MIN(value) AS min_v, MAX(value) AS max_v
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.rollup import finalize, rollup_cascade
+
+    e = table(spark, sf_dir, "events")
+    cascade = rollup_cascade(e, "ts", ["event_type"], "value")
+    return finalize(cascade["day"], ["event_type"])

@@ -82,3 +82,32 @@ def test_salted_left_join_keeps_unmatched(spark, no_broadcast):
         salted.where("o_custkey IS NULL").count()
         == plain.where("o_custkey IS NULL").count()
     )
+
+
+def test_rollup_cascade_levels_consistent(spark):
+    """Every cascade level must equal the direct aggregation of raw data
+    at that resolution, and row counts must be conserved upward."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.functions.determinism import _fixed6
+    from pyspec_spark.operators.rollup import rollup_cascade
+    from pyspec_spark.tables import table as t
+
+    e = t(spark, SF, "events")
+    cascade = rollup_cascade(e, "ts", ["event_type"], "value")
+    total = e.count()
+    for lv in ("minute", "hour", "day"):
+        df = cascade[lv]
+        assert df.agg(F.sum("n")).collect()[0][0] == total
+        direct = (
+            e.groupBy(F.date_trunc(lv, "ts").alias("bucket"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(_fixed6(F.col("value"))).alias("sum_micro"),
+                F.min("value").alias("min_v"),
+                F.max("value").alias("max_v"),
+            )
+        )
+        merged = df.orderBy("bucket", "event_type").collect()
+        want = direct.orderBy("bucket", "event_type").collect()
+        assert merged == want, f"cascade level {lv} diverges from direct agg"

@@ -210,3 +210,34 @@ def test_asof_join_matches_pandas(spark, data):
     else:
         want = {int(r.rid): None for r in rp.itertuples()}
     assert got == want
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.floats(
+                min_value=-9e5, max_value=9e5, allow_nan=False, allow_infinity=False
+            ),
+            # adversarial: values straddling .5 micro-unit boundaries
+            st.integers(min_value=-10**12, max_value=10**12).map(lambda n: n / 2e6),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fixed6_matches_bigdecimal_round(spark, data):
+    """The arithmetic HALF_UP form in _fixed6 (sign-split floor) must be
+    row-identical to Spark's BigDecimal F.round — the invariant the fast
+    aggregation path rests on (functions/determinism.py)."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.functions.determinism import _fixed6
+
+    df = spark.createDataFrame([(float(x),) for x in data], "x double")
+    slow = F.round(F.col("x") * 1e6).cast("bigint")
+    mismatches = df.select(
+        F.sum((_fixed6(F.col("x")) != slow).cast("int")).alias("bad")
+    ).collect()[0]["bad"]
+    assert mismatches == 0
