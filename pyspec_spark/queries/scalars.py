@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
+from pyspec_spark.functions.determinism import dsum
 from pyspec_spark.registry import query
 from pyspec_spark.tables import table
 
@@ -246,7 +247,7 @@ def q_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(qty_band.alias("qty_band"), disc_band.alias("disc_band"))
         .agg(
             F.count("*").alias("n"),
-            F.sum(guarded.cast("decimal(18,6)")).cast("double").alias("sum_tax_guarded"),
+            dsum(guarded, "sum_tax_guarded"),
         )
     )
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pyspec_spark.functions.determinism import dsum
+from pyspec_spark.functions.determinism import _fixed6, dsum
 from pyspec_spark.registry import query
 from pyspec_spark.tables import table
 
@@ -139,7 +139,7 @@ def q_window_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-2, Window.currentRow)
     )
-    msum = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    msum = F.sum(_fixed6(F.col("value"))).over(w).cast("double") / 1e6
     return (
         e.select(
             "event_id",
@@ -175,10 +175,9 @@ def q_window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             "event_id",
             "user_id",
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .over(w)
-            .cast("double")
-            .alias("cum_value"),
+            (F.sum(_fixed6(F.col("value"))).over(w).cast("double") / 1e6).alias(
+                "cum_value"
+            ),
         )
         .where(F.col("user_id") <= 30)
     )
