@@ -64,17 +64,25 @@ def rollup_cascade(
     )
     out[finest] = cur
     for lv in levels[1:]:
-        cur = (
-            cur.groupBy(F.date_trunc(lv, F.col("bucket")).alias("bucket"), *keys)
-            .agg(
-                F.sum("n").alias("n"),
-                F.sum("sum_micro").alias("sum_micro"),
-                F.min("min_v").alias("min_v"),
-                F.max("max_v").alias("max_v"),
-            )
-        )
+        cur = merge_level(cur, lv, keys)
         out[lv] = cur
     return out
+
+
+def merge_level(finer: DataFrame, level: str, keys: list[str]) -> DataFrame:
+    """One cascade step: merge a finer level's mergeable partials
+    (``bucket, *keys, n, sum_micro, min_v, max_v``) up to ``level``.
+    Works identically over a batch cascade level or the sink of the
+    streaming finest level (`streaming/events.py` rollup_minute)."""
+    return (
+        finer.groupBy(F.date_trunc(level, F.col("bucket")).alias("bucket"), *keys)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_micro").alias("sum_micro"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+    )
 
 
 def finalize(level_df: DataFrame, keys: list[str]) -> DataFrame:

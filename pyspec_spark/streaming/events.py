@@ -77,6 +77,36 @@ def session(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 min
     )
 
 
+def rollup_minute(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """ST8 finest level as a stream: watermarked 1-minute tumbling
+    aggregation carrying the rollup cascade's mergeable partials
+    (count, exact micro-unit sum, min, max).  Coarser resolutions derive
+    from this query's sink by batch merge
+    (``operators.rollup.merge_level``) — the continuous-aggregate
+    deployment shape: one streaming pass over raw events feeds every
+    resolution."""
+    from pyspec_spark.functions.determinism import _fixed6
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", "1 minute").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_fixed6(F.col("value"))).alias("sum_micro"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "n",
+            "sum_micro",
+            "min_v",
+            "max_v",
+        )
+    )
+
+
 def dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """ST5: stateful dedup on (user_id, event_type)."""
     if events.isStreaming:

@@ -146,3 +146,31 @@ def test_parquet_sink_and_foreach_batch(spark, event_chunks, tmp_path):
     stream2 = se.read_event_stream(spark, base, max_files_per_trigger=5)
     se.run_foreach_batch(stream2, lambda df, bid: seen.append(df.count()), "append")
     assert sum(seen) == n
+
+
+def test_stream_rollup_cascade_twin(spark, event_chunks):
+    """ST8 twin: the minute level computed as a real watermarked stream,
+    then batch-merged to hour and day, must equal the all-batch cascade
+    (operators/rollup.py) at every level."""
+    import pyspec_spark.streaming.events as se
+    from pyspec_spark.operators.rollup import merge_level, rollup_cascade
+    from pyspec_spark.tables import table
+
+    base, _ = event_chunks
+    stream = se.read_event_stream(spark, base, max_files_per_trigger=2)
+    se.run_to_memory(
+        se.rollup_minute(stream), "t_rollup_minute", output_mode="complete"
+    )
+    streamed_minute = spark.table("t_rollup_minute")
+
+    batch = rollup_cascade(
+        table(spark, SF, "events"), "ts", ["event_type"], "value"
+    )
+    cols = ["bucket", "event_type", "n", "sum_micro", "min_v", "max_v"]
+    assert _collect_sorted(streamed_minute, cols) == _collect_sorted(
+        batch["minute"], cols
+    )
+    cur = streamed_minute
+    for lv in ("hour", "day"):
+        cur = merge_level(cur, lv, ["event_type"])
+        assert _collect_sorted(cur, cols) == _collect_sorted(batch[lv], cols), lv
