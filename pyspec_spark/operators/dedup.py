@@ -75,7 +75,12 @@ def lsh_candidates(
     sub-signature hashes equal.  `max_bucket` drops degenerate buckets
     (hot-key mitigation at scale).
     """
-    n_hashes = len(sigs.select("sig").first()["sig"])
+    probe = sigs.select("sig").first()
+    if probe is None:  # empty input: no signatures, no candidate pairs
+        return sigs.select(
+            F.col("id").alias("id_a"), F.col("id").alias("id_b")
+        ).limit(0)
+    n_hashes = len(probe["sig"])
     r = n_hashes // bands
     banded = sigs.select(
         "id",

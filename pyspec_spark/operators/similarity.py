@@ -75,7 +75,10 @@ def lsh_signatures(
 ) -> DataFrame:
     """Random-hyperplane signature as a BIGINT (bit i = sign of dot with
     plane i).  Planes are literals — no join, pure codegen."""
-    dim = len(emb.select(vec_col).first()[0])
+    probe = emb.select(vec_col).first()
+    # empty input: plane count is irrelevant (output is empty); any dim
+    # builds a valid (empty) signature plan
+    dim = len(probe[0]) if probe else 64
     planes = _hyperplanes(dim, n_planes, seed)
     bits = []
     for i in range(n_planes):

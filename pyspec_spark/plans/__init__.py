@@ -26,6 +26,14 @@ def physical_plan(df: DataFrame, executed: bool = False) -> str:
     return jvm.PythonSQLUtils.explainString(qe, "formatted")
 
 
+def simple_plan(df: DataFrame) -> str:
+    """The simple-mode plan string, where whole-stage-codegen spans are
+    marked with ``*(n)`` stage stars."""
+    qe = df._jdf.queryExecution()  # noqa: SLF001
+    jvm = df.sparkSession._jvm  # noqa: SLF001
+    return jvm.PythonSQLUtils.explainString(qe, "simple")
+
+
 def pushed_filters(plan: str) -> list[str]:
     """Filter names pushed into a parquet scan (PushedFilters: [...])."""
     out: list[str] = []

@@ -84,7 +84,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_ann_lsh_topk")
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    qvec = [float(v) for v in e.where(F.col("vec_id") == 0).first()["embedding"]]
+    row = e.where(F.col("vec_id") == 0).first()
+    # empty input (pruned partition / fresh table): any probe vector
+    # yields the correct empty top-k
+    qvec = [float(v) for v in row["embedding"]] if row else [0.0] * 64
     return lsh_topk(e, qvec, k=10, max_hamming=6)
 
 

@@ -94,3 +94,46 @@ def test_dedup_docs_single_shuffle(spark):
 def test_maponly_queries_have_no_shuffle(spark, name):
     p = _plan(spark, name)
     assert count_exchanges(p) == 0, f"{name} should be map-only"
+
+
+def test_rollup_cascade_shuffles_once_per_level(spark):
+    """minute -> hour -> day: one exchange per aggregation level and
+    nothing else; every level has map-side partial aggregation so the
+    shuffle carries <= |buckets x keys| rows per input partition."""
+    p = _plan(spark, "q_events_rollup")
+    assert has_partial_aggregate(p)
+    assert count_exchanges(p) == 3
+
+
+def test_asof_lag_single_shuffle(spark):
+    """The as-of/lag window: exactly one shuffle (partitionBy user)."""
+    p = _plan(spark, "q_asof_lag")
+    assert count_exchanges(p) == 1
+
+
+def test_window_rank_single_shuffle(spark):
+    """All three rank windows share one (partitionBy, orderBy) shuffle."""
+    p = _plan(spark, "q_window_rank")
+    assert count_exchanges(p) == 1
+
+
+def test_pricing_summary_stays_in_codegen(spark):
+    """The fixed-point HALF_UP aggregation must compile into whole-stage
+    codegen, and the per-row hot path (partial aggregation) must use the
+    arithmetic FLOOR form, never the per-row BigDecimal round()."""
+    from pyspec_spark.plans import simple_plan
+
+    builder = getattr(
+        registry.QUERIES["q_pricing_summary"], "__wrapped__",
+        registry.QUERIES["q_pricing_summary"],
+    )
+    df = builder(spark, SF)
+    sp = simple_plan(df)
+    partials = [ln for ln in sp.splitlines() if "partial_sum" in ln]
+    assert partials
+    assert all("FLOOR" in ln for ln in partials)
+    assert all("round(" not in ln for ln in partials)
+    # codegen spans only materialize in the AQE-final executed plan,
+    # marked with *(n) stage stars
+    executed = physical_plan(df, executed=True)
+    assert "*(" in executed
