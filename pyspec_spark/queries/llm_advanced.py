@@ -154,3 +154,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L5 scale path (variant B) — IVF ANN top-k: sample-trained centroids,
+# map-only cell assignment, probe the nearest cells, exact re-rank inside
+# (rows-only: the candidate set is approximate by construction; recall vs
+# exact brute force is asserted in tests/test_llm_ops.py).  At rest the
+# cell id is the partition key, so a probe touches n_probe/n_cells of the
+# data — the IVF index IS the table layout at 100 TB.
+# ---------------------------------------------------------------------------
+@query("q_ann_ivf_topk")
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        train_centroids,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    row = e.where(F.col("vec_id") == 0).first()
+    if row is None:  # empty input: empty top-k with the right schema
+        return e.select(
+            "vec_id", F.lit(0.0).alias("score")
+        ).limit(0)
+    qvec = [float(v) for v in row["embedding"]]
+    centroids = train_centroids(e, n_cells=16, sample=2000)
+    assigned = ivf_assign(e, centroids)
+    return ivf_topk(assigned, centroids, qvec, k=10, n_probe=4)
