@@ -134,7 +134,7 @@ class SpecDataSourceReader(DataSourceReader):
                 s = {f.value}
                 self._scan_filter = s if self._scan_filter is None else (self._scan_filter & s)
             elif isinstance(f, In):
-                s = set(f.values)
+                s = set(f.value)  # In.value is the tuple of list members
                 self._scan_filter = s if self._scan_filter is None else (self._scan_filter & s)
             elif isinstance(f, GreaterThan):
                 self._min_scan = max(self._min_scan or f.value + 1, f.value + 1)

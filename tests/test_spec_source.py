@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.fixtures import MOTORS_0, MOTORS_1, SPEC_COLUMNS, make_spec_dir
 
@@ -125,6 +126,13 @@ def test_scan_number_pushdown_prunes_partitions(registered, spec_dir):
     rng = SpecDataSourceReader({"path": base}, "points")
     list(rng.pushFilters([GreaterThanOrEqual(("scan_number",), 10), LessThan(("scan_number",), 12)]))
     assert len(rng.partitions()) == 6  # scans 10,11 in each of 3 files
+    # IN-list (what .isin()/.where("IN (...)") push down; In.value tuple)
+    from pyspark.sql.datasource import In
+
+    inr = SpecDataSourceReader({"path": base}, "points")
+    assert list(inr.pushFilters([In(("scan_number",), (2, 5))])) == []
+    assert len(inr.partitions()) == 6  # scans 2,5 in each of 3 files
+    assert _points(spark, base).where(F.col("scan_number").isin(2, 5)).count() == 3 * 2 * 81
 
 
 def test_reload_append_pattern(registered, spec_dir, tmp_path):
