@@ -25,6 +25,7 @@ HEADLINE = [
     "q_window_rank",
     "q_grid3d",
     "q_events_tumbling",
+    "q_events_rollup",
     "q_dedup_docs",
     "q_arr_l2",
 ]
