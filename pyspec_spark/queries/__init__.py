@@ -1,6 +1,7 @@
 """Declared t2 queries — importing this package registers all of them."""
 
 import pyspec_spark.queries.relational  # noqa: F401
+import pyspec_spark.queries.relational_ext  # noqa: F401
 import pyspec_spark.queries.grids  # noqa: F401
 import pyspec_spark.queries.windows  # noqa: F401
 import pyspec_spark.queries.events  # noqa: F401

@@ -1,0 +1,143 @@
+"""Invariant tests for the round-2 relational completions
+(`pyspec_spark/queries/relational_ext.py`): pivot/unpivot consistency,
+ordered string agg, exact correlation bounds, deterministic sampling,
+range frames, and discrete percentiles."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from pyspec_spark import registry
+from pyspec_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+registry.load_all()
+
+
+def _run(spark, name, sf=SF):
+    builder = getattr(registry.QUERIES[name], "__wrapped__", registry.QUERIES[name])
+    return builder(spark, sf)
+
+
+def test_pivot_marginals_match_flat_groupby(spark):
+    rows = {r["l_returnflag"]: r for r in _run(spark, "q_pivot").collect()}
+    flat = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in table(spark, SF, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for flag, r in rows.items():
+        assert r["n_F"] == (flat[(flag, "F")]["n"] if (flag, "F") in flat else 0)
+        assert r["n_O"] == (flat[(flag, "O")]["n"] if (flag, "O") in flat else 0)
+
+
+def test_unpivot_is_melt_of_wide(spark):
+    long = _run(spark, "q_unpivot").collect()
+    assert {r["metric"] for r in long} == {"sum_qty", "sum_price"}
+    # one row per (flag, metric)
+    keys = [(r["l_returnflag"], r["metric"]) for r in long]
+    assert len(keys) == len(set(keys))
+
+
+def test_listagg_is_sorted_and_complete(spark):
+    for r in _run(spark, "q_listagg").collect():
+        names = r["nations_csv"].split(",")
+        assert names == sorted(names)
+        assert len(names) == r["n_nations"]
+
+
+def test_corr_bounds_and_pandas_parity(spark):
+    rows = _run(spark, "q_corr").collect()
+    pdf = (
+        table(spark, SF, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_discount")
+        .toPandas()
+    )
+    for r in rows:
+        assert -1.0 <= r["corr_qty_disc"] <= 1.0
+        g = pdf[pdf["l_returnflag"] == r["l_returnflag"]]
+        ref = g["l_quantity"].corr(g["l_discount"])
+        assert math.isclose(r["corr_qty_disc"], ref, abs_tol=1e-4)
+
+
+def test_grouping_sets_contains_rollup_levels(spark):
+    rows = _run(spark, "q_grouping_sets").collect()
+    grand = [r for r in rows if r["r_name"] is None and r["n_name"] is None]
+    per_nation = [r for r in rows if r["r_name"] is None and r["n_name"] is not None]
+    assert len(grand) == 1
+    assert grand[0]["n_cust"] == table(spark, SF, "customer").count()
+    assert sum(r["n_cust"] for r in per_nation) == grand[0]["n_cust"]
+
+
+def test_window_range_matches_pandas_one_group(spark):
+    out = (
+        _run(spark, "q_window_range")
+        .where(F.col("l_suppkey") == 1)
+        .collect()
+    )
+    src = (
+        table(spark, SF, "lineitem")
+        .where(F.col("l_suppkey") == 1)
+        .select(
+            F.col("l_quantity").cast("bigint").alias("qty_i"), "l_extendedprice"
+        )
+        .toPandas()
+    )
+    for r in out:
+        frame = src[(src["qty_i"] >= r["qty_i"] - 5) & (src["qty_i"] <= r["qty_i"])]
+        assert r["range_n"] == len(frame)
+        ref = float((frame["l_extendedprice"] * 1e6).round().sum() / 1e6)
+        assert math.isclose(r["range_price"], ref, abs_tol=1e-6)
+
+
+def test_hash_sample_fraction_and_determinism(spark):
+    total = table(spark, SF, "lineitem").count()
+    a = sorted(map(tuple, _run(spark, "q_hash_sample").collect()))
+    b = sorted(map(tuple, _run(spark, "q_hash_sample").collect()))
+    assert a == b  # same sample on every run
+    n = sum(r[1] for r in a)
+    # band '00'..'19' of 256 = 10.2 % expected; generous tolerance at sf0.001
+    assert 0.04 < n / total < 0.18
+
+
+def test_stratified_sample_k_per_stratum(spark):
+    pdf = pd.DataFrame(
+        [r.asDict() for r in _run(spark, "q_sample_stratified").collect()]
+    )
+    sizes = pdf.groupby("l_returnflag").size()
+    assert (sizes <= 5).all() and (sizes >= 1).all()
+    # picked rows are the k smallest content hashes per stratum
+    li = table(spark, SF, "lineitem")
+    pick = F.md5(
+        F.concat(
+            F.col("l_orderkey").cast("string"),
+            F.lit("-"),
+            F.col("l_linenumber").cast("string"),
+        )
+    )
+    for flag, g in pdf.groupby("l_returnflag"):
+        lows = (
+            li.where(F.col("l_returnflag") == flag)
+            .select(pick.alias("pick"))
+            .orderBy("pick")
+            .limit(len(g))
+            .collect()
+        )
+        assert sorted(g["pick"]) == [r["pick"] for r in lows]
+
+
+def test_percentile_disc_ordering_and_membership(spark):
+    qty = {
+        float(r["l_quantity"])
+        for r in table(spark, SF, "lineitem").select("l_quantity").collect()
+    }
+    for r in _run(spark, "q_percentile_disc").collect():
+        assert r["p25"] <= r["p50"] <= r["p75"]
+        for p in ("p25", "p50", "p75"):
+            assert float(r[p]) in qty  # discrete: values present in the data
