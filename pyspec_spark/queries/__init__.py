@@ -5,6 +5,7 @@ import pyspec_spark.queries.relational_ext  # noqa: F401
 import pyspec_spark.queries.grids  # noqa: F401
 import pyspec_spark.queries.windows  # noqa: F401
 import pyspec_spark.queries.events  # noqa: F401
+import pyspec_spark.queries.events_analytics  # noqa: F401
 import pyspec_spark.queries.arrays  # noqa: F401
 import pyspec_spark.queries.llm  # noqa: F401
 import pyspec_spark.queries.llm_advanced  # noqa: F401

@@ -1,0 +1,181 @@
+"""Event-stream analytics completions — sequential funnel, time-series
+gap filling with LOCF, and cohort retention.
+
+Reference loci (SURVEY.md §0 policy): absent from `stuwilkins/pyspec`
+[H] — north-star event analytics over the `events` substrate, the batch
+faces of operations a production events pipeline runs continuously (the
+streaming faces of this family are §2.10; sessionization q_events_session
+is the same gap-and-island machinery as the funnel ordering here).
+
+Determinism: timestamps are microsecond-truncated identically in both
+engines (tables._events); stage membership uses MIN(ts) per user/stage
+(order-independent); all value sums go through fixed-point; day lattices
+are exact DATE sequences.
+
+Scale notes (100 TB posture):
+- funnel: three user-keyed aggregations + two co-partitioned joins — all
+  shuffles share the user_id key, so AQE/exchange-reuse keeps it to one
+  physical repartitioning of the fact stream; the per-stage tables are
+  |users|-sized, far smaller than the event stream.
+- gap fill: the lattice is generated per user from (min_day, max_day) —
+  never a global cross join; its size is bounded by users x days. LOCF is
+  one window pass keyed by user.
+- retention: two user-day dedups + a broadcast-sized cohort map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspec_spark.functions.determinism import _fixed6
+from pyspec_spark.registry import query
+from pyspec_spark.tables import table
+
+
+# ---------------------------------------------------------------------------
+# Sequential conversion funnel: signup -> view -> click -> purchase, each
+# stage's timestamp strictly after the previous stage's first timestamp.
+# ---------------------------------------------------------------------------
+@query(
+    "q_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts > s2.t2 GROUP BY e.user_id
+), s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t4
+  FROM events e JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t3 GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
+       (SELECT COUNT(*) FROM s2) AS n_view,
+       (SELECT COUNT(*) FROM s3) AS n_click,
+       (SELECT COUNT(*) FROM s4) AS n_purchase
+""",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, t_prev: str, t_out: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where(F.col("ts") > F.col(t_prev))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(t_out))
+        )
+
+    s1 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = first_after(s1.select("user_id", "t1"), "view", "t1", "t2")
+    s3 = first_after(s2.select("user_id", "t2"), "click", "t2", "t3")
+    s4 = first_after(s3.select("user_id", "t3"), "purchase", "t3", "t4")
+    return (
+        s1.agg(F.count("*").alias("n_signup"))
+        .crossJoin(s2.agg(F.count("*").alias("n_view")))
+        .crossJoin(s3.agg(F.count("*").alias("n_click")))
+        .crossJoin(s4.agg(F.count("*").alias("n_purchase")))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap fill: per-user daily value sums on a complete day
+# lattice (sequence per user, never a global cross join), missing days
+# filled by LOCF (last observation carried forward).
+# ---------------------------------------------------------------------------
+@query(
+    "q_gap_fill",
+    oracle="""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+), spans AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+), lattice AS (
+  SELECT s.user_id, CAST(g.day AS DATE) AS day
+  FROM spans s, UNNEST(generate_series(CAST(s.d0 AS TIMESTAMP),
+                                       CAST(s.d1 AS TIMESTAMP),
+                                       INTERVAL 1 DAY)) AS g(day)
+)
+SELECT l.user_id, l.day,
+       (d.day_value IS NULL) AS is_gap,
+       LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+           PARTITION BY l.user_id ORDER BY l.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM lattice l LEFT JOIN daily d ON l.user_id = d.user_id AND l.day = d.day
+""",
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"), "value")
+        .groupBy("user_id", "day")
+        .agg((F.sum(_fixed6(F.col("value"))).cast("double") / 1e6).alias("day_value"))
+    )
+    lattice = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        lattice.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("day_value").isNull().alias("is_gap"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: day-0 = each user's first active day; retention curve
+# = distinct users active d days after their day-0.
+# ---------------------------------------------------------------------------
+@query(
+    "q_retention",
+    oracle="""
+WITH user_days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), cohort AS (
+  SELECT user_id, MIN(day) AS day0 FROM user_days GROUP BY user_id
+)
+SELECT CAST(ud.day - c.day0 AS BIGINT) AS day_offset,
+       COUNT(DISTINCT ud.user_id) AS n_active
+FROM user_days ud JOIN cohort c ON ud.user_id = c.user_id
+GROUP BY day_offset
+""",
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    cohort = user_days.groupBy("user_id").agg(F.min("day").alias("day0"))
+    return (
+        user_days.join(cohort, "user_id")
+        .select(F.datediff("day", "day0").cast("bigint").alias("day_offset"), "user_id")
+        .groupBy("day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
