@@ -63,30 +63,43 @@ SELECT (SELECT COUNT(*) FROM s1) AS n_signup,
 """,
 )
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events")
-
-    def first_after(prev: DataFrame, etype: str, t_prev: str, t_out: str) -> DataFrame:
-        return (
-            ev.where(F.col("event_type") == etype)
-            .join(prev, "user_id")
-            .where(F.col("ts") > F.col(t_prev))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(t_out))
-        )
-
-    s1 = (
-        ev.where(F.col("event_type") == "signup")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    # Single-scan formulation: the naive per-stage join chain scans the
+    # fact 4x and shuffles 11x; here every stage's "first ts strictly
+    # after the previous stage" is an unbounded MIN window over the SAME
+    # partitionBy(user_id), so the whole funnel is ONE scan of events and
+    # ONE user-keyed shuffle, then a per-user reduction + global count.
+    ev = table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("signup", "view", "click", "purchase")
     )
-    s2 = first_after(s1.select("user_id", "t1"), "view", "t1", "t2")
-    s3 = first_after(s2.select("user_id", "t2"), "click", "t2", "t3")
-    s4 = first_after(s3.select("user_id", "t3"), "purchase", "t3", "t4")
-    return (
-        s1.agg(F.count("*").alias("n_signup"))
-        .crossJoin(s2.agg(F.count("*").alias("n_view")))
-        .crossJoin(s3.agg(F.count("*").alias("n_click")))
-        .crossJoin(s4.agg(F.count("*").alias("n_purchase")))
+    w = Window.partitionBy("user_id")
+    df = ev.select("user_id", "event_type", "ts").withColumn(
+        "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    )
+    for prev, etype, out in (
+        ("t1", "view", "t2"),
+        ("t2", "click", "t3"),
+        ("t3", "purchase", "t4"),
+    ):
+        df = df.withColumn(
+            out,
+            F.min(
+                F.when(
+                    (F.col("event_type") == etype) & (F.col("ts") > F.col(prev)),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+    per_user = df.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+        F.max("t4").alias("t4"),
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_signup"),
+        F.count("t2").alias("n_view"),
+        F.count("t3").alias("n_click"),
+        F.count("t4").alias("n_purchase"),
     )
 
 
@@ -173,9 +186,12 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").cast("date").alias("day")
     ).distinct()
     cohort = user_days.groupBy("user_id").agg(F.min("day").alias("day0"))
+    # (user_id, day) is distinct and offset = day - day0 is injective per
+    # user, so (day_offset, user_id) rows are already unique: plain COUNT
+    # equals COUNT DISTINCT and skips the Expand-based distinct-agg plan.
     return (
         user_days.join(cohort, "user_id")
-        .select(F.datediff("day", "day0").cast("bigint").alias("day_offset"), "user_id")
+        .select(F.datediff("day", "day0").cast("bigint").alias("day_offset"))
         .groupBy("day_offset")
-        .agg(F.countDistinct("user_id").alias("n_active"))
+        .agg(F.count("*").alias("n_active"))
     )

@@ -137,3 +137,56 @@ def test_pricing_summary_stays_in_codegen(spark):
     # marked with *(n) stage stars
     executed = physical_plan(df, executed=True)
     assert "*(" in executed
+
+
+def test_funnel_single_scan_two_exchanges(spark):
+    """The sequential funnel is ONE scan of events (not one per stage)
+    and ONE user-keyed shuffle + the final global agg: all four stage
+    windows and the per-user reduction share partitionBy(user_id)."""
+    p = _plan(spark, "q_funnel")
+    assert count_exchanges(p) <= 2
+    assert len(read_schemas(p)) == 1  # events scanned exactly once
+
+
+def test_pivot_two_phase_aggregation(spark):
+    """Pivot with explicit values: Spark's two-phase plan (pre-reduce on
+    (group, pivot) then pivot-final) and nothing more — no value-
+    discovery job, no extra shuffles."""
+    p = _plan(spark, "q_pivot")
+    assert has_partial_aggregate(p)
+    assert count_exchanges(p) <= 2
+
+
+def test_samplers_stay_streaming(spark):
+    """Hash-band sampling is a rowwise predicate + one aggregation
+    shuffle; stratified sampling is one window shuffle.  Neither may
+    grow extra exchanges, and both must prune the scan."""
+    p = _plan(spark, "q_hash_sample")
+    assert count_exchanges(p) == 1
+    (cols,) = read_schemas(p)
+    assert len(cols) == 3
+
+    p = _plan(spark, "q_sample_stratified")
+    assert count_exchanges(p) == 1
+    (cols,) = read_schemas(p)
+    assert len(cols) == 3
+
+
+def test_corr_single_aggregation_pass(spark):
+    """All five moment sums reduce in one partial+final aggregation."""
+    p = _plan(spark, "q_corr")
+    assert has_partial_aggregate(p)
+    assert count_exchanges(p) == 1
+
+
+def test_window_range_single_shuffle(spark):
+    """Both range-frame windows share one (partition, order) shuffle."""
+    p = _plan(spark, "q_window_range")
+    assert count_exchanges(p) == 1
+
+
+def test_gap_fill_bounded_exchanges(spark):
+    """Daily agg + per-user lattice + LOCF window: the lattice join and
+    the window reuse the user-keyed distribution (<= 2 exchanges)."""
+    p = _plan(spark, "q_gap_fill")
+    assert count_exchanges(p) <= 2
