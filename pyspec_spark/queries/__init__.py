@@ -8,6 +8,7 @@ import pyspec_spark.queries.events  # noqa: F401
 import pyspec_spark.queries.events_analytics  # noqa: F401
 import pyspec_spark.queries.arrays  # noqa: F401
 import pyspec_spark.queries.llm  # noqa: F401
+import pyspec_spark.queries.text_ranking  # noqa: F401
 import pyspec_spark.queries.llm_advanced  # noqa: F401
 import pyspec_spark.queries.joins_advanced  # noqa: F401
 import pyspec_spark.queries.scalars  # noqa: F401

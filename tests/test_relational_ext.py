@@ -141,3 +141,27 @@ def test_percentile_disc_ordering_and_membership(spark):
         assert r["p25"] <= r["p50"] <= r["p75"]
         for p in ("p25", "p50", "p75"):
             assert float(r[p]) in qty  # discrete: values present in the data
+
+
+def test_term_stats_df_bounded_and_idf_monotone(spark):
+    rows = _run(spark, "q_term_stats").collect()
+    n_docs = table(spark, SF, "documents").count()
+    by_df = sorted(rows, key=lambda r: r["df"])
+    for r in rows:
+        assert 1 <= r["df"] <= n_docs
+        assert r["total_tf"] >= r["df"]  # a doc counted in df has tf >= 1
+    # idf strictly decreases as df increases
+    for a, b in zip(by_df, by_df[1:]):
+        if a["df"] < b["df"]:
+            assert a["idf"] > b["idf"]
+
+
+def test_tfidf_topk_is_3_per_doc_and_ordered(spark):
+    pdf = pd.DataFrame(r.asDict() for r in _run(spark, "q_tfidf_topk").collect())
+    sizes = pdf.groupby("doc_id").size()
+    assert (sizes <= 3).all()
+    n_docs = table(spark, SF, "documents").count()
+    assert len(sizes) == n_docs  # every doc has at least one term
+    for _, g in pdf.groupby("doc_id"):
+        vals = list(g.sort_values(["tfidf", "term"], ascending=[False, True])["tfidf"])
+        assert vals == sorted(vals, reverse=True)
