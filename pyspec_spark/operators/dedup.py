@@ -202,3 +202,62 @@ def simhash_neardup(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by iterative
+    min-label propagation: every node's label converges to the smallest
+    node id reachable from it.  Returns ``(node, component)``.
+
+    This is the clustering step a dedup pipeline runs AFTER pair
+    generation (MinHash/SimHash/Jaccard emit pairs; keeping one doc per
+    *component* needs transitive closure — A~B, B~C must collapse even
+    when A~C was never emitted as a pair).
+
+    Execution model (the standard Spark iterative pattern, GraphX-style):
+    each round is one join + keyed min-aggregation, materialized eagerly
+    with the convergence check; `localCheckpoint` truncates lineage so
+    round N's plan doesn't embed rounds 1..N-1.  Rounds needed = graph
+    diameter; near-dup components are shallow (dups of a common source),
+    so this terminates in a handful of rounds.  At 100 TB scale the same
+    loop runs with reliable checkpointing instead of local, and the
+    large-star/small-star variant halves round count on adversarial
+    chain-shaped graphs — not needed for dedup-shaped inputs.
+    """
+    adj = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    adj = adj.union(adj.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    adj = adj.localCheckpoint(eager=True)
+
+    labels = (
+        adj.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            adj.join(labels, adj["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
+            .select(
+                "node",
+                F.col("label").alias("old_label"),
+                F.least(
+                    F.col("label"), F.coalesce("nbr_min", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.where(F.col("label") < F.col("old_label")).count()
+        labels = stepped.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))

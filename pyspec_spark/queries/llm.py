@@ -179,8 +179,9 @@ WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
 """
 
 
-@query("q_jaccard_neardup", oracle=_JACCARD_ORACLE)
-def q_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-dup pairs (threshold 0.2) — shared by
+    q_jaccard_neardup and the q_dedup_clusters component labeling."""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
     toks = F.split("text", " ")
     shingles = F.transform(
@@ -218,4 +219,49 @@ def q_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "doc_b")
         .where(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@query("q_jaccard_neardup", oracle=_JACCARD_ORACLE)
+def q_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering: connected components over the exact-Jaccard near-dup
+# pair graph — the transitive-closure step that turns pairs into "keep
+# one per cluster" groups.  Spark side is iterative min-label
+# propagation (operators/dedup.py connected_components); the DuckDB
+# oracle computes the same fixpoint with a recursive CTE.  Component id
+# = smallest doc_id in the component; docs with no near-dup partner are
+# excluded (singletons are the uninteresting 99%).
+# ---------------------------------------------------------------------------
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+edges AS ({_JACCARD_ORACLE}),
+adj AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM adj
+  UNION
+  SELECT r.src, a.dst FROM reach r JOIN adj a ON r.dst = a.src
+)
+SELECT src AS doc_id,
+       LEAST(src, MIN(dst)) AS cluster_id
+FROM reach
+GROUP BY src
+"""
+
+
+@query("q_dedup_clusters", oracle=_CLUSTERS_ORACLE)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.dedup import connected_components
+
+    edges = jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b")
+    return cc.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )

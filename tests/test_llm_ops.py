@@ -194,3 +194,49 @@ def test_multimodal_plumbing(spark):
     np.testing.assert_array_equal(f1, f2)
     with pytest.raises(NotImplementedError):
         decode_frame("png", b"\x89PNG", 4, 4, 0)
+
+
+# ---------------------------------------------------------------------------
+# connected_components (dedup clustering)
+# ---------------------------------------------------------------------------
+def test_connected_components_chain_and_islands(spark):
+    from pyspec_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    # island {10,11}, self-contained pair {20,21} + bridge 21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "src bigint, dst bigint",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_empty_edges(spark):
+    from pyspec_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([], "src bigint, dst bigint")
+    assert connected_components(edges).collect() == []
+
+
+def test_dedup_clusters_labels_are_component_minimum(spark):
+    from pyspec_spark.queries.llm import jaccard_pairs
+
+    import pyspec_spark.queries as _q  # noqa: F401  (registrations)
+    from pyspec_spark import registry
+
+    builder = getattr(
+        registry.QUERIES["q_dedup_clusters"], "__wrapped__",
+        registry.QUERIES["q_dedup_clusters"],
+    )
+    sf = "/root/testdata/sf0.001"
+    labels = {r["doc_id"]: r["cluster_id"] for r in builder(spark, sf).collect()}
+    edges = [(r["doc_a"], r["doc_b"]) for r in jaccard_pairs(spark, sf).collect()]
+    # every edge endpoint is labeled, endpoints agree, label <= both ids
+    for a, b in edges:
+        assert labels[a] == labels[b] <= min(a, b)
+    # every label is itself a member of its cluster
+    assert all(labels[c] == c for c in set(labels.values()))
