@@ -28,6 +28,8 @@ HEADLINE = [
     "q_events_rollup",
     "q_dedup_docs",
     "q_arr_l2",
+    "q_tfidf_topk",
+    "q_funnel",
 ]
 
 
