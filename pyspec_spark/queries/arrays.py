@@ -180,3 +180,97 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (micro_mean / 1e6).alias("centroid_v"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding covariance matrix (PCA/whitening prep) over the first 16
+# channels: exact first/second moments -> sample covariance.  The pair
+# expansion is MAP-ONLY (nested transform + flatten + one explode — no
+# self-join), so the only shuffle carries 136 keys x partial sums; at
+# 100 TB the shuffle stays 136 rows per map partition regardless of
+# vector count.  Products are cast to DOUBLE on BOTH engines before the
+# fixed-point quantization (FLOAT x FLOAT stays float in DuckDB,
+# widening rules differ — double-first makes the inputs bit-identical).
+# ---------------------------------------------------------------------------
+_COV_D = 16
+
+
+@query(
+    "q_embed_cov",
+    oracle=f"""
+WITH idx AS (SELECT CAST(unnest(range(1, {_COV_D} + 1)) AS INT) AS i),
+firsts AS (
+  SELECT i,
+         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         COUNT(*) AS n
+  FROM embeddings, idx
+  GROUP BY i
+),
+seconds AS (
+  SELECT ii.i, jj.i AS j,
+         CAST(SUM(CAST(CAST(embedding[ii.i] AS DOUBLE) * CAST(embedding[jj.i] AS DOUBLE)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS m2
+  FROM embeddings, idx ii, idx jj
+  WHERE jj.i >= ii.i
+  GROUP BY ii.i, jj.i
+)
+SELECT s2.i, s2.j, fi.n, s2.m2,
+       ROUND((s2.m2 - fi.s * fj.s / fi.n) / (fi.n - 1), 6) AS cov
+FROM seconds s2
+JOIN firsts fi ON fi.i = s2.i
+JOIN firsts fj ON fj.i = s2.j
+""",
+)
+def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    d = _COV_D
+    # map-only (i, j, x_i * x_j) expansion for j >= i
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(d)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(d)),
+                lambda j: F.struct(
+                    i.cast("int").alias("i"),
+                    j.cast("int").alias("j"),
+                    (
+                        F.element_at("embedding", i).cast("double")
+                        * F.element_at("embedding", j).cast("double")
+                    ).alias("xx"),
+                ),
+            ),
+        )
+    )
+    seconds = (
+        e.select(F.explode(pairs).alias("p"))
+        .select("p.i", "p.j", "p.xx")
+        .groupBy("i", "j")
+        .agg((F.sum(_fixed6(F.col("xx"))).cast("double") / 1e6).alias("m2"))
+    )
+    firsts = (
+        e.select(F.posexplode(F.slice("embedding", 1, d)).alias("pos", "raw"))
+        .select((F.col("pos") + 1).cast("int").alias("i"),
+                F.col("raw").cast("double").alias("v"))
+        .groupBy("i")
+        .agg(
+            (F.sum(_fixed6(F.col("v"))).cast("double") / 1e6).alias("s"),
+            F.count("*").alias("n"),
+        )
+    )
+    fi = firsts.select(F.col("i"), F.col("s").alias("si"), F.col("n"))
+    fj = firsts.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    return (
+        seconds.join(F.broadcast(fi), "i")
+        .join(F.broadcast(fj), "j")
+        .select(
+            "i",
+            "j",
+            "n",
+            "m2",
+            F.round(
+                (F.col("m2") - F.col("si") * F.col("sj") / F.col("n"))
+                / (F.col("n") - 1),
+                6,
+            ).alias("cov"),
+        )
+    )

@@ -165,3 +165,24 @@ def test_tfidf_topk_is_3_per_doc_and_ordered(spark):
     for _, g in pdf.groupby("doc_id"):
         vals = list(g.sort_values(["tfidf", "term"], ascending=[False, True])["tfidf"])
         assert vals == sorted(vals, reverse=True)
+
+
+def test_embed_cov_matches_numpy(spark):
+    import numpy as np
+
+    rows = _run(spark, "q_embed_cov").collect()
+    emb = np.array(
+        [
+            r["embedding"][:16]
+            for r in table(spark, SF, "embeddings").select("embedding").collect()
+        ],
+        dtype=np.float64,
+    )
+    ref = np.cov(emb, rowvar=False)  # sample covariance (ddof=1)
+    assert len(rows) == 16 * 17 // 2
+    for r in rows:
+        assert r["n"] == emb.shape[0]
+        # exact-sum path quantizes products to 1e-6: tolerance ~1e-4
+        assert abs(r["cov"] - ref[r["i"] - 1, r["j"] - 1]) < 1e-4
+    # diagonal entries are variances: non-negative
+    assert all(r["cov"] >= 0 for r in rows if r["i"] == r["j"])
