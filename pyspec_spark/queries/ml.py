@@ -1,0 +1,179 @@
+"""Iterative ML on the engine — k-means (Lloyd) with deterministic
+semantics, oracle-checked.
+
+Reference loci (SURVEY.md §0 policy): absent from `stuwilkins/pyspec`
+[H] — north-star ML-adjacent operator; the same assign/update loop
+trains the IVF coarse quantizer (`operators/similarity.py`), declared
+here in a fully deterministic, cross-engine-checkable form.
+
+Determinism contract (what makes k-means oracle-checkable at all):
+- init: centroids := the vectors with vec_id 0..k-1 (no RNG);
+- distance: EXPLICIT per-channel expression in a fixed textual order —
+  (e1-c1)^2 + ... + (e8-c8)^2 — identical IEEE double evaluation in
+  both engines (a sum-over-unnest would add in engine-defined order);
+- assignment: argmin with centroid-id tiebreak via MIN(struct(dist,cid))
+  — min_by semantics, shuffle-free per vector;
+- update: exact fixed-point channel means (micro-unit bigint sums, one
+  deterministic IEEE division + round, the q_embed_centroid idiom);
+- two iterations, unrolled — the fixpoint count is part of the query.
+
+Scale notes (100 TB posture): per iteration the plan is
+broadcast(k x d centroids) -> map-side distance + per-row argmin (NO
+shuffle for assignment) -> one groupBy(cid, channel) with map-side
+partial aggregation.  Iterations multiply jobs, not shuffle width; at
+cluster scale the loop runs the same plan with the centroid table
+re-broadcast each round (k*d doubles — trivially broadcastable for any
+practical k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspec_spark.functions.determinism import _fixed6
+from pyspec_spark.registry import query
+from pyspec_spark.tables import table
+
+_K = 4
+_D = 8
+
+
+def _dist_sql(e: str, c: str) -> str:
+    terms = " + ".join(
+        f"(CAST({e}.embedding[{d}] AS DOUBLE) - {c}.c[{d}]) "
+        f"* (CAST({e}.embedding[{d}] AS DOUBLE) - {c}.c[{d}])"
+        for d in range(1, _D + 1)
+    )
+    return f"({terms})"
+
+
+def _kmeans_oracle() -> str:
+    # one assign+update round as a pair of CTEs; unrolled twice
+    def assign(src_c: str, out: str) -> str:
+        return f"""
+{out}_a AS (
+  SELECT e.vec_id,
+         MIN(struct_pack(d := {_dist_sql('e', 'c')}, cid := c.cid)) AS best
+  FROM emb e, {src_c} c
+  GROUP BY e.vec_id
+),
+{out} AS (
+  SELECT a.vec_id, (a.best).cid AS cid FROM {out}_a a
+)"""
+
+    def update(asg: str, out: str) -> str:
+        return f"""
+{out}_ch AS (
+  SELECT s.cid, ch.channel, ch.v
+  FROM {asg} s JOIN (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS channel,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM emb
+  ) ch ON ch.vec_id = s.vec_id
+  WHERE ch.channel <= {_D}
+),
+{out} AS (
+  SELECT cid,
+         LIST(ROUND(CAST(s_micro AS DOUBLE) / n) / 1e6 ORDER BY channel) AS c
+  FROM (
+    SELECT cid, channel,
+           SUM(CAST(ROUND(v * 1e6) AS BIGINT)) AS s_micro, COUNT(*) AS n
+    FROM {out}_ch
+    GROUP BY cid, channel
+  )
+  GROUP BY cid
+)"""
+
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS cid,
+         LIST(CAST(x AS DOUBLE) ORDER BY ord) AS c
+  FROM (
+    SELECT vec_id, unnest(embedding[1:{_D}]) AS x,
+           generate_subscripts(embedding[1:{_D}], 1) AS ord
+    FROM emb WHERE vec_id < {_K}
+  )
+  GROUP BY vec_id
+),{assign('c0', 'asg1')},{update('asg1', 'c1')},{assign('c1', 'asg2')},{update('asg2', 'c2')},
+sizes AS (
+  SELECT cid, COUNT(*) AS n_members FROM asg2 GROUP BY cid
+)
+SELECT s.cid, s.n_members, ch.channel, ROUND(c2.c[ch.channel], 6) AS centroid_v
+FROM sizes s
+JOIN c2 ON c2.cid = s.cid
+CROSS JOIN (SELECT unnest(range(1, {_D} + 1)) AS channel) ch
+"""
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Map-side argmin assignment: broadcast centroids, explicit
+    fixed-order distance, MIN(struct(dist, cid)) per vector."""
+    e = F.col("embedding")
+    c = F.col("c")
+    dist: Column = None
+    for d in range(1, _D + 1):
+        t = (F.element_at(e, d).cast("double") - F.element_at(c, d)) * (
+            F.element_at(e, d).cast("double") - F.element_at(c, d)
+        )
+        dist = t if dist is None else dist + t
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(dist.alias("dist"), F.col("cid").alias("cid"))).alias("best"))
+        .select("vec_id", F.col("best.cid").alias("cid"))
+    )
+
+
+def _update(emb: DataFrame, asg: DataFrame) -> DataFrame:
+    """Exact fixed-point channel means -> centroid arrays."""
+    ch = (
+        emb.join(asg, "vec_id")
+        .select("cid", F.posexplode(F.slice("embedding", 1, _D)).alias("channel0", "raw"))
+        .select("cid", (F.col("channel0") + 1).alias("channel"),
+                F.col("raw").cast("double").alias("v"))
+    )
+    per_ch = ch.groupBy("cid", "channel").agg(
+        (
+            F.round(F.sum(_fixed6(F.col("v"))).cast("double") / F.count("*")) / 1e6
+        ).alias("cv")
+    )
+    return per_ch.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("channel", "cv"))),
+            lambda s: s["cv"],
+        ).alias("c")
+    )
+
+
+@query("q_kmeans2", oracle=_kmeans_oracle())
+def q_kmeans2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c0 = emb.where(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(
+            F.slice("embedding", 1, _D), lambda x: x.cast("double")
+        ).alias("c"),
+    )
+    asg1 = _assign(emb, c0)
+    c1 = _update(emb, asg1)
+    asg2 = _assign(emb, c1)
+    c2 = _update(emb, asg2)
+    sizes = asg2.groupBy("cid").agg(F.count("*").alias("n_members"))
+    return (
+        sizes.join(c2, "cid")
+        .select(
+            "cid",
+            "n_members",
+            F.posexplode("c").alias("channel0", "cv"),
+        )
+        .select(
+            "cid",
+            "n_members",
+            (F.col("channel0") + 1).alias("channel"),
+            F.round("cv", 6).alias("centroid_v"),
+        )
+    )

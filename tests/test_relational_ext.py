@@ -186,3 +186,34 @@ def test_embed_cov_matches_numpy(spark):
         assert abs(r["cov"] - ref[r["i"] - 1, r["j"] - 1]) < 1e-4
     # diagonal entries are variances: non-negative
     assert all(r["cov"] >= 0 for r in rows if r["i"] == r["j"])
+
+
+def test_kmeans2_matches_numpy_lloyd(spark):
+    import numpy as np
+
+    rows = _run(spark, "q_kmeans2").collect()
+    emb = np.array(
+        sorted(
+            (
+                (r["vec_id"], r["embedding"][:8])
+                for r in table(spark, SF, "embeddings")
+                .select("vec_id", "embedding")
+                .collect()
+            )
+        ),
+        dtype=object,
+    )
+    X = np.array([e for _, e in emb], dtype=np.float64)
+    ids = np.array([i for i, _ in emb])
+    C = X[ids < 4].copy()
+    for _ in range(2):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        asg = d.argmin(axis=1)  # ties -> lowest cid, same as struct-min
+        C = np.array([X[asg == k].mean(axis=0) for k in range(4)])
+    sizes = {k: int((asg == k).sum()) for k in range(4)}
+    got_sizes = {r["cid"]: r["n_members"] for r in rows}
+    for k in range(4):
+        assert got_sizes.get(k, 0) == sizes[k]
+    for r in rows:
+        # engine means are micro-quantized per channel per iteration
+        assert abs(r["centroid_v"] - C[r["cid"], r["channel"] - 1]) < 1e-3
