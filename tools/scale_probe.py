@@ -180,6 +180,85 @@ def probe_joins(spark, ks) -> list[str]:
     return lines
 
 
+def build_wide_replica(spark, k: int) -> str:
+    """documents + events replicated k-fold with offset ids — weak-scaling
+    substrate for the explode-shuffle (TF-IDF) and user-window (funnel)
+    shapes: per-document/per-user work is constant while cardinality
+    grows k-fold."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    dest = f"{WORK}/wide_x{k}"
+    if os.path.exists(f"{dest}/events.parquet/_SUCCESS"):
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SRC}/events.parquet")
+    d_off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    u_off = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    e_off = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    dd = [docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * d_off)) for i in range(k)]
+    ee = [
+        ev.withColumn("user_id", F.col("user_id") + F.lit(i * u_off))
+        .withColumn("event_id", F.col("event_id") + F.lit(i * e_off))
+        for i in range(k)
+    ]
+    reduce(lambda a, b: a.unionAll(b), dd).repartition(k).write.mode(
+        "overwrite"
+    ).parquet(f"{dest}/documents.parquet")
+    reduce(lambda a, b: a.unionAll(b), ee).repartition(k).write.mode(
+        "overwrite"
+    ).parquet(f"{dest}/events.parquet")
+    for t in ("orders", "customer", "supplier", "part", "nation", "region",
+              "lineitem", "embeddings"):
+        dst = f"{dest}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    return dest
+
+
+def probe_text_events(spark, ks) -> list[str]:
+    """Weak scaling of the TF-IDF explode-shuffle and the single-shuffle
+    funnel/gap-fill window shapes; returns SCALING.md lines."""
+    names = ["q_term_stats", "q_tfidf_topk", "q_funnel", "q_gap_fill"]
+    lines = [
+        "",
+        "## Text & event shapes (weak scaling: k× docs / k× users)",
+        "",
+        "documents and events replicated with offset ids: per-doc and",
+        "per-user work constant, cardinality ×k.  The TF-IDF pipeline is",
+        "the explode→(doc,term) agg→term agg→join-back shape; funnel and",
+        "gap-fill are one user-keyed shuffle each.  Consumed via the noop",
+        "sink, which measures FULL re-execution: tfidf/gap-fill outputs",
+        "grow ×k (collect would time row serialization), and re-collecting",
+        "a cached DataFrame lets Spark skip already-materialized shuffle",
+        "stages — the write path rebuilds the plan, so every shuffle",
+        "recomputes (sink overhead itself: ~65 ms).  Sub-linear growth in",
+        "ms as rows grow ×k = the keyed shuffles parallelize.",
+        "",
+        "| k | docs | events | " + " | ".join(names) + " |",
+        "|---|---|---|" + "---|" * len(names),
+    ]
+    for k in ks:
+        d = build_wide_replica(spark, k)
+        per_q = {}
+        for name in names:
+            fn = registry.QUERIES[name]
+            per_q[name] = _best_of(
+                lambda: fn(spark, d)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        cells = " | ".join(f"{per_q[n]*1000:.0f} ms" for n in names)
+        lines.append(f"| {k} | {50_000*k:,} | {100_000*k:,} | {cells} |")
+        print(f"wide x{k}: " + "  ".join(f"{n}={t*1000:.0f}ms" for n, t in per_q.items()))
+    return lines
+
+
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
     registry.load_all()
@@ -222,6 +301,7 @@ def main() -> None:
         mrps = n / per_q["q_pricing_summary"] / 1e6
         lines.append(f"| {k} | {n:,} | {cells} | {mrps:.1f} |")
     lines.extend(probe_joins(spark, ks))
+    lines.extend(probe_text_events(spark, ks))
     lines.append("")
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines))
