@@ -355,3 +355,61 @@ def q_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cd.groupBy("l_returnflag").agg(
         disc(0.25, "p25"), disc(0.5, "p50"), disc(0.75, "p75")
     )
+
+
+# ---------------------------------------------------------------------------
+# J10 — cross join, declared (tiny-dim product only; the parameter-grid
+# sweep shape).  Guarded at scale: both sides are O(dims).
+# ---------------------------------------------------------------------------
+@query(
+    "q_cross_join",
+    oracle="""
+SELECT r.r_name, n.n_name, r.r_regionkey + n.n_nationkey AS key_sum
+FROM region r CROSS JOIN nation n
+""",
+)
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").select("r_name", "r_regionkey")
+    nation = table(spark, sf_dir, "nation").select("n_name", "n_nationkey")
+    return region.crossJoin(nation).select(
+        "r_name",
+        "n_name",
+        (F.col("r_regionkey") + F.col("n_nationkey")).alias("key_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery in a projection: deviation of each customer's balance
+# from the global mean — planner exercises ScalarSubquery (computed once,
+# broadcast into the projection), not a per-row join.
+# ---------------------------------------------------------------------------
+@query(
+    "q_scalar_subquery",
+    oracle="""
+SELECT c_custkey,
+       ROUND(c_acctbal - (
+         SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                      / COUNT(c_acctbal), 6)
+         FROM customer), 6) AS bal_dev
+FROM customer
+""",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    # sign-split HALF_UP micro-units == _fixed6 == CAST(x AS DECIMAL(18,6))
+    micro = (
+        "CASE WHEN c_acctbal >= 0 THEN FLOOR(c_acctbal * 1e6 + 0.5) "
+        "ELSE -FLOOR(0.5 - c_acctbal * 1e6) END"
+    )
+    return spark.sql(
+        f"""
+SELECT c_custkey,
+       ROUND(c_acctbal - (
+         SELECT ROUND(CAST(SUM(CAST({micro} AS BIGINT))
+                           AS DOUBLE) / 1e6 / COUNT(c_acctbal), 6)
+         FROM customer), 6) AS bal_dev
+FROM customer
+"""
+    )
