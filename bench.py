@@ -75,6 +75,11 @@ def main() -> None:
                 "sf": sf,
                 "startup_sec": round(startup, 2),
                 "n_queries": len(times),
+                # warm = prepared-statement model: analyzed-plan reuse and
+                # Spark's completed-shuffle-stage reuse are both active,
+                # as in an interactive session.  Full re-execution scaling
+                # (noop sink, every shuffle recomputed) is in SCALING.md.
+                "methodology": "warm repeat, plan+shuffle-stage reuse",
             }
         )
     )
