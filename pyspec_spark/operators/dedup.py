@@ -2,10 +2,16 @@
 north-star training-data-pipeline brief (MinHash+LSH, SimHash).
 
 All signature computation stays JVM-side via higher-order functions over
-the token/shingle arrays (xxhash64 is Spark's built-in seeded-by-concat
-64-bit hash) — no Python in the hot path.  The only shuffles are the
-band-bucket join (MinHash) / band-prefix join (SimHash), which is the
-textbook inverted-index LSH plan:
+the token/shingle arrays.  The hash basis is ``md5`` (salted by
+concatenation): md5 hex strings are bit-identical across engines (DuckDB
+produces the same digests), which makes the FULL MinHash-LSH pipeline —
+signatures, band buckets, candidate pairs, estimated Jaccard —
+deterministic and oracle-checkable, not just unit-testable.  Min over
+hex strings is a valid uniform min-hash (lexicographic order on a
+uniformly-distributed digest is a uniform random order of shingles).
+No Python in the hot path.  The only shuffles are the band-bucket join
+(MinHash) / band-prefix join (SimHash), which is the textbook
+inverted-index LSH plan:
 
   shingle -> n minhashes (map-only) -> explode b bands -> groupBy
   (band, hash) buckets -> within-bucket pairs -> verify.
@@ -48,10 +54,11 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_k: int = 2,
 ) -> DataFrame:
-    """(id, sig ARRAY<BIGINT>[n_hashes]) — one pass, no shuffle.
+    """(id, sig ARRAY<STRING>[n_hashes]) — one pass, no shuffle.
 
-    sig[i] = min over shingles of xxhash64(shingle, salt_i); the salt is
-    folded in by concatenation (Spark's xxhash64 seed argument is fixed).
+    sig[i] = min over shingles of md5(shingle || '#' || i); the salt is
+    folded in by concatenation.  md5 hex digests are engine-portable, so
+    the signatures (and everything derived from them) hash-match DuckDB.
     """
     with_sh = shingles(df, text_col, shingle_k)
     sig = F.transform(
@@ -59,7 +66,7 @@ def minhash_signatures(
         lambda i: F.array_min(
             F.transform(
                 F.col("_shingles"),
-                lambda s: F.xxhash64(F.concat(s, F.lit("#"), i.cast("string"))),
+                lambda s: F.md5(F.concat(s, F.lit("#"), i.cast("string"))),
             )
         ),
     )
@@ -87,7 +94,7 @@ def lsh_candidates(
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
+                lambda b: F.md5(
                     F.concat_ws(",", F.slice("sig", b * r + 1, r))
                 ),
             )
@@ -135,6 +142,45 @@ def minhash_neardup(
     )
 
 
+def simhash32(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """32-bit SimHash per doc, entirely JVM-side and engine-portable.
+
+    Token hash = first 8 hex chars of md5 (a uniform 32-bit value); bit
+    b of the signature = majority vote of bit b over the doc's token
+    hashes.  The md5 basis makes the signature — and the band blocking +
+    hamming verification built on it — bit-identical in DuckDB, i.e. the
+    whole near-dup pipeline is oracle-checkable.  The 64-bit xxhash64
+    pandas-UDF variant (`simhash`) remains available for collision
+    headroom at corpus scale.  All arithmetic stays below 2^32, so the
+    double-precision intermediates (pow/floor) are exact."""
+    toks = F.split(F.col(text_col), " ")
+    hashes = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+
+    def bit(hh, b):  # (hh >> b) & 1 without a literal-only shift
+        return (
+            F.floor(hh / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
+        )
+
+    sig = F.aggregate(
+        F.sequence(F.lit(0), F.lit(31)),
+        F.lit(0.0),
+        lambda acc, b: acc
+        + F.when(
+            F.lit(2)
+            * F.size(F.filter(F.col("_th32"), lambda hh: bit(hh, b) == 1))
+            > F.size(F.col("_th32")),
+            F.pow(F.lit(2.0), b.cast("double")),
+        ).otherwise(F.lit(0.0)),
+    ).cast("long")
+    return df.withColumn("_th32", hashes).select(
+        F.col(id_col).alias("id"), sig.alias("simhash")
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
@@ -173,34 +219,50 @@ def simhash_neardup(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """SimHash near-dup: band-prefix blocking (8 x 8-bit bands: by
-    pigeonhole, two docs within hamming distance 7 share at least one
-    exact band — a recall *guarantee* up to max_hamming-1=7), then exact
-    hamming verification via bit_count(xor)."""
-    sh = simhash(df, id_col, text_col).cache()
-    bands = sh.select(
+    """SimHash near-dup over the 32-bit md5 signature: band blocking
+    (4 x 8-bit bands: by pigeonhole, two docs within hamming distance 3
+    share at least one exact band — a recall *guarantee* up to hamming
+    3), then exact hamming verification via bit_count(xor).  Fully
+    deterministic and cross-engine reproducible -> oracle-checked.
+
+    `max_bucket` drops degenerate band buckets (a band value collecting
+    thousands of docs means quadratic candidate fan-out — the hot-key
+    mitigation at corpus scale, same policy as the MinHash LSH join)."""
+    sh = simhash32(df, id_col, text_col).cache()
+    banded = sh.select(
         "id",
-        "simhash",
         F.posexplode(
             F.array(
                 *[
                     F.shiftrightunsigned("simhash", 8 * b).bitwiseAND(F.lit(0xFF))
-                    for b in range(8)
+                    for b in range(4)
                 ]
             )
         ).alias("band", "band_val"),
     )
-    a = bands.select("band", "band_val", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
-    b = bands.select("band", "band_val", F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
+    sized = banded.groupBy("band", "band_val").agg(
+        F.collect_list("id").alias("ids"), F.count("*").alias("n")
+    )
+    ok = sized.where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    a = ok.select("band", "band_val", F.explode("ids").alias("id_a"))
+    b = ok.select("band", "band_val", F.explode("ids").alias("id_b"))
+    cand = (
         a.join(b, ["band", "band_val"])
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    hb = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
         .select("id_a", "id_b", ham.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 

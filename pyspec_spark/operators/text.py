@@ -32,19 +32,35 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def fingerprint(
-    df: DataFrame, text_col: str = "text", window: int = 8
+    df: DataFrame, text_col: str = "text", k: int = 4, window: int = 8
 ) -> DataFrame:
-    """Winnowing-style document fingerprint: min rolling hash over token
-    `window`-grams (one 64-bit value per doc; robust to small edits at
-    the margins).  Pure JVM higher-order expressions."""
+    """Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, the
+    MOSS scheme): md5-hash every token `k`-gram, keep the minimum hash
+    of each sliding window of `window` consecutive k-grams, emit the
+    distinct selected hashes as the document's fingerprint set — one
+    output row per (doc, `fp`).
+
+    Guarantee: two documents sharing a run of >= window + k - 1 tokens
+    share at least one fingerprint.  Entirely map-side (higher-order
+    expressions; the only explode is of the already-winnowed set, ~1/w
+    of the grams), and md5 makes the selection bit-identical in DuckDB
+    -> oracle-checkable."""
     toks = F.split(F.col(text_col), " ")
+    n_grams = F.greatest(F.size(toks) - (k - 1), F.lit(0))
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (window - 1), F.lit(1))),
-        lambda i: F.xxhash64(
-            F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(window)])
-        ),
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
     )
-    return df.withColumn("fingerprint", F.array_min(grams))
+    fps = F.when(
+        n_grams >= window,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(window), F.greatest(n_grams, F.lit(window))),
+                lambda j: F.array_min(F.slice(grams, j - (window - 1), window)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.withColumn("fp", F.explode(fps))
 
 
 def char_ngram_profile(

@@ -9,9 +9,12 @@ Oracle policy:
   sequential sum; rounded to 6 places with a vec_id tiebreak under LIMIT.
 - `q_token_counts` uses `regexp_extract_all` — same RE2/Java-compatible
   pattern class both engines.
-- MinHash/SimHash/LSH/IVF and the pandas-UDF language model are
-  approximate or engine-specific (xxhash64 has no DuckDB twin) →
-  rows-only, as SURVEY.md §2 prescribes for L2/L5.
+- MinHash-LSH, SimHash, and winnowing fingerprints are built on md5,
+  which DuckDB computes bit-identically → the FULL pipelines (bands,
+  candidate pairs, estimated Jaccard / hamming / selected hashes) are
+  oracle-checked, not rows-only.
+- Hyperplane-LSH / IVF ANN remain rows-only: their candidate sets are
+  approximate by construction (recall is pytest-asserted instead).
 
 Scale notes: every rows-only query here still follows the 100 TB plan —
 candidate generation is an equi-join (bands/cells), verification runs on
@@ -92,23 +95,115 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L2 — MinHash-LSH near-dup pairs (rows-only: signature-estimated
-# Jaccard; the exact-Jaccard twin is q_jaccard_neardup).
+# L2 — MinHash-LSH near-dup pairs, ORACLE-CHECKED end to end: the md5
+# hash basis (operators/dedup.py) is bit-identical in DuckDB, so the
+# oracle replays the exact pipeline — shingle -> 64 salted min-hashes ->
+# 16 banded buckets (size cap 1000) -> candidate pairs -> signature-
+# estimated Jaccard >= 0.8.  Estimates are exact multiples of 1/64
+# (binary-representable), so the rounded values hash-match.
 # ---------------------------------------------------------------------------
-@query("q_minhash_neardup")
+_MINHASH_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             range(1, greatest(len(string_split(text, ' ')), 2)),
+             i -> string_split(text, ' ')[i] || ' ' ||
+                  string_split(text, ' ')[i + 1])) AS shingles
+  FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+             i -> list_min(list_transform(shingles,
+                      s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS sig
+  FROM sh
+),
+banded AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, 16)) AS b)
+),
+ok AS (
+  SELECT b, band_hash FROM banded
+  GROUP BY 1, 2 HAVING COUNT(*) > 1 AND COUNT(*) <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+  FROM banded a
+  JOIN ok USING (b, band_hash)
+  JOIN banded bb ON a.b = bb.b AND a.band_hash = bb.band_hash
+               AND a.doc_id < bb.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0,
+             6) AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = id_a
+JOIN sigs sb ON sb.doc_id = id_b
+WHERE ROUND(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0,
+            6) >= 0.8
+"""
+
+
+@query("q_minhash_neardup", oracle=_MINHASH_ORACLE)
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return minhash_neardup(d, threshold=0.8).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
-# L2 — SimHash near-dup pairs (rows-only; 8×8-bit band blocking gives a
-# recall guarantee to hamming 7).
+# L2 — SimHash near-dup pairs, ORACLE-CHECKED: 32-bit md5-based simhash
+# (per-bit majority vote), 4×8-bit band blocking (pigeonhole recall
+# guarantee to hamming 3) with a 1000-doc bucket cap (hot-key
+# mitigation), exact bit_count(xor) verification.  The DuckDB oracle
+# replays the identical signature arithmetic (all values < 2^32, so
+# double intermediates are exact on both engines).
 # ---------------------------------------------------------------------------
-@query("q_simhash_neardup")
+_SIMHASH_ORACLE = """
+WITH th AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+             t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hashes
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, 32),
+             b -> CASE WHEN 2 * len(list_filter(hashes,
+                            h -> CAST(floor(h / (2::DOUBLE ** b)) AS BIGINT)
+                                 % 2 = 1))
+                       > len(hashes)
+                  THEN 2::DOUBLE ** b ELSE 0 END)) AS BIGINT) AS simhash
+  FROM th
+),
+banded AS (
+  SELECT doc_id, b,
+         CAST(floor(simhash / (256::DOUBLE ** b)) AS BIGINT) % 256 AS band_val
+  FROM sig, (SELECT unnest(range(0, 4)) AS b)
+),
+ok AS (
+  SELECT b, band_val FROM banded
+  GROUP BY 1, 2 HAVING COUNT(*) > 1 AND COUNT(*) <= 1000
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+  FROM banded a
+  JOIN ok USING (b, band_val)
+  JOIN banded bb ON a.b = bb.b AND a.band_val = bb.band_val
+               AND a.doc_id < bb.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sa.simhash, sb.simhash)) AS hamming
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+"""
+
+
+@query("q_simhash_neardup", oracle=_SIMHASH_ORACLE)
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return simhash_neardup(d, max_hamming=6).orderBy("id_a", "id_b")
+    return simhash_neardup(d, max_hamming=3).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -129,13 +224,32 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Document fingerprinting (winnowing-style min rolling hash) — xxhash64
-# has no DuckDB twin → rows-only; determinism is pytest-asserted.
+# Document fingerprinting — winnowing (Schleimer–Wilkerson–Aiken / MOSS)
+# over md5 token-4-gram hashes, window 8, ORACLE-CHECKED: the oracle
+# replays the identical select-min-per-sliding-window computation.
 # ---------------------------------------------------------------------------
-@query("q_fingerprint")
+_FINGERPRINT_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(
+             range(1, greatest(len(string_split(text, ' ')) - 2, 1)),
+             i -> md5(array_to_string(
+                      list_slice(string_split(text, ' '), i, i + 3), ' '))) AS grams
+  FROM documents
+)
+SELECT DISTINCT doc_id, fp FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(8, len(grams) + 1),
+                               j -> list_min(list_slice(grams, j - 7, j)))) AS fp
+  FROM g
+)
+"""
+
+
+@query("q_fingerprint", oracle=_FINGERPRINT_ORACLE)
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return fingerprint(d).select("doc_id", "fingerprint").orderBy("doc_id")
+    return fingerprint(d).select("doc_id", "fp")
 
 
 # ---------------------------------------------------------------------------

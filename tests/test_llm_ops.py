@@ -157,11 +157,13 @@ def test_text_ops(spark):
     r = tc.where("doc_id = 0").collect()[0]
     assert r["n_bpe_tokens"] >= r["n_ws_tokens"] > 0
     fp = fingerprint(d)
-    # deterministic + sensitive to content
-    a = {x["doc_id"]: x["fingerprint"] for x in fp.collect()}
-    b = {x["doc_id"]: x["fingerprint"] for x in fingerprint(d).collect()}
-    assert a == b
-    assert len(set(a.values())) > len(a) // 2
+    # deterministic + sensitive to content; winnowing guarantee: docs
+    # sharing a long token run share a fingerprint (planted dups do)
+    a = {(x["doc_id"], x["fp"]) for x in fp.collect()}
+    b = {(x["doc_id"], x["fp"]) for x in fingerprint(d).collect()}
+    assert a == b and len(a) > 0
+    n_docs = d.count()
+    assert len({f for _, f in a}) > n_docs  # more distinct fps than docs
     q = quality_score(d)
     row = q.where("doc_id = 1").collect()[0]
     assert 0.0 <= row["quality"] <= 1.0
