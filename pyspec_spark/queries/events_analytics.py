@@ -132,56 +132,41 @@ FROM lattice l LEFT JOIN daily d ON l.user_id = d.user_id AND l.day = d.day
 """,
 )
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Joinless LOCF: instead of lattice ⟕ daily ⟶ window (3 exchanges),
-    # take one lag() over the observed days and EMIT the gap days
-    # directly — each observed row explodes into itself plus the gap
-    # days since the previous observation, carrying the previous value
-    # (which IS the LOCF fill for those days).  Identical output set:
-    # every lattice day is either observed or strictly between two
-    # consecutive observations.  2 exchanges, no join, map-side explode.
+    # Plan choice, MEASURED (sf0.1, warm, min-of-7): this lattice ⟕ daily
+    # → running-last plan = 264 ms collect / 331 ms noop.  The "joinless"
+    # alternative (one lag() window, each observed row explodes into
+    # itself + its gap days carrying prev_value) has fewer exchanges on
+    # paper (2 vs 3) but measured 722 ms / 1457 ms — the per-row
+    # array<struct> construction + conditional date-sequence explode
+    # costs far more than the extra small shuffle and breaks codegen.
+    # Keep the join plan; don't re-attempt without re-measuring.
     ev = table(spark, sf_dir, "events")
     daily = (
         ev.select("user_id", F.col("ts").cast("date").alias("day"), "value")
         .groupBy("user_id", "day")
         .agg((F.sum(_fixed6(F.col("value"))).cast("double") / 1e6).alias("day_value"))
     )
-    w = Window.partitionBy("user_id").orderBy("day")
-    with_prev = daily.select(
-        "user_id",
-        "day",
-        "day_value",
-        F.lag("day").over(w).alias("prev_day"),
-        F.lag("day_value").over(w).alias("prev_value"),
-    )
-    self_row = F.array(
-        F.struct(
-            F.col("day").alias("day"),
-            F.lit(False).alias("is_gap"),
-            F.col("day_value").alias("filled_value"),
+    lattice = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
         )
     )
-    gap_rows = F.when(
-        F.col("prev_day").isNull() | (F.datediff("day", "prev_day") <= 1),
-        F.array().cast("array<struct<day:date,is_gap:boolean,filled_value:double>>"),
-    ).otherwise(
-        F.transform(
-            F.sequence(
-                F.date_add("prev_day", 1),
-                F.date_sub("day", 1),
-                F.expr("INTERVAL 1 DAY"),
-            ),
-            lambda d: F.struct(
-                d.alias("day"),
-                F.lit(True).alias("is_gap"),
-                F.col("prev_value").alias("filled_value"),
-            ),
-        )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        with_prev.select(
-            "user_id", F.explode(F.concat(gap_rows, self_row)).alias("r")
+        lattice.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.col("day_value").isNull().alias("is_gap"),
+            F.last("day_value", ignorenulls=True).over(w).alias("filled_value"),
         )
-        .select("user_id", "r.day", "r.is_gap", "r.filled_value")
     )
 
 

@@ -97,6 +97,96 @@ def q_lang_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L4 — language identification, fully declarative (Cavnar–Trenkle
+# character-n-gram profiles, the classic n-gram language-ID scheme):
+# train per-language top-50 character-trigram profiles on the 80% split
+# (doc_id % 5 != 0), classify the held-out 20% by distinct-trigram
+# overlap with each profile, argmax with lexicographic tiebreak.  All
+# counts/ranks are integers -> exactly hash-comparable cross-engine.
+#
+# Scale posture: the profile is tiny (n_langs x 50 rows) and broadcast;
+# trigram expansion is map-side; the only large shuffles are the
+# training groupBy and the per-(doc,lang) score aggregation — both
+# keyed, no driver-side model materialization (contrast the pandas-UDF
+# `operators/text.py lang_id`, which collects the profile to the
+# driver; that variant remains the unit-tested scale alternative).
+# ---------------------------------------------------------------------------
+_LANG_ID_ORACLE = """
+WITH tri AS (
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, greatest(length(text) - 2, 1) + 1),
+                               i -> substr(text, i, 3))) AS tri
+  FROM documents
+),
+prof AS (
+  SELECT lang AS cand_lang, tri FROM (
+    SELECT lang, tri,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY COUNT(*) DESC, tri) AS rk
+    FROM tri WHERE doc_id % 5 <> 0
+    GROUP BY lang, tri
+  ) WHERE rk <= 50
+),
+test AS (
+  SELECT DISTINCT doc_id, tri FROM tri WHERE doc_id % 5 = 0
+),
+scores AS (
+  SELECT doc_id, cand_lang, COUNT(*) AS score
+  FROM test JOIN prof USING (tri)
+  GROUP BY 1, 2
+)
+SELECT doc_id, cand_lang AS lang_pred, score FROM (
+  SELECT doc_id, cand_lang, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand_lang) AS rk
+  FROM scores
+) WHERE rk = 1
+"""
+
+
+@query("q_lang_id", oracle=_LANG_ID_ORACLE)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    tri_rows = d.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
+                lambda i: F.col("text").substr(i, F.lit(3)),
+            )
+        ).alias("tri"),
+    )
+    counts = (
+        tri_rows.where(F.col("doc_id") % 5 != 0)
+        .groupBy("lang", "tri")
+        .agg(F.count("*").alias("n"))
+    )
+    w_prof = Window.partitionBy("lang").orderBy(F.desc("n"), "tri")
+    prof = (
+        counts.withColumn("rk", F.row_number().over(w_prof))
+        .where(F.col("rk") <= 50)
+        .select(F.col("lang").alias("cand_lang"), "tri")
+    )
+    test = (
+        tri_rows.where(F.col("doc_id") % 5 == 0).select("doc_id", "tri").distinct()
+    )
+    scores = (
+        test.join(F.broadcast(prof), "tri")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("score"))
+    )
+    w_pred = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand_lang")
+    return (
+        scores.withColumn("rk", F.row_number().over(w_pred))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("cand_lang").alias("lang_pred"), "score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quality scoring: common-token ratio + length features (higher-order
 # filter over the token array; lambda runs JVM-side in Spark).
 # ---------------------------------------------------------------------------

@@ -413,3 +413,217 @@ SELECT c_custkey,
 FROM customer
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# W8 — first_value / last_value / nth_value over an unbounded frame:
+# per-customer first, latest, and second order price in date order
+# (unique o_orderkey tiebreak -> frame content is total-ordered, so the
+# picked values — not aggregates — are bit-identical cross-engine).
+# One row per customer via DISTINCT over the constant-per-partition
+# projection (no second aggregation pass needed).
+# ---------------------------------------------------------------------------
+@query(
+    "q_first_last",
+    oracle="""
+SELECT DISTINCT o_custkey,
+       first_value(o_totalprice) OVER w AS first_price,
+       last_value(o_totalprice)  OVER w AS last_price,
+       nth_value(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def q_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.tables import table
+
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# W9 — percent_rank / cume_dist: supplier account-balance position
+# within nation.  The unique s_suppkey tiebreak removes peer groups, so
+# both functions reduce to exact rank ratios of integers — deterministic
+# cross-engine; rounded to 6 per §5.3.
+# ---------------------------------------------------------------------------
+@query(
+    "q_percent_rank",
+    oracle="""
+SELECT s_suppkey, s_nationkey,
+       ROUND(percent_rank() OVER w, 6) AS pr,
+       ROUND(cume_dist() OVER w, 6) AS cd
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+""",
+)
+def q_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.tables import table
+
+    s = table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A16 — grouped mode (most frequent value): the order-priority mode per
+# order status, argmax-by-count with lexicographic value tiebreak (the
+# deterministic form of SQL MODE(), which is tie-unspecified).
+# ---------------------------------------------------------------------------
+@query(
+    "q_mode",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rk
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority
+) WHERE rk = 1
+""",
+)
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.tables import table
+
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("n"), "o_orderpriority"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3 companion — corpus-level n-gram frequency: top-20 token bigrams
+# with counts (duplicates kept — these are frequencies, not the dedup
+# shingle sets), unique-bigram tiebreak under the LIMIT.
+# Map-side explode -> one hash aggregation -> TakeOrdered.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ngram_freq",
+    oracle="""
+SELECT bigram, COUNT(*) AS n FROM (
+  SELECT unnest(list_transform(range(1, greatest(len(string_split(text, ' ')), 2)),
+                i -> string_split(text, ' ')[i] || ' ' ||
+                     string_split(text, ' ')[i + 1])) AS bigram
+  FROM documents
+)
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+)
+def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
+        lambda i: F.concat(
+            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A17 — robust outlier detection per stratum: median / MAD (median
+# absolute deviation) on customer balances, outlier = |x - med| > 3*MAD.
+# Both medians go through the verified Spark `percentile` == DuckDB
+# `quantile_cont` parity (same linear interpolation), rounded before
+# reuse so downstream arithmetic sees identical operands on both
+# engines.  Scale: two grouped percentile passes + broadcast joins of
+# the 5-row stats — no per-row shuffle beyond the groupBys.
+# ---------------------------------------------------------------------------
+@query(
+    "q_mad_outliers",
+    oracle="""
+WITH med AS (
+  SELECT c_mktsegment, ROUND(quantile_cont(c_acctbal, 0.5), 6) AS med,
+         COUNT(*) AS n
+  FROM customer GROUP BY 1
+),
+dev AS (
+  SELECT c.c_mktsegment, ABS(c.c_acctbal - m.med) AS adev
+  FROM customer c JOIN med m USING (c_mktsegment)
+),
+mad AS (
+  SELECT c_mktsegment, ROUND(quantile_cont(adev, 0.5), 6) AS mad
+  FROM dev GROUP BY 1
+)
+SELECT m.c_mktsegment, m.med, a.mad,
+       COALESCE(o.n_outliers, 0) AS n_outliers, m.n
+FROM med m
+JOIN mad a USING (c_mktsegment)
+LEFT JOIN (
+  SELECT d.c_mktsegment, COUNT(*) AS n_outliers
+  FROM dev d JOIN mad a2 USING (c_mktsegment)
+  WHERE d.adev > 3 * a2.mad
+  GROUP BY 1
+) o USING (c_mktsegment)
+""",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.tables import table
+
+    c = table(spark, sf_dir, "customer")
+    med = c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 6).alias("med"),
+        F.count("*").alias("n"),
+    )
+    dev = c.join(F.broadcast(med), "c_mktsegment").withColumn(
+        "adev", F.abs(F.col("c_acctbal") - F.col("med"))
+    )
+    mad = dev.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    out = (
+        dev.join(F.broadcast(mad), "c_mktsegment")
+        .where(F.col("adev") > 3 * F.col("mad"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    return (
+        med.join(mad, "c_mktsegment")
+        .join(out, "c_mktsegment", "left")
+        .select(
+            "c_mktsegment",
+            "med",
+            "mad",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+            "n",
+        )
+    )
