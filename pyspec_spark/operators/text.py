@@ -51,16 +51,30 @@ def fingerprint(
         F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
         lambda i: F.md5(F.array_join(F.slice(toks, i, k), " ")),
     )
+    # MATERIALIZE the gram-hash array as a projected column before the
+    # winnowing pass.  Referencing the `grams` expression object inside
+    # the window lambda would inline the whole md5 computation into the
+    # lambda body and re-evaluate EVERY gram at EVERY window position —
+    # measured 85.8 s vs 0.25 s at sf0.1 (quadratic md5 count).  The
+    # explode below is a Generate barrier, so Catalyst cannot collapse
+    # this projection back into the lambda.
+    n = F.size(F.col("_grams"))
     fps = F.when(
-        n_grams >= window,
+        n >= window,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(window), F.greatest(n_grams, F.lit(window))),
-                lambda j: F.array_min(F.slice(grams, j - (window - 1), window)),
+                F.sequence(F.lit(window), F.greatest(n, F.lit(window))),
+                lambda j: F.array_min(
+                    F.slice(F.col("_grams"), j - (window - 1), window)
+                ),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.withColumn("fp", F.explode(fps))
+    return (
+        df.withColumn("_grams", grams)
+        .withColumn("fp", F.explode(fps))
+        .drop("_grams")
+    )
 
 
 def char_ngram_profile(
