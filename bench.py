@@ -30,6 +30,9 @@ HEADLINE = [
     "q_arr_l2",
     "q_tfidf_topk",
     "q_funnel",
+    "q_lang_id",
+    "q_minhash_neardup",
+    "q_ngram_freq",
 ]
 
 
