@@ -48,8 +48,11 @@ def _dist_sql(e: str, c: str) -> str:
     return f"({terms})"
 
 
-def _kmeans_oracle() -> str:
-    # one assign+update round as a pair of CTEs; unrolled twice
+def _kmeans_cte_prefix() -> str:
+    """The WITH chain through two unrolled Lloyd rounds: emb, c0 (first
+    _K vectors), asg1/c1, asg2/c2.  Shared by the k-means oracle and the
+    deterministic-IVF oracle (same trained coarse quantizer)."""
+
     def assign(src_c: str, out: str) -> str:
         return f"""
 {out}_a AS (
@@ -98,7 +101,11 @@ c0 AS (
     FROM emb WHERE vec_id < {_K}
   )
   GROUP BY vec_id
-),{assign('c0', 'asg1')},{update('asg1', 'c1')},{assign('c1', 'asg2')},{update('asg2', 'c2')},
+),{assign('c0', 'asg1')},{update('asg1', 'c1')},{assign('c1', 'asg2')},{update('asg2', 'c2')}"""
+
+
+def _kmeans_oracle() -> str:
+    return _kmeans_cte_prefix() + f""",
 sizes AS (
   SELECT cid, COUNT(*) AS n_members FROM asg2 GROUP BY cid
 )
@@ -176,4 +183,110 @@ def q_kmeans2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("channel0") + 1).alias("channel"),
             F.round("cv", 6).alias("centroid_v"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic IVF ANN top-k, ORACLE-CHECKED end to end: the coarse
+# quantizer is the q_kmeans2 trained centroid set (2 unrolled Lloyd
+# rounds, exact fixed-point means — the DuckDB oracle replays training
+# via the shared CTE prefix), cell assignment and probe selection use
+# the same explicit fixed-order distance, and the exact cosine re-rank
+# inside the 2 probed cells reuses the verified q_cosine_topk parity
+# (rounded `list_cosine_similarity`).  This is the IVF index working
+# deterministically; the numpy-sample-trained `q_ann_ivf_topk` stays
+# rows-only as the production-flavored variant.
+#
+# Scale posture: identical to q_kmeans2 per round (broadcast centroids,
+# map-side argmin, one keyed groupBy); the probe prunes the re-rank to
+# n_probe/n_cells of the corpus, and at rest `cid` is the partition key.
+# ---------------------------------------------------------------------------
+def _ivf_oracle() -> str:
+    return _kmeans_cte_prefix() + f""",
+qv AS (
+  SELECT embedding FROM emb WHERE vec_id = 0
+),
+probe AS (
+  SELECT c.cid FROM qv q, c2 c
+  ORDER BY {_dist_sql('q', 'c')}, c.cid
+  LIMIT 2
+),
+cand AS (
+  SELECT a.vec_id FROM asg2 a JOIN probe p ON a.cid = p.cid
+)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS score
+FROM emb e
+JOIN cand USING (vec_id)
+CROSS JOIN qv q
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+"""
+
+
+@query("q_ann_ivf_det", oracle=_ivf_oracle())
+def q_ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c0 = emb.where(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(
+            F.slice("embedding", 1, _D), lambda x: x.cast("double")
+        ).alias("c"),
+    )
+    asg1 = _assign(emb, c0)
+    c1 = _update(emb, asg1)
+    asg2 = _assign(emb, c1)
+    c2 = _update(emb, asg2)
+
+    q = emb.where(F.col("vec_id") == 0)
+    q8 = q.select(
+        F.transform(F.slice("embedding", 1, _D), lambda x: x.cast("double")).alias(
+            "qe"
+        )
+    )
+    dist: Column = None
+    for d in range(1, _D + 1):
+        t = (F.element_at(F.col("qe"), d) - F.element_at(F.col("c"), d)) * (
+            F.element_at(F.col("qe"), d) - F.element_at(F.col("c"), d)
+        )
+        dist = t if dist is None else dist + t
+    probe = (
+        c2.crossJoin(F.broadcast(q8))
+        .select("cid", dist.alias("dist"))
+        .orderBy("dist", "cid")
+        .limit(2)
+        .select("cid")
+    )
+    cand = asg2.join(F.broadcast(probe), "cid").select("vec_id")
+
+    qv = q.select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda a: a.cast("double") * a.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    return (
+        emb.join(cand, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.round(
+                dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
     )

@@ -259,6 +259,83 @@ def probe_text_events(spark, ks) -> list[str]:
     return lines
 
 
+def build_neardup_replica(spark, k: int) -> str:
+    """documents replicated k-fold with offset ids AND per-replica token
+    salting: every token gets an `r{i}_` prefix, a vocabulary bijection
+    per replica.  Within-replica shingle/simhash/winnow structure is
+    isomorphic to the original corpus (planted near-dups preserved),
+    while cross-replica similarity drops to ~zero — so near-dup OUTPUT
+    grows linearly with k and the probe times the pipeline, not a
+    quadratic everything-matches-its-clone explosion (replicating text
+    verbatim makes every doc an exact dup of k-1 clones, which is a
+    dedup correctness property, not a scaling shape)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    dest = f"{WORK}/neardup_x{k}"
+    if os.path.exists(f"{dest}/documents.parquet/_SUCCESS"):
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    d_off = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    dd = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * d_off))
+        .withColumn("text", F.regexp_replace("text", r"(^| )", f"$1r{i}_"))
+        for i in range(k)
+    ]
+    reduce(lambda a, b: a.unionAll(b), dd).repartition(k).write.mode(
+        "overwrite"
+    ).parquet(f"{dest}/documents.parquet")
+    for t in ("orders", "customer", "supplier", "part", "nation", "region",
+              "lineitem", "events", "embeddings"):
+        dst = f"{dest}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    return dest
+
+
+def probe_neardup(spark, ks) -> list[str]:
+    """Weak scaling of the md5 near-dup / text-analysis family; returns
+    SCALING.md lines."""
+    names = ["q_minhash_neardup", "q_simhash_neardup", "q_fingerprint",
+             "q_lang_id"]
+    lines = [
+        "",
+        "## Near-dup & text-analysis shapes (weak scaling: k× salted docs)",
+        "",
+        "documents replicated with offset ids and a per-replica token-",
+        "vocabulary bijection (`r{i}_` prefix): per-doc signature work and",
+        "within-replica near-dup structure constant, corpus cardinality ×k,",
+        "cross-replica similarity ~0 (output grows ×k, not ×k²).  noop",
+        "sink = full re-execution of signatures, band joins, winnowing,",
+        "and the trigram-profile train/classify pipeline.  Sub-linear ms",
+        "growth = the map-side signature computation and the band-bucket",
+        "shuffles parallelize.",
+        "",
+        "| k | docs | " + " | ".join(names) + " |",
+        "|---|---|" + "---|" * len(names),
+    ]
+    for k in ks:
+        d = build_neardup_replica(spark, k)
+        n_docs = spark.read.parquet(f"{d}/documents.parquet").count()
+        per_q = {}
+        for name in names:
+            fn = registry.QUERIES[name]
+            per_q[name] = _best_of(
+                lambda: fn(spark, d)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        cells = " | ".join(f"{per_q[n]*1000:.0f} ms" for n in names)
+        lines.append(f"| {k} | {n_docs:,} | {cells} |")
+        print(f"neardup x{k}: "
+              + "  ".join(f"{n}={t*1000:.0f}ms" for n, t in per_q.items()))
+    return lines
+
+
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
     registry.load_all()
@@ -302,6 +379,7 @@ def main() -> None:
         lines.append(f"| {k} | {n:,} | {cells} | {mrps:.1f} |")
     lines.extend(probe_joins(spark, ks))
     lines.extend(probe_text_events(spark, ks))
+    lines.extend(probe_neardup(spark, [k for k in ks if k <= 4]))
     lines.append("")
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines))
