@@ -266,6 +266,57 @@ def simhash_neardup(
     )
 
 
+def simhash_neardup64(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Corpus-scale SimHash near-dup: 64-bit signature (pandas-UDF
+    majority vote), 4 x 16-bit band blocking — 65 536 values per band,
+    so bucket occupancy stays O(corpus/65k) where the 32-bit variant's
+    256-value bands saturate past ~10^5 docs (measured in SCALING.md).
+    Same pigeonhole recall guarantee to hamming 3, same bucket cap and
+    bit_count(xor) verification; engine-specific hash basis -> verified
+    by pytest (planted dups + scaling probe), not a DuckDB oracle."""
+    sh = simhash(df, id_col, text_col).cache()
+    banded = sh.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    sized = banded.groupBy("band", "band_val").agg(
+        F.collect_list("id").alias("ids"), F.count("*").alias("n")
+    )
+    ok = sized.where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+    a = ok.select("band", "band_val", F.explode("ids").alias("id_a"))
+    b = ok.select("band", "band_val", F.explode("ids").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    hb = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",

@@ -78,6 +78,29 @@ def test_simhash_neardup(spark, docs_with_dups):
     assert hits >= 30, f"only {hits}/40 planted pairs within hamming 8"
 
 
+def test_simhash_neardup64(spark, docs_with_dups):
+    """The 64-bit/16-bit-band scale variant (SCALING.md documents why
+    this is the corpus-scale path) honors its pigeonhole recall
+    GUARANTEE: every pair within hamming 3 shares one of the 4 16-bit
+    bands exactly, so every such planted pair MUST be found; pairs at
+    hamming 4..8 are found only when a band happens to survive."""
+    from pyspec_spark.operators.dedup import simhash, simhash_neardup64
+
+    sig = {r["id"]: r["simhash"] for r in simhash(docs_with_dups).collect()}
+    planted = {(i, i + 100000) for i in range(40)}
+    guaranteed = {
+        (a, b)
+        for a, b in planted
+        if bin((sig[a] ^ sig[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    pairs = simhash_neardup64(docs_with_dups, max_hamming=8).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert guaranteed <= found, f"missed guaranteed pairs: {guaranteed - found}"
+    assert len(guaranteed) >= 10  # the planted edit is small: many land <= 3
+    # every reported pair is verified at hamming <= 8
+    assert all(r["hamming"] <= 8 for r in pairs)
+
+
 def test_simhash_deterministic(spark, docs_with_dups):
     from pyspec_spark.operators.dedup import simhash
 

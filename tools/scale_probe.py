@@ -328,6 +328,16 @@ def probe_neardup(spark, ks) -> list[str]:
         "| k | docs | " + " | ".join(names) + " |",
         "|---|---|" + "---|" * len(names),
     ]
+    from pyspec_spark.operators.dedup import simhash_neardup64
+    from pyspec_spark.tables import table as _table
+
+    def sim64(d):
+        docs = _table(spark, d, "documents").select("doc_id", "text")
+        return simhash_neardup64(docs, max_hamming=3)
+
+    all_names = names + ["simhash64(op)"]
+    lines[-2] = "| k | docs | " + " | ".join(all_names) + " |"
+    lines[-1] = "|---|---|" + "---|" * len(all_names)
     for k in ks:
         d = build_neardup_replica(spark, k)
         n_docs = spark.read.parquet(f"{d}/documents.parquet").count()
@@ -340,7 +350,10 @@ def probe_neardup(spark, ks) -> list[str]:
                 .mode("overwrite")
                 .save()
             )
-        cells = " | ".join(f"{per_q[n]*1000:.0f} ms" for n in names)
+        per_q["simhash64(op)"] = _best_of(
+            lambda: sim64(d).write.format("noop").mode("overwrite").save()
+        )
+        cells = " | ".join(f"{per_q[n]*1000:.0f} ms" for n in all_names)
         lines.append(f"| {k} | {n_docs:,} | {cells} |")
         print(f"neardup x{k}: "
               + "  ".join(f"{n}={t*1000:.0f}ms" for n, t in per_q.items()))
