@@ -159,23 +159,29 @@ def simhash32(
     hashes = F.transform(
         toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
     )
-
-    def bit(hh, b):  # (hh >> b) & 1 without a literal-only shift
-        return (
-            F.floor(hh / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
-        )
-
-    sig = F.aggregate(
-        F.sequence(F.lit(0), F.lit(31)),
-        F.lit(0.0),
-        lambda acc, b: acc
-        + F.when(
+    # Per-bit majority as a Python-level sum of 32 literal-mask filters:
+    # (h & (1<<b)) != 0 is a single JVM bitwise op per token, vs the
+    # lambda-variable formulation's floor(h / pow(2.0, b)) — pow with a
+    # non-literal exponent is transcendental; the switch measured 1.7x
+    # on the full near-dup pipeline (2.7 s -> 1.6 s full re-exec at
+    # sf0.1).  Bit values are identical (the DuckDB oracle keeps the
+    # arithmetic form; both extract the same bits).
+    n = F.size(F.col("_th32"))
+    bit_terms = [
+        F.when(
             F.lit(2)
-            * F.size(F.filter(F.col("_th32"), lambda hh: bit(hh, b) == 1))
-            > F.size(F.col("_th32")),
-            F.pow(F.lit(2.0), b.cast("double")),
-        ).otherwise(F.lit(0.0)),
-    ).cast("long")
+            * F.size(
+                F.filter(
+                    F.col("_th32"),
+                    lambda hh: hh.bitwiseAND(F.lit(1 << b)) != 0,
+                )
+            )
+            > n,
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b in range(32)
+    ]
+    sig = sum(bit_terms[1:], bit_terms[0])
     return df.withColumn("_th32", hashes).select(
         F.col(id_col).alias("id"), sig.alias("simhash")
     )
