@@ -36,8 +36,15 @@ def range_join_bucketed(
     """Join facts to [lo, hi) intervals via the bucket rewrite.
 
     ``ranges`` columns are preserved; interval semantics are
-    lo <= value < hi.
+    lo <= value < hi.  ``how`` may be ``inner`` or ``left`` (facts
+    preserved).  Range-preserving joins (right/outer) are rejected: the
+    range side is exploded per overlapped bucket, so null-extension
+    would duplicate unmatched ranges once per bucket.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"range_join_bucketed supports how='inner'|'left', got {how!r}"
+        )
     b_lo = F.floor(F.col(lo_col) / bucket_width).cast("long")
     b_hi = F.floor((F.col(hi_col) - 1e-9) / bucket_width).cast("long")
     exploded = ranges.withColumn(
@@ -46,9 +53,17 @@ def range_join_bucketed(
     keyed = facts.withColumn(
         "bucket", F.floor(F.col(value_col) / bucket_width).cast("long")
     )
-    joined = keyed.join(exploded, "bucket", how).where(
-        (F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col))
+    in_interval = (F.col(value_col) >= F.col(lo_col)) & (
+        F.col(value_col) < F.col(hi_col)
     )
+    if how == "inner":
+        # post-join .where lets Catalyst push the residual into the join
+        joined = keyed.join(exploded, "bucket", "inner").where(in_interval)
+    else:
+        # for facts-preserving joins the interval predicate must live in the
+        # join condition — a post-join filter would drop null-extended rows
+        cond = (keyed["bucket"] == exploded["bucket"]) & in_interval
+        joined = keyed.join(exploded, cond, "left").drop(exploded["bucket"])
     return joined.drop("bucket")
 
 

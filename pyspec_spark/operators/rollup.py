@@ -49,6 +49,12 @@ def rollup_cascade(
     for lv in levels:
         if lv not in LEVELS:
             raise ValueError(f"unknown level {lv!r}; expected one of {LEVELS}")
+    if "week" in levels and levels[0] == "week" and len(levels) > 1:
+        raise ValueError(
+            "'week' cannot be the finest level of a multi-level cascade: "
+            "week buckets straddle month boundaries, so no coarser level "
+            "can be derived from them"
+        )
 
     out: dict[str, DataFrame] = {}
     finest = levels[0]
@@ -63,9 +69,14 @@ def rollup_cascade(
         )
     )
     out[finest] = cur
+    # 'week' is a terminal branch: ISO weeks straddle month boundaries, so
+    # date_trunc('month', week_bucket) would assign a straddling week's whole
+    # totals to one month.  Coarser levels always merge from the last
+    # non-week level instead of from week.
     for lv in levels[1:]:
-        cur = merge_level(cur, lv, keys)
-        out[lv] = cur
+        out[lv] = merge_level(cur, lv, keys)
+        if lv != "week":
+            cur = out[lv]
     return out
 
 

@@ -189,8 +189,12 @@ class SpecDataSourceReader(DataSourceReader):
         fname = os.path.basename(partition.path)
 
         if self.table == "scans":
+            # tz-aware UTC pairs with parse_spec_date's timegm: the
+            # round-trip is host-timezone independent (ADVICE r1)
             ts = (
-                datetime.datetime.fromtimestamp(scan.ts)
+                datetime.datetime.fromtimestamp(
+                    scan.ts, tz=datetime.timezone.utc
+                )
                 if scan.ts is not None
                 else None
             )

@@ -25,6 +25,7 @@ scan block's text) so the Spark DataSource can ship one block per task.
 
 from __future__ import annotations
 
+import calendar
 import re
 import time
 from dataclasses import dataclass, field
@@ -44,11 +45,14 @@ def split_labels(s: str) -> list[str]:
 
 
 def parse_spec_date(s: str) -> float | None:
-    """`#D Thu Feb 24 14:05:35 2011` -> epoch seconds (UTC-naive)."""
+    """`#D Thu Feb 24 14:05:35 2011` -> epoch seconds, interpreting the
+    wall-clock time as UTC (`calendar.timegm`, not `time.mktime`) so the
+    result is host-timezone independent and DST-unambiguous; pairs with
+    `datetime.fromtimestamp(ts, tz=timezone.utc)` on read-back."""
     s = s.strip()
     for fmt in ("%a %b %d %H:%M:%S %Y", "%Y-%m-%d %H:%M:%S"):
         try:
-            return time.mktime(time.strptime(s, fmt))
+            return float(calendar.timegm(time.strptime(s, fmt)))
         except ValueError:
             continue
     return None
