@@ -48,19 +48,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
-    default.  Read nanos as LONG (legacy conf, session-settable) and
-    truncate to microsecond timestamps with integer division — the same
-    truncation DuckDB applies reading NANOS into its us TIMESTAMP, so
-    both engines see identical values.  (Float division would corrupt:
-    epoch-nanos ~1.7e18 exceeds double's 2^53 integer range.)
+    """Normalize events.ts to TimestampType (LTZ) whatever the parquet
+    flavor.  Depending on how the testdata generator wrote it, Spark reads
+    ts as TIMESTAMP(NANOS) (rejected unless nanosAsLong), TIMESTAMP_NTZ
+    (isAdjustedToUTC=false), or plain TIMESTAMP.  Downstream queries use
+    unix_micros()/window() which require LTZ; with the session pinned to
+    UTC, every branch below is wall-clock preserving and truncates to
+    microseconds exactly as DuckDB does reading the same file.  (Integer
+    division for nanos: epoch-nanos ~1.7e18 exceeds double's 2^53.)
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(df.dtypes)["ts"] == "bigint":
+    ts_type = dict(df.dtypes)["ts"]
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif ts_type != "timestamp":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
