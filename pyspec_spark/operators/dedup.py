@@ -36,7 +36,13 @@ def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(df: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
-    """Distinct token k-gram shingles as an array column (map-only)."""
+    """Distinct token k-gram shingles as an array column (map-only).
+
+    A document with fewer than ``k`` tokens has NO k-shingles: the guard
+    emits an empty array rather than a truncated partial shingle (which
+    concat_ws would otherwise fabricate by skipping the out-of-bounds
+    null tokens) — keeping Spark and the DuckDB oracle replay identical
+    for sub-k documents."""
     toks = F.split(F.col(text_col), " ")
     sh = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
@@ -44,7 +50,10 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
             " ", *[F.element_at(toks, i + j) for j in range(k)]
         ),
     )
-    return df.withColumn("_shingles", F.array_distinct(sh))
+    guarded = F.when(F.size(toks) >= k, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+    return df.withColumn("_shingles", guarded)
 
 
 def minhash_signatures(
@@ -70,24 +79,30 @@ def minhash_signatures(
             )
         ),
     )
-    return with_sh.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # Sub-k-token docs have no shingles and therefore no signature: drop
+    # them here so they can never surface as degenerate near-dup pairs.
+    return (
+        with_sh.where(F.size("_shingles") > 0)
+        .select(F.col(id_col).alias("id"), sig.alias("sig"))
+    )
 
 
 def lsh_candidates(
-    sigs: DataFrame, bands: int = 16, max_bucket: int = 1000
+    sigs: DataFrame, bands: int = 16, max_bucket: int = 1000, n_hashes: int = 64
 ) -> DataFrame:
     """Candidate pairs from banded LSH over the signatures.
 
     rows_per_band = n_hashes / bands; a pair is a candidate if any band's
     sub-signature hashes equal.  `max_bucket` drops degenerate buckets
-    (hot-key mitigation at scale).
+    (hot-key mitigation at scale).  `n_hashes` must match the signature
+    width and divide evenly into `bands` — taking it as a parameter keeps
+    plan construction job-free (no driver-side first() probe).
     """
-    probe = sigs.select("sig").first()
-    if probe is None:  # empty input: no signatures, no candidate pairs
-        return sigs.select(
-            F.col("id").alias("id_a"), F.col("id").alias("id_b")
-        ).limit(0)
-    n_hashes = len(probe["sig"])
+    if n_hashes % bands != 0:
+        raise ValueError(
+            f"n_hashes={n_hashes} must be divisible by bands={bands}; "
+            "a remainder would silently drop trailing signature positions"
+        )
     r = n_hashes // bands
     banded = sigs.select(
         "id",
@@ -126,7 +141,7 @@ def minhash_neardup(
     """Full MinHash-LSH near-dup: candidates + signature-estimated
     Jaccard >= threshold.  Output: (id_a, id_b, est_jaccard)."""
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).cache()
-    cand = lsh_candidates(sigs, bands)
+    cand = lsh_candidates(sigs, bands, n_hashes=n_hashes)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.size(

@@ -104,11 +104,15 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _MINHASH_ORACLE = """
 WITH sh AS (
+  -- sub-2-token docs have no bigram shingles (mirror of the Spark-side
+  -- guard in operators/dedup.py shingles())
   SELECT doc_id,
-         list_distinct(list_transform(
-             range(1, greatest(len(string_split(text, ' ')), 2)),
-             i -> string_split(text, ' ')[i] || ' ' ||
-                  string_split(text, ' ')[i + 1])) AS shingles
+         CASE WHEN len(string_split(text, ' ')) >= 2
+              THEN list_distinct(list_transform(
+                  range(1, len(string_split(text, ' '))),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i + 1]))
+              ELSE [] END AS shingles
   FROM documents
 ),
 sigs AS (
@@ -117,6 +121,7 @@ sigs AS (
              i -> list_min(list_transform(shingles,
                       s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS sig
   FROM sh
+  WHERE len(shingles) > 0
 ),
 banded AS (
   SELECT doc_id, b,

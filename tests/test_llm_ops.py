@@ -265,3 +265,37 @@ def test_dedup_clusters_labels_are_component_minimum(spark):
         assert labels[a] == labels[b] <= min(a, b)
     # every label is itself a member of its cluster
     assert all(labels[c] == c for c in set(labels.values()))
+
+
+def test_minhash_subk_docs_have_no_shingles(spark):
+    """Docs with fewer than k tokens produce NO shingles and NO
+    signature (ADVICE r1: the old concat_ws path fabricated a truncated
+    shingle, diverging from the oracle's NULL-propagating concat)."""
+    from pyspec_spark.operators.dedup import minhash_neardup, minhash_signatures
+
+    d = spark.createDataFrame(
+        [(1, "single"), (2, "single"), (3, "two tokens here"), (4, "two tokens here")],
+        "doc_id INT, text STRING",
+    )
+    sigs = minhash_signatures(d).collect()
+    assert {r["id"] for r in sigs} == {3, 4}, "sub-k docs must be dropped"
+    pairs = minhash_neardup(d, threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) not in found
+    assert (3, 4) in found
+
+
+def test_lsh_candidates_rejects_indivisible_bands(spark):
+    from pyspec_spark.operators.dedup import lsh_candidates, minhash_signatures
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id INT, text STRING")
+    sigs = minhash_signatures(d)
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_candidates(sigs, bands=7, n_hashes=64)
+
+
+def test_lsh_candidates_empty_input(spark):
+    from pyspec_spark.operators.dedup import lsh_candidates, minhash_signatures
+
+    d = spark.createDataFrame([], "doc_id INT, text STRING")
+    assert lsh_candidates(minhash_signatures(d)).count() == 0
