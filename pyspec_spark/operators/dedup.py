@@ -96,7 +96,11 @@ def lsh_candidates(
     sub-signature hashes equal.  `max_bucket` drops degenerate buckets
     (hot-key mitigation at scale).  `n_hashes` must match the signature
     width and divide evenly into `bands` — taking it as a parameter keeps
-    plan construction job-free (no driver-side first() probe).
+    plan construction job-free (no driver-side first() probe).  A runtime
+    guard raises on any row whose signature width differs from `n_hashes`:
+    without it, a narrower real signature would band only a prefix, and a
+    wider `n_hashes` would slice past the array end, making every band
+    hash md5('') — i.e. every doc pair a candidate.
     """
     if n_hashes % bands != 0:
         raise ValueError(
@@ -104,6 +108,18 @@ def lsh_candidates(
             "a remainder would silently drop trailing signature positions"
         )
     r = n_hashes // bands
+    sigs = sigs.withColumn(
+        "sig",
+        F.when(F.size("sig") == n_hashes, F.col("sig")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("lsh_candidates: signature width "),
+                    F.size("sig").cast("string"),
+                    F.lit(f" != n_hashes={n_hashes}"),
+                )
+            )
+        ),
+    )
     banded = sigs.select(
         "id",
         F.posexplode(

@@ -60,6 +60,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ branch below casts through the session timezone; pin UTC here
+    # (not only in the get_spark factory) so a session created elsewhere on
+    # a non-UTC host can't silently shift every event timestamp.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(df.dtypes)["ts"]
     if ts_type == "bigint":

@@ -299,3 +299,25 @@ def test_lsh_candidates_empty_input(spark):
 
     d = spark.createDataFrame([], "doc_id INT, text STRING")
     assert lsh_candidates(minhash_signatures(d)).count() == 0
+
+
+def test_lsh_candidates_rejects_width_mismatch(spark):
+    """ADVICE r2: a signature width that disagrees with n_hashes must
+    raise at runtime, not band a prefix (narrow) or hash md5('') for
+    every band (wide — which would make every pair a candidate)."""
+    from pyspec_spark.operators.dedup import lsh_candidates, minhash_signatures
+
+    d = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c d")], "doc_id INT, text STRING"
+    )
+    sigs = minhash_signatures(d, n_hashes=128)
+    # default n_hashes=64 != real width 128 -> raise_error fires per row
+    # (AQE may wrap the SparkRuntimeException in a stage-materialization
+    # error, so match on the message, not the exception class)
+    with pytest.raises(Exception, match="signature width"):
+        lsh_candidates(sigs).collect()
+    # too-wide n_hashes (slice past the end) must also raise, not emit ''
+    with pytest.raises(Exception, match="signature width"):
+        lsh_candidates(minhash_signatures(d, n_hashes=64), n_hashes=128).collect()
+    # matching width still works
+    assert lsh_candidates(sigs, n_hashes=128).count() == 1
