@@ -1,11 +1,16 @@
 #!/usr/bin/env python
 """Run every registered query against the DuckDB oracle (driver mimic).
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Usage: python tools/check.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, also writes a CORRECTNESS_r{N}-shaped report (one object
+per query: rows/schema/hash match booleans + row counts) so self-check
+runs at driver scale can be committed as evidence.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -18,12 +23,18 @@ from pyspec_spark.session import get_spark
 
 def main() -> int:
     args = [a for a in sys.argv[1:]]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
     sf_dir = args.pop(0) if args and "/" in args[0] else "/root/testdata/sf0.01"
     registry.load_all()
     names = args or sorted(registry.QUERIES)
     spark = get_spark("pyspec_spark_check")
     con = duckdb_connect(sf_dir)
     failures = 0
+    report: dict[str, dict] = {}
     for name in names:
         t0 = time.time()
         try:
@@ -31,12 +42,37 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"[ERR ] {name}: {type(e).__name__}: {e}")
             failures += 1
+            report[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": -1,
+                "oracle_rows": -1,
+                "err": f"{type(e).__name__}: {e}"[:500],
+            }
             continue
         dt = time.time() - t0
         print(f"{res}  ({dt:.2f}s)")
         if not res.ok:
             failures += 1
+        rows_only = res.oracle_rows == -1
+        schema_bad = any("columns differ" in i for i in res.issues)
+        report[name] = {
+            "rows_match": res.ok or not any(
+                "row count" in i for i in res.issues
+            ),
+            "schema_match": not schema_bad,
+            "hash_match": res.ok and not rows_only,
+            "spark_rows": res.spark_rows,
+            "oracle_rows": res.oracle_rows,
+            "err": None if res.ok else "; ".join(res.issues)[:500],
+            **({"rows_only": True} if rows_only else {}),
+        }
     print(f"\n{len(names) - failures}/{len(names)} ok")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": report}, f, indent=1)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
