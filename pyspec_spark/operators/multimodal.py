@@ -3,15 +3,18 @@
 Design (north-star brief): media payloads are opaque `binary` columns
 with a typed metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over `mapInPandas`.
-The image/audio codec libraries are NOT in this container, so the codec
-step is stubbed: `decode_media` raises NotImplementedError for real
-codecs and supports the deterministic `fake-rgb8` codec (a seeded,
-shape-correct synthetic decode) so the Spark-side plumbing — schema,
-partitioning, UDF signature, batch shape — is real and tested.
+
+Image decode is REAL for the public formats implemented in
+``operators/codecs.py`` (binary PPM/PGM and 8-bit PNG, multi-frame via
+concatenation) — no codec library needed.  Formats whose decoders
+genuinely aren't in this container (jpeg/wav/mp4) raise
+NotImplementedError at a clearly-marked boundary, and the deterministic
+`fake-rgb8` codec remains for plumbing tests.
 
 Scale notes: one media blob never leaves its executor; decode is
 per-row inside Arrow batches; frame sampling happens *before* feature
-extraction so the explode factor is bounded by sample_every.
+extraction (frame k is seeked by header-skipping, not decoded), so the
+decode cost is bounded by the sampled frames, not the payload.
 """
 
 from __future__ import annotations
@@ -53,20 +56,24 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-REAL_CODECS = ("png", "jpeg", "wav", "mp4")
+DECODED_CODECS = ("ppm", "pgm", "png")      # real decoders, operators/codecs.py
+STUBBED_CODECS = ("jpeg", "wav", "mp4")     # decoder libs absent from container
 
 
 def decode_frame(codec: str, payload: bytes, width: int, height: int, frame_id: int) -> np.ndarray:
-    """Decode one frame to (h, w, 3) uint8.  Real codecs are stubbed —
-    the decoder libraries are not available in this environment."""
+    """Decode one frame to (h, w, 3) uint8."""
+    if codec in DECODED_CODECS:
+        from pyspec_spark.operators.codecs import decode_frame_at
+
+        return decode_frame_at(codec, payload, frame_id)
     if codec == "fake-rgb8":
         # deterministic synthetic decode: bytes seed a generator
         seed = int.from_bytes(payload[:8], "little", signed=False) + frame_id
         rng = np.random.default_rng(seed)
         return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
-    if codec in REAL_CODECS:
+    if codec in STUBBED_CODECS:
         raise NotImplementedError(
-            f"codec {codec!r}: image/audio libraries not available in this "
+            f"codec {codec!r}: decoder library not available in this "
             "container — plug a decoder in here (PIL/av/soundfile)"
         )
     raise ValueError(f"unknown codec {codec!r}")
@@ -79,6 +86,41 @@ def make_fake_media(spark: SparkSession, n: int = 8, frames: int = 4) -> DataFra
         payload = int(i * 2654435761 % 2**63).to_bytes(8, "little") * 4
         rows.append((i, "video" if i % 2 else "image", "fake-rgb8", 16, 12,
                      frames if i % 2 else 1, bytearray(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def synth_image(media_id: int, frame_id: int, width: int = 16, height: int = 12) -> np.ndarray:
+    """Deterministic test image: per-channel affine gradients keyed by
+    (media_id, frame_id) — closed-form, so goldens can state exact
+    means without running the pipeline."""
+    y = np.arange(height, dtype=np.int64)[:, None]
+    x = np.arange(width, dtype=np.int64)[None, :]
+    r = (7 * media_id + 13 * frame_id + 3 * x + 5 * y) % 256
+    g = (11 * media_id + 17 * frame_id + 5 * x + 7 * y) % 256
+    b = (23 * media_id + 29 * frame_id + 7 * x + 11 * y) % 256
+    return np.stack(
+        [np.broadcast_to(c, (height, width)) for c in (r, g, b)], axis=2
+    ).astype(np.uint8)
+
+
+def make_real_media(
+    spark: SparkSession, n: int = 16, frames: int = 4, width: int = 16, height: int = 12
+) -> DataFrame:
+    """Media table with REAL encoded payloads: even ids are single-frame
+    PNG images, odd ids are multi-frame "videos" of concatenated PPMs.
+    Deterministic in (n, frames, width, height)."""
+    from pyspec_spark.operators.codecs import encode_png, encode_ppm
+
+    rows = []
+    for i in range(n):
+        if i % 2:
+            payload = b"".join(
+                encode_ppm(synth_image(i, f, width, height)) for f in range(frames)
+            )
+            rows.append((i, "video", "ppm", width, height, frames, bytearray(payload)))
+        else:
+            payload = encode_png(synth_image(i, 0, width, height), filter_type=i // 2 % 5)
+            rows.append((i, "image", "png", width, height, 1, bytearray(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 

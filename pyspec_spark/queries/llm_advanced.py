@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pyspec_spark.operators.dedup import minhash_neardup, simhash_neardup
-from pyspec_spark.operators.multimodal import extract_features, make_fake_media
+from pyspec_spark.operators.multimodal import extract_features, make_real_media
 from pyspec_spark.operators.similarity import cosine_topk, lsh_topk
 from pyspec_spark.operators.text import BPE_ISH, fingerprint, token_counts
 from pyspec_spark.registry import query
@@ -258,12 +258,16 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L7 — multimodal feature-extraction plumbing over mapInPandas
-# (rows-only; deterministic fake codec, real Spark batch shape).
+# L7 — multimodal feature extraction over mapInPandas (rows-only: DuckDB
+# cannot decode PNG/PPM).  The payloads are REAL encoded bytes (PNG
+# images across all five scanline filters + concatenated-PPM "videos",
+# operators/codecs.py); decode runs inside mapInPandas on executors and
+# the means are golden-tested against closed-form values in
+# tests/test_images.py.
 # ---------------------------------------------------------------------------
 @query("q_multimodal_features")
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = make_fake_media(spark, n=16, frames=4)
+    media = make_real_media(spark, n=16, frames=4)
     return (
         extract_features(media, sample_every=2)
         .select(

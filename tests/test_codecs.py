@@ -1,0 +1,155 @@
+"""Real image codecs (operators/codecs.py) + the de-stubbed L7 pipeline.
+
+Golden strategy: `synth_image` is a closed-form per-channel affine
+gradient, so expected frame means are computable without running any
+codec — encode -> decode -> feature means must reproduce them exactly
+(uint8 arithmetic, no lossy step anywhere in PPM/PGM/PNG).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspec_spark.operators.codecs import (
+    count_frames,
+    decode_frame_at,
+    encode_pgm,
+    encode_png,
+    encode_ppm,
+)
+from pyspec_spark.operators.multimodal import synth_image
+
+
+def _img(seed: int = 0, h: int = 12, w: int = 16) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# PPM / PGM
+# ---------------------------------------------------------------------------
+def test_ppm_roundtrip():
+    img = _img(1)
+    out = decode_frame_at("ppm", encode_ppm(img), 0)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_pgm_roundtrip_replicates_gray():
+    gray = _img(2)[:, :, 0]
+    out = decode_frame_at("pgm", encode_pgm(gray), 0)
+    assert out.shape == (*gray.shape, 3)
+    for c in range(3):
+        np.testing.assert_array_equal(out[:, :, c], gray)
+
+
+def test_ppm_header_comments_and_whitespace():
+    img = _img(3, h=2, w=3)
+    raw = b"P6 # a comment\n# another\n 3\t2 # dims\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(decode_frame_at("ppm", raw, 0), img)
+
+
+def test_ppm_truncated_raises():
+    data = encode_ppm(_img(4))[:-5]
+    with pytest.raises(ValueError, match="truncated"):
+        decode_frame_at("ppm", data, 0)
+
+
+def test_ppm_multiframe_concat_seek():
+    frames = [_img(s) for s in range(5)]
+    payload = b"".join(encode_ppm(f) for f in frames)
+    assert count_frames("ppm", payload) == 5
+    for k in (0, 2, 4):
+        np.testing.assert_array_equal(decode_frame_at("ppm", payload, k), frames[k])
+
+
+# ---------------------------------------------------------------------------
+# PNG — every filter type and channel count
+# ---------------------------------------------------------------------------
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_filters(filter_type):
+    img = _img(10 + filter_type)
+    out = decode_frame_at("png", encode_png(img, filter_type), 0)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_png_grayscale_and_alpha_channels():
+    rng = np.random.default_rng(7)
+    gray = rng.integers(0, 256, (5, 9), dtype=np.uint8)
+    out = decode_frame_at("png", encode_png(gray, 4), 0)
+    for c in range(3):
+        np.testing.assert_array_equal(out[:, :, c], gray)
+    # gray+alpha -> gray replicated
+    ga = rng.integers(0, 256, (5, 9, 2), dtype=np.uint8)
+    out = decode_frame_at("png", encode_png(ga, 1), 0)
+    for c in range(3):
+        np.testing.assert_array_equal(out[:, :, c], ga[:, :, 0])
+    # RGBA -> alpha dropped
+    rgba = rng.integers(0, 256, (5, 9, 4), dtype=np.uint8)
+    out = decode_frame_at("png", encode_png(rgba, 3), 0)
+    np.testing.assert_array_equal(out, rgba[:, :, :3])
+
+
+def test_png_multiframe_concat_seek():
+    frames = [_img(20 + s) for s in range(3)]
+    payload = b"".join(encode_png(f, ft) for ft, f in enumerate(frames))
+    assert count_frames("png", payload) == 3
+    for k in range(3):
+        np.testing.assert_array_equal(decode_frame_at("png", payload, k), frames[k])
+
+
+def test_png_bad_signature_raises():
+    with pytest.raises(ValueError, match="signature"):
+        decode_frame_at("png", b"NOTAPNG" + b"\x00" * 64, 0)
+
+
+def test_png_16bit_rejected():
+    data = bytearray(encode_png(_img(30)))
+    # IHDR depth byte lives at offset 8(sig)+8(len/type)+8(w,h) = 24
+    data[24] = 16
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_frame_at("png", bytes(data), 0)
+
+
+# ---------------------------------------------------------------------------
+# Golden: known image -> known mean/std (VERDICT r2 item 1 done-criterion)
+# ---------------------------------------------------------------------------
+def test_golden_mean_std_png():
+    """synth_image(0,0) red channel is (3x+5y)%256 on 16x12 — mean is
+    closed-form: no value reaches 256, so mean = 3*mean(x)+5*mean(y)
+    = 3*7.5 + 5*5.5 = 50.0."""
+    img = synth_image(0, 0)
+    assert float(img[:, :, 0].mean()) == 50.0
+    decoded = decode_frame_at("png", encode_png(img, 2), 0)
+    np.testing.assert_array_equal(decoded, img)
+    assert float(decoded[:, :, 0].mean()) == 50.0
+    assert float(decoded[:, :, 0].std()) == pytest.approx(
+        float(img[:, :, 0].std())
+    )
+
+
+def test_extract_features_real_decode_golden(spark):
+    """The declared L7 pipeline end-to-end: real PNG/PPM payloads,
+    decode inside mapInPandas on executors, feature means equal the
+    numpy means of the source images exactly."""
+    from pyspec_spark.operators.multimodal import extract_features, make_real_media
+
+    media = make_real_media(spark, n=6, frames=4)
+    rows = extract_features(media, sample_every=2).collect()
+    assert len(rows) == 3 * 1 + 3 * 2  # 3 images x 1 frame + 3 videos x 2
+    for r in rows:
+        expect = synth_image(r["media_id"], r["frame_id"]).astype(np.float64)
+        got = np.array(r["features"])
+        np.testing.assert_allclose(got[:3], expect.mean(axis=(0, 1)), rtol=1e-12)
+        np.testing.assert_allclose(got[3:], expect.std(axis=(0, 1)), rtol=1e-12)
+
+
+def test_q_multimodal_features_runs_on_real_bytes(spark):
+    from pyspec_spark.queries.llm_advanced import q_multimodal_features
+
+    out = q_multimodal_features(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 8 * 1 + 8 * 2
+    # spot-check a golden: media 0 frame 0 mean_r is exactly 50.0
+    first = out[0]
+    assert (first["media_id"], first["frame_id"]) == (0, 0)
+    assert first["mean_r"] == pytest.approx(50.0)

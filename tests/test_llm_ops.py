@@ -217,8 +217,10 @@ def test_multimodal_plumbing(spark):
     f1 = decode_frame("fake-rgb8", b"\x01" * 32, 16, 12, 0)
     f2 = decode_frame("fake-rgb8", b"\x01" * 32, 16, 12, 0)
     np.testing.assert_array_equal(f1, f2)
+    # jpeg stays a stubbed boundary (decoder lib absent from container);
+    # png/ppm/pgm decode for real — tests/test_codecs.py
     with pytest.raises(NotImplementedError):
-        decode_frame("png", b"\x89PNG", 4, 4, 0)
+        decode_frame("jpeg", b"\xff\xd8\xff", 4, 4, 0)
 
 
 # ---------------------------------------------------------------------------
