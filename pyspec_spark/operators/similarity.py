@@ -18,8 +18,11 @@ Three tiers, same answer shape (vec_id, score):
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import numpy as np
-from pyspark.sql import DataFrame
+import pandas as pd
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -27,6 +30,15 @@ def _dot_expr(vec_col, qlit):
     """JVM dot product: sum over zip_with(vec, query, *)."""
     return F.aggregate(
         F.zip_with(vec_col, qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_cols(a_col, b_col):
+    """JVM dot product of two array columns (both cast to double)."""
+    return F.aggregate(
+        F.zip_with(a_col, b_col, lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -66,28 +78,36 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _sig_expr(vec_col: Column, planes: np.ndarray) -> Column:
+    """Hyperplane signature of an array column as a BIGINT expression
+    (bit i = sign of dot with plane i).  Pure codegen, reusable for both
+    the corpus and an in-plan query row."""
+    n_planes = planes.shape[0]
+    bits = []
+    for i in range(n_planes):
+        plit = F.array(*[F.lit(float(v)) for v in planes[i]])
+        bit = (_dot_expr(vec_col, plit) > 0).cast("long")
+        bits.append(F.shiftleft(bit, i))
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
 def lsh_signatures(
     emb: DataFrame,
     n_planes: int = 16,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = 64,
 ) -> DataFrame:
     """Random-hyperplane signature as a BIGINT (bit i = sign of dot with
-    plane i).  Planes are literals — no join, pure codegen."""
-    probe = emb.select(vec_col).first()
-    # empty input: plane count is irrelevant (output is empty); any dim
-    # builds a valid (empty) signature plan
-    dim = len(probe[0]) if probe else 64
+    plane i).  Planes are literals — no join, pure codegen.  ``dim`` is
+    a parameter (it must match the embedding width) so building the plan
+    never runs a driver-side first() probe job."""
     planes = _hyperplanes(dim, n_planes, seed)
-    bits = []
-    for i in range(n_planes):
-        plit = F.array(*[F.lit(float(v)) for v in planes[i]])
-        bit = (_dot_expr(F.col(vec_col), plit) > 0).cast("long")
-        bits.append(F.shiftleft(bit, i))
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig.bitwiseOR(b)
+    sig = _sig_expr(F.col(vec_col), planes)
     return emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col), sig.alias("sig"))
 
 
@@ -110,13 +130,48 @@ def lsh_topk(
     for i in range(n_planes):
         if float(planes[i] @ q) > 0:
             q_sig |= 1 << i
-    sigs = lsh_signatures(emb, n_planes, seed, id_col, vec_col)
+    sigs = lsh_signatures(emb, n_planes, seed, id_col, vec_col, dim=dim)
     cand = sigs.where(
         F.bit_count(F.col("sig").bitwiseXOR(F.lit(q_sig))) <= max_hamming
     )
     qn = float(np.linalg.norm(q))
     qlit = F.array(*[F.lit(float(v)) for v in q])
     cos = _dot_expr(F.col(vec_col), qlit) / (_norm_expr(F.col(vec_col)) * qn)
+    return (
+        cand.select("vec_id", cos.alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(k)
+    )
+
+
+def lsh_topk_df(
+    emb: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    max_hamming: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """ANN top-k with the probe vector IN-PLAN: ``query_df`` is a 1-row
+    DataFrame whose ``vec_col`` is the query embedding.  Its signature
+    is computed with the same plane-literal expression as the corpus
+    signatures and broadcast in — building this plan runs zero Spark
+    jobs, and at cluster scale the probe never transits the driver."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    sigs = lsh_signatures(emb, n_planes, seed, id_col, vec_col, dim=dim)
+    q = query_df.select(
+        F.col(vec_col).alias("qv"),
+        _sig_expr(F.col(vec_col), planes).alias("qsig"),
+    )
+    cand = sigs.crossJoin(F.broadcast(q)).where(
+        F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= max_hamming
+    )
+    cos = _dot_cols(F.col(vec_col), F.col("qv")) / (
+        _norm_expr(F.col(vec_col)) * _norm_expr(F.col("qv"))
+    )
     return (
         cand.select("vec_id", cos.alias("score"))
         .orderBy(F.desc("score"), "vec_id")
@@ -194,6 +249,134 @@ def ivf_topk(
     cos = _dot_expr(F.col(vec_col), qlit) / (_norm_expr(F.col(vec_col)) * qn)
     return (
         emb_assigned.where(F.col("cell").isin(probe))
+        .select("vec_id", cos.alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# In-plan IVF: training, assignment, and probe selection all live inside
+# ONE DataFrame plan — building it runs zero Spark jobs, and neither the
+# sample nor the probe vector ever transits the driver.  The trained
+# model is a 1-row (cents ARRAY<ARRAY<DOUBLE>>) DataFrame produced
+# executor-side by mapInPandas over a coalesced bounded sample; it
+# broadcasts into assignment exactly like the literal-array variant.
+# ---------------------------------------------------------------------------
+def train_centroids_df(
+    emb: DataFrame,
+    n_cells: int = 16,
+    n_iter: int = 5,
+    sample: int = 2000,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic k-means-lite trained INSIDE the plan: limit(sample)
+    -> coalesce(1) -> numpy Lloyd in mapInPandas -> 1-row centroid
+    model.  Same algorithm as `train_centroids`, no driver collect."""
+
+    def fit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [
+            np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            for pdf in batches
+            if len(pdf)
+        ]
+        if not chunks:
+            return
+        X = np.vstack(chunks)
+        k = min(n_cells, len(X))
+        rng = np.random.default_rng(seed)
+        C = X[rng.choice(len(X), size=k, replace=False)]
+        for _ in range(n_iter):
+            d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(k):
+                m = assign == c
+                if m.any():
+                    C[c] = X[m].mean(0)
+        yield pd.DataFrame({"cents": [C.tolist()]})
+
+    return (
+        emb.select(vec_col)
+        .limit(sample)
+        .coalesce(1)
+        .mapInPandas(fit, "cents array<array<double>>")
+    )
+
+
+def _cell_dists(vec_col: Column) -> Column:
+    """ARRAY<DOUBLE> of squared distances from vec_col to each centroid
+    in the broadcast `cents` column."""
+    return F.transform(
+        F.col("cents"),
+        lambda c: F.aggregate(
+            F.zip_with(
+                vec_col,
+                c,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def ivf_assign_df(
+    emb: DataFrame,
+    cents_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only cell assignment against the in-plan centroid model.
+    At rest `cell` becomes the partition key (write .partitionBy)."""
+    return (
+        emb.crossJoin(F.broadcast(cents_df))
+        .withColumn("_d2", _cell_dists(F.col(vec_col)))
+        .withColumn(
+            "cell", F.expr("array_position(_d2, array_min(_d2)) - 1").cast("int")
+        )
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col), "cell")
+    )
+
+
+def ivf_topk_df(
+    emb_assigned: DataFrame,
+    cents_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe cells nearest the IN-PLAN query vector, exact
+    cosine re-rank inside them.  ``query_df`` is a 1-row DataFrame with
+    ``vec_col``; probe selection is an array-sort over the centroid
+    distance vector with a cell-id tiebreak — no driver-side argsort."""
+    probed = (
+        query_df.select(F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents_df))
+        .select(
+            "qv",
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            _cell_dists(F.col("qv")),
+                            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                        )
+                    ),
+                    1,
+                    n_probe,
+                ),
+                lambda s: s["i"],
+            ).alias("probe_cells"),
+        )
+    )
+    cos = _dot_cols(F.col(vec_col), F.col("qv")) / (
+        _norm_expr(F.col(vec_col)) * _norm_expr(F.col("qv"))
+    )
+    return (
+        emb_assigned.crossJoin(F.broadcast(probed))
+        .where(F.array_contains("probe_cells", F.col("cell")))
         .select("vec_id", cos.alias("score"))
         .orderBy(F.desc("score"), "vec_id")
         .limit(k)

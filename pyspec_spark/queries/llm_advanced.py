@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from pyspec_spark.operators.dedup import minhash_neardup, simhash_neardup
 from pyspec_spark.operators.multimodal import extract_features, make_real_media
-from pyspec_spark.operators.similarity import cosine_topk, lsh_topk
+from pyspec_spark.operators.similarity import lsh_topk_df
 from pyspec_spark.operators.text import BPE_ISH, fingerprint, token_counts
 from pyspec_spark.registry import query
 from pyspec_spark.tables import table
@@ -82,16 +82,15 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # L5 scale path — random-hyperplane LSH ANN top-k (rows-only: candidate
-# set is approximate by construction).
+# set is approximate by construction).  The probe vector is IN-PLAN
+# (vec_id 0 broadcast with its signature computed by the same plane
+# expression) — building the query runs zero Spark jobs.
 # ---------------------------------------------------------------------------
 @query("q_ann_lsh_topk")
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
-    row = e.where(F.col("vec_id") == 0).first()
-    # empty input (pruned partition / fresh table): any probe vector
-    # yields the correct empty top-k
-    qvec = [float(v) for v in row["embedding"]] if row else [0.0] * 64
-    return lsh_topk(e, qvec, k=10, max_hamming=6)
+    qdf = e.where(F.col("vec_id") == 0).select("embedding")
+    return lsh_topk_df(e, qdf, k=10, max_hamming=6, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -280,28 +279,27 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L5 scale path (variant B) — IVF ANN top-k: sample-trained centroids,
-# map-only cell assignment, probe the nearest cells, exact re-rank inside
-# (rows-only: the candidate set is approximate by construction; recall vs
-# exact brute force is asserted in tests/test_llm_ops.py).  At rest the
-# cell id is the partition key, so a probe touches n_probe/n_cells of the
-# data — the IVF index IS the table layout at 100 TB.
+# L5 scale path (variant B) — IVF ANN top-k, fully IN-PLAN: centroid
+# training (numpy Lloyd in mapInPandas over a bounded coalesced sample),
+# map-only cell assignment, probe-cell selection from the broadcast
+# query row, and exact cosine re-rank inside the probed cells all live
+# in ONE DataFrame plan — building it runs zero Spark jobs and nothing
+# (sample, model, probe) transits the driver.  Rows-only: the candidate
+# set is approximate by construction; recall vs exact brute force is
+# asserted in tests/test_llm_ops.py.  At rest the cell id is the
+# partition key, so a probe touches n_probe/n_cells of the data — the
+# IVF index IS the table layout at 100 TB.
 # ---------------------------------------------------------------------------
 @query("q_ann_ivf_topk")
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspec_spark.operators.similarity import (
-        ivf_assign,
-        ivf_topk,
-        train_centroids,
+        ivf_assign_df,
+        ivf_topk_df,
+        train_centroids_df,
     )
 
     e = table(spark, sf_dir, "embeddings")
-    row = e.where(F.col("vec_id") == 0).first()
-    if row is None:  # empty input: empty top-k with the right schema
-        return e.select(
-            "vec_id", F.lit(0.0).alias("score")
-        ).limit(0)
-    qvec = [float(v) for v in row["embedding"]]
-    centroids = train_centroids(e, n_cells=16, sample=2000)
-    assigned = ivf_assign(e, centroids)
-    return ivf_topk(assigned, centroids, qvec, k=10, n_probe=4)
+    qdf = e.where(F.col("vec_id") == 0).select("embedding")
+    cents = train_centroids_df(e, n_cells=16, sample=2000)
+    assigned = ivf_assign_df(e, cents)
+    return ivf_topk_df(assigned, cents, qdf, k=10, n_probe=4)

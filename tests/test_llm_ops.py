@@ -165,6 +165,56 @@ def test_ivf_topk(spark, emb):
     assert len(set(exact) & set(got)) >= 3
 
 
+def test_lsh_topk_df_matches_driver_variant(spark, emb):
+    """The in-plan probe (lsh_topk_df) must return exactly what the
+    driver-side-vector variant returns for the same query row."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.similarity import lsh_topk, lsh_topk_df
+
+    first = emb.orderBy("vec_id").first()
+    q = list(first["embedding"])
+    qdf = emb.where(F.col("vec_id") == first["vec_id"]).select("embedding")
+    a = [(r["vec_id"], round(r["score"], 9))
+         for r in lsh_topk(emb, q, k=10, max_hamming=6).collect()]
+    b = [(r["vec_id"], round(r["score"], 9))
+         for r in lsh_topk_df(emb, qdf, k=10, max_hamming=6,
+                              dim=len(q)).collect()]
+    assert a == b
+
+
+def test_ivf_df_pipeline_recall_and_empty(spark, emb):
+    """Fully in-plan IVF (train/assign/probe/re-rank in one plan):
+    valid cells, recall vs brute force, and empty-input safety."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign_df,
+        ivf_topk_df,
+        train_centroids_df,
+    )
+
+    cents = train_centroids_df(emb, n_cells=8, sample=500)
+    assigned = ivf_assign_df(emb, cents).cache()
+    cells = assigned.groupBy("cell").count().collect()
+    assert sum(r["count"] for r in cells) == emb.count()
+    assert all(0 <= r["cell"] < 8 for r in cells)
+    first = emb.orderBy("vec_id").first()
+    qdf = emb.where(F.col("vec_id") == first["vec_id"]).select("embedding")
+    exact = [r["vec_id"] for r in cosine_topk(emb, list(first["embedding"]), k=5).collect()]
+    got = [r["vec_id"]
+           for r in ivf_topk_df(assigned, cents, qdf, k=5, n_probe=4).collect()]
+    assert got[0] == exact[0]
+    assert len(set(exact) & set(got)) >= 3
+    # empty corpus: empty model, empty top-k, schema intact
+    empty = emb.where(F.lit(False))
+    cents0 = train_centroids_df(empty, n_cells=8, sample=500)
+    out = ivf_topk_df(ivf_assign_df(empty, cents0), cents0,
+                      empty.select("embedding"), k=5)
+    assert out.columns == ["vec_id", "score"] and out.count() == 0
+
+
 def test_text_ops(spark):
     from pyspec_spark.operators.text import (
         char_ngram_profile,

@@ -228,3 +228,23 @@ def test_mad_outliers_broadcasts_stats(spark):
     customer (never shuffle the fact side for a stats join)."""
     p = _plan(spark, "q_mad_outliers")
     assert has_broadcast_join(p)
+
+
+def test_building_declared_queries_runs_zero_jobs(spark):
+    """Plan construction must be driver-side only: no declared query may
+    trigger a Spark job (collect/first/count) while being BUILT.  Probe
+    vectors, trained models, and profiles all ride in-plan (ADVICE r2:
+    the ANN queries' first() probes were the last offenders)."""
+    tracker = spark.sparkContext.statusTracker()
+
+    def job_ids():
+        return set(tracker.getJobIdsForGroup(None))
+
+    before = job_ids()
+    for name in sorted(registry.QUERIES):
+        builder = getattr(
+            registry.QUERIES[name], "__wrapped__", registry.QUERIES[name]
+        )
+        builder(spark, SF)
+        new = job_ids() - before
+        assert not new, f"{name} ran Spark job(s) {sorted(new)} at plan build"
