@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspec_spark.operators.dedup import minhash_neardup, simhash_neardup
+from pyspec_spark.operators.dedup import (
+    minhash_neardup,
+    simhash_neardup,
+    simhash_neardup64,
+)
 from pyspec_spark.operators.multimodal import extract_features, make_real_media
 from pyspec_spark.operators.similarity import lsh_topk_df
 from pyspec_spark.operators.text import BPE_ISH, fingerprint, token_counts
@@ -208,6 +212,22 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash_neardup(d, max_hamming=3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# L2 — the CORPUS-SCALE SimHash variant, declared (rows-only: the
+# xxhash64 basis is engine-specific, so no DuckDB replay; planted-dup
+# recall is pytest-asserted like the ANN queries).  64-bit signature
+# via vectorized pandas-UDF majority vote, 4 x 16-bit bands — 65 536
+# values per band keep bucket occupancy O(corpus/65k) where the 32-bit
+# oracle twin's 256-value bands saturate past ~10^5 docs (measured,
+# SCALING.md).  This is the variant a 100 TB dedup pipeline runs; the
+# 32-bit q_simhash_neardup exists to prove the pipeline exact.
+# ---------------------------------------------------------------------------
+@query("q_simhash_neardup64")
+def q_simhash_neardup64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_neardup64(d, max_hamming=3).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------

