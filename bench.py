@@ -7,6 +7,15 @@ Prints ONE JSON line:
 Method per BASELINE.md: session reused, each query run twice, warm (second)
 time reported; fixed SparkSession startup excluded from per-query numbers
 and reported separately under "startup_sec".
+
+Two timings per query (VERDICT r2 item 3 — BENCH carries both so the
+2x-bound discussion doesn't depend on shuffle-stage reuse):
+- warm: repeat-collect of the cached DataFrame (prepared-statement
+  model; analyzed-plan + completed-shuffle-stage reuse both active, as
+  in an interactive session — matches how the DuckDB baseline was run);
+- cold_reexec: the plan is REBUILT (fresh RDD/shuffle ids, so no stage
+  reuse) and consumed via the noop sink — every scan, shuffle, and
+  aggregation re-executes.
 """
 
 from __future__ import annotations
@@ -67,6 +76,23 @@ def main() -> None:
             dt = time.time() - t
         times[name] = round(dt, 4)
 
+    # Cold full re-execution: rebuild the plan (bypassing the registry's
+    # prepared-plan cache, so RDD/shuffle ids are fresh and no completed
+    # stage can be reused) and drive it through the noop sink.  JIT is
+    # already hot from the passes above — this isolates real recompute
+    # cost, not JVM warmup.
+    cold: dict[str, float] = {}
+    for name in names:
+        builder = getattr(
+            registry.QUERIES[name], "__wrapped__", registry.QUERIES[name]
+        )
+        best = float("inf")
+        for _ in range(2):  # best-of-2: damps scheduler noise, each run
+            t = time.time()  # is still a full rebuild + re-execution
+            builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t)
+        cold[name] = round(best, 4)
+
     total = round(sum(times.values()), 4)
     print(
         json.dumps(
@@ -75,14 +101,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_cold_reexec": cold,
+                "cold_reexec_total": round(sum(cold.values()), 4),
                 "sf": sf,
                 "startup_sec": round(startup, 2),
                 "n_queries": len(times),
-                # warm = prepared-statement model: analyzed-plan reuse and
-                # Spark's completed-shuffle-stage reuse are both active,
-                # as in an interactive session.  Full re-execution scaling
-                # (noop sink, every shuffle recomputed) is in SCALING.md.
-                "methodology": "warm repeat, plan+shuffle-stage reuse",
+                "methodology": (
+                    "warm = repeat collect (plan+shuffle-stage reuse); "
+                    "cold_reexec = rebuilt plan, noop sink, every stage "
+                    "re-executed"
+                ),
             }
         )
     )
