@@ -13,13 +13,24 @@ paper): incident beam along +y; z up; detector arm rotated by delta
 R = Rz(theta) . Ry(chi) . Rz(phi); Q_sample = R^T . Q_lab,
 Q_lab = (2 pi / lambda) * (kf_hat - ki_hat).
 
+Frame modes (ImageProcessor modes 1-4 in the reference; the sample
+rotation stack is theta outermost, then chi, then phi innermost):
+
+| mode | name        | output frame                  | rotations undone        |
+|------|-------------|-------------------------------|-------------------------|
+| 1    | `theta`     | theta (outer circle) frame    | Rz(-theta)              |
+| 2    | `phi`       | sample-holder (phi) frame     | Rz(-phi)Ry(-chi)Rz(-th) |
+| 3    | `cartesian` | lab frame, no sample rotation | none                    |
+| 4    | `hkl`       | crystal frame (Miller indices)| mode 2 then UB^-1       |
+
 Two implementations with identical semantics:
 - `ccd_to_q_cols`   — built-in trig column expressions: stays inside
   whole-stage codegen, zero Python cost; preferred at scale.
 - `ccd_to_q_arrow`  — `mapInArrow` numpy kernel: the shape the reference's
   C kernel takes when the math outgrows SQL expressions.  Arrow-batched,
   vectorized, no per-row Python.
-Both are tested to agree to 1e-9 (tests/test_images.py).
+Both are tested to agree to 1e-9 for every frame mode
+(tests/test_images.py), with per-mode goldens on synthetic geometry.
 """
 
 from __future__ import annotations
@@ -35,10 +46,19 @@ from pyspark.sql import functions as F
 # columns required on the input frame table
 ANGLE_COLS = ("delta", "theta", "chi", "phi", "mu", "gamma")
 
+FRAME_MODES = ("theta", "phi", "cartesian", "hkl")
+
 
 def _pixel_angles(pix_size: float, dist: float):
     """Per-pixel angular offsets: small-angle detector plane mapping."""
     return pix_size / dist
+
+
+def _check_frame(frame: str, ub) -> None:
+    if frame not in FRAME_MODES:
+        raise ValueError(f"frame must be one of {FRAME_MODES}, got {frame!r}")
+    if frame == "hkl" and ub is None:
+        raise ValueError("frame='hkl' requires the 9-element ub matrix")
 
 
 def ccd_to_q_cols(
@@ -48,9 +68,14 @@ def ccd_to_q_cols(
     dist: float = 1.0,
     cx: float = 32.0,
     cy: float = 32.0,
+    frame: str = "phi",
+    ub: list[float] | None = None,
 ) -> DataFrame:
     """Column-expression ccdToQ.  Input: (x, y, intensity, delta, theta,
-    chi, phi, mu, gamma); output adds (qx, qy, qz)."""
+    chi, phi, mu, gamma); output adds (qx, qy, qz) — or (h, k, l) when
+    ``frame='hkl'``.  ``frame`` selects the output reference frame per
+    the module table (ImageProcessor modes 1-4)."""
+    _check_frame(frame, ub)
     k = 2.0 * math.pi / wavelength
     scale = _pixel_angles(pix_size, dist)
     # total detector deflection per pixel
@@ -61,26 +86,32 @@ def ccd_to_q_cols(
     kfx = F.sin(gamma_p) * F.cos(delta_p)
     kfy = F.cos(gamma_p) * F.cos(delta_p)
     kfz = F.sin(delta_p)
-    qxl = k * kfx
-    qyl = k * (kfy - 1.0)
-    qzl = k * kfz
-    th = F.radians(F.col("theta"))
-    ch = F.radians(F.col("chi"))
-    ph = F.radians(F.col("phi"))
-    # R = Rz(th) . Ry(ch) . Rz(ph); Q_sample = R^T Q_lab = Rz(-ph) Ry(-ch) Rz(-th) Q_lab
-    # Rz(-th):
-    x1 = F.cos(th) * qxl + F.sin(th) * qyl
-    y1 = -F.sin(th) * qxl + F.cos(th) * qyl
-    z1 = qzl
-    # Ry(-ch):
-    x2 = F.cos(ch) * x1 - F.sin(ch) * z1
-    y2 = y1
-    z2 = F.sin(ch) * x1 + F.cos(ch) * z1
-    # Rz(-ph):
-    qx = F.cos(ph) * x2 + F.sin(ph) * y2
-    qy = -F.sin(ph) * x2 + F.cos(ph) * y2
-    qz = z2
-    return df.withColumns({"qx": qx, "qy": qy, "qz": qz})
+    qx = k * kfx
+    qy = k * (kfy - 1.0)
+    qz = k * kfz
+    if frame != "cartesian":
+        th = F.radians(F.col("theta"))
+        # Rz(-th) — the theta frame; all deeper frames build on it
+        x1 = F.cos(th) * qx + F.sin(th) * qy
+        y1 = -F.sin(th) * qx + F.cos(th) * qy
+        z1 = qz
+        qx, qy, qz = x1, y1, z1
+    if frame in ("phi", "hkl"):
+        ch = F.radians(F.col("chi"))
+        ph = F.radians(F.col("phi"))
+        # R = Rz(th).Ry(ch).Rz(ph); Q_sample = Rz(-ph) Ry(-ch) (theta-frame Q)
+        # Ry(-ch):
+        x2 = F.cos(ch) * qx - F.sin(ch) * qz
+        y2 = qy
+        z2 = F.sin(ch) * qx + F.cos(ch) * qz
+        # Rz(-ph):
+        qx = F.cos(ph) * x2 + F.sin(ph) * y2
+        qy = -F.sin(ph) * x2 + F.cos(ph) * y2
+        qz = z2
+    out = df.withColumns({"qx": qx, "qy": qy, "qz": qz})
+    if frame == "hkl":
+        out = hkl_transform(out, ub).drop("qx", "qy", "qz")
+    return out
 
 
 def ccd_to_q_arrow(
@@ -90,20 +121,26 @@ def ccd_to_q_arrow(
     dist: float = 1.0,
     cx: float = 32.0,
     cy: float = 32.0,
+    frame: str = "phi",
+    ub: list[float] | None = None,
 ) -> DataFrame:
     """mapInArrow ccdToQ — numpy kernel over Arrow batches (the C-kernel
-    shape: `src/ctrans.c` ccdToQ, distributed)."""
+    shape: `src/ctrans.c` ccdToQ, distributed).  Same frame modes as
+    `ccd_to_q_cols`; for ``frame='hkl'`` the UB inverse is folded into
+    the kernel, and the output columns are (h, k, l)."""
     from pyspark.sql.types import StructField, StructType, DoubleType
 
+    _check_frame(frame, ub)
     k = 2.0 * math.pi / wavelength
     scale = _pixel_angles(pix_size, dist)
+    ub_inv = (
+        np.linalg.inv(np.asarray(ub, dtype=np.float64).reshape(3, 3))
+        if frame == "hkl"
+        else None
+    )
+    out_names = ("h", "k", "l") if frame == "hkl" else ("qx", "qy", "qz")
     out_schema = StructType(
-        df.schema.fields
-        + [
-            StructField("qx", DoubleType()),
-            StructField("qy", DoubleType()),
-            StructField("qz", DoubleType()),
-        ]
+        df.schema.fields + [StructField(n, DoubleType()) for n in out_names]
     )
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -116,28 +153,36 @@ def ccd_to_q_arrow(
             kfx = np.sin(gamma_p) * np.cos(delta_p)
             kfy = np.cos(gamma_p) * np.cos(delta_p)
             kfz = np.sin(delta_p)
-            qxl, qyl, qzl = k * kfx, k * (kfy - 1.0), k * kfz
-            th = np.radians(np.asarray(t["theta"], dtype=np.float64))
-            ch = np.radians(np.asarray(t["chi"], dtype=np.float64))
-            ph = np.radians(np.asarray(t["phi"], dtype=np.float64))
-            x1 = np.cos(th) * qxl + np.sin(th) * qyl
-            y1 = -np.sin(th) * qxl + np.cos(th) * qyl
-            z1 = qzl
-            x2 = np.cos(ch) * x1 - np.sin(ch) * z1
-            y2 = y1
-            z2 = np.sin(ch) * x1 + np.cos(ch) * z1
-            qx = np.cos(ph) * x2 + np.sin(ph) * y2
-            qy = -np.sin(ph) * x2 + np.cos(ph) * y2
-            qz = z2
+            qx, qy, qz = k * kfx, k * (kfy - 1.0), k * kfz
+            if frame != "cartesian":
+                th = np.radians(np.asarray(t["theta"], dtype=np.float64))
+                qx, qy, qz = (
+                    np.cos(th) * qx + np.sin(th) * qy,
+                    -np.sin(th) * qx + np.cos(th) * qy,
+                    qz,
+                )
+            if frame in ("phi", "hkl"):
+                ch = np.radians(np.asarray(t["chi"], dtype=np.float64))
+                ph = np.radians(np.asarray(t["phi"], dtype=np.float64))
+                x2 = np.cos(ch) * qx - np.sin(ch) * qz
+                y2 = qy
+                z2 = np.sin(ch) * qx + np.cos(ch) * qz
+                qx = np.cos(ph) * x2 + np.sin(ph) * y2
+                qy = -np.sin(ph) * x2 + np.cos(ph) * y2
+                qz = z2
+            if ub_inv is not None:
+                qx, qy, qz = (
+                    ub_inv[0, 0] * qx + ub_inv[0, 1] * qy + ub_inv[0, 2] * qz,
+                    ub_inv[1, 0] * qx + ub_inv[1, 1] * qy + ub_inv[1, 2] * qz,
+                    ub_inv[2, 0] * qx + ub_inv[2, 1] * qy + ub_inv[2, 2] * qz,
+                )
             arrays = [b.column(i) for i in range(b.num_columns)] + [
                 pa.array(qx),
                 pa.array(qy),
                 pa.array(qz),
             ]
             yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(
-                list(b.schema) + [pa.field("qx", pa.float64()),
-                                  pa.field("qy", pa.float64()),
-                                  pa.field("qz", pa.float64())]))
+                list(b.schema) + [pa.field(n, pa.float64()) for n in out_names]))
 
     return df.mapInArrow(kernel, out_schema)
 

@@ -4,6 +4,7 @@ Fixtures per FIXTURES.md B2."""
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -94,8 +95,13 @@ def test_dark_subtract_and_binning(spark, spe_dir, frame_data):
     assert r.select("y").distinct().count() == 16
 
 
-def test_ccd_to_q_cols_vs_arrow(spark, spe_dir):
-    """The codegen-expression and Arrow-kernel ccdToQ agree to 1e-9."""
+_TEST_UB = [0.5, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0, 0.5]
+
+
+@pytest.mark.parametrize("frame", ["theta", "phi", "cartesian", "hkl"])
+def test_ccd_to_q_cols_vs_arrow(spark, spe_dir, frame):
+    """The codegen-expression and Arrow-kernel ccdToQ agree to 1e-9 in
+    every frame mode (ImageProcessor modes 1-4)."""
     from pyspec_spark.operators.transform import ccd_to_q_arrow, ccd_to_q_cols
     from pyspec_spark.sources.spe import read_spe
     from pyspark.sql import functions as F
@@ -106,18 +112,87 @@ def test_ccd_to_q_cols_vs_arrow(spark, spe_dir):
             "delta": F.lit(10.0) + F.col("frame_id") * 0.5,
             "theta": F.lit(5.0) + F.col("frame_id") * 0.25,
             "chi": F.lit(90.0),
-            "phi": F.lit(0.0),
+            "phi": F.lit(30.0),
             "mu": F.lit(0.0),
             "gamma": F.lit(2.0),
         }
     )
-    a = ccd_to_q_cols(geom, wavelength=1.5405).select("y", "x", "frame_id", "qx", "qy", "qz")
-    b = ccd_to_q_arrow(geom, wavelength=1.5405).select("y", "x", "frame_id", "qx", "qy", "qz")
+    out_cols = ["h", "k", "l"] if frame == "hkl" else ["qx", "qy", "qz"]
+    kw = {"frame": frame, "ub": _TEST_UB if frame == "hkl" else None}
+    a = ccd_to_q_cols(geom, wavelength=1.5405, **kw).select("y", "x", "frame_id", *out_cols)
+    b = ccd_to_q_arrow(geom, wavelength=1.5405, **kw).select("y", "x", "frame_id", *out_cols)
     pa_ = a.orderBy("frame_id", "y", "x").toPandas()
     pb_ = b.orderBy("frame_id", "y", "x").toPandas()
     np.testing.assert_allclose(
-        pa_[["qx", "qy", "qz"]].values, pb_[["qx", "qy", "qz"]].values, atol=1e-9
+        pa_[out_cols].values, pb_[out_cols].values, atol=1e-9
     )
+
+
+def _one_pixel_geom(spark, delta, theta, chi, phi, gamma):
+    """One pixel at the detector center — Q depends only on the circles,
+    so golden values are hand-derivable."""
+    return spark.createDataFrame(
+        [(32.0, 32.0, 1.0, delta, theta, chi, phi, 0.0, gamma)],
+        "x double, y double, intensity double, delta double, theta double, "
+        "chi double, phi double, mu double, gamma double",
+    )
+
+
+# Golden geometry: wavelength = 2*pi so |k| = 1; delta = 90, gamma = 0
+# puts kf straight up => Q_lab = (0, -1, 1).  With theta=30, chi=90:
+#   theta frame: Rz(-30).Q_lab       = (-1/2, -sqrt(3)/2, 1)
+#   phi frame (phi=0): Ry(-90).above = (-1, -sqrt(3)/2, -1/2)
+#   phi frame (phi=90): Rz(-90).above= (-sqrt(3)/2, 1, -1/2)
+#   hkl (UB = I/2): 2 * phi-frame Q  = (-2, -sqrt(3), -1)
+_SQ3 = math.sqrt(3.0)
+
+
+@pytest.mark.parametrize(
+    "frame,phi,expect",
+    [
+        ("cartesian", 0.0, (0.0, -1.0, 1.0)),
+        ("theta", 0.0, (-0.5, -_SQ3 / 2, 1.0)),
+        ("phi", 0.0, (-1.0, -_SQ3 / 2, -0.5)),
+        ("phi", 90.0, (-_SQ3 / 2, 1.0, -0.5)),
+    ],
+)
+def test_frame_mode_goldens(spark, frame, phi, expect):
+    from pyspec_spark.operators.transform import ccd_to_q_arrow, ccd_to_q_cols
+
+    df = _one_pixel_geom(spark, 90.0, 30.0, 90.0, phi, 0.0)
+    for fn in (ccd_to_q_cols, ccd_to_q_arrow):
+        row = fn(df, wavelength=2.0 * math.pi, frame=frame).select(
+            "qx", "qy", "qz"
+        ).first()
+        np.testing.assert_allclose(
+            [row["qx"], row["qy"], row["qz"]], expect, atol=1e-12,
+            err_msg=f"{fn.__name__} frame={frame} phi={phi}",
+        )
+
+
+def test_frame_mode_hkl_golden(spark):
+    from pyspec_spark.operators.transform import ccd_to_q_arrow, ccd_to_q_cols
+
+    df = _one_pixel_geom(spark, 90.0, 30.0, 90.0, 0.0, 0.0)
+    for fn in (ccd_to_q_cols, ccd_to_q_arrow):
+        out = fn(df, wavelength=2.0 * math.pi, frame="hkl", ub=_TEST_UB)
+        assert {"h", "k", "l"} <= set(out.columns)
+        assert not {"qx", "qy", "qz"} & set(out.columns)
+        row = out.select("h", "k", "l").first()
+        np.testing.assert_allclose(
+            [row["h"], row["k"], row["l"]], (-2.0, -_SQ3, -1.0), atol=1e-12,
+            err_msg=fn.__name__,
+        )
+
+
+def test_frame_mode_validation(spark):
+    from pyspec_spark.operators.transform import ccd_to_q_cols
+
+    df = _one_pixel_geom(spark, 90.0, 30.0, 90.0, 0.0, 0.0)
+    with pytest.raises(ValueError, match="frame must be one of"):
+        ccd_to_q_cols(df, wavelength=1.0, frame="bogus")
+    with pytest.raises(ValueError, match="requires the 9-element ub"):
+        ccd_to_q_cols(df, wavelength=1.0, frame="hkl")
 
 
 def test_e2_pipeline_grid(spark, spe_dir, frame_data):
