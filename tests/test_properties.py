@@ -65,6 +65,101 @@ def test_spec_block_roundtrip(scan_no, cols, data):
 
 
 # ---------------------------------------------------------------------------
+# SPEC parser quirk corners (SURVEY §7 risk 2): duplicate scan numbers,
+# aborted scans (#C), and @A continuation wrapping across lines — the
+# generator emits files exercising all three, round-tripped through
+# index_scans + parse_scan_block.
+# ---------------------------------------------------------------------------
+
+_mca_floats = st.floats(
+    min_value=0, max_value=1e5, allow_nan=False, allow_infinity=False
+).map(lambda v: float(f"{v:.6g}"))
+
+
+@given(data=st.data())
+@settings(max_examples=150, deadline=None)
+def test_spec_quirks_roundtrip(data):
+    from pyspec_spark.sources.spec_format import index_scans, parse_scan_block
+
+    n_scans = data.draw(st.integers(min_value=1, max_value=4))
+    # duplicate scan numbers: drawn from a 2-value pool, so collisions
+    # are common; each block must still index + parse independently
+    scan_numbers = [
+        data.draw(st.sampled_from([1, 2])) for _ in range(n_scans)
+    ]
+    cols = ["Theta", "Detector", "Monitor"]
+    emitted = []
+    text = "#F quirks.dat\n#E 1000\n#O0 m1  m2\n\n"
+    for sn in scan_numbers:
+        n_rows = data.draw(st.integers(min_value=0, max_value=6))
+        rows = [[data.draw(_floats) for _ in cols] for _ in range(n_rows)]
+        abort_after = (
+            data.draw(st.integers(min_value=0, max_value=n_rows))
+            if data.draw(st.booleans())
+            else None
+        )
+        # per-row MCA arrays, wrapped across continuation lines at a
+        # random chunk width (the @A ... \\ quirk)
+        mcas = []
+        for _ in range(n_rows):
+            if data.draw(st.booleans()):
+                vals = [
+                    data.draw(_mca_floats)
+                    for _ in range(data.draw(st.integers(1, 12)))
+                ]
+                mcas.append(vals)
+            else:
+                mcas.append(None)
+        block = [f"#S {sn} ascan th 0 1 {max(n_rows - 1, 1)} 1"]
+        block.append("#D Thu Feb 24 14:05:35 2011")
+        block.append("#T 1 (Seconds)")
+        block.append("#N %d" % len(cols))
+        block.append("#L " + "  ".join(cols))
+        emitted_abort = False
+        for i, r in enumerate(rows):
+            if abort_after == i:
+                block.append(f"#C Scan aborted after {i} points.")
+                emitted_abort = True
+            block.append(" ".join(f"{v:.6g}" for v in r))
+            if mcas[i] is not None:
+                chunk = data.draw(st.integers(min_value=1, max_value=4))
+                vals = [f"{v:.6g}" for v in mcas[i]]
+                pieces = [
+                    " ".join(vals[j : j + chunk])
+                    for j in range(0, len(vals), chunk)
+                ]
+                block.append("@A " + " \\\n ".join(pieces))
+        if abort_after == n_rows:  # abort marker after the last point
+            block.append(f"#C Scan aborted after {n_rows} points.")
+            emitted_abort = True
+        text += "\n".join(block) + "\n"
+        emitted.append((sn, rows, mcas, emitted_abort))
+
+    idx = index_scans(text)
+    # every emitted block is indexed, in file order, duplicates kept
+    assert [sn for sn, _, _ in idx] == scan_numbers
+    for (sn, start, end), (want_sn, want_rows, want_mcas, want_aborted) in zip(
+        idx, emitted
+    ):
+        scan = parse_scan_block(text[start:end], ["m1", "m2"])
+        assert scan.scan_number == want_sn
+        assert scan.columns == cols
+        assert len(scan.data) == len(want_rows)
+        for got, want in zip(scan.data, want_rows):
+            for g, w in zip(got, want):
+                assert g == pytest.approx(w, rel=1e-5, abs=1e-12)
+        # aborted flag from #C; data before/after the abort still parses
+        assert scan.aborted == want_aborted
+        # MCA alignment: each point's array reassembled across wraps
+        assert len(scan.mca) == len(want_rows)
+        for got_mca, want_mca in zip(scan.mca, want_mcas):
+            if want_mca is None:
+                assert got_mca is None
+            else:
+                assert got_mca == pytest.approx(want_mca, rel=1e-5)
+
+
+# ---------------------------------------------------------------------------
 # Spark-backed properties: few examples, shared session
 # ---------------------------------------------------------------------------
 
