@@ -90,6 +90,63 @@ def test_stream_enrich_equals_batch(spark, event_chunks):
     assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
 
 
+def test_session_stream_out_of_order_replay_sf001(spark, tmp_path_factory):
+    """VERDICT r2 item 8: the session-window stream must converge to the
+    batch gap-and-island answer (q_events_session) when the sf0.01
+    events table is replayed in a deterministically SHUFFLED order —
+    sessions assemble from fragments arriving in arbitrary micro-batches,
+    exercising Spark's merging session state.  The watermark is wider
+    than the dataset's time span so no event is late-dropped: the test
+    isolates out-of-order merging, not lateness policy (which
+    test_watermark_drops_late_data covers).  Runtime-capped."""
+    import time
+
+    import pyspec_spark.streaming.events as se
+    from pyspec_spark.queries.events import q_events_session
+    from pyspec_spark.tables import table
+
+    t0 = time.time()
+    sf01 = "/root/testdata/sf0.01"
+    base = str(tmp_path_factory.mktemp("ooo_stream"))
+    ev = table(spark, sf01, "events")
+    # deterministic shuffle: md5 of event_id scatters timestamps across
+    # chunks uniformly, so every micro-batch carries events from the
+    # whole time range
+    pdf = ev.orderBy(F.md5(F.col("event_id").cast("string"))).toPandas()
+    n = len(pdf)
+    n_chunks = 20
+    chunk = (n + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            part.to_parquet(
+                os.path.join(base, f"chunk_{i:02d}.parquet"),
+                index=False,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+    stream = se.read_event_stream(spark, base, max_files_per_trigger=4)
+    se.run_to_memory(
+        se.session(stream, watermark="3650 days"), "t_sess_ooo", "complete"
+    )
+    got = spark.table("t_sess_ooo")
+    want = q_events_session(spark, sf01)
+    # session_window's end = last event + gap; the batch twin's end = the
+    # last event itself — shift to compare
+    gap_us = 1_800_000_000
+    want_cmp = want.select(
+        "user_id",
+        "session_start_us",
+        (F.col("session_end_us") + gap_us).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+    cols = ["user_id", "session_start_us", "session_end_us", "n_events", "sum_value"]
+    assert _collect_sorted(got.select(*cols), cols) == _collect_sorted(want_cmp, cols)
+    assert n >= 5000, f"sf0.01 events table unexpectedly small ({n})"
+    assert time.time() - t0 < 300, "out-of-order replay exceeded runtime cap"
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """ST4: with a 10-minute watermark, events arriving after the
     watermark has passed their window are dropped from append output."""
