@@ -14,3 +14,4 @@ import pyspec_spark.queries.joins_advanced  # noqa: F401
 import pyspec_spark.queries.scalars  # noqa: F401
 import pyspec_spark.queries.fitting  # noqa: F401
 import pyspec_spark.queries.ml  # noqa: F401
+import pyspec_spark.queries.quality  # noqa: F401

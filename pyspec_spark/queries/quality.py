@@ -1,0 +1,280 @@
+"""Training-data quality analytics — SURVEY.md §2.12 L3 extensions.
+
+Reference loci (SURVEY §0 policy): absent from `stuwilkins/pyspec` [H]
+— north-star training-data-pipeline operators modeled on the published
+corpus-filtering heuristics (C4, Raffel et al. 2020; Gopher quality
+signals, Rae et al. 2021; PMI collocations, Church & Hanks 1990).
+
+Three declared, oracle-checked queries:
+- `q_repetition`    — per-doc repetition signals (duplicate-token
+  fraction, most-frequent-bigram fraction).  Computed MAP-ONLY with
+  array HOFs: the per-doc mode is an O(len²) in-row scan, bounded by
+  document length — at 100 TB this beats the explode + groupBy(doc,
+  bigram) alternative, which would shuffle every bigram of the corpus
+  for a per-doc statistic.
+- `q_quality_gate`  — apply explicit pass/fail thresholds over the
+  repetition + shape signals and report survival rates per (lang,
+  source): one partial+final aggregation over map-only signals (the
+  shape of a corpus-filter run: score, gate, count — no second scan).
+- `q_pmi_bigrams`   — top-20 bigram collocations by pointwise mutual
+  information with a min-count support cutoff.  Unigram and bigram
+  count tables reduce map-side; the unigram side is broadcast (vocab ≪
+  corpus) so the only shuffles are the two count aggregations.
+
+Determinism: all ratios ROUND(...,6); PMI's ln() is rounded to 6
+places and tiebroken by the bigram string under LIMIT (SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspec_spark.registry import query
+from pyspec_spark.tables import table
+
+
+def _toks():
+    return F.split("text", " ")
+
+
+def _bigrams(toks):
+    """Token-bigram array (empty for sub-2-token docs, same guard as
+    operators/dedup.py shingles).
+
+    Built with zip_with(toks, toks[2:]) rather than indexing
+    element_at(toks, i) inside a transform lambda: an expression-valued
+    ``toks`` (a split() call) would be re-evaluated per lambda
+    invocation — O(n) splits of O(n) each per row.  zip_with references
+    it a constant number of times, keeping the build linear."""
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(1)))
+    zipped = F.zip_with(
+        toks,
+        shifted,
+        lambda a, b: F.when(b.isNotNull(), F.concat(a, F.lit(" "), b)),
+    )
+    grams = F.filter(zipped, lambda x: x.isNotNull())
+    return F.when(F.size(toks) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-doc repetition signals (Gopher-style), map-only.
+# ---------------------------------------------------------------------------
+@query(
+    "q_repetition",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents
+),
+g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       ROUND(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks),
+             6) AS dup_token_frac,
+       CASE WHEN len(grams) = 0 THEN 0.0
+            ELSE ROUND(CAST(list_max(list_transform(list_distinct(grams),
+                     d -> len(list_filter(grams, x -> x = d)))) AS DOUBLE)
+                 / len(grams), 6) END AS top_bigram_frac
+FROM g
+""",
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    grams = _bigrams(toks)
+    # Most-frequent-bigram count = longest equal run in the SORTED gram
+    # array, computed with one O(n) aggregate over array_sort.  The
+    # naive distinct×filter nested HOF is not just O(n²) — Catalyst
+    # inlines the whole gram-building expression into the inner lambda
+    # (the operators/text.py winnowing trap; measured 14.8 s vs 0.25 s
+    # here for 500 docs), and a plain projection barrier gets collapsed
+    # back by CollapseProject.  The run-length form references `grams`
+    # a constant number of times, so inlining stays linear.
+    run = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit(None).cast("string").alias("prev"),
+        ),
+        lambda acc, x: F.struct(
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+            x.alias("prev"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
+            6,
+        ).alias("dup_token_frac"),
+        F.when(F.size(grams) == 0, F.lit(0.0))
+        .otherwise(F.round(run.cast("double") / F.size(grams), 6))
+        .alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus quality gate: thresholds over the signals, survival per
+# (lang, source).  The thresholds are explicit constants (C4/Gopher
+# shape adapted to this corpus) — the point is the gate PATTERN:
+# map-only scoring, one aggregation, no second scan.
+# ---------------------------------------------------------------------------
+_MIN_TOKENS, _MAX_TOKENS = 20, 1000
+_MAX_DUP_FRAC = 0.6
+_MIN_CPT, _MAX_CPT = 3.0, 12.0  # chars per token
+
+
+@query(
+    "q_quality_gate",
+    oracle=f"""
+WITH s AS (
+  SELECT lang, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')) AS dup_frac,
+         CAST(length(text) AS DOUBLE)
+             / len(string_split(text, ' ')) AS cpt
+  FROM documents
+),
+gated AS (
+  SELECT lang, source,
+         CASE WHEN n_tokens BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS}
+               AND dup_frac <= {_MAX_DUP_FRAC}
+               AND cpt BETWEEN {_MIN_CPT} AND {_MAX_CPT}
+              THEN 1 ELSE 0 END AS pass
+  FROM s
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(pass) AS BIGINT) AS n_pass,
+       ROUND(CAST(SUM(pass) AS DOUBLE) / COUNT(*), 6) AS pass_rate
+FROM gated
+GROUP BY lang, source
+""",
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tokens = F.size(toks)
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    cpt = F.length("text").cast("double") / n_tokens
+    passes = (
+        n_tokens.between(_MIN_TOKENS, _MAX_TOKENS)
+        & (dup_frac <= _MAX_DUP_FRAC)
+        & cpt.between(_MIN_CPT, _MAX_CPT)
+    ).cast("int")
+    return (
+        d.select("lang", "source", passes.alias("pass"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("pass").cast("bigint").alias("n_pass"),
+            F.round(F.sum("pass").cast("double") / F.count("*"), 6).alias(
+                "pass_rate"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: pmi(a,b) = ln( p(ab) / (p(a) p(b)) ) with counts
+# from one corpus pass each for unigrams and bigrams.
+# ---------------------------------------------------------------------------
+_MIN_PAIR_COUNT = 5
+
+
+@query(
+    "q_pmi_bigrams",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+uni AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+),
+n_uni AS (SELECT SUM(c) AS n FROM uni),
+big AS (
+  SELECT unnest(CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(1, len(toks)),
+                                         i -> toks[i] || ' ' || toks[i + 1])
+                     ELSE [] END) AS bigram
+  FROM (SELECT string_split(text, ' ') AS toks FROM documents)
+),
+bc AS (
+  SELECT bigram, COUNT(*) AS c_ab FROM big GROUP BY bigram
+),
+n_big AS (SELECT SUM(c_ab) AS n FROM bc)
+SELECT bigram, c_ab,
+       ROUND(ln( (CAST(c_ab AS DOUBLE) / n_big.n)
+                 / ( (CAST(ua.c AS DOUBLE) / n_uni.n)
+                   * (CAST(ub.c AS DOUBLE) / n_uni.n) ) ), 6) AS pmi
+FROM bc, n_big, n_uni
+JOIN uni ua ON ua.tok = string_split(bigram, ' ')[1]
+JOIN uni ub ON ub.tok = string_split(bigram, ' ')[2]
+WHERE c_ab >= {_MIN_PAIR_COUNT}
+ORDER BY pmi DESC, bigram
+LIMIT 20
+""",
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    uni = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n_uni"))
+    bc = (
+        d.select(F.explode(_bigrams(toks)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_ab"))
+        .where(F.col("c_ab") >= _MIN_PAIR_COUNT)
+    )
+    n_big = (
+        d.select(F.size(_bigrams(toks)).alias("nb"))
+        .agg(F.sum("nb").alias("n_big"))
+    )
+    parts = F.split("bigram", " ")
+    ua = uni.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    joined = (
+        bc.withColumn("tok_a", F.element_at(parts, 1))
+        .withColumn("tok_b", F.element_at(parts, 2))
+        .join(F.broadcast(ua), "tok_a")
+        .join(F.broadcast(ub), "tok_b")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("n_big"))
+            / (
+                (F.col("c_a").cast("double") / F.col("n_uni"))
+                * (F.col("c_b").cast("double") / F.col("n_uni"))
+            )
+        ),
+        6,
+    )
+    return (
+        joined.select("bigram", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "bigram")
+        .limit(20)
+    )

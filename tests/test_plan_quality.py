@@ -230,6 +230,32 @@ def test_mad_outliers_broadcasts_stats(spark):
     assert has_broadcast_join(p)
 
 
+def test_repetition_map_only(spark):
+    """Per-doc repetition signals are pure array HOFs: zero exchanges,
+    and only the three needed columns leave the scan."""
+    p = _plan(spark, "q_repetition")
+    assert count_exchanges(p) == 0
+    (cols,) = read_schemas(p)
+    assert "text" in cols and len(cols) <= 2
+
+
+def test_quality_gate_single_aggregation(spark):
+    """Score map-side, gate, aggregate once: one partial+final shuffle,
+    no second scan of documents."""
+    p = _plan(spark, "q_quality_gate")
+    assert has_partial_aggregate(p)
+    assert count_exchanges(p) == 1
+    assert len(read_schemas(p)) == 1
+
+
+def test_pmi_broadcasts_unigrams_and_takes_ordered(spark):
+    """The unigram count table (vocab-sized) must broadcast onto the
+    bigram side, and top-20 must compile to TakeOrderedAndProject."""
+    p = _plan(spark, "q_pmi_bigrams")
+    assert has_broadcast_join(p)
+    assert has_take_ordered(p)
+
+
 def test_building_declared_queries_runs_zero_jobs(spark):
     """Plan construction must be driver-side only: no declared query may
     trigger a Spark job (collect/first/count) while being BUILT.  Probe

@@ -1,0 +1,101 @@
+"""Training-data quality queries (queries/quality.py): hand-computed
+goldens on tiny corpora + declared-query sanity at sf0.001."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars INT"
+    )
+
+
+@pytest.fixture()
+def tiny(spark):
+    return _docs(
+        spark,
+        [
+            # 4 tokens, 3 distinct; bigrams: "a b","b a","a b" -> top 2/3
+            (0, "a b a b", "en", "s0", 7),
+            # all distinct, all bigrams distinct
+            (1, "w x y z", "en", "s0", 7),
+            # single token: no bigrams
+            (2, "solo", "de", "s1", 4),
+            # fully repeated
+            (3, "q q q q q", "de", "s1", 9),
+        ],
+    )
+
+
+def test_repetition_goldens(spark, tiny, monkeypatch):
+    from pyspec_spark.queries import quality
+
+    monkeypatch.setattr(
+        quality, "table", lambda _s, _d, _n: tiny
+    )
+    got = {
+        r["doc_id"]: r
+        for r in quality.q_repetition.__wrapped__(spark, SF).collect()
+    }
+    assert got[0]["n_tokens"] == 4
+    assert got[0]["dup_token_frac"] == pytest.approx(round(1 - 2 / 4, 6))
+    assert got[0]["top_bigram_frac"] == pytest.approx(round(2 / 3, 6))
+    assert got[1]["dup_token_frac"] == 0.0
+    assert got[1]["top_bigram_frac"] == pytest.approx(round(1 / 3, 6))
+    assert got[2]["top_bigram_frac"] == 0.0  # no bigrams
+    assert got[3]["dup_token_frac"] == pytest.approx(round(1 - 1 / 5, 6))
+    assert got[3]["top_bigram_frac"] == 1.0  # "q q" is every bigram
+
+
+def test_quality_gate_golden(spark, tiny, monkeypatch):
+    from pyspec_spark.queries import quality
+
+    monkeypatch.setattr(quality, "table", lambda _s, _d, _n: tiny)
+    got = {
+        (r["lang"], r["source"]): r
+        for r in quality.q_quality_gate.__wrapped__(spark, SF).collect()
+    }
+    # every tiny doc fails the n_tokens >= 20 bound -> 0 pass everywhere
+    assert got[("en", "s0")]["n_docs"] == 2
+    assert got[("en", "s0")]["n_pass"] == 0
+    assert got[("de", "s1")]["pass_rate"] == 0.0
+
+
+def test_pmi_golden(spark, monkeypatch):
+    """Corpus where 'a b' always co-occurs: pmi('a b') = ln(N_uni^2 *
+    c_ab / (N_big * c_a * c_b)) computed by hand."""
+    from pyspec_spark.queries import quality
+
+    docs = _docs(
+        spark,
+        [(i, "a b c d e", "en", "s0", 9) for i in range(5)],
+    )
+    monkeypatch.setattr(quality, "table", lambda _s, _d, _n: docs)
+    rows = quality.q_pmi_bigrams.__wrapped__(spark, SF).collect()
+    got = {r["bigram"]: (r["c_ab"], r["pmi"]) for r in rows}
+    # 5 docs x 4 bigrams = 20 bigrams total; 25 unigrams; each bigram
+    # count 5, each unigram count 5
+    for bg in ("a b", "b c", "c d", "d e"):
+        c_ab, pmi = got[bg]
+        assert c_ab == 5
+        want = math.log((5 / 20) / ((5 / 25) * (5 / 25)))
+        assert pmi == pytest.approx(round(want, 6))
+
+
+def test_declared_quality_queries_run(spark):
+    from pyspec_spark.queries.quality import (
+        q_pmi_bigrams,
+        q_quality_gate,
+        q_repetition,
+    )
+
+    assert q_repetition.__wrapped__(spark, SF).count() == 500
+    gate = q_quality_gate.__wrapped__(spark, SF)
+    assert gate.columns == ["lang", "source", "n_docs", "n_pass", "pass_rate"]
+    assert q_pmi_bigrams.__wrapped__(spark, SF).count() == 20
