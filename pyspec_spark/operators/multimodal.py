@@ -155,9 +155,57 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize: metadata-level plumbing (target dims recorded; payload
-    re-encode requires a codec — stubbed like decode)."""
-    return media.withColumns(
-        {"width": F.lit(width), "height": F.lit(height), "codec": F.col("codec")}
-    )
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize for the decodable codecs: every frame is decoded,
+    nearest-neighbor resampled to (height, width), and re-encoded with
+    the same codec inside mapInPandas — payloads never leave their
+    executor.  Stub-codec rows (jpeg/wav/mp4) raise, same boundary as
+    decode_frame."""
+    from pyspec_spark.operators.codecs import encode_pgm, encode_png, encode_ppm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                codec = r["codec"]
+                n_frames = int(r["n_frames"] or 1)
+                frames = []
+                for f in range(n_frames):
+                    img = decode_frame(
+                        codec, bytes(r["payload"]), int(r["width"]),
+                        int(r["height"]), f
+                    )
+                    ry = (np.arange(height) * img.shape[0]) // height
+                    rx = (np.arange(width) * img.shape[1]) // width
+                    frames.append(img[ry][:, rx])
+                if codec == "png":
+                    payload = b"".join(encode_png(fr) for fr in frames)
+                elif codec == "ppm":
+                    payload = b"".join(encode_ppm(fr) for fr in frames)
+                elif codec == "pgm":
+                    # pgm decode replicates gray into RGB; channel 0 is it
+                    payload = b"".join(encode_pgm(fr[:, :, 0]) for fr in frames)
+                else:
+                    raise NotImplementedError(
+                        f"resize for codec {codec!r}: no encoder available"
+                    )
+                out.append(
+                    {
+                        "media_id": int(r["media_id"]),
+                        "kind": r["kind"],
+                        "codec": codec,
+                        "width": width,
+                        "height": height,
+                        "n_frames": n_frames,
+                        "payload": bytearray(payload),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "kind", "codec", "width", "height",
+                    "n_frames", "payload",
+                ],
+            )
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)

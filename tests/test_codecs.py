@@ -144,6 +144,34 @@ def test_extract_features_real_decode_golden(spark):
         np.testing.assert_allclose(got[3:], expect.std(axis=(0, 1)), rtol=1e-12)
 
 
+def test_resize_media_real(spark):
+    """Resize decodes, NN-resamples, and re-encodes every frame: output
+    payloads decode to the target dims, and a 2x integer upscale is
+    exact block replication of the source pixels."""
+    from pyspec_spark.operators.multimodal import (
+        decode_frame,
+        extract_features,
+        make_real_media,
+        resize_media,
+    )
+
+    media = make_real_media(spark, n=4, frames=3, width=8, height=6)
+    out = resize_media(media, width=16, height=12)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert all(r["width"] == 16 and r["height"] == 12 for r in rows.values())
+    for mid, r in rows.items():
+        n = int(r["n_frames"])
+        for f in range(n):
+            img = decode_frame(r["codec"], bytes(r["payload"]), 16, 12, f)
+            assert img.shape == (12, 16, 3)
+            src = synth_image(mid, f if r["kind"] == "video" else 0, 8, 6)
+            # nearest-neighbor 2x: each source pixel becomes a 2x2 block
+            np.testing.assert_array_equal(img, np.repeat(np.repeat(src, 2, 0), 2, 1))
+    # resized media flows through the rest of the pipeline unchanged
+    feats = extract_features(out, sample_every=2).collect()
+    assert all(len(r["features"]) == 6 for r in feats)
+
+
 def test_q_multimodal_features_runs_on_real_bytes(spark):
     from pyspec_spark.queries.llm_advanced import q_multimodal_features
 
