@@ -194,6 +194,148 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination: flag corpus documents whose bigram-shingle
+# CONTAINMENT in a benchmark set exceeds a threshold (the test-set-leak
+# check every training pipeline runs; containment, not Jaccard, because
+# a short benchmark item buried in a long document must still flag).
+# Benchmark stand-in: doc_id < 10.  Scale shape: the benchmark shingle
+# set is small by construction -> broadcast semi-join against the
+# exploded corpus shingles; the corpus side is one explode + two keyed
+# aggregations, never a self-join.
+# ---------------------------------------------------------------------------
+_BENCH_MAX_ID = 10
+# On this shared-small-vocab synthetic corpus the containment
+# distribution centers ~0.4; 0.6 flags the genuinely-overlapping tail
+# (~5% of docs at sf0.01) instead of everything.
+_CONTAM_MIN = 0.6
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 2
+              THEN list_distinct(list_transform(
+                  range(1, len(string_split(text, ' '))),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i + 1]))
+              ELSE [] END AS shingles
+  FROM documents
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+  WHERE doc_id < {_BENCH_MAX_ID}
+),
+corpus AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+  WHERE doc_id >= {_BENCH_MAX_ID} AND len(shingles) > 0
+),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hit
+  FROM corpus c JOIN bench USING (shingle)
+  GROUP BY c.doc_id
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_sh,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n_sh, 6) AS containment
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+WHERE ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n_sh, 6) >= {_CONTAM_MIN}
+""",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(_bigrams(_toks()))).alias("shingle")
+    )
+    bench = (
+        sh.where(F.col("doc_id") < _BENCH_MAX_ID).select("shingle").distinct()
+    )
+    corpus = sh.where(F.col("doc_id") >= _BENCH_MAX_ID)
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    containment = F.round(
+        F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_sh"), 6
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sh",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            containment.alias("containment"),
+        )
+        .where(F.col("containment") >= _CONTAM_MIN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-budget sampling (data mixing): deterministically
+# order each source's documents by content hash, keep documents while
+# the source's running token count stays under budget, report the mix.
+# One window shuffle (source-keyed cumsum) + one aggregation — the
+# sampling decision never leaves the partition of its source.
+# ---------------------------------------------------------------------------
+_TOKEN_BUDGET = 3000
+
+
+@query(
+    "q_token_budget",
+    oracle=f"""
+WITH t AS (
+  SELECT source, doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+FROM c
+WHERE cum <= {_TOKEN_BUDGET}
+GROUP BY source
+""",
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "doc_id",
+        F.size(_toks()).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string").cast("binary")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.where(F.col("cum") <= _TOKEN_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # PMI collocations: pmi(a,b) = ln( p(ab) / (p(a) p(b)) ) with counts
 # from one corpus pass each for unigrams and bigrams.
 # ---------------------------------------------------------------------------

@@ -256,6 +256,22 @@ def test_pmi_broadcasts_unigrams_and_takes_ordered(spark):
     assert has_take_ordered(p)
 
 
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast onto the corpus side —
+    shuffling the exploded corpus shingles against a tiny benchmark
+    table would be the wrong plan at any scale."""
+    p = _plan(spark, "q_decontaminate")
+    assert has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+
+
+def test_token_budget_one_window_shuffle(spark):
+    """Hash-ordered cumsum + aggregation: the source-keyed window and
+    the final per-source agg are the only exchanges."""
+    p = _plan(spark, "q_token_budget")
+    assert count_exchanges(p) <= 2
+
+
 def test_building_declared_queries_runs_zero_jobs(spark):
     """Plan construction must be driver-side only: no declared query may
     trigger a Spark job (collect/first/count) while being BUILT.  Probe
