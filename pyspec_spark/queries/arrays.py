@@ -274,3 +274,72 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# L-family extension — int8 embedding quantization quality (the 4x
+# at-rest compression step of an embedding store): per-vector min/max
+# affine scale to 0..255 codes, reconstruct, and report per-label
+# reconstruction error.  Entirely map-side HOF arithmetic (identical
+# double-precision ops in both engines, so the ROUND(.,6)ed errors
+# hash-match); one bounded-key aggregation.  Constant vectors (span 0)
+# quantize to code 0 with zero error by the scale guard.
+# ---------------------------------------------------------------------------
+@query(
+    "q_embed_quant",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, e,
+         list_min(e) AS lo,
+         (list_max(e) - list_min(e)) / 255.0 AS scale
+  FROM v
+),
+err AS (
+  SELECT vec_id, label,
+         list_max(list_transform(e,
+             x -> abs(x - (lo + CASE WHEN scale = 0 THEN 0
+                                     ELSE ROUND((x - lo) / scale) END
+                           * scale)))) AS max_abs_err
+  FROM s
+)
+SELECT label,
+       COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(ROUND(max_abs_err * 1e6) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1e6, 6) AS avg_max_err,
+       ROUND(MAX(max_abs_err), 6) AS worst_err
+FROM err
+GROUP BY label
+""",
+)
+def q_embed_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    v = e.select("vec_id", "label", dbl.alias("e"))
+    lo = F.array_min("e")
+    scale = (F.array_max("e") - F.array_min("e")) / F.lit(255.0)
+    s = v.select("vec_id", "label", "e", lo.alias("lo"), scale.alias("scale"))
+    code = lambda x: F.when(  # noqa: E731
+        F.col("scale") == 0, F.lit(0.0)
+    ).otherwise(F.round((x - F.col("lo")) / F.col("scale")))
+    max_abs_err = F.array_max(
+        F.transform(
+            "e",
+            lambda x: F.abs(x - (F.col("lo") + code(x) * F.col("scale"))),
+        )
+    )
+    err = s.select("vec_id", "label", max_abs_err.alias("max_abs_err"))
+    return err.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(
+            F.sum(_fixed6(F.col("max_abs_err"))).cast("double")
+            / F.count("*")
+            / 1e6,
+            6,
+        ).alias("avg_max_err"),
+        F.round(F.max("max_abs_err"), 6).alias("worst_err"),
+    )

@@ -147,3 +147,30 @@ def test_declared_quality_queries_run(spark):
     gate = q_quality_gate.__wrapped__(spark, SF)
     assert gate.columns == ["lang", "source", "n_docs", "n_pass", "pass_rate"]
     assert q_pmi_bigrams.__wrapped__(spark, SF).count() == 20
+
+
+def test_embed_quant_golden(spark):
+    """Quantization error bounds: a vector whose span is exactly 255
+    has zero error at integer points; any vector's max error is bounded
+    by scale/2; a constant vector has zero error via the span-0 guard."""
+    import pyspec_spark.queries.arrays as qa
+
+    rows = [
+        (0, [float(i) for i in range(64)], 7),        # span 63, scale 63/255
+        (1, [0.0] * 64, 7),                           # constant
+        (2, [0.0] + [255.0] * 63, 8),                 # span 255, scale 1.0
+    ]
+    e = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, label INT"
+    )
+    orig_table = qa.table
+    try:
+        qa.table = lambda _s, _d, _n: e
+        got = {r["label"]: r for r in qa.q_embed_quant.__wrapped__(spark, SF).collect()}
+    finally:
+        qa.table = orig_table
+    # label 8: every element is representable exactly -> zero error
+    assert got[8]["worst_err"] == 0.0
+    # label 7: vec 0's scale = 63/255 -> max err <= scale/2; vec 1 exact
+    assert got[7]["worst_err"] <= (63 / 255) / 2 + 1e-9
+    assert got[7]["n_vecs"] == 2
