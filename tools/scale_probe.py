@@ -360,6 +360,46 @@ def probe_neardup(spark, ks) -> list[str]:
     return lines
 
 
+def probe_quality(spark, ks) -> list[str]:
+    """Weak scaling of the corpus-quality family (round 3) over the
+    salted doc replicas; returns SCALING.md lines."""
+    names = ["q_repetition", "q_quality_gate", "q_pmi_bigrams",
+             "q_decontaminate", "q_token_budget"]
+    lines = [
+        "",
+        "## Corpus-quality family (weak scaling: k× salted docs)",
+        "",
+        "Same salted replicas as the near-dup probe.  Shapes under test:",
+        "q_repetition / q_quality_gate are map-only scoring (flat ms =",
+        "scan parallelized); q_pmi_bigrams' vocabulary grows ×k (count",
+        "tables ×k, broadcast side still tiny); q_decontaminate's",
+        "benchmark set stays 10 docs while the corpus grows ×k (broadcast",
+        "semi-join: corpus-side work ×k, output ~constant);",
+        "q_token_budget's per-source window grows ×k with constant",
+        "output (budget cutoff).",
+        "",
+        "| k | docs | " + " | ".join(names) + " |",
+        "|---|---|" + "---|" * len(names),
+    ]
+    for k in ks:
+        d = build_neardup_replica(spark, k)
+        n_docs = spark.read.parquet(f"{d}/documents.parquet").count()
+        per_q = {}
+        for name in names:
+            fn = registry.QUERIES[name]
+            per_q[name] = _best_of(
+                lambda: fn(spark, d)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        cells = " | ".join(f"{per_q[n]*1000:.0f} ms" for n in names)
+        lines.append(f"| {k} | {n_docs:,} | {cells} |")
+        print(f"quality x{k}: "
+              + "  ".join(f"{n}={t*1000:.0f}ms" for n, t in per_q.items()))
+    return lines
+
+
 def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
     registry.load_all()
@@ -404,6 +444,7 @@ def main() -> None:
     lines.extend(probe_joins(spark, ks))
     lines.extend(probe_text_events(spark, ks))
     lines.extend(probe_neardup(spark, [k for k in ks if k <= 4]))
+    lines.extend(probe_quality(spark, [k for k in ks if k <= 4]))
     lines.append("")
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines))
