@@ -172,6 +172,11 @@ class SpecDataSourceReader(DataSourceReader):
             for scan_number, start, end in index_scans(text):
                 if self._keep(scan_number):
                     parts.append(_ScanPartition(path, scan_number, start, end))
+        if not parts:
+            # full pruning (predicate matches no scan): Spark calls
+            # read(None) when the partition list is empty, so return one
+            # sentinel partition that yields nothing instead
+            return [_ScanPartition("", -1, 0, 0)]
         return parts
 
     # -- per-partition read: parse ONE scan block ---------------------------
@@ -181,6 +186,8 @@ class SpecDataSourceReader(DataSourceReader):
             parse_scan_block,
         )
 
+        if partition is None or not partition.path:  # pruned-empty sentinel
+            return
         with open(partition.path, encoding="utf-8", errors="replace") as fh:
             text = fh.read()
         header = parse_file_header(text)
