@@ -42,6 +42,10 @@ HEADLINE = [
     "q_lang_id",
     "q_minhash_neardup",
     "q_ngram_freq",
+    # round 3: corpus-quality family (baselines in BASELINE.md §round 3)
+    "q_repetition",
+    "q_quality_gate",
+    "q_decontaminate",
 ]
 
 
