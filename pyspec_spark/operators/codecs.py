@@ -254,6 +254,54 @@ def _decode_png_one(data: bytes, pos: int) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# WAV (RIFF/PCM) — the audio modality; published container spec
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    """(n,) or (n, channels) int16 -> WAV PCM bytes."""
+    s = np.asarray(samples, dtype=np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()  # interleaved little-endian PCM16
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV PCM16 bytes -> ((n, channels) int16, sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    ch = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            audio_fmt, ch, rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 WAV supported (fmt={audio_fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    s = np.frombuffer(data, dtype="<i2")
+    return s.reshape(-1, ch), rate
+
+
+# ---------------------------------------------------------------------------
 # Frame-stream API used by operators/multimodal.py
 # ---------------------------------------------------------------------------
 

@@ -56,8 +56,9 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-DECODED_CODECS = ("ppm", "pgm", "png")      # real decoders, operators/codecs.py
-STUBBED_CODECS = ("jpeg", "wav", "mp4")     # decoder libs absent from container
+DECODED_CODECS = ("ppm", "pgm", "png")      # real image decoders (codecs.py)
+AUDIO_CODECS = ("wav",)                     # real audio decoder (codecs.py)
+STUBBED_CODECS = ("jpeg", "mp4")            # decoder libs absent from container
 
 
 def decode_frame(codec: str, payload: bytes, width: int, height: int, frame_id: int) -> np.ndarray:
@@ -71,10 +72,14 @@ def decode_frame(codec: str, payload: bytes, width: int, height: int, frame_id: 
         seed = int.from_bytes(payload[:8], "little", signed=False) + frame_id
         rng = np.random.default_rng(seed)
         return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+    if codec in AUDIO_CODECS:
+        raise ValueError(
+            f"codec {codec!r} is audio — use decode_wav / extract_audio_features"
+        )
     if codec in STUBBED_CODECS:
         raise NotImplementedError(
             f"codec {codec!r}: decoder library not available in this "
-            "container — plug a decoder in here (PIL/av/soundfile)"
+            "container — plug a decoder in here (PIL/av)"
         )
     raise ValueError(f"unknown codec {codec!r}")
 
@@ -87,6 +92,78 @@ def make_fake_media(spark: SparkSession, n: int = 8, frames: int = 4) -> DataFra
         rows.append((i, "video" if i % 2 else "image", "fake-rgb8", 16, 12,
                      frames if i % 2 else 1, bytearray(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("window_id", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("zcr", DoubleType()),
+    ]
+)
+
+
+def synth_audio(media_id: int, n: int = 16000, rate: int = 16000) -> np.ndarray:
+    """Deterministic int16 mono test signal: a sine whose frequency and
+    amplitude are closed-form in media_id (golden-checkable RMS ≈ A/√2
+    and zero-crossing rate ≈ 2f/rate)."""
+    freq = 100.0 * (media_id + 1)
+    amp = 1000.0 * (media_id + 1)
+    t = np.arange(n, dtype=np.float64) / rate
+    return np.round(amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
+
+
+def make_audio_media(spark: SparkSession, n: int = 8, rate: int = 16000) -> DataFrame:
+    """Media table of real WAV PCM payloads (kind='audio'; width/height
+    unused for audio, n_frames carries the sample count)."""
+    from pyspec_spark.operators.codecs import encode_wav
+
+    rows = []
+    for i in range(n):
+        samples = synth_audio(i, n=rate, rate=rate)  # 1 second each
+        rows.append(
+            (i, "audio", "wav", None, None, len(samples),
+             bytearray(encode_wav(samples, rate)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def extract_audio_features(media: DataFrame, window: int = 1024) -> DataFrame:
+    """Per-window audio features (RMS, zero-crossing rate) via
+    mapInPandas: decode WAV PCM16 executor-side, window the first
+    channel, one output row per (media, window).  The trailing partial
+    window is dropped (fixed-size windows keep features comparable)."""
+    from pyspec_spark.operators.codecs import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["codec"] != "wav":
+                    raise ValueError(
+                        f"extract_audio_features: codec {r['codec']!r} is not audio"
+                    )
+                samples, _rate = decode_wav(bytes(r["payload"]))
+                x = samples[:, 0].astype(np.float64)
+                n_win = len(x) // window
+                for w in range(n_win):
+                    seg = x[w * window : (w + 1) * window]
+                    rms = float(np.sqrt(np.mean(seg * seg)))
+                    zc = float(np.mean(np.abs(np.diff(np.signbit(seg))).astype(np.float64)))
+                    out.append(
+                        {
+                            "media_id": int(r["media_id"]),
+                            "window_id": w,
+                            "rms": rms,
+                            "zcr": zc,
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "window_id", "rms", "zcr"]
+            )
+
+    return media.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
 def synth_image(media_id: int, frame_id: int, width: int = 16, height: int = 12) -> np.ndarray:

@@ -299,6 +299,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L7 audio — per-window RMS / zero-crossing features from REAL WAV PCM
+# payloads decoded by the in-repo RIFF parser (operators/codecs.py)
+# inside mapInPandas (rows-only; goldens pin sine-wave RMS=A/sqrt(2)
+# and zcr=2f/rate in tests/test_codecs.py).
+# ---------------------------------------------------------------------------
+@query("q_audio_features")
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.multimodal import (
+        extract_audio_features,
+        make_audio_media,
+    )
+
+    media = make_audio_media(spark, n=8)
+    return (
+        extract_audio_features(media, window=1024)
+        .select(
+            "media_id",
+            "window_id",
+            F.round("rms", 6).alias("rms"),
+            F.round("zcr", 6).alias("zcr"),
+        )
+        .orderBy("media_id", "window_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L5 scale path (variant B) — IVF ANN top-k, fully IN-PLAN: centroid
 # training (numpy Lloyd in mapInPandas over a bounded coalesced sample),
 # map-only cell assignment, probe-cell selection from the broadcast

@@ -8,6 +8,8 @@ codec — encode -> decode -> feature means must reproduce them exactly
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pytest
 
@@ -170,6 +172,51 @@ def test_resize_media_real(spark):
     # resized media flows through the rest of the pipeline unchanged
     feats = extract_features(out, sample_every=2).collect()
     assert all(len(r["features"]) == 6 for r in feats)
+
+
+def test_wav_roundtrip():
+    from pyspec_spark.operators.codecs import decode_wav, encode_wav
+
+    rng = np.random.default_rng(5)
+    mono = rng.integers(-32768, 32767, 1000, dtype=np.int16)
+    out, rate = decode_wav(encode_wav(mono, 8000))
+    assert rate == 8000 and out.shape == (1000, 1)
+    np.testing.assert_array_equal(out[:, 0], mono)
+    stereo = rng.integers(-32768, 32767, (500, 2), dtype=np.int16)
+    out, rate = decode_wav(encode_wav(stereo, 44100))
+    assert rate == 44100
+    np.testing.assert_array_equal(out, stereo)
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"nope" + b"\x00" * 64)
+
+
+def test_audio_features_golden(spark):
+    """Sine at f=100(i+1) Hz, amplitude 1000(i+1): every full window's
+    RMS ~ A/sqrt(2) and zero-crossing rate ~ 2f/rate."""
+    from pyspec_spark.operators.multimodal import (
+        extract_audio_features,
+        make_audio_media,
+    )
+
+    media = make_audio_media(spark, n=3, rate=16000)
+    rows = extract_audio_features(media, window=1024).collect()
+    assert len(rows) == 3 * (16000 // 1024)
+    for r in rows:
+        i = r["media_id"]
+        a, f = 1000.0 * (i + 1), 100.0 * (i + 1)
+        assert r["rms"] == pytest.approx(a / math.sqrt(2), rel=0.02)
+        assert r["zcr"] == pytest.approx(2 * f / 16000, rel=0.15)
+
+
+def test_q_audio_features_declared(spark):
+    from pyspec_spark.queries.llm_advanced import q_audio_features
+
+    out = q_audio_features.__wrapped__(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert out.columns == ["media_id", "window_id", "rms", "zcr"]
+    assert len(rows) == 8 * (16000 // 1024)
+    # deterministic
+    assert rows == q_audio_features.__wrapped__(spark, "/root/testdata/sf0.001").collect()
 
 
 def test_q_multimodal_features_runs_on_real_bytes(spark):
