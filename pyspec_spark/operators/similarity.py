@@ -154,12 +154,16 @@ def lsh_topk_df(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    round_digits: int | None = None,
 ) -> DataFrame:
     """ANN top-k with the probe vector IN-PLAN: ``query_df`` is a 1-row
     DataFrame whose ``vec_col`` is the query embedding.  Its signature
     is computed with the same plane-literal expression as the corpus
     signatures and broadcast in — building this plan runs zero Spark
-    jobs, and at cluster scale the probe never transits the driver."""
+    jobs, and at cluster scale the probe never transits the driver.
+    ``round_digits`` rounds the score BEFORE the ordered limit (the
+    oracle-determinism convention: rank on the rounded value with the
+    id tiebreak, SURVEY §5.3)."""
     planes = _hyperplanes(dim, n_planes, seed)
     sigs = lsh_signatures(emb, n_planes, seed, id_col, vec_col, dim=dim)
     q = query_df.select(
@@ -172,6 +176,8 @@ def lsh_topk_df(
     cos = _dot_cols(F.col(vec_col), F.col("qv")) / (
         _norm_expr(F.col(vec_col)) * _norm_expr(F.col("qv"))
     )
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
     return (
         cand.select("vec_id", cos.alias("score"))
         .orderBy(F.desc("score"), "vec_id")

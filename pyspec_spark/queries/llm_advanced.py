@@ -98,6 +98,70 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L5 — deterministic hyperplane-LSH twin, ORACLE-CHECKED end to end:
+# the seeded plane matrix is embedded as literal arrays in BOTH the
+# Spark plan and the DuckDB oracle, so signature bits (sign of dot),
+# the Hamming-band candidate set, and the rounded cosine re-rank are
+# all replayed exactly.  Sign flips would need |dot| within an ulp of
+# zero — continuous embeddings make that probability ~0, and the data
+# is fixed, so the check is stable.  This proves the LSH pipeline the
+# way q_ann_ivf_det proves IVF; q_ann_lsh_topk stays the rows-only
+# production-flavored variant.
+# ---------------------------------------------------------------------------
+_LSH_DET_PLANES = 16
+_LSH_DET_HAMMING = 6
+
+
+def _lsh_det_oracle() -> str:
+    import numpy as np
+
+    from pyspec_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, _LSH_DET_PLANES, seed=42)
+    bit_terms = []
+    for i in range(_LSH_DET_PLANES):
+        arr = ", ".join(repr(float(v)) for v in planes[i])
+        bit_terms.append(
+            f"CASE WHEN list_dot_product(e, [{arr}]) > 0 "
+            f"THEN {1 << i} ELSE 0 END"
+        )
+    sig_expr = " + ".join(bit_terms)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+s AS (
+  SELECT vec_id, e, CAST({sig_expr} AS BIGINT) AS sig FROM v
+),
+q AS (
+  SELECT e AS qe, sig AS qsig FROM s WHERE vec_id = 0
+)
+SELECT s.vec_id,
+       ROUND(list_cosine_similarity(s.e, q.qe), 6) AS score
+FROM s, q
+WHERE bit_count(xor(s.sig, q.qsig)) <= {_LSH_DET_HAMMING}
+ORDER BY score DESC, s.vec_id
+LIMIT 10
+"""
+
+
+@query("q_ann_lsh_det", oracle=_lsh_det_oracle())
+def q_ann_lsh_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    qdf = e.where(F.col("vec_id") == 0).select("embedding")
+    return lsh_topk_df(
+        e,
+        qdf,
+        k=10,
+        n_planes=_LSH_DET_PLANES,
+        max_hamming=_LSH_DET_HAMMING,
+        seed=42,
+        dim=64,
+        round_digits=6,
+    )
+
+
+# ---------------------------------------------------------------------------
 # L2 — MinHash-LSH near-dup pairs, ORACLE-CHECKED end to end: the md5
 # hash basis (operators/dedup.py) is bit-identical in DuckDB, so the
 # oracle replays the exact pipeline — shingle -> 64 salted min-hashes ->
