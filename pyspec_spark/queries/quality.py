@@ -336,6 +336,62 @@ def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unigram LM scoring (the CCNet-style perplexity-proxy quality filter):
+# train unigram probabilities on the corpus in one aggregation, score
+# every document by its mean negative log-probability.  The vocabulary
+# table broadcasts (vocab ≪ corpus); per-token ln() values are rounded
+# to micro-units BEFORE the mean so the sum is order-independent and
+# cross-engine exact (the q_embed_centroid fixed-point idiom).
+# ---------------------------------------------------------------------------
+@query(
+    "q_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+uni AS (
+  SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+),
+n_tot AS (SELECT SUM(c) AS n FROM uni),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(ln(CAST(u.c AS DOUBLE) / n_tot.n) * 1e6) AS BIGINT)
+             AS lp_micro
+  FROM toks t JOIN uni u USING (tok), n_tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_tokens,
+       ROUND(-CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) / 1e6, 6) AS xent
+FROM scored
+GROUP BY doc_id
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.functions.determinism import _fixed6
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(_toks()).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n_tot = uni.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(F.broadcast(uni), "tok")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "doc_id",
+            _fixed6(F.log(F.col("c").cast("double") / F.col("n"))).alias(
+                "lp_micro"
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.round(
+            -F.sum("lp_micro").cast("double") / F.count("*") / 1e6, 6
+        ).alias("xent"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PMI collocations: pmi(a,b) = ln( p(ab) / (p(a) p(b)) ) with counts
 # from one corpus pass each for unigrams and bigrams.
 # ---------------------------------------------------------------------------

@@ -149,6 +149,35 @@ def test_declared_quality_queries_run(spark):
     assert q_pmi_bigrams.__wrapped__(spark, SF).count() == 20
 
 
+def test_unigram_logprob_golden(spark, monkeypatch):
+    """Uniform corpus: every token equally likely -> xent = ln(vocab)
+    for every doc; rarer tokens raise a doc's xent above a common-token
+    doc's."""
+    from pyspec_spark.queries import quality
+
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c d", "en", "s0", 7),
+            (1, "a b c d", "en", "s0", 7),
+        ],
+    )
+    monkeypatch.setattr(quality, "table", lambda _s, _d, _n: docs)
+    got = {r["doc_id"]: r for r in quality.q_unigram_logprob.__wrapped__(spark, SF).collect()}
+    want = round(math.log(4), 6)  # each token p = 2/8 = 1/4
+    assert got[0]["xent"] == pytest.approx(want, abs=2e-6)
+    assert got[0]["n_tokens"] == 4
+    # a doc of rare tokens scores higher xent than a doc of common ones
+    docs2 = _docs(
+        spark,
+        [(0, "x x x x x x x x", "en", "s0", 15), (1, "y z", "en", "s0", 3)],
+    )
+    monkeypatch.setattr(quality, "table", lambda _s, _d, _n: docs2)
+    got2 = {r["doc_id"]: r["xent"]
+            for r in quality.q_unigram_logprob.__wrapped__(spark, SF).collect()}
+    assert got2[1] > got2[0]
+
+
 def test_embed_quant_golden(spark):
     """Quantization error bounds: a vector whose span is exactly 255
     has zero error at integer points; any vector's max error is bounded
