@@ -272,6 +272,23 @@ def test_token_budget_one_window_shuffle(spark):
     assert count_exchanges(p) <= 2
 
 
+def test_unigram_logprob_broadcasts_vocab(spark):
+    """The trained unigram table must broadcast onto the exploded token
+    stream: shuffling the corpus tokens against a vocab-sized table is
+    the wrong plan at any scale."""
+    p = _plan(spark, "q_unigram_logprob")
+    assert has_broadcast_join(p)
+    assert has_partial_aggregate(p)
+
+
+def test_embed_quant_single_aggregation(spark):
+    """Quantization error is map-side HOF arithmetic + one bounded-key
+    aggregation: exactly one exchange."""
+    p = _plan(spark, "q_embed_quant")
+    assert has_partial_aggregate(p)
+    assert count_exchanges(p) == 1
+
+
 def test_building_declared_queries_runs_zero_jobs(spark):
     """Plan construction must be driver-side only: no declared query may
     trigger a Spark job (collect/first/count) while being BUILT.  Probe
