@@ -174,6 +174,83 @@ def test_resize_media_real(spark):
     assert all(len(r["features"]) == 6 for r in feats)
 
 
+def test_png_roundtrip_property():
+    """Hypothesis fuzz: arbitrary small images x all channel counts x
+    all filter types round-trip exactly (the unfilter paths 1/3/4 have
+    per-pixel predictor arithmetic worth fuzzing)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @given(
+        img=st.integers(1, 7).flatmap(
+            lambda h: st.integers(1, 7).flatmap(
+                lambda w: st.sampled_from([1, 2, 3, 4]).flatmap(
+                    lambda c: arrays(
+                        np.uint8,
+                        (h, w, c),
+                        elements=st.integers(0, 255),
+                    )
+                )
+            )
+        ),
+        ft=st.sampled_from([0, 1, 2, 3, 4]),
+    )
+    @settings(max_examples=200, deadline=None)
+    def run(img, ft):
+        data = encode_png(img, ft)
+        out = decode_frame_at("png", data, 0)
+        c = img.shape[2]
+        if c == 1:
+            np.testing.assert_array_equal(out[:, :, 0], img[:, :, 0])
+        elif c == 2:  # gray+alpha -> replicated gray
+            np.testing.assert_array_equal(out[:, :, 0], img[:, :, 0])
+        else:
+            np.testing.assert_array_equal(out, img[:, :, :3])
+
+    run()
+
+
+def test_ppm_wav_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @given(
+        img=st.integers(1, 9).flatmap(
+            lambda h: st.integers(1, 9).flatmap(
+                lambda w: arrays(np.uint8, (h, w, 3), elements=st.integers(0, 255))
+            )
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def run_img(img):
+        np.testing.assert_array_equal(
+            decode_frame_at("ppm", encode_ppm(img), 0), img
+        )
+
+    run_img()
+
+    from pyspec_spark.operators.codecs import decode_wav, encode_wav
+
+    @given(
+        s=st.integers(1, 200).flatmap(
+            lambda n: st.sampled_from([1, 2]).flatmap(
+                lambda ch: arrays(
+                    np.int16, (n, ch), elements=st.integers(-32768, 32767)
+                )
+            )
+        )
+    )
+    @settings(max_examples=100, deadline=None)
+    def run_wav(s):
+        out, rate = decode_wav(encode_wav(s, 8000))
+        assert rate == 8000
+        np.testing.assert_array_equal(out, s)
+
+    run_wav()
+
+
 def test_wav_roundtrip():
     from pyspec_spark.operators.codecs import decode_wav, encode_wav
 
