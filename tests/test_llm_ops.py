@@ -310,6 +310,52 @@ def test_multimodal_plumbing(spark):
         decode_frame("jpeg", b"\xff\xd8\xff", 4, 4, 0)
 
 
+def test_connected_components_star_matches_minlabel(spark):
+    """The large-star/small-star variant must produce exactly the same
+    (node, component-min) labeling as min-label propagation on random
+    graphs (both in their converged regime)."""
+    import random
+
+    from pyspec_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(40 + 10 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src LONG, dst LONG")
+        a = {
+            (r["node"], r["component"])
+            for r in connected_components(df).collect()
+        }
+        b = {
+            (r["node"], r["component"])
+            for r in connected_components_star(df).collect()
+        }
+        assert a == b, f"trial {trial}: star != min-label"
+
+
+def test_connected_components_star_logarithmic_on_chain(spark):
+    """On a 300-node path graph min-label needs ~300 rounds (1 hop per
+    round); the star variant must converge to ONE component well inside
+    its 30-round budget — the O(log d) claim, demonstrated."""
+    from pyspec_spark.operators.dedup import connected_components_star
+
+    n = 300
+    df = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src LONG, dst LONG"
+    )
+    rows = connected_components_star(df, max_iter=30).collect()
+    labels = {r["node"]: r["component"] for r in rows}
+    assert set(labels) == set(range(n))
+    assert set(labels.values()) == {0}
+
+
 # ---------------------------------------------------------------------------
 # connected_components (dedup clustering)
 # ---------------------------------------------------------------------------
