@@ -375,9 +375,9 @@ def connected_components(
     round N's plan doesn't embed rounds 1..N-1.  Rounds needed = graph
     diameter; near-dup components are shallow (dups of a common source),
     so this terminates in a handful of rounds.  At 100 TB scale the same
-    loop runs with reliable checkpointing instead of local, and the
-    large-star/small-star variant halves round count on adversarial
-    chain-shaped graphs — not needed for dedup-shaped inputs.
+    loop runs with reliable checkpointing instead of local; for
+    adversarial chain-shaped graphs use `connected_components_star`
+    below (O(log diameter) rounds).
     """
     adj = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     adj = adj.union(adj.select(F.col("b").alias("a"), F.col("a").alias("b")))
