@@ -296,6 +296,34 @@ def test_q_audio_features_declared(spark):
     assert rows == q_audio_features.__wrapped__(spark, "/root/testdata/sf0.001").collect()
 
 
+def test_resize_non_integer_scale(spark):
+    """NN resampling at a non-integer ratio: output pixel (y, x) must
+    equal source pixel (y*src_h//dst_h, x*src_w//dst_w) exactly."""
+    from pyspec_spark.operators.multimodal import (
+        decode_frame,
+        make_real_media,
+        resize_media,
+    )
+
+    media = make_real_media(spark, n=2, frames=2, width=7, height=5)
+    out = {r["media_id"]: r for r in resize_media(media, width=11, height=4).collect()}
+    for mid, r in out.items():
+        img = decode_frame(r["codec"], bytes(r["payload"]), 11, 4, 0)
+        src = synth_image(mid, 0, 7, 5)
+        ry = (np.arange(4) * 5) // 4
+        rx = (np.arange(11) * 7) // 11
+        np.testing.assert_array_equal(img, src[ry][:, rx])
+
+
+def test_png_corrupt_idat_raises_cleanly():
+    data = bytearray(encode_png(_img(77)))
+    # find the IDAT chunk and flip bytes in its zlib body
+    i = bytes(data).index(b"IDAT")
+    data[i + 8 : i + 12] = b"\xff\xff\xff\xff"
+    with pytest.raises(Exception):  # zlib error or size mismatch, never garbage
+        decode_frame_at("png", bytes(data), 0)
+
+
 def test_q_multimodal_features_runs_on_real_bytes(spark):
     from pyspec_spark.queries.llm_advanced import q_multimodal_features
 
