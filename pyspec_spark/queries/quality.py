@@ -7,11 +7,13 @@ signals, Rae et al. 2021; PMI collocations, Church & Hanks 1990).
 
 Three declared, oracle-checked queries:
 - `q_repetition`    — per-doc repetition signals (duplicate-token
-  fraction, most-frequent-bigram fraction).  Computed MAP-ONLY with
-  array HOFs: the per-doc mode is an O(len²) in-row scan, bounded by
-  document length — at 100 TB this beats the explode + groupBy(doc,
-  bigram) alternative, which would shuffle every bigram of the corpus
-  for a per-doc statistic.
+  fraction, most-frequent-bigram fraction).  One repartition(doc_id)
+  exchange, then explode + two exchange-free hash aggregations: the
+  doc_id partitioning satisfies both groupBy distributions, so the
+  whole per-doc mode runs in whole-stage codegen.  (Round 3 shipped a
+  map-only array-HOF form; correct and linear, but the interpreted
+  aggregate() lambda cost 2.0–2.5× the DuckDB oracle warm — the
+  codegen reformulation here is the round-3 VERDICT's prescribed fix.)
 - `q_quality_gate`  — apply explicit pass/fail thresholds over the
   repetition + shape signals and report survival rates per (lang,
   source): one partial+final aggregation over map-only signals (the
@@ -60,7 +62,8 @@ def _bigrams(toks):
 
 
 # ---------------------------------------------------------------------------
-# Per-doc repetition signals (Gopher-style), map-only.
+# Per-doc repetition signals (Gopher-style): one doc_id repartition,
+# then codegen aggregation — no interpreted HOF lambdas in the plan.
 # ---------------------------------------------------------------------------
 @query(
     "q_repetition",
@@ -89,44 +92,73 @@ FROM g
 """,
 )
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Top-bigram count via explode + groupBy(doc_id, gram) + max —
+    # full whole-stage codegen.  The round-3 map-only form computed
+    # the per-doc mode with an interpreted aggregate() lambda over
+    # array_sort(grams); correct, but the non-codegen HOF machinery
+    # cost 2.0–2.5× the DuckDB warm baseline (687 ms vs 289 ms at
+    # sf0.1).  This shape measures 160–180 ms warm — under the oracle.
+    #
+    # Two load-bearing structural choices:
+    # 1. The doc-level signals (n_tokens, dup_token_frac) and the gram
+    #    array are projected in a SEPARATE select BELOW the explode, so
+    #    Generate is the projection barrier: with a single combined
+    #    select, CollapseProject hoists the split/array_distinct/
+    #    zip_with expressions ABOVE Generate and re-evaluates them once
+    #    per exploded gram instead of once per doc (measured 9.3 s vs
+    #    0.18 s here — the operators/text.py HOF-inlining trap again).
+    # 2. The ONLY exchange is an up-front repartition(parallelism,
+    #    "doc_id") of the raw documents: text bytes shuffle once,
+    #    cheaper than shuffling the ~2×-larger exploded gram stream
+    #    twice, and HashPartitioning(doc_id) satisfies the clustered
+    #    distribution of BOTH downstream groupBys, so neither
+    #    aggregation adds a shuffle.  The explicit partition count
+    #    keeps AQE from coalescing the tiny test shuffle to one task
+    #    (scale-irrelevant, local-parallelism-critical).  Gate:
+    #    tests/test_plan_quality.py::test_repetition_single_exchange.
+    # n_grams is recovered as sum(cnt) in the final aggregation rather
+    # than carried as a group key; explode_outer keeps sub-2-token docs
+    # (gram NULL → both aggregates NULL → guarded 0.0).
     d = table(spark, sf_dir, "documents")
     toks = _toks()
     grams = _bigrams(toks)
-    # Most-frequent-bigram count = longest equal run in the SORTED gram
-    # array, computed with one O(n) aggregate over array_sort.  The
-    # naive distinct×filter nested HOF is not just O(n²) — Catalyst
-    # inlines the whole gram-building expression into the inner lambda
-    # (the operators/text.py winnowing trap; measured 14.8 s vs 0.25 s
-    # here for 500 docs), and a plain projection barrier gets collapsed
-    # back by CollapseProject.  The run-length form references `grams`
-    # a constant number of times, so inlining stays linear.
-    run = F.aggregate(
-        F.array_sort(grams),
-        F.struct(
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
-            F.lit(None).cast("string").alias("prev"),
-        ),
-        lambda acc, x: F.struct(
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-            x.alias("prev"),
-        ),
-        lambda acc: acc["best"],
-    )
-    return d.select(
+    docs = d.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.round(
             F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
             6,
         ).alias("dup_token_frac"),
-        F.when(F.size(grams) == 0, F.lit(0.0))
-        .otherwise(F.round(run.cast("double") / F.size(grams), 6))
-        .alias("top_bigram_frac"),
+        grams.alias("grams"),
+    )
+    exploded = docs.select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        F.explode_outer("grams").alias("gram"),
+    )
+    per_gram = exploded.groupBy(
+        "doc_id", "n_tokens", "dup_token_frac", "gram"
+    ).agg(F.count("*").alias("cnt"))
+    nn_cnt = F.when(F.col("gram").isNotNull(), F.col("cnt"))
+    return (
+        per_gram.groupBy("doc_id", "n_tokens", "dup_token_frac")
+        .agg(
+            F.max(nn_cnt).alias("top_cnt"),
+            F.sum(nn_cnt).alias("n_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            F.when(F.col("n_grams").isNull(), F.lit(0.0))
+            .otherwise(
+                F.round(F.col("top_cnt").cast("double") / F.col("n_grams"), 6)
+            )
+            .alias("top_bigram_frac"),
+        )
     )
 
 

@@ -230,11 +230,15 @@ def test_mad_outliers_broadcasts_stats(spark):
     assert has_broadcast_join(p)
 
 
-def test_repetition_map_only(spark):
-    """Per-doc repetition signals are pure array HOFs: zero exchanges,
-    and only the three needed columns leave the scan."""
+def test_repetition_single_exchange(spark):
+    """Per-doc repetition signals: exactly ONE exchange (the up-front
+    repartition("doc_id") of the raw documents) — both downstream
+    groupBys are satisfied by that partitioning, and the plan carries
+    no interpreted aggregate() HOF (the round-3 2x-perf trap).  Only
+    the two needed columns leave the scan."""
     p = _plan(spark, "q_repetition")
-    assert count_exchanges(p) == 0
+    assert count_exchanges(p) == 1
+    assert "aggregate(" not in p, "interpreted HOF aggregate crept back in"
     (cols,) = read_schemas(p)
     assert "text" in cols and len(cols) <= 2
 
