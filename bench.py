@@ -15,7 +15,17 @@ Two timings per query (VERDICT r2 item 3 — BENCH carries both so the
   in an interactive session — matches how the DuckDB baseline was run);
 - cold_reexec: the plan is REBUILT (fresh RDD/shuffle ids, so no stage
   reuse) and consumed via the noop sink — every scan, shuffle, and
-  aggregation re-executes.
+  aggregation re-executes.  spark.catalog.clearCache() runs before
+  every cold run: queries that .cache() an intermediate (the minhash/
+  simhash signature tables) would otherwise serve blocks materialized
+  during the warm passes via CacheManager's analyzed-plan match, and
+  the dominant signature scan would never re-execute (round-3 ADVICE).
+
+Per-query DuckDB oracle timings (queries_oracle_ms) are re-measured in
+the same process against the same parquet dir using each query's
+declared oracle SQL (BASELINE.md protocol: default threads, warm =
+second run), so ratio-vs-baseline is computable from this one JSON
+line without cross-referencing BASELINE.md prose.
 """
 
 from __future__ import annotations
@@ -92,10 +102,37 @@ def main() -> None:
         )
         best = float("inf")
         for _ in range(2):  # best-of-2: damps scheduler noise, each run
+            # Drop every cached relation first: CacheManager matches the
+            # rebuilt (semantically identical) analyzed plan and would
+            # serve warm-pass blocks for queries that .cache() interior
+            # results, silently skipping their dominant stage.
+            spark.catalog.clearCache()
             t = time.time()  # is still a full rebuild + re-execution
             builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t)
         cold[name] = round(best, 4)
+
+    # DuckDB oracle rerun (BASELINE.md protocol): same parquet views,
+    # default threads, warm = second run; None for rows-only queries.
+    oracle_ms: dict[str, float | None] = {}
+    try:
+        from pyspec_spark.oracle import duckdb_connect
+
+        con = duckdb_connect(sf_dir)
+        for name in names:
+            sql = registry.ORACLES.get(name)
+            if sql is None:
+                oracle_ms[name] = None
+                continue
+            dt = float("inf")
+            for _ in range(2):
+                t = time.time()
+                con.execute(sql).fetchdf()
+                dt = time.time() - t  # keep the second (warm) run
+            oracle_ms[name] = round(dt * 1000, 1)
+    except Exception as e:  # noqa: BLE001 — bench must still emit JSON
+        oracle_ms = {n: None for n in names}
+        oracle_ms["_error"] = str(e)[:200]  # type: ignore[assignment]
 
     total = round(sum(times.values()), 4)
     print(
@@ -106,14 +143,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "queries_cold_reexec": cold,
+                "queries_oracle_ms": oracle_ms,
                 "cold_reexec_total": round(sum(cold.values()), 4),
                 "sf": sf,
                 "startup_sec": round(startup, 2),
                 "n_queries": len(times),
                 "methodology": (
                     "warm = repeat collect (plan+shuffle-stage reuse); "
-                    "cold_reexec = rebuilt plan, noop sink, every stage "
-                    "re-executed"
+                    "cold_reexec = rebuilt plan, caches cleared, noop "
+                    "sink, every stage re-executed; oracle_ms = DuckDB "
+                    "warm rerun of the declared oracle SQL, same dir"
                 ),
             }
         )

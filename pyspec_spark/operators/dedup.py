@@ -42,14 +42,25 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
     emits an empty array rather than a truncated partial shingle (which
     concat_ws would otherwise fabricate by skipping the out-of-bounds
     null tokens) — keeping Spark and the DuckDB oracle replay identical
-    for sub-k documents."""
+    for sub-k documents.
+
+    Built as a zip_with chain over k aligned slices, NEVER as
+    ``element_at(toks, i + j)`` inside a transform lambda: Catalyst
+    inlines the ``split()`` expression into every element_at reference,
+    re-parsing the text once per shingle position per lambda — the
+    quality.py/text.py HOF trap.  The zip_with form references the
+    split a constant 2(k-1)+1 times, keeping the build linear (this
+    single change plus the aggregation-side signature rewrite took the
+    full minhash cold re-execution from ~150 s to seconds at sf0.1).
+    When size(toks) >= k every slice has exactly size-k+1 elements, so
+    zip_with never pads; the guard covers the rest."""
     toks = F.split(F.col(text_col), " ")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
-        ),
-    )
+    n_sh = F.greatest(F.size(toks) - (k - 1), F.lit(1))
+    sh = F.slice(toks, 1, n_sh)
+    for j in range(1, k):
+        sh = F.zip_with(
+            sh, F.slice(toks, j + 1, n_sh), lambda a, b: F.concat_ws(" ", a, b)
+        )
     guarded = F.when(F.size(toks) >= k, F.array_distinct(sh)).otherwise(
         F.array().cast("array<string>")
     )
@@ -63,27 +74,43 @@ def minhash_signatures(
     n_hashes: int = 64,
     shingle_k: int = 2,
 ) -> DataFrame:
-    """(id, sig ARRAY<STRING>[n_hashes]) — one pass, no shuffle.
+    """(id, sig ARRAY<STRING>[n_hashes]) via explode + n_hashes min
+    aggregates — one shuffle of per-doc partial signatures.
 
     sig[i] = min over shingles of md5(shingle || '#' || i); the salt is
     folded in by concatenation.  md5 hex digests are engine-portable, so
     the signatures (and everything derived from them) hash-match DuckDB.
+
+    Shape rationale (round 4): the obvious map-only form —
+    transform(sequence(0, n-1), i -> array_min(transform(shingles, s ->
+    md5(...)))) — re-evaluates the entire shingle build once per salt
+    (Catalyst inlines the array expression into the outer lambda), and
+    the nested lambdas run interpreted, not codegen: measured ~150 s
+    for a full re-execution at sf0.1.  Exploding the shingles through a
+    Generate barrier and taking n_hashes min() aggregates keeps every
+    md5 in whole-stage codegen and evaluates the shingle build once per
+    document: ~1 s for the same work.  The groupBy(id) shuffle carries
+    only map-side partial signatures (n_docs x n_hashes x 32 hex chars
+    per partition), far below corpus bytes — scale-safe.
     """
     with_sh = shingles(df, text_col, shingle_k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                F.col("_shingles"),
-                lambda s: F.md5(F.concat(s, F.lit("#"), i.cast("string"))),
-            )
-        ),
+    # Sub-k-token docs have no shingles and therefore no signature: the
+    # plain (inner) explode drops them so they can never surface as
+    # degenerate near-dup pairs.
+    ex = with_sh.select(
+        F.col(id_col).alias("id"), F.explode("_shingles").alias("_sh")
     )
-    # Sub-k-token docs have no shingles and therefore no signature: drop
-    # them here so they can never surface as degenerate near-dup pairs.
+    mins = [
+        F.min(F.md5(F.concat(F.col("_sh"), F.lit(f"#{i}")))).alias(f"_m{i}")
+        for i in range(n_hashes)
+    ]
     return (
-        with_sh.where(F.size("_shingles") > 0)
-        .select(F.col(id_col).alias("id"), sig.alias("sig"))
+        ex.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id",
+            F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig"),
+        )
     )
 
 
@@ -153,9 +180,20 @@ def minhash_neardup(
     bands: int = 16,
     shingle_k: int = 2,
     threshold: float = 0.5,
+    pre_partition: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: candidates + signature-estimated
-    Jaccard >= threshold.  Output: (id_a, id_b, est_jaccard)."""
+    Jaccard >= threshold.  Output: (id_a, id_b, est_jaccard).
+
+    ``pre_partition``: optional repartition(n, id_col) of the raw text
+    before signature computation.  The md5 work happens in the scan
+    stage's map side; a single-file local input gives it one task.  Set
+    to local parallelism when the input has fewer partitions than
+    cores (the declared query does); leave None on a real cluster,
+    where the corpus scan already has ample partitions and an up-front
+    full-text shuffle would be pure cost."""
+    if pre_partition:
+        df = df.repartition(pre_partition, id_col)
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).cache()
     cand = lsh_candidates(sigs, bands, n_hashes=n_hashes)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
@@ -186,36 +224,39 @@ def simhash32(
     pandas-UDF variant (`simhash`) remains available for collision
     headroom at corpus scale.  All arithmetic stays below 2^32, so the
     double-precision intermediates (pow/floor) are exact."""
+    # Explode tokens and take the per-bit majority with 32 conditional
+    # sum() aggregates — fully whole-stage-codegen, and the token-hash
+    # expression is evaluated exactly once per token.  (The earlier
+    # array-HOF form referenced the _th32 hash array from 33 lambda
+    # positions; Catalyst inlines the array build into each reference,
+    # re-hashing every token 33x per row, and HOF lambdas run
+    # interpreted — the same trap fixed in minhash_signatures.)
+    # split() always yields >= 1 element for non-null text, so no doc
+    # is lost by the explode; the groupBy(id) shuffle carries only
+    # per-doc partial bit counts (33 longs per doc per partition).
     toks = F.split(F.col(text_col), " ")
-    hashes = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+    ex = df.select(F.col(id_col).alias("id"), F.explode(toks).alias("_tok"))
+    sums = [
+        F.sum(
+            (F.col("_h").bitwiseAND(F.lit(1 << b)) != 0).cast("int")
+        ).alias(f"_b{b}")
+        for b in range(32)
+    ]
+    agg = (
+        ex.select("id", h.alias("_h"))
+        .groupBy("id")
+        .agg(F.count("*").alias("_n"), *sums)
     )
-    # Per-bit majority as a Python-level sum of 32 literal-mask filters:
-    # (h & (1<<b)) != 0 is a single JVM bitwise op per token, vs the
-    # lambda-variable formulation's floor(h / pow(2.0, b)) — pow with a
-    # non-literal exponent is transcendental; the switch measured 1.7x
-    # on the full near-dup pipeline (2.7 s -> 1.6 s full re-exec at
-    # sf0.1).  Bit values are identical (the DuckDB oracle keeps the
-    # arithmetic form; both extract the same bits).
-    n = F.size(F.col("_th32"))
     bit_terms = [
         F.when(
-            F.lit(2)
-            * F.size(
-                F.filter(
-                    F.col("_th32"),
-                    lambda hh: hh.bitwiseAND(F.lit(1 << b)) != 0,
-                )
-            )
-            > n,
+            F.lit(2) * F.col(f"_b{b}") > F.col("_n"),
             F.lit(1 << b).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
         for b in range(32)
     ]
     sig = sum(bit_terms[1:], bit_terms[0])
-    return df.withColumn("_th32", hashes).select(
-        F.col(id_col).alias("id"), sig.alias("simhash")
-    )
+    return agg.select("id", sig.alias("simhash"))
 
 
 def simhash(
@@ -258,6 +299,7 @@ def simhash_neardup(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    pre_partition: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup over the 32-bit md5 signature: band blocking
     (4 x 8-bit bands: by pigeonhole, two docs within hamming distance 3
@@ -267,7 +309,11 @@ def simhash_neardup(
 
     `max_bucket` drops degenerate band buckets (a band value collecting
     thousands of docs means quadratic candidate fan-out — the hot-key
-    mitigation at corpus scale, same policy as the MinHash LSH join)."""
+    mitigation at corpus scale, same policy as the MinHash LSH join).
+    `pre_partition`: see minhash_neardup — local-parallelism knob for
+    few-partition inputs; leave None on a real cluster."""
+    if pre_partition:
+        df = df.repartition(pre_partition, id_col)
     sh = simhash32(df, id_col, text_col).cache()
     banded = sh.select(
         "id",
@@ -309,6 +355,7 @@ def simhash_neardup64(
     text_col: str = "text",
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    pre_partition: int | None = None,
 ) -> DataFrame:
     """Corpus-scale SimHash near-dup: 64-bit signature (pandas-UDF
     majority vote), 4 x 16-bit band blocking — 65 536 values per band,
@@ -317,6 +364,8 @@ def simhash_neardup64(
     Same pigeonhole recall guarantee to hamming 3, same bucket cap and
     bit_count(xor) verification; engine-specific hash basis -> verified
     by pytest (planted dups + scaling probe), not a DuckDB oracle."""
+    if pre_partition:
+        df = df.repartition(pre_partition, id_col)
     sh = simhash(df, id_col, text_col).cache()
     banded = sh.select(
         "id",

@@ -220,7 +220,11 @@ WHERE ROUND(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0,
 @query("q_minhash_neardup", oracle=_MINHASH_ORACLE)
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return minhash_neardup(d, threshold=0.8).orderBy("id_a", "id_b")
+    # pre_partition: the local test parquet is a single file (one scan
+    # partition); spread the codegen md5 signature work across cores.
+    return minhash_neardup(
+        d, threshold=0.8, pre_partition=spark.sparkContext.defaultParallelism
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -275,7 +279,9 @@ WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
 @query("q_simhash_neardup", oracle=_SIMHASH_ORACLE)
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return simhash_neardup(d, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_neardup(
+        d, max_hamming=3, pre_partition=spark.sparkContext.defaultParallelism
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -291,7 +297,9 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("q_simhash_neardup64")
 def q_simhash_neardup64(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return simhash_neardup64(d, max_hamming=3).orderBy("id_a", "id_b")
+    return simhash_neardup64(
+        d, max_hamming=3, pre_partition=spark.sparkContext.defaultParallelism
+    ).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
