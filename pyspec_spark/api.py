@@ -63,7 +63,11 @@ class SpecScanFrame:
         """Union of the `#L` column lists of the member scans, in first-
         seen order (scans in one file usually share columns; a
         concatenation across differing `#L` sets unions them, missing
-        counters read as null — SURVEY §1.2 schema-union policy)."""
+        counters read as null — SURVEY §1.2 schema-union policy).
+        Memoized: the metadata collect runs once per frame."""
+        cached = self.__dict__.get("_columns_cache")
+        if cached is not None:
+            return cached
         metas = (
             self._parent.scans()
             .where(F.col("scan_number").isin(self.scan_numbers))
@@ -75,6 +79,7 @@ class SpecScanFrame:
             for c in r["columns"]:
                 if c not in out:
                     out.append(c)
+        self.__dict__["_columns_cache"] = out
         return out
 
     # -- data --------------------------------------------------------------
@@ -97,8 +102,20 @@ class SpecScanFrame:
         )
 
     def __getattr__(self, name: str) -> DataFrame:
+        """`scan.Detector` attribute access — like the reference API,
+        an unknown counter RAISES instead of silently yielding an
+        all-null column (round-3 ADVICE: scan.Detecotr should be an
+        error, not an empty result).  Costs one memoized metadata
+        lookup; use `.col(name)` to bypass the check for dynamic
+        counters known to exist only in some member scans."""
         if name.startswith("_") or name in ("df", "scan_numbers"):
             raise AttributeError(name)
+        known = self.columns()
+        if name not in known:
+            raise AttributeError(
+                f"counter {name!r} is not in any member scan's #L list; "
+                f"available: {known}"
+            )
         return self.col(name)
 
     def binned(self) -> DataFrame:

@@ -192,10 +192,13 @@ def train_centroids(
     sample: int = 2000,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Deterministic k-means-lite on a driver-side sample (IVF training
-    is always a sample-based step; the full data never leaves executors)."""
-    rows = emb.select(vec_col).limit(sample).collect()
+    is always a sample-based step; the full data never leaves executors).
+    Sampled orderBy(id).limit(sample) so the model depends on the data,
+    not the partition layout (see train_centroids_df)."""
+    rows = emb.orderBy(id_col).limit(sample).select(vec_col).collect()
     X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=n_cells, replace=False)]
@@ -276,10 +279,19 @@ def train_centroids_df(
     sample: int = 2000,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> DataFrame:
-    """Deterministic k-means-lite trained INSIDE the plan: limit(sample)
-    -> coalesce(1) -> numpy Lloyd in mapInPandas -> 1-row centroid
-    model.  Same algorithm as `train_centroids`, no driver collect."""
+    """Deterministic k-means-lite trained INSIDE the plan: orderBy(id)
+    .limit(sample) -> coalesce(1) -> numpy Lloyd in mapInPandas ->
+    1-row centroid model.  Same algorithm as `train_centroids`, no
+    driver collect.
+
+    The sample is ordered by ``id_col`` before the limit (compiles to
+    TakeOrderedAndProject — a bounded per-partition top-``sample``, not
+    a full sort), so the trained centroids are a function of the DATA,
+    not of partition layout: a repartitioned or re-written input trains
+    the identical model (round-3 ADVICE; a bare limit() takes whichever
+    rows arrive first)."""
 
     def fit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = [
@@ -303,8 +315,9 @@ def train_centroids_df(
         yield pd.DataFrame({"cents": [C.tolist()]})
 
     return (
-        emb.select(vec_col)
+        emb.orderBy(id_col)
         .limit(sample)
+        .select(vec_col)
         .coalesce(1)
         .mapInPandas(fit, "cents array<array<double>>")
     )

@@ -59,6 +59,13 @@ def test_counter_attribute_access(spark, spec_dir):
     rows2 = sf[3].Detector.collect()
     assert {r["point_index"]: r["Detector"] for r in rows2} == wide
     assert len(wide) == truth["scans"][3]["n_points"]
+    # a misspelled counter raises like the reference API (round-3
+    # ADVICE: no silent all-null DataFrame), and the error names the
+    # available counters
+    with pytest.raises(AttributeError, match="Detecotr"):
+        sf[3].Detecotr
+    # .col() stays unchecked for dynamic/partial counters
+    assert sf[3].col("Detecotr").collect()[0]["Detecotr"] is None
 
 
 def test_concatenate_and_bin_modes(spark, spec_dir):

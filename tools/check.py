@@ -26,6 +26,12 @@ def main() -> int:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            print(
+                "usage: check.py [--json OUT.json] [sf_dir] [query ...]",
+                file=sys.stderr,
+            )
+            return 2
         json_out = args[i + 1]
         del args[i : i + 2]
     sf_dir = args.pop(0) if args and "/" in args[0] else "/root/testdata/sf0.01"
