@@ -1,10 +1,12 @@
 """Public-format image codecs in pure numpy + stdlib — SURVEY.md §2.12 L7.
 
 Real decoders for the multimodal column: Netpbm binary PPM (P6) / PGM
-(P5) and PNG (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced,
-all five scanline filters) via stdlib ``zlib``/``struct``.  Both formats
-are published specs (Netpbm man pages; PNG = RFC 2083 / ISO 15948), so
-nothing here depends on codec libraries absent from this container.
+(P5), PNG (8-bit gray / gray+alpha / RGB / RGBA, non-interlaced, all
+five scanline filters) via stdlib ``zlib``/``struct``, and baseline
+JPEG (ITU-T T.81, gray + 4:4:4/4:2:0 color, restart markers — see
+``operators/jpeg.py``).  All are published specs (Netpbm man pages;
+PNG = RFC 2083 / ISO 15948; JPEG = ITU-T T.81 with Annex K defaults),
+so nothing here depends on codec libraries absent from this container.
 
 Multi-frame ("video") payloads are plain concatenations of single-frame
 encodings: both formats are self-delimiting (PPM by its header + exact
@@ -305,10 +307,17 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 # Frame-stream API used by operators/multimodal.py
 # ---------------------------------------------------------------------------
 
+def _decode_jpeg_one(data: bytes, pos: int):
+    from pyspec_spark.operators.jpeg import decode_jpeg_one
+
+    return decode_jpeg_one(data, pos)
+
+
 _DECODERS = {
     "ppm": _decode_pnm_one,
     "pgm": _decode_pnm_one,
     "png": _decode_png_one,
+    "jpeg": _decode_jpeg_one,
 }
 
 
@@ -321,6 +330,10 @@ def _skip_one(codec: str, data: bytes, pos: int) -> int:
         if data[pos : pos + 8] != PNG_SIG:
             raise ValueError(f"bad PNG signature at offset {pos}")
         return _png_end(data, pos)
+    if codec == "jpeg":
+        from pyspec_spark.operators.jpeg import jpeg_end
+
+        return jpeg_end(data, pos)
     raise ValueError(f"unknown codec {codec!r}")
 
 

@@ -5,11 +5,12 @@ with a typed metadata struct; decode / feature-extract / resize /
 frame-sample run as Arrow-batched pandas functions over `mapInPandas`.
 
 Image decode is REAL for the public formats implemented in
-``operators/codecs.py`` (binary PPM/PGM and 8-bit PNG, multi-frame via
-concatenation) — no codec library needed.  Formats whose decoders
-genuinely aren't in this container (jpeg/wav/mp4) raise
-NotImplementedError at a clearly-marked boundary, and the deterministic
-`fake-rgb8` codec remains for plumbing tests.
+``operators/codecs.py`` / ``operators/jpeg.py`` (binary PPM/PGM, 8-bit
+PNG, and baseline JPEG per ITU-T T.81; multi-frame via concatenation) —
+no codec library needed.  The one format whose decoder genuinely isn't
+in this container (mp4) raises NotImplementedError at a clearly-marked
+boundary, and the deterministic `fake-rgb8` codec remains for plumbing
+tests.
 
 Scale notes: one media blob never leaves its executor; decode is
 per-row inside Arrow batches; frame sampling happens *before* feature
@@ -56,9 +57,9 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
-DECODED_CODECS = ("ppm", "pgm", "png")      # real image decoders (codecs.py)
+DECODED_CODECS = ("ppm", "pgm", "png", "jpeg")  # real image decoders (codecs.py)
 AUDIO_CODECS = ("wav",)                     # real audio decoder (codecs.py)
-STUBBED_CODECS = ("jpeg", "mp4")            # decoder libs absent from container
+STUBBED_CODECS = ("mp4",)                   # decoder libs absent from container
 
 
 def decode_frame(codec: str, payload: bytes, width: int, height: int, frame_id: int) -> np.ndarray:
@@ -201,6 +202,38 @@ def make_real_media(
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def make_mixed_media(
+    spark: SparkSession, n: int = 18, frames: int = 4, width: int = 16, height: int = 12
+) -> DataFrame:
+    """Media table mixing all three real image codecs: id%3==0 -> PNG
+    (cycling scanline filters), id%3==1 -> multi-frame PPM "video",
+    id%3==2 -> baseline JPEG (cycling 4:4:4 / 4:2:0 sampling, one row
+    per cycle with restart markers).  The dominant real-world format is
+    first-class here, not a stub boundary."""
+    from pyspec_spark.operators.codecs import encode_png, encode_ppm
+    from pyspec_spark.operators.jpeg import encode_jpeg
+
+    rows = []
+    for i in range(n):
+        if i % 3 == 0:
+            payload = encode_png(synth_image(i, 0, width, height), filter_type=i // 3 % 5)
+            rows.append((i, "image", "png", width, height, 1, bytearray(payload)))
+        elif i % 3 == 1:
+            payload = b"".join(
+                encode_ppm(synth_image(i, f, width, height)) for f in range(frames)
+            )
+            rows.append((i, "video", "ppm", width, height, frames, bytearray(payload)))
+        else:
+            payload = encode_jpeg(
+                synth_image(i, 0, width, height),
+                quality=92,
+                subsampling="420" if i % 2 else "444",
+                restart_interval=2 if i % 9 == 2 else 0,
+            )
+            rows.append((i, "image", "jpeg", width, height, 1, bytearray(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def extract_features(
     media: DataFrame, sample_every: int = 2
 ) -> DataFrame:
@@ -262,6 +295,12 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                 elif codec == "pgm":
                     # pgm decode replicates gray into RGB; channel 0 is it
                     payload = b"".join(encode_pgm(fr[:, :, 0]) for fr in frames)
+                elif codec == "jpeg":
+                    from pyspec_spark.operators.jpeg import encode_jpeg
+
+                    # lossy re-encode at high quality, same policy as any
+                    # real image pipeline's jpeg->jpeg resize
+                    payload = b"".join(encode_jpeg(fr, quality=95) for fr in frames)
                 else:
                     raise NotImplementedError(
                         f"resize for codec {codec!r}: no encoder available"

@@ -32,7 +32,7 @@ from pyspec_spark.operators.dedup import (
     simhash_neardup,
     simhash_neardup64,
 )
-from pyspec_spark.operators.multimodal import extract_features, make_real_media
+from pyspec_spark.operators.multimodal import extract_features
 from pyspec_spark.operators.similarity import lsh_topk_df
 from pyspec_spark.operators.text import BPE_ISH, fingerprint, token_counts
 from pyspec_spark.registry import query
@@ -350,15 +350,18 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # L7 — multimodal feature extraction over mapInPandas (rows-only: DuckDB
-# cannot decode PNG/PPM).  The payloads are REAL encoded bytes (PNG
-# images across all five scanline filters + concatenated-PPM "videos",
-# operators/codecs.py); decode runs inside mapInPandas on executors and
-# the means are golden-tested against closed-form values in
-# tests/test_images.py.
+# cannot decode PNG/PPM/JPEG).  The payloads are REAL encoded bytes —
+# PNG images across all five scanline filters, concatenated-PPM
+# "videos", and baseline JPEG in both 4:4:4 and 4:2:0 sampling with
+# restart markers (operators/codecs.py, operators/jpeg.py); decode runs
+# inside mapInPandas on executors and the means are golden-tested
+# against closed-form / numpy-roundtrip values in tests/test_codecs.py.
 # ---------------------------------------------------------------------------
 @query("q_multimodal_features")
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = make_real_media(spark, n=16, frames=4)
+    from pyspec_spark.operators.multimodal import make_mixed_media
+
+    media = make_mixed_media(spark, n=18, frames=4)
     return (
         extract_features(media, sample_every=2)
         .select(

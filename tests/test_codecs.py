@@ -328,8 +328,15 @@ def test_q_multimodal_features_runs_on_real_bytes(spark):
     from pyspec_spark.queries.llm_advanced import q_multimodal_features
 
     out = q_multimodal_features(spark, "/root/testdata/sf0.001").collect()
-    assert len(out) == 8 * 1 + 8 * 2
-    # spot-check a golden: media 0 frame 0 mean_r is exactly 50.0
+    # mixed corpus (n=18): 6 PNG images x1 + 6 PPM videos x2 sampled
+    # frames + 6 JPEG images x1
+    assert len(out) == 6 * 1 + 6 * 2 + 6 * 1
+    # spot-check a golden: media 0 (PNG, lossless) frame 0 mean_r is exactly 50.0
     first = out[0]
     assert (first["media_id"], first["frame_id"]) == (0, 0)
     assert first["mean_r"] == pytest.approx(50.0)
+    # jpeg rows (media_id % 3 == 2) are lossy: mean_r within 2 of source
+    for r in out:
+        if r["media_id"] % 3 == 2:
+            src = synth_image(r["media_id"], 0)
+            assert abs(r["mean_r"] - float(src[:, :, 0].mean())) < 2.0
