@@ -403,11 +403,24 @@ def simhash_neardup64(
     )
 
 
+def _cc_checkpointer(edges: DataFrame, checkpoint_dir: str | None):
+    """Checkpoint strategy for the iterative CC loops: localCheckpoint
+    (executor-local blocks, fast, lost on executor death) by default;
+    with ``checkpoint_dir`` set, reliable ``checkpoint()`` into that
+    directory (HDFS/object-store path on a real cluster) — the 100 TB
+    posture, where a lost executor must not restart the whole loop."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint(eager=True)
+    edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint(eager=True)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list by iterative
     min-label propagation: every node's label converges to the smallest
@@ -420,23 +433,24 @@ def connected_components(
 
     Execution model (the standard Spark iterative pattern, GraphX-style):
     each round is one join + keyed min-aggregation, materialized eagerly
-    with the convergence check; `localCheckpoint` truncates lineage so
+    with the convergence check; checkpointing truncates lineage so
     round N's plan doesn't embed rounds 1..N-1.  Rounds needed = graph
     diameter; near-dup components are shallow (dups of a common source),
-    so this terminates in a handful of rounds.  At 100 TB scale the same
-    loop runs with reliable checkpointing instead of local; for
-    adversarial chain-shaped graphs use `connected_components_star`
-    below (O(log diameter) rounds).
+    so this terminates in a handful of rounds.  At 100 TB scale pass
+    ``checkpoint_dir`` (an HDFS/object-store path) to switch from
+    localCheckpoint to reliable checkpointing; for adversarial
+    chain-shaped graphs use `connected_components_star` below
+    (O(log diameter) rounds).
     """
+    ckpt = _cc_checkpointer(edges, checkpoint_dir)
     adj = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     adj = adj.union(adj.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    adj = adj.localCheckpoint(eager=True)
+    adj = ckpt(adj)
 
-    labels = (
+    labels = ckpt(
         adj.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -444,7 +458,7 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("nbr_min"))
         )
-        stepped = (
+        stepped = ckpt(
             labels.join(nbr_min, labels["node"] == nbr_min["a"], "left")
             .select(
                 "node",
@@ -453,7 +467,6 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = stepped.where(F.col("label") < F.col("old_label")).count()
         labels = stepped.select("node", "label")
@@ -467,6 +480,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -486,12 +500,12 @@ def connected_components_star(
     min-label loop).  Returns ``(node, component)``.
     """
     # undirected closure, as (u, v) pairs both ways
+    ckpt = _cc_checkpointer(edges, checkpoint_dir)
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    e = (
+    e = ckpt(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
 
     def star(cur: DataFrame, large: bool) -> DataFrame:
@@ -512,10 +526,9 @@ def connected_components_star(
             .distinct()
         )
         # keep both directions so neighbor minima see every edge
-        return (
+        return ckpt(
             out.union(out.select(F.col("v").alias("u"), F.col("u").alias("v")))
             .distinct()
-            .localCheckpoint(eager=True)
         )
 
     cur = e

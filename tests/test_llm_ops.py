@@ -304,9 +304,14 @@ def test_multimodal_plumbing(spark):
     f1 = decode_frame("fake-rgb8", b"\x01" * 32, 16, 12, 0)
     f2 = decode_frame("fake-rgb8", b"\x01" * 32, 16, 12, 0)
     np.testing.assert_array_equal(f1, f2)
-    # jpeg stays a stubbed boundary (decoder lib absent from container);
-    # png/ppm/pgm decode for real — tests/test_codecs.py
+    # mp4 stays the lone stubbed boundary (decoder lib absent from the
+    # container); png/ppm/pgm/jpeg decode for real — tests/test_codecs.py
+    # and tests/test_jpeg.py
     with pytest.raises(NotImplementedError):
+        decode_frame("mp4", b"\x00\x00\x00\x18ftypmp42", 4, 4, 0)
+    # jpeg is now a real decoder: truncated bytes are a ValueError, not
+    # a stub boundary
+    with pytest.raises(ValueError):
         decode_frame("jpeg", b"\xff\xd8\xff", 4, 4, 0)
 
 
@@ -373,6 +378,44 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_checkpoint_dir(spark, tmp_path):
+    """With ``checkpoint_dir`` set, both CC variants run on reliable
+    checkpoint() instead of localCheckpoint — same results on the same
+    planted graph, and the directory actually receives checkpoint data
+    (proving the reliable path was taken).  This is the callable form
+    of the docstring's 'at 100 TB run with reliable checkpointing'."""
+    import os
+
+    from pyspec_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "src bigint, dst bigint",
+    )
+    expect = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    for fn, sub in [
+        (connected_components, "minlabel"),
+        (connected_components_star, "star"),
+    ]:
+        ckdir = str(tmp_path / sub)
+        got = {
+            r["node"]: r["component"]
+            for r in fn(edges, checkpoint_dir=ckdir).collect()
+        }
+        assert got == expect, sub
+        written = [
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(ckdir)
+            for f in fs
+        ]
+        assert written, f"{sub}: no reliable checkpoint data written to {ckdir}"
 
 
 def test_connected_components_empty_edges(spark):

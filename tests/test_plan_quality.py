@@ -327,3 +327,28 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         builder(spark, SF)
         new = job_ids() - before
         assert not new, f"{name} ran Spark job(s) {sorted(new)} at plan build"
+
+
+def test_dedup_clusters_job_count_bounded(spark):
+    """Chaos-test the zero-jobs gate's exemption boundary (VERDICT r3
+    item 5): q_dedup_clusters IS allowed to run jobs while building
+    (iterative min-label propagation), but the count must stay bounded
+    by the loop structure — ~3 jobs per round (eager checkpoint +
+    convergence count) x max_iter=25 rounds plus setup and the final
+    collect.  A regression that adds a job per edge or per node would
+    blow well past this."""
+    from pyspec_spark.tables import load
+
+    load(spark, SF)  # source-registration jobs don't count
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None))
+    builder = getattr(
+        registry.QUERIES["q_dedup_clusters"],
+        "__wrapped__",
+        registry.QUERIES["q_dedup_clusters"],
+    )
+    rows = builder(spark, SF).collect()
+    assert rows  # the sf0.01 pair graph is non-empty
+    ran = len(set(tracker.getJobIdsForGroup(None)) - before)
+    bound = 25 * 3 + 6
+    assert ran <= bound, f"CC loop ran {ran} jobs (bound {bound})"
