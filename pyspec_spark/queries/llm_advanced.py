@@ -400,6 +400,89 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L7 audio, ORACLE TWIN (VERDICT r3 item 4) — the windowed RMS / ZCR
+# feature math itself, proven against DuckDB independently of the WAV
+# codec.  Samples are a deterministic integer stream generated IN-PLAN
+# (pure int arithmetic — bit-identical in both engines, unlike
+# sin()+rounding whose last-ulp libm differences could flip a floor);
+# sum of squares stays exact in int64, so sqrt/division are single
+# IEEE ops with one well-defined answer.  tests/test_codecs.py closes
+# the loop by WAV-encoding the same stream and asserting the codec
+# path (extract_audio_features) produces these exact numbers.
+# ---------------------------------------------------------------------------
+_AUDIO_N_MEDIA, _AUDIO_N, _AUDIO_WINDOW = 8, 4096, 512
+
+
+def audio_arr_sample(media_id, k):
+    """The shared sample formula: s in [-32768, 32767], pure integers."""
+    return ((k * 2654435761 + (media_id + 1) * 40503) % 65536) - 32768
+
+
+_AUDIO_ARR_ORACLE = f"""
+WITH m AS (SELECT range AS media_id FROM range({_AUDIO_N_MEDIA})),
+ks AS (SELECT media_id, range AS k FROM m, range({_AUDIO_N})),
+s AS (
+  SELECT media_id, k,
+         ((k * 2654435761 + (media_id + 1) * 40503) % 65536) - 32768 AS smp,
+         (((k - 1) * 2654435761 + (media_id + 1) * 40503) % 65536) - 32768 AS smp_prev
+  FROM ks
+)
+SELECT media_id,
+       CAST(k // {_AUDIO_WINDOW} AS INT) AS window_id,
+       ROUND(SQRT(CAST(SUM(smp * smp) AS DOUBLE) / {_AUDIO_WINDOW}), 6) AS rms,
+       ROUND(CAST(SUM(CASE WHEN k % {_AUDIO_WINDOW} <> 0
+                            AND (smp < 0) <> (smp_prev < 0)
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / {_AUDIO_WINDOW - 1}, 6) AS zcr
+FROM s
+GROUP BY media_id, window_id
+ORDER BY media_id, window_id
+"""
+
+
+@query("q_audio_features_arr", oracle=_AUDIO_ARR_ORACLE)
+def q_audio_features_arr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_media, n, window = _AUDIO_N_MEDIA, _AUDIO_N, _AUDIO_WINDOW
+    mid, k = F.col("media_id"), F.col("k")
+    ks = (
+        spark.range(n_media)
+        .select(F.col("id").alias("media_id"))
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("k"),
+        )
+    )
+    smp = ((k * F.lit(2654435761)) + (mid + 1) * F.lit(40503)) % 65536 - 32768
+    smp_prev = (
+        ((k - 1) * F.lit(2654435761)) + (mid + 1) * F.lit(40503)
+    ) % 65536 - 32768
+    # within-window sign changes only (k % window == 0 starts a window)
+    flip = (
+        F.when(
+            (k % window != 0) & ((smp < 0) != (smp_prev < 0)), F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    return (
+        ks.select(
+            mid,
+            F.floor(k / window).cast("int").alias("window_id"),
+            (smp * smp).alias("sq"),
+            flip.alias("flip"),
+        )
+        .groupBy("media_id", "window_id")
+        .agg(
+            F.round(
+                F.sqrt(F.sum("sq").cast("double") / F.lit(window)), 6
+            ).alias("rms"),
+            F.round(
+                F.sum("flip").cast("double") / F.lit(window - 1), 6
+            ).alias("zcr"),
+        )
+        .orderBy("media_id", "window_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L5 scale path (variant B) — IVF ANN top-k, fully IN-PLAN: centroid
 # training (numpy Lloyd in mapInPandas over a bounded coalesced sample),
 # map-only cell assignment, probe-cell selection from the broadcast

@@ -296,6 +296,48 @@ def test_q_audio_features_declared(spark):
     assert rows == q_audio_features.__wrapped__(spark, "/root/testdata/sf0.001").collect()
 
 
+def test_audio_arr_oracle_twin_matches_codec_path(spark):
+    """q_audio_features_arr (oracle-checked declarative feature math)
+    and extract_audio_features (WAV codec + mapInPandas) must produce
+    IDENTICAL numbers on the same sample stream: encode the query's
+    integer stream as real WAV PCM, run the codec path, compare.  This
+    closes the loop the oracle can't — DuckDB can't parse RIFF, but
+    both engines agree on the math, and the codec path agrees with the
+    math path."""
+    from pyspec_spark.operators.codecs import encode_wav
+    from pyspec_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+    from pyspec_spark.queries.llm_advanced import (
+        _AUDIO_N,
+        _AUDIO_N_MEDIA,
+        _AUDIO_WINDOW,
+        audio_arr_sample,
+        q_audio_features_arr,
+    )
+
+    rows = []
+    for i in range(_AUDIO_N_MEDIA):
+        k = np.arange(_AUDIO_N, dtype=np.int64)
+        s = audio_arr_sample(i, k).astype(np.int16)
+        rows.append((i, "audio", "wav", None, None, _AUDIO_N,
+                     bytearray(encode_wav(s, 16000))))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    codec_rows = {
+        (r["media_id"], r["window_id"]): (round(r["rms"], 6), round(r["zcr"], 6))
+        for r in extract_audio_features(media, window=_AUDIO_WINDOW).collect()
+    }
+    arr_rows = {
+        (r["media_id"], r["window_id"]): (r["rms"], r["zcr"])
+        for r in q_audio_features_arr.__wrapped__(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert codec_rows == arr_rows
+    assert len(arr_rows) == _AUDIO_N_MEDIA * (_AUDIO_N // _AUDIO_WINDOW)
+
+
 def test_resize_non_integer_scale(spark):
     """NN resampling at a non-integer ratio: output pixel (y, x) must
     equal source pixel (y*src_h//dst_h, x*src_w//dst_w) exactly."""
