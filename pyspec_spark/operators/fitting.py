@@ -46,11 +46,17 @@ def fit_groups(
     x: str = "x",
     y: str = "y",
     e: str | None = "e",
+    x_err: str | None = None,
 ) -> DataFrame:
-    """Fit `kinds` (e.g. ["gauss"] or ["linear","gauss"]) to every group."""
+    """Fit `kinds` (e.g. ["gauss"] or ["linear","gauss"]) to every group.
+
+    ``x_err`` names an optional per-point x-uncertainty column; when
+    given, the fit switches from plain least squares to the weighted
+    errors-in-x (ODR / effective-variance) backend — pyspec's `fit.py`
+    offered the same choice of leastsq vs ODR backends per fit."""
     import numpy as np
 
-    from pyspec_spark.functions.fitfuncs import fit_series
+    from pyspec_spark.functions.fitfuncs import fit_series, fit_series_odr
 
     def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
         sid = str(pdf[key].iloc[0]) if len(pdf) else ""
@@ -59,6 +65,11 @@ def fit_groups(
         xs = xs[order]
         ys = pdf[y].to_numpy(dtype=float)[order]
         es = pdf[e].to_numpy(dtype=float)[order] if e and e in pdf else None
+        sxs = (
+            pdf[x_err].to_numpy(dtype=float)[order]
+            if x_err and x_err in pdf
+            else None
+        )
         n_params = sum(
             {"constant": 1, "linear": 2, "power": 2, "gauss": 3, "lor": 3, "pvoight": 4}[k]
             for k in kinds
@@ -78,7 +89,10 @@ def fit_groups(
                     }
                 ]
             )
-        r = fit_series(kinds, xs, ys, es)
+        if sxs is not None:
+            r = fit_series_odr(kinds, xs, ys, es, sxs)
+        else:
+            r = fit_series(kinds, xs, ys, es)
         return pd.DataFrame(
             [
                 {
