@@ -364,19 +364,23 @@ def probe_quality(spark, ks) -> list[str]:
     """Weak scaling of the corpus-quality family (round 3) over the
     salted doc replicas; returns SCALING.md lines."""
     names = ["q_repetition", "q_quality_gate", "q_pmi_bigrams",
-             "q_decontaminate", "q_token_budget"]
+             "q_decontaminate", "q_token_budget", "q_unigram_logprob"]
     lines = [
         "",
         "## Corpus-quality family (weak scaling: k× salted docs)",
         "",
         "Same salted replicas as the near-dup probe.  Shapes under test:",
-        "q_repetition / q_quality_gate are map-only scoring (flat ms =",
+        "q_repetition is explode→groupBy(doc_id, gram) codegen counting",
+        "(post r4 reformulation — one doc-keyed exchange that",
+        "parallelizes); q_quality_gate is map-only scoring (flat ms =",
         "scan parallelized); q_pmi_bigrams' vocabulary grows ×k (count",
         "tables ×k, broadcast side still tiny); q_decontaminate's",
         "benchmark set stays 10 docs while the corpus grows ×k (broadcast",
         "semi-join: corpus-side work ×k, output ~constant);",
         "q_token_budget's per-source window grows ×k with constant",
-        "output (budget cutoff).",
+        "output (budget cutoff); q_unigram_logprob scores docs against a",
+        "corpus-wide unigram LM via broadcast-vocab join (vocab ×k from",
+        "salting — the broadcast stays far under the 10 MB threshold).",
         "",
         "| k | docs | " + " | ".join(names) + " |",
         "|---|---|" + "---|" * len(names),
@@ -401,7 +405,23 @@ def probe_quality(spark, ks) -> list[str]:
 
 
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
+    args = sys.argv[1:]
+    if args and args[0] == "--only-quality":
+        # Re-run ONLY the corpus-quality section (e.g. at k=16/32, where
+        # rebuilding every other replica family would dominate runtime)
+        # and splice it into SCALING.md, which ends with that section.
+        ks = [int(a) for a in args[1:]] or [1, 8, 16, 32]
+        registry.load_all()
+        spark = get_spark("pyspec_spark_scale")
+        section = probe_quality(spark, ks)
+        with open("SCALING.md") as f:
+            doc = f.read()
+        head = doc[: doc.index("\n## Corpus-quality family")]
+        with open("SCALING.md", "w") as f:
+            f.write(head + "\n".join(section) + "\n")
+        print("wrote SCALING.md (quality section)")
+        return
+    ks = [int(a) for a in args] or [1, 2, 4, 8]
     registry.load_all()
     spark = get_spark("pyspec_spark_scale")
     base_rows = spark.read.parquet(f"{SRC}/lineitem.parquet").count()
