@@ -111,42 +111,63 @@ def leastsq_lm(
     p0: np.ndarray,
     max_iter: int = 200,
     tol: float = 1e-10,
+    fixed: np.ndarray | None = None,
+    lower: np.ndarray | None = None,
+    upper: np.ndarray | None = None,
 ) -> dict:
     """Levenberg-Marquardt with numeric Jacobian.
 
     Returns {p, stderr, chi2, n_iter, converged} — the fit-result record
     of `pyspec/fit.py` (params, per-param stderr from the covariance,
-    chi-square)."""
+    chi-square).  ``fixed`` is a boolean mask of parameters held at
+    their p0 value (excluded from the optimization and from dof);
+    ``lower``/``upper`` are box limits enforced by step projection
+    (pyspec fit.py's fixed/limits surface)."""
     x = np.asarray(x, dtype=np.float64)
     y = np.asarray(y, dtype=np.float64)
     e = np.where(np.asarray(e, dtype=np.float64) > 0, e, 1.0)
     p = np.asarray(p0, dtype=np.float64).copy()
+    fixed = (
+        np.zeros(p.size, dtype=bool)
+        if fixed is None
+        else np.asarray(fixed, dtype=bool)
+    )
+    free = np.flatnonzero(~fixed)
+    lo = np.full(p.size, -np.inf) if lower is None else np.asarray(lower, float)
+    hi = np.full(p.size, np.inf) if upper is None else np.asarray(upper, float)
+    p = np.clip(p, lo, hi)
     lam = 1e-3
     res = (y - f(x, p)) / e
     cost = float(res @ res)
-    converged = False
+    converged = free.size == 0  # nothing to optimize is trivially converged
     it = 0
+    H = np.zeros((free.size, free.size))
     for it in range(1, max_iter + 1):
-        # numeric Jacobian of residuals wrt params
-        J = np.empty((x.size, p.size))
-        for j in range(p.size):
+        if free.size == 0:
+            break
+        # numeric Jacobian of residuals wrt the FREE params
+        J = np.empty((x.size, free.size))
+        for col, j in enumerate(free):
             h = 1e-7 * max(abs(p[j]), 1e-3)
             pj = p.copy()
             pj[j] += h
-            J[:, j] = ((y - f(x, pj)) / e - res) / h
+            J[:, col] = ((y - f(x, pj)) / e - res) / h
         g = J.T @ res
         H = J.T @ J
         step_ok = False
         for _ in range(30):
             try:
-                dp = np.linalg.solve(H + lam * np.diag(np.diag(H) + 1e-12), -g)
+                dpf = np.linalg.solve(H + lam * np.diag(np.diag(H) + 1e-12), -g)
             except np.linalg.LinAlgError:
                 lam *= 10
                 continue
-            p_new = p + dp
+            p_new = p.copy()
+            p_new[free] += dpf
+            p_new = np.clip(p_new, lo, hi)
             res_new = (y - f(x, p_new)) / e
             cost_new = float(res_new @ res_new)
             if cost_new < cost:
+                dp_eff = p_new - p
                 p, res, cost = p_new, res_new, cost_new
                 lam = max(lam / 3, 1e-12)
                 step_ok = True
@@ -155,16 +176,18 @@ def leastsq_lm(
         if not step_ok:
             converged = True
             break
-        if abs(float(dp @ dp)) < tol * (1 + float(p @ p)):
+        if abs(float(dp_eff @ dp_eff)) < tol * (1 + float(p @ p)):
             converged = True
             break
-    dof = max(x.size - p.size, 1)
+    dof = max(x.size - free.size, 1)
     chi2 = cost / dof
-    try:
-        cov = np.linalg.inv(H) * chi2
-        stderr = np.sqrt(np.clip(np.diag(cov), 0, None))
-    except np.linalg.LinAlgError:
-        stderr = np.full(p.size, np.nan)
+    stderr = np.zeros(p.size)
+    if free.size:
+        try:
+            cov = np.linalg.inv(H) * chi2
+            stderr[free] = np.sqrt(np.clip(np.diag(cov), 0, None))
+        except np.linalg.LinAlgError:
+            stderr[free] = np.nan
     return {
         "p": p,
         "stderr": stderr,
@@ -175,12 +198,30 @@ def leastsq_lm(
 
 
 def fit_series(
-    kinds: list[str], x: np.ndarray, y: np.ndarray, e: np.ndarray | None = None
+    kinds: list[str],
+    x: np.ndarray,
+    y: np.ndarray,
+    e: np.ndarray | None = None,
+    p0: np.ndarray | None = None,
+    fixed: np.ndarray | None = None,
+    lower: np.ndarray | None = None,
+    upper: np.ndarray | None = None,
 ) -> dict:
-    """fit(x, y, funcs=[...]).go() equivalent: guess -> LM -> record."""
+    """fit(x, y, funcs=[...]).go() equivalent: guess -> LM -> record.
+
+    ``p0`` overrides the moment guess (required for meaningful
+    ``fixed`` masks — a held parameter keeps its p0 value); ``fixed``/
+    ``lower``/``upper`` mirror pyspec fit.py's fixed-params and limits."""
     if e is None:
         e = np.maximum(np.sqrt(np.abs(y)), 1.0)
     f, sizes = composite(kinds)
+    if p0 is not None:
+        out = leastsq_lm(
+            f, x, y, e, np.asarray(p0, dtype=np.float64),
+            fixed=fixed, lower=lower, upper=upper,
+        )
+        out["models"] = list(kinds)
+        return out
     # Sequential guessing (fitfuncs guess-mode behavior for composites):
     # estimate baseline terms first (closed-form polyfit), subtract, then
     # moment-guess the peak terms on the residual — a raw moment guess on
