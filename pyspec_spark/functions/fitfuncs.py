@@ -142,9 +142,7 @@ def leastsq_lm(
     converged = free.size == 0  # nothing to optimize is trivially converged
     it = 0
     H = np.zeros((free.size, free.size))
-    for it in range(1, max_iter + 1):
-        if free.size == 0:
-            break
+    for it in range(1, max_iter + 1) if free.size else []:
         # numeric Jacobian of residuals wrt the FREE params
         J = np.empty((x.size, free.size))
         for col, j in enumerate(free):
@@ -241,7 +239,7 @@ def fit_series(
             resid = resid - MODELS[k][0](x, g)
         guesses.append(g)
     p0 = np.concatenate(guesses)
-    out = leastsq_lm(f, x, y, e, p0)
+    out = leastsq_lm(f, x, y, e, p0, fixed=fixed, lower=lower, upper=upper)
     out["models"] = list(kinds)
     return out
 
@@ -252,6 +250,10 @@ def fit_series_odr(
     y: np.ndarray,
     sy: np.ndarray | None = None,
     sx: np.ndarray | None = None,
+    p0: np.ndarray | None = None,
+    fixed: np.ndarray | None = None,
+    lower: np.ndarray | None = None,
+    upper: np.ndarray | None = None,
 ) -> dict:
     """Weighted errors-in-x fit (pyspec's `fit.py` ODR backend surface,
     SURVEY §2 X4) via the effective-variance method: minimize
@@ -281,8 +283,9 @@ def fit_series_odr(
     sx = np.asarray(sx, dtype=np.float64)
 
     f, _sizes = composite(kinds)
-    seed = fit_series(kinds, x, y, sy)  # ordinary fit seeds p
-    p0 = np.asarray(seed["p"], dtype=np.float64)
+    # ordinary fit seeds p (under the same fixed/limit constraints)
+    seed = fit_series(kinds, x, y, sy, p0=p0, fixed=fixed, lower=lower, upper=upper)
+    p_seed = np.asarray(seed["p"], dtype=np.float64)
     hx = 1e-6 * (np.abs(x) + 1.0)
 
     def ev_model(_x, p):
@@ -293,7 +296,10 @@ def fit_series_odr(
         denom = np.sqrt(sy**2 + (fprime * sx) ** 2)
         return y - (y - fx) / denom
 
-    out = leastsq_lm(ev_model, x, y, np.ones_like(x), p0)
+    out = leastsq_lm(
+        ev_model, x, y, np.ones_like(x), p_seed,
+        fixed=fixed, lower=lower, upper=upper,
+    )
     out["n_iter"] += int(seed["n_iter"])
     out["models"] = list(kinds)
     return out

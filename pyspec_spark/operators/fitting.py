@@ -47,16 +47,42 @@ def fit_groups(
     y: str = "y",
     e: str | None = "e",
     x_err: str | None = None,
+    p0: list[float] | None = None,
+    fixed: list[int] | None = None,
+    limits: dict[int, tuple[float, float]] | None = None,
 ) -> DataFrame:
     """Fit `kinds` (e.g. ["gauss"] or ["linear","gauss"]) to every group.
 
     ``x_err`` names an optional per-point x-uncertainty column; when
     given, the fit switches from plain least squares to the weighted
     errors-in-x (ODR / effective-variance) backend — pyspec's `fit.py`
-    offered the same choice of leastsq vs ODR backends per fit."""
+    offered the same choice of leastsq vs ODR backends per fit.
+
+    ``p0`` / ``fixed`` / ``limits`` mirror fit.py's fixed-params and
+    limits surface, applied to every group: ``fixed`` lists parameter
+    indices held at their ``p0`` value (p0 required in that case),
+    ``limits`` maps parameter index -> (lo, hi) box bounds."""
     import numpy as np
 
-    from pyspec_spark.functions.fitfuncs import fit_series, fit_series_odr
+    from pyspec_spark.functions.fitfuncs import (
+        MODELS,
+        fit_series,
+        fit_series_odr,
+    )
+
+    if fixed and p0 is None:
+        raise ValueError("fixed parameter indices require an explicit p0")
+    n_all = sum(MODELS[k][1] for k in kinds)
+    fixed_mask = None
+    if fixed:
+        fixed_mask = np.zeros(n_all, dtype=bool)
+        fixed_mask[list(fixed)] = True
+    lo_arr = hi_arr = None
+    if limits:
+        lo_arr = np.full(n_all, -np.inf)
+        hi_arr = np.full(n_all, np.inf)
+        for idx, (lo, hi) in limits.items():
+            lo_arr[idx], hi_arr[idx] = lo, hi
 
     def fit_one(pdf: pd.DataFrame) -> pd.DataFrame:
         sid = str(pdf[key].iloc[0]) if len(pdf) else ""
@@ -70,11 +96,7 @@ def fit_groups(
             if x_err and x_err in pdf
             else None
         )
-        n_params = sum(
-            {"constant": 1, "linear": 2, "power": 2, "gauss": 3, "lor": 3, "pvoight": 4}[k]
-            for k in kinds
-        )
-        if len(xs) <= n_params:
+        if len(xs) <= n_all:
             return pd.DataFrame(
                 [
                     {
@@ -89,10 +111,11 @@ def fit_groups(
                     }
                 ]
             )
+        kw = dict(p0=p0, fixed=fixed_mask, lower=lo_arr, upper=hi_arr)
         if sxs is not None:
-            r = fit_series_odr(kinds, xs, ys, es, sxs)
+            r = fit_series_odr(kinds, xs, ys, es, sxs, **kw)
         else:
-            r = fit_series(kinds, xs, ys, es)
+            r = fit_series(kinds, xs, ys, es, **kw)
         return pd.DataFrame(
             [
                 {

@@ -183,3 +183,96 @@ def test_fit_groups_x_err_column_distributed(spark):
         np.testing.assert_allclose(got[sid]["p"], p_local, rtol=1e-9)
         # recovered slope near truth despite x-noise
         assert abs(got[sid]["p"][0] - (1.0 + int(sid))) < 0.1
+
+
+# ---------------------------------------------------------------------------
+# Fixed parameters + box limits (pyspec fit.py surface, SURVEY §2 X4)
+# ---------------------------------------------------------------------------
+def test_fixed_param_held_exactly():
+    """Holding the gaussian center: the fixed parameter must come back
+    bit-identical to its p0 value, stderr 0, while the free params
+    still converge to the constrained optimum."""
+    from pyspec_spark.functions.fitfuncs import fit_series, gauss
+
+    rng = np.random.default_rng(5)
+    x = np.linspace(-5, 5, 101)
+    p_true = np.array([80.0, 0.3, 1.5])
+    y = gauss(x, p_true) + rng.normal(0, 0.5, x.size)
+    held_mu = 0.25  # deliberately slightly off-truth
+    r = fit_series(
+        ["gauss"], x, y,
+        p0=np.array([60.0, held_mu, 1.0]),
+        fixed=np.array([False, True, False]),
+    )
+    assert r["converged"]
+    assert r["p"][1] == held_mu  # exactly, not approximately
+    assert r["stderr"][1] == 0.0
+    np.testing.assert_allclose(r["p"][0], p_true[0], rtol=0.05)
+    np.testing.assert_allclose(r["p"][2], p_true[2], rtol=0.08)
+
+
+def test_limits_clamp_active_bound():
+    """With the amplitude capped below the truth, the fit must land ON
+    the bound (projected LM), and within bounds when they're loose."""
+    from pyspec_spark.functions.fitfuncs import fit_series, gauss
+
+    rng = np.random.default_rng(9)
+    x = np.linspace(-5, 5, 101)
+    y = gauss(x, np.array([100.0, 0.0, 1.0])) + rng.normal(0, 0.3, x.size)
+    r = fit_series(
+        ["gauss"], x, y,
+        p0=np.array([50.0, 0.0, 1.0]),
+        upper=np.array([80.0, np.inf, np.inf]),
+        lower=np.array([0.0, -np.inf, 1e-3]),
+    )
+    assert r["p"][0] == 80.0  # active bound
+    loose = fit_series(
+        ["gauss"], x, y,
+        p0=np.array([50.0, 0.0, 1.0]),
+        upper=np.array([1e6, np.inf, np.inf]),
+        lower=np.array([0.0, -np.inf, 1e-3]),
+    )
+    np.testing.assert_allclose(loose["p"][0], 100.0, rtol=0.03)
+
+
+def test_all_params_fixed_is_trivially_converged():
+    from pyspec_spark.functions.fitfuncs import fit_series
+
+    x = np.linspace(0, 1, 20)
+    y = 2 * x + 1
+    r = fit_series(
+        ["linear"], x, y,
+        p0=np.array([2.0, 1.0]), fixed=np.array([True, True]),
+    )
+    assert r["converged"] and r["n_iter"] == 0
+    assert list(r["p"]) == [2.0, 1.0]
+    assert r["chi2"] == pytest.approx(0.0, abs=1e-20)
+
+
+def test_fit_groups_fixed_and_limits_distributed(spark):
+    """fit_groups(p0/fixed/limits) applies the constrained fit per
+    group: held center identical across groups, amplitudes recovered."""
+    from pyspec_spark.functions.fitfuncs import gauss
+    from pyspec_spark.operators.fitting import fit_groups
+
+    rng = np.random.default_rng(31)
+    rows = []
+    x = np.linspace(-4, 4, 81)
+    for sid, amp in [("a", 40.0), ("b", 90.0)]:
+        y = gauss(x, np.array([amp, 0.5, 1.2])) + rng.normal(0, 0.4, x.size)
+        rows += [(sid, float(xv), float(yv), 1.0) for xv, yv in zip(x, y)]
+    df = spark.createDataFrame(rows, "series_id string, x double, y double, e double")
+    got = {
+        r["series_id"]: r
+        for r in fit_groups(
+            df, ["gauss"], e="e",
+            p0=[50.0, 0.5, 1.0], fixed=[1],
+            limits={0: (0.0, 1000.0)},
+        ).collect()
+    }
+    for sid, amp in [("a", 40.0), ("b", 90.0)]:
+        assert got[sid]["converged"]
+        assert got[sid]["p"][1] == 0.5
+        np.testing.assert_allclose(got[sid]["p"][0], amp, rtol=0.05)
+    with pytest.raises(ValueError, match="p0"):
+        fit_groups(df, ["gauss"], e="e", fixed=[1])
