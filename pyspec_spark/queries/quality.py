@@ -508,3 +508,103 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "bigram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (SURVEY §2.12 L3 extension) — the scrub step every
+# training-data pipeline runs before anything else.  The synthetic
+# documents table contains no organic PII, so the query INJECTS
+# deterministic PII in-plan (email / phone / IPv4 keyed on doc_id —
+# identical arithmetic in both engines) and then scrubs it: the oracle
+# replays injection + redaction and the md5 of the scrubbed text is
+# compared hash-exactly.  Map-only (no exchange): regex machinery runs
+# where the scan runs, which is what survives 100 TB.
+#
+# Regex notes: patterns restricted to the Java-regex ∩ RE2 common
+# dialect (char classes, bounded repeats, \b word boundaries); DuckDB
+# regexp_replace needs the 'g' flag for global replacement, Spark
+# replaces globally by default.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+_PII_PHONE = "\\b555-[0-9]{4}\\b"
+_PII_IP = "\\b[0-9]{1,3}([.][0-9]{1,3}){3}\\b"
+
+_PII_ORACLE = (
+    """
+WITH tainted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id
+              || '@example.com or call 555-'
+              || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+           AS text
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '"""
+    + _PII_EMAIL
+    + """')) AS n_email,
+         len(regexp_extract_all(text, '"""
+    + _PII_PHONE
+    + """')) AS n_phone
+  FROM tainted
+)
+SELECT doc_id, n_email, n_phone,
+       len(regexp_extract_all(clean, '"""
+    + _PII_IP
+    + """')) + len(regexp_extract_all(clean, '"""
+    + _PII_EMAIL
+    + """')) AS n_left,
+       md5(clean) AS clean_md5
+FROM (
+  SELECT doc_id, n_email, n_phone,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text, '"""
+    + _PII_EMAIL
+    + """', '<EMAIL>', 'g'),
+             '"""
+    + _PII_PHONE
+    + """', '<PHONE>', 'g'),
+           '"""
+    + _PII_IP
+    + """', '<IP>', 'g') AS clean
+  FROM counted
+)
+"""
+)
+
+
+@query("q_pii_scrub", oracle=_PII_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tainted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(tainted, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(tainted, F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(tainted, F.lit(_PII_PHONE)).alias("n_phone"),
+        (
+            F.regexp_count(clean, F.lit(_PII_IP))
+            + F.regexp_count(clean, F.lit(_PII_EMAIL))
+        ).alias("n_left"),
+        F.md5(clean).alias("clean_md5"),
+    )

@@ -90,7 +90,9 @@ def test_dedup_docs_single_shuffle(spark):
     assert count_exchanges(p) == 1
 
 
-@pytest.mark.parametrize("name", ["q_norm", "q_filter_pred", "q_math_funcs"])
+@pytest.mark.parametrize(
+    "name", ["q_norm", "q_filter_pred", "q_math_funcs", "q_pii_scrub"]
+)
 def test_maponly_queries_have_no_shuffle(spark, name):
     p = _plan(spark, name)
     assert count_exchanges(p) == 0, f"{name} should be map-only"

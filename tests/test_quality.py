@@ -203,3 +203,46 @@ def test_embed_quant_golden(spark):
     # label 7: vec 0's scale = 63/255 -> max err <= scale/2; vec 1 exact
     assert got[7]["worst_err"] <= (63 / 255) / 2 + 1e-9
     assert got[7]["n_vecs"] == 2
+
+
+# ---------------------------------------------------------------------------
+# PII scrub (r4)
+# ---------------------------------------------------------------------------
+def test_pii_scrub_redacts_everything(spark):
+    """Every doc gets exactly one injected email/phone/IP and the scrub
+    must leave ZERO matchable PII behind (n_left counts email+IP
+    patterns over the scrubbed text); redaction markers present."""
+    from pyspec_spark.queries.quality import q_pii_scrub
+
+    rows = q_pii_scrub.__wrapped__(spark, SF).collect()
+    assert rows
+    assert all(r["n_email"] == 1 for r in rows)
+    assert all(r["n_phone"] == 1 for r in rows)
+    assert all(r["n_left"] == 0 for r in rows)
+    # md5s are all distinct (text differs per doc) and stable
+    assert len({r["clean_md5"] for r in rows}) == len(rows)
+
+
+def test_pii_scrub_markers_in_clean_text(spark):
+    """Spot-check the actual scrubbed string on a handcrafted doc: the
+    three markers appear, the raw PII does not."""
+    from pyspec_spark.queries.quality import _PII_EMAIL, _PII_IP, _PII_PHONE
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("x y z",)], "text string")
+    clean = df.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.concat(
+                        F.col("text"),
+                        F.lit(" a.b-c@mail.example.org 555-0042 192.168.1.10"),
+                    ),
+                    _PII_EMAIL, "<EMAIL>",
+                ),
+                _PII_PHONE, "<PHONE>",
+            ),
+            _PII_IP, "<IP>",
+        ).alias("clean")
+    ).collect()[0]["clean"]
+    assert clean == "x y z <EMAIL> <PHONE> <IP>"
