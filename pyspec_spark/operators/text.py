@@ -167,3 +167,70 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             "quality": F.round(score, 6),
         }
     )
+
+
+def _cms_bucket(term, j: int, w: int):
+    """Row j's bucket for a term: first 8 md5 hex chars (salted by
+    concatenation, same engine-portable basis as the minhash/simhash
+    family) -> uniform 32-bit int -> % w.  Exact in both engines."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(term, F.lit(f"#cms{j}"))), 1, 8), 16, 10
+    ).cast("long")
+    return (h % w).cast("int")
+
+
+def count_min_sketch(
+    occurrences: DataFrame,
+    term_col: str = "term",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a term
+    occurrence stream: d independent hash rows of w counters.
+
+    Returns (j, bucket, cnt) with at most d*w rows — the 100 TB point:
+    the aggregation's OUTPUT is bounded by the sketch geometry, not by
+    the vocabulary, so a trillion-token corpus with a billion-term
+    vocabulary still shuffles at most d*w partial counters per map
+    task (vs. a per-term groupBy whose map-side combine state and
+    shuffle keyspace grow with the vocabulary).  Estimates only
+    over-count (collisions add), never under-count.
+    """
+    term = F.col(term_col)
+    return (
+        occurrences.select(
+            F.posexplode(
+                F.array(*[_cms_bucket(term, j, w) for j in range(d)])
+            ).alias("j", "bucket")
+        )
+        .groupBy("j", "bucket")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    term_col: str = "term",
+    d: int = 4,
+    w: int = 1024,
+) -> DataFrame:
+    """Point-query the sketch for each probe term: est = min over the d
+    rows of that row's bucket counter.  Probes are tiny (heavy-hitter
+    candidates) -> broadcast against the (<= d*w)-row sketch; no
+    shuffle of anything corpus-sized."""
+    term = F.col(term_col)
+    pb = probes.select(
+        "*",
+        F.posexplode(
+            F.array(*[_cms_bucket(term, j, w) for j in range(d)])
+        ).alias("j", "bucket"),
+    )
+    keep = [c for c in probes.columns]
+    return (
+        F.broadcast(pb)
+        .join(sketch, ["j", "bucket"])
+        .groupBy(*keep)
+        .agg(F.min("cnt").alias("est_cnt"))
+    )

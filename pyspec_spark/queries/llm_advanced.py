@@ -507,3 +507,62 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = train_centroids_df(e, n_cells=16, sample=2000)
     assigned = ivf_assign_df(e, cents)
     return ivf_topk_df(assigned, cents, qdf, k=10, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
+# L3/L8 extension (r4) — count-min-sketch heavy hitters, ORACLE-CHECKED
+# end to end: the md5-salted bucket functions, the d x w sketch counts,
+# and the min-over-rows estimates are all replayed exactly in DuckDB.
+# The output pairs each exact top-20 term count with its CMS estimate;
+# CMS can only over-count, so est_cnt >= exact_cnt is a cross-engine
+# invariant (pytest-asserted too).  Scale story in
+# operators/text.py count_min_sketch: shuffle output bounded by sketch
+# geometry (d*w counters), not vocabulary size.
+# ---------------------------------------------------------------------------
+_CMS_D, _CMS_W = 4, 1024
+
+_CMS_ORACLE = f"""
+WITH ex AS (
+  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+),
+exact AS (
+  SELECT term, COUNT(*) AS exact_cnt
+  FROM ex GROUP BY term
+  ORDER BY exact_cnt DESC, term LIMIT 20
+),
+sketch AS (
+  SELECT t.j,
+         CAST(('0x' || substr(md5(term || '#cms' || CAST(t.j AS VARCHAR)), 1, 8))::BIGINT
+              % {_CMS_W} AS INT) AS bucket,
+         COUNT(*) AS cnt
+  FROM ex, range({_CMS_D}) t(j)
+  GROUP BY 1, 2
+),
+probe AS (
+  SELECT e.term, e.exact_cnt, t.j,
+         CAST(('0x' || substr(md5(e.term || '#cms' || CAST(t.j AS VARCHAR)), 1, 8))::BIGINT
+              % {_CMS_W} AS INT) AS bucket
+  FROM exact e, range({_CMS_D}) t(j)
+)
+SELECT p.term, p.exact_cnt, MIN(s.cnt) AS est_cnt
+FROM probe p JOIN sketch s USING (j, bucket)
+GROUP BY p.term, p.exact_cnt
+"""
+
+
+@query("q_heavy_hitters_cms", oracle=_CMS_ORACLE)
+def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import cms_estimate, count_min_sketch
+
+    ex = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+    )
+    sketch = count_min_sketch(ex, d=_CMS_D, w=_CMS_W)
+    probes = (
+        ex.groupBy("term")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "term")
+        .limit(20)
+    )
+    return cms_estimate(sketch, probes, d=_CMS_D, w=_CMS_W)

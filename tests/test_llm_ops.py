@@ -499,3 +499,46 @@ def test_lsh_candidates_rejects_width_mismatch(spark):
         lsh_candidates(minhash_signatures(d, n_hashes=64), n_hashes=128).collect()
     # matching width still works
     assert lsh_candidates(sigs, n_hashes=128).count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters (r4)
+# ---------------------------------------------------------------------------
+def test_cms_overcounts_never_undercounts(spark):
+    """CMS point estimates are exact counts plus non-negative collision
+    mass: est >= exact for every probe, and the sketch row count is
+    bounded by its geometry (d*w), not the vocabulary."""
+    from pyspec_spark.operators.text import count_min_sketch
+    from pyspec_spark.queries.llm_advanced import (
+        _CMS_D,
+        _CMS_W,
+        q_heavy_hitters_cms,
+    )
+    from pyspark.sql import functions as F
+
+    rows = q_heavy_hitters_cms.__wrapped__(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    assert all(r["est_cnt"] >= r["exact_cnt"] for r in rows)
+    ex = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+    )
+    sk = count_min_sketch(ex, d=_CMS_D, w=_CMS_W)
+    assert sk.count() <= _CMS_D * _CMS_W
+
+
+def test_cms_exact_when_no_collisions(spark):
+    """A vocabulary far smaller than w: with high probability every term
+    has at least one collision-free row, so est == exact for all."""
+    from pyspec_spark.operators.text import cms_estimate, count_min_sketch
+    from pyspark.sql import functions as F
+
+    data = [(t,) for t in ["a", "b", "c"] * 7 + ["d"] * 5]
+    occ = spark.createDataFrame(data, "term string")
+    sk = count_min_sketch(occ, d=4, w=4096)
+    probes = occ.groupBy("term").agg(F.count("*").alias("exact_cnt"))
+    got = {
+        r["term"]: (r["exact_cnt"], r["est_cnt"])
+        for r in cms_estimate(sk, probes, d=4, w=4096).collect()
+    }
+    assert got == {"a": (7, 7), "b": (7, 7), "c": (7, 7), "d": (5, 5)}
