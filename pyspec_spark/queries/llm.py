@@ -355,3 +355,73 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup SELECTION (r4) — the curation decision that consumes the
+# clusters: keep exactly one doc per near-dup cluster, chosen by a
+# quality signal (unique-token ratio; rounded BEFORE ranking for
+# cross-engine order stability, tiebreak doc_id).  This closes the
+# pairs -> clusters -> keep-best pipeline declaratively; the oracle
+# nests the recursive-CTE cluster fixpoint as a subquery and replays
+# the ranked choice.  Build runs the CC loop's jobs (same documented
+# zero-jobs-gate exemption as q_dedup_clusters).
+# ---------------------------------------------------------------------------
+_KEEP_BEST_ORACLE = f"""
+SELECT c.cluster_id,
+       d.doc_id AS kept_doc,
+       n_members,
+       kept_uniq_ratio
+FROM (
+  SELECT cluster_id, doc_id,
+         ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')), 6) AS kept_uniq_ratio,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster_id
+           ORDER BY ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                          / len(string_split(text, ' ')), 6) DESC,
+                    doc_id
+         ) AS rn
+  FROM ({_CLUSTERS_ORACLE}) c
+  JOIN documents USING (doc_id)
+) d
+JOIN ({_CLUSTERS_ORACLE}) c
+  ON c.doc_id = d.doc_id AND c.cluster_id = d.cluster_id
+WHERE d.rn = 1
+"""
+
+
+@query("q_dedup_keep_best", oracle=_KEEP_BEST_ORACLE)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pyspec_spark.operators.dedup import connected_components
+
+    edges = jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    toks = F.split("text", " ")
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("kept_uniq_ratio"),
+    )
+    j = cc.join(d, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("kept_uniq_ratio"), "doc_id"
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        j.select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc"),
+            F.count("*").over(wc).alias("n_members"),
+            "kept_uniq_ratio",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -542,3 +542,32 @@ def test_cms_exact_when_no_collisions(spark):
         for r in cms_estimate(sk, probes, d=4, w=4096).collect()
     }
     assert got == {"a": (7, 7), "b": (7, 7), "c": (7, 7), "d": (5, 5)}
+
+
+def test_dedup_keep_best_one_per_cluster(spark):
+    """q_dedup_keep_best keeps exactly one member per cluster, and it
+    is a true member with the maximal (rounded) unique-token ratio."""
+    from pyspec_spark.queries.llm import q_dedup_clusters, q_dedup_keep_best
+
+    clusters = q_dedup_clusters.__wrapped__(spark, SF).collect()
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    kept = q_dedup_keep_best.__wrapped__(spark, SF).collect()
+    assert {r["cluster_id"] for r in kept} == set(by_cluster)
+    assert len(kept) == len(by_cluster)
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+
+    def ratio(doc):
+        toks = texts[doc].split(" ")
+        return round(len(set(toks)) / len(toks), 6)
+
+    for r in kept:
+        members = by_cluster[r["cluster_id"]]
+        assert r["kept_doc"] in members
+        assert r["n_members"] == len(members)
+        best = max(ratio(m) for m in members)
+        assert ratio(r["kept_doc"]) == best == r["kept_uniq_ratio"]
