@@ -1,0 +1,67 @@
+"""Incremental corpus curation over Structured Streaming — SURVEY.md
+§2.10/§2.12 (r4).
+
+A training-data pipeline rarely sees its corpus at once: crawl output
+lands in batches.  Every map-only curation stage (quality signals,
+gating, PII scrub) is stateless, so the SAME column expressions run
+unchanged over a file-source stream — this module wires them together
+and the twin test (tests/test_streaming.py) asserts stream-end
+equality with the batch path on the same documents.
+
+Scale notes: stateless map-only streaming keeps zero state rows; the
+file source paces ingestion via maxFilesPerTrigger; output mode is
+append (each doc decided exactly once, independent of every other
+doc).  Anything keyed (dedup against history) would need state — that
+family lives in streaming/stateful.py; the curation stages here are
+deliberately the stateless prefix of the pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DOC_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = 1
+) -> DataFrame:
+    """File-source stream over parquet chunks of documents (crawl
+    batches landing in a directory)."""
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def curate(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
+    """Stateless curation prefix: quality signals -> gate -> PII scrub.
+
+    Batch-or-streaming (same code path, like streaming/events.py ops):
+    quality_score is pure column arithmetic, the gate is a filter, and
+    the scrub reuses q_pii_scrub's Java∩RE2 redaction patterns."""
+    from pyspec_spark.operators.text import quality_score
+    from pyspec_spark.queries.quality import _PII_EMAIL, _PII_IP, _PII_PHONE
+
+    scored = quality_score(docs)
+    gated = scored.where(F.col("quality") >= min_quality)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return gated.select(
+        "doc_id",
+        "lang",
+        "source",
+        "quality",
+        "uniq_token_ratio",
+        clean.alias("clean_text"),
+    )

@@ -231,3 +231,48 @@ def test_stream_rollup_cascade_twin(spark, event_chunks):
     for lv in ("hour", "day"):
         cur = merge_level(cur, lv, ["event_type"])
         assert _collect_sorted(cur, cols) == _collect_sorted(batch[lv], cols), lv
+
+
+# ---------------------------------------------------------------------------
+# Incremental corpus curation (r4): the stateless curation prefix
+# (quality signals -> gate -> PII scrub) over a chunked document stream
+# equals the batch path at stream end.
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def doc_chunks(spark, tmp_path_factory):
+    from pyspec_spark.tables import table
+
+    base = str(tmp_path_factory.mktemp("doc_stream_src"))
+    d = table(spark, SF, "documents").orderBy("doc_id")
+    pdf = d.toPandas()
+    n = len(pdf)
+    chunk = (n + 3) // 4
+    for i in range(4):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            part.to_parquet(os.path.join(base, f"docs_{i}.parquet"), index=False)
+    return base, n
+
+
+def test_stream_corpus_curation_equals_batch(spark, doc_chunks):
+    import pyspec_spark.streaming.corpus as sc
+    import pyspec_spark.streaming.events as se
+    from pyspec_spark.tables import table
+
+    base, n = doc_chunks
+    stream = sc.read_document_stream(spark, base, max_files_per_trigger=1)
+    assert stream.isStreaming
+    # threshold at the corpus median so the gate demonstrably filters
+    # (the synthetic word-salad corpus is uniformly mid-quality; 0.78 is
+    # its measured median at sf0.001)
+    se.run_to_memory(
+        sc.curate(stream, min_quality=0.78), "t_curate", output_mode="append"
+    )
+    got = spark.table("t_curate")
+    want = sc.curate(table(spark, SF, "documents"), min_quality=0.78)
+    cols = want.columns
+    assert got.columns == cols
+    assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
+    # the gate actually filters (neither empty nor pass-through)
+    kept = got.count()
+    assert 0 < kept < n
