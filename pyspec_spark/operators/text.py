@@ -234,3 +234,50 @@ def cms_estimate(
         .groupBy(*keep)
         .agg(F.min("cnt").alias("est_cnt"))
     )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", level: int = 6
+) -> DataFrame:
+    """Per-doc zlib compression ratio — the classic cheap quality/
+    repetitiveness signal (highly repetitive or templated text
+    compresses far below natural prose; near-random noise compresses
+    above it).  Deterministic: zlib at a fixed level is bit-stable for
+    a given input, so ratios are exactly reproducible.
+
+    Arrow-batched pandas UDF (zlib has no SQL equivalent — this is a
+    legitimate Python-side op, vectorized per batch); map-only, so it
+    runs where the scan runs at any scale."""
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        df.schema.fields
+        + [
+            StructField("raw_len", IntegerType()),
+            StructField("comp_len", IntegerType()),
+            StructField("compress_ratio", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            raw = pdf[text_col].astype(str).str.encode("utf-8")
+            raw_len = raw.str.len()
+            comp_len = raw.map(lambda b: len(zlib.compress(b, level)))
+            out = pdf.copy()
+            out["raw_len"] = raw_len.astype("int32")
+            out["comp_len"] = comp_len.astype("int32")
+            out["compress_ratio"] = (
+                comp_len / raw_len.clip(lower=1)
+            ).round(6)
+            yield out
+
+    return df.mapInPandas(run, schema)

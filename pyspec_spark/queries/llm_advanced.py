@@ -566,3 +566,23 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return cms_estimate(sketch, probes, d=_CMS_D, w=_CMS_W)
+
+
+# ---------------------------------------------------------------------------
+# L3 extension (r4) — zlib compression-ratio quality signal, rows-only
+# (zlib has no DuckDB equivalent; the ratio is pinned instead by an
+# exact local-zlib golden in tests/test_quality.py — zlib at a fixed
+# level is bit-stable, so the executor-side numbers must equal the
+# local ones exactly).  Map-only mapInPandas; the signal every corpus
+# filter stack carries for repetitive/templated text.
+# ---------------------------------------------------------------------------
+@query("q_compress_ratio")
+def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import compression_ratio
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        compression_ratio(d)
+        .select("doc_id", "raw_len", "comp_len", "compress_ratio")
+        .orderBy("doc_id")
+    )

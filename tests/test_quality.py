@@ -246,3 +246,39 @@ def test_pii_scrub_markers_in_clean_text(spark):
         ).alias("clean")
     ).collect()[0]["clean"]
     assert clean == "x y z <EMAIL> <PHONE> <IP>"
+
+
+def test_compress_ratio_matches_local_zlib(spark):
+    """Executor-side zlib equals local zlib bit-exactly, and the signal
+    separates repetitive from varied text."""
+    import zlib
+
+    from pyspec_spark.queries.llm_advanced import q_compress_ratio
+
+    rows = q_compress_ratio.__wrapped__(spark, SF).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    assert len(rows) == len(texts)
+    for r in rows[:50]:
+        raw = texts[r["doc_id"]].encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        assert r["raw_len"] == len(raw)
+        assert r["comp_len"] == len(comp)
+        assert r["compress_ratio"] == round(len(comp) / max(len(raw), 1), 6)
+
+
+def test_compress_ratio_separates_repetitive_text(spark):
+    from pyspec_spark.operators.text import compression_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 200),
+            (2, " ".join(f"w{i}x{i * 7 % 97}" for i in range(200))),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["compress_ratio"] for r in compression_ratio(df).collect()}
+    assert got[1] < 0.05          # pure repetition collapses
+    assert got[2] > 3 * got[1]    # varied text compresses far less
