@@ -194,10 +194,9 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _COV_D = 16
 
-
-@query(
-    "q_embed_cov",
-    oracle=f"""
+# Named so q_pca_power (queries/ml.py) can reuse this oracle verbatim
+# as its CTE prefix — the same composition trick as q_ann_ivf_det.
+_EMBED_COV_ORACLE = f"""
 WITH idx AS (SELECT CAST(unnest(range(1, {_COV_D} + 1)) AS INT) AS i),
 firsts AS (
   SELECT i,
@@ -219,8 +218,10 @@ SELECT s2.i, s2.j, fi.n, s2.m2,
 FROM seconds s2
 JOIN firsts fi ON fi.i = s2.i
 JOIN firsts fj ON fj.i = s2.j
-""",
-)
+"""
+
+
+@query("q_embed_cov", oracle=_EMBED_COV_ORACLE)
 def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
     d = _COV_D

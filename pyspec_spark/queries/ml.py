@@ -290,3 +290,102 @@ def q_ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "vec_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA top component by unrolled power iteration (r4) — ORACLE-CHECKED
+# and fully IN-PLAN: the covariance matrix is q_embed_cov's declared
+# aggregate (its oracle SQL reused verbatim as a CTE prefix, the same
+# composition trick as q_ann_ivf_det reusing q_kmeans2), and two
+# power-iteration rounds v -> C v / ||C v|| run as join + micro-unit
+# fixed-point aggregations.  Matrix-vector products sum 16 doubles —
+# engine-defined order — so each product is quantized to micro-units
+# before summing (exact, associative, order-independent); divisions and
+# sqrt are single IEEE ops.  Start vector = uniform 1/8 (exactly
+# representable).  The iteration count is part of the query, so both
+# engines compute the identical intermediate vector, converged or not
+# (pytest separately checks exact agreement with numpy's same iterate
+# and the monotone Rayleigh improvement; the synthetic embeddings'
+# near-degenerate spectrum makes eigenvector alignment a long-horizon
+# property, not a 2-round one — at real-data spectra, raise
+# _PCA_ROUNDS and regenerate the oracle CTE chain accordingly).
+#
+# 100 TB posture: the corpus-sized work is q_embed_cov's map-only pair
+# expansion (136-key shuffle); the iteration itself runs on the 16x16
+# matrix — negligible at any scale, and entirely lazy (zero jobs at
+# build, gate-enforced).
+# ---------------------------------------------------------------------------
+_PCA_ROUNDS = 2
+
+
+def _pca_oracle() -> str:
+    from pyspec_spark.queries.arrays import _EMBED_COV_ORACLE
+
+    sql = f"""
+WITH tri AS ({_EMBED_COV_ORACLE}),
+covf AS (
+  SELECT i, j, cov FROM tri
+  UNION ALL
+  SELECT j AS i, i AS j, cov FROM tri WHERE i < j
+),
+x1 AS (
+  SELECT i, CAST(SUM(CAST(cov * 0.125 AS DECIMAL(18,6))) AS DOUBLE) AS x
+  FROM covf GROUP BY i
+),
+n1 AS (SELECT SQRT(CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE)) AS nrm FROM x1),
+v1 AS (SELECT i, x / nrm AS v FROM x1, n1),
+x2 AS (
+  SELECT covf.i, CAST(SUM(CAST(cov * v1.v AS DECIMAL(18,6))) AS DOUBLE) AS x
+  FROM covf JOIN v1 ON v1.i = covf.j
+  GROUP BY covf.i
+),
+n2 AS (SELECT SQRT(CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE)) AS nrm FROM x2)
+SELECT i, ROUND(x / nrm, 6) AS pc1 FROM x2, n2
+"""
+    return sql
+
+
+@query("q_pca_power", oracle=_pca_oracle())
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.queries.arrays import q_embed_cov
+
+    cov_builder = getattr(q_embed_cov, "__wrapped__", q_embed_cov)
+    tri = cov_builder(spark, sf_dir).select("i", "j", "cov")
+    covf = tri.unionByName(
+        tri.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+
+    def mat_vec(vec: DataFrame) -> DataFrame:
+        """x_i = sum_j C[i,j] * v_j, micro-unit-exact."""
+        vj = vec.select(F.col("i").alias("j"), F.col("v").alias("vj"))
+        return (
+            covf.join(F.broadcast(vj), "j")
+            .groupBy("i")
+            .agg(
+                (F.sum(_fixed6(F.col("cov") * F.col("vj"))).cast("double") / 1e6)
+                .alias("x")
+            )
+        )
+
+    def normalize(x: DataFrame) -> DataFrame:
+        nrm = x.agg(
+            F.sqrt(
+                F.sum(_fixed6(F.col("x") * F.col("x"))).cast("double") / 1e6
+            ).alias("nrm")
+        )
+        return x.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("x") / F.col("nrm")).alias("v"), "nrm"
+        )
+
+    # round 1 from the uniform start vector (v0 = 1/8 per coordinate)
+    v = normalize(
+        covf.groupBy("i").agg(
+            (F.sum(_fixed6(F.col("cov") * F.lit(0.125))).cast("double") / 1e6)
+            .alias("x")
+        )
+    )
+    for _ in range(_PCA_ROUNDS - 1):
+        v = normalize(mat_vec(v))
+    return v.select("i", F.round("v", 6).alias("pc1"))

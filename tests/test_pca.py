@@ -73,3 +73,60 @@ def test_pca_project_distributed_matches_local(spark, emb_local):
     # variance (over uncentered dots, shifted by a constant) == eval1
     v1 = np.var([got[v][0] for v in ids], ddof=1)
     assert v1 == pytest.approx(evals[0], rel=1e-4)
+
+
+def test_pca_power_equals_numpy_iterate(spark, emb_local):
+    """q_pca_power's contract is the exact 2-round iterate: v2 =
+    normalize(C @ normalize(C @ v0)) with v0 uniform — the iteration
+    count is part of the query (the oracle replays the same rounds).
+    The synthetic embeddings have a near-degenerate spectrum
+    (lambda2/lambda1 ~ 0.96 at sf0.001, measured), so NO small fixed
+    round count can align with the top eigenvector — the meaningful
+    checks are exact agreement with numpy's same iterate and the
+    monotone Rayleigh-quotient improvement every power step guarantees."""
+    from pyspec_spark.queries.ml import q_pca_power
+
+    _, X = emb_local
+
+    def q6_sum(terms):
+        # HALF_UP like the engines' DECIMAL/_fixed6 quantization —
+        # np.round's half-even flips the 1e-6 digit on exact halves,
+        # which the tiny x magnitudes here amplify after normalization
+        t = np.asarray(terms) * 1e6
+        return float((np.floor(np.abs(t) + 0.5) * np.sign(t)).sum()) / 1e6
+
+    def r6_up(x):
+        return float(np.floor(abs(x) * 1e6 + 0.5) * np.sign(x)) / 1e6
+
+    # mirror q_embed_cov's exact arithmetic (micro-unit moment sums,
+    # one IEEE division, HALF_UP round to 6) — np.cov differs at
+    # rounding boundaries by 1e-6, which the tiny first-round x
+    # magnitudes amplify, so the mirror must be exact, not approximate
+    Xd = X[:, :16]
+    n = Xd.shape[0]
+    s = np.array([q6_sum(Xd[:, i]) for i in range(16)])
+    C = np.zeros((16, 16))
+    for i in range(16):
+        for j in range(i, 16):
+            m2 = q6_sum(Xd[:, i] * Xd[:, j])
+            C[i, j] = C[j, i] = r6_up((m2 - s[i] * s[j] / n) / (n - 1))
+
+    v_ref = np.full(16, 0.125)
+    for _ in range(2):
+        x = np.array([q6_sum(C[i] * v_ref) for i in range(16)])
+        x /= np.sqrt(q6_sum(x * x))
+        v_ref = x
+    got_rows = q_pca_power.__wrapped__(spark, SF).collect()
+    v = np.zeros(16)
+    for r in got_rows:
+        v[r["i"] - 1] = r["pc1"]
+    # exact same quantized arithmetic -> agree to the output rounding
+    np.testing.assert_allclose(v, np.round(v_ref, 6), atol=1.1e-6)
+    # unit up to the micro-unit quantization of the tiny x*x terms
+    assert np.linalg.norm(v) == pytest.approx(1.0, abs=5e-3)
+
+    def rayleigh(u):
+        u = u / np.linalg.norm(u)
+        return float(u @ C @ u)
+
+    assert rayleigh(v) > rayleigh(np.full(16, 0.125))
