@@ -627,3 +627,45 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# R11 (r4) — Z-order clustering key, ORACLE-CHECKED: the Morton
+# interleave behind write_zordered (sinks.py) replayed bit-for-bit in
+# DuckDB (unrolled shift/mask terms, identical integer arithmetic).
+# The layout effect itself (file skipping) is proven in
+# tests/test_layout.py; this query pins the key math cross-engine.
+# ---------------------------------------------------------------------------
+_Z_BITS = 8
+
+
+def _z_sql(xe: str, ye: str) -> str:
+    # every term fully parenthesized: SQL gives << LOWER precedence
+    # than +, so `a << 2 + b << 3` parses as a << (2 + b) << 3
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"(((({xe}) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((({ye}) >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+_ZORDER_ORACLE = f"""
+SELECT l_orderkey, l_linenumber,
+       {_z_sql("CAST(l_partkey % 256 AS BIGINT)", "CAST(l_suppkey % 256 AS BIGINT)")} AS z
+FROM lineitem
+WHERE l_orderkey < 100
+"""
+
+
+@query("q_zorder_key", oracle=_ZORDER_ORACLE)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.sinks import zorder_value
+
+    li = table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        zorder_value(
+            F.col("l_partkey") % 256, F.col("l_suppkey") % 256, bits=_Z_BITS
+        ).alias("z"),
+    )

@@ -85,3 +85,52 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.format("parquet").saveAsTable(table_name)
+
+
+def zorder_value(x, y, bits: int = 16):
+    """Morton / Z-order interleave of two non-negative ints as a column
+    expression (public technique: Morton 1966; the clustering key
+    behind Delta/Iceberg Z-ORDER layouts).  Unrolled shift-mask terms —
+    a plain codegen expression, no HOF lambdas, identical arithmetic in
+    DuckDB for oracle replay.
+
+    Why it matters at 100 TB: sorting a table by z(x, y) makes files
+    CONTIGUOUS in both x and y simultaneously, so a 2-D range predicate
+    touches few files (parquet min/max stats skip the rest) — where a
+    sort by x alone clusters only x.  See write_zordered + the layout
+    test."""
+    from pyspark.sql import functions as F
+
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(x.cast("long"), b).bitwiseAND(1), 2 * b)
+            + F.shiftleft(
+                F.shiftrightunsigned(y.cast("long"), b).bitwiseAND(1), 2 * b + 1
+            )
+        )
+    return z
+
+
+def write_zordered(
+    df,
+    path: str,
+    x: str,
+    y: str,
+    bits: int = 16,
+    n_files: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Persist z-order-clustered parquet: rows range-partitioned and
+    sorted by the interleaved key, so each output file covers a compact
+    z-range (tight min/max stats on `z` -> file skipping for 2-D range
+    predicates expressed as z-ranges)."""
+    out = (
+        df.withColumn("z", zorder_value(x, y, bits))
+        .repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+    )
+    out.write.mode(mode).parquet(path)
