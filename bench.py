@@ -56,6 +56,8 @@ HEADLINE = [
     "q_repetition",
     "q_quality_gate",
     "q_decontaminate",
+    # round 4: sketch family
+    "q_heavy_hitters_cms",
 ]
 
 

@@ -578,6 +578,18 @@ FROM (
 
 @query("q_pii_scrub", oracle=_PII_ORACLE)
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Perf note: this query is regex-bound and DuckDB's RE2 has a lower
+    # per-byte constant than the JVM regex engine — so the scrub
+    # minimizes regex passes: 3 replaces (the semantic core) + 2
+    # residual counts; the per-type counts come from counting the
+    # replacement markers in the scrubbed text (a literal split, not
+    # another regex scan of the raw text).  Equivalent because the
+    # replaces run sequentially: every email match becomes exactly one
+    # <EMAIL> marker before the phone pass runs, etc.
+    # Residual warm gap vs DuckDB (~3x at sf0.1) is the regex-engine
+    # constant amplified by the single-row-group testdata (one task);
+    # on k-file replicas the map-only plan parallelizes per scan task
+    # (SCALING.md corpus-quality table).
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     tainted = F.concat(
         F.col("text"),
@@ -598,10 +610,15 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PII_IP,
         "<IP>",
     )
+    marker = lambda c, m: F.size(F.split(c, m)) - 1  # noqa: E731
+    # the five references to `clean` collapse to one evaluation via
+    # whole-stage codegen subexpression elimination (regexp_replace is
+    # a regular codegen expression, unlike the interpreted HOF lambdas
+    # that needed a Generate barrier in q_repetition)
     return d.select(
         "doc_id",
-        F.regexp_count(tainted, F.lit(_PII_EMAIL)).alias("n_email"),
-        F.regexp_count(tainted, F.lit(_PII_PHONE)).alias("n_phone"),
+        marker(clean, "<EMAIL>").alias("n_email"),
+        marker(clean, "<PHONE>").alias("n_phone"),
         (
             F.regexp_count(clean, F.lit(_PII_IP))
             + F.regexp_count(clean, F.lit(_PII_EMAIL))

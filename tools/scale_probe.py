@@ -364,7 +364,8 @@ def probe_quality(spark, ks) -> list[str]:
     """Weak scaling of the corpus-quality family (round 3) over the
     salted doc replicas; returns SCALING.md lines."""
     names = ["q_repetition", "q_quality_gate", "q_pmi_bigrams",
-             "q_decontaminate", "q_token_budget", "q_unigram_logprob"]
+             "q_decontaminate", "q_token_budget", "q_unigram_logprob",
+             "q_pii_scrub"]
     lines = [
         "",
         "## Corpus-quality family (weak scaling: k× salted docs)",
@@ -380,7 +381,11 @@ def probe_quality(spark, ks) -> list[str]:
         "q_token_budget's per-source window grows ×k with constant",
         "output (budget cutoff); q_unigram_logprob scores docs against a",
         "corpus-wide unigram LM via broadcast-vocab join (vocab ×k from",
-        "salting — the broadcast stays far under the 10 MB threshold).",
+        "salting — the broadcast stays far under the 10 MB threshold);",
+        "q_pii_scrub is regex-bound map-only work whose warm gap vs",
+        "DuckDB at sf0.1 is the RE2-vs-JVM-regex constant on a",
+        "single-task scan — the k-file replicas here show the plan",
+        "parallelizing per scan task.",
         "",
         "| k | docs | " + " | ".join(names) + " |",
         "|---|---|" + "---|" * len(names),
