@@ -425,3 +425,105 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (r4) — RAG/context-window ingestion: fixed-size
+# character chunks with overlap, map-only explode over computed
+# offsets.  ORACLE-CHECKED: substring arithmetic is identical in both
+# engines.  n_chunks = ceil((len - overlap) / step) with a 1-chunk
+# floor, so every doc (even shorter than one chunk) yields its text.
+# Scale: explode fan-out is len/step per doc — bounded, map-only, no
+# shuffle (plan-gated).
+# ---------------------------------------------------------------------------
+_CHUNK_SIZE, _CHUNK_OVERLAP = 200, 50
+_CHUNK_STEP = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+_CHUNK_ORACLE = f"""
+SELECT doc_id, chunk_id,
+       substr(text, chunk_id * {_CHUNK_STEP} + 1, {_CHUNK_SIZE}) AS chunk,
+       length(substr(text, chunk_id * {_CHUNK_STEP} + 1, {_CHUNK_SIZE})) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         CAST(unnest(range(0, GREATEST(
+             CAST(CEIL(CAST(length(text) - {_CHUNK_OVERLAP} AS DOUBLE)
+                       / {_CHUNK_STEP}) AS BIGINT), 1))) AS INT) AS chunk_id
+  FROM documents
+)
+"""
+
+
+@query("q_chunk_docs", oracle=_CHUNK_ORACLE)
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_chunks = F.greatest(
+        F.ceil(
+            (F.length("text") - F.lit(_CHUNK_OVERLAP)).cast("double")
+            / F.lit(_CHUNK_STEP)
+        ).cast("bigint"),
+        F.lit(1).cast("bigint"),
+    )
+    chunk = F.substring(
+        F.col("text"), F.col("chunk_id") * _CHUNK_STEP + 1, _CHUNK_SIZE
+    )
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            chunk.alias("chunk"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (r4) — assign docs to fixed-token-budget bins per
+# source, the packing step before training batches are materialized.
+# Contiguous first-fit by doc_id order: bin = floor(cum_tokens_before /
+# budget) via one cumulative window per source — ORACLE-CHECKED (the
+# window SQL is identical in DuckDB).  One source-keyed shuffle; the
+# window partitions by source, so skewed sources are the scale
+# watch-item (same note as q_token_budget).
+# ---------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+
+_SEQ_PACK_ORACLE = f"""
+SELECT doc_id, source, n_tokens,
+       CAST(FLOOR(CAST(cum_before AS DOUBLE) / {_PACK_BUDGET}) AS INT) AS bin_id
+FROM (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_tokens,
+         COALESCE(SUM(len(string_split(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM documents
+)
+"""
+
+
+@query("q_seq_pack", oracle=_SEQ_PACK_ORACLE)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(cum_before.cast("double") / _PACK_BUDGET).cast("int").alias("bin_id"),
+    )

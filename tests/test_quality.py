@@ -282,3 +282,66 @@ def test_compress_ratio_separates_repetitive_text(spark):
     got = {r["doc_id"]: r["compress_ratio"] for r in compression_ratio(df).collect()}
     assert got[1] < 0.05          # pure repetition collapses
     assert got[2] > 3 * got[1]    # varied text compresses far less
+
+
+# ---------------------------------------------------------------------------
+# Chunking + sequence packing (r4)
+# ---------------------------------------------------------------------------
+def test_chunk_docs_reassembles_text(spark):
+    """Stripping the 50-char overlap from chunks 1..n and concatenating
+    reconstructs every doc exactly; every chunk is within size."""
+    from pyspec_spark.queries.llm import (
+        _CHUNK_SIZE,
+        _CHUNK_STEP,
+        q_chunk_docs,
+    )
+
+    rows = q_chunk_docs.__wrapped__(spark, SF).collect()
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_id"]] = r["chunk"]
+    assert set(by_doc) == set(texts)
+    for doc_id, chunks in by_doc.items():
+        ordered = [chunks[i] for i in range(len(chunks))]
+        assert all(len(c) <= _CHUNK_SIZE for c in ordered)
+        rebuilt = ordered[0] + "".join(
+            c[_CHUNK_SIZE - _CHUNK_STEP:] for c in ordered[1:]
+        )
+        assert rebuilt == texts[doc_id], doc_id
+
+
+def test_seq_pack_bins_respect_budget(spark):
+    """Within each (source, bin): bins are contiguous in doc_id order,
+    and a bin's token total stays under budget + its last doc (the
+    overflow doc that closes a bin belongs to the next one)."""
+    from pyspec_spark.queries.llm import _PACK_BUDGET, q_seq_pack
+
+    rows = sorted(
+        q_seq_pack.__wrapped__(spark, SF).collect(),
+        key=lambda r: (r["source"], r["doc_id"]),
+    )
+    from collections import defaultdict
+
+    per_src = defaultdict(list)
+    for r in rows:
+        per_src[r["source"]].append(r)
+    for src, rs in per_src.items():
+        # bin ids non-decreasing in doc order, starting at 0
+        bins = [r["bin_id"] for r in rs]
+        assert bins[0] == 0
+        assert all(a <= b for a, b in zip(bins, bins[1:]))
+        totals = defaultdict(int)
+        for r in rs:
+            totals[r["bin_id"]] += r["n_tokens"]
+        max_doc = max(r["n_tokens"] for r in rs)
+        for b, tot in totals.items():
+            assert tot <= _PACK_BUDGET + max_doc, (src, b, tot)
+        # packing is dense: every non-final bin reaches the budget
+        # threshold once its successor exists
+        last = max(totals)
+        for b in range(last):
+            assert totals[b] + min(r["n_tokens"] for r in rs) >= _PACK_BUDGET * 0.5
