@@ -276,3 +276,57 @@ def test_stream_corpus_curation_equals_batch(spark, doc_chunks):
     # the gate actually filters (neither empty nor pass-through)
     kept = got.count()
     assert 0 < kept < n
+
+
+def test_stream_cms_sketch_equals_batch(spark, doc_chunks):
+    """Count-min sketches are sum-mergeable, so the sketch built
+    incrementally over the chunked document stream (complete mode)
+    must equal the batch sketch EXACTLY at stream end — the streaming
+    face of the heavy-hitters pipeline."""
+    import pyspec_spark.streaming.corpus as sc
+    import pyspec_spark.streaming.events as se
+    from pyspec_spark.operators.text import count_min_sketch
+    from pyspec_spark.tables import table
+
+    base, _ = doc_chunks
+    stream = sc.read_document_stream(spark, base, max_files_per_trigger=1)
+    terms = stream.select(F.explode(F.split("text", " ")).alias("term"))
+    se.run_to_memory(
+        count_min_sketch(terms, d=4, w=512), "t_cms", output_mode="complete"
+    )
+    got = {
+        (r["j"], r["bucket"]): r["cnt"] for r in spark.table("t_cms").collect()
+    }
+    batch_terms = table(spark, SF, "documents").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    want = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in count_min_sketch(batch_terms, d=4, w=512).collect()
+    }
+    assert got == want and got
+
+
+def test_cms_merge_linearity(spark):
+    """sketch(A union B) == cellwise sum of sketch(A) and sketch(B) —
+    the property that makes CMS shard- and stream-mergeable."""
+    from pyspec_spark.operators.text import count_min_sketch
+    from pyspec_spark.tables import table
+
+    docs = table(spark, SF, "documents")
+    a = docs.where("doc_id % 2 = 0").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    b = docs.where("doc_id % 2 = 1").select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    sk = lambda df: {  # noqa: E731
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in count_min_sketch(df, d=4, w=512).collect()
+    }
+    sa, sb, sall = sk(a), sk(b), sk(a.unionAll(b))
+    merged = {}
+    for d in (sa, sb):
+        for k, v in d.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == sall
