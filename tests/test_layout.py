@@ -201,3 +201,29 @@ def test_zorder_layout_clusters_2d_ranges(spark, tmp_path_factory):
         F.col("z") != zorder_value("x", "y", bits=8)
     ).count()
     assert bad == 0
+
+
+def test_zorder_value_bijective_and_matches_reference(spark):
+    """The Morton key is a bijection on [0, 2^bits)^2 (no two cells
+    collide) and equals an independent per-bit numpy reference."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.sinks import zorder_value
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    rows = grid.select("x", "y", zorder_value("x", "y", bits=6).alias("z")).collect()
+    zs = {r["z"] for r in rows}
+    assert len(zs) == 64 * 64
+    assert min(zs) == 0 and max(zs) == 64 * 64 - 1
+
+    def ref(x, y):
+        return sum(
+            (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))
+            for b in range(6)
+        )
+
+    for r in rows[:500]:
+        assert r["z"] == ref(r["x"], r["y"])
