@@ -113,8 +113,6 @@ _LSH_DET_HAMMING = 6
 
 
 def _lsh_det_oracle() -> str:
-    import numpy as np
-
     from pyspec_spark.operators.similarity import _hyperplanes
 
     planes = _hyperplanes(64, _LSH_DET_PLANES, seed=42)

@@ -356,3 +356,17 @@ def test_dedup_clusters_job_count_bounded(spark):
     ran = len(set(tracker.getJobIdsForGroup(None)) - before)
     bound = 25 * 3 + 6
     assert ran <= bound, f"CC loop ran {ran} jobs (bound {bound})"
+
+
+def test_chunk_docs_maponly(spark):
+    """Chunking is explode + substring — zero exchanges."""
+    p = _plan(spark, "q_chunk_docs")
+    assert count_exchanges(p) == 0, p[:1500]
+
+
+def test_seq_pack_single_exchange(spark):
+    """Sequence packing is one source-keyed window: exactly one
+    exchange, no join."""
+    p = _plan(spark, "q_seq_pack")
+    assert count_exchanges(p) == 1, p[:1500]
+    assert "Window" in p
