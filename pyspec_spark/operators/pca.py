@@ -34,6 +34,11 @@ def covariance_matrix(
     aggregation (dim*(dim+1)/2 keys); only the aggregated matrix is
     collected (bounded model, not data)."""
     first = emb.select(F.size(vec_col).alias("d")).first()
+    if dim is None and first is None:
+        raise ValueError(
+            "covariance_matrix: empty input and no explicit dim — "
+            "a covariance needs at least 2 rows"
+        )
     d = int(dim or first["d"])
     v = F.col(vec_col)
     pairs = F.flatten(
