@@ -227,3 +227,32 @@ def test_resize_jpeg_media(spark):
     ), 8, 6, 0)
     nn = np.repeat(np.repeat(src_dec, 2, 0), 2, 1)
     assert np.abs(img.astype(int) - nn.astype(int)).mean() < 6
+
+
+def test_roundtrip_property_q100_420():
+    """Hypothesis fuzz of the 4:2:0 path: images built from flat 2x2
+    blocks make chroma averaging lossless, so at quality 100 the
+    round-trip must stay within the same tight YCbCr+DCT budget as
+    4:4:4 — catching multi-block-MCU ordering and upsampling bugs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    @given(
+        base=st.integers(1, 10).flatmap(
+            lambda h: st.integers(1, 10).flatmap(
+                lambda w: arrays(np.uint8, (h, w, 3), elements=st.integers(0, 255))
+            )
+        ),
+        ri=st.sampled_from([0, 2]),
+    )
+    @settings(max_examples=40, deadline=None)
+    def run(base, ri):
+        img = np.repeat(np.repeat(base, 2, 0), 2, 1)
+        enc = encode_jpeg(img, quality=100, subsampling="420", restart_interval=ri)
+        dec, end = decode_jpeg_one(enc, 0)
+        assert end == len(enc)
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
+
+    run()
