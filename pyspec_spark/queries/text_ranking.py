@@ -132,3 +132,108 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval (r4) — the Okapi BM25 scoring function
+# (Robertson & Zaragoza 2009; the Lucene-style idf variant
+# ln(1 + (N - df + 0.5)/(df + 0.5))), ORACLE-CHECKED end to end for a
+# literal query-term set.  Shape mirrors q_tfidf_topk: tokenize ->
+# per-(doc, term) tf restricted to the query terms (filter pushed below
+# the big aggregation, so the shuffle carries query-term postings
+# only), broadcast per-term idf + the 1-row (N, avgdl) aggregate,
+# score sum per doc, TakeOrdered top-20.
+#
+# Determinism: idf and per-term partial scores round to 6 BEFORE the
+# per-doc sum and ranking (the q_tfidf_topk rule); doc_id tiebreak.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_ORACLE = f"""
+WITH q(term) AS (VALUES ('spark'), ('hash'), ('window')),
+dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term IN (SELECT term FROM q)
+  GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term,
+         ROUND(LN(1.0 + (stats.n_docs - COUNT(DISTINCT doc_id) + 0.5)
+                        / (COUNT(DISTINCT doc_id) + 0.5)), 6) AS idf
+  FROM tf CROSS JOIN stats
+  GROUP BY term, stats.n_docs
+),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(idf.idf * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / stats.avgdl)), 6) AS part
+  FROM tf
+  JOIN idf USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, ROUND(SUM(part), 6) AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("q_bm25_topk", oracle=_BM25_ORACLE)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idf = (
+        tf.crossJoin(F.broadcast(stats))
+        .groupBy("term", "n_docs")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+    part = F.round(
+        F.col("idf")
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", part.alias("part"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )

@@ -370,3 +370,13 @@ def test_seq_pack_single_exchange(spark):
     p = _plan(spark, "q_seq_pack")
     assert count_exchanges(p) == 1, p[:1500]
     assert "Window" in p
+
+
+def test_bm25_take_ordered_and_pushed_term_filter(spark):
+    """BM25 top-20 compiles to TakeOrderedAndProject and the query-term
+    IN-filter sits below the big (doc, term) aggregation — the shuffle
+    carries query-term postings only, not the whole inverted index."""
+    p = _plan(spark, "q_bm25_topk")
+    assert has_take_ordered(p)
+    assert has_partial_aggregate(p)
+    assert "IN (spark,hash,window)" in p, "query-term filter not in plan"
