@@ -56,8 +56,9 @@ HEADLINE = [
     "q_repetition",
     "q_quality_gate",
     "q_decontaminate",
-    # round 4: sketch family
+    # round 4: sketch + retrieval families
     "q_heavy_hitters_cms",
+    "q_bm25_topk",
 ]
 
 
