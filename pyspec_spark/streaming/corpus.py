@@ -65,3 +65,15 @@ def curate(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
         "uniq_token_ratio",
         clean.alias("clean_text"),
     )
+
+
+def dedup_stream(docs: DataFrame) -> DataFrame:
+    """Cross-batch exact dedup by content hash — the stateful stage of
+    incremental ingestion: a doc seen in ANY earlier micro-batch is
+    dropped, state = one md5 per distinct text ever seen.  Without a
+    watermark the state grows with distinct content (the correct
+    semantics for corpus dedup — a dup is a dup forever); bound it in
+    deployments with dropDuplicatesWithinWatermark + an ingest-time
+    column when re-crawl windows allow forgetting."""
+    hashed = docs.withColumn("text_md5", F.md5("text"))
+    return hashed.dropDuplicates(["text_md5"])

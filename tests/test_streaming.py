@@ -330,3 +330,34 @@ def test_cms_merge_linearity(spark):
         for k, v in d.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == sall
+
+
+def test_stream_dedup_docs_across_batches(spark, tmp_path_factory):
+    """Docs duplicated ACROSS stream chunks (later chunk replays earlier
+    content under new ids) are dropped by cross-batch state: stream-end
+    distinct texts equal the batch distinct set, first-seen wins."""
+    import pyspec_spark.streaming.corpus as sc
+    import pyspec_spark.streaming.events as se
+    from pyspec_spark.tables import table
+
+    base = str(tmp_path_factory.mktemp("dedup_stream_src"))
+    d = table(spark, SF, "documents").orderBy("doc_id").limit(40)
+    pdf = d.toPandas()
+    # chunk 0: docs 0..19; chunk 1: docs 20..39 PLUS replays of 0..9
+    # under shifted ids (exact dup content arriving later)
+    import pandas as pd
+
+    dup = pdf.iloc[:10].copy()
+    dup["doc_id"] = dup["doc_id"] + 100000
+    pdf.iloc[:20].to_parquet(os.path.join(base, "c0.parquet"), index=False)
+    pd.concat([pdf.iloc[20:], dup]).to_parquet(
+        os.path.join(base, "c1.parquet"), index=False
+    )
+
+    stream = sc.read_document_stream(spark, base, max_files_per_trigger=1)
+    se.run_to_memory(sc.dedup_stream(stream), "t_docdedup", output_mode="append")
+    got = spark.table("t_docdedup").collect()
+    # every distinct text exactly once, and no replayed id survived
+    assert len(got) == 40
+    assert len({r["text_md5"] for r in got}) == 40
+    assert all(r["doc_id"] < 100000 for r in got)
