@@ -571,3 +571,50 @@ def test_dedup_keep_best_one_per_cluster(spark):
         assert r["n_members"] == len(members)
         best = max(ratio(m) for m in members)
         assert ratio(r["kept_doc"]) == best == r["kept_uniq_ratio"]
+
+
+def test_connected_components_match_union_find_reference(spark):
+    """Both CC variants against an INDEPENDENT local union-find (with
+    path compression) on random graphs — not just against each other,
+    which would let a shared systematic error pass."""
+    import random
+
+    from pyspec_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(101)
+    for trial in range(2):
+        n = 80
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(50 + 25 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e}
+        # canonical label = min node of each component (the operators'
+        # contract); restrict to nodes that appear in edges
+        want = {}
+        comp_min = {}
+        for v in sorted(touched):
+            comp_min.setdefault(find(v), v)
+        for v in touched:
+            want[v] = comp_min[find(v)]
+
+        df = spark.createDataFrame(edges, "src LONG, dst LONG")
+        for fn in (connected_components, connected_components_star):
+            got = {r["node"]: r["component"] for r in fn(df).collect()}
+            assert got == want, f"trial {trial}: {fn.__name__} != union-find"
