@@ -584,3 +584,40 @@ def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "raw_len", "comp_len", "compress_ratio")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L5 evaluation (r4) — ANN recall@10, ORACLE-CHECKED: the deterministic
+# LSH pipeline's top-10 intersected with the exact cosine top-10,
+# entirely in-plan, both sides replayed in DuckDB (their oracle SQL
+# already exists — this composes them).  Turns the "recall is
+# pytest-asserted" claim into a declared, cross-engine-checked number
+# the driver can see.
+# ---------------------------------------------------------------------------
+def _ann_recall_oracle() -> str:
+    exact = """
+SELECT e.vec_id
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) DESC,
+         e.vec_id
+LIMIT 10
+"""
+    return f"""
+WITH approx AS ({_lsh_det_oracle()}),
+exact AS ({exact})
+SELECT COUNT(*) AS n_hits,
+       ROUND(COUNT(*) / 10.0, 6) AS recall_at_10
+FROM approx JOIN exact USING (vec_id)
+"""
+
+
+@query("q_ann_recall", oracle=_ann_recall_oracle())
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    approx = q_ann_lsh_det.__wrapped__(spark, sf_dir).select("vec_id")
+    exact = q_cosine_topk.__wrapped__(spark, sf_dir).select("vec_id")
+    return approx.join(exact, "vec_id").agg(
+        F.count("*").alias("n_hits"),
+        F.round(F.count("*") / 10.0, 6).alias("recall_at_10"),
+    )
