@@ -618,3 +618,21 @@ def test_connected_components_match_union_find_reference(spark):
         for fn in (connected_components, connected_components_star):
             got = {r["node"]: r["component"] for r in fn(df).collect()}
             assert got == want, f"trial {trial}: {fn.__name__} != union-find"
+
+
+def test_connected_components_self_loops_and_dup_edges(spark):
+    """Self-loops and duplicate/reversed edges are harmless noise in a
+    near-dup pair stream; both variants must ignore them."""
+    from pyspec_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (1, 2), (3, 3), (3, 4)],
+        "src bigint, dst bigint",
+    )
+    want = {1: 1, 2: 1, 3: 3, 4: 3}
+    for fn in (connected_components, connected_components_star):
+        got = {r["node"]: r["component"] for r in fn(edges).collect()}
+        assert got == want, fn.__name__

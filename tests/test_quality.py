@@ -345,3 +345,29 @@ def test_seq_pack_bins_respect_budget(spark):
         last = max(totals)
         for b in range(last):
             assert totals[b] + min(r["n_tokens"] for r in rs) >= _PACK_BUDGET * 0.5
+
+
+def test_pii_scrub_is_idempotent(spark):
+    """Scrubbing already-clean text is the identity: the replacement
+    markers must not themselves match any PII pattern (a marker that
+    re-matched would corrupt on every pipeline re-run)."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.queries.quality import _PII_EMAIL, _PII_IP, _PII_PHONE
+
+    clean_once = spark.createDataFrame(
+        [("a <EMAIL> b <PHONE> c <IP> d",), ("plain words only",)],
+        "text string",
+    )
+    twice = clean_once.select(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+                _PII_PHONE, "<PHONE>",
+            ),
+            _PII_IP, "<IP>",
+        ).alias("out"),
+        "text",
+    ).collect()
+    for r in twice:
+        assert r["out"] == r["text"]
