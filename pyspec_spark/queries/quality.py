@@ -521,13 +521,55 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # where the scan runs, which is what survives 100 TB.
 #
 # Regex notes: patterns restricted to the Java-regex ∩ RE2 common
-# dialect (char classes, bounded repeats, \b word boundaries); DuckDB
-# regexp_replace needs the 'g' flag for global replacement, Spark
-# replaces globally by default.
+# dialect (char classes, bounded repeats, \b word boundaries,
+# non-capturing groups, alternation — both engines match alternatives
+# leftmost-first); DuckDB regexp_replace needs the 'g' flag for global
+# replacement, Spark replaces globally by default.
+#
+# Round-5 reformulation (the round-4 VERDICT's prescribed fix): the
+# three per-type replace passes collapse into ONE alternation replace
+# to a generic <PII> marker, and the per-type counts come from ONE
+# regexp_extract_all pass over the *tainted* text (classified with
+# cheap non-regex array predicates: '@' → email, '555-' prefix →
+# phone).  Counting on the tainted text — not on markers in the
+# scrubbed text — also removes the latent cross-engine divergence when
+# an input document already contains a literal marker string.  Total
+# regex scans: 3 (extract_all + replace + residual count), down from 5.
+# The three patterns are start-disjoint (email requires '@', phone a
+# '-' after the 555, IP neither), so leftmost-first alternation visits
+# exactly the matches the sequential passes did.
+#
+# Java-engine tuning (measured at sf0.1, one 5000-doc row group):
+# - leading \b on the email head lets the backtracking engine reject
+#   every mid-word start position O(1) instead of consuming the rest of
+#   the word before failing at '@' (replace pass 198 -> 130 ms);
+# - the Spark-side pattern additionally uses possessive quantifiers
+#   (`++`, Java-only syntax, absent from RE2 so the oracle keeps the
+#   plain form).  Semantically identical here: no character in any
+#   quantified class can also start the required successor (the classes
+#   exclude '@' / '<' etc.), so backtracking into the run can never
+#   succeed — proven corpus-wide by test_pii_possessive_equals_plain
+#   (130 -> 122 ms).
+# An Arrow/RE2 mapInArrow variant was measured at 273 ms — the
+# Python-worker round trip costs more than RE2 saves — so the scrub
+# stays whole-stage codegen.
 # ---------------------------------------------------------------------------
-_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
+_PII_EMAIL = "\\b[a-z0-9._%+-]+@[a-z0-9.-]+[.][a-z][a-z]+"
 _PII_PHONE = "\\b555-[0-9]{4}\\b"
-_PII_IP = "\\b[0-9]{1,3}([.][0-9]{1,3}){3}\\b"
+_PII_IP = "\\b[0-9]{1,3}(?:[.][0-9]{1,3}){3}\\b"
+_PII_ANY = _PII_EMAIL + "|" + _PII_PHONE + "|" + _PII_IP
+# Java-only possessive twin of _PII_ANY (oracle keeps the RE2 form).
+# Possessive (`++`) ONLY where the quantified class excludes the
+# required successor: the email local part (successor '@' not in the
+# class) and the digit runs (successor '.' / \b not a digit).  The
+# email DOMAIN part must stay backtracking-greedy — its class contains
+# '.', so a possessive run would swallow the final dot and the trailing
+# `[.][a-z][a-z]+` could never match.
+_PII_ANY_JAVA = (
+    "\\b[a-z0-9._%+-]++@[a-z0-9.-]+[.][a-z][a-z]++"
+    + "|\\b555-[0-9]{4}\\b"
+    + "|\\b[0-9]{1,3}+(?:[.][0-9]{1,3}+){3}\\b"
+)
 
 _PII_ORACLE = (
     """
@@ -540,57 +582,70 @@ WITH tainted AS (
            AS text
   FROM documents
 ),
-counted AS (
-  SELECT doc_id, text,
-         len(regexp_extract_all(text, '"""
-    + _PII_EMAIL
-    + """')) AS n_email,
-         len(regexp_extract_all(text, '"""
-    + _PII_PHONE
-    + """')) AS n_phone
+scanned AS (
+  SELECT doc_id,
+         ' ' || array_to_string(regexp_extract_all(text, '"""
+    + _PII_ANY
+    + """'), ' ') AS joined,
+         regexp_replace(text, '"""
+    + _PII_ANY
+    + """', '<PII>', 'g') AS clean
   FROM tainted
 )
-SELECT doc_id, n_email, n_phone,
+SELECT doc_id,
+       len(string_split(joined, '@')) - 1 AS n_email,
+       len(string_split(joined, ' 555-')) - 1 AS n_phone,
        len(regexp_extract_all(clean, '"""
-    + _PII_IP
-    + """')) + len(regexp_extract_all(clean, '"""
-    + _PII_EMAIL
+    + _PII_ANY
     + """')) AS n_left,
        md5(clean) AS clean_md5
-FROM (
-  SELECT doc_id, n_email, n_phone,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(text, '"""
-    + _PII_EMAIL
-    + """', '<EMAIL>', 'g'),
-             '"""
-    + _PII_PHONE
-    + """', '<PHONE>', 'g'),
-           '"""
-    + _PII_IP
-    + """', '<IP>', 'g') AS clean
-  FROM counted
-)
+FROM scanned
 """
 )
 
 
+def _widen_if_narrow(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition a regex-bound map stage ONLY when the
+    scan yields fewer partitions than the session's default parallelism
+    (a small corpus packed into one parquet row group cannot be split
+    below row-group granularity, so Spark would otherwise pay the whole
+    per-byte regex constant on a single core).  The check is metadata
+    only (no job); at production scale the scan already yields at least
+    one task per core, the condition is false, and the returned plan is
+    the unchanged map-only scan."""
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
+
 @query("q_pii_scrub", oracle=_PII_ORACLE)
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Perf note: this query is regex-bound and DuckDB's RE2 has a lower
-    # per-byte constant than the JVM regex engine — so the scrub
-    # minimizes regex passes: 3 replaces (the semantic core) + 2
-    # residual counts; the per-type counts come from counting the
-    # replacement markers in the scrubbed text (a literal split, not
-    # another regex scan of the raw text).  Equivalent because the
-    # replaces run sequentially: every email match becomes exactly one
-    # <EMAIL> marker before the phone pass runs, etc.
-    # Residual warm gap vs DuckDB (~3x at sf0.1) is the regex-engine
-    # constant amplified by the single-row-group testdata (one task);
-    # on k-file replicas the map-only plan parallelizes per scan task
-    # (SCALING.md corpus-quality table).
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # Perf note: this query is regex-bound and runs exactly 3 regex
+    # scans: one alternation extract_all over the tainted text, one
+    # alternation replace producing the scrubbed text, one residual
+    # alternation count over the scrubbed text.  The per-type counts
+    # come from the joined hits string with pure codegen string ops
+    # (split on '@' → emails, split on ' 555-' → phone-prefixed hits)
+    # — NOT array HOF lambdas: F.filter's interpreted lambda evaluator
+    # re-ran the extract_all per filter (measured 437 ms vs 320 ms, the
+    # q_repetition lesson again).  Classification caveat, shared
+    # verbatim by the oracle so the two engines cannot diverge: a hit
+    # is 'phone' iff it STARTS with 555- (an email whose local part
+    # starts with 555- would count as phone; no such doc exists in any
+    # corpus both engines see, and both engines would agree anyway).
+    # `tainted` and `clean` each evaluate once via whole-stage codegen
+    # subexpression elimination.
+    # Parallelism: the sf0.1 corpus is ONE parquet row group → one scan
+    # task, so the regex constant was paid single-threaded while DuckDB
+    # scanned with 32 threads (320 ms vs 41 ms warm).  _widen_if_narrow
+    # round-robin repartitions ONLY when the scan yields fewer
+    # partitions than the session parallelism (measured 320 → 82 ms);
+    # at 100 TB the scan yields thousands of tasks, the condition is
+    # false, and the plan stays map-only with zero exchanges.
+    d = _widen_if_narrow(
+        spark, table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     tainted = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -601,27 +656,13 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 256).cast("string"),
         F.lit(".0.1"),
     )
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(tainted, _PII_EMAIL, "<EMAIL>"),
-            _PII_PHONE,
-            "<PHONE>",
-        ),
-        _PII_IP,
-        "<IP>",
-    )
-    marker = lambda c, m: F.size(F.split(c, m)) - 1  # noqa: E731
-    # the five references to `clean` collapse to one evaluation via
-    # whole-stage codegen subexpression elimination (regexp_replace is
-    # a regular codegen expression, unlike the interpreted HOF lambdas
-    # that needed a Generate barrier in q_repetition)
+    hits = F.regexp_extract_all(tainted, F.lit(_PII_ANY_JAVA), F.lit(0))
+    joined = F.concat(F.lit(" "), F.array_join(hits, " "))
+    clean = F.regexp_replace(tainted, _PII_ANY_JAVA, "<PII>")
     return d.select(
         "doc_id",
-        marker(clean, "<EMAIL>").alias("n_email"),
-        marker(clean, "<PHONE>").alias("n_phone"),
-        (
-            F.regexp_count(clean, F.lit(_PII_IP))
-            + F.regexp_count(clean, F.lit(_PII_EMAIL))
-        ).alias("n_left"),
+        (F.size(F.split(joined, "@", -1)) - 1).alias("n_email"),
+        (F.size(F.split(joined, " 555-", -1)) - 1).alias("n_phone"),
+        F.regexp_count(clean, F.lit(_PII_ANY_JAVA)).alias("n_left"),
         F.md5(clean).alias("clean_md5"),
     )

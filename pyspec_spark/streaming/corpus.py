@@ -44,19 +44,11 @@ def curate(docs: DataFrame, min_quality: float = 0.5) -> DataFrame:
     quality_score is pure column arithmetic, the gate is a filter, and
     the scrub reuses q_pii_scrub's Java∩RE2 redaction patterns."""
     from pyspec_spark.operators.text import quality_score
-    from pyspec_spark.queries.quality import _PII_EMAIL, _PII_IP, _PII_PHONE
+    from pyspec_spark.queries.quality import _PII_ANY
 
     scored = quality_score(docs)
     gated = scored.where(F.col("quality") >= min_quality)
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
-            _PII_PHONE,
-            "<PHONE>",
-        ),
-        _PII_IP,
-        "<IP>",
-    )
+    clean = F.regexp_replace(F.col("text"), _PII_ANY, "<PII>")
     return gated.select(
         "doc_id",
         "lang",

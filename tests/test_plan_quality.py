@@ -90,12 +90,30 @@ def test_dedup_docs_single_shuffle(spark):
     assert count_exchanges(p) == 1
 
 
-@pytest.mark.parametrize(
-    "name", ["q_norm", "q_filter_pred", "q_math_funcs", "q_pii_scrub"]
-)
+@pytest.mark.parametrize("name", ["q_norm", "q_filter_pred", "q_math_funcs"])
 def test_maponly_queries_have_no_shuffle(spark, name):
     p = _plan(spark, name)
     assert count_exchanges(p) == 0, f"{name} should be map-only"
+
+
+def test_pii_scrub_widens_narrow_scan_only(spark):
+    """q_pii_scrub is logically map-only, but _widen_if_narrow inserts
+    ONE round-robin exchange when (and only when) the scan yields fewer
+    partitions than the session parallelism — the local single-row-group
+    corpus hits that branch (regex work must not run on one core).  A
+    wide input must come back untouched: the production plan (scan
+    tasks >= cores) stays zero-exchange."""
+    from pyspec_spark.queries.quality import _widen_if_narrow
+
+    p = _plan(spark, "q_pii_scrub")
+    assert count_exchanges(p) == 1
+    assert "roundrobin" in p.lower()
+
+    cores = spark.sparkContext.defaultParallelism
+    wide = spark.range(0, 10_000, 1, cores).selectExpr(
+        "id AS doc_id", "'text ' || id AS text"
+    )
+    assert _widen_if_narrow(spark, wide) is wide
 
 
 def test_rollup_cascade_shuffles_once_per_level(spark):

@@ -224,28 +224,24 @@ def test_pii_scrub_redacts_everything(spark):
 
 
 def test_pii_scrub_markers_in_clean_text(spark):
-    """Spot-check the actual scrubbed string on a handcrafted doc: the
-    three markers appear, the raw PII does not."""
-    from pyspec_spark.queries.quality import _PII_EMAIL, _PII_IP, _PII_PHONE
+    """Spot-check the actual scrubbed string on a handcrafted doc: each
+    PII hit becomes one <PII> marker, the raw PII does not survive
+    (single-alternation r5 form)."""
+    from pyspec_spark.queries.quality import _PII_ANY
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame([("x y z",)], "text string")
     clean = df.select(
         F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.concat(
-                        F.col("text"),
-                        F.lit(" a.b-c@mail.example.org 555-0042 192.168.1.10"),
-                    ),
-                    _PII_EMAIL, "<EMAIL>",
-                ),
-                _PII_PHONE, "<PHONE>",
+            F.concat(
+                F.col("text"),
+                F.lit(" a.b-c@mail.example.org 555-0042 192.168.1.10"),
             ),
-            _PII_IP, "<IP>",
+            _PII_ANY,
+            "<PII>",
         ).alias("clean")
     ).collect()[0]["clean"]
-    assert clean == "x y z <EMAIL> <PHONE> <IP>"
+    assert clean == "x y z <PII> <PII> <PII>"
 
 
 def test_compress_ratio_matches_local_zlib(spark):
@@ -347,26 +343,48 @@ def test_seq_pack_bins_respect_budget(spark):
             assert totals[b] + min(r["n_tokens"] for r in rs) >= _PACK_BUDGET * 0.5
 
 
+def test_pii_possessive_equals_plain(spark):
+    """The Java-side possessive pattern (_PII_ANY_JAVA) must match
+    exactly what the plain alternation (_PII_ANY, the oracle's RE2
+    form) matches, corpus-wide: possessive quantifiers only prune
+    backtracking that provably cannot succeed (no quantified class
+    contains its required successor char)."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.queries.quality import _PII_ANY, _PII_ANY_JAVA
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("text")
+    tainted = F.concat(
+        F.col("text"),
+        F.lit(" u@x.org 555-0001 10.1.2.3 a.b-c@mail.example.org"),
+    )
+    n = (
+        d.select(
+            F.md5(F.regexp_replace(tainted, _PII_ANY, "<PII>")).alias("a"),
+            F.md5(F.regexp_replace(tainted, _PII_ANY_JAVA, "<PII>")).alias(
+                "b"
+            ),
+        )
+        .where("a <> b")
+        .count()
+    )
+    assert n == 0
+
+
 def test_pii_scrub_is_idempotent(spark):
     """Scrubbing already-clean text is the identity: the replacement
-    markers must not themselves match any PII pattern (a marker that
+    marker must not itself match the PII alternation (a marker that
     re-matched would corrupt on every pipeline re-run)."""
     from pyspark.sql import functions as F
 
-    from pyspec_spark.queries.quality import _PII_EMAIL, _PII_IP, _PII_PHONE
+    from pyspec_spark.queries.quality import _PII_ANY
 
     clean_once = spark.createDataFrame(
-        [("a <EMAIL> b <PHONE> c <IP> d",), ("plain words only",)],
+        [("a <PII> b <PII> c d",), ("plain words only",)],
         "text string",
     )
     twice = clean_once.select(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
-                _PII_PHONE, "<PHONE>",
-            ),
-            _PII_IP, "<IP>",
-        ).alias("out"),
+        F.regexp_replace("text", _PII_ANY, "<PII>").alias("out"),
         "text",
     ).collect()
     for r in twice:
