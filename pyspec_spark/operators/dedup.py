@@ -408,10 +408,19 @@ def _cc_checkpointer(edges: DataFrame, checkpoint_dir: str | None):
     (executor-local blocks, fast, lost on executor death) by default;
     with ``checkpoint_dir`` set, reliable ``checkpoint()`` into that
     directory (HDFS/object-store path on a real cluster) — the 100 TB
-    posture, where a lost executor must not restart the whole loop."""
+    posture, where a lost executor must not restart the whole loop.
+
+    NOTE: ``setCheckpointDir`` is a SparkContext-GLOBAL mutation — it
+    redirects reliable checkpoints for every consumer of the session
+    until changed again (Spark offers no per-DataFrame target, and no
+    clean "unset").  Callers sharing the session with other checkpoint
+    users should pass the session-wide directory here rather than a
+    private one; ``sc.getCheckpointDir()`` reads the current value for
+    callers that want to restore it afterwards."""
     if checkpoint_dir is None:
         return lambda df: df.localCheckpoint(eager=True)
-    edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    sc = edges.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
     return lambda df: df.checkpoint(eager=True)
 
 

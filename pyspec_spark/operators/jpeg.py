@@ -333,6 +333,28 @@ def decode_jpeg_one(data: bytes, pos: int) -> tuple[np.ndarray, int]:
             if frame is None:
                 raise ValueError("SOS before SOF0")
             ns = body[0]
+            # T.81 also allows a sequence of per-component
+            # (non-interleaved) scans; this decoder implements the
+            # single-interleaved-scan layout every baseline encoder in
+            # the wild (and ours) emits — reject the rest explicitly
+            # rather than KeyError mid-MCU.
+            if ns != len(frame[2]):
+                raise ValueError(
+                    "only a single interleaved scan covering all frame "
+                    f"components is supported (scan has {ns} of "
+                    f"{len(frame[2])} components)"
+                )
+            if len(frame[2]) == 1 and (
+                frame[2][0][1] > 1 or frame[2][0][2] > 1
+            ):
+                # per T.81 a single-component scan is non-interleaved
+                # and ignores sampling factors; decoding it with
+                # interleaved-MCU geometry would misplace blocks for
+                # non-MCU-aligned widths
+                raise ValueError(
+                    "single-component frames with sampling factors > 1 "
+                    "are non-interleaved per T.81 and not supported"
+                )
             scan_tables = {}
             for i in range(ns):
                 cs, tdta = body[1 + 2 * i : 3 + 2 * i]

@@ -31,21 +31,35 @@ def covariance_matrix(
 ) -> np.ndarray:
     """Exact sample covariance of the embedding column as a numpy
     matrix.  Distributed: one map-only pair expansion + one bounded
-    aggregation (dim*(dim+1)/2 keys); only the aggregated matrix is
-    collected (bounded model, not data)."""
-    first = emb.select(F.size(vec_col).alias("d")).first()
-    if dim is None and first is None:
-        raise ValueError(
-            "covariance_matrix: empty input and no explicit dim — "
-            "a covariance needs at least 2 rows"
-        )
-    d = int(dim or first["d"])
+    aggregation over the UPPER TRIANGLE only (dim*(dim+1)/2 keys —
+    covariance is symmetric, so the lower triangle would double the
+    shuffle for no information); only the aggregated matrix is
+    collected (bounded model, not data).
+
+    Raises ``ValueError`` on an empty input or a single row (the
+    (n-1) sample denominator needs n >= 2)."""
+    if dim is None:
+        first = emb.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError(
+                "covariance_matrix: empty input and no explicit dim — "
+                "a covariance needs at least 2 rows"
+            )
+        d = int(first["d"])
+    else:
+        d = int(dim)
+    if d == 0:
+        # degenerate but explicit: 0-dim vectors have a 0x0 covariance
+        # (F.sequence(0, -1) would yield a DESCENDING index sequence)
+        return np.zeros((0, 0))
     v = F.col(vec_col)
     pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.lit(d - 1)),
             lambda i: F.transform(
-                F.sequence(F.lit(0), F.lit(d - 1)),
+                # j ranges over i..d-1: upper triangle inclusive of the
+                # diagonal (diagonal rows also carry x_i for the mean)
+                F.sequence(i, F.lit(d - 1)),
                 lambda j: F.struct(
                     i.alias("i"),
                     j.alias("j"),
@@ -54,28 +68,42 @@ def covariance_matrix(
                         * F.element_at(v, j + 1).cast("double")
                     ).alias("xx"),
                     F.element_at(v, i + 1).cast("double").alias("xi"),
+                    F.element_at(v, j + 1).cast("double").alias("xj"),
                 ),
             ),
         )
     )
     agg = (
-        emb.select(F.explode(pairs).alias("p"), F.lit(1).alias("one"))
+        emb.select(F.explode(pairs).alias("p"))
         .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
         .agg(
             F.sum("p.xx").alias("sxx"),
             F.sum("p.xi").alias("sxi"),
+            F.sum("p.xj").alias("sxj"),
             F.count("*").alias("n"),
         )
         .collect()
     )
+    if not agg:
+        raise ValueError(
+            "covariance_matrix: empty input — a covariance needs at "
+            "least 2 rows"
+        )
     n = agg[0]["n"]
+    if n < 2:
+        raise ValueError(
+            f"covariance_matrix: got {n} row(s); the (n-1) sample "
+            "denominator needs n >= 2"
+        )
     C = np.zeros((d, d))
     mean = np.zeros(d)
     for r in agg:
-        if r["j"] == 0:
+        if r["j"] == r["i"]:
             mean[r["i"]] = r["sxi"] / n
     for r in agg:
-        C[r["i"], r["j"]] = (r["sxx"] - n * mean[r["i"]] * mean[r["j"]]) / (n - 1)
+        i, j = r["i"], r["j"]
+        C[i, j] = (r["sxx"] - n * mean[i] * mean[j]) / (n - 1)
+        C[j, i] = C[i, j]
     return C
 
 
@@ -109,6 +137,10 @@ def pca_project(
             lambda acc, x: acc + x,
         )
         cols.append(
-            (F.round(dot, round_digits) if round_digits else dot).alias(f"pc{r + 1}")
+            (
+                F.round(dot, round_digits)
+                if round_digits is not None
+                else dot
+            ).alias(f"pc{r + 1}")
         )
     return emb.select("*", *cols)

@@ -256,3 +256,33 @@ def test_roundtrip_property_q100_420():
         assert np.abs(dec.astype(int) - img.astype(int)).max() <= 6
 
     run()
+
+
+def test_non_interleaved_scans_rejected():
+    """ADVICE r4: a legal baseline file with per-component scans (or a
+    single-component frame declaring sampling >1) must be a clean
+    ValueError, not a KeyError / misplaced-block decode."""
+    img = synth_image(0, 0, 16, 12)
+    enc = bytearray(encode_jpeg(img, quality=92))
+    # shrink the SOS header to cover only the first component: a
+    # 3-component frame followed by a 1-component scan
+    i = bytes(enc).index(b"\xff\xda")
+    ln = (enc[i + 2] << 8) | enc[i + 3]
+    assert ln == 2 + 1 + 2 * 3 + 3  # 3-component interleaved scan
+    one_comp = (
+        enc[: i + 2]
+        + bytes([0, 2 + 1 + 2 + 3, 1])      # new length, ns=1
+        + enc[i + 5 : i + 7]                 # comp 1 spec
+        + enc[i + 2 + ln - 3 : ]             # Ss/Se/Ah-Al + entropy
+    )
+    with pytest.raises(ValueError, match="interleaved"):
+        decode_jpeg_one(bytes(one_comp), 0)
+
+    # grayscale frame whose single component claims 2x2 sampling
+    genc = bytearray(encode_jpeg(synth_image(0, 0, 20, 12)[:, :, 0]))
+    j = bytes(genc).index(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) nc(1) [cid hv tq]
+    assert genc[j + 9] == 1  # nc == 1
+    genc[j + 11] = 0x22      # hv: 2x2
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg_one(bytes(genc), 0)

@@ -130,3 +130,30 @@ def test_pca_power_equals_numpy_iterate(spark, emb_local):
         return float(u @ C @ u)
 
     assert rayleigh(v) > rayleigh(np.full(16, 0.125))
+
+
+def test_covariance_edge_cases_raise_cleanly(spark):
+    """ADVICE r4: explicit-dim empty input and single-row input must be
+    clean ValueErrors (not IndexError / inf-filled matrices), and
+    round_digits=0 must round to integers, not silently disable."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.pca import covariance_matrix, pca_project
+
+    empty = spark.createDataFrame([], "embedding array<float>")
+    with pytest.raises(ValueError, match="empty"):
+        covariance_matrix(empty, dim=4)
+    one = spark.createDataFrame([([1.0, 2.0, 3.0, 4.0],)],
+                                "embedding array<float>")
+    with pytest.raises(ValueError, match="n >= 2"):
+        covariance_matrix(one)
+    # round_digits=0 -> integer-rounded projections (not un-rounded)
+    comps = np.eye(1, 4)
+    got = pca_project(one, comps, round_digits=0).collect()[0]["pc1"]
+    assert got == 1.0
+    # dim=0 honored as an explicit (degenerate) dimension, not ignored
+    two = spark.createDataFrame(
+        [([],), ([],)], "embedding array<float>"
+    )
+    C = covariance_matrix(two, dim=0)
+    assert C.shape == (0, 0)
