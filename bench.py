@@ -4,9 +4,10 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Method per BASELINE.md: session reused, each query run twice, warm (second)
-time reported; fixed SparkSession startup excluded from per-query numbers
-and reported separately under "startup_sec".
+Method per BASELINE.md: session reused, untimed warmup pass, then warm =
+BEST-OF-3 repeat collects (r5: one warm sample made floor-class deltas
+scheduler-noise-bound); fixed SparkSession startup excluded from
+per-query numbers and reported separately under "startup_sec".
 
 Two timings per query (VERDICT r2 item 3 — BENCH carries both so the
 2x-bound discussion doesn't depend on shuffle-stage reuse):
@@ -84,14 +85,20 @@ def main() -> None:
     # first executions, which is startup cost, not query cost.
     for name in names:
         registry.QUERIES[name](spark, sf_dir).collect()
+    # Warm = BEST-OF-3 repeat collects (r4 VERDICT item 3): a single
+    # warm sample put floor-class queries (sub-90 ms) at the mercy of
+    # scheduler noise — r4's apparent q_window_rank/q_events_tumbling
+    # "regressions" were unreadable.  min-of-3 makes round-over-round
+    # deltas meaningful.
     times: dict[str, float] = {}
     for name in names:
         fn = registry.QUERIES[name]
-        for _ in range(2):  # cold then warm (plan-cache + JIT hot)
+        best = float("inf")
+        for _ in range(3):
             t = time.time()
             fn(spark, sf_dir).collect()
-            dt = time.time() - t
-        times[name] = round(dt, 4)
+            best = min(best, time.time() - t)
+        times[name] = round(best, 4)
 
     # Cold full re-execution: rebuild the plan (bypassing the registry's
     # prepared-plan cache, so RDD/shuffle ids are fresh and no completed
@@ -127,12 +134,13 @@ def main() -> None:
             if sql is None:
                 oracle_ms[name] = None
                 continue
-            dt = float("inf")
-            for _ in range(2):
+            best = float("inf")
+            for i in range(3):
                 t = time.time()
                 con.execute(sql).fetchdf()
-                dt = time.time() - t  # keep the second (warm) run
-            oracle_ms[name] = round(dt * 1000, 1)
+                if i > 0:  # first run is the warmup, min of runs 2-3
+                    best = min(best, time.time() - t)
+            oracle_ms[name] = round(best * 1000, 1)
     except Exception as e:  # noqa: BLE001 — bench must still emit JSON
         oracle_ms = {n: None for n in names}
         oracle_ms["_error"] = str(e)[:200]  # type: ignore[assignment]
@@ -152,10 +160,11 @@ def main() -> None:
                 "startup_sec": round(startup, 2),
                 "n_queries": len(times),
                 "methodology": (
-                    "warm = repeat collect (plan+shuffle-stage reuse); "
-                    "cold_reexec = rebuilt plan, caches cleared, noop "
-                    "sink, every stage re-executed; oracle_ms = DuckDB "
-                    "warm rerun of the declared oracle SQL, same dir"
+                    "warm = best-of-3 repeat collects (plan+shuffle-"
+                    "stage reuse); cold_reexec = rebuilt plan, caches "
+                    "cleared, noop sink, every stage re-executed, "
+                    "best-of-2; oracle_ms = DuckDB warm best-of-2 "
+                    "after warmup of the declared oracle SQL, same dir"
                 ),
             }
         )
