@@ -36,7 +36,12 @@ import glob as globmod
 import os
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
@@ -97,6 +102,53 @@ def _resolve_paths(path_opt: str) -> list[str]:
         else:
             paths.extend(sorted(globmod.glob(p)) or [p])
     return [p for p in paths if os.path.isfile(p)]
+
+
+def _scan_rows(
+    table: str, path: str, text: str, start: int, end: int
+) -> Iterator[tuple]:
+    """Parse one scan block of an already-read SPEC file into rows of
+    the requested logical table (shared by the batch partition reader
+    and the streaming tail reader)."""
+    from pyspec_spark.sources.spec_format import (
+        parse_file_header,
+        parse_scan_block,
+    )
+
+    header = parse_file_header(text)
+    block = text[start:end]
+    scan = parse_scan_block(block, header.motor_names)
+    fname = os.path.basename(path)
+
+    if table == "scans":
+        # tz-aware UTC pairs with parse_spec_date's timegm: the
+        # round-trip is host-timezone independent (ADVICE r1)
+        ts = (
+            datetime.datetime.fromtimestamp(scan.ts, tz=datetime.timezone.utc)
+            if scan.ts is not None
+            else None
+        )
+        yield (
+            fname,
+            scan.scan_number,
+            scan.command,
+            ts,
+            scan.count_time,
+            scan.monitor,
+            scan.hkl,
+            scan.ub,
+            scan.wavelength,
+            scan.motors,
+            scan.columns,
+            scan.n_points_declared,
+            scan.aborted,
+        )
+        return
+
+    cols = scan.columns
+    for i, row in enumerate(scan.data):
+        values = dict(zip(cols, row))
+        yield (fname, scan.scan_number, i, values, scan.mca[i])
 
 
 class SpecDataSourceReader(DataSourceReader):
@@ -181,55 +233,110 @@ class SpecDataSourceReader(DataSourceReader):
 
     # -- per-partition read: parse ONE scan block ---------------------------
     def read(self, partition: _ScanPartition) -> Iterator[tuple]:
-        from pyspec_spark.sources.spec_format import (
-            parse_file_header,
-            parse_scan_block,
-        )
-
         if partition is None or not partition.path:  # pruned-empty sentinel
             return
         with open(partition.path, encoding="utf-8", errors="replace") as fh:
             text = fh.read()
-        header = parse_file_header(text)
-        block = text[partition.start : partition.end]
-        scan = parse_scan_block(block, header.motor_names)
-        fname = os.path.basename(partition.path)
+        yield from _scan_rows(
+            self.table, partition.path, text, partition.start, partition.end
+        )
 
-        if self.table == "scans":
-            # tz-aware UTC pairs with parse_spec_date's timegm: the
-            # round-trip is host-timezone independent (ADVICE r1)
-            ts = (
-                datetime.datetime.fromtimestamp(
-                    scan.ts, tz=datetime.timezone.utc
+
+class SpecSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Tail a live SPEC file: the reference's ``reload`` pattern
+    (pyspec appends new `#S` scan blocks to the open file between
+    polls; `SpecDataFile.reload()` re-indexes manually) expressed as a
+    real Structured Streaming source — SURVEY §2 S1×S7.
+
+    Offset model (JSON dict, one entry per file):
+        {"files": {path: {"size": bytes_at_last_poll, "emitted": k}}}
+    where ``emitted`` counts scans already produced, in index order.
+
+    Completeness rule: a scan block is emitted when it is BOUNDED (a
+    later `#S` exists, so pyspec has moved on) — except the trailing
+    scan, which may still be receiving points; it is emitted only once
+    the file is QUIESCENT (size unchanged since the previous poll).
+    This makes every emitted block final under SPEC's append-only
+    discipline, so replay (``readBetweenOffsets``) is deterministic:
+    the same index range re-parses to the same rows.
+
+    Scale posture: a SimpleDataSourceStreamReader reads on the driver
+    by design — correct here because the per-trigger volume is one
+    beamline's append rate (KB/s), not corpus-sized; the rows then
+    distribute to executors for the downstream plan.  Truncation of a
+    tracked file raises rather than silently re-emitting (append-only
+    violation = corruption)."""
+
+    def __init__(self, options: dict, table: str):
+        self.options = options
+        self.table = table
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("specfile source requires .option('path', ...)")
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"files": {}}
+
+    def _poll(self, start: dict):
+        """Index every resolved file; return (rows, next_offset)."""
+        from pyspec_spark.sources.spec_format import index_scans
+
+        prev = start.get("files", {})
+        nxt: dict[str, dict] = {}
+        rows: list[tuple] = []
+        for path in _resolve_paths(self.path):
+            with open(path, encoding="utf-8", errors="replace") as fh:
+                text = fh.read()
+            size = len(text)
+            st = prev.get(path, {"size": -1, "emitted": 0})
+            if size < st["size"]:
+                raise ValueError(
+                    f"specfile stream: {path} shrank ({st['size']} -> "
+                    f"{size} bytes); SPEC files are append-only"
                 )
-                if scan.ts is not None
-                else None
-            )
-            yield (
-                fname,
-                scan.scan_number,
-                scan.command,
-                ts,
-                scan.count_time,
-                scan.monitor,
-                scan.hkl,
-                scan.ub,
-                scan.wavelength,
-                scan.motors,
-                scan.columns,
-                scan.n_points_declared,
-                scan.aborted,
-            )
-            return
+            idx = index_scans(text)
+            emitted = st["emitted"]
+            if emitted > len(idx):
+                raise ValueError(
+                    f"specfile stream: {path} lost scans "
+                    f"({st['emitted']} emitted, {len(idx)} present)"
+                )
+            # bounded scans: everything before the trailing block
+            upto = max(emitted, len(idx) - 1)
+            # trailing scan: only when the file is quiescent
+            if size == st["size"] and idx:
+                upto = len(idx)
+            for scan_number, s, e in idx[emitted:upto]:
+                rows.extend(_scan_rows(self.table, path, text, s, e))
+            nxt[path] = {"size": size, "emitted": upto}
+        return rows, {"files": nxt}
 
-        cols = scan.columns
-        for i, row in enumerate(scan.data):
-            values = dict(zip(cols, row))
-            yield (fname, scan.scan_number, i, values, scan.mca[i])
+    def read(self, start: dict):
+        rows, nxt = self._poll(start)
+        return iter(rows), nxt
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        """Deterministic replay for recovery: re-parse exactly the
+        index ranges [start.emitted, end.emitted) per file."""
+        from pyspec_spark.sources.spec_format import index_scans
+
+        s_files = start.get("files", {})
+        for path, e_st in end.get("files", {}).items():
+            lo = s_files.get(path, {}).get("emitted", 0)
+            hi = e_st["emitted"]
+            if hi <= lo:
+                continue
+            with open(path, encoding="utf-8", errors="replace") as fh:
+                text = fh.read()
+            idx = index_scans(text)
+            for scan_number, s, e in idx[lo:hi]:
+                yield from _scan_rows(self.table, path, text, s, e)
 
 
 class SpecDataSource(DataSource):
-    """spark.read.format("specfile") — SPEC scan files as DataFrames."""
+    """spark.read.format("specfile") — SPEC scan files as DataFrames.
+    Also streamable: spark.readStream.format("specfile") tails appended
+    scans (SpecSimpleStreamReader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -241,6 +348,11 @@ class SpecDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return SpecDataSourceReader(self.options, self.options.get("table", "points"))
+
+    def simpleStreamReader(self, schema):  # noqa: N802 (API name)
+        return SpecSimpleStreamReader(
+            self.options, self.options.get("table", "points")
+        )
 
 
 def register(spark) -> None:

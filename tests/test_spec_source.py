@@ -150,3 +150,158 @@ def test_reload_append_pattern(registered, spec_dir, tmp_path):
         dst.write("\n" + block)
     n1 = _points(spark, str(f), table="scans").count()
     assert n1 == n0 + 1
+
+
+# ---------------------------------------------------------------------------
+# Streaming tail (r5): the reference's `reload` loop as a real
+# Structured Streaming source (SpecSimpleStreamReader, SURVEY §2 S1xS7)
+# ---------------------------------------------------------------------------
+def _scan_block(src_text: str, new_number: int) -> str:
+    """Clone the last #S block of a fixture file under a new number."""
+    block = src_text[src_text.rindex("#S ") :]
+    old = block.split()[1]
+    return "\n" + block.replace(f"#S {old}", f"#S {new_number}")
+
+
+def test_stream_tails_appended_scans(registered, spec_dir, tmp_path):
+    """Streamed scans == batch re-read at every quiescent point, across
+    a mid-stream append; the trailing scan is held until the file goes
+    quiescent, then emitted exactly once."""
+    import shutil
+    import time as _time
+
+    spark = registered
+    base, _ = spec_dir
+    f = str(tmp_path / "live.spec")
+    shutil.copyfile(f"{base}/exp2.spec", f)
+    src_text = open(f"{base}/exp2.spec").read()
+
+    q = (
+        spark.readStream.format("specfile")
+        .option("path", f)
+        .option("table", "scans")
+        .load()
+        .writeStream.format("memory")
+        .queryName("spec_live")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batch0 = _points(spark, f, table="scans").count()
+        got0 = spark.sql("SELECT count(*) c FROM spec_live").first()["c"]
+        assert got0 == batch0  # trailing scan emitted after quiescence
+
+        # append two scans mid-stream (the pyspec reload pattern)
+        with open(f, "a") as dst:
+            dst.write(_scan_block(src_text, 26))
+        q.processAllAvailable()
+        with open(f, "a") as dst:
+            dst.write(_scan_block(src_text, 27))
+        q.processAllAvailable()
+        # one more microbatch cycle for the quiescent trailing block
+        deadline = _time.time() + 30
+        want = batch0 + 2
+        while _time.time() < deadline:
+            q.processAllAvailable()
+            if (
+                spark.sql("SELECT count(*) c FROM spec_live").first()["c"]
+                == want
+            ):
+                break
+            _time.sleep(0.2)
+        rows = spark.sql(
+            "SELECT scan_number, count(*) n FROM spec_live "
+            "GROUP BY scan_number"
+        ).collect()
+        streamed = {r["scan_number"]: r["n"] for r in rows}
+        batch = {
+            r["scan_number"]: r["n"]
+            for r in _points(spark, f, table="scans")
+            .groupBy("scan_number")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        assert streamed == batch
+    finally:
+        q.stop()
+
+
+def test_stream_reader_replay_and_truncation_guard(spec_dir, tmp_path):
+    """Unit-level offset semantics: readBetweenOffsets replays exactly
+    the rows read() produced between two offsets, and a shrinking file
+    (append-only violation) raises."""
+    import shutil
+
+    import pytest as _pytest
+
+    from pyspec_spark.sources.spec_datasource import SpecSimpleStreamReader
+
+    base, _ = spec_dir
+    f = str(tmp_path / "replay.spec")
+    shutil.copyfile(f"{base}/exp2.spec", f)
+
+    r = SpecSimpleStreamReader({"path": f}, "points")
+    o0 = r.initialOffset()
+    rows1, o1 = r.read(o0)
+    rows1 = list(rows1)
+    rows2, o2 = r.read(o1)  # quiescent: trailing scan arrives
+    rows2 = list(rows2)
+    assert rows2  # the held-back trailing scan
+    replay = list(r.readBetweenOffsets(o0, o2))
+    assert replay == rows1 + rows2
+    # a third poll with no growth yields nothing and a stable offset
+    rows3, o3 = r.read(o2)
+    assert list(rows3) == [] and o3 == o2
+
+    # truncation: append-only violation must raise, not re-emit
+    text = open(f).read()
+    with open(f, "w") as fh:
+        fh.write(text[: len(text) // 2])
+    with _pytest.raises(ValueError, match="append-only"):
+        r.read(o2)
+
+
+def test_stream_normalization_prefix_matches_batch(
+    registered, spec_dir, tmp_path
+):
+    """ST9-style composition: the getYE normalization prefix
+    (streaming/spec.py) over the live tail equals the batch read
+    through the SAME transformation — one code path, two runtimes."""
+    import shutil
+
+    from pyspec_spark.streaming.spec import normalized, read_spec_stream
+
+    spark = registered
+    base, _ = spec_dir
+    f = str(tmp_path / "norm.spec")
+    shutil.copyfile(f"{base}/exp2.spec", f)
+    src_text = open(f"{base}/exp2.spec").read()
+
+    q = (
+        normalized(read_spec_stream(spark, f))
+        .writeStream.format("memory")
+        .queryName("spec_norm")
+        .option("checkpointLocation", str(tmp_path / "ckpt_norm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        with open(f, "a") as dst:
+            dst.write(
+                "\n"
+                + src_text[src_text.rindex("#S ") :].replace("#S 25", "#S 26")
+            )
+        q.processAllAvailable()
+        q.processAllAvailable()  # quiescent poll releases the tail scan
+        got = {
+            (r["scan_number"], r["point_index"]): (r["norm"], r["norm_err"])
+            for r in spark.sql("SELECT * FROM spec_norm").collect()
+        }
+        want = {
+            (r["scan_number"], r["point_index"]): (r["norm"], r["norm_err"])
+            for r in normalized(_points(spark, f)).collect()
+        }
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
