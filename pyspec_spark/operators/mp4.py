@@ -1,0 +1,293 @@
+"""Metadata-only MP4 / ISO-BMFF box parser — SURVEY.md §2.12 L7 (r5).
+
+A real mixed crawl carries video columns; full H.264/H.265 frame decode
+is permanently out of scope for a pure-numpy repo (and documented as
+the one remaining stub boundary in operators/multimodal.py), but the
+CONTAINER is a published standard (ISO/IEC 14496-12: a tree of
+length-prefixed "boxes"), so duration, track geometry, codec fourcc and
+sample counts are all parseable without any codec library.  That is
+exactly what a curation pipeline needs from video at scale: filter by
+duration/resolution/codec BEFORE shipping payloads to a GPU decode
+fleet.
+
+Implemented from the public ISO 14496-12 structure:
+- box header: u32 size + fourcc; size==1 -> u64 largesize follows;
+  size==0 -> box extends to end of enclosing scope
+- containers walked recursively: moov, trak, mdia, minf, stbl, edts
+- ftyp (major/compatible brands), mvhd (movie timescale+duration,
+  v0/v1), tkhd (track id, 16.16-fixed width/height, v0/v1), mdhd
+  (media timescale+duration, 5-bit-packed language, v0/v1), hdlr
+  (handler fourcc: vide/soun/...), stsd (first sample-entry fourcc =
+  the codec), stsz (sample count)
+
+Corrupt input (truncated box, size < 8, child overrunning its parent,
+missing moov) raises ValueError with the offending offset — never a
+silent partial parse.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+_CONTAINERS = {"moov", "trak", "mdia", "minf", "stbl", "edts", "udta", "mvex"}
+
+
+def iter_boxes(
+    data: bytes, start: int = 0, end: int | None = None
+) -> Iterator[tuple[str, int, int]]:
+    """Yield (fourcc, body_start, body_end) for each box in [start, end).
+
+    Raises ValueError on structurally invalid sizes or truncation."""
+    end = len(data) if end is None else end
+    p = start
+    while p < end:
+        if p + 8 > end:
+            raise ValueError(f"mp4: truncated box header at offset {p}")
+        (size,) = struct.unpack_from(">I", data, p)
+        fourcc = data[p + 4 : p + 8].decode("latin-1")
+        body = p + 8
+        if size == 1:
+            if p + 16 > end:
+                raise ValueError(f"mp4: truncated largesize at offset {p}")
+            (size,) = struct.unpack_from(">Q", data, p + 8)
+            body = p + 16
+        elif size == 0:  # to end of enclosing scope
+            size = end - p
+        if size < body - p:
+            raise ValueError(f"mp4: box size {size} too small at offset {p}")
+        if p + size > end:
+            raise ValueError(
+                f"mp4: box {fourcc!r} at offset {p} overruns its scope "
+                f"({p + size} > {end})"
+            )
+        yield fourcc, body, p + size
+        p += size
+
+
+def _find(data: bytes, start: int, end: int, fourcc: str) -> tuple[int, int] | None:
+    for fc, s, e in iter_boxes(data, start, end):
+        if fc == fourcc:
+            return s, e
+    return None
+
+
+def _full_box(data: bytes, s: int) -> tuple[int, int]:
+    """(version, flags) of a FullBox body starting at s."""
+    (vf,) = struct.unpack_from(">I", data, s)
+    return vf >> 24, vf & 0xFFFFFF
+
+
+def _parse_mvhd(data: bytes, s: int) -> tuple[int, int]:
+    v, _ = _full_box(data, s)
+    if v == 1:
+        ts, dur = struct.unpack_from(">IQ", data, s + 4 + 16)
+    else:
+        ts, dur = struct.unpack_from(">II", data, s + 4 + 8)
+    return ts, dur
+
+
+def _parse_tkhd(data: bytes, s: int) -> tuple[int, float, float]:
+    v, _ = _full_box(data, s)
+    if v == 1:
+        (track_id,) = struct.unpack_from(">I", data, s + 4 + 16)
+        geo = s + 4 + 16 + 4 + 4 + 8  # +reserved +duration(8)
+    else:
+        (track_id,) = struct.unpack_from(">I", data, s + 4 + 8)
+        geo = s + 4 + 8 + 4 + 4 + 4  # +reserved +duration(4)
+    # reserved(8) layer(2) alternate_group(2) volume(2) reserved(2)
+    # matrix(36) then width/height as 16.16 fixed point
+    w_fx, h_fx = struct.unpack_from(">II", data, geo + 8 + 2 + 2 + 2 + 2 + 36)
+    return track_id, w_fx / 65536.0, h_fx / 65536.0
+
+
+def _parse_mdhd(data: bytes, s: int) -> tuple[int, int, str]:
+    v, _ = _full_box(data, s)
+    if v == 1:
+        ts, dur = struct.unpack_from(">IQ", data, s + 4 + 16)
+        lang_off = s + 4 + 16 + 12
+    else:
+        ts, dur = struct.unpack_from(">II", data, s + 4 + 8)
+        lang_off = s + 4 + 8 + 8
+    (packed,) = struct.unpack_from(">H", data, lang_off)
+    lang = "".join(
+        chr(((packed >> sh) & 0x1F) + 0x60) for sh in (10, 5, 0)
+    )
+    return ts, dur, lang
+
+
+def parse_mp4_metadata(data: bytes) -> dict:
+    """Parse an ISO-BMFF byte string into typed metadata.
+
+    Returns {brand, compatible_brands, duration_s, timescale, tracks:
+    [{track_id, handler, codec, width, height, duration_s, language,
+    n_samples}]}.  Raises ValueError on malformed structure or a
+    missing moov box."""
+    # eager structural pass over the top level: a truncated or
+    # overrunning trailing box (e.g. cut mdat) must fail the parse even
+    # though the metadata boxes precede it — callers use this as the
+    # is-this-file-intact gate before shipping payloads downstream
+    list(iter_boxes(data))
+    brand, compat = None, []
+    ftyp = _find(data, 0, len(data), "ftyp")
+    if ftyp:
+        s, e = ftyp
+        brand = data[s : s + 4].decode("latin-1")
+        compat = [
+            data[p : p + 4].decode("latin-1") for p in range(s + 8, e, 4)
+        ]
+    moov = _find(data, 0, len(data), "moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box — not a valid ISO-BMFF movie")
+    ms, me = moov
+    mvhd = _find(data, ms, me, "mvhd")
+    if mvhd is None:
+        raise ValueError("mp4: moov without mvhd")
+    ts, dur = _parse_mvhd(data, mvhd[0])
+    out = {
+        "brand": brand,
+        "compatible_brands": compat,
+        "timescale": ts,
+        "duration_s": round(dur / ts, 6) if ts else None,
+        "tracks": [],
+    }
+    for fc, trs, tre in iter_boxes(data, ms, me):
+        if fc != "trak":
+            continue
+        tr: dict = {
+            "track_id": None,
+            "handler": None,
+            "codec": None,
+            "width": None,
+            "height": None,
+            "duration_s": None,
+            "language": None,
+            "n_samples": None,
+        }
+        tkhd = _find(data, trs, tre, "tkhd")
+        if tkhd:
+            tr["track_id"], tr["width"], tr["height"] = _parse_tkhd(
+                data, tkhd[0]
+            )
+        mdia = _find(data, trs, tre, "mdia")
+        if mdia:
+            mdhd = _find(data, mdia[0], mdia[1], "mdhd")
+            if mdhd:
+                mts, mdur, lang = _parse_mdhd(data, mdhd[0])
+                tr["duration_s"] = round(mdur / mts, 6) if mts else None
+                tr["language"] = lang
+            hdlr = _find(data, mdia[0], mdia[1], "hdlr")
+            if hdlr:
+                tr["handler"] = data[hdlr[0] + 8 : hdlr[0] + 12].decode(
+                    "latin-1"
+                )
+            minf = _find(data, mdia[0], mdia[1], "minf")
+            if minf:
+                stbl = _find(data, minf[0], minf[1], "stbl")
+                if stbl:
+                    stsd = _find(data, stbl[0], stbl[1], "stsd")
+                    if stsd:
+                        s = stsd[0]
+                        (n_entries,) = struct.unpack_from(">I", data, s + 4)
+                        if n_entries > 0 and s + 16 <= stsd[1]:
+                            tr["codec"] = data[s + 12 : s + 16].decode(
+                                "latin-1"
+                            )
+                    stsz = _find(data, stbl[0], stbl[1], "stsz")
+                    if stsz:
+                        _, n = struct.unpack_from(
+                            ">II", data, stsz[0] + 4
+                        )
+                        tr["n_samples"] = n
+        out["tracks"].append(tr)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic minimal-file synthesizer (tests + corpus builder): a
+# structurally valid single-video-track movie, built from the same box
+# layout the parser reads.
+# ---------------------------------------------------------------------------
+def _box(fourcc: str, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + fourcc.encode("latin-1") + body
+
+
+def make_minimal_mp4(
+    width: int = 64,
+    height: int = 48,
+    duration_s: float = 2.0,
+    timescale: int = 1000,
+    codec: str = "avc1",
+    n_samples: int = 48,
+    language: str = "und",
+) -> bytes:
+    """Synthesize a minimal valid MP4: ftyp + moov(mvhd, trak(tkhd,
+    mdia(mdhd, hdlr, minf(stbl(stsd(codec), stsz))))) + tiny mdat."""
+    dur = int(round(duration_s * timescale))
+    ftyp = _box("ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = _box(
+        "mvhd",
+        struct.pack(">I", 0)                       # version 0 + flags
+        + struct.pack(">II", 0, 0)                 # ctime mtime
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">I", 0x00010000)            # rate 1.0
+        + struct.pack(">H", 0x0100) + b"\x00" * 10  # volume + reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24                             # predefined
+        + struct.pack(">I", 2),                    # next track id
+    )
+    tkhd = _box(
+        "tkhd",
+        struct.pack(">I", 7)                       # v0, flags: enabled
+        + struct.pack(">II", 0, 0)                 # ctime mtime
+        + struct.pack(">I", 1)                     # track id
+        + struct.pack(">I", 0)                     # reserved
+        + struct.pack(">I", dur)
+        + b"\x00" * 8                              # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)         # layer alt vol res
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    packed_lang = 0
+    for c in language[:3]:
+        packed_lang = (packed_lang << 5) | (ord(c) - 0x60)
+    mdhd = _box(
+        "mdhd",
+        struct.pack(">I", 0)
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">HH", packed_lang, 0),
+    )
+    hdlr = _box(
+        "hdlr",
+        struct.pack(">I", 0) + struct.pack(">I", 0) + b"vide"
+        + b"\x00" * 12 + b"video\x00",
+    )
+    # minimal visual sample entry per 14496-12 §12.1.3
+    entry_rest = (
+        b"\x00" * 6 + struct.pack(">H", 1)         # reserved + dref idx
+        + b"\x00" * 16                             # predef/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x480000, 0x480000)   # 72 dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)
+        + b"\x00" * 32                             # compressor name
+        + struct.pack(">Hh", 24, -1)
+    )
+    entry = (
+        struct.pack(">I", 8 + len(entry_rest))
+        + codec.encode("latin-1")
+        + entry_rest
+    )
+    stsd = _box("stsd", struct.pack(">I", 0) + struct.pack(">I", 1) + entry)
+    stsz = _box(
+        "stsz",
+        struct.pack(">I", 0) + struct.pack(">II", 0, n_samples)
+        + b"".join(struct.pack(">I", 16) for _ in range(n_samples)),
+    )
+    stbl = _box("stbl", stsd + stsz)
+    minf = _box("minf", stbl)
+    mdia = _box("mdia", mdhd + hdlr + minf)
+    trak = _box("trak", tkhd + mdia)
+    moov = _box("moov", mvhd + trak)
+    mdat = _box("mdat", bytes(16) * n_samples)
+    return ftyp + moov + mdat

@@ -7,10 +7,13 @@ frame-sample run as Arrow-batched pandas functions over `mapInPandas`.
 Image decode is REAL for the public formats implemented in
 ``operators/codecs.py`` / ``operators/jpeg.py`` (binary PPM/PGM, 8-bit
 PNG, and baseline JPEG per ITU-T T.81; multi-frame via concatenation) —
-no codec library needed.  The one format whose decoder genuinely isn't
-in this container (mp4) raises NotImplementedError at a clearly-marked
-boundary, and the deterministic `fake-rgb8` codec remains for plumbing
-tests.
+no codec library needed.  MP4 CONTAINER metadata is REAL too
+(operators/mp4.py parses the ISO 14496-12 box tree: duration, track
+geometry, codec fourcc, sample counts — see ``video_metadata``); only
+mp4 FRAME decode raises NotImplementedError at a clearly-marked
+boundary (an H.264 decoder is out of scope for pure numpy — plug
+PIL/av in at that one seam).  The deterministic `fake-rgb8` codec
+remains for plumbing tests.
 
 Scale notes: one media blob never leaves its executor; decode is
 per-row inside Arrow batches; frame sampling happens *before* feature
@@ -79,8 +82,10 @@ def decode_frame(codec: str, payload: bytes, width: int, height: int, frame_id: 
         )
     if codec in STUBBED_CODECS:
         raise NotImplementedError(
-            f"codec {codec!r}: decoder library not available in this "
-            "container — plug a decoder in here (PIL/av)"
+            f"codec {codec!r}: FRAME decoder library not available in "
+            "this container — plug a decoder in here (PIL/av); container "
+            "METADATA parses without one (video_metadata / operators/"
+            "mp4.py)"
         )
     raise ValueError(f"unknown codec {codec!r}")
 
@@ -232,6 +237,86 @@ def make_mixed_media(
             )
             rows.append((i, "image", "jpeg", width, height, 1, bytearray(payload)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("codec", StringType()),
+        StructField("brand", StringType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("track_codec", StringType(), True),
+        StructField("track_w", IntegerType(), True),
+        StructField("track_h", IntegerType(), True),
+        StructField("language", StringType(), True),
+        StructField("n_samples", IntegerType(), True),
+    ]
+)
+
+
+def make_video_media(spark: SparkSession, n: int = 6) -> DataFrame:
+    """Media table of synthesized minimal MP4s with metadata that is a
+    closed-form function of media_id (golden-checkable)."""
+    from pyspec_spark.operators.mp4 import make_minimal_mp4
+
+    codecs = ("avc1", "hvc1", "av01")
+    langs = ("eng", "und", "fra")
+    rows = []
+    for i in range(n):
+        payload = make_minimal_mp4(
+            width=64 + 16 * i,
+            height=48 + 12 * i,
+            duration_s=1.0 + 0.5 * i,
+            codec=codecs[i % 3],
+            n_samples=24 * (i + 1),
+            language=langs[i % 3],
+        )
+        rows.append(
+            (i, "video", "mp4", 64 + 16 * i, 48 + 12 * i, 24 * (i + 1),
+             bytearray(payload))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def video_metadata(media: DataFrame) -> DataFrame:
+    """Typed container metadata for video rows — the r5 answer to the
+    mp4 boundary: a mixed crawl's video column yields duration /
+    geometry / codec-fourcc ROWS (what curation filters on) without any
+    codec library; FRAME decode remains the documented
+    NotImplementedError in decode_frame.  Runs inside mapInPandas on
+    executors; only the parsed metadata (not payloads) leaves the
+    batch."""
+    from pyspec_spark.operators.mp4 import parse_mp4_metadata
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["codec"] != "mp4":
+                    continue
+                meta = parse_mp4_metadata(bytes(r["payload"]))
+                video = next(
+                    (t for t in meta["tracks"] if t["handler"] == "vide"),
+                    None,
+                )
+                out.append(
+                    {
+                        "media_id": int(r["media_id"]),
+                        "codec": r["codec"],
+                        "brand": meta["brand"],
+                        "duration_s": meta["duration_s"],
+                        "track_codec": video and video["codec"],
+                        "track_w": video and int(video["width"]),
+                        "track_h": video and int(video["height"]),
+                        "language": video and video["language"],
+                        "n_samples": video and video["n_samples"],
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_META_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, VIDEO_META_SCHEMA)
 
 
 def extract_features(

@@ -372,6 +372,46 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L7 video (r5) — MP4 container metadata WITHOUT a codec library: the
+# Spark side synthesizes real ISO-BMFF bytes (operators/mp4.py, box
+# layout per ISO 14496-12) whose metadata is a closed-form function of
+# media_id, then PARSES them back inside mapInPandas on executors; the
+# oracle replays the closed form directly.  Hash-equality therefore
+# proves the parser exactly inverts the synthesizer through real bytes
+# (the q_audio_features_arr proof pattern applied to the container
+# parser).  Frame decode remains the documented NotImplementedError.
+# At scale this is the pre-GPU curation filter: duration/resolution/
+# codec-fourcc predicates evaluated on metadata, payloads untouched.
+# ---------------------------------------------------------------------------
+_VIDEO_META_N = 6
+
+_VIDEO_META_ORACLE = f"""
+SELECT CAST(range AS BIGINT) AS media_id,
+       'mp4' AS codec,
+       'isom' AS brand,
+       ROUND(1.0 + 0.5 * range, 6) AS duration_s,
+       (['avc1','hvc1','av01'])[(range % 3) + 1] AS track_codec,
+       CAST(64 + 16 * range AS INT) AS track_w,
+       CAST(48 + 12 * range AS INT) AS track_h,
+       (['eng','und','fra'])[(range % 3) + 1] AS language,
+       CAST(24 * (range + 1) AS INT) AS n_samples
+FROM range({_VIDEO_META_N})
+ORDER BY media_id
+"""
+
+
+@query("q_video_metadata", oracle=_VIDEO_META_ORACLE)
+def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.multimodal import (
+        make_video_media,
+        video_metadata,
+    )
+
+    media = make_video_media(spark, n=_VIDEO_META_N)
+    return video_metadata(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
 # L7 audio — per-window RMS / zero-crossing features from REAL WAV PCM
 # payloads decoded by the in-repo RIFF parser (operators/codecs.py)
 # inside mapInPandas (rows-only; goldens pin sine-wave RMS=A/sqrt(2)
