@@ -66,3 +66,84 @@ def test_multi_executor_matches_local(spark):
     cluster = json.loads(marker[0][len("RESULT:"):])
     for name in QUERIES:
         assert cluster[name] == local[name], f"{name} differs across executors"
+
+
+@pytest.mark.slow
+def test_gridder_bragg_peak_skew(spark):
+    """SURVEY §4.2's named domain skew risk: a Bragg peak concentrates
+    a huge fraction of all points in ONE voxel.  For an AGGREGATION the
+    scale answer is map-side partial aggregation — the hot voxel
+    collapses to one row per input partition before the shuffle, so
+    the shuffle carries <= partitions x touched-voxels rows no matter
+    how skewed the input.  This test plants a 50%-in-one-voxel corpus
+    at sf0.1-scale row counts (600 k), proves the result against local
+    numpy, pins the partial-agg plan shape, and bounds the wall-clock
+    penalty vs a uniform corpus of identical size."""
+    import time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.gridder import GridSpec, grid3d
+    from pyspec_spark.plans import has_partial_aggregate, physical_plan
+
+    n = 600_000
+    spec = GridSpec((0.0, 0.0, 0.0), (1.0, 1.0, 1.0), (16, 16, 16))
+
+    def corpus(skewed: bool):
+        base = spark.range(n).select(
+            "id",
+            F.rand(42).alias("ux"), F.rand(43).alias("uy"),
+            F.rand(44).alias("uz"), (F.rand(45) * 100).alias("intensity"),
+        )
+        if skewed:
+            hot = F.col("id") % 2 == 0  # 50% of points -> one voxel
+            return base.select(
+                F.when(hot, 0.5).otherwise(F.col("ux")).alias("qx"),
+                F.when(hot, 0.5).otherwise(F.col("uy")).alias("qy"),
+                F.when(hot, 0.5).otherwise(F.col("uz")).alias("qz"),
+                "intensity",
+            )
+        return base.select(
+            F.col("ux").alias("qx"), F.col("uy").alias("qy"),
+            F.col("uz").alias("qz"), "intensity",
+        )
+
+    # plan shape: partial+final aggregation present (the skew defense)
+    plan = physical_plan(grid3d(corpus(True), spec))
+    assert has_partial_aggregate(plan)
+
+    def run(skewed: bool):
+        df = grid3d(corpus(skewed), spec).cache()
+        t0 = time.time()
+        rows = df.collect()
+        dt = time.time() - t0
+        df.unpersist()
+        return rows, dt
+
+    rows_u, dt_u = run(False)
+    rows_s, dt_s = run(True)
+
+    # correctness vs local numpy over the identical deterministic data
+    pts = corpus(True).toPandas()
+    g = np.clip((pts[["qx", "qy", "qz"]].values * 16).astype(int), 0, 15)
+    key = g[:, 0] * 256 + g[:, 1] * 16 + g[:, 2]
+    v = pts["intensity"].values
+    got = {(r["gx"], r["gy"], r["gz"]): r for r in rows_s}
+    assert sum(r["n"] for r in rows_s) == n
+    hot = got[(8, 8, 8)]
+    assert hot["n"] >= n // 2  # the planted Bragg peak
+    for k in np.unique(key)[:50]:
+        m = v[key == k]
+        r = got[(k // 256, (k // 16) % 16, k % 16)]
+        assert r["n"] == len(m)
+        assert abs(r["mean_i"] - m.mean()) < 1e-9 * max(1.0, abs(m.mean()))
+    # hot voxel exact too (the largest float-sum reassociation surface)
+    mhot = v[key == 8 * 256 + 8 * 16 + 8]
+    assert abs(hot["mean_i"] - mhot.mean()) < 1e-9 * abs(mhot.mean())
+
+    # boundedness: the skewed corpus must not blow past the uniform
+    # run (partial agg makes both shuffle ~|voxels| rows).  Generous 3x
+    # bound: this guards against an accidental combine-less plan, not
+    # scheduler jitter.
+    assert dt_s < max(3 * dt_u, dt_u + 2.0), (dt_s, dt_u)
