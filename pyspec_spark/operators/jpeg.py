@@ -20,10 +20,15 @@ data — without entropy-decoding the skipped frames.
 
 Scale notes: decode runs per-row inside Arrow batches on executors
 (``operators/multimodal.py``); payloads never touch the driver.  The
-Huffman bit loop is pure Python — fine for the fixture sizes tested
-here; a production deployment would swap this module for a C codec
-behind the same ``decode_frames`` signature (same caveat as the PNG
-unfilter loop, codecs.py:22).
+r5 rewrite made the decoder table-driven: a 16-bit-lookahead Huffman
+LUT, the whole scan's bit state in function locals (no per-symbol
+method calls), and ONE batched dequant+zigzag+IDCT matmul over all of
+a component's blocks — measured 2.0–2.3× faster, bit-identical, at
+~0.6–0.8 MB/s of entropy data per core (BASELINE.md r5 note).  The
+residual cost is CPython interpreter dispatch on the inherently serial
+per-symbol loop; a production deployment would swap this module for a
+C codec behind the same ``decode_frames`` signature (same caveat as
+the PNG unfilter loop, codecs.py:22).
 """
 
 from __future__ import annotations
@@ -165,95 +170,33 @@ def _build_huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, 
 
 
 class _HuffDecoder:
-    """MINCODE/MAXCODE/VALPTR decoder tables (T.81 F.2.2.3)."""
+    """16-bit-lookahead LUT decoder (the table-driven form of T.81
+    F.2.2.3's MINCODE/MAXCODE/VALPTR walk): lut[peek16] packs
+    (value << 5) | code_length, with 0 marking an invalid prefix.
+    Built once per DHT (65 536 slots filled by numpy slices, then
+    .tolist() — scalar list indexing beats numpy scalar indexing ~3×
+    in the decode loop); the per-symbol decode costs one peek + one
+    list load instead of the former bit-by-bit loop.  Together with the
+    locals-based scan loop and batched IDCT this measured 2.0–2.3×
+    (bit-identical) on a 512×512 decode — the r5 BASELINE.md note pins
+    the remaining per-symbol interpreter floor."""
 
     def __init__(self, bits: list[int], vals: list[int]):
-        self.vals = vals
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
+        if sum(bits) != len(vals):
+            raise ValueError("DHT: bits/values count mismatch")
+        lut = np.zeros(1 << 16, dtype=np.uint16)
         code = 0
         k = 0
         for ln in range(1, 17):
-            if bits[ln - 1]:
-                self.valptr[ln] = k
-                self.mincode[ln] = code
-                code += bits[ln - 1]
-                k += bits[ln - 1]
-                self.maxcode[ln] = code - 1
+            for _ in range(bits[ln - 1]):
+                start = code << (16 - ln)
+                lut[start : start + (1 << (16 - ln))] = (vals[k] << 5) | ln
+                code += 1
+                k += 1
             code <<= 1
-        if k != len(vals):
-            raise ValueError("DHT: bits/values count mismatch")
-
-
-class _BitReader:
-    """MSB-first bit reader over byte-stuffed entropy-coded data."""
-
-    def __init__(self, data: bytes, pos: int):
-        self.data = data
-        self.pos = pos
-        self.buf = 0
-        self.n = 0
-
-    def _next_byte(self) -> int:
-        d = self.data
-        if self.pos >= len(d):
-            raise ValueError("JPEG entropy data truncated")
-        b = d[self.pos]
-        if b == 0xFF:
-            if self.pos + 1 >= len(d):
-                raise ValueError("JPEG entropy data truncated at 0xFF")
-            nxt = d[self.pos + 1]
-            if nxt != 0x00:
-                # A real marker inside what should be entropy data.
-                raise ValueError(
-                    f"unexpected marker 0xFF{nxt:02X} inside entropy-coded data"
-                )
-            self.pos += 2
-            return 0xFF
-        self.pos += 1
-        return b
-
-    def read_bits(self, n: int) -> int:
-        while self.n < n:
-            self.buf = (self.buf << 8) | self._next_byte()
-            self.n += 8
-        self.n -= n
-        v = (self.buf >> self.n) & ((1 << n) - 1)
-        self.buf &= (1 << self.n) - 1
-        return v
-
-    def decode_huff(self, table: _HuffDecoder) -> int:
-        code = self.read_bits(1)
-        ln = 1
-        while code > table.maxcode[ln]:
-            ln += 1
-            if ln > 16:
-                raise ValueError("corrupt Huffman code (no match in 16 bits)")
-            code = (code << 1) | self.read_bits(1)
-        return table.vals[table.valptr[ln] + code - table.mincode[ln]]
-
-    def receive_extend(self, s: int) -> int:
-        if s == 0:
-            return 0
-        v = self.read_bits(s)
-        if v < (1 << (s - 1)):
-            v -= (1 << s) - 1
-        return v
-
-    def restart(self, expect_n: int) -> None:
-        """Byte-align and consume the RSTn marker (T.81 F.2.1.3.1)."""
-        self.buf = 0
-        self.n = 0
-        d = self.data
-        if self.pos + 2 > len(d) or d[self.pos] != 0xFF:
-            raise ValueError("expected restart marker, found none")
-        m = d[self.pos + 1]
-        if not (0xD0 <= m <= 0xD7):
-            raise ValueError(f"expected RSTn, found 0xFF{m:02X}")
-        if (m & 7) != (expect_n & 7):
-            raise ValueError(f"restart marker out of order: RST{m & 7}")
-        self.pos += 2
+        # plain list: scalar indexing is ~3x faster than a numpy array's
+        # in the per-symbol Python loop
+        self.lut = lut.tolist()
 
 
 # ---------------------------------------------------------------------------
@@ -380,35 +323,154 @@ def _decode_scan(data, p, frame, scan_tables, qtables, huff_dc, huff_ac,
             raise ValueError(f"unsupported sampling {hi}x{vi} vs max {hmax}x{vmax}")
         planes[cid] = np.zeros((mcy * vi * 8, mcx * hi * 8), dtype=np.float64)
 
-    br = _BitReader(data, p)
+    # ---- per-MCU block schedule + per-component LUTs (validated once,
+    # not per block) --------------------------------------------------------
+    sched = []  # (cid, lut_dc, lut_ac, by, bx, hi, vi) per block in MCU order
+    for cid, hi, vi, tq in comps:
+        if tq not in qtables:
+            raise ValueError(f"missing quantization table {tq}")
+        td, ta = scan_tables[cid]
+        if td not in huff_dc or ta not in huff_ac:
+            raise ValueError(f"missing Huffman table DC{td}/AC{ta}")
+        for by in range(vi):
+            for bx in range(hi):
+                sched.append(
+                    (cid, huff_dc[td].lut, huff_ac[ta].lut, by, bx, hi, vi)
+                )
+
+    # ---- pass 1: entropy decode every block's 64 zigzag coefficients
+    # with the bit state in LOCALS (attribute access and method calls
+    # per symbol were the dominant cost — see the r5 BASELINE.md note).
+    # Coefficients land in flat Python lists per component; dequant +
+    # IDCT + placement happen vectorized in pass 2. ----------------------
+    coeffs: dict[int, list[int]] = {cid: [] for cid, *_ in comps}
+    posn: dict[int, list[tuple[int, int]]] = {cid: [] for cid, *_ in comps}
     dc_pred = {cid: 0 for cid, *_ in comps}
+    buf = 0
+    n = 0
+    pad = 0
+    pos = p
+    dlen = len(data)
     rst_n = 0
     mcu_count = 0
     for my in range(mcy):
         for mx in range(mcx):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.restart(rst_n)
+                # byte-align + consume RSTn (T.81 F.2.1.3.1); pos never
+                # advances past a marker during refill, so it sits on it
+                buf = n = pad = 0
+                if pos + 2 > dlen or data[pos] != 0xFF:
+                    raise ValueError("expected restart marker, found none")
+                m = data[pos + 1]
+                if not (0xD0 <= m <= 0xD7):
+                    raise ValueError(f"expected RSTn, found 0xFF{m:02X}")
+                if (m & 7) != (rst_n & 7):
+                    raise ValueError(f"restart marker out of order: RST{m & 7}")
+                pos += 2
                 rst_n = (rst_n + 1) & 7
                 dc_pred = {cid: 0 for cid, *_ in comps}
-            for cid, hi, vi, tq in comps:
-                if tq not in qtables:
-                    raise ValueError(f"missing quantization table {tq}")
-                td, ta = scan_tables[cid]
-                if td not in huff_dc or ta not in huff_ac:
-                    raise ValueError(f"missing Huffman table DC{td}/AC{ta}")
-                qt = qtables[tq]
-                for by in range(vi):
-                    for bx in range(hi):
-                        blk = _decode_block(
-                            br, huff_dc[td], huff_ac[ta], qt, dc_pred, cid
+            for cid, lut_dc, lut_ac, by, bx, hi, vi in sched:
+                zz = [0] * 64
+                # DC ----------------------------------------------------
+                while n < 32:  # one refill covers code(<=16)+extend(<=11)
+                    if pos < dlen:
+                        b = data[pos]
+                        if b != 0xFF:
+                            pos += 1
+                            buf = (buf << 8) | b
+                            n += 8
+                            continue
+                        if pos + 1 < dlen and data[pos + 1] == 0:
+                            pos += 2
+                            buf = (buf << 8) | 0xFF
+                            n += 8
+                            continue
+                    buf = (buf << 8) | 0xFF  # EOF/marker: 1-bit padding
+                    n += 8
+                    pad += 8
+                e = lut_dc[(buf >> (n - 16)) & 0xFFFF]
+                ln = e & 31
+                if ln == 0:
+                    raise ValueError("corrupt Huffman code (no match in 16 bits)")
+                n -= ln
+                s = e >> 5
+                if s:
+                    if s > 11:
+                        raise ValueError(f"corrupt DC size {s}")
+                    n -= s
+                    v = (buf >> n) & ((1 << s) - 1)
+                    if v < 1 << (s - 1):
+                        v -= (1 << s) - 1
+                    dc_pred[cid] += v
+                if n < pad:
+                    raise ValueError("JPEG entropy data truncated")
+                buf &= (1 << n) - 1
+                zz[0] = dc_pred[cid]
+                # AC ----------------------------------------------------
+                k = 1
+                while k < 64:
+                    while n < 32:
+                        if pos < dlen:
+                            b = data[pos]
+                            if b != 0xFF:
+                                pos += 1
+                                buf = (buf << 8) | b
+                                n += 8
+                                continue
+                            if pos + 1 < dlen and data[pos + 1] == 0:
+                                pos += 2
+                                buf = (buf << 8) | 0xFF
+                                n += 8
+                                continue
+                        buf = (buf << 8) | 0xFF
+                        n += 8
+                        pad += 8
+                    e = lut_ac[(buf >> (n - 16)) & 0xFFFF]
+                    ln = e & 31
+                    if ln == 0:
+                        raise ValueError(
+                            "corrupt Huffman code (no match in 16 bits)"
                         )
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+                    n -= ln
+                    rs = e >> 5
+                    sz = rs & 15
+                    if sz == 0:
+                        if n < pad:
+                            raise ValueError("JPEG entropy data truncated")
+                        buf &= (1 << n) - 1
+                        if rs == 0xF0:  # ZRL: 16 zeros
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += rs >> 4
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    n -= sz
+                    if n < pad:
+                        raise ValueError("JPEG entropy data truncated")
+                    v = (buf >> n) & ((1 << sz) - 1)
+                    buf &= (1 << n) - 1
+                    if v < 1 << (sz - 1):
+                        v -= (1 << sz) - 1
+                    zz[k] = v
+                    k += 1
+                coeffs[cid].extend(zz)
+                posn[cid].append(((my * vi + by) * 8, (mx * hi + bx) * 8))
             mcu_count += 1
 
+    # ---- pass 2: vectorized dequant + zigzag + 2-D IDCT over ALL of a
+    # component's blocks at once (batched matmul), then 8x8 placement ----
+    for cid, hi, vi, tq in comps:
+        zzs = np.array(coeffs[cid], dtype=np.float64).reshape(-1, 64)
+        coef = np.zeros_like(zzs)
+        coef[:, ZIGZAG] = zzs * qtables[tq][None, :]
+        blocks = _DCT_T.T @ coef.reshape(-1, 8, 8) @ _DCT_T + 128.0
+        plane = planes[cid]
+        for (y0, x0), blk in zip(posn[cid], blocks):
+            plane[y0 : y0 + 8, x0 : x0 + 8] = blk
+
     # Byte-align, then expect EOI (possibly after fill bytes).
-    end = br.pos
+    end = pos
     while end < len(data) and data[end] == 0xFF and data[end + 1 : end + 2] == b"\xff":
         end += 1
     if data[end : end + 2] != b"\xff\xd9":
@@ -431,34 +493,6 @@ def _decode_scan(data, p, frame, scan_tables, qtables, huff_dc, huff_ac,
     b = y + 1.772 * (cb - 128.0)
     img = np.stack([r, g, b], axis=2)
     return np.clip(np.round(img), 0, 255).astype(np.uint8), end
-
-
-def _decode_block(br, dc_tbl, ac_tbl, qt, dc_pred, cid):
-    """Entropy-decode + dequantize + IDCT one 8x8 block (T.81 F.2.2)."""
-    zz = np.zeros(64, dtype=np.int64)
-    s = br.decode_huff(dc_tbl)
-    if s > 11:
-        raise ValueError(f"corrupt DC size {s}")
-    dc_pred[cid] += br.receive_extend(s)
-    zz[0] = dc_pred[cid]
-    k = 1
-    while k < 64:
-        rs = br.decode_huff(ac_tbl)
-        r, sz = rs >> 4, rs & 15
-        if sz == 0:
-            if r == 15:  # ZRL: 16 zeros
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise ValueError("AC run past end of block")
-        zz[k] = br.receive_extend(sz)
-        k += 1
-    coef = np.zeros(64, dtype=np.float64)
-    coef[ZIGZAG] = zz * qt  # qt is stored in zigzag order too
-    f = _DCT_T.T @ coef.reshape(8, 8) @ _DCT_T
-    return f + 128.0
 
 
 # ---------------------------------------------------------------------------
