@@ -607,14 +607,29 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# L3 extension (r4) — zlib compression-ratio quality signal, rows-only
-# (zlib has no DuckDB equivalent; the ratio is pinned instead by an
-# exact local-zlib golden in tests/test_quality.py — zlib at a fixed
-# level is bit-stable, so the executor-side numbers must equal the
-# local ones exactly).  Map-only mapInPandas; the signal every corpus
-# filter stack carries for repetitive/templated text.
+# L3 extension (r4; oracle-checked since r5) — zlib compression-ratio
+# quality signal.  zlib has no DuckDB builtin, but fixed-level zlib is
+# bit-stable, so the expected per-doc values ARE deterministic: a golden
+# table materialized once (tests/fixtures/compress_golden.parquet, keyed
+# by (doc_id, md5(utf8 text)) across sf0.001/0.01/0.1) lets DuckDB serve
+# as a full value oracle.  The md5 join key makes the oracle
+# self-verifying — a corpus whose text drifted from the golden's drops
+# rows and fails the row-count gate instead of silently passing.
+# Spark side: map-only mapInPandas (the signal every corpus filter
+# stack carries for repetitive/templated text).
 # ---------------------------------------------------------------------------
-@query("q_compress_ratio")
+_COMPRESS_GOLDEN = "/root/repo/tests/fixtures/compress_golden.parquet"
+
+_COMPRESS_ORACLE = f"""
+SELECT d.doc_id, g.raw_len, g.comp_len, g.compress_ratio
+FROM documents d
+JOIN read_parquet('{_COMPRESS_GOLDEN}') g
+  ON g.doc_id = d.doc_id AND g.text_md5 = md5(d.text)
+ORDER BY d.doc_id
+"""
+
+
+@query("q_compress_ratio", oracle=_COMPRESS_ORACLE)
 def q_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspec_spark.operators.text import compression_ratio
 

@@ -265,6 +265,42 @@ def test_compress_ratio_matches_local_zlib(spark):
         assert r["compress_ratio"] == round(len(comp) / max(len(raw), 1), 6)
 
 
+def test_compress_golden_fixture_is_fresh():
+    """The oracle golden table (tests/fixtures/compress_golden.parquet)
+    must stay byte-consistent with a fresh local zlib pass over every sf
+    corpus — the md5 join key makes the oracle self-verifying against
+    corpus drift, and this test verifies the *values* never drift either."""
+    import hashlib
+    import zlib
+
+    import duckdb
+
+    con = duckdb.connect()
+    golden = {
+        (r[0], r[1]): (r[2], r[3], r[4])
+        for r in con.execute(
+            "SELECT doc_id, text_md5, raw_len, comp_len, compress_ratio "
+            "FROM read_parquet('tests/fixtures/compress_golden.parquet')"
+        ).fetchall()
+    }
+    checked = 0
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        docs = con.execute(
+            f"SELECT doc_id, text FROM "
+            f"read_parquet('/root/testdata/{sf}/documents.parquet')"
+        ).fetchall()
+        for doc_id, text in docs:
+            raw = text.encode("utf-8")
+            key = (doc_id, hashlib.md5(raw).hexdigest())
+            assert key in golden, f"{sf} doc {doc_id} missing from golden"
+            raw_len, comp_len, ratio = golden[key]
+            assert raw_len == len(raw)
+            assert comp_len == len(zlib.compress(raw, 6))
+            assert ratio == round(comp_len / max(raw_len, 1), 6)
+            checked += 1
+    assert checked == 6000
+
+
 def test_compress_ratio_separates_repetitive_text(spark):
     from pyspec_spark.operators.text import compression_ratio
 
