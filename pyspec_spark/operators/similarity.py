@@ -1,7 +1,7 @@
 """Similarity search over embedding columns — SURVEY.md §2.12 L5 and the
 north-star ANN brief.
 
-Three tiers, same answer shape (vec_id, score):
+Four tiers, same answer shape (vec_id, score):
 - `cosine_topk` — exact brute force: JVM-side zip_with/aggregate dot
   product against a broadcast query vector, TakeOrderedAndProject top-k.
   The correctness baseline and the right plan up to ~10^7 vectors/task.
@@ -14,6 +14,17 @@ Three tiers, same answer shape (vec_id, score):
   vector to its nearest centroid (map-only), probe the closest n_probe
   cells at query time.  Mirrors production IVF layouts where each cell
   is a partition/file — partition pruning for vectors.
+- `pq_*` — product quantization (Jégou et al. 2011, "Product
+  quantization for nearest neighbor search"): split each d-dim vector
+  into M subspaces, vector-quantize each subvector against a K-entry
+  per-subspace codebook, store only the M byte codes (d floats -> M
+  bytes: 64x compression at d=64, M=4, K<=256), answer queries by
+  asymmetric distance computation (ADC) — a broadcast M x K lookup
+  table of query-to-codeword distances, scored per row as M array
+  lookups + a fixed-order sum.  Encode and scoring are both MAP-ONLY
+  (broadcast codebook / LUT, argmin via array_min over a struct array
+  — no groupBy), so at 100 TB the scan of the code column is the whole
+  cost; the codes table is ~d*4/M-fold smaller than the raw embeddings.
 """
 
 from __future__ import annotations
@@ -397,6 +408,231 @@ def ivf_topk_df(
         emb_assigned.crossJoin(F.broadcast(probed))
         .where(F.array_contains("probe_cells", F.col("cell")))
         .select("vec_id", cos.alias("score"))
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011) — the memory-bounded ANN
+# tier: d floats/vector at rest become M small-int codes, and query
+# scoring never touches the original embeddings.  Everything below is
+# in-plan (zero Spark jobs at build): codebooks and LUTs are 1-row
+# DataFrames broadcast into map-only selects.
+# ---------------------------------------------------------------------------
+def _pq_subdist(e_col: Column, c: Column, offset: int, subd: int) -> Column:
+    """Fixed-order squared distance between e_col[offset+1..offset+subd]
+    (any numeric array) and codeword c[1..subd] (double array): an
+    explicit left-associated term chain, so both engines of an oracle
+    pair evaluate bit-identical IEEE sums (the q_kmeans2 idiom)."""
+    dist: Column | None = None
+    for d in range(1, subd + 1):
+        t = (F.element_at(e_col, offset + d).cast("double") - F.element_at(c, d)) * (
+            F.element_at(e_col, offset + d).cast("double") - F.element_at(c, d)
+        )
+        dist = t if dist is None else dist + t
+    return dist
+
+
+def pq_codebooks_firstk_df(
+    emb: DataFrame,
+    m: int = 4,
+    subd: int = 16,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic PQ codebooks: for each subspace, the codewords are
+    the subvectors of the k lowest-id vectors (no RNG, no iteration —
+    the cross-engine-checkable init, mirroring q_kmeans2's c0).  Returns
+    ONE row with columns cb0..cb{m-1}, each ARRAY<ARRAY<DOUBLE>> ordered
+    by source id.  Production accuracy wants `pq_codebooks_trained_df`;
+    this variant exists so the full encode/ADC pipeline can be replayed
+    exactly in SQL."""
+    base = emb.where(F.col(id_col) < k)
+    aggs = []
+    for mi in range(m):
+        sub = F.transform(
+            F.slice(vec_col, mi * subd + 1, subd), lambda x: x.cast("double")
+        )
+        aggs.append(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col(id_col).alias("id"), sub.alias("sub")))
+                ),
+                lambda s: s["sub"],
+            ).alias(f"cb{mi}")
+        )
+    return base.groupBy().agg(*aggs)
+
+
+def pq_codebooks_trained_df(
+    emb: DataFrame,
+    m: int = 4,
+    subd: int = 16,
+    k: int = 16,
+    n_iter: int = 5,
+    sample: int = 2000,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Production PQ training: per-subspace k-means (Lloyd) on an
+    ordered bounded sample, INSIDE the plan (mapInPandas over
+    orderBy(id).limit(sample).coalesce(1) — the train_centroids_df
+    recipe, run M times over subvector slices in one pass).  Returns the
+    same 1-row cb0..cb{m-1} shape as the deterministic variant, so
+    encode/ADC code paths are shared."""
+
+    def fit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [
+            np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            for pdf in batches
+            if len(pdf)
+        ]
+        if not chunks:
+            return
+        X = np.vstack(chunks)
+        out = {}
+        for mi in range(m):
+            S = X[:, mi * subd : (mi + 1) * subd]
+            kk = min(k, len(S))
+            rng = np.random.default_rng(seed + mi)
+            C = S[rng.choice(len(S), size=kk, replace=False)]
+            for _ in range(n_iter):
+                d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+                assign = d2.argmin(1)
+                for c in range(kk):
+                    msk = assign == c
+                    if msk.any():
+                        C[c] = S[msk].mean(0)
+            out[f"cb{mi}"] = [C.tolist()]
+        yield pd.DataFrame(out)
+
+    schema = ", ".join(f"cb{mi} array<array<double>>" for mi in range(m))
+    return (
+        emb.orderBy(id_col)
+        .limit(sample)
+        .select(vec_col)
+        .coalesce(1)
+        .mapInPandas(fit, schema)
+    )
+
+
+def pq_encode_df(
+    emb: DataFrame,
+    cb_df: DataFrame,
+    m: int = 4,
+    subd: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MAP-ONLY PQ encoding: broadcast the 1-row codebook, per subspace
+    take argmin over the codeword array via array_min of (dist, code)
+    structs — per-row work, NO shuffle (the SQL-oracle equivalent needs
+    a groupBy; array_min beats it).  Ties break to the lowest code, the
+    struct-ordering semantics both engines share.  Output:
+    (vec_id, code0..code{m-1}) — the at-rest representation, d*4/M
+    times smaller than the embedding column."""
+    enc = emb.crossJoin(F.broadcast(cb_df))
+    cols = [F.col(id_col).alias("vec_id")]
+
+    def scorer(off):
+        def fn(c, i):
+            return F.struct(
+                _pq_subdist(F.col(vec_col), c, off, subd).alias("d"),
+                i.alias("code"),
+            )
+
+        return fn
+
+    for mi in range(m):
+        best = F.array_min(F.transform(F.col(f"cb{mi}"), scorer(mi * subd)))
+        cols.append(best["code"].alias(f"code{mi}"))
+    return enc.select(*cols)
+
+
+def pq_adc_topk_df(
+    codes_df: DataFrame,
+    cb_df: DataFrame,
+    query_df: DataFrame,
+    m: int = 4,
+    subd: int = 16,
+    k: int = 10,
+    round_digits: int | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric distance computation: build the M x K LUT of
+    query-subvector-to-codeword distances as ONE broadcast row
+    (query_df crossJoin codebook — still in-plan), then score each
+    encoded vector as a fixed-order sum of M array lookups and take
+    the global top-k (TakeOrderedAndProject).  The scan never reads
+    the original embeddings — the 100 TB memory story."""
+    def lut_fn(off):
+        def fn(c):
+            return _pq_subdist(F.col("qv"), c, off, subd)
+
+        return fn
+
+    luts = [F.col("qv")]
+    for mi in range(m):
+        luts.append(
+            F.transform(F.col(f"cb{mi}"), lut_fn(mi * subd)).alias(f"lut{mi}")
+        )
+    lut_row = (
+        query_df.select(F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cb_df))
+        .select(*luts)
+        .drop("qv")
+    )
+    adc: Column | None = None
+    for mi in range(m):
+        t = F.element_at(F.col(f"lut{mi}"), F.col(f"code{mi}") + 1)
+        adc = t if adc is None else adc + t
+    if round_digits is not None:
+        adc = F.round(adc, round_digits)
+    return (
+        codes_df.crossJoin(F.broadcast(lut_row))
+        .select("vec_id", adc.alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(k)
+    )
+
+
+def pq_rerank_topk_df(
+    emb: DataFrame,
+    codes_df: DataFrame,
+    cb_df: DataFrame,
+    query_df: DataFrame,
+    m: int = 8,
+    subd: int = 8,
+    k: int = 10,
+    shortlist: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """The production PQ search shape (IVFADC+R in the PQ literature):
+    ADC over the code columns produces a `shortlist`-sized candidate
+    set (the cheap scan — codes only), then ONLY those rows' original
+    embeddings are fetched for an exact cosine re-rank.  At 100 TB the
+    re-rank join touches `shortlist` rows of the embedding table (a
+    broadcast semi-join on ids), so the full-precision data is read
+    back for a few hundred rows regardless of corpus size — the
+    quantization error never decides the final ranking, only the
+    candidate set."""
+    short = pq_adc_topk_df(
+        codes_df, cb_df, query_df, m=m, subd=subd, k=shortlist
+    ).select("vec_id")
+    cos = _dot_cols(F.col(vec_col), F.col("qv")) / (
+        _norm_expr(F.col(vec_col)) * _norm_expr(F.col("qv"))
+    )
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    return (
+        emb.join(F.broadcast(short), emb[id_col] == short["vec_id"], "leftsemi")
+        .crossJoin(F.broadcast(query_df.select(F.col(vec_col).alias("qv"))))
+        .select(F.col(id_col).alias("vec_id"), cos.alias("score"))
         .orderBy(F.desc("score"), "vec_id")
         .limit(k)
     )

@@ -548,6 +548,38 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L5 memory-bounded path (r5) — product-quantization ANN top-k, fully
+# IN-PLAN: per-subspace Lloyd codebooks (numpy in mapInPandas over a
+# bounded ordered sample), map-only encode (broadcast codebook +
+# array_min argmin — NO shuffle), ADC shortlist against a broadcast
+# query-to-codeword LUT, then exact cosine re-rank of ONLY the
+# shortlisted rows (the ADC+R shape from the PQ paper — quantization
+# error picks candidates, never the final ranking).  Rows-only: Lloyd
+# training makes codes a function of the float-rounding path, so the
+# candidate set is approximate by construction; recall vs exact brute
+# force is asserted in tests/test_llm_ops.py, and the exact
+# deterministic twin q_ann_pq_det (queries/ml.py) IS oracle-checked.
+# At 100 TB the shortlist scan reads ONLY the M small-int code columns
+# (64 float32 -> 8 codes at rest) and the re-rank fetches `shortlist`
+# full vectors via broadcast semi-join — PQ is the tier that fits a
+# trillion-vector index where raw embeddings cannot.
+# ---------------------------------------------------------------------------
+@query("q_ann_pq_topk")
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.similarity import (
+        pq_codebooks_trained_df,
+        pq_encode_df,
+        pq_rerank_topk_df,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qdf = e.where(F.col("vec_id") == 0).select("embedding")
+    cb = pq_codebooks_trained_df(e, m=8, subd=8, k=16, sample=2000)
+    codes = pq_encode_df(e, cb, m=8, subd=8)
+    return pq_rerank_topk_df(e, codes, cb, qdf, m=8, subd=8, k=10, shortlist=100)
+
+
+# ---------------------------------------------------------------------------
 # L3/L8 extension (r4) — count-min-sketch heavy hitters, ORACLE-CHECKED
 # end to end: the md5-salted bucket functions, the d x w sketch counts,
 # and the min-over-rows estimates are all replayed exactly in DuckDB.

@@ -389,3 +389,102 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_PCA_ROUNDS - 1):
         v = normalize(mat_vec(v))
     return v.select("i", F.round("v", 6).alias("pc1"))
+
+
+# ---------------------------------------------------------------------------
+# Deterministic product-quantization ANN (Jégou et al. 2011),
+# ORACLE-CHECKED end to end — the fourth ANN tier (brute -> LSH -> IVF
+# -> PQ), proving the memory-bounded path: vectors are reduced to M=4
+# codes against K=16 per-subspace codebooks and the query is answered
+# by asymmetric distance computation (ADC) over a broadcast M x K LUT,
+# never touching the original embeddings at scoring time.
+#
+# Determinism contract (same discipline as q_kmeans2 / q_ann_ivf_det):
+# - codebooks: subvectors of the K lowest-id vectors (no RNG) — the
+#   production Lloyd-trained variant is q_ann_pq_topk (rows-only);
+# - subspace distances: explicit 16-term left-associated chains,
+#   bit-identical IEEE evaluation in both engines;
+# - encode argmin: MIN(struct(d, code)) / array_min(struct array) —
+#   shared lexicographic struct ordering, lowest-code tiebreak;
+# - ADC: lut0+lut1+lut2+lut3 in fixed textual order, ROUND(.,6), ranked
+#   on the rounded value with the vec_id tiebreak.
+#
+# Scale posture (the point of PQ): encode is MAP-ONLY — broadcast 1-row
+# codebook, per-row array_min argmin, NO shuffle (the SQL replay needs
+# a groupBy per subspace; the Spark plan does not).  Scoring reads only
+# the M-byte code columns (64 floats -> 4 codes, 64x at-rest shrink)
+# plus a broadcast LUT, then TakeOrderedAndProject — at 100 TB the
+# whole query is one pruned columnar scan of the codes table.
+# ---------------------------------------------------------------------------
+_PQ_M, _PQ_SUBD, _PQ_K = 4, 16, 16
+
+
+def _pq_dist_sql(e: str, sub: str, lo: int) -> str:
+    terms = " + ".join(
+        f"(CAST({e}.embedding[{lo + d + 1}] AS DOUBLE) - {sub}[{d + 1}]) "
+        f"* (CAST({e}.embedding[{lo + d + 1}] AS DOUBLE) - {sub}[{d + 1}])"
+        for d in range(_PQ_SUBD)
+    )
+    return f"({terms})"
+
+
+def _pq_oracle() -> str:
+    ctes = ["emb AS (SELECT vec_id, embedding FROM embeddings)"]
+    for mi in range(_PQ_M):
+        lo = mi * _PQ_SUBD
+        ctes.append(
+            f"""cb{mi} AS (
+  SELECT vec_id AS code,
+         CAST(embedding[{lo + 1}:{lo + _PQ_SUBD}] AS DOUBLE[]) AS sub
+  FROM emb WHERE vec_id < {_PQ_K}
+)"""
+        )
+        ctes.append(
+            f"""enc{mi} AS (
+  SELECT e.vec_id,
+         MIN(struct_pack(d := {_pq_dist_sql('e', 'c.sub', lo)},
+                         code := c.code)) AS best
+  FROM emb e, cb{mi} c
+  GROUP BY e.vec_id
+)"""
+        )
+    ctes.append("qv AS (SELECT embedding FROM emb WHERE vec_id = 0)")
+    for mi in range(_PQ_M):
+        lo = mi * _PQ_SUBD
+        ctes.append(
+            f"""lut{mi} AS (
+  SELECT c.code, {_pq_dist_sql('q', 'c.sub', lo)} AS ld
+  FROM cb{mi} c, qv q
+)"""
+        )
+    adc = " + ".join(f"l{mi}.ld" for mi in range(_PQ_M))
+    joins = "\n".join(
+        f"JOIN enc{mi} e{mi} ON e{mi}.vec_id = e.vec_id\n"
+        f"JOIN lut{mi} l{mi} ON l{mi}.code = (e{mi}.best).code"
+        for mi in range(_PQ_M)
+    )
+    return f"""
+WITH {','.join(ctes)}
+SELECT e.vec_id, ROUND({adc}, 6) AS adc_dist
+FROM emb e
+{joins}
+ORDER BY adc_dist, e.vec_id
+LIMIT 10
+"""
+
+
+@query("q_ann_pq_det", oracle=_pq_oracle())
+def q_ann_pq_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.similarity import (
+        pq_adc_topk_df,
+        pq_codebooks_firstk_df,
+        pq_encode_df,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb = pq_codebooks_firstk_df(emb, m=_PQ_M, subd=_PQ_SUBD, k=_PQ_K)
+    codes = pq_encode_df(emb, cb, m=_PQ_M, subd=_PQ_SUBD)
+    qdf = emb.where(F.col("vec_id") == 0).select("embedding")
+    return pq_adc_topk_df(
+        codes, cb, qdf, m=_PQ_M, subd=_PQ_SUBD, k=10, round_digits=6
+    )

@@ -636,3 +636,104 @@ def test_connected_components_self_loops_and_dup_edges(spark):
     for fn in (connected_components, connected_components_star):
         got = {r["node"]: r["component"] for r in fn(edges).collect()}
         assert got == want, fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r5) — the memory-bounded ANN tier.
+# ---------------------------------------------------------------------------
+def test_pq_encode_codes_valid_and_self_consistent(spark, emb):
+    """Every vector gets M codes in [0, K); a vector that IS a codeword
+    source encodes its own subvectors at distance 0 (so each subspace
+    code of vector j < K with the deterministic first-K codebook is j
+    unless another codeword ties at 0 — impossible for distinct rows)."""
+    from pyspec_spark.operators.similarity import (
+        pq_codebooks_firstk_df,
+        pq_encode_df,
+    )
+
+    m, subd, k = 4, 16, 16
+    cb = pq_codebooks_firstk_df(emb, m=m, subd=subd, k=k)
+    codes = pq_encode_df(emb, cb, m=m, subd=subd).cache()
+    rows = codes.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        for mi in range(m):
+            assert 0 <= r[f"code{mi}"] < k
+    own = {r["vec_id"]: r for r in rows if r["vec_id"] < k}
+    for j, r in own.items():
+        for mi in range(m):
+            assert r[f"code{mi}"] == j, (j, mi, r)
+
+
+def test_pq_adc_underestimates_nothing_for_codewords(spark, emb):
+    """ADC distance of a codeword-source vector to itself as query is 0
+    (all M lookups hit exact codewords), so vec 0 must rank first."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.similarity import (
+        pq_adc_topk_df,
+        pq_codebooks_firstk_df,
+        pq_encode_df,
+    )
+
+    cb = pq_codebooks_firstk_df(emb, m=4, subd=16, k=16)
+    codes = pq_encode_df(emb, cb, m=4, subd=16)
+    qdf = emb.where(F.col("vec_id") == 0).select("embedding")
+    top = pq_adc_topk_df(codes, cb, qdf, m=4, subd=16, k=3).collect()
+    assert top[0]["vec_id"] == 0
+    assert top[0]["adc_dist"] == 0.0
+
+
+def test_pq_rerank_recall_vs_brute_force(spark, emb):
+    """ADC shortlist + exact re-rank (the production shape): recall@10
+    >= 0.5 vs exact cosine, and scores on the overlap are exact (the
+    re-rank uses full-precision vectors, so overlapped ids carry the
+    same cosine as brute force)."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.similarity import (
+        cosine_topk,
+        pq_codebooks_trained_df,
+        pq_encode_df,
+        pq_rerank_topk_df,
+    )
+
+    first = emb.orderBy("vec_id").first()
+    q = list(first["embedding"])
+    qdf = emb.where(F.col("vec_id") == first["vec_id"]).select("embedding")
+    cb = pq_codebooks_trained_df(emb, m=8, subd=8, k=16, sample=500)
+    codes = pq_encode_df(emb, cb, m=8, subd=8)
+    got = pq_rerank_topk_df(
+        emb, codes, cb, qdf, m=8, subd=8, k=10, shortlist=100
+    ).collect()
+    exact = {r["vec_id"]: r["score"] for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"]: r["score"] for r in got}
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall {recall}"
+    assert got[0]["vec_id"] == first["vec_id"]  # query finds itself
+    for vid in set(exact) & set(approx):
+        assert abs(exact[vid] - approx[vid]) < 1e-9
+
+
+def test_pq_encode_plan_is_shuffle_free(spark, emb):
+    """The encode stage must stay map-only: broadcast codebook + per-row
+    array_min argmin, no Exchange between the scan and the code columns
+    (the SQL-oracle formulation needs a groupBy per subspace — the
+    DataFrame plan must not)."""
+    from pyspec_spark.operators.similarity import (
+        pq_codebooks_firstk_df,
+        pq_encode_df,
+    )
+
+    cb = pq_codebooks_firstk_df(emb, m=4, subd=16, k=16)
+    codes = pq_encode_df(emb, cb, m=4, subd=16)
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    # the only exchange allowed is the codebook's own single-row
+    # aggregation feeding the broadcast — never a shuffle of emb rows
+    import re
+
+    exchanges = [
+        ln for ln in plan.splitlines() if re.search(r"\bExchange\b", ln)
+    ]
+    for ln in exchanges:
+        assert "SinglePartition" in ln or "broadcast" in ln.lower(), plan
