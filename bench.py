@@ -60,6 +60,8 @@ HEADLINE = [
     # round 4: sketch + retrieval families
     "q_heavy_hitters_cms",
     "q_bm25_topk",
+    # round 5: exact duplicated-substring coverage (Lee et al. 2022)
+    "q_substr_dup_spans",
 ]
 
 

@@ -281,3 +281,179 @@ def compression_ratio(
             yield out
 
     return df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring analysis (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better"): doc-level MinHash/SimHash
+# cannot see a boilerplate paragraph shared by otherwise-distinct pages.
+# The distributed reformulation of the paper's suffix-array pass: emit
+# every n-token gram with its start position, find grams occurring in
+# >= min_docs distinct docs (one shuffle on the gram), and fold each
+# doc's duplicated starts into merged-interval coverage WITHOUT joining
+# back to tokens (interval-union length over the sorted starts — pure
+# array math).  At 100 TB: gram emission is map-side explode, the
+# deciding shuffle is one groupBy(gram) with map-side partial counts,
+# and coverage is a per-doc aggregate; nothing is quadratic and no
+# suffix array is materialized.
+# ---------------------------------------------------------------------------
+def _ngrams_with_pos(toks: DataFrame, n: int) -> DataFrame:
+    """(doc_id, start, g): every n-token gram of the `t` array column
+    with its 1-based start.  Docs shorter than n emit nothing (the
+    WHEN guard also keeps F.sequence from descending when n_tokens-n+1
+    < 1 — sequence's default step is -1 for start > stop)."""
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.col("n_tokens") >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
+                        lambda i: F.struct(
+                            i.alias("start"),
+                            F.concat_ws(" ", F.slice("t", i, n)).alias("g"),
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("sg"),
+        )
+        .select("doc_id", F.col("sg.start").alias("start"), F.col("sg.g").alias("g"))
+    )
+
+
+def _interval_cover(ss_col, n: int):
+    """Union length of intervals [s, s+n-1] over the SORTED start array:
+    n for the first + min(n, gap) per successive start."""
+    tail_sum = F.when(
+        F.size(ss_col) >= 2,
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ss_col) - 1),
+                lambda i: F.least(
+                    F.lit(n),
+                    F.element_at(ss_col, i + 1) - F.element_at(ss_col, i),
+                ).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return (F.lit(n).cast("long") + tail_sum)
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc stats of token spans whose exact n-gram occurs in
+    >= min_docs distinct documents: (doc_id, n_tokens, dup_ngrams,
+    dup_cover, dup_frac).  dup_cover is the merged-interval token count
+    — the fraction every curation stack thresholds on before dropping
+    or cleaning a page."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("t")
+    ).withColumn("n_tokens", F.size("t"))
+    grams = _ngrams_with_pos(toks, n)
+    dup = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    per = (
+        grams.join(dup, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dup_ngrams"),
+            F.sort_array(F.collect_list("start")).alias("ss"),
+        )
+        .select(
+            "doc_id",
+            "dup_ngrams",
+            _interval_cover(F.col("ss"), n).alias("dup_cover"),
+        )
+    )
+    return (
+        toks.select("doc_id", "n_tokens")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_ngrams", F.lit(0)).alias("dup_ngrams"),
+            F.coalesce("dup_cover", F.lit(0).cast("long")).alias("dup_cover"),
+            F.round(
+                F.coalesce("dup_cover", F.lit(0).cast("long"))
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep-first exact substring dedup: for every cross-doc duplicated
+    n-gram, the occurrence at the lowest (doc_id, start) is the keeper;
+    all other occurrences' token spans are excised from the text (a doc
+    that repeats the gram internally keeps only its first copy even in
+    the keeper doc — the Lee et al. keep-one policy).  Output:
+    (doc_id, clean_text, n_tokens, removed_tokens).
+
+    Plan: gram shuffle -> per-gram keeper via MIN(struct(doc_id,start))
+    (one aggregation, no self-join) -> per-doc removable-start arrays ->
+    map-side token filter with an index lambda.  The token filter is
+    O(tokens x removable_starts) per doc — bounded because removable
+    starts per doc are capped by n_tokens/1, and in practice tiny."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("t")
+    ).withColumn("n_tokens", F.size("t"))
+    grams = _ngrams_with_pos(toks, n)
+    keeper = (
+        grams.groupBy("g")
+        .agg(
+            F.countDistinct("doc_id").alias("nd"),
+            F.min(F.struct("doc_id", "start")).alias("keep"),
+        )
+        .where(F.col("nd") >= min_docs)
+        .select("g", "keep")
+    )
+    removable = (
+        grams.join(keeper, "g")
+        .where(
+            (F.col("doc_id") != F.col("keep.doc_id"))
+            | (F.col("start") != F.col("keep.start"))
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("start")).alias("rs"))
+    )
+
+    def not_covered(tok, i):
+        # i is 0-based; token position p = i+1 is covered iff some
+        # removable start s satisfies s <= p <= s+n-1
+        p = i + 1
+        return ~F.exists(
+            F.col("rs"), lambda s: (s <= p) & (p <= s + F.lit(n) - 1)
+        )
+
+    removed = F.when(F.size("rs") == 0, F.lit(0).cast("long")).otherwise(
+        _interval_cover(F.col("rs"), n)
+    )
+    return (
+        toks.join(removable, "doc_id", "left")
+        .withColumn("rs", F.coalesce("rs", F.array().cast("array<int>")))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.filter("t", not_covered)).alias("clean_text"),
+            "n_tokens",
+            removed.alias("removed_tokens"),
+        )
+    )

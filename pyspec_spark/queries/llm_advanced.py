@@ -708,3 +708,66 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_hits"),
         F.round(F.count("*") / 10.0, 6).alias("recall_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L2/L3 extension (r5) — exact duplicated-substring coverage (Lee et
+# al. 2022), ORACLE-CHECKED: doc-level MinHash cannot see a boilerplate
+# paragraph shared by otherwise-distinct pages; this measures, per doc,
+# how many tokens sit inside an exact 5-gram that occurs in >= 2
+# distinct documents.  Coverage is merged-interval length over the
+# sorted duplicated-gram starts — pure array math, no re-join to
+# tokens — and the whole pipeline (gram emission, the one deciding
+# groupBy(gram) shuffle, per-doc fold) is replayed verbatim in DuckDB.
+# The keep-first span REMOVER built on the same machinery is
+# operators/text.py remove_duplicated_spans (golden-tested; its output
+# text is engine-local by construction, so the declared query checks
+# the measurable stats instead).
+# ---------------------------------------------------------------------------
+_SDS_N = 5
+
+_SUBSTR_DUP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+base AS (
+  SELECT doc_id, len(t) AS n_tokens, t FROM toks
+),
+grams AS (
+  SELECT doc_id, i AS start,
+         array_to_string(t[i:i+{_SDS_N - 1}], ' ') AS g
+  FROM base, LATERAL unnest(range(1, n_tokens - {_SDS_N} + 2)) r(i)
+  WHERE n_tokens >= {_SDS_N}
+),
+dup AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per AS (
+  SELECT doc_id, COUNT(*) AS dup_ngrams,
+         list_sort(LIST(start)) AS ss
+  FROM grams JOIN dup USING (g)
+  GROUP BY doc_id
+),
+cov AS (
+  SELECT doc_id, dup_ngrams,
+         CAST({_SDS_N} + COALESCE(list_sum(list_transform(
+                  range(2, len(ss) + 1),
+                  i -> least({_SDS_N}, ss[i] - ss[i - 1]))), 0) AS BIGINT)
+             AS dup_cover
+  FROM per
+)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(c.dup_ngrams, 0) AS dup_ngrams,
+       COALESCE(c.dup_cover, 0) AS dup_cover,
+       ROUND(COALESCE(c.dup_cover, 0) / b.n_tokens, 6) AS dup_frac
+FROM base b LEFT JOIN cov c USING (doc_id)
+ORDER BY b.doc_id
+"""
+
+
+@query("q_substr_dup_spans", oracle=_SUBSTR_DUP_ORACLE)
+def q_substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import duplicated_span_stats
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_span_stats(d, n=_SDS_N).orderBy("doc_id")

@@ -737,3 +737,83 @@ def test_pq_encode_plan_is_shuffle_free(spark, emb):
     ]
     for ln in exchanges:
         assert "SinglePartition" in ln or "broadcast" in ln.lower(), plan
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (r5, Lee et al. 2022 keep-first).
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    # docs 1 and 2 share the exact 6-token run "alpha beta gamma delta
+    # epsilon zeta" (two overlapping 5-grams); doc 3 is clean; doc 4 is
+    # shorter than one gram; doc 5 repeats the shared run INTERNALLY.
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta unique one two"),
+            (2, "prefix words alpha beta gamma delta epsilon zeta suffix"),
+            (3, "totally different content with no overlap at all here"),
+            (4, "short doc"),
+            (5, "alpha beta gamma delta epsilon zeta pad alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_duplicated_span_stats_golden(spark, span_docs):
+    """Hand-derivable coverage: two overlapping 5-grams merge to a
+    6-token interval (5 + min(5, 1)); clean/short docs report zero."""
+    from pyspec_spark.operators.text import duplicated_span_stats
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_ngrams"], r["dup_cover"], r["dup_frac"])
+        for r in duplicated_span_stats(span_docs, n=5).collect()
+    }
+    assert got[1] == (9, 2, 6, round(6 / 9, 6))
+    assert got[2] == (9, 2, 6, round(6 / 9, 6))
+    assert got[3] == (9, 0, 0, 0.0)
+    assert got[4] == (2, 0, 0, 0.0)
+    # doc 5: both copies of the run are cross-doc duplicated -> 4 gram
+    # occurrences (2 per copy), two disjoint 6-token intervals = 12
+    assert got[5] == (13, 4, 12, round(12 / 13, 6))
+
+
+def test_remove_duplicated_spans_keep_first(spark, span_docs):
+    """The lowest (doc_id, start) occurrence survives; every other
+    copy's tokens are excised — including the second INTERNAL copy in
+    doc 5 (the keep-one policy), while non-duplicated text is
+    untouched."""
+    from pyspec_spark.operators.text import remove_duplicated_spans
+
+    got = {
+        r["doc_id"]: (r["clean_text"], r["removed_tokens"])
+        for r in remove_duplicated_spans(span_docs, n=5).collect()
+    }
+    assert got[1] == (
+        "alpha beta gamma delta epsilon zeta unique one two",
+        0,
+    )  # keeper: doc 1 holds the min (doc_id, start)
+    assert got[2] == ("prefix words suffix", 6)
+    assert got[3][1] == 0
+    assert got[4] == ("short doc", 0)
+    assert got[5] == ("pad", 12)  # both copies lose to doc 1's keeper
+
+
+def test_remove_duplicated_spans_noop_on_unique_corpus(spark):
+    """A corpus with no cross-doc n-gram repeats passes through
+    verbatim (text equality, zero removed)."""
+    from pyspec_spark.operators.text import remove_duplicated_spans
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zero cold winter nights bring quiet snow"),
+            (1, "one bright summer day follows heavy rain"),
+            (2, "two old ships sailed past rocky cliffs"),
+            (3, "three green hills rise beyond the valley"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = remove_duplicated_spans(docs, n=5).collect()
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in rows:
+        assert r["clean_text"] == orig[r["doc_id"]]
+        assert r["removed_tokens"] == 0
