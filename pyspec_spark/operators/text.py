@@ -457,3 +457,72 @@ def remove_duplicated_spans(
             removed.alias("removed_tokens"),
         )
     )
+
+
+def feature_hash_embed(
+    df: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Feature-hashing document embeddings (Weinberger et al. 2009,
+    the 'hashing trick'): every token is folded into one of `dim`
+    buckets by md5, with an independent md5-derived ±1 sign to make
+    collisions unbiased; the doc vector is the signed occurrence count
+    per bucket, L2-normalized.  The cheapest corpus featurizer there
+    is — no vocabulary, no training pass — and the md5 basis makes it
+    bit-identical in DuckDB (oracle-checkable), unlike a learned
+    embedding.
+
+    Determinism: bucket sums and the squared-norm accumulate as exact
+    BIGINTs (no float-order dependence); the only floating ops are one
+    sqrt and one division per value (both IEEE-exact per input), then
+    ROUND(.,6).
+
+    Output: dense (doc_id, dim, fh_val) rows — docs x dim of them;
+    missing buckets materialize as 0 via a broadcast dim lattice.
+    Scale: one groupBy(doc_id, bucket) shuffle bounded by docs x dim,
+    then per-doc norm over <= dim rows; at 100 TB this is a classic
+    map-side-combine aggregation with bounded key cardinality."""
+    ex = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(text_col, " ")).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat("tok", F.lit("#fh"))), 1, 8), 16, 10)
+        .cast("long")
+        % dim
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat("tok", F.lit("#sg"))), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    per = (
+        ex.select("doc_id", bucket.alias("dim"), sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").alias("raw"))
+    )
+    lattice = df.select(F.col(id_col).alias("doc_id")).distinct().crossJoin(
+        F.broadcast(
+            df.sparkSession.range(dim).select(F.col("id").cast("int").alias("dim"))
+        )
+    )
+    dense = (
+        lattice.join(per, ["doc_id", "dim"], "left")
+        .select("doc_id", "dim", F.coalesce("raw", F.lit(0).cast("long")).alias("raw"))
+    )
+    nrm = dense.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("raw") * F.col("raw")).cast("double")).alias("n2")
+    )
+    return dense.join(nrm, "doc_id").select(
+        "doc_id",
+        "dim",
+        F.round(
+            F.when(F.col("n2") > 0, F.col("raw").cast("double") / F.col("n2"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("fh_val"),
+    )

@@ -771,3 +771,55 @@ def q_substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return duplicated_span_stats(d, n=_SDS_N).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L6/L5 extension (r5) — feature-hashing document embeddings
+# (Weinberger et al. 2009), ORACLE-CHECKED: the md5 bucket and ±1 sign
+# are bit-identical in DuckDB, bucket sums and squared norms accumulate
+# as exact BIGINTs, and the only floats are one sqrt + one division per
+# value.  This is the vocabulary-free featurizer that turns a raw text
+# corpus into ANN-ready vectors in ONE aggregation pass — the upstream
+# producer for the q_cosine_topk/LSH/IVF/PQ similarity stack when no
+# learned embeddings exist yet.
+# ---------------------------------------------------------------------------
+_FH_DIM = 16
+
+_HASH_EMBED_ORACLE = f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok || '#fh'), 1, 8))::BIGINT % {_FH_DIM}
+              AS INT) AS dim,
+         CASE WHEN ('0x' || substr(md5(tok || '#sg'), 1, 8))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM ex
+),
+per AS (
+  SELECT doc_id, dim, SUM(s) AS raw FROM h GROUP BY doc_id, dim
+),
+dense AS (
+  SELECT d.doc_id, t.dim, COALESCE(p.raw, 0) AS raw
+  FROM (SELECT DISTINCT doc_id FROM documents) d
+  CROSS JOIN (SELECT CAST(unnest(range(0, {_FH_DIM})) AS INT) AS dim) t
+  LEFT JOIN per p ON p.doc_id = d.doc_id AND p.dim = t.dim
+),
+nrm AS (
+  SELECT doc_id, sqrt(CAST(SUM(raw * raw) AS DOUBLE)) AS n2
+  FROM dense GROUP BY doc_id
+)
+SELECT dn.doc_id, dn.dim,
+       ROUND(CASE WHEN n.n2 > 0 THEN dn.raw / n.n2 ELSE 0 END, 6) AS fh_val
+FROM dense dn JOIN nrm n USING (doc_id)
+ORDER BY dn.doc_id, dn.dim
+"""
+
+
+@query("q_hash_embed", oracle=_HASH_EMBED_ORACLE)
+def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import feature_hash_embed
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return feature_hash_embed(d, dim=_FH_DIM).orderBy("doc_id", "dim")

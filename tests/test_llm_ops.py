@@ -817,3 +817,29 @@ def test_remove_duplicated_spans_noop_on_unique_corpus(spark):
     for r in rows:
         assert r["clean_text"] == orig[r["doc_id"]]
         assert r["removed_tokens"] == 0
+
+
+def test_feature_hash_embed_unit_norm_and_determinism(spark):
+    """Every doc vector is unit-L2 (or all-zero), dims are dense
+    0..dim-1, and the embedding is a pure function of the text —
+    identical docs get identical vectors."""
+    from pyspec_spark.operators.text import feature_hash_embed
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "completely different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = feature_hash_embed(docs, dim=8).collect()
+    by_doc: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["dim"]] = r["fh_val"]
+    for d, vec in by_doc.items():
+        assert sorted(vec) == list(range(8))
+        n2 = sum(v * v for v in vec.values())
+        assert abs(n2 - 1.0) < 1e-4 or n2 == 0.0, (d, n2)
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[3]
