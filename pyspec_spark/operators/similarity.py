@@ -526,6 +526,7 @@ def pq_encode_df(
     subd: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """MAP-ONLY PQ encoding: broadcast the 1-row codebook, per subspace
     take argmin over the codeword array via array_min of (dist, code)
@@ -535,7 +536,7 @@ def pq_encode_df(
     (vec_id, code0..code{m-1}) — the at-rest representation, d*4/M
     times smaller than the embedding column."""
     enc = emb.crossJoin(F.broadcast(cb_df))
-    cols = [F.col(id_col).alias("vec_id")]
+    cols = [F.col(id_col).alias("vec_id")] + [F.col(c) for c in keep_cols]
 
     def scorer(off):
         def fn(c, i):
@@ -635,4 +636,67 @@ def pq_rerank_topk_df(
         .select(F.col(id_col).alias("vec_id"), cos.alias("score"))
         .orderBy(F.desc("score"), "vec_id")
         .limit(k)
+    )
+
+
+def ivfpq_topk_df(
+    emb: DataFrame,
+    cents_df: DataFrame,
+    cb_df: DataFrame,
+    query_df: DataFrame,
+    m: int = 8,
+    subd: int = 8,
+    k: int = 10,
+    n_probe: int = 4,
+    shortlist: int = 100,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC (Jégou et al. 2011 §IV): the composite production index —
+    IVF cell pruning picks WHICH partitions to scan, PQ codes decide
+    WHAT to shortlist inside them, exact re-rank fixes the final order.
+    All three models (centroids, codebooks, probe list) are broadcast
+    1-row DataFrames; building the plan runs zero Spark jobs.
+
+    100 TB shape: at rest the table is partitioned by `cell` and
+    carries only (vec_id, cell, code0..code{m-1}) in the hot path —
+    the probe prunes to n_probe/n_cells of the FILES (partition
+    pruning), the ADC scan reads M small-int columns of those files,
+    and the re-rank fetches `shortlist` full vectors.  Nothing else is
+    touched."""
+    assigned = ivf_assign_df(emb, cents_df)
+    codes = pq_encode_df(
+        assigned, cb_df, m=m, subd=subd, keep_cols=("cell",)
+    )
+    probed = (
+        query_df.select(F.col(vec_col).alias("qv"))
+        .crossJoin(F.broadcast(cents_df))
+        .select(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.transform(
+                            _cell_dists(F.col("qv")),
+                            lambda d, i: F.struct(d.alias("d"), i.alias("i")),
+                        )
+                    ),
+                    1,
+                    n_probe,
+                ),
+                lambda s: s["i"],
+            ).alias("probe_cells"),
+        )
+    )
+    pruned = codes.crossJoin(F.broadcast(probed)).where(
+        F.array_contains("probe_cells", F.col("cell"))
+    )
+    return pq_rerank_topk_df(
+        emb,
+        pruned,
+        cb_df,
+        query_df,
+        m=m,
+        subd=subd,
+        k=k,
+        shortlist=shortlist,
+        vec_col=vec_col,
     )

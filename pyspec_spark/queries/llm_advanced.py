@@ -823,3 +823,32 @@ def q_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     return feature_hash_embed(d, dim=_FH_DIM).orderBy("doc_id", "dim")
+
+
+# ---------------------------------------------------------------------------
+# L5 composite (r5) — IVFADC, the production vector index (Jégou et
+# al. 2011 §IV): IVF cells pick WHICH partitions to scan (n_probe /
+# n_cells of the files when `cell` is the at-rest partition key), PQ
+# codes decide WHAT to shortlist inside them (M small-int columns, no
+# raw vectors read), exact cosine re-rank fixes the final order
+# (`shortlist` full vectors via broadcast semi-join).  All models ride
+# in-plan; zero jobs at build.  Rows-only (both stages approximate by
+# construction); recall vs brute force pytest-asserted, and the two
+# deterministic twins q_ann_ivf_det / q_ann_pq_det oracle-prove the
+# cell-assignment and ADC arithmetic separately.
+# ---------------------------------------------------------------------------
+@query("q_ann_ivfpq_topk")
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.similarity import (
+        ivfpq_topk_df,
+        pq_codebooks_trained_df,
+        train_centroids_df,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qdf = e.where(F.col("vec_id") == 0).select("embedding")
+    cents = train_centroids_df(e, n_cells=16, sample=2000)
+    cb = pq_codebooks_trained_df(e, m=8, subd=8, k=16, sample=2000)
+    return ivfpq_topk_df(
+        e, cents, cb, qdf, m=8, subd=8, k=10, n_probe=6, shortlist=100
+    )

@@ -843,3 +843,31 @@ def test_feature_hash_embed_unit_norm_and_determinism(spark):
         assert abs(n2 - 1.0) < 1e-4 or n2 == 0.0, (d, n2)
     assert by_doc[1] == by_doc[2]
     assert by_doc[1] != by_doc[3]
+
+
+def test_ivfpq_topk_recall(spark, emb):
+    """IVFADC composite (IVF cell pruning + PQ ADC shortlist + exact
+    re-rank): recall@10 vs brute force, query finds itself first, and
+    re-ranked scores are exact on the overlap."""
+    from pyspec_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_topk_df,
+        pq_codebooks_trained_df,
+        train_centroids_df,
+    )
+
+    first = emb.orderBy("vec_id").first()
+    q = list(first["embedding"])
+    qdf = emb.where(F.col("vec_id") == first["vec_id"]).select("embedding")
+    cents = train_centroids_df(emb, n_cells=8, sample=500)
+    cb = pq_codebooks_trained_df(emb, m=8, subd=8, k=16, sample=500)
+    got = ivfpq_topk_df(
+        emb, cents, cb, qdf, m=8, subd=8, k=10, n_probe=4, shortlist=100
+    ).collect()
+    exact = {r["vec_id"]: r["score"] for r in cosine_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"]: r["score"] for r in got}
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5, f"recall {recall}"
+    assert got[0]["vec_id"] == first["vec_id"]
+    for vid in set(exact) & set(approx):
+        assert abs(exact[vid] - approx[vid]) < 1e-9
