@@ -480,10 +480,12 @@ def feature_hash_embed(
     ROUND(.,6).
 
     Output: dense (doc_id, dim, fh_val) rows — docs x dim of them;
-    missing buckets materialize as 0 via a broadcast dim lattice.
-    Scale: one groupBy(doc_id, bucket) shuffle bounded by docs x dim,
-    then per-doc norm over <= dim rows; at 100 TB this is a classic
-    map-side-combine aggregation with bounded key cardinality."""
+    missing buckets materialize as 0 inside the per-doc fold (a
+    sequence/transform over the collected bucket map — no lattice
+    join).  Scale: TWO exchanges total — groupBy(doc_id, bucket) with
+    key cardinality bounded by docs x dim, then one per-doc fold of
+    <= dim rows that also accumulates the exact BIGINT squared norm;
+    the dense expansion is a map-side posexplode."""
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(text_col, " ")).alias("tok"),
@@ -505,21 +507,25 @@ def feature_hash_embed(
         .groupBy("doc_id", "dim")
         .agg(F.sum("s").alias("raw"))
     )
-    lattice = df.select(F.col(id_col).alias("doc_id")).distinct().crossJoin(
-        F.broadcast(
-            df.sparkSession.range(dim).select(F.col("id").cast("int").alias("dim"))
-        )
+    doc = per.groupBy("doc_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("dim", "raw"))).alias("mp"),
+        F.sum(F.col("raw") * F.col("raw")).alias("n2i"),
     )
-    dense = (
-        lattice.join(per, ["doc_id", "dim"], "left")
-        .select("doc_id", "dim", F.coalesce("raw", F.lit(0).cast("long")).alias("raw"))
-    )
-    nrm = dense.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("raw") * F.col("raw")).cast("double")).alias("n2")
-    )
-    return dense.join(nrm, "doc_id").select(
+    dense = doc.select(
         "doc_id",
-        "dim",
+        F.sqrt(F.col("n2i").cast("double")).alias("n2"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.coalesce(
+                    F.element_at("mp", d.cast("int")), F.lit(0).cast("long")
+                ),
+            )
+        ).alias("dim", "raw"),
+    )
+    return dense.select(
+        "doc_id",
+        F.col("dim").cast("int").alias("dim"),
         F.round(
             F.when(F.col("n2") > 0, F.col("raw").cast("double") / F.col("n2"))
             .otherwise(F.lit(0.0)),
