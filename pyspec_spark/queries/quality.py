@@ -666,3 +666,55 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(clean, F.lit(_PII_ANY_JAVA)).alias("n_left"),
         F.md5(clean).alias("clean_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L3 extension (r5) — text normalization, the stage-0 of every curation
+# pipeline (C4/CCNet both normalize before ANY dedup or scoring, since
+# near-dup recall collapses when byte-identical content differs only in
+# case/whitespace).  ORACLE-CHECKED md5-exact: lowercase (Unicode-aware
+# in both engines), control-character strip, whitespace collapse, trim.
+# Map-only — the normalized text md5 is compared hash-exactly, so both
+# engines must produce byte-identical output on every doc.
+# ---------------------------------------------------------------------------
+_NORM_ORACLE = r"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+             regexp_replace(lower(text),
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+             '\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS norm_md5,
+       length(norm) AS norm_len,
+       length(text) - length(norm) AS shrunk,
+       CAST(length(norm) = length(text) AS INT) AS unchanged
+FROM n
+ORDER BY doc_id
+"""
+
+
+@query("q_normalize_text", oracle=_NORM_ORACLE)
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower("text"), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.md5(norm).alias("norm_md5"),
+            F.length(norm).alias("norm_len"),
+            (F.length("text") - F.length(norm)).alias("shrunk"),
+            (F.length(norm) == F.length("text")).cast("int").alias("unchanged"),
+        )
+        .orderBy("doc_id")
+    )

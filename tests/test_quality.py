@@ -425,3 +425,28 @@ def test_pii_scrub_is_idempotent(spark):
     ).collect()
     for r in twice:
         assert r["out"] == r["text"]
+
+
+def test_normalize_text_golden(spark):
+    """Normalization collapses case/whitespace/control chars to a
+    canonical byte string — checked against a hand-computed md5."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower("text"), r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", ""
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    df = spark.createDataFrame(
+        [(1, "  Hello\tWORLD\x01  x  "), (2, "already clean")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["m"] for r in df.select("doc_id", F.md5(norm).alias("m")).collect()}
+    assert got[1] == hashlib.md5(b"hello world x").hexdigest()
+    assert got[2] == hashlib.md5(b"already clean").hexdigest()
