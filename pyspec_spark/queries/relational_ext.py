@@ -669,3 +669,104 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey") % 256, F.col("l_suppkey") % 256, bits=_Z_BITS
         ).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# R12 (r5) — column profiling, the ANALYZE-TABLE statistics pass every
+# warehouse runs before planning: per numeric lineitem column, row/null
+# counts, exact distinct cardinality, min/max, and the exact
+# fixed-point mean.  ONE scan + ONE 1-row aggregate computing all
+# columns' stats simultaneously, then a map-side stack() unpivot into
+# (col_name, ...) rows — at 100 TB this is a single pass with map-side
+# partial aggregation, not a scan per column.  ORACLE-CHECKED.
+# ---------------------------------------------------------------------------
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_linenumber")
+
+_PROFILE_ORACLE = f"""
+WITH agg AS (
+  SELECT COUNT(*) AS n_rows,
+{','.join(f'''
+         COUNT(*) - COUNT({c}) AS nulls_{c},
+         COUNT(DISTINCT {c}) AS nd_{c},
+         ROUND(MIN(CAST({c} AS DOUBLE)), 6) AS min_{c},
+         ROUND(MAX(CAST({c} AS DOUBLE)), 6) AS max_{c},
+         ROUND(CAST(SUM(CAST(ROUND(CAST({c} AS DOUBLE) * 1e6) AS BIGINT)) AS DOUBLE)
+               / COUNT({c})) / 1e6 AS mean_{c}''' for c in _PROFILE_COLS)}
+  FROM lineitem
+)
+{' UNION ALL '.join(f'''
+SELECT '{c}' AS col_name, n_rows, nulls_{c} AS n_nulls, nd_{c} AS n_distinct,
+       min_{c} AS min_v, max_{c} AS max_v, mean_{c} AS mean_v
+FROM agg''' for c in _PROFILE_COLS)}
+ORDER BY col_name
+"""
+
+
+@query("q_profile", oracle=_PROFILE_ORACLE)
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        d = F.col(c).cast("double")
+        aggs += [
+            (F.count("*") - F.count(c)).alias(f"nulls_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.round(F.min(d), 6).alias(f"min_{c}"),
+            F.round(F.max(d), 6).alias(f"max_{c}"),
+            (
+                F.round(
+                    F.sum(_fixed6(d)).cast("double") / F.count(c)
+                )
+                / 1e6
+            ).alias(f"mean_{c}"),
+        ]
+    agg = li.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nulls_{c}, nd_{c}, min_{c}, max_{c}, mean_{c}"
+        for c in _PROFILE_COLS
+    )
+    return agg.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(col_name, n_nulls, n_distinct, min_v, max_v, mean_v)",
+    ).select(
+        "col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v", "mean_v"
+    ).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# R13 (r5) — mergeable approximate quantiles (the sketch family's third
+# member next to HLL distinct and CMS counts): per-group
+# approx_percentile with bounded RANK error.  Spark's implementation is
+# a mergeable KLL-style sketch — partial aggregation state is sketch
+# bytes, so at 100 TB every map task contributes a bounded-size partial
+# no matter how many rows it scans (an exact percentile would shuffle
+# every value).  Rows-only by design (the sketch is approximate and
+# engine-specific); the rank-error contract |rank(approx) - q*n| <=
+# n/accuracy is pytest-asserted against the exact sorted data
+# (test_relational_ext.py).
+# ---------------------------------------------------------------------------
+_AQ_ACCURACY = 10_000
+
+
+@query("q_approx_quantile")
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.25, 0.5, 0.75], _AQ_ACCURACY
+            ).alias("qs"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "n_rows",
+            F.col("qs")[0].alias("p25"),
+            F.col("qs")[1].alias("p50"),
+            F.col("qs")[2].alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -369,3 +369,51 @@ def test_winnowing_shared_run_guarantee(spark, data):
     assert fps[0] & fps[1], (
         f"no shared fingerprint for shared {run_len}-token run"
     )
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_duplicated_span_stats_matches_brute_force(spark, data):
+    """Random tiny corpora over a 4-token vocabulary (dense repeats):
+    the distributed gram-shuffle + interval-fold answer equals a
+    brute-force local reference for every doc."""
+    from pyspec_spark.operators.text import duplicated_span_stats
+
+    n_docs = data.draw(st.integers(min_value=2, max_value=6))
+    vocab = ["a", "b", "c", "d"]
+    texts = [
+        " ".join(
+            data.draw(st.sampled_from(vocab))
+            for _ in range(data.draw(st.integers(min_value=1, max_value=12)))
+        )
+        for _ in range(n_docs)
+    ]
+    n = data.draw(st.sampled_from([2, 3]))
+
+    # brute force: every n-gram -> docs containing it; coverage by mask
+    grams: dict[str, set[int]] = {}
+    toks = [t.split(" ") for t in texts]
+    for d, tk in enumerate(toks):
+        for i in range(len(tk) - n + 1):
+            grams.setdefault(" ".join(tk[i : i + n]), set()).add(d)
+    dup = {g for g, ds in grams.items() if len(ds) >= 2}
+    want = {}
+    for d, tk in enumerate(toks):
+        mask = [False] * len(tk)
+        k = 0
+        for i in range(len(tk) - n + 1):
+            if " ".join(tk[i : i + n]) in dup:
+                k += 1
+                for j in range(i, i + n):
+                    mask[j] = True
+        want[d] = (len(tk), k, sum(mask), round(sum(mask) / len(tk), 6))
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_ngrams"], r["dup_cover"], r["dup_frac"])
+        for r in duplicated_span_stats(df, n=n).collect()
+    }
+    assert got == want

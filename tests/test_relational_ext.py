@@ -217,3 +217,33 @@ def test_kmeans2_matches_numpy_lloyd(spark):
     for r in rows:
         # engine means are micro-quantized per channel per iteration
         assert abs(r["centroid_v"] - C[r["cid"], r["channel"] - 1]) < 1e-3
+
+
+def test_approx_quantile_rank_error_bound(spark):
+    """The sketch's contract: each reported quantile's RANK in the
+    exact sorted data is within n/accuracy of the target rank."""
+    from pyspec_spark.queries.relational_ext import (
+        _AQ_ACCURACY,
+        q_approx_quantile,
+    )
+    from pyspec_spark.tables import table
+
+    got = {r["l_returnflag"]: r for r in
+           q_approx_quantile.__wrapped__(spark, SF).collect()}
+    li = table(spark, SF, "lineitem").select("l_returnflag", "l_extendedprice")
+    by_flag: dict[str, list[float]] = {}
+    for r in li.collect():
+        by_flag.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    import bisect
+
+    for flag, vals in by_flag.items():
+        vals.sort()
+        n = len(vals)
+        assert got[flag]["n_rows"] == n
+        for q, col in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75")):
+            v = got[flag][col]
+            lo = bisect.bisect_left(vals, v)
+            hi = bisect.bisect_right(vals, v)
+            target = q * n
+            tol = max(n / _AQ_ACCURACY, 1.0)
+            assert lo - tol <= target <= hi + tol, (flag, q, v, lo, hi, n)
