@@ -700,3 +700,120 @@ def ivfpq_topk_df(
         shortlist=shortlist,
         vec_col=vec_col,
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN JOIN — every row of a query set finds its top-k neighbors in the
+# corpus (the batch shape that powers near-dup clustering, kNN
+# classification, and retrieval eval; the single-probe topk functions
+# above are its 1-row special case).
+# ---------------------------------------------------------------------------
+def knn_join_exact(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Exact cosine k-NN join: broadcast the query set against the
+    corpus scan, score every (query, vector) pair map-side, keep top-k
+    per query with a qid-partitioned rank window (self-matches
+    excluded).  Correct baseline; cost is O(|corpus| x |queries|)
+    scored map-side — right up to a few thousand queries, after which
+    `knn_join_lsh` prunes candidates first."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    )
+    cos = _dot_cols(F.col(vec_col), F.col("qv")) / (
+        _norm_expr(F.col(vec_col)) * _norm_expr(F.col("qv"))
+    )
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("qid"))
+        .select("qid", F.col(id_col).alias("vec_id"), cos.alias("score"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "vec_id", "score", "rk")
+    )
+
+
+def knn_join_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_planes: int = 16,
+    max_hamming: int = 2,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """LSH-pruned k-NN join — the corpus-scale path for NEAR-DUPLICATE
+    neighbors: both sides get the same hyperplane signatures, candidate
+    pairs come from an equi-join on each 8-bit signature band
+    (pigeonhole: a pair within n_bands-1 Hamming bits is GUARANTEED to
+    share a band; beyond that recall decays), verified by
+    full-signature Hamming <= max_hamming, then exact cosine re-rank
+    and a per-query top-k window.  The candidate generator is a band
+    equi-join — never |corpus| x |queries| — so both sides scale
+    independently; band buckets hold ~|side|/256 rows each.
+
+    REGIME (measured, test_llm_ops.py): on near-duplicate neighbors
+    (perturbed copies, the dedup/contamination use case) planted-NN
+    recall is 18/20; on a near-RANDOM corpus whose true neighbors sit
+    at wide angles (the sf0.001 synthetic embeddings) banded 16-bit
+    signatures cannot see them — use `knn_join_exact` (small query
+    sets) or the IVF/PQ tiers (corpus scale) for that geometry."""
+    from pyspark.sql import Window
+
+    n_bands = n_planes // 8
+    sigs = lsh_signatures(emb, n_planes, seed, id_col, vec_col, dim=dim)
+    qsigs = lsh_signatures(queries, n_planes, seed, id_col, vec_col, dim=dim)
+
+    def banded(s, prefix):
+        bands = F.array(
+            *[
+                F.shiftrightunsigned(F.col("sig"), 8 * b)
+                .bitwiseAND(F.lit(255))
+                .cast("int")
+                for b in range(n_bands)
+            ]
+        )
+        return s.select(
+            F.col("vec_id").alias(f"{prefix}id"),
+            F.col(vec_col).alias(f"{prefix}v"),
+            F.col("sig").alias(f"{prefix}sig"),
+            F.posexplode(bands).alias("b", f"{prefix}band"),
+        )
+
+    cand = (
+        banded(sigs, "c")
+        .join(
+            banded(qsigs, "q").withColumnRenamed("qband", "cband"),
+            ["b", "cband"],
+        )
+        .where(F.col("cid") != F.col("qid"))
+        .where(
+            F.bit_count(F.col("csig").bitwiseXOR(F.col("qsig"))) <= max_hamming
+        )
+        .select("qid", "cid", "cv", "qv")
+        .dropDuplicates(["qid", "cid"])
+    )
+    cos = _dot_cols(F.col("cv"), F.col("qv")) / (
+        _norm_expr(F.col("cv")) * _norm_expr(F.col("qv"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), "vec_id")
+    return (
+        cand.select("qid", F.col("cid").alias("vec_id"), cos.alias("score"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("qid", "vec_id", "score", "rk")
+    )

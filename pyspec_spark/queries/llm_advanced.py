@@ -852,3 +852,46 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk_df(
         e, cents, cb, qdf, m=8, subd=8, k=10, n_probe=6, shortlist=100
     )
+
+
+# ---------------------------------------------------------------------------
+# L5 batch shape (r5) — exact cosine k-NN JOIN, ORACLE-CHECKED: every
+# vector of a query set (vec_id < 5) finds its top-3 corpus neighbors
+# (self excluded) — the batch primitive behind near-dup clustering,
+# kNN classification, and retrieval eval; the single-probe queries
+# above are its 1-row special case.  Plan: broadcast query set, map-
+# side scoring of the corpus scan, ONE qid-partitioned rank window.
+# Exact is the declared baseline (O(|corpus| x 5) map-side); the
+# corpus-scale variant is operators/similarity.py knn_join_lsh (band
+# equi-join candidates, planted-NN recall measured in tests).
+# ---------------------------------------------------------------------------
+_KNN_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.qid, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe),
+               6) AS score
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.qid
+),
+r AS (
+  SELECT qid, vec_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id)
+             AS rk
+  FROM s
+)
+SELECT qid, vec_id, score, rk FROM r WHERE rk <= 3
+ORDER BY qid, rk
+"""
+
+
+@query("q_knn_join", oracle=_KNN_ORACLE)
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.similarity import knn_join_exact
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < 5)
+    return knn_join_exact(e, q, k=3, round_digits=6).orderBy("qid", "rk")

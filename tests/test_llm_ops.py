@@ -871,3 +871,61 @@ def test_ivfpq_topk_recall(spark, emb):
     assert got[0]["vec_id"] == first["vec_id"]
     for vid in set(exact) & set(approx):
         assert abs(exact[vid] - approx[vid]) < 1e-9
+
+
+def test_knn_join_exact_matches_numpy(spark, emb):
+    """The exact k-NN join equals a local numpy reference for every
+    query row (ids and scores)."""
+    from pyspec_spark.operators.similarity import knn_join_exact
+
+    rows = emb.collect()
+    X = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = emb.where(F.col("vec_id") < 5)
+    got = knn_join_exact(emb, q, k=3).collect()
+    for qid in range(5):
+        qi = list(ids).index(qid)
+        cos = (X @ X[qi]) / (np.linalg.norm(X, axis=1) * np.linalg.norm(X[qi]))
+        mask = ids != qid
+        order = np.lexsort((ids[mask], -cos[mask]))[:3]
+        want = [int(ids[mask][i]) for i in order]
+        mine = [r["vec_id"] for r in sorted(
+            (r for r in got if r["qid"] == qid), key=lambda r: r["rk"])]
+        assert mine == want, (qid, mine, want)
+
+
+def test_knn_join_lsh_planted_neardup_recall(spark, emb):
+    """The banded LSH join's documented regime: perturbed copies of 20
+    corpus vectors must find their source as the nearest neighbor in
+    >= 16/20 cases (pigeonhole guarantees hamming <= 1; small
+    perturbations occasionally land at hamming > max_hamming)."""
+    from pyspark.sql import types as T
+
+    from pyspec_spark.operators.similarity import knn_join_lsh
+
+    rows = emb.where(F.col("vec_id") < 20).collect()
+    rng = np.random.default_rng(7)
+    pert = [
+        (
+            int(r["vec_id"]) + 100000,
+            [float(v) + float(e)
+             for v, e in zip(r["embedding"], rng.normal(0, 0.01, 64))],
+        )
+        for r in rows
+    ]
+    pdf = spark.createDataFrame(
+        pert,
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]),
+    )
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    ).unionByName(pdf)
+    got = knn_join_lsh(corpus, pdf, k=1, max_hamming=2).collect()
+    hits = sum(
+        1 for r in got if r["rk"] == 1 and r["vec_id"] == r["qid"] - 100000
+    )
+    assert hits >= 16, f"planted NN found only {hits}/20"
