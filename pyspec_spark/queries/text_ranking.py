@@ -237,3 +237,129 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (r5) — reciprocal-rank fusion (Cormack et al. 2009)
+# of the BM25 lexical ranking with a dense-side ranking over the
+# feature-hash document embeddings (q_hash_embed's md5 vectors), both
+# for the same literal query terms.  ORACLE-CHECKED end to end:
+# - the query's hash-embedding is computed ONCE driver-side from the
+#   term literals (md5 + integer counts + one sqrt/divide) and inlined
+#   as float literals in BOTH engines (the _lsh_det_oracle precedent);
+# - each system's top-20 comes from a TakeOrdered limit (scalable),
+#   ranks are assigned by a window over those <= 20 rows only — no
+#   global window ever runs over the corpus;
+# - RRF = 1/(60+rank_bm25) + 1/(60+rank_cos) over the outer-joined
+#   lists, ROUND(.,6), top-10 with doc_id tiebreak.
+# This is the retrieval ensemble every modern RAG stack runs; here
+# both legs and the fusion are replayed exactly in DuckDB.
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_FH_DIM_R = 16
+
+
+def _fh_query_vec(terms: tuple[str, ...]) -> list[float]:
+    import hashlib
+
+    raw = [0] * _FH_DIM_R
+    for t in terms:
+        b = int(hashlib.md5((t + "#fh").encode()).hexdigest()[:8], 16) % _FH_DIM_R
+        s = 1 if int(hashlib.md5((t + "#sg").encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+        raw[b] += s
+    n2 = sum(v * v for v in raw)
+    n = n2 ** 0.5
+    return [v / n if n > 0 else 0.0 for v in raw]
+
+
+def _hybrid_oracle() -> str:
+    qv = ", ".join(repr(float(v)) for v in _fh_query_vec(_BM25_TERMS))
+    bm25_body = _BM25_ORACLE.strip().removeprefix("WITH ")
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok || '#fh'), 1, 8))::BIGINT % {_FH_DIM_R}
+              AS INT) AS dim,
+         CASE WHEN ('0x' || substr(md5(tok || '#sg'), 1, 8))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM ex
+),
+per AS (SELECT doc_id, dim, SUM(s) AS raw FROM h GROUP BY doc_id, dim),
+folded AS (
+  SELECT doc_id,
+         LIST(raw ORDER BY dim) AS vals, LIST(dim ORDER BY dim) AS dims,
+         sqrt(CAST(SUM(raw * raw) AS DOUBLE)) AS n2
+  FROM per GROUP BY doc_id
+),
+dv AS (
+  SELECT doc_id,
+         list_transform(range(0, {_FH_DIM_R}),
+             d -> CASE WHEN n2 > 0 AND len(list_filter(dims, x -> x = d)) > 0
+                  THEN ROUND(vals[list_position(dims, d)] / n2, 6)
+                  ELSE 0.0 END) AS v
+  FROM folded
+),
+cos20 AS (
+  SELECT doc_id, ROUND(list_dot_product(v, [{qv}]), 6) AS cos
+  FROM dv ORDER BY cos DESC, doc_id LIMIT 20
+),
+cr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rc
+  FROM cos20
+),
+br AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rb
+  FROM (WITH {bm25_body})
+)
+SELECT COALESCE(br.doc_id, cr.doc_id) AS doc_id,
+       ROUND(COALESCE(1.0 / ({_RRF_K} + rb), 0)
+             + COALESCE(1.0 / ({_RRF_K} + rc), 0), 6) AS rrf
+FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
+@query("q_hybrid_rrf", oracle=_hybrid_oracle())
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import feature_hash_embed
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    fh = feature_hash_embed(docs, dim=_FH_DIM_R)
+    dv = fh.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "fh_val"))),
+            lambda s: s["fh_val"],
+        ).alias("v")
+    )
+    qlit = F.array(*[F.lit(float(x)) for x in _fh_query_vec(_BM25_TERMS)])
+    cos = F.round(
+        F.aggregate(
+            F.zip_with("v", qlit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    cos20 = (
+        dv.select("doc_id", cos.alias("cos"))
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(20)
+    )
+    wc = Window.orderBy(F.desc("cos"), "doc_id")
+    cr = cos20.select("doc_id", F.row_number().over(wc).alias("rc"))
+    bm = q_bm25_topk.__wrapped__(spark, sf_dir)
+    wb = Window.orderBy(F.desc("bm25"), "doc_id")
+    br = bm.select("doc_id", F.row_number().over(wb).alias("rb"))
+    fused = br.join(cr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("rb")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rc")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
