@@ -72,43 +72,62 @@ def _find(data: bytes, start: int, end: int, fourcc: str) -> tuple[int, int] | N
     return None
 
 
-def _full_box(data: bytes, s: int) -> tuple[int, int]:
+def _need(e: int, upto: int, box: str) -> None:
+    """Bounds guard: every fixed-offset read below must land inside the
+    box's DECLARED extent — a short box raises the documented
+    ValueError instead of silently reading the next sibling's bytes
+    (garbage metadata) or dying with struct.error at the buffer end."""
+    if upto > e:
+        raise ValueError(
+            f"mp4: {box} box too short (needs {upto}, ends at {e})"
+        )
+
+
+def _full_box(data: bytes, s: int, e: int, box: str) -> tuple[int, int]:
     """(version, flags) of a FullBox body starting at s."""
+    _need(e, s + 4, box)
     (vf,) = struct.unpack_from(">I", data, s)
     return vf >> 24, vf & 0xFFFFFF
 
 
-def _parse_mvhd(data: bytes, s: int) -> tuple[int, int]:
-    v, _ = _full_box(data, s)
+def _parse_mvhd(data: bytes, s: int, e: int) -> tuple[int, int]:
+    v, _ = _full_box(data, s, e, "mvhd")
     if v == 1:
+        _need(e, s + 4 + 16 + 12, "mvhd")
         ts, dur = struct.unpack_from(">IQ", data, s + 4 + 16)
     else:
+        _need(e, s + 4 + 8 + 8, "mvhd")
         ts, dur = struct.unpack_from(">II", data, s + 4 + 8)
     return ts, dur
 
 
-def _parse_tkhd(data: bytes, s: int) -> tuple[int, float, float]:
-    v, _ = _full_box(data, s)
+def _parse_tkhd(data: bytes, s: int, e: int) -> tuple[int, float, float]:
+    v, _ = _full_box(data, s, e, "tkhd")
     if v == 1:
+        _need(e, s + 4 + 16 + 4, "tkhd")
         (track_id,) = struct.unpack_from(">I", data, s + 4 + 16)
         geo = s + 4 + 16 + 4 + 4 + 8  # +reserved +duration(8)
     else:
+        _need(e, s + 4 + 8 + 4, "tkhd")
         (track_id,) = struct.unpack_from(">I", data, s + 4 + 8)
         geo = s + 4 + 8 + 4 + 4 + 4  # +reserved +duration(4)
     # reserved(8) layer(2) alternate_group(2) volume(2) reserved(2)
     # matrix(36) then width/height as 16.16 fixed point
+    _need(e, geo + 8 + 2 + 2 + 2 + 2 + 36 + 8, "tkhd")
     w_fx, h_fx = struct.unpack_from(">II", data, geo + 8 + 2 + 2 + 2 + 2 + 36)
     return track_id, w_fx / 65536.0, h_fx / 65536.0
 
 
-def _parse_mdhd(data: bytes, s: int) -> tuple[int, int, str]:
-    v, _ = _full_box(data, s)
+def _parse_mdhd(data: bytes, s: int, e: int) -> tuple[int, int, str]:
+    v, _ = _full_box(data, s, e, "mdhd")
     if v == 1:
-        ts, dur = struct.unpack_from(">IQ", data, s + 4 + 16)
-        lang_off = s + 4 + 16 + 12
+        ts_off, lang_off = s + 4 + 16, s + 4 + 16 + 12
+        _need(e, lang_off + 2, "mdhd")
+        ts, dur = struct.unpack_from(">IQ", data, ts_off)
     else:
-        ts, dur = struct.unpack_from(">II", data, s + 4 + 8)
-        lang_off = s + 4 + 8 + 8
+        ts_off, lang_off = s + 4 + 8, s + 4 + 8 + 8
+        _need(e, lang_off + 2, "mdhd")
+        ts, dur = struct.unpack_from(">II", data, ts_off)
     (packed,) = struct.unpack_from(">H", data, lang_off)
     lang = "".join(
         chr(((packed >> sh) & 0x1F) + 0x60) for sh in (10, 5, 0)
@@ -143,7 +162,7 @@ def parse_mp4_metadata(data: bytes) -> dict:
     mvhd = _find(data, ms, me, "mvhd")
     if mvhd is None:
         raise ValueError("mp4: moov without mvhd")
-    ts, dur = _parse_mvhd(data, mvhd[0])
+    ts, dur = _parse_mvhd(data, mvhd[0], mvhd[1])
     out = {
         "brand": brand,
         "compatible_brands": compat,
@@ -167,17 +186,18 @@ def parse_mp4_metadata(data: bytes) -> dict:
         tkhd = _find(data, trs, tre, "tkhd")
         if tkhd:
             tr["track_id"], tr["width"], tr["height"] = _parse_tkhd(
-                data, tkhd[0]
+                data, tkhd[0], tkhd[1]
             )
         mdia = _find(data, trs, tre, "mdia")
         if mdia:
             mdhd = _find(data, mdia[0], mdia[1], "mdhd")
             if mdhd:
-                mts, mdur, lang = _parse_mdhd(data, mdhd[0])
+                mts, mdur, lang = _parse_mdhd(data, mdhd[0], mdhd[1])
                 tr["duration_s"] = round(mdur / mts, 6) if mts else None
                 tr["language"] = lang
             hdlr = _find(data, mdia[0], mdia[1], "hdlr")
             if hdlr:
+                _need(hdlr[1], hdlr[0] + 12, "hdlr")
                 tr["handler"] = data[hdlr[0] + 8 : hdlr[0] + 12].decode(
                     "latin-1"
                 )
@@ -188,6 +208,7 @@ def parse_mp4_metadata(data: bytes) -> dict:
                     stsd = _find(data, stbl[0], stbl[1], "stsd")
                     if stsd:
                         s = stsd[0]
+                        _need(stsd[1], s + 8, "stsd")
                         (n_entries,) = struct.unpack_from(">I", data, s + 4)
                         if n_entries > 0 and s + 16 <= stsd[1]:
                             tr["codec"] = data[s + 12 : s + 16].decode(
@@ -195,6 +216,7 @@ def parse_mp4_metadata(data: bytes) -> dict:
                             )
                     stsz = _find(data, stbl[0], stbl[1], "stsz")
                     if stsz:
+                        _need(stsz[1], stsz[0] + 12, "stsz")
                         _, n = struct.unpack_from(
                             ">II", data, stsz[0] + 4
                         )

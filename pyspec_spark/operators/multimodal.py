@@ -306,8 +306,15 @@ def video_metadata(media: DataFrame) -> DataFrame:
                         "brand": meta["brand"],
                         "duration_s": meta["duration_s"],
                         "track_codec": video and video["codec"],
-                        "track_w": video and int(video["width"]),
-                        "track_h": video and int(video["height"]),
+                        # a vide track without tkhd parses with
+                        # width/height None — emit nulls, don't
+                        # int(None)-crash the whole batch
+                        "track_w": int(video["width"])
+                        if video and video["width"] is not None
+                        else None,
+                        "track_h": int(video["height"])
+                        if video and video["height"] is not None
+                        else None,
                         "language": video and video["language"],
                         "n_samples": video and video["n_samples"],
                     }

@@ -67,8 +67,10 @@ def covariance_matrix(
                         F.element_at(v, i + 1).cast("double")
                         * F.element_at(v, j + 1).cast("double")
                     ).alias("xx"),
+                    # xi rides only for the diagonal rows' means; a
+                    # matching xj would double the shuffled payload for
+                    # nothing (means for every j come from (j, j))
                     F.element_at(v, i + 1).cast("double").alias("xi"),
-                    F.element_at(v, j + 1).cast("double").alias("xj"),
                 ),
             ),
         )
@@ -79,7 +81,6 @@ def covariance_matrix(
         .agg(
             F.sum("p.xx").alias("sxx"),
             F.sum("p.xi").alias("sxi"),
-            F.sum("p.xj").alias("sxj"),
             F.count("*").alias("n"),
         )
         .collect()

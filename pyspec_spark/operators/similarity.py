@@ -482,7 +482,13 @@ def pq_codebooks_trained_df(
     orderBy(id).limit(sample).coalesce(1) — the train_centroids_df
     recipe, run M times over subvector slices in one pass).  Returns the
     same 1-row cb0..cb{m-1} shape as the deterministic variant, so
-    encode/ADC code paths are shared."""
+    encode/ADC code paths are shared.
+
+    Empty-input contract (deliberate, matching the engine-wide
+    empty-partition rule test_empty_inputs.py enforces): an empty
+    `emb` yields a ZERO-row codebook, and every downstream
+    pq_encode_df/pq_adc_topk_df crossJoin then yields zero rows —
+    empty-in, empty-out, never an executor-side exception."""
 
     def fit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = [
@@ -623,7 +629,8 @@ def pq_rerank_topk_df(
     quantization error never decides the final ranking, only the
     candidate set."""
     short = pq_adc_topk_df(
-        codes_df, cb_df, query_df, m=m, subd=subd, k=shortlist
+        codes_df, cb_df, query_df, m=m, subd=subd, k=shortlist,
+        vec_col=vec_col,
     ).select("vec_id")
     cos = _dot_cols(F.col(vec_col), F.col("qv")) / (
         _norm_expr(F.col(vec_col)) * _norm_expr(F.col("qv"))
@@ -663,9 +670,9 @@ def ivfpq_topk_df(
     pruning), the ADC scan reads M small-int columns of those files,
     and the re-rank fetches `shortlist` full vectors.  Nothing else is
     touched."""
-    assigned = ivf_assign_df(emb, cents_df)
+    assigned = ivf_assign_df(emb, cents_df, vec_col=vec_col)
     codes = pq_encode_df(
-        assigned, cb_df, m=m, subd=subd, keep_cols=("cell",)
+        assigned, cb_df, m=m, subd=subd, vec_col=vec_col, keep_cols=("cell",)
     )
     probed = (
         query_df.select(F.col(vec_col).alias("qv"))

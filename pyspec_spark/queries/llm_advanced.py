@@ -24,6 +24,8 @@ tiny IVF centroid model (n_cells × dim floats).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -650,7 +652,10 @@ def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Spark side: map-only mapInPandas (the signal every corpus filter
 # stack carries for repetitive/templated text).
 # ---------------------------------------------------------------------------
-_COMPRESS_GOLDEN = "/root/repo/tests/fixtures/compress_golden.parquet"
+_COMPRESS_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "compress_golden.parquet",
+)
 
 _COMPRESS_ORACLE = f"""
 SELECT d.doc_id, g.raw_len, g.comp_len, g.compress_ratio

@@ -249,16 +249,25 @@ class SpecSimpleStreamReader(SimpleDataSourceStreamReader):
     real Structured Streaming source — SURVEY §2 S1×S7.
 
     Offset model (JSON dict, one entry per file):
-        {"files": {path: {"size": bytes_at_last_poll, "emitted": k}}}
-    where ``emitted`` counts scans already produced, in index order.
+        {"files": {path: {"size": bytes_at_last_poll, "emitted": k,
+                          "tail_end": e}}}
+    where ``emitted`` counts scans already produced, in index order,
+    and ``tail_end`` is the byte offset where the last emitted scan
+    ended at emission time.
 
     Completeness rule: a scan block is emitted when it is BOUNDED (a
     later `#S` exists, so pyspec has moved on) — except the trailing
     scan, which may still be receiving points; it is emitted only once
     the file is QUIESCENT (size unchanged since the previous poll).
-    This makes every emitted block final under SPEC's append-only
-    discipline, so replay (``readBetweenOffsets``) is deterministic:
-    the same index range re-parses to the same rows.
+    Quiescence is a heuristic, so the reader VERIFIES it after the
+    fact: if a later poll finds bytes appended to an already-emitted
+    scan (the acquisition was merely slower than the trigger interval),
+    it raises instead of silently dropping those points — lengthen the
+    trigger interval or pre-bound the scan.  With that guard, every
+    emitted block is final, and replay (``readBetweenOffsets``) clamps
+    the last block to the recorded ``tail_end``, so recovery re-parses
+    exactly the originally-emitted bytes even if the file has since
+    grown.
 
     Scale posture: a SimpleDataSourceStreamReader reads on the driver
     by design — correct here because the per-trigger volume is one
@@ -282,13 +291,16 @@ class SpecSimpleStreamReader(SimpleDataSourceStreamReader):
         from pyspec_spark.sources.spec_format import index_scans
 
         prev = start.get("files", {})
-        nxt: dict[str, dict] = {}
+        # carry forward state for files a transient glob/NFS hiccup hid
+        # this poll — dropping it would reset `emitted` and re-emit
+        # every scan as duplicates when the file reappears
+        nxt: dict[str, dict] = dict(prev)
         rows: list[tuple] = []
         for path in _resolve_paths(self.path):
             with open(path, encoding="utf-8", errors="replace") as fh:
                 text = fh.read()
             size = len(text)
-            st = prev.get(path, {"size": -1, "emitted": 0})
+            st = prev.get(path, {"size": -1, "emitted": 0, "tail_end": 0})
             if size < st["size"]:
                 raise ValueError(
                     f"specfile stream: {path} shrank ({st['size']} -> "
@@ -301,6 +313,23 @@ class SpecSimpleStreamReader(SimpleDataSourceStreamReader):
                     f"specfile stream: {path} lost scans "
                     f"({st['emitted']} emitted, {len(idx)} present)"
                 )
+            # verify the quiescence heuristic retroactively: content may
+            # never land inside a scan that was already emitted.  The
+            # emitted block's extent may legally grow by WHITESPACE
+            # (the newline separating it from a later-appended #S
+            # belongs to the earlier block); anything non-blank there
+            # means the acquisition outpaced the trigger interval and
+            # points were silently lost — raise instead.
+            st_tail = st.get("tail_end")
+            if emitted and idx and st_tail is not None:
+                cur_end = idx[emitted - 1][2]
+                if cur_end > st_tail and text[st_tail:cur_end].strip():
+                    raise ValueError(
+                        f"specfile stream: {path} appended points to an "
+                        f"already-emitted scan (quiescence window too "
+                        f"short for the acquisition rate); lengthen the "
+                        f"trigger interval"
+                    )
             # bounded scans: everything before the trailing block
             upto = max(emitted, len(idx) - 1)
             # trailing scan: only when the file is quiescent
@@ -308,7 +337,8 @@ class SpecSimpleStreamReader(SimpleDataSourceStreamReader):
                 upto = len(idx)
             for scan_number, s, e in idx[emitted:upto]:
                 rows.extend(_scan_rows(self.table, path, text, s, e))
-            nxt[path] = {"size": size, "emitted": upto}
+            tail_end = idx[upto - 1][2] if upto else 0
+            nxt[path] = {"size": size, "emitted": upto, "tail_end": tail_end}
         return rows, {"files": nxt}
 
     def read(self, start: dict):
@@ -317,7 +347,10 @@ class SpecSimpleStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         """Deterministic replay for recovery: re-parse exactly the
-        index ranges [start.emitted, end.emitted) per file."""
+        index ranges [start.emitted, end.emitted) per file, clamping
+        the final block to the byte extent recorded at emission time
+        (``tail_end``) so a file that has since grown replays the
+        originally-emitted bytes, not the longer present-day scan."""
         from pyspec_spark.sources.spec_format import index_scans
 
         s_files = start.get("files", {})
@@ -329,7 +362,10 @@ class SpecSimpleStreamReader(SimpleDataSourceStreamReader):
             with open(path, encoding="utf-8", errors="replace") as fh:
                 text = fh.read()
             idx = index_scans(text)
-            for scan_number, s, e in idx[lo:hi]:
+            tail_end = e_st.get("tail_end")
+            for i, (scan_number, s, e) in enumerate(idx[lo:hi], start=lo):
+                if i == hi - 1 and tail_end is not None:
+                    e = min(e, tail_end)
                 yield from _scan_rows(self.table, path, text, s, e)
 
 

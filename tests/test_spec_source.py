@@ -305,3 +305,74 @@ def test_stream_normalization_prefix_matches_batch(
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_stream_poll_detects_points_into_emitted_scan(spec_dir, tmp_path):
+    """The quiescence heuristic is VERIFIED retroactively: if the
+    trailing scan was emitted (file quiescent for one poll) and data
+    points later land in that same scan — acquisition slower than the
+    trigger interval — the reader must raise, never silently drop the
+    points.  Whitespace-only extent growth (the newline before a newly
+    appended #S) stays legal."""
+    import shutil
+
+    import pytest as _pytest
+
+    from pyspec_spark.sources.spec_datasource import SpecSimpleStreamReader
+
+    base, _ = spec_dir
+    f = str(tmp_path / "slow.spec")
+    shutil.copyfile(f"{base}/exp2.spec", f)
+    src_text = open(f"{base}/exp2.spec").read()
+
+    r = SpecSimpleStreamReader({"path": f, "table": "points"}, "points")
+    _, off1 = r._poll(r.initialOffset())     # sees file, not quiescent
+    rows2, off2 = r._poll(off1)              # quiescent -> trailing emitted
+    assert rows2, "trailing scan should emit on the quiescent poll"
+
+    # legal: append a NEW scan (leading newline grows the old block by
+    # whitespace only)
+    with open(f, "a") as dst:
+        dst.write(_scan_block(src_text, 30))
+    rows3, off3 = r._poll(off2)
+    # not quiescent yet -> nothing emitted, but no error either
+    _, off4 = r._poll(off3)                  # quiescent -> scan 30 emits
+
+    # violation: data points appended INTO the (already emitted)
+    # trailing scan
+    with open(f, "a") as dst:
+        dst.write("1.25 1 1 1 0 1 100000 4242\n")
+    with _pytest.raises(ValueError, match="already-emitted"):
+        r._poll(off4)
+
+
+def test_stream_poll_keeps_state_for_vanished_files(spec_dir, tmp_path):
+    """A file transiently missing from the glob must keep its emitted
+    counter in the offset — reappearing must NOT re-emit old scans."""
+    import os
+    import shutil
+
+    from pyspec_spark.sources.spec_datasource import SpecSimpleStreamReader
+
+    base, _ = spec_dir
+    d = tmp_path / "dir"
+    d.mkdir()
+    f = str(d / "a.spec")
+    shutil.copyfile(f"{base}/exp2.spec", f)
+
+    r = SpecSimpleStreamReader({"path": str(d), "table": "points"}, "points")
+    _, off1 = r._poll(r.initialOffset())
+    rows2, off2 = r._poll(off1)              # quiescent -> all scans emitted
+    n_emitted = off2["files"][f]["emitted"]
+    assert n_emitted > 0
+
+    hidden = str(tmp_path / "a.spec.tmp")    # outside the globbed dir
+    os.rename(f, hidden)                     # transient disappearance
+    rows3, off3 = r._poll(off2)
+    assert rows3 == []
+    assert off3["files"][f]["emitted"] == n_emitted  # state carried
+
+    os.rename(hidden, f)                     # file comes back
+    rows4, off4 = r._poll(off3)
+    assert rows4 == []                       # nothing re-emitted
+    assert off4["files"][f]["emitted"] == n_emitted
