@@ -417,3 +417,93 @@ def test_duplicated_span_stats_matches_brute_force(spark, data):
         for r in duplicated_span_stats(df, n=n).collect()
     }
     assert got == want
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pq_encode_adc_matches_numpy(spark, data):
+    """PQ encode codes and ADC distances equal a local numpy reference
+    (first-K codebooks, argmin with lowest-code tiebreak, LUT sums)."""
+    import numpy as np
+
+    from pyspec_spark.operators.similarity import (
+        pq_adc_topk_df,
+        pq_codebooks_firstk_df,
+        pq_encode_df,
+    )
+
+    m, subd, kcb = 2, 4, 4
+    dim = m * subd
+    n = data.draw(st.integers(min_value=kcb + 1, max_value=12))
+    X = np.array(
+        [
+            [data.draw(st.integers(min_value=-8, max_value=8)) for _ in range(dim)]
+            for _ in range(n)
+        ],
+        dtype=np.float64,
+    )
+    rows = [(i, [float(v) for v in X[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb_df = pq_codebooks_firstk_df(emb, m=m, subd=subd, k=kcb)
+    codes = {
+        r["vec_id"]: [r[f"code{mi}"] for mi in range(m)]
+        for r in pq_encode_df(emb, cb_df, m=m, subd=subd).collect()
+    }
+    # numpy reference
+    CB = [X[:kcb, mi * subd : (mi + 1) * subd] for mi in range(m)]
+    for i in range(n):
+        for mi in range(m):
+            d2 = ((CB[mi] - X[i, mi * subd : (mi + 1) * subd]) ** 2).sum(1)
+            want = int(np.flatnonzero(d2 == d2.min())[0])  # lowest-code tie
+            assert codes[i][mi] == want, (i, mi, codes[i][mi], want)
+    # ADC distances for query = row 0
+    qdf = emb.where("vec_id = 0").select("embedding")
+    got = {
+        r["vec_id"]: r["adc_dist"]
+        for r in pq_adc_topk_df(codes_df=pq_encode_df(emb, cb_df, m=m, subd=subd),
+                                cb_df=cb_df, query_df=qdf, m=m, subd=subd,
+                                k=n).collect()
+    }
+    for i in range(n):
+        want = sum(
+            ((CB[mi][codes[i][mi]] - X[0, mi * subd : (mi + 1) * subd]) ** 2).sum()
+            for mi in range(m)
+        )
+        assert abs(got[i] - want) < 1e-9, (i, got[i], want)
+
+
+@given(data=st.data())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_feature_hash_embed_matches_local_reference(spark, data):
+    """The distributed hashing-trick embedding equals a local md5
+    reference (buckets, signs, exact integer norms) on random corpora."""
+    import hashlib
+
+    from pyspec_spark.operators.text import feature_hash_embed
+
+    dim = 8
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    n_docs = data.draw(st.integers(min_value=1, max_value=5))
+    texts = [
+        " ".join(
+            data.draw(st.sampled_from(vocab))
+            for _ in range(data.draw(st.integers(min_value=1, max_value=10)))
+        )
+        for _ in range(n_docs)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {}
+    for r in feature_hash_embed(df, dim=dim).collect():
+        got.setdefault(r["doc_id"], {})[r["dim"]] = r["fh_val"]
+    for d, text in enumerate(texts):
+        raw = [0] * dim
+        for t in text.split(" "):
+            b = int(hashlib.md5((t + "#fh").encode()).hexdigest()[:8], 16) % dim
+            s = 1 if int(hashlib.md5((t + "#sg").encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+            raw[b] += s
+        n2 = sum(v * v for v in raw) ** 0.5
+        for k in range(dim):
+            want = round(raw[k] / n2, 6) if n2 > 0 else 0.0
+            assert got[d][k] == want, (d, k, got[d][k], want)
