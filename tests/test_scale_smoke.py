@@ -147,3 +147,65 @@ def test_gridder_bragg_peak_skew(spark):
     # bound: this guards against an accidental combine-less plan, not
     # scheduler jitter.
     assert dt_s < max(3 * dt_u, dt_u + 2.0), (dt_s, dt_u)
+
+
+def test_substr_dup_hot_gram_skew(spark):
+    """The duplicated-substring pipeline's scale risk: a boilerplate
+    5-gram shared by EVERY document makes one gram key hold the whole
+    corpus.  The defense is the same as the gridder's — the deciding
+    groupBy(g) computes countDistinct(doc_id) with map-side partial
+    aggregation, so the hot key's shuffle payload is bounded by
+    (partitions x distinct-docs-per-partition-partial), and the per-doc
+    interval fold never joins tokens back.  This plants a 100%-shared
+    gram across 40k docs, pins the partial-agg plan, proves the stats
+    against closed-form expectations, and bounds the skew penalty vs a
+    boilerplate-free corpus of identical size."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import duplicated_span_stats
+    from pyspec_spark.plans import has_partial_aggregate, physical_plan
+
+    n = 40_000
+    boiler = "terms of service apply here"  # one 5-gram, in EVERY doc
+
+    def corpus(with_boiler: bool):
+        uniq = F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{i}x"), (F.col("id") * (i + 1)).cast("string"))
+                for i in range(6)
+            ],
+        )
+        text = (
+            F.concat_ws(" ", F.lit(boiler), uniq) if with_boiler else uniq
+        )
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"), text.alias("text")
+        )
+
+    plan = physical_plan(duplicated_span_stats(corpus(True), n=5))
+    assert has_partial_aggregate(plan)
+
+    def run(with_boiler: bool):
+        df = duplicated_span_stats(corpus(with_boiler), n=5)
+        t0 = time.time()
+        rows = df.collect()
+        return rows, time.time() - t0
+
+    rows_u, dt_u = run(False)
+    rows_s, dt_s = run(True)
+
+    # closed-form: every doc has 11 tokens; exactly the one boilerplate
+    # 5-gram is cross-doc duplicated -> dup_ngrams=1, cover=5, frac=5/11
+    assert len(rows_s) == n
+    for r in rows_s[:100] + rows_s[-100:]:
+        assert r["n_tokens"] == 11
+        assert r["dup_ngrams"] == 1
+        assert r["dup_cover"] == 5
+        assert r["dup_frac"] == round(5 / 11, 6)
+    # boilerplate-free twin: nothing duplicated
+    assert all(r["dup_ngrams"] == 0 for r in rows_u[:200])
+    # the hot gram must not blow up wall-clock: <= 5x the uniform twin
+    assert dt_s <= max(5 * dt_u, dt_u + 5.0), (dt_s, dt_u)
