@@ -69,3 +69,39 @@ def dedup_stream(docs: DataFrame) -> DataFrame:
     column when re-crawl windows allow forgetting."""
     hashed = docs.withColumn("text_md5", F.md5("text"))
     return hashed.dropDuplicates(["text_md5"])
+
+
+def hash_embed_stream(docs: DataFrame, dim: int = 16) -> DataFrame:
+    """Streaming feature-hash embedding state (r5): the per-(doc_id,
+    bucket) signed counts of `operators/text.py feature_hash_embed`,
+    expressed as a streaming aggregation.  Because the bucket sums are
+    plain SUMs, the state is MERGEABLE — each micro-batch folds its
+    tokens into the running (doc_id, dim) counts, so embeddings stay
+    current as crawl chunks land, without re-reading history.
+
+    Returns the un-normalized (doc_id, dim, raw) state (run with
+    outputMode('update'/'complete')); the normalize + dense expansion
+    is a stateless map over the final state, applied by the consumer —
+    splitting there keeps the streaming state integer-exact.  The twin
+    test asserts stream-end equality with the batch operator."""
+    ex = docs.select(
+        F.col("doc_id"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat("tok", F.lit("#fh"))), 1, 8), 16, 10)
+        .cast("long")
+        % dim
+    ).cast("int")
+    sign = F.when(
+        F.conv(F.substring(F.md5(F.concat("tok", F.lit("#sg"))), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        ex.select("doc_id", bucket.alias("dim"), sign.alias("s"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("s").alias("raw"))
+    )

@@ -361,3 +361,42 @@ def test_stream_dedup_docs_across_batches(spark, tmp_path_factory):
     assert len(got) == 40
     assert len({r["text_md5"] for r in got}) == 40
     assert all(r["doc_id"] < 100000 for r in got)
+
+
+def test_stream_hash_embed_equals_batch(spark, doc_chunks):
+    """Feature-hash bucket sums are SUM-mergeable, so the embedding
+    state built incrementally over chunked crawl batches (complete
+    mode) must equal the batch operator's un-normalized counts EXACTLY
+    at stream end; normalizing the final state reproduces the batch
+    embedding values bit-for-bit."""
+    import pyspec_spark.streaming.corpus as sc
+    import pyspec_spark.streaming.events as se
+    from pyspec_spark.operators.text import feature_hash_embed
+    from pyspec_spark.tables import table
+
+    base, _ = doc_chunks
+    stream = sc.read_document_stream(spark, base, max_files_per_trigger=1)
+    se.run_to_memory(
+        sc.hash_embed_stream(stream, dim=16), "t_fh", output_mode="complete"
+    )
+    state = spark.table("t_fh").collect()
+    # normalize the final state (the consumer-side stateless map) —
+    # locally, with the same sqrt/divide/round the batch operator uses
+    raw: dict[int, dict[int, int]] = {}
+    for r in state:
+        raw.setdefault(r["doc_id"], {})[r["dim"]] = r["raw"]
+    got = {}
+    for d, buckets in raw.items():
+        n2 = sum(v * v for v in buckets.values()) ** 0.5
+        for k, v in buckets.items():
+            if v != 0:  # cancelled buckets ≡ absent buckets ≡ 0.0
+                got[(d, k)] = round(v / n2, 6)
+    want_rows = feature_hash_embed(
+        table(spark, SF, "documents"), dim=16
+    ).collect()
+    want = {
+        (r["doc_id"], r["dim"]): r["fh_val"]
+        for r in want_rows
+        if r["fh_val"] != 0.0  # streaming state has no explicit zeros
+    }
+    assert got == want
