@@ -363,3 +363,98 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Topic bucketing (r5) — the end-to-end composition the curation stack
+# actually runs: hash-embed every document (q_hash_embed's md5
+# vectors), then assign each to its nearest seed document's vector
+# (docs 0..K-1, the q_kmeans2 deterministic-init discipline) — the
+# cluster id that downstream mixing/balancing keys on.  ORACLE-CHECKED:
+# the embedding CTE, the explicit fixed-order 16-term distances, and
+# the MIN(struct(dist, cid)) tiebreak all replay exactly.  Scale: the
+# K seed vectors broadcast; assignment is map-side argmin + one keyed
+# count — the same posture as q_kmeans2 per round.
+# ---------------------------------------------------------------------------
+_TOPIC_K = 4
+
+
+def _topic_oracle() -> str:
+    dist = " + ".join(
+        f"(d.v[{i}] - c.v[{i}]) * (d.v[{i}] - c.v[{i}])"
+        for i in range(1, _FH_DIM_R + 1)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok || '#fh'), 1, 8))::BIGINT % {_FH_DIM_R}
+              AS INT) AS dim,
+         CASE WHEN ('0x' || substr(md5(tok || '#sg'), 1, 8))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM ex
+),
+per AS (SELECT doc_id, dim, SUM(s) AS raw FROM h GROUP BY doc_id, dim),
+folded AS (
+  SELECT doc_id,
+         LIST(raw ORDER BY dim) AS vals, LIST(dim ORDER BY dim) AS dims,
+         sqrt(CAST(SUM(raw * raw) AS DOUBLE)) AS n2
+  FROM per GROUP BY doc_id
+),
+dv AS (
+  SELECT doc_id,
+         list_transform(range(0, {_FH_DIM_R}),
+             d -> CASE WHEN n2 > 0 AND len(list_filter(dims, x -> x = d)) > 0
+                  THEN ROUND(vals[list_position(dims, d)] / n2, 6)
+                  ELSE 0.0 END) AS v
+  FROM folded
+),
+seeds AS (
+  SELECT doc_id AS cid, v FROM dv WHERE doc_id < {_TOPIC_K}
+),
+asg AS (
+  SELECT d.doc_id,
+         MIN(struct_pack(dd := ({dist}), cid := c.cid)) AS best
+  FROM dv d, seeds c
+  GROUP BY d.doc_id
+)
+SELECT a.doc_id, (a.best).cid AS topic
+FROM asg a
+ORDER BY a.doc_id
+"""
+
+
+@query("q_doc_topics", oracle=_topic_oracle())
+def q_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import feature_hash_embed
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    fh = feature_hash_embed(docs, dim=_FH_DIM_R)
+    dv = fh.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "fh_val"))),
+            lambda s: s["fh_val"],
+        ).alias("v")
+    )
+    seeds = dv.where(F.col("doc_id") < _TOPIC_K).select(
+        F.col("doc_id").alias("cid"), F.col("v").alias("cv")
+    )
+    dist: Column = None
+    for d in range(1, _FH_DIM_R + 1):
+        t = (F.element_at("v", d) - F.element_at("cv", d)) * (
+            F.element_at("v", d) - F.element_at("cv", d)
+        )
+        dist = t if dist is None else dist + t
+    return (
+        dv.crossJoin(F.broadcast(seeds))
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.struct(dist.alias("dd"), F.col("cid").alias("cid"))).alias(
+                "best"
+            )
+        )
+        .select("doc_id", F.col("best.cid").alias("topic"))
+        .orderBy("doc_id")
+    )
