@@ -227,3 +227,80 @@ def test_zorder_value_bijective_and_matches_reference(spark):
 
     for r in rows[:500]:
         assert r["z"] == ref(r["x"], r["y"])
+
+
+# ---------------------------------------------------------------------------
+# Merge-upsert + compaction (r5 sinks).
+# ---------------------------------------------------------------------------
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """Semantics: updated keys replaced, new keys inserted, untouched
+    rows intact — AND untouched partitions' files are bit-identical
+    (same paths, same mtimes): the dynamic-overwrite pruning is real,
+    not a full-table rewrite."""
+    import glob
+    import os
+
+    from pyspec_spark.sinks import merge_upsert
+
+    tgt = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(i, i % 4, f"v{i}") for i in range(40)], "k long, p int, val string"
+    )
+    base.repartition("p").write.partitionBy("p").parquet(tgt)
+
+    def files_with_mtime():
+        return {
+            f: os.path.getmtime(f)
+            for f in glob.glob(os.path.join(tgt, "**", "*.parquet"),
+                               recursive=True)
+        }
+
+    before = files_with_mtime()
+    # updates touch partitions 0 and 1 only: k=0 updated, k=100 new
+    updates = spark.createDataFrame(
+        [(0, 0, "UPDATED"), (100, 1, "NEW")], "k long, p int, val string"
+    )
+    merge_upsert(spark, tgt, updates, key="k", partition_col="p")
+
+    rows = {r["k"]: r for r in spark.read.parquet(tgt).collect()}
+    assert rows[0]["val"] == "UPDATED"
+    assert rows[100]["val"] == "NEW" and rows[100]["p"] == 1
+    assert len(rows) == 41
+    assert rows[2]["val"] == "v2"  # untouched partition intact
+
+    after = files_with_mtime()
+    untouched_before = {f: m for f, m in before.items()
+                        if "/p=2/" in f or "/p=3/" in f}
+    untouched_after = {f: m for f, m in after.items()
+                       if "/p=2/" in f or "/p=3/" in f}
+    assert untouched_before == untouched_after, "p=2/p=3 were rewritten"
+
+
+def test_compact_small_files(spark, tmp_path):
+    from pyspec_spark.sinks import compact_small_files
+
+    tgt = str(tmp_path / "c")
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(100)], "k long, p int"
+    )
+    # deliberately fragmented: many files per partition
+    df.repartition(8).write.partitionBy("p").parquet(tgt)
+    import glob
+    import os
+
+    n0 = len(glob.glob(os.path.join(tgt, "**", "*.parquet"), recursive=True))
+    assert n0 > 4
+    got = compact_small_files(spark, tgt, partition_col="p",
+                              files_per_partition=1)
+    assert got == n0
+    n1 = len(glob.glob(os.path.join(tgt, "**", "*.parquet"), recursive=True))
+    assert n1 == 2  # one file per partition
+    assert spark.read.parquet(tgt).count() == 100
+
+    # unpartitioned path with the staging swap
+    tgt2 = str(tmp_path / "c2")
+    df.repartition(8).write.parquet(tgt2)
+    compact_small_files(spark, tgt2, files_per_partition=1)
+    n2 = len(glob.glob(os.path.join(tgt2, "*.parquet")))
+    assert n2 == 1
+    assert spark.read.parquet(tgt2).count() == 100
