@@ -180,3 +180,43 @@ def test_video_metadata_survives_track_without_tkhd(spark):
     assert len(rows) == 1
     assert rows[0]["track_w"] is None and rows[0]["track_h"] is None
     assert rows[0]["duration_s"] == 5.0
+
+
+def test_mp4_parser_fuzz_never_crashes_unstructured():
+    """Byte-mutation fuzz over a valid movie: every mutation must
+    either parse cleanly or raise ValueError — the parser's documented
+    contract — never IndexError/struct.error/KeyError.  Exercises the
+    r5 bounds guards (_need) under arbitrary size-field corruption."""
+    import random
+
+    from pyspec_spark.operators.mp4 import make_minimal_mp4, parse_mp4_metadata
+
+    base = bytearray(make_minimal_mp4())
+    rng = random.Random(1234)
+    outcomes = {"ok": 0, "value_error": 0}
+    for _ in range(400):
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            pos = rng.randrange(len(data))
+            data[pos] = rng.randrange(256)
+        try:
+            parse_mp4_metadata(bytes(data))
+            outcomes["ok"] += 1
+        except ValueError:
+            outcomes["value_error"] += 1
+        # any other exception propagates and fails the test
+    # both outcomes must actually occur (the fuzz is biting)
+    assert outcomes["ok"] > 0 and outcomes["value_error"] > 0, outcomes
+
+
+def test_mp4_parser_fuzz_truncations():
+    """Every prefix-truncation of a valid movie parses or raises
+    ValueError (the classic cut-upload shape)."""
+    from pyspec_spark.operators.mp4 import make_minimal_mp4, parse_mp4_metadata
+
+    base = make_minimal_mp4()
+    for cut in range(0, len(base), 7):
+        try:
+            parse_mp4_metadata(base[:cut])
+        except ValueError:
+            pass
