@@ -485,7 +485,29 @@ def feature_hash_embed(
     join).  Scale: TWO exchanges total — groupBy(doc_id, bucket) with
     key cardinality bounded by docs x dim, then one per-doc fold of
     <= dim rows that also accumulates the exact BIGINT squared norm;
-    the dense expansion is a map-side posexplode."""
+    the dense expansion is a map-side posexplode.  Consumers that want
+    the whole vector per doc should use `feature_hash_vectors` (the
+    pre-explode frame) instead of re-aggregating these rows."""
+    dense = feature_hash_vectors(df, dim, text_col, id_col).select(
+        "doc_id",
+        F.posexplode("v").alias("dim0", "fh_val"),
+    )
+    return dense.select(
+        "doc_id", F.col("dim0").cast("int").alias("dim"), "fh_val"
+    )
+
+
+def fh_bucket_sums(
+    df: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The mergeable core of the hashing trick: per-(doc_id, bucket)
+    signed token counts — ONE definition shared by the batch operator
+    (`feature_hash_vectors`) and the streaming aggregation
+    (`streaming/corpus.py hash_embed_stream`), so the md5 salts,
+    substring width, and modulo can never drift between the twins."""
     ex = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(text_col, " ")).alias("tok"),
@@ -502,33 +524,43 @@ def feature_hash_embed(
         == 0,
         F.lit(1),
     ).otherwise(F.lit(-1))
-    per = (
+    return (
         ex.select("doc_id", bucket.alias("dim"), sign.alias("s"))
         .groupBy("doc_id", "dim")
         .agg(F.sum("s").alias("raw"))
     )
+
+
+def feature_hash_vectors(
+    df: DataFrame,
+    dim: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc DENSE hash-embedding vectors: (doc_id, v ARRAY<DOUBLE>
+    of length `dim`, rounded normalized values).  This is the
+    pre-explode frame — similarity/topic consumers join or score on it
+    directly without re-aggregating exploded rows (one exchange saved
+    per consumer vs groupBy-collect_list over `feature_hash_embed`'s
+    output)."""
+    per = fh_bucket_sums(df, dim, text_col, id_col)
     doc = per.groupBy("doc_id").agg(
         F.map_from_entries(F.collect_list(F.struct("dim", "raw"))).alias("mp"),
         F.sum(F.col("raw") * F.col("raw")).alias("n2i"),
     )
-    dense = doc.select(
-        "doc_id",
-        F.sqrt(F.col("n2i").cast("double")).alias("n2"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda d: F.coalesce(
-                    F.element_at("mp", d.cast("int")), F.lit(0).cast("long")
-                ),
-            )
-        ).alias("dim", "raw"),
+    raw_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.coalesce(
+            F.element_at("mp", d.cast("int")), F.lit(0).cast("long")
+        ),
     )
-    return dense.select(
+    n2 = F.sqrt(F.col("n2i").cast("double"))
+    return doc.select(
         "doc_id",
-        F.col("dim").cast("int").alias("dim"),
-        F.round(
-            F.when(F.col("n2") > 0, F.col("raw").cast("double") / F.col("n2"))
-            .otherwise(F.lit(0.0)),
-            6,
-        ).alias("fh_val"),
+        F.transform(
+            raw_vec,
+            lambda r: F.round(
+                F.when(n2 > 0, r.cast("double") / n2).otherwise(F.lit(0.0)), 6
+            ),
+        ).alias("v"),
     )

@@ -26,7 +26,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspec_spark.registry import query
@@ -272,11 +272,12 @@ def _fh_query_vec(terms: tuple[str, ...]) -> list[float]:
     return [v / n if n > 0 else 0.0 for v in raw]
 
 
-def _hybrid_oracle() -> str:
-    qv = ", ".join(repr(float(v)) for v in _fh_query_vec(_BM25_TERMS))
-    bm25_body = _BM25_ORACLE.strip().removeprefix("WITH ")
-    return f"""
-WITH ex AS (
+# Shared oracle CTE: per-doc dense feature-hash vectors (q_hash_embed's
+# md5 arithmetic folded to LIST form).  ONE definition feeds both the
+# hybrid-RRF and topic-bucketing oracles — a fix here cannot leave a
+# silently-divergent twin.
+_FH_DV_CTE = f"""
+ex AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
 ),
 h AS (
@@ -301,7 +302,15 @@ dv AS (
                   THEN ROUND(vals[list_position(dims, d)] / n2, 6)
                   ELSE 0.0 END) AS v
   FROM folded
-),
+)
+"""
+
+
+def _hybrid_oracle() -> str:
+    qv = ", ".join(repr(float(v)) for v in _fh_query_vec(_BM25_TERMS))
+    bm25_body = _BM25_ORACLE.strip().removeprefix("WITH ")
+    return f"""
+WITH {_FH_DV_CTE.strip()},
 cos20 AS (
   SELECT doc_id, ROUND(list_dot_product(v, [{qv}]), 6) AS cos
   FROM dv ORDER BY cos DESC, doc_id LIMIT 20
@@ -325,16 +334,11 @@ LIMIT 10
 
 @query("q_hybrid_rrf", oracle=_hybrid_oracle())
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspec_spark.operators.text import feature_hash_embed
+    from pyspec_spark.operators.text import feature_hash_vectors
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    fh = feature_hash_embed(docs, dim=_FH_DIM_R)
-    dv = fh.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "fh_val"))),
-            lambda s: s["fh_val"],
-        ).alias("v")
-    )
+    # the pre-explode vectors frame: no re-aggregation of exploded rows
+    dv = feature_hash_vectors(docs, dim=_FH_DIM_R)
     qlit = F.array(*[F.lit(float(x)) for x in _fh_query_vec(_BM25_TERMS)])
     cos = F.round(
         F.aggregate(
@@ -385,32 +389,7 @@ def _topic_oracle() -> str:
         for i in range(1, _FH_DIM_R + 1)
     )
     return f"""
-WITH ex AS (
-  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
-),
-h AS (
-  SELECT doc_id,
-         CAST(('0x' || substr(md5(tok || '#fh'), 1, 8))::BIGINT % {_FH_DIM_R}
-              AS INT) AS dim,
-         CASE WHEN ('0x' || substr(md5(tok || '#sg'), 1, 8))::BIGINT % 2 = 0
-              THEN 1 ELSE -1 END AS s
-  FROM ex
-),
-per AS (SELECT doc_id, dim, SUM(s) AS raw FROM h GROUP BY doc_id, dim),
-folded AS (
-  SELECT doc_id,
-         LIST(raw ORDER BY dim) AS vals, LIST(dim ORDER BY dim) AS dims,
-         sqrt(CAST(SUM(raw * raw) AS DOUBLE)) AS n2
-  FROM per GROUP BY doc_id
-),
-dv AS (
-  SELECT doc_id,
-         list_transform(range(0, {_FH_DIM_R}),
-             d -> CASE WHEN n2 > 0 AND len(list_filter(dims, x -> x = d)) > 0
-                  THEN ROUND(vals[list_position(dims, d)] / n2, 6)
-                  ELSE 0.0 END) AS v
-  FROM folded
-),
+WITH {_FH_DV_CTE.strip()},
 seeds AS (
   SELECT doc_id AS cid, v FROM dv WHERE doc_id < {_TOPIC_K}
 ),
@@ -428,16 +407,10 @@ ORDER BY a.doc_id
 
 @query("q_doc_topics", oracle=_topic_oracle())
 def q_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspec_spark.operators.text import feature_hash_embed
+    from pyspec_spark.operators.text import feature_hash_vectors
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    fh = feature_hash_embed(docs, dim=_FH_DIM_R)
-    dv = fh.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "fh_val"))),
-            lambda s: s["fh_val"],
-        ).alias("v")
-    )
+    dv = feature_hash_vectors(docs, dim=_FH_DIM_R)
     seeds = dv.where(F.col("doc_id") < _TOPIC_K).select(
         F.col("doc_id").alias("cid"), F.col("v").alias("cv")
     )

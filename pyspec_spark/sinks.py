@@ -137,6 +137,21 @@ def write_zordered(
     out.write.mode(mode).parquet(path)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _dynamic_overwrite(spark: SparkSession):
+    """Scoped spark.sql.sources.partitionOverwriteMode=dynamic (saved
+    and restored) — shared by merge_upsert and compact_small_files."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def merge_upsert(
     spark: SparkSession,
     target_dir: str,
@@ -166,26 +181,34 @@ def merge_upsert(
     MOVES to a different partition value upsert into the new partition
     but do not delete the old row (key+partition should be stable, the
     normal layout discipline)."""
-    parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    if not parts:
-        return
-    target = spark.read.parquet(target_dir).where(
-        F.col(partition_col).isin(parts)
-    )
-    upd_keys = updates.select(key).distinct()
-    kept = target.join(upd_keys, key, "left_anti")
-    merged = kept.unionByName(updates.select(*kept.columns))
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # Materialize updates ONCE: its lineage is consumed by three jobs
+    # (partition collect, anti-join, final write).  Without the persist
+    # a non-deterministic lineage (sample/limit/now()) could emit a row
+    # at write time whose partition was NOT in the collected list —
+    # dynamic overwrite would then replace that partition with only the
+    # update rows, deleting its history.
+    updates = updates.persist()
     try:
-        (
-            merged.repartition(partition_col)
-            .write.mode("overwrite")
-            .partitionBy(partition_col)
-            .parquet(target_dir)
+        parts = [
+            r[0] for r in updates.select(partition_col).distinct().collect()
+        ]
+        if not parts:
+            return
+        target = spark.read.parquet(target_dir).where(
+            F.col(partition_col).isin(parts)
         )
+        upd_keys = updates.select(key).distinct()
+        kept = target.join(upd_keys, key, "left_anti")
+        merged = kept.unionByName(updates.select(*kept.columns))
+        with _dynamic_overwrite(spark):
+            (
+                merged.repartition(partition_col)
+                .write.mode("overwrite")
+                .partitionBy(partition_col)
+                .parquet(target_dir)
+            )
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        updates.unpersist()
 
 
 def compact_small_files(
@@ -197,42 +220,56 @@ def compact_small_files(
     """Small-file compaction — the maintenance pass every long-running
     parquet lake needs (each streaming micro-batch / incremental merge
     leaves small files; scan cost grows with file COUNT, not bytes).
-    Rewrites the directory so each partition holds
-    `files_per_partition` files.  Returns the file count before
-    compaction.  Same dynamic-overwrite caveats as merge_upsert."""
+    Rewrites the directory so each partition holds AT MOST
+    `files_per_partition` files (a hash-salt spreads each partition's
+    rows over that many write tasks; hash collisions can merge some).
+    Returns the file count before compaction.
+
+    LOCAL-FILESYSTEM ONLY (explicitly guarded): the file census and the
+    unpartitioned staging swap use local-FS primitives.  A lake on
+    object storage wants a table format's rewrite action instead; this
+    operator exists for the local/NFS layouts the rest of sinks.py
+    writes.  Same dynamic-overwrite caveats as merge_upsert."""
     import glob as _glob
     import os as _os
 
+    if "://" in target_dir and not target_dir.startswith("file://"):
+        raise ValueError(
+            f"compact_small_files is local-filesystem only, got {target_dir}"
+        )
     before = len(
-        [
-            p
-            for p in _glob.glob(
-                _os.path.join(target_dir, "**", "*.parquet"), recursive=True
-            )
-        ]
+        _glob.glob(
+            _os.path.join(target_dir, "**", "*.parquet"), recursive=True
+        )
     )
     df = spark.read.parquet(target_dir)
     if partition_col is None:
         df.coalesce(files_per_partition).write.mode("overwrite").parquet(
             target_dir + "__compact"
         )
-        # atomic-ish swap for the unpartitioned case
+        # swap order keeps a complete copy on disk at every instant:
+        # a crash leaves either <dir>.old or <dir>__compact recoverable
         import shutil as _shutil
 
-        _shutil.rmtree(target_dir)
+        _os.rename(target_dir, target_dir + ".old")
         _os.rename(target_dir + "__compact", target_dir)
+        _shutil.rmtree(target_dir + ".old")
     else:
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        n_parts = df.select(partition_col).distinct().count()
+        salt = F.pmod(
+            F.hash(*[F.col(c) for c in df.columns]), F.lit(files_per_partition)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        with _dynamic_overwrite(spark):
             (
-                df.repartition(files_per_partition, F.col(partition_col))
+                df.withColumn("_salt", salt)
+                .repartition(
+                    max(n_parts * files_per_partition, 1),
+                    F.col(partition_col),
+                    F.col("_salt"),
+                )
+                .drop("_salt")
                 .write.mode("overwrite")
                 .partitionBy(partition_col)
                 .parquet(target_dir)
             )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return before

@@ -83,25 +83,11 @@ def hash_embed_stream(docs: DataFrame, dim: int = 16) -> DataFrame:
     outputMode('update'/'complete')); the normalize + dense expansion
     is a stateless map over the final state, applied by the consumer —
     splitting there keeps the streaming state integer-exact.  The twin
-    test asserts stream-end equality with the batch operator."""
-    ex = docs.select(
-        F.col("doc_id"),
-        F.explode(F.split("text", " ")).alias("tok"),
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat("tok", F.lit("#fh"))), 1, 8), 16, 10)
-        .cast("long")
-        % dim
-    ).cast("int")
-    sign = F.when(
-        F.conv(F.substring(F.md5(F.concat("tok", F.lit("#sg"))), 1, 8), 16, 10)
-        .cast("long")
-        % 2
-        == 0,
-        F.lit(1),
-    ).otherwise(F.lit(-1))
-    return (
-        ex.select("doc_id", bucket.alias("dim"), sign.alias("s"))
-        .groupBy("doc_id", "dim")
-        .agg(F.sum("s").alias("raw"))
-    )
+    test asserts stream-end equality with the batch operator.
+
+    The bucket/sign/sum core is `operators/text.py fh_bucket_sums` —
+    the SAME expression object the batch operator aggregates, so the
+    md5 salts and modulo cannot drift between the twins."""
+    from pyspec_spark.operators.text import fh_bucket_sums
+
+    return fh_bucket_sums(docs, dim)

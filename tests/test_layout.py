@@ -304,3 +304,29 @@ def test_compact_small_files(spark, tmp_path):
     n2 = len(glob.glob(os.path.join(tgt2, "*.parquet")))
     assert n2 == 1
     assert spark.read.parquet(tgt2).count() == 100
+
+
+def test_compact_files_per_partition_honored(spark, tmp_path):
+    """files_per_partition > 1 must actually spread each partition over
+    multiple files (the salt repartition), bounded above by the target
+    — the first-cut repartition(n, col) collapsed everything to 1."""
+    import glob
+    import os
+    from collections import Counter
+
+    from pyspec_spark.sinks import compact_small_files
+
+    tgt = str(tmp_path / "fp")
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(10_000)], "k long, p int"
+    )
+    df.repartition(16).write.partitionBy("p").parquet(tgt)
+    compact_small_files(spark, tgt, partition_col="p", files_per_partition=3)
+    per_part = Counter(
+        f.split("/p=")[1].split("/")[0]
+        for f in glob.glob(os.path.join(tgt, "**", "*.parquet"), recursive=True)
+    )
+    assert set(per_part) == {"0", "1"}
+    for p, n in per_part.items():
+        assert 2 <= n <= 3, (p, n)  # spread, bounded by the target
+    assert spark.read.parquet(tgt).count() == 10_000
