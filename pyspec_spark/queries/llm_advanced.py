@@ -900,3 +900,46 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = e.where(F.col("vec_id") < 5)
     return knn_join_exact(e, q, k=3, round_digits=6).orderBy("qid", "rk")
+
+
+# ---------------------------------------------------------------------------
+# L5 evaluation (r5) — PQ recall@10, ORACLE-CHECKED: the deterministic
+# ADC ranking's top-10 intersected with the exact cosine top-10 — the
+# same composition trick as q_ann_recall (both legs' oracle SQL already
+# exists).  This is the honest headline number for raw PQ without
+# re-rank: ADC approximates L2 on quantized codes while the exact
+# ranking is cosine, so the declared value ALSO documents why the
+# production path (q_ann_pq_topk) re-ranks a shortlist instead of
+# trusting ADC order.
+# ---------------------------------------------------------------------------
+def _pq_recall_oracle() -> str:
+    from pyspec_spark.queries.ml import _pq_oracle
+
+    exact = """
+SELECT e.vec_id
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.embedding AS DOUBLE[])), 6) DESC,
+         e.vec_id
+LIMIT 10
+"""
+    return f"""
+WITH approx AS (SELECT vec_id FROM ({_pq_oracle()})),
+exact AS ({exact})
+SELECT COUNT(*) AS n_hits,
+       ROUND(COUNT(*) / 10.0, 6) AS recall_at_10
+FROM approx JOIN exact USING (vec_id)
+"""
+
+
+@query("q_pq_recall", oracle=_pq_recall_oracle())
+def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.queries.ml import q_ann_pq_det
+
+    approx = q_ann_pq_det.__wrapped__(spark, sf_dir).select("vec_id")
+    exact = q_cosine_topk.__wrapped__(spark, sf_dir).select("vec_id")
+    return approx.join(exact, "vec_id").agg(
+        F.count("*").alias("n_hits"),
+        F.round(F.count("*") / 10.0, 6).alias("recall_at_10"),
+    )
