@@ -19,6 +19,8 @@ partition.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -135,9 +137,6 @@ def write_zordered(
         .sortWithinPartitions("z")
     )
     out.write.mode(mode).parquet(path)
-
-
-from contextlib import contextmanager
 
 
 @contextmanager
