@@ -770,3 +770,56 @@ def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# R14 (r5) — deterministic WEIGHTED sampling (Efraimidis–Spirakis 2006:
+# top-k by ln(u)/w with u uniform per row draws each row with
+# probability proportional to its weight).  The uniform comes from the
+# row's md5 (first 8 hex chars / 2^32) — content-derived, so the same
+# sample materializes on any engine, run, or partition layout, exactly
+# like the engine's other hash-based samplers.  Weight = n_chars: the
+# size-proportional document sample a token-budget curation pass draws.
+# Plan: map-side key computation + TakeOrderedAndProject — no shuffle
+# beyond the global top-k.  ORACLE-CHECKED (key rounded to 6 before the
+# ranked limit, doc_id tiebreak — the §5.3 ordering convention).
+# ---------------------------------------------------------------------------
+_WS_K = 25
+
+_WEIGHTED_SAMPLE_ORACLE = f"""
+SELECT doc_id, n_chars, es_key
+FROM (
+  SELECT doc_id, n_chars,
+         ROUND(LN((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ws'),
+                    1, 8))::BIGINT + 1) / 4294967296.0)
+               / n_chars, 6) AS es_key
+  FROM documents
+  WHERE n_chars > 0
+)
+ORDER BY es_key DESC, doc_id
+LIMIT {_WS_K}
+"""
+
+
+@query("q_weighted_sample", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("#ws"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(4294967296.0)
+    es_key = F.round(F.log(u) / F.col("n_chars"), 6)
+    return (
+        d.where(F.col("n_chars") > 0)
+        .select("doc_id", "n_chars", es_key.alias("es_key"))
+        .orderBy(F.desc("es_key"), "doc_id")
+        .limit(_WS_K)
+    )

@@ -247,3 +247,34 @@ def test_approx_quantile_rank_error_bound(spark):
             target = q * n
             tol = max(n / _AQ_ACCURACY, 1.0)
             assert lo - tol <= target <= hi + tol, (flag, q, v, lo, hi, n)
+
+
+def test_weighted_sample_bias_and_layout_independence(spark):
+    """Efraimidis–Spirakis sampling: (a) selection is biased toward
+    heavier docs (sampled mean n_chars > corpus mean), (b) the sample
+    is a pure function of content — a repartitioned input yields the
+    identical sample."""
+    from pyspec_spark.queries.relational_ext import q_weighted_sample
+    from pyspec_spark.tables import table
+
+    rows = q_weighted_sample.__wrapped__(spark, SF).collect()
+    assert len(rows) == 25
+    sampled_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    docs = table(spark, SF, "documents").select("doc_id", "n_chars")
+    corpus_mean = (
+        docs.agg({"n_chars": "avg"}).collect()[0][0]
+    )
+    assert sampled_mean > corpus_mean, (sampled_mean, corpus_mean)
+
+    # layout independence: same keys/sample from a repartitioned input
+    import pyspec_spark.queries.relational_ext as rx
+
+    orig_table = rx.table
+    try:
+        rx.table = lambda s, d, n: orig_table(s, d, n).repartition(7)
+        rows2 = q_weighted_sample.__wrapped__(spark, SF).collect()
+    finally:
+        rx.table = orig_table
+    assert [(r["doc_id"], r["es_key"]) for r in rows] == [
+        (r["doc_id"], r["es_key"]) for r in rows2
+    ]
