@@ -1,7 +1,10 @@
 """Similarity search over embedding columns — SURVEY.md §2.12 L5 and the
 north-star ANN brief.
 
-Four tiers, same answer shape (vec_id, score):
+Four single-probe tiers, same answer shape (vec_id, score) — plus the
+batch k-NN joins (`knn_join_exact` / `knn_join_lsh`, every query row
+gets its top-k) and the IVFADC composite (`ivfpq_topk_df`) built from
+the tiers below:
 - `cosine_topk` — exact brute force: JVM-side zip_with/aggregate dot
   product against a broadcast query vector, TakeOrderedAndProject top-k.
   The correctness baseline and the right plan up to ~10^7 vectors/task.
