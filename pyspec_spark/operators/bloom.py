@@ -1,0 +1,118 @@
+"""Deterministic Bloom filter as a DataFrame aggregate (SURVEY.md §2.12
+L14 — benchmark-decontamination membership at corpus scale).
+
+Reference loci: none in `stuwilkins/pyspec` (north-star surface).  The
+construction is the textbook Bloom filter (Bloom 1970, CACM 13(7)) with
+the double-hash family replaced by k independent md5-derived positions —
+md5 produces identical hex on Spark and DuckDB, so the ENTIRE filter
+(bit-for-bit) and every probe replay exactly in the oracle engine.
+
+Why this exists next to the exact broadcast semi-join (q_decontaminate):
+the exact path broadcasts the full benchmark shingle SET, whose size
+grows with the benchmark corpus.  The Bloom path broadcasts a
+CONSTANT-SIZE bitmap (``bits/8`` bytes regardless of benchmark size) at
+the cost of a bounded, computable false-positive rate
+``(1 - e^(-k*n/m))^k``.  False negatives are impossible — tested.
+
+Physical shape (the 100 TB posture):
+- build: explode (k rows per value) -> one ``bit_or`` aggregation whose
+  state is bounded by ``bits/32`` rows regardless of input size, then
+  densified against a ``sequence()`` word lattice into ONE row holding
+  the whole filter as an ``array<long>``.
+- probe: a single ``crossJoin(broadcast(one_row_filter))`` + map-side
+  ``element_at``/bitmask expressions — no join, no shuffle, and the
+  filter subtree is built exactly once (a k-way join formulation would
+  re-plan the build k times).
+
+Word layout: 32 bits used per 64-bit word.  32, not 64: DuckDB's strict
+BIGINT overflow rejects ``1 << 63`` and Spark would yield the sign bit,
+so the portable word is the low half.  Masks are therefore always
+positive and ``&``-compatible in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_BITS = 8192
+BLOOM_K = 3
+
+
+def bloom_position(col: Column, i: int, bits: int) -> Column:
+    """Position of hash ``i`` for a value: first 8 md5 hex chars of
+    ``value || '#b' || i`` as an integer, mod ``bits``.  Mirrors the SQL
+    ``('0x' || substr(md5(v || '#b' || i), 1, 8))::BIGINT % bits``."""
+    h = F.md5(F.concat(col, F.lit(f"#b{i}")).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % bits
+
+
+def bloom_build(
+    values: DataFrame,
+    col: str = "shingle",
+    bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Aggregate a value column into sparse Bloom words
+    ``(word_idx long, bits long)`` — at most ``bits/32`` rows."""
+    pos = F.explode(
+        F.array(*[bloom_position(F.col(col), i, bits) for i in range(k)])
+    ).alias("pos")
+    return (
+        values.select(pos)
+        .select(
+            (F.col("pos") / 32).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, CAST(pos % 32 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_to_array(bloom: DataFrame, bits: int = BLOOM_BITS) -> DataFrame:
+    """Densify sparse words into ONE row ``(words array<long>)`` of
+    length ``bits/32`` (index = word_idx, unset words = 0), ready to
+    broadcast.  The lattice comes from ``sequence()`` — no driver data.
+    """
+    n_words = bits // 32
+    lattice = (
+        bloom.sparkSession.range(1)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(n_words - 1))).alias("w")
+        )
+        .select(F.col("w").cast("long").alias("word_idx"))
+    )
+    return (
+        lattice.join(F.broadcast(bloom), "word_idx", "left")
+        .select("word_idx", F.coalesce("bits", F.lit(0)).alias("bits"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("word_idx", "bits"))),
+                lambda s: s.bits,
+            ).alias("words")
+        )
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom_arr: DataFrame,
+    col: str = "shingle",
+    bits: int = BLOOM_BITS,
+    k: int = BLOOM_K,
+    out: str = "is_hit",
+) -> DataFrame:
+    """Add boolean ``out``: all k positions of ``col`` set in the
+    densified filter (``bloom_to_array`` output).  One broadcast cross
+    join of the single filter row; everything else is map-side."""
+    probed = df.crossJoin(F.broadcast(bloom_arr))
+    hit = F.lit(True)
+    for i in range(k):
+        p = f"_bp{i}"
+        probed = probed.withColumn(p, bloom_position(F.col(col), i, bits))
+        word = F.element_at(
+            "words", ((F.col(p) / 32).cast("long") + 1).cast("int")
+        )
+        mask = F.expr(f"shiftleft(1L, CAST({p} % 32 AS INT))")
+        hit = hit & (word.bitwiseAND(mask) != 0)
+    return probed.select(*df.columns, hit.alias(out))

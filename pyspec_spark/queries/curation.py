@@ -1,0 +1,426 @@
+"""Corpus curation round 5b — the pipeline stages between dedup and
+training: Bloom-filter decontamination (L14), in-plan Naive Bayes
+domain/language classification (L15), deterministic train/val/test
+splitting and temperature-weighted source mixing (L16).
+
+Reference loci (SURVEY.md §0 policy): none of these exist in
+`stuwilkins/pyspec` — north-star training-data-pipeline surface.
+Public algorithm sources: Bloom 1970 (CACM 13(7)) for the filter;
+multinomial Naive Bayes with Laplace smoothing (standard form, e.g.
+Manning/Raghavan/Schütze IR ch.13); temperature-based mixture weighting
+p_s ∝ tokens_s^alpha as used in multilingual corpus sampling.
+
+Determinism (SURVEY.md §5.3): all hash decisions are md5-derived
+(identical hex both engines); every ln()/sqrt() result is snapped to
+fixed-point micro-units through the sign-split floor idiom BEFORE any
+sum, so scores are exact integers and order-independent; argmax ties
+break lexicographically; token sums cast to BIGINT.
+
+Scale notes (100 TB posture):
+- q_bloom_decontam: the filter is a CONSTANT-SIZE broadcast (bits/32
+  words) however large the benchmark set grows — the exact
+  q_decontaminate broadcast grows with the benchmark.  Probe side is
+  map-only (k broadcast joins); the single corpus shuffle is the final
+  per-doc aggregation.  FPR = (1-e^(-kn/m))^k, no false negatives.
+- q_nb_classify: model state (class priors + vocab x class log-probs)
+  is vocabulary-bounded, never corpus-bounded; it broadcasts onto the
+  test token stream.  Corpus-sized shuffles: train token count, test
+  doc-term count, per-doc score aggregation — all keyed, no skew
+  (keys are (lang, token) / (doc_id, token) / (doc_id, lang)).
+- q_split_assign / q_mix_temperature: map-side hash assignment + one
+  bounded aggregation; output is strata-bounded (langs x splits,
+  sources), so these run at any scale with one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pyspec_spark.functions.determinism import _fixed6
+from pyspec_spark.operators.bloom import (
+    BLOOM_BITS,
+    bloom_build,
+    bloom_probe,
+    bloom_to_array,
+)
+from pyspec_spark.registry import query
+from pyspec_spark.tables import table
+
+
+def _toks():
+    return F.split("text", " ")
+
+
+def _hash_mod100(col: Column, salt: str) -> Column:
+    """``('0x'||substr(md5(v||salt),1,8))::BIGINT % 100`` — the house
+    md5-bucket idiom (identical in DuckDB), bucket in [0, 100)."""
+    h = F.md5(F.concat(col.cast("string"), F.lit(salt)).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 100
+
+
+# ---------------------------------------------------------------------------
+# L14 — Bloom-filter decontamination.  Same benchmark definition and
+# shingle basis as q_decontaminate (doc_id < 10, distinct token
+# bigrams) so the two paths are directly comparable: Bloom containment
+# >= exact containment per doc (no false negatives; FPR tested).
+# The oracle rebuilds the identical filter bit-for-bit in SQL.
+# ---------------------------------------------------------------------------
+_BENCH_MAX_ID = 10  # = quality._BENCH_MAX_ID (same benchmark slice)
+_BLOOM_MIN = 0.6
+
+_SHINGLES_CTE = """
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 2
+              THEN list_distinct(list_transform(
+                  range(1, len(string_split(text, ' '))),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i + 1]))
+              ELSE [] END AS shingles
+  FROM documents
+)
+"""
+
+_BLOOM_POS = (
+    "(('0x' || substr(md5(shingle || '#b{i}'), 1, 8))::BIGINT % {bits})"
+)
+
+_BLOOM_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+  WHERE doc_id < {_BENCH_MAX_ID}
+),
+pos AS (
+  SELECT {_BLOOM_POS.format(i=0, bits=BLOOM_BITS)} AS p FROM bench
+  UNION ALL
+  SELECT {_BLOOM_POS.format(i=1, bits=BLOOM_BITS)} FROM bench
+  UNION ALL
+  SELECT {_BLOOM_POS.format(i=2, bits=BLOOM_BITS)} FROM bench
+),
+bloom AS (
+  SELECT p // 32 AS word_idx,
+         BIT_OR(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+),
+corpus AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+  WHERE doc_id >= {_BENCH_MAX_ID} AND len(shingles) > 0
+),
+probe AS (
+  SELECT doc_id, shingle,
+         {_BLOOM_POS.format(i=0, bits=BLOOM_BITS)} AS p0,
+         {_BLOOM_POS.format(i=1, bits=BLOOM_BITS)} AS p1,
+         {_BLOOM_POS.format(i=2, bits=BLOOM_BITS)} AS p2
+  FROM corpus
+),
+hit AS (
+  SELECT pr.doc_id,
+         ((COALESCE(b0.bits, 0) & (1::BIGINT << CAST(pr.p0 % 32 AS INT))) != 0
+          AND (COALESCE(b1.bits, 0) & (1::BIGINT << CAST(pr.p1 % 32 AS INT))) != 0
+          AND (COALESCE(b2.bits, 0) & (1::BIGINT << CAST(pr.p2 % 32 AS INT))) != 0
+         ) AS is_hit
+  FROM probe pr
+  LEFT JOIN bloom b0 ON b0.word_idx = pr.p0 // 32
+  LEFT JOIN bloom b1 ON b1.word_idx = pr.p1 // 32
+  LEFT JOIN bloom b2 ON b2.word_idx = pr.p2 // 32
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sh,
+       CAST(COUNT(CASE WHEN is_hit THEN 1 END) AS BIGINT) AS n_hit,
+       ROUND(COUNT(CASE WHEN is_hit THEN 1 END) * 1.0 / COUNT(*), 6)
+         AS containment
+FROM hit
+GROUP BY doc_id
+HAVING ROUND(COUNT(CASE WHEN is_hit THEN 1 END) * 1.0 / COUNT(*), 6)
+       >= {_BLOOM_MIN}
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingles array) — distinct token bigrams, [] below 2
+    tokens; zip_with form (see quality._bigrams rationale)."""
+    toks = _toks()
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(
+            F.zip_with(
+                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return table(spark, sf_dir, "documents").select(
+        "doc_id", bigrams.alias("shingles")
+    )
+
+
+@query("q_bloom_decontam", oracle=_BLOOM_ORACLE)
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    bench = (
+        sh.where(F.col("doc_id") < _BENCH_MAX_ID)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    bloom = bloom_to_array(bloom_build(bench))
+    corpus = sh.where(
+        (F.col("doc_id") >= _BENCH_MAX_ID) & (F.size("shingles") > 0)
+    ).select("doc_id", F.explode("shingles").alias("shingle"))
+    probed = bloom_probe(corpus, bloom)
+    containment = F.round(
+        F.count_if(F.col("is_hit")).cast("double") / F.count("*"), 6
+    )
+    return (
+        probed.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.count_if(F.col("is_hit")).alias("n_hit"),
+            containment.alias("containment"),
+        )
+        .where(F.col("containment") >= _BLOOM_MIN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L15 — multinomial Naive Bayes language classifier, trained AND scored
+# in one declarative plan.  Train split = md5 bucket < 60; Laplace
+# smoothing over the train vocabulary; unseen test tokens drop out of
+# the score identically in both engines (inner join with the vocab
+# grid).  Scores are exact integer micro-units (sum of tc * logp6 +
+# prior6), so the argmax is order-independent; ties break on lang asc.
+# Output: the confusion matrix (true lang x predicted lang, counts).
+# ---------------------------------------------------------------------------
+_NB_TRAIN_PCT = 60
+
+_NB_F6 = (
+    "CASE WHEN {x} * 1e6 >= 0 THEN FLOOR({x} * 1e6 + 0.5) "
+    "ELSE -FLOOR(0.5 - {x} * 1e6) END"
+)
+
+_NB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#nb'), 1, 8))::BIGINT
+           % 100 AS b
+  FROM documents
+),
+tr_tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok
+  FROM d WHERE b < {_NB_TRAIN_PCT}
+),
+tc AS (SELECT lang, tok, COUNT(*) AS c FROM tr_tok GROUP BY lang, tok),
+cls AS (SELECT lang, SUM(c) AS n_tok FROM tc GROUP BY lang),
+voc AS (SELECT DISTINCT tok FROM tc),
+v AS (SELECT COUNT(*) AS v FROM voc),
+pri AS (
+  SELECT lang, COUNT(*) AS n_docs FROM d WHERE b < {_NB_TRAIN_PCT}
+  GROUP BY lang
+),
+n_tr AS (SELECT COUNT(*) AS n FROM d WHERE b < {_NB_TRAIN_PCT}),
+grid AS (
+  SELECT voc.tok, cls.lang,
+         CAST({_NB_F6.format(
+             x="LN((COALESCE(tc.c, 0) + 1.0) / (cls.n_tok + v.v))"
+         )} AS BIGINT) AS logp6
+  FROM voc CROSS JOIN cls CROSS JOIN v
+  LEFT JOIN tc ON tc.tok = voc.tok AND tc.lang = cls.lang
+),
+prior AS (
+  SELECT pri.lang,
+         CAST({_NB_F6.format(
+             x="LN(CAST(pri.n_docs AS DOUBLE) / n_tr.n)"
+         )} AS BIGINT) AS prior6
+  FROM pri, n_tr
+),
+te_tok AS (
+  SELECT doc_id, tok, COUNT(*) AS tcnt FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+    FROM d WHERE b >= {_NB_TRAIN_PCT}
+  ) GROUP BY doc_id, tok
+),
+scores AS (
+  SELECT t.doc_id, g.lang, SUM(t.tcnt * g.logp6) AS s6
+  FROM te_tok t JOIN grid g ON g.tok = t.tok
+  GROUP BY t.doc_id, g.lang
+),
+pred AS (
+  SELECT s.doc_id, s.lang AS pred_lang,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                            ORDER BY s.s6 + p.prior6 DESC, s.lang) AS rk
+  FROM scores s JOIN prior p ON p.lang = s.lang
+)
+SELECT d.lang AS true_lang, p.pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred p JOIN d ON d.doc_id = p.doc_id
+WHERE p.rk = 1
+GROUP BY d.lang, p.pred_lang
+"""
+
+
+@query("q_nb_classify", oracle=_NB_ORACLE)
+def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        _hash_mod100(F.col("doc_id"), "#nb").alias("b"),
+    )
+    train = d.where(F.col("b") < _NB_TRAIN_PCT)
+    test = d.where(F.col("b") >= _NB_TRAIN_PCT)
+
+    tr_tok = train.select("lang", F.explode(_toks()).alias("tok"))
+    tc = tr_tok.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    cls = tc.groupBy("lang").agg(F.sum("c").alias("n_tok"))
+    voc = tc.select("tok").distinct()
+    v = voc.agg(F.count("*").alias("v"))
+    pri = train.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    n_tr = train.agg(F.count("*").alias("n"))
+
+    grid = (
+        voc.crossJoin(F.broadcast(cls))
+        .crossJoin(F.broadcast(v))
+        .join(F.broadcast(tc), ["tok", "lang"], "left")
+        .select(
+            "tok",
+            "lang",
+            _fixed6(
+                F.log(
+                    (F.coalesce("c", F.lit(0)) + 1.0)
+                    / (F.col("n_tok") + F.col("v"))
+                )
+            ).alias("logp6"),
+        )
+    )
+    prior = pri.crossJoin(F.broadcast(n_tr)).select(
+        "lang",
+        _fixed6(F.log(F.col("n_docs").cast("double") / F.col("n"))).alias(
+            "prior6"
+        ),
+    )
+
+    te_tok = (
+        test.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tcnt"))
+    )
+    scores = (
+        te_tok.join(F.broadcast(grid), "tok")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("tcnt") * F.col("logp6")).alias("s6"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.col("s6") + F.col("prior6")), "lang"
+    )
+    pred = (
+        scores.join(F.broadcast(prior), "lang")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("doc_id", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        pred.join(d.select("doc_id", "lang"), "doc_id")
+        .groupBy(F.col("lang").alias("true_lang"), "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# L16a — deterministic train/val/test split with stratified accounting.
+# Split = md5 bucket of doc_id (96/2/2): content-keyed, so every
+# engine, run, and partition layout assigns the same documents to the
+# same split — the property TABLESAMPLE cannot give.  Output is the
+# (lang x split) accounting table a mixing stage consumes.
+# ---------------------------------------------------------------------------
+_SPLIT_ORACLE = """
+WITH a AS (
+  SELECT lang,
+         CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val'
+              ELSE 'test' END AS split,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM (
+    SELECT lang, text,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))
+             ::BIGINT % 100 AS b
+    FROM documents
+  )
+)
+SELECT lang, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+FROM a GROUP BY lang, split
+"""
+
+
+@query("q_split_assign", oracle=_SPLIT_ORACLE)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    b = _hash_mod100(F.col("doc_id"), "#split")
+    split = (
+        F.when(b < 96, "train").when(b < 98, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            "lang",
+            split.alias("split"),
+            F.size(_toks()).alias("n_tokens"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# L16b — temperature-weighted source mixing: p_s ∝ tokens_s^alpha with
+# alpha = 0.5 (sqrt — IEEE-exact in both engines, unlike pow(x, 0.3)).
+# The weight sum goes through the exact DECIMAL path so the normalizer
+# is order-independent; one source-keyed aggregation + a 1-row
+# broadcast total.
+# ---------------------------------------------------------------------------
+_MIX_ORACLE = """
+WITH s AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6) AS weight
+  FROM s
+),
+tot AS (
+  SELECT CAST(SUM(CAST(weight AS DECIMAL(18,6))) AS DOUBLE) AS tw FROM w
+)
+SELECT source, n_docs, n_tokens, weight,
+       ROUND(weight / tw, 6) AS mix_p
+FROM w, tot
+"""
+
+
+@query("q_mix_temperature", oracle=_MIX_ORACLE)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(_toks())).alias("n_tokens"),
+    )
+    w = s.withColumn(
+        "weight", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+    )
+    tot = w.agg(
+        F.sum(F.col("weight").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("tw")
+    )
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        F.round(F.col("weight") / F.col("tw"), 6).alias("mix_p"),
+    )

@@ -1,0 +1,169 @@
+"""Curation round-5b family: Bloom decontamination (L14), in-plan Naive
+Bayes classification (L15), split assignment + temperature mixing (L16).
+
+The cross-engine value equality of all four queries is covered by the
+driver-mimic oracle sweep (test_declared_queries.py); these tests pin
+the SEMANTIC guarantees the oracle can't see: Bloom's one-sided error,
+classifier coverage accounting, split-fraction sanity, and probability
+normalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pyspec_spark.operators.bloom import (
+    bloom_build,
+    bloom_position,
+    bloom_probe,
+    bloom_to_array,
+)
+from pyspec_spark.queries.curation import (
+    _BENCH_MAX_ID,
+    _NB_TRAIN_PCT,
+    _hash_mod100,
+    _shingled,
+    _toks,
+)
+from tests.conftest import SF_SMALL
+
+
+def _bloom_arr(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], "shingle string")
+    return bloom_to_array(bloom_build(df))
+
+
+def test_bloom_membership_roundtrip(spark):
+    """Every inserted value probes positive — false negatives are
+    structurally impossible and this guards the build/probe bit paths
+    against drifting apart (word index, mask, densify order)."""
+    values = [f"tok{i} tok{i + 1}" for i in range(200)]
+    arr = _bloom_arr(spark, values)
+    probe = spark.createDataFrame([(v,) for v in values], "shingle string")
+    hits = bloom_probe(probe, arr).where(~F.col("is_hit")).count()
+    assert hits == 0
+
+
+def test_bloom_fpr_bounded(spark):
+    """Non-members hit at ~the analytic FPR (1-e^{-kn/m})^k — with
+    n=200, m=8192, k=3 that is ~2.6e-3; assert an order-of-magnitude
+    cushion, catching a degenerate hash family (all positions equal
+    would push FPR toward e-1)."""
+    members = [f"m{i}" for i in range(200)]
+    arr = _bloom_arr(spark, members)
+    others = spark.createDataFrame(
+        [(f"x{i}",) for i in range(2000)], "shingle string"
+    )
+    fp = bloom_probe(others, arr).where(F.col("is_hit")).count()
+    assert fp / 2000 < 0.03
+
+
+def test_bloom_decontam_never_misses_exact_hits(spark):
+    """Per (doc, shingle): exact benchmark membership implies a Bloom
+    hit — the query-level one-sided-error guarantee on real data."""
+    sh = _shingled(spark, SF_SMALL)
+    bench = set(
+        r.shingle
+        for r in sh.where(F.col("doc_id") < _BENCH_MAX_ID)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .collect()
+    )
+    arr = bloom_to_array(bloom_build(
+        sh.where(F.col("doc_id") < _BENCH_MAX_ID).select(
+            F.explode("shingles").alias("shingle")
+        ).distinct()
+    ))
+    corpus = sh.where(
+        (F.col("doc_id") >= _BENCH_MAX_ID) & (F.size("shingles") > 0)
+    ).select("doc_id", F.explode("shingles").alias("shingle"))
+    rows = bloom_probe(corpus, arr).collect()
+    assert rows, "corpus side is empty — fixture drift"
+    n_nonmember = n_fp = 0
+    for r in rows:
+        if r.shingle in bench:
+            assert r.is_hit, f"false negative: {r.shingle!r}"
+        else:
+            n_nonmember += 1
+            n_fp += bool(r.is_hit)
+    assert n_nonmember > 0
+    assert n_fp / n_nonmember < 0.05
+
+
+def test_nb_confusion_covers_scorable_test_docs(spark):
+    """Confusion-matrix mass equals the number of test documents with
+    at least one train-vocabulary token (docs whose tokens are all OOV
+    drop from the inner join — identically in both engines)."""
+    from pyspec_spark.queries.curation import q_nb_classify
+    from pyspec_spark.tables import table
+
+    total = (
+        q_nb_classify.__wrapped__(spark, SF_SMALL)
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    d = table(spark, SF_SMALL, "documents").select(
+        "doc_id", "text", _hash_mod100(F.col("doc_id"), "#nb").alias("b")
+    )
+    vocab = (
+        d.where(F.col("b") < _NB_TRAIN_PCT)
+        .select(F.explode(_toks()).alias("tok"))
+        .distinct()
+    )
+    scorable = (
+        d.where(F.col("b") >= _NB_TRAIN_PCT)
+        .select("doc_id", F.explode(_toks()).alias("tok"))
+        .join(vocab, "tok")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert total == scorable
+
+
+def test_split_fractions_and_token_conservation(spark):
+    from pyspec_spark.queries.curation import q_split_assign
+    from pyspec_spark.tables import table
+
+    rows = q_split_assign.__wrapped__(spark, SF_SMALL).collect()
+    by_split: dict[str, int] = {}
+    tok_total = 0
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+        tok_total += r.n_tokens
+    n = sum(by_split.values())
+    d = table(spark, SF_SMALL, "documents")
+    assert n == d.count()
+    # md5 buckets are uniform: train ~96% with a generous small-sample
+    # cushion (50 docs at sf0.001).
+    assert by_split.get("train", 0) / n > 0.85
+    exact_tokens = d.select(F.sum(F.size(_toks()))).collect()[0][0]
+    assert tok_total == exact_tokens
+
+
+def test_mix_probabilities_normalize(spark):
+    from pyspec_spark.queries.curation import q_mix_temperature
+
+    rows = q_mix_temperature.__wrapped__(spark, SF_SMALL).collect()
+    s = sum(r.mix_p for r in rows)
+    # 20 sources x 5e-7 max rounding error each
+    assert abs(s - 1.0) < 2e-5
+    # temperature flattening: max/min probability ratio must be below
+    # the raw token-share ratio (sqrt compresses the spread)
+    toks = {r.source: r.n_tokens for r in rows}
+    ps = {r.source: r.mix_p for r in rows}
+    raw_ratio = max(toks.values()) / max(min(toks.values()), 1)
+    p_ratio = max(ps.values()) / max(min(ps.values()), 1e-12)
+    assert p_ratio <= raw_ratio + 1e-9
+
+
+def test_bloom_position_range(spark):
+    df = spark.range(1).select(
+        *[
+            bloom_position(F.lit(f"v{j}"), i, 8192).alias(f"p{j}_{i}")
+            for j in range(3)
+            for i in range(3)
+        ]
+    )
+    row = df.collect()[0]
+    assert all(0 <= v < 8192 for v in row)

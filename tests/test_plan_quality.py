@@ -313,6 +313,46 @@ def test_embed_quant_single_aggregation(spark):
     assert count_exchanges(p) == 1
 
 
+def test_bloom_decontam_probe_is_map_side(spark):
+    """The filter builds ONCE (4 exchanges total: bench distinct, word
+    bit_or, densify, final per-doc agg) and probes via a broadcast of
+    the single densified row — the corpus stream must see exactly one
+    shuffle (its own aggregation) and no cartesian product.  A k-way
+    join formulation re-plans the filter build k times; this gate
+    pins the single-build shape."""
+    p = _plan(spark, "q_bloom_decontam")
+    assert count_exchanges(p) <= 4
+    assert "CartesianProduct" not in p
+    # bench pass + corpus pass only (each scan node appears twice in
+    # formatted explain output: tree line + detail section)
+    assert p.count("Scan parquet") == 4
+
+
+def test_nb_classify_broadcasts_model(spark):
+    """Model state (vocab x class grid, priors, scalars) broadcasts
+    onto the corpus-sized token streams; exchange count is bounded by
+    the model-side aggregations, not corpus fan-out."""
+    p = _plan(spark, "q_nb_classify")
+    assert has_broadcast_join(p)
+    assert count_exchanges(p) <= 12
+    assert "CartesianProduct" not in p
+
+
+def test_split_assign_single_shuffle(spark):
+    """Hash-split assignment is map-side; the only exchange is the
+    strata-bounded aggregation."""
+    p = _plan(spark, "q_split_assign")
+    assert count_exchanges(p) == 1
+    assert has_partial_aggregate(p)
+
+
+def test_mix_temperature_bounded_exchanges(spark):
+    """Source agg + 1-row normalizer (broadcast back): at most 3
+    exchanges, none corpus-keyed beyond the first."""
+    p = _plan(spark, "q_mix_temperature")
+    assert count_exchanges(p) <= 3
+
+
 def test_building_declared_queries_runs_zero_jobs(spark):
     """Plan construction must be driver-side only: no declared query may
     trigger a Spark job (collect/first/count) while being BUILT.  Probe
