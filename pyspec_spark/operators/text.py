@@ -284,6 +284,39 @@ def compression_ratio(
 
 
 # ---------------------------------------------------------------------------
+# Stage-0 web extraction: HTML payload -> visible text.  Declarative
+# regexp/replace chain (stays in whole-stage codegen; the same chain
+# replays verbatim in DuckDB with the 'g' flag).  Covers the failure
+# modes that break naive tag-stripping: script/style bodies must go
+# BEFORE the generic tag strip (their content is not visible text and
+# may contain raw '<'), and '&amp;' must decode LAST or double-encoded
+# entities ('&amp;lt;') would decode twice.  Entity subset is the HTML
+# named set that survives ASCII corpora plus the numeric apostrophe;
+# a full HTML5 entity table would be a broadcast lookup join, same
+# plan shape.  Map-only: parallelizes per scan task at any scale.
+# ---------------------------------------------------------------------------
+_HTML_ENTITIES = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&copy;", "©"),
+    ("&amp;", "&"),  # keep last — see module comment
+]
+
+
+def html_to_text(col):
+    """Visible text of an HTML string column (see block comment)."""
+    s = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(s, r"\s+", " "))
+
+
+# ---------------------------------------------------------------------------
 # Exact duplicated-substring analysis (Lee et al. 2022, "Deduplicating
 # Training Data Makes Language Models Better"): doc-level MinHash/SimHash
 # cannot see a boilerplate paragraph shared by otherwise-distinct pages.

@@ -16,3 +16,4 @@ import pyspec_spark.queries.fitting  # noqa: F401
 import pyspec_spark.queries.ml  # noqa: F401
 import pyspec_spark.queries.quality  # noqa: F401
 import pyspec_spark.queries.curation  # noqa: F401
+import pyspec_spark.queries.graph  # noqa: F401

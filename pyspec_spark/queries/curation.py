@@ -327,6 +327,83 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L17 — stage-0 HTML -> text extraction (the first operator a web-crawl
+# pipeline runs).  The documents table is plain text, so the query
+# synthesizes a deterministic HTML page around each document IN-PLAN
+# (script + style blocks, per-token paragraph tags, an entity-bearing
+# footer — the same wrap in both engines) and then runs the real
+# extraction operator (operators/text.html_to_text) over it.  The
+# oracle replays wrap AND extraction, so the entire regex/entity chain
+# is value-checked; the round-trip property (extract(wrap(text))
+# reconstructs the text plus the fixed chrome) is pytest-pinned.
+# Map-only — no shuffle at any scale.
+# ---------------------------------------------------------------------------
+_HTML_PRE = (
+    '<html><head><script type="text/javascript">'
+    "if (1 &amp;&amp; 2) { x < 3; }</script>"
+    "<style>p { color: #fff; }</style></head><body><h1>Doc</h1><p>"
+)
+_HTML_SEP = "&nbsp;</p> <p>"
+_HTML_POST = (
+    '</p><div class="footer">&quot;cite&#39; &copy; 2026 '
+    "&lt;corp&gt;</div></body></html>"
+)
+
+_HTML_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         '{_HTML_PRE}' || replace(text, ' ', '{_HTML_SEP}')
+           || '{_HTML_POST}' AS html
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, html,
+         regexp_replace(regexp_replace(html,
+             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+  FROM w
+),
+s2 AS (SELECT doc_id, html,
+              regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s1),
+s3 AS (
+  SELECT doc_id, html,
+         replace(replace(replace(replace(replace(replace(replace(t,
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', chr(39)), '&copy;', '©'),
+             '&amp;', '&') AS t
+  FROM s2
+),
+s4 AS (SELECT doc_id, html,
+              trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t FROM s3)
+SELECT doc_id,
+       CAST(length(html) AS BIGINT) AS n_chars_html,
+       CAST(length(t) AS BIGINT) AS n_chars_text,
+       md5(t) AS text_md5
+FROM s4
+"""
+
+
+@query("q_html_extract", oracle=_HTML_ORACLE)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import html_to_text
+
+    d = table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(_HTML_PRE),
+        F.replace(F.col("text"), F.lit(" "), F.lit(_HTML_SEP)),
+        F.lit(_HTML_POST),
+    )
+    w = d.select("doc_id", html.alias("html"))
+    t = html_to_text(F.col("html"))
+    return w.select(
+        "doc_id",
+        F.length("html").cast("long").alias("n_chars_html"),
+        F.length(t).cast("long").alias("n_chars_text"),
+        F.md5(t.cast("binary")).alias("text_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # L16a — deterministic train/val/test split with stratified accounting.
 # Split = md5 bucket of doc_id (96/2/2): content-keyed, so every
 # engine, run, and partition layout assigns the same documents to the

@@ -1,0 +1,145 @@
+"""Link-graph signals (round 5b) — fixed-iteration PageRank over a
+bipartite interaction graph, fully declarative and oracle-replayable.
+
+Reference loci (SURVEY.md §0 policy): none in `stuwilkins/pyspec` —
+north-star surface.  Crawl-curation pipelines use link-graph authority
+(PageRank/harmonic centrality over the host graph) as a document
+quality prior; the TPC-H stand-in graph is the part <-> supplier
+bipartite graph from `lineitem` (an edge per distinct pair), which has
+the right shape: two node classes, skewed degrees, ~|lineitem| edges.
+
+Algorithm: Brin & Page 1998, damping d = 0.85, K = 2 unrolled
+iterations.  The unroll complements the engine's other iterative
+postures — connected components (bounded driver loop + checkpoints,
+operators/dedup.py) and PCA power iteration (in-plan matvec,
+operators/pca.py): PageRank-for-K-iterations is pure relational
+algebra, so the whole computation stays in ONE Catalyst plan — no
+driver loop, no action, zero jobs at build (the registry gate applies).
+
+Determinism (§5.3): all rank state is INTEGER nano-units (1e9).
+Each edge contribution is FLOOR(pr_nano / deg) — exact integer-valued
+doubles (< 2^53), so the per-node SUM is order-independent; the damped
+update re-snaps via FLOOR.  Both engines compute bit-identical ranks
+at every iteration, so the oracle matches exactly, not approximately.
+
+Scale notes (100 TB posture):
+- each iteration is one shuffle join (edges x ranks on src, both sides
+  keyed) + one keyed aggregation; K iterations = 2K corpus-sized
+  shuffles, known up front.  Degree skew (hot suppliers) is AQE skew-join
+  territory, same answer as the gridder's hot-voxel posture.
+- the edge list materializes ONCE (cache() on the degree-joined edge
+  table; every iteration and the node/N derivations share it).  A
+  production run at 100 TB persists edges to storage instead
+  (write_bucketed by src) so every iteration's join is shuffle-free on
+  the edge side — see sinks.write_bucketed.
+- no driver-side state at all: N and the teleport term are 1-row
+  broadcast aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pyspec_spark.registry import query
+from pyspec_spark.tables import table
+
+_PR_D = 0.85
+_PR_ITERS = 2
+_PR_TOPK = 20
+
+
+def _pr_iteration(edges_deg: DataFrame, pr: DataFrame, n: DataFrame):
+    """One PageRank step: pr'(v) = floor(0.15e9/N) +
+    floor(0.85 * sum_{u->v} floor(pr(u)/deg(u))), all integer nano."""
+    msgs = edges_deg.join(pr, edges_deg.src == pr.node).select(
+        edges_deg.dst.alias("node"),
+        F.floor(pr.pr / edges_deg.deg).alias("contrib"),
+    )
+    return (
+        msgs.groupBy("node")
+        .agg(F.sum("contrib").alias("s"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "node",
+            (
+                F.floor(F.lit(0.15e9) / F.col("n"))
+                + F.floor(F.lit(_PR_D) * F.col("s"))
+            ).alias("pr"),
+        )
+    )
+
+
+_PAGERANK_ORACLE = f"""
+WITH e0 AS (
+  SELECT DISTINCT 'p:' || CAST(l_partkey AS VARCHAR) AS c,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS k
+  FROM lineitem
+),
+edges AS (
+  SELECT c AS src, k AS dst FROM e0
+  UNION ALL
+  SELECT k AS src, c AS dst FROM e0
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+n AS (SELECT COUNT(*) AS n FROM nodes),
+pr0 AS (SELECT node, FLOOR(1e9 / n.n) AS pr FROM nodes, n),
+m1 AS (
+  SELECT e.dst AS node, SUM(FLOOR(p.pr / d.deg)) AS s
+  FROM edges e
+  JOIN pr0 p ON p.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+pr1 AS (
+  SELECT node, FLOOR(0.15e9 / n.n) + FLOOR({_PR_D} * s) AS pr FROM m1, n
+),
+m2 AS (
+  SELECT e.dst AS node, SUM(FLOOR(p.pr / d.deg)) AS s
+  FROM edges e
+  JOIN pr1 p ON p.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+),
+pr2 AS (
+  SELECT node, FLOOR(0.15e9 / n.n) + FLOOR({_PR_D} * s) AS pr FROM m2, n
+)
+SELECT node, pr / 1e9 AS pagerank
+FROM pr2
+ORDER BY pr DESC, node
+LIMIT {_PR_TOPK}
+"""
+
+
+@query("q_pagerank", oracle=_PAGERANK_ORACLE)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("c"),
+        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("k"),
+    ).distinct()
+    edges = e0.select(F.col("c").alias("src"), F.col("k").alias("dst")).union(
+        e0.select(F.col("k").alias("src"), F.col("c").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # cache(): the one edge materialization every reference shares.
+    # Without it each of the 2K iteration joins + nodes/N re-derives
+    # the scan->distinct->union->degree-join subtree (measured: 16
+    # parquet scans / 27 exchanges in the unrolled plan at K=2; 1 scan
+    # / 12 exchanges cached) — the in-plan equivalent of the
+    # "materialize edges once" posture the module docstring prescribes
+    # for production.  cache() is lazy: zero jobs at build (gate).
+    edges_deg = edges.join(deg, "src").select("src", "dst", "deg").cache()
+    nodes = edges_deg.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count("*").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "node", F.floor(F.lit(1e9) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        pr = _pr_iteration(edges_deg, pr, n)
+    return (
+        pr.select("node", (F.col("pr") / F.lit(1e9)).alias("pagerank"))
+        .orderBy(F.desc((F.col("pagerank"))), "node")
+        .limit(_PR_TOPK)
+    )

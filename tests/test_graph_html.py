@@ -1,0 +1,115 @@
+"""Round-5b: HTML extraction round-trip/edge cases and PageRank
+goldens (independent numpy fixed-point replication + mass accounting).
+Cross-engine value equality of q_html_extract / q_pagerank is covered
+by the declared-queries oracle sweep; these pin the semantics."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pyspec_spark.operators.text import html_to_text
+from pyspec_spark.queries.curation import _HTML_POST, _HTML_PRE, _HTML_SEP
+from pyspec_spark.queries.graph import _PR_D, _PR_ITERS, _pr_iteration
+from tests.conftest import SF_SMALL
+
+_CHROME_PRE = "Doc "
+_CHROME_POST = " \"cite' © 2026 <corp>"
+
+
+def _extract(spark, html: str) -> str:
+    df = spark.createDataFrame([(html,)], "html string")
+    return df.select(html_to_text(F.col("html")).alias("t")).collect()[0].t
+
+
+def test_html_roundtrip_on_corpus_sample(spark):
+    """extract(wrap(text)) == 'Doc ' + text + footer for real corpus
+    rows — the property that makes the in-plan synthesized-HTML oracle
+    meaningful."""
+    from pyspec_spark.tables import table
+
+    rows = (
+        table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(5)
+        .collect()
+    )
+    for r in rows:
+        html = _HTML_PRE + r.text.replace(" ", _HTML_SEP) + _HTML_POST
+        expected = " ".join((_CHROME_PRE + r.text + _CHROME_POST).split())
+        assert _extract(spark, html) == expected
+
+
+def test_html_double_encoded_entity_decodes_once(spark):
+    """'&amp;lt;' is an escaped literal '&lt;' — decoding &amp; last
+    must yield the 4-char string, not '<'."""
+    assert _extract(spark, "<p>&amp;lt;</p>") == "&lt;"
+
+
+def test_html_script_with_raw_angle_bracket(spark):
+    """Script bodies may contain raw '<'; the block strip must remove
+    the whole element before the generic tag pass."""
+    assert _extract(spark, "<script>if (a < b) x();</script>hi") == "hi"
+    assert _extract(spark, "<style>p < q {}</style>ok") == "ok"
+
+
+def _numpy_pagerank_nano(edges, d, iters):
+    """Independent replication of the integer nano-unit fixed point."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    n = len(nodes)
+    pr = {v: math.floor(1e9 / n) for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for u, v in edges:
+            s[v] += math.floor(pr[u] / deg[u])
+        pr = {
+            v: math.floor(0.15e9 / n) + math.floor(d * s[v]) for v in nodes
+        }
+    return pr
+
+
+def test_pagerank_iteration_matches_independent_reference(spark):
+    """Two _pr_iteration steps on a small fixed graph reproduce the
+    numpy/pure-python fixed-point exactly (integer nano-units)."""
+    raw = [("a", "x"), ("b", "x"), ("b", "y"), ("c", "y")]
+    edges = raw + [(t, s) for s, t in raw]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = e.join(deg, "src").select("src", "dst", "deg")
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count("*").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "node", F.floor(F.lit(1e9) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        pr = _pr_iteration(edges_deg, pr, n)
+    got = {r.node: r.pr for r in pr.collect()}
+    want = _numpy_pagerank_nano(edges, _PR_D, _PR_ITERS)
+    assert got == want
+
+
+def test_pagerank_mass_is_conserved_within_floor_loss(spark):
+    """Total rank mass stays ~1: each node loses at most a few nano
+    from the three FLOORs per iteration, never gains."""
+    raw = [(f"u{i}", f"v{i % 7}") for i in range(50)]
+    edges = raw + [(t, s) for s, t in raw]
+    e = spark.createDataFrame(edges, "src string, dst string").distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = e.join(deg, "src").select("src", "dst", "deg")
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n_val = nodes.count()
+    n = nodes.agg(F.count("*").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "node", F.floor(F.lit(1e9) / F.col("n")).alias("pr")
+    )
+    for _ in range(_PR_ITERS):
+        pr = _pr_iteration(edges_deg, pr, n)
+    total = pr.agg(F.sum("pr")).collect()[0][0] / 1e9
+    # floor losses: < (2*E + N+1) nano per iteration, far under 1e-3
+    assert 0.999 <= total <= 1.0 + 1e-9
+    assert n_val == 57  # 50 u-nodes + 7 v-nodes

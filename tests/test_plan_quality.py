@@ -90,7 +90,9 @@ def test_dedup_docs_single_shuffle(spark):
     assert count_exchanges(p) == 1
 
 
-@pytest.mark.parametrize("name", ["q_norm", "q_filter_pred", "q_math_funcs"])
+@pytest.mark.parametrize(
+    "name", ["q_norm", "q_filter_pred", "q_math_funcs", "q_html_extract"]
+)
 def test_maponly_queries_have_no_shuffle(spark, name):
     p = _plan(spark, name)
     assert count_exchanges(p) == 0, f"{name} should be map-only"
@@ -351,6 +353,15 @@ def test_mix_temperature_bounded_exchanges(spark):
     exchanges, none corpus-keyed beyond the first."""
     p = _plan(spark, "q_mix_temperature")
     assert count_exchanges(p) <= 3
+
+
+def test_pagerank_bounded_exchanges_no_cartesian(spark):
+    """Two unrolled iterations: shuffle count is fixed by K up front
+    (edge distinct + degree + per-iter join/agg + top-k), never
+    data-dependent; N joins back as a broadcast 1-row aggregate."""
+    p = _plan(spark, "q_pagerank")
+    assert count_exchanges(p) <= 14
+    assert "CartesianProduct" not in p
 
 
 def test_building_declared_queries_runs_zero_jobs(spark):
