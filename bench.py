@@ -62,6 +62,11 @@ HEADLINE = [
     "q_bm25_topk",
     # round 5: exact duplicated-substring coverage (Lee et al. 2022)
     "q_substr_dup_spans",
+    # round 5b: curation + graph family (baselines in BASELINE.md §5b)
+    "q_bloom_decontam",
+    "q_nb_classify",
+    "q_html_extract",
+    "q_pagerank",
 ]
 
 

@@ -1,7 +1,8 @@
 """Corpus curation round 5b — the pipeline stages between dedup and
 training: Bloom-filter decontamination (L14), in-plan Naive Bayes
 domain/language classification (L15), deterministic train/val/test
-splitting and temperature-weighted source mixing (L16).
+splitting and temperature-weighted source mixing (L16), and stage-0
+HTML -> text extraction over in-plan synthesized pages (L17).
 
 Reference loci (SURVEY.md §0 policy): none of these exist in
 `stuwilkins/pyspec` — north-star training-data-pipeline surface.
@@ -19,9 +20,12 @@ break lexicographically; token sums cast to BIGINT.
 Scale notes (100 TB posture):
 - q_bloom_decontam: the filter is a CONSTANT-SIZE broadcast (bits/32
   words) however large the benchmark set grows — the exact
-  q_decontaminate broadcast grows with the benchmark.  Probe side is
-  map-only (k broadcast joins); the single corpus shuffle is the final
-  per-doc aggregation.  FPR = (1-e^(-kn/m))^k, no false negatives.
+  q_decontaminate broadcast grows with the benchmark.  Probe = codegen
+  explode + element_at/bitmask against the one broadcast filter row;
+  the single corpus shuffle carries map-side partially-aggregated
+  per-doc counts (see the in-function note on the measured
+  HOF-lambda-vs-codegen tradeoff).  FPR = (1-e^(-kn/m))^k, no false
+  negatives.
 - q_nb_classify: model state (class priors + vocab x class log-probs)
   is vocabulary-bounded, never corpus-bounded; it broadcasts onto the
   test token stream.  Corpus-sized shuffles: train token count, test
@@ -140,20 +144,13 @@ HAVING ROUND(COUNT(CASE WHEN is_hit THEN 1 END) * 1.0 / COUNT(*), 6)
 
 def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, shingles array) — distinct token bigrams, [] below 2
-    tokens; zip_with form (see quality._bigrams rationale)."""
-    toks = _toks()
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.array_distinct(
-            F.zip_with(
-                F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
-                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    tokens.  REUSES quality._bigrams (the q_decontaminate basis), so
+    the exact path, the Bloom path, and the streaming screen can never
+    drift onto different shingle definitions."""
+    from pyspec_spark.queries.quality import _bigrams
+
     return table(spark, sf_dir, "documents").select(
-        "doc_id", bigrams.alias("shingles")
+        "doc_id", F.array_distinct(_bigrams(_toks())).alias("shingles")
     )
 
 
@@ -169,16 +166,26 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sh.where(
         (F.col("doc_id") >= _BENCH_MAX_ID) & (F.size("shingles") > 0)
     ).select("doc_id", F.explode("shingles").alias("shingle"))
+    # Explode + codegen probe + partial-agg counts, NOT the "zero
+    # shuffle" filter()-lambda form: higher-order-function lambdas
+    # evaluate the md5/conv hash chain on Catalyst's interpreted path,
+    # measured 1285 ms vs 122 ms for this form at sf0.1 — the per-doc
+    # count shuffle the explode form pays is map-side partial
+    # aggregation (bytes per doc), while the lambda form's per-element
+    # interpretation cost scales with every shingle in the corpus.
+    # The lambda form (operators/bloom.bloom_contains inside filter())
+    # remains the STREAMING face, where statelessness is the
+    # constraint — streaming/corpus.bloom_screen_stream.
     probed = bloom_probe(corpus, bloom)
-    containment = F.round(
-        F.count_if(F.col("is_hit")).cast("double") / F.count("*"), 6
-    )
     return (
         probed.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_sh"),
             F.count_if(F.col("is_hit")).alias("n_hit"),
-            containment.alias("containment"),
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_hit").cast("double") / F.col("n_sh"), 6),
         )
         .where(F.col("containment") >= _BLOOM_MIN)
     )

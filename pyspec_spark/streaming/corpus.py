@@ -91,3 +91,42 @@ def hash_embed_stream(docs: DataFrame, dim: int = 16) -> DataFrame:
     from pyspec_spark.operators.text import fh_bucket_sums
 
     return fh_bucket_sums(docs, dim)
+
+
+def bloom_screen_stream(
+    docs: DataFrame, bloom_arr: DataFrame, min_containment: float = 0.6
+) -> DataFrame:
+    """Benchmark-decontamination screening over a document stream
+    (r5b): per-doc Bloom containment against a PRE-BUILT densified
+    filter (operators/bloom.bloom_to_array output — built once from
+    the static benchmark corpus, exactly the deployment shape: the
+    benchmark never streams).
+
+    Stateless: membership runs inside a filter() lambda over each
+    document's shingle array (operators/bloom.bloom_contains — the
+    SAME expression the batch query q_bloom_decontam uses, so the hash
+    family cannot drift between twins), and the filter row arrives via
+    a stream-static join on a constant-true condition.  Zero state
+    rows, append mode, each doc decided exactly once."""
+    from pyspec_spark.operators.bloom import bloom_contains
+    from pyspec_spark.queries.quality import _bigrams, _toks
+
+    sh = docs.select(
+        "doc_id", F.array_distinct(_bigrams(_toks())).alias("shingles")
+    ).where(F.size("shingles") > 0)
+    probed = sh.join(F.broadcast(bloom_arr), F.lit(True), "inner")
+    n_hit = F.size(
+        F.filter("shingles", lambda s: bloom_contains(F.col("words"), s))
+    ).cast("long")
+    return (
+        probed.select(
+            "doc_id",
+            F.size("shingles").cast("long").alias("n_sh"),
+            n_hit.alias("n_hit"),
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("n_hit").cast("double") / F.col("n_sh"), 6),
+        )
+        .where(F.col("containment") >= min_containment)
+    )

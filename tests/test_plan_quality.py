@@ -316,12 +316,15 @@ def test_embed_quant_single_aggregation(spark):
 
 
 def test_bloom_decontam_probe_is_map_side(spark):
-    """The filter builds ONCE (4 exchanges total: bench distinct, word
-    bit_or, densify, final per-doc agg) and probes via a broadcast of
-    the single densified row — the corpus stream must see exactly one
-    shuffle (its own aggregation) and no cartesian product.  A k-way
-    join formulation re-plans the filter build k times; this gate
-    pins the single-build shape."""
+    """The filter builds ONCE (3 bounded benchmark-side exchanges:
+    bench distinct, word bit_or, densify) and probes via a broadcast
+    of the single densified row; the only corpus-side exchange is the
+    per-doc count aggregation (map-side partials).  A k-way join
+    formulation re-plans the filter build k times (measured 16 scans /
+    7 exchanges); a filter()-lambda zero-shuffle formulation drops to
+    3 exchanges but runs the hash chain interpreted — measured 1285 ms
+    vs 122 ms at sf0.1 (note in queries/curation.py).  This gate pins
+    the single-build + one-corpus-shuffle shape."""
     p = _plan(spark, "q_bloom_decontam")
     assert count_exchanges(p) <= 4
     assert "CartesianProduct" not in p

@@ -278,6 +278,45 @@ def test_stream_corpus_curation_equals_batch(spark, doc_chunks):
     assert 0 < kept < n
 
 
+def test_stream_bloom_screen_equals_batch(spark, doc_chunks):
+    """Decontamination screening over the chunked document stream
+    (static pre-built filter, stateless per-doc probe) must equal the
+    batch q_bloom_decontam rows exactly at stream end — the streaming
+    face of the L14 Bloom path."""
+    import pyspec_spark.streaming.corpus as sc
+    import pyspec_spark.streaming.events as se
+    from pyspec_spark.operators.bloom import bloom_build, bloom_to_array
+    from pyspec_spark.queries.curation import (
+        _BENCH_MAX_ID,
+        _BLOOM_MIN,
+        _shingled,
+        q_bloom_decontam,
+    )
+
+    base, _ = doc_chunks
+    bench = (
+        _shingled(spark, SF)
+        .where(F.col("doc_id") < _BENCH_MAX_ID)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    # deployment shape: the benchmark filter is built once, up front
+    bloom_arr = bloom_to_array(bloom_build(bench))
+    stream = sc.read_document_stream(spark, base, max_files_per_trigger=1)
+    screened = sc.bloom_screen_stream(
+        stream.where(F.col("doc_id") >= _BENCH_MAX_ID),
+        bloom_arr,
+        min_containment=_BLOOM_MIN,
+    )
+    se.run_to_memory(screened, "t_bloom", output_mode="append")
+    got = spark.table("t_bloom")
+    want = q_bloom_decontam.__wrapped__(spark, SF)
+    cols = want.columns
+    assert got.columns == cols
+    assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
+    assert got.count() > 0
+
+
 def test_stream_cms_sketch_equals_batch(spark, doc_chunks):
     """Count-min sketches are sum-mergeable, so the sketch built
     incrementally over the chunked document stream (complete mode)

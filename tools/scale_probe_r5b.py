@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Weak-scaling probe for the round-5b curation/graph family.
+
+Reuses tools/scale_probe.py's replica builders: salted document
+replicas (vocabulary bijection per replica — corpus structure
+isomorphic, cross-replica similarity ~zero) for the curation queries,
+and an offset-key lineitem replica (k disjoint graph components) for
+PageRank.  noop sink = full re-execution, warm best-of-3, local[32].
+
+Prints SCALING.md-ready markdown lines.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.scale_probe import (  # noqa: E402
+    SRC,
+    WORK,
+    _best_of,
+    build_neardup_replica,
+)
+
+from pyspec_spark import registry  # noqa: E402
+from pyspec_spark.session import get_spark  # noqa: E402
+
+CURATION = [
+    "q_bloom_decontam",
+    "q_nb_classify",
+    "q_split_assign",
+    "q_mix_temperature",
+    "q_html_extract",
+]
+
+
+def build_graph_replica(spark, k: int) -> str:
+    """lineitem ×k with offset part/supp keys: k disjoint isomorphic
+    graph components — nodes, edges and PageRank work all grow ×k
+    while per-component structure (and the rank values) stay fixed."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    dest = f"{WORK}/graph_x{k}"
+    if os.path.exists(f"{dest}/lineitem.parquet/_SUCCESS"):
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    p_off = li.agg(F.max("l_partkey")).collect()[0][0] + 1
+    s_off = li.agg(F.max("l_suppkey")).collect()[0][0] + 1
+    parts = [
+        li.withColumn("l_partkey", F.col("l_partkey") + F.lit(i * p_off))
+        .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(i * s_off))
+        for i in range(k)
+    ]
+    reduce(lambda a, b: a.unionAll(b), parts).repartition(k).write.mode(
+        "overwrite"
+    ).parquet(f"{dest}/lineitem.parquet")
+    return dest
+
+
+def main() -> None:
+    ks = [int(x) for x in (sys.argv[1:] or ["1", "4", "16"])]
+    spark = get_spark("scale_probe_r5b")
+    registry.load_all()
+    header = "| k | docs | " + " | ".join(CURATION) + " | q_pagerank |"
+    print(header)
+    print("|---|---|" + "---|" * (len(CURATION) + 1))
+    for k in ks:
+        d = build_neardup_replica(spark, k)
+        n_docs = spark.read.parquet(f"{d}/documents.parquet").count()
+        per_q = {}
+        for name in CURATION:
+            fn = registry.QUERIES[name]
+            per_q[name] = _best_of(
+                lambda: fn(spark, d)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        g = build_graph_replica(spark, k)
+        fn = registry.QUERIES["q_pagerank"]
+
+        def run_pr():
+            spark.catalog.clearCache()  # pagerank cache()s its edges
+            fn(spark, g).write.format("noop").mode("overwrite").save()
+
+        per_q["q_pagerank"] = _best_of(run_pr)
+        cells = " | ".join(
+            f"{per_q[n] * 1000:.0f} ms" for n in CURATION + ["q_pagerank"]
+        )
+        print(f"| {k} | {n_docs:,} | {cells} |")
+
+
+if __name__ == "__main__":
+    main()
