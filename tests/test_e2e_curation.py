@@ -99,6 +99,74 @@ def test_curation_pipeline_invariants(spark):
     assert all(v <= TOKEN_BUDGET for v in per_source.values())
 
 
+def test_curation_pipeline_r5b_extension(spark):
+    """Round-5b stages wired around the core pipeline: the HTML front
+    door recovers every document's text, the Bloom pre-screen's drop
+    set contains the exact decontaminator's drop set (one-sided error,
+    so pre-screening can only over-drop within the FPR), and the
+    split accounting partitions the survivors exactly."""
+    from pyspec_spark.operators.text import html_to_text
+    from pyspec_spark.queries.curation import (
+        _HTML_POST,
+        _HTML_PRE,
+        _HTML_SEP,
+        _hash_mod100,
+        q_bloom_decontam,
+    )
+    from pyspec_spark.queries.quality import q_decontaminate
+    from pyspec_spark.tables import table
+
+    docs = table(spark, SF, "documents")
+    # 0. HTML front door: extract(wrap(text)) == text + fixed chrome
+    # (whitespace-collapsed — empty docs collapse the chrome seam)
+    html = F.concat(
+        F.lit(_HTML_PRE),
+        F.replace(F.col("text"), F.lit(" "), F.lit(_HTML_SEP)),
+        F.lit(_HTML_POST),
+    )
+    expected = F.trim(
+        F.regexp_replace(
+            F.concat(
+                F.lit("Doc "), F.col("text"), F.lit(" \"cite' © 2026 <corp>")
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    mismatches = (
+        docs.select(html_to_text(html).alias("t"), expected.alias("e"))
+        .where(F.col("t") != F.col("e"))
+        .count()
+    )
+    assert mismatches == 0
+    # 4b. Bloom pre-screen ⊇ exact decontaminate at the same threshold
+    bloom_ids = {
+        r["doc_id"]
+        for r in q_bloom_decontam.__wrapped__(spark, SF).collect()
+    }
+    exact_ids = {
+        r["doc_id"] for r in q_decontaminate.__wrapped__(spark, SF).collect()
+    }
+    assert exact_ids <= bloom_ids
+    # 6. split accounting partitions the pipeline survivors exactly
+    _, _, final = _curate(spark)
+    surv = final.select("doc_id", "n_tokens")
+    n_surv = surv.count()
+    b = _hash_mod100(F.col("doc_id"), "#split")
+    split = F.when(b < 96, "train").when(b < 98, "val").otherwise("test")
+    acct = (
+        surv.select(split.alias("split"), "n_tokens")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("tok"))
+        .collect()
+    )
+    assert sum(r["n"] for r in acct) == n_surv > 0
+    assert (
+        sum(r["tok"] for r in acct)
+        == surv.agg(F.sum("n_tokens")).collect()[0][0]
+    )
+
+
 def test_curation_pipeline_deterministic(spark):
     _, counts_a, final_a = _curate(spark)
     _, counts_b, final_b = _curate(spark)
