@@ -67,6 +67,8 @@ HEADLINE = [
     "q_nb_classify",
     "q_html_extract",
     "q_pagerank",
+    "q_semdedup",
+    "q_bigram_backoff",
 ]
 
 

@@ -294,6 +294,14 @@ def compression_ratio(
 # named set that survives ASCII corpora plus the numeric apostrophe;
 # a full HTML5 entity table would be a broadcast lookup join, same
 # plan shape.  Map-only: parallelizes per scan task at any scale.
+#
+# Documented regex-trade limits (pinned in test_graph_html.py):
+# extraction is SINGLE-PASS by contract — entity decoding reveals
+# encoded markup, so a re-run would strip it; a bare '< ... >'
+# comparison span is consumed by the generic tag regex; a '>' inside a
+# quoted attribute value terminates the tag early.  A conformant HTML5
+# tokenizer needs a stateful parser — the declarative chain trades
+# those corner cases for whole-stage codegen throughput.
 # ---------------------------------------------------------------------------
 _HTML_ENTITIES = [
     ("&nbsp;", " "),

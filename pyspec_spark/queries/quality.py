@@ -718,3 +718,127 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM with stupid backoff (r5b, Brants et al. 2007 "Large
+# Language Models in Machine Translation"): the next step up from the
+# q_unigram_logprob perplexity proxy.  Train on the md5-60% document
+# split, score the held-out 40% so the backoff path actually fires:
+#   lp(b|a) = ln(c_ab/c_a)          bigram seen in train
+#           = ln(0.4 * c_b / N)     else, unigram b seen
+#           = ln(0.4 * 0.4 / V)     else (double backoff to uniform)
+# Per-bigram ln values snap to micro-units BEFORE the per-doc mean
+# (order-independent integer sums, the unigram-LM idiom).  Model
+# tables (bigram counts, unigram counts, scalars) are vocabulary-
+# bounded broadcasts onto the held-out bigram stream; corpus-sized
+# shuffles are the two count aggregations and the per-doc mean.
+# ---------------------------------------------------------------------------
+_BB_TRAIN_PCT = 60
+
+_BB_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#nb'), 1, 8))::BIGINT
+           % 100 AS bkt,
+         CASE WHEN len(string_split(text, ' ')) >= 2
+              THEN list_transform(range(1, len(string_split(text, ' '))),
+                                  i -> string_split(text, ' ')[i] || ' ' ||
+                                       string_split(text, ' ')[i + 1])
+              ELSE [] END AS bigrams
+  FROM documents
+),
+bc AS (
+  SELECT bg, COUNT(*) AS c FROM (
+    SELECT unnest(bigrams) AS bg FROM d WHERE bkt < {_BB_TRAIN_PCT}
+  ) GROUP BY bg
+),
+uni AS (
+  SELECT tok, COUNT(*) AS c FROM (
+    SELECT unnest(string_split(text, ' ')) AS tok
+    FROM d WHERE bkt < {_BB_TRAIN_PCT}
+  ) GROUP BY tok
+),
+n_tot AS (SELECT SUM(c) AS n FROM uni),
+v_tot AS (SELECT COUNT(*) AS v FROM uni),
+te AS (
+  SELECT doc_id, unnest(bigrams) AS bg
+  FROM d WHERE bkt >= {_BB_TRAIN_PCT} AND len(bigrams) > 0
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(CASE
+             WHEN bc.c IS NOT NULL
+               THEN ln(CAST(bc.c AS DOUBLE) / ua.c)
+             WHEN ub.c IS NOT NULL
+               THEN ln(0.4 * ub.c / n_tot.n)
+             ELSE ln(0.16 / v_tot.v) END * 1e6) AS BIGINT) AS lp_micro
+  FROM te t
+  LEFT JOIN bc ON bc.bg = t.bg
+  LEFT JOIN uni ua ON ua.tok = string_split(t.bg, ' ')[1]
+  LEFT JOIN uni ub ON ub.tok = string_split(t.bg, ' ')[2],
+  n_tot, v_tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(-CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) / 1e6, 6) AS xent
+FROM scored
+GROUP BY doc_id
+"""
+
+
+@query("q_bigram_backoff", oracle=_BB_ORACLE)
+def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.functions.determinism import _fixed6
+    from pyspec_spark.queries.curation import _hash_mod100
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        _hash_mod100(F.col("doc_id"), "#nb").alias("bkt"),
+        _bigrams(_toks()).alias("bigrams"),
+    )
+    train = d.where(F.col("bkt") < _BB_TRAIN_PCT)
+    bc = (
+        train.select(F.explode("bigrams").alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("c"))
+    )
+    uni = (
+        train.select(F.explode(_toks()).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    n_tot = uni.agg(F.sum("c").alias("n"))
+    v_tot = uni.agg(F.count("*").alias("v"))
+    te = d.where(
+        (F.col("bkt") >= _BB_TRAIN_PCT) & (F.size("bigrams") > 0)
+    ).select("doc_id", F.explode("bigrams").alias("bg"))
+    parts = F.split("bg", " ")
+    ua = uni.select(F.col("tok").alias("_ta"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("tok").alias("_tb"), F.col("c").alias("c_b"))
+    lp = F.when(
+        F.col("c_ab").isNotNull(),
+        F.log(F.col("c_ab").cast("double") / F.col("c_a")),
+    ).when(
+        F.col("c_b").isNotNull(),
+        F.log(F.lit(0.4) * F.col("c_b") / F.col("n")),
+    ).otherwise(F.log(F.lit(0.16) / F.col("v")))
+    scored = (
+        te.join(
+            F.broadcast(bc.select(F.col("bg"), F.col("c").alias("c_ab"))),
+            "bg",
+            "left",
+        )
+        .join(F.broadcast(ua), parts.getItem(0) == F.col("_ta"), "left")
+        .join(F.broadcast(ub), parts.getItem(1) == F.col("_tb"), "left")
+        .crossJoin(F.broadcast(n_tot))
+        .crossJoin(F.broadcast(v_tot))
+        .select("doc_id", _fixed6(lp).alias("lp_micro"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            -F.sum("lp_micro").cast("double") / F.count("*") / 1e6, 6
+        ).alias("xent"),
+    )

@@ -55,6 +55,53 @@ def test_html_script_with_raw_angle_bracket(spark):
     assert _extract(spark, "<style>p < q {}</style>ok") == "ok"
 
 
+def test_html_extract_documented_limits(spark):
+    """The regex stripper's documented trade-offs, pinned so they
+    cannot drift silently (operators/text.py block comment):
+    - plain text is a fixed point;
+    - entity decoding REVEALS encoded markup, so extraction is
+      single-pass by contract (a second pass strips the revealed tag —
+      why the pipeline runs this stage exactly once);
+    - a bare '< ... >' span is consumed by the generic tag regex even
+      when it is comparison text, and a '>' inside a quoted attribute
+      value terminates the tag early (a conformant HTML5 tokenizer
+      needs a stateful parser — out of scope for the codegen path)."""
+    plain = _extract(spark, "plain words only")
+    assert plain == "plain words only"
+    assert _extract(spark, plain) == plain
+    once = _extract(spark, "a &lt;tag&gt; b")
+    assert once == "a <tag> b"
+    assert _extract(spark, once) == "a b"  # single-pass contract
+    assert _extract(spark, "x < y and y > z") == "x z"
+    assert _extract(spark, '<a title="a>b">link</a>') == 'b">link'
+
+
+def test_html_extract_fuzz_never_crashes_and_strips_all_tags(spark):
+    """Randomized tag soup: extraction always succeeds and the output
+    contains no '<tag' remnants (every complete tag is consumed)."""
+    import random
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "&amp;", "&lt;", "x<y", "z>w", "plain"]
+    tags = ["<p>", "</p>", "<div class='c'>", "</div>", "<br/>",
+            "<script>s<1</script>", "<style>p{}</style>"]
+    rows = []
+    for _ in range(60):
+        parts = []
+        for _ in range(rng.randint(1, 12)):
+            parts.append(rng.choice(words + tags))
+        rows.append((" ".join(parts),))
+    df = spark.createDataFrame(rows, "html string")
+    out = [
+        r.t for r in df.select(html_to_text(F.col("html")).alias("t")).collect()
+    ]
+    assert len(out) == 60
+    for t in out:
+        # no complete tag survives the strip
+        assert "<p>" not in t and "</p>" not in t and "<div" not in t
+        assert "<script" not in t and "<style" not in t
+
+
 def _numpy_pagerank_nano(edges, d, iters):
     """Independent replication of the integer nano-unit fixed point."""
     nodes = sorted({s for s, _ in edges} | {t for _, t in edges})

@@ -358,6 +358,26 @@ def test_mix_temperature_bounded_exchanges(spark):
     assert count_exchanges(p) <= 3
 
 
+def test_semdedup_cluster_scoped_no_cartesian(spark):
+    """The pair scan must be a cid-keyed equi-join (cluster-scoped
+    quadratic, the SemDeDup contract), never a global cartesian; the
+    k-means model chain broadcasts its centroids."""
+    p = _plan(spark, "q_semdedup")
+    assert "CartesianProduct" not in p
+    assert has_broadcast_join(p)
+    assert count_exchanges(p) <= 10
+
+
+def test_bigram_backoff_broadcasts_model(spark):
+    """Bigram/unigram count tables and the scalars broadcast onto the
+    held-out bigram stream; exchanges are the train counts + per-doc
+    mean, not corpus-sized model joins."""
+    p = _plan(spark, "q_bigram_backoff")
+    assert has_broadcast_join(p)
+    assert count_exchanges(p) <= 8
+    assert "CartesianProduct" not in p
+
+
 def test_pagerank_bounded_exchanges_no_cartesian(spark):
     """Two unrolled iterations: shuffle count is fixed by K up front
     (edge distinct + degree + per-iter join/agg + top-k), never
