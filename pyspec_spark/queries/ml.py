@@ -508,7 +508,6 @@ def q_ann_pq_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (raise k until clusters fit); no global all-pairs path exists here.
 # ---------------------------------------------------------------------------
 _SEMDEDUP_TAU = 0.35
-_FULL_D = 64  # full embedding width (TESTDATA.md: 64-dim float32)
 
 
 @F.pandas_udf(DoubleType())
@@ -521,6 +520,8 @@ def _pair_cosine(va, vb):
     import numpy as np
     import pandas as pd
 
+    if len(va) == 0:  # empty Arrow batch — np.vstack would raise
+        return pd.Series([], dtype="float64")
     A = np.vstack(va.to_numpy()).astype(np.float64)
     B = np.vstack(vb.to_numpy()).astype(np.float64)
     dot = A[:, 0] * B[:, 0]
