@@ -551,10 +551,15 @@ WHERE ROUND(list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 """
 
 
-@query("q_semdedup", oracle=_semdedup_oracle())
-def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    c0 = emb.where(F.col("vec_id") < _K).select(
+def semdedup_pairs(
+    emb: DataFrame, k: int = _K, tau: float = _SEMDEDUP_TAU
+) -> DataFrame:
+    """Operator form of q_semdedup with a PARAMETERIZED cluster count:
+    SemDeDup's cost is sum over clusters of (cluster size)², so k must
+    grow with the corpus — a fixed k scales quadratically (measured in
+    SCALING.md).  ``emb`` needs (vec_id, embedding); init = the first
+    k ids, two Lloyd rounds, then the cluster-scoped pair scan."""
+    c0 = emb.where(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"),
         F.transform(
             F.slice("embedding", 1, _D), lambda x: x.cast("double")
@@ -602,6 +607,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("id_a") < F.col("id_b")),
         )
         .withColumn("cos_sim", F.round(_pair_cosine("va", "vb"), 6))
-        .where(F.col("cos_sim") >= _SEMDEDUP_TAU)
+        .where(F.col("cos_sim") >= tau)
         .select("cid", "id_a", "id_b", "cos_sim")
     )
+
+
+@query("q_semdedup", oracle=_semdedup_oracle())
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semdedup_pairs(emb)

@@ -53,6 +53,38 @@ def test_semdedup_subset_of_exact_all_pairs(spark):
     assert 0.15 <= recall <= 1.0
 
 
+def test_semdedup_k_parameter_bounds_scope(spark):
+    """The operator form's cluster-count knob behaves as the method
+    promises: k=1 degenerates to the EXACT all-pairs scan (one cluster
+    holds everything), and growing k can only narrow the pair set —
+    never invent — which is why k grows with n at scale."""
+    from pyspec_spark.queries.ml import semdedup_pairs
+    from pyspec_spark.tables import table
+
+    emb = table(spark, SF_SMALL, "embeddings").select("vec_id", "embedding")
+    p1 = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in semdedup_pairs(emb, k=1).collect()
+    }
+    p8 = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in semdedup_pairs(emb, k=8).collect()
+    }
+    assert p1 and set(p8) <= set(p1)
+    # k=1 == brute force at the same (rounded) threshold
+    rows = emb.collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    ids = sorted(vecs)
+    from pyspec_spark.queries.ml import _SEMDEDUP_TAU
+
+    exact = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if round(_cos(vecs[a], vecs[b]), 6) >= _SEMDEDUP_TAU:
+                exact.add((a, b))
+    assert set(p1) == exact
+
+
 def test_bigram_backoff_paths_fire_and_replicate(spark):
     """The held-out split contains bigrams unseen in training (backoff
     fires), and one document's xent replicates in pure python from the

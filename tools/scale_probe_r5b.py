@@ -66,10 +66,73 @@ def build_graph_replica(spark, k: int) -> str:
     return dest
 
 
+def build_embed_replica(spark, k: int) -> str:
+    """embeddings ×k with offset vec_ids (documents symlinked): vector
+    count grows ×k while the k-means init stays the first 4 ids, so
+    cluster sizes grow ×k and the SemDeDup pair scan grows ×k² — the
+    honest signature of running the method with a FIXED cluster count;
+    the method's own prescription is to grow k with n."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    dest = f"{WORK}/embed_x{k}"
+    if os.path.exists(f"{dest}/embeddings.parquet/_SUCCESS"):
+        return dest
+    shutil.rmtree(dest, ignore_errors=True)
+    os.makedirs(dest, exist_ok=True)
+    e = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    off = e.agg(F.max("vec_id")).collect()[0][0] + 1
+    parts = [
+        e.withColumn("vec_id", F.col("vec_id") + F.lit(i * off))
+        for i in range(k)
+    ]
+    reduce(lambda a, b: a.unionAll(b), parts).repartition(k).write.mode(
+        "overwrite"
+    ).parquet(f"{dest}/embeddings.parquet")
+    for t in ("documents",):
+        dst = f"{dest}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SRC}/{t}.parquet", dst)
+    return dest
+
+
+def probe_semdedup_bigram(spark, ks_sem, ks_big) -> None:
+    from pyspec_spark import registry
+
+    print("| k | vecs | q_semdedup |")
+    print("|---|---|---|")
+    for k in ks_sem:
+        d = build_embed_replica(spark, k)
+        n = spark.read.parquet(f"{d}/embeddings.parquet").count()
+        fn = registry.QUERIES["q_semdedup"]
+
+        def run():
+            spark.catalog.clearCache()  # semdedup cache()s its members
+            fn(spark, d).write.format("noop").mode("overwrite").save()
+
+        t = _best_of(run)
+        print(f"| {k} | {n:,} | {t * 1000:.0f} ms |")
+    print("| k | docs | q_bigram_backoff |")
+    print("|---|---|---|")
+    for k in ks_big:
+        d = build_neardup_replica(spark, k)
+        n = spark.read.parquet(f"{d}/documents.parquet").count()
+        fn = registry.QUERIES["q_bigram_backoff"]
+        t = _best_of(
+            lambda: fn(spark, d).write.format("noop").mode("overwrite").save()
+        )
+        print(f"| {k} | {n:,} | {t * 1000:.0f} ms |")
+
+
 def main() -> None:
-    ks = [int(x) for x in (sys.argv[1:] or ["1", "4", "16"])]
+    args = sys.argv[1:]
     spark = get_spark("scale_probe_r5b")
     registry.load_all()
+    if args and args[0] == "--semdedup-bigram":
+        probe_semdedup_bigram(spark, ks_sem=[1, 2, 4], ks_big=[1, 4, 16])
+        return
+    ks = [int(x) for x in (args or ["1", "4", "16"])]
     header = "| k | docs | " + " | ".join(CURATION) + " | q_pagerank |"
     print(header)
     print("|---|---|" + "---|" * (len(CURATION) + 1))
