@@ -31,7 +31,10 @@ Scale notes (100 TB posture):
   table; every iteration and the node/N derivations share it).  A
   production run at 100 TB persists edges to storage instead
   (write_bucketed by src) so every iteration's join is shuffle-free on
-  the edge side — see sinks.write_bucketed.
+  the edge side — VERIFIED in test_graph_html.py: the bucketed layout
+  drops exactly the edge-side exchange with identical ranks (bucket
+  count must equal the join's required partition count, or the planner
+  ignores the layout and shuffles both sides).
 - no driver-side state at all: N and the teleport term are 1-row
   broadcast aggregates.
 """

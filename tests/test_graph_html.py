@@ -140,6 +140,61 @@ def test_pagerank_iteration_matches_independent_reference(spark):
     assert got == want
 
 
+def test_pagerank_bucketed_edges_drop_edge_side_shuffle(spark, tmp_path):
+    """SCALING.md's claimed next lever, verified: with the edge table
+    at rest bucketed by src (sinks.write_bucketed), the per-iteration
+    rank join no longer shuffles the edge side — the plan loses one
+    exchange vs the unbucketed layout (only the rank side aligns)."""
+    from pyspec_spark.plans import count_exchanges, physical_plan
+    from pyspec_spark.sinks import write_bucketed
+
+    raw = [(f"u{i}", f"v{i % 5}") for i in range(40)]
+    edges = raw + [(t, s) for s, t in raw]
+    e = spark.createDataFrame(edges, "src string, dst string").distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    edges_deg = e.join(deg, "src").select("src", "dst", "deg")
+    nodes = e.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count("*").alias("n"))
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "node", F.floor(F.lit(1e9) / F.col("n")).alias("pr")
+    )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # both layouts AT REST, so the only difference is the bucket
+        # metadata — not the edge-derivation subtree
+        plain_path = str(tmp_path / "pr_edges_plain")
+        edges_deg.write.mode("overwrite").parquet(plain_path)
+        plain_edges = spark.read.parquet(plain_path)
+        # bucket count == spark.sql.shuffle.partitions (8 in tests):
+        # one-sided bucket utilization requires the required hash
+        # distribution to match the bucket partitioning exactly,
+        # otherwise the planner shuffles both sides
+        write_bucketed(
+            edges_deg,
+            "pr_edges_bucketed_t",
+            ["src"],
+            8,
+            path=str(tmp_path / "pr_edges"),
+        )
+        bucketed = spark.table("pr_edges_bucketed_t")
+        plain = physical_plan(_pr_iteration(plain_edges, pr, n))
+        bplan = physical_plan(_pr_iteration(bucketed, pr, n))
+        assert count_exchanges(bplan) == count_exchanges(plain) - 1
+        # and the two layouts agree on the ranks themselves
+        got = {
+            r.node: r.pr for r in _pr_iteration(bucketed, pr, n).collect()
+        }
+        want = {
+            r.node: r.pr for r in _pr_iteration(plain_edges, pr, n).collect()
+        }
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS pr_edges_bucketed_t")
+
+
 def test_pagerank_mass_is_conserved_within_floor_loss(spark):
     """Total rank mass stays ~1: each node loses at most a few nano
     from the three FLOORs per iteration, never gains."""
