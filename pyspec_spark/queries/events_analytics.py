@@ -203,3 +203,52 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_offset")
         .agg(F.count("*").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# E4 (r5b) — event-transition matrix (first-order Markov counts): for
+# each user's time-ordered event stream, count (prev_type -> next_type)
+# transitions and the per-source transition probability.  The
+# behavioral-analytics primitive next to the funnel: the funnel checks
+# ONE prescribed path, the transition matrix measures ALL of them.
+# Determinism: per-user ordering ties break on event_id; probabilities
+# round to 6 after an integer count ratio.
+# Scale: one user-keyed window pass (the same single repartitioning the
+# funnel family shares) + a types^2-bounded aggregation — output is
+# |event_type|^2 regardless of stream size.
+# ---------------------------------------------------------------------------
+@query(
+    "q_event_transitions",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events
+),
+c AS (
+  SELECT prev, event_type, COUNT(*) AS n
+  FROM s WHERE prev IS NOT NULL
+  GROUP BY prev, event_type
+),
+t AS (SELECT prev, SUM(n) AS tot FROM c GROUP BY prev)
+SELECT c.prev AS prev_type, c.event_type AS next_type,
+       CAST(c.n AS BIGINT) AS n,
+       ROUND(c.n * 1.0 / t.tot, 6) AS p
+FROM c JOIN t ON t.prev = c.prev
+""",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    c = s.groupBy("prev", "event_type").agg(F.count("*").alias("n"))
+    t = c.groupBy("prev").agg(F.sum("n").alias("tot"))
+    return c.join(F.broadcast(t), "prev").select(
+        F.col("prev").alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+        F.col("n"),
+        F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
+    )

@@ -823,3 +823,77 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), "doc_id")
         .limit(_WS_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# R15 (r5b) — RFM customer segmentation (recency / frequency /
+# monetary), the classic behavioral bucketing: per-customer stats from
+# orders, NTILE(5) scores on each axis with deterministic custkey
+# tiebreaks, then the 5x5x5-bounded segment table.  Monetary sums are
+# exact decimal so both engines order identically before the ntile.
+# Scale note: the three ranking windows run over the |customers|-sized
+# stats table, not the order stream; at extreme customer cardinality
+# swap NTILE for histogram-CDF bucket assignment (the q_grid1d route)
+# to avoid the single-partition global sort.
+# ---------------------------------------------------------------------------
+_RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE)
+           AS monetary,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order
+  FROM orders GROUP BY o_custkey
+),
+mx AS (SELECT MAX(last_order) AS maxd FROM cust),
+rfm AS (
+  SELECT o_custkey, freq, monetary,
+         date_diff('day', last_order, mx.maxd) AS recency_days
+  FROM cust, mx
+),
+b AS (
+  SELECT monetary,
+    NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_bucket,
+    NTILE(5) OVER (ORDER BY freq DESC, o_custkey) AS f_bucket,
+    NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_bucket
+  FROM rfm
+)
+SELECT r_bucket, f_bucket, m_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(18,6))) AS DOUBLE)
+         AS total_monetary
+FROM b GROUP BY r_bucket, f_bucket, m_bucket
+"""
+
+
+@query("q_rfm", oracle=_RFM_ORACLE)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("freq"),
+        dsum("o_totalprice", "monetary"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+    )
+    mx = cust.agg(F.max("last_order").alias("maxd"))
+    rfm = cust.crossJoin(F.broadcast(mx)).select(
+        "o_custkey",
+        "freq",
+        "monetary",
+        F.datediff("maxd", "last_order").alias("recency_days"),
+    )
+    b = rfm.select(
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r_bucket"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("freq"), "o_custkey"))
+        .alias("f_bucket"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
+        .alias("m_bucket"),
+    )
+    return b.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count("*").alias("n_customers"),
+        dsum("monetary", "total_monetary"),
+    )

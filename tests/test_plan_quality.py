@@ -378,6 +378,23 @@ def test_bigram_backoff_broadcasts_model(spark):
     assert "CartesianProduct" not in p
 
 
+def test_event_transitions_bounded_exchanges(spark):
+    """One user-keyed window pass + types²-bounded aggregations; the
+    per-source totals broadcast back."""
+    p = _plan(spark, "q_event_transitions")
+    assert count_exchanges(p) <= 5
+    assert has_broadcast_join(p)
+
+
+def test_rfm_windows_over_customer_table_only(spark):
+    """The three ntile windows must run over the |customers|-sized
+    stats table (4 exchanges: cust agg + 3 global sorts), never over
+    the order stream."""
+    p = _plan(spark, "q_rfm")
+    assert count_exchanges(p) <= 6
+    assert "CartesianProduct" not in p
+
+
 def test_pagerank_bounded_exchanges_no_cartesian(spark):
     """Two unrolled iterations: shuffle count is fixed by K up front
     (edge distinct + degree + per-iter join/agg + top-k), never

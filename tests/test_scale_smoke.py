@@ -209,3 +209,81 @@ def test_substr_dup_hot_gram_skew(spark):
     assert all(r["dup_ngrams"] == 0 for r in rows_u[:200])
     # the hot gram must not blow up wall-clock: <= 5x the uniform twin
     assert dt_s <= max(5 * dt_u, dt_u + 5.0), (dt_s, dt_u)
+
+
+def test_pagerank_hot_hub_skew(spark):
+    """Graph skew stress for the iteration join (SCALING.md's AQE
+    skew-join posture): a hub node carries 50% of all edges, so the
+    src-keyed rank join concentrates half the stream on one key.
+    Proves the integer fixed point against a pure-python reference on
+    the identical edge set and bounds the wall-clock penalty vs a
+    uniform graph of the same size."""
+    import math
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.queries.graph import _PR_D, _PR_ITERS, _pr_iteration
+
+    n_edges = 200_000
+
+    def edges_df(skewed: bool):
+        base = spark.range(n_edges)
+        if skewed:
+            hot = F.col("id") % 2 == 0
+            src = F.when(hot, F.lit("HUB")).otherwise(
+                F.concat(F.lit("u"), (F.col("id") % 997).cast("string"))
+            )
+        else:
+            src = F.concat(F.lit("u"), (F.col("id") % 997).cast("string"))
+        dst = F.concat(F.lit("v"), (F.col("id") % 983).cast("string"))
+        e = base.select(src.alias("src"), dst.alias("dst")).distinct()
+        return e.union(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+
+    def run(skewed: bool):
+        e = edges_df(skewed)
+        deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+        edges_deg = e.join(deg, "src").select("src", "dst", "deg").cache()
+        nodes = edges_deg.select(F.col("src").alias("node")).distinct()
+        n = nodes.agg(F.count("*").alias("n"))
+        pr = nodes.crossJoin(F.broadcast(n)).select(
+            "node", F.floor(F.lit(1e9) / F.col("n")).alias("pr")
+        )
+        for _ in range(_PR_ITERS):
+            pr = _pr_iteration(edges_deg, pr, n)
+        t0 = time.time()
+        rows = pr.collect()
+        dt = time.time() - t0
+        edges_deg.unpersist()
+        return rows, dt
+
+    rows_u, dt_u = run(False)
+    rows_s, dt_s = run(True)
+
+    # exact fixed point vs pure python on the identical skewed edges
+    e_local = [
+        (r["src"], r["dst"])
+        for r in edges_df(True).collect()
+    ]
+    nodes = sorted({s for s, _ in e_local})
+    deg = {}
+    for s, _ in e_local:
+        deg[s] = deg.get(s, 0) + 1
+    nn = len(nodes)
+    pr = {v: math.floor(1e9 / nn) for v in nodes}
+    for _ in range(_PR_ITERS):
+        acc = {v: 0 for v in nodes}
+        for u, v in e_local:
+            acc[v] += math.floor(pr[u] / deg[u])
+        pr = {
+            v: math.floor(0.15e9 / nn) + math.floor(_PR_D * acc[v])
+            for v in nodes
+        }
+    got = {r["node"]: r["pr"] for r in rows_s}
+    assert got == pr
+    assert got["HUB"] == max(got.values())  # the hub dominates
+    # boundedness vs the uniform graph (AQE splits the hot key's join
+    # work; generous bound guards a degenerate single-task plan)
+    assert dt_s < max(3 * dt_u, dt_u + 2.0), (dt_s, dt_u)
