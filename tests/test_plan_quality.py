@@ -395,6 +395,16 @@ def test_rfm_windows_over_customer_table_only(spark):
     assert "CartesianProduct" not in p
 
 
+def test_copurchase_topk_before_model_joins(spark):
+    """TakeOrdered must run on the raw pair counts; the lift/support
+    model joins happen on the 20 surviving rows only (broadcast), not
+    on every distinct pair — measured 1.7 s -> 0.6 s at sf0.1."""
+    p = _plan(spark, "q_copurchase")
+    assert has_take_ordered(p)
+    assert count_exchanges(p) <= 6
+    assert "CartesianProduct" not in p
+
+
 def test_pagerank_bounded_exchanges_no_cartesian(spark):
     """Two unrolled iterations: shuffle count is fixed by K up front
     (edge distinct + degree + per-iter join/agg + top-k), never
