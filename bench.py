@@ -69,6 +69,7 @@ HEADLINE = [
     "q_pagerank",
     "q_semdedup",
     "q_bigram_backoff",
+    "q_curation_pipeline",
 ]
 
 

@@ -508,3 +508,140 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         F.round(F.col("weight") / F.col("tw"), 6).alias("mix_p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L21 — the COMPOSED curation pipeline as ONE declared query: exact
+# dedup (keep min doc_id per md5) -> quality gate (token count /
+# dup-token fraction / chars-per-token, the e2e-test thresholds) ->
+# exact benchmark decontamination (containment >= 0.6 against the
+# doc_id < 10 slice) -> per-source token budget (hash-ordered cumsum
+# cutoff) -> per-source survivor accounting.  Every stage is already a
+# declared operator; this query is the end-to-end composition with the
+# END-TO-END result oracle-checked (the iterative near-dup CC stage
+# lives in q_dedup_clusters/q_dedup_keep_best — recursive, composed in
+# tests/test_e2e_curation.py instead).
+# Scale: each stage keeps its own posture (one md5 groupBy; map-only
+# gate; broadcast bench semi-join; one source-keyed window) — no stage
+# introduces a new shuffle class.
+# ---------------------------------------------------------------------------
+_PIPE_BUDGET = 3000
+
+_PIPELINE_ORACLE = f"""
+WITH keep_exact AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+d1 AS (
+  SELECT d.doc_id, d.source, d.text,
+         len(string_split(d.text, ' ')) AS n_tokens
+  FROM documents d JOIN keep_exact USING (doc_id)
+),
+gated AS (
+  SELECT doc_id, source, text, n_tokens FROM d1
+  WHERE n_tokens BETWEEN 20 AND 1000
+    AND 1.0 - len(list_distinct(string_split(text, ' '))) * 1.0 / n_tokens
+        <= 0.6
+    AND length(text) * 1.0 / n_tokens BETWEEN 3.0 AND 12.0
+),
+{_SHINGLES_CTE.strip()},
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+  WHERE doc_id < {_BENCH_MAX_ID}
+),
+corpus AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+  WHERE doc_id >= {_BENCH_MAX_ID} AND len(shingles) > 0
+),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hit
+  FROM corpus c JOIN bench USING (shingle) GROUP BY c.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id),
+flagged AS (
+  SELECT s.doc_id FROM sizes s LEFT JOIN hits h USING (doc_id)
+  WHERE ROUND(COALESCE(h.n_hit, 0) * 1.0 / s.n_sh, 6) >= 0.6
+),
+d4 AS (
+  SELECT g.* FROM gated g LEFT JOIN flagged f USING (doc_id)
+  WHERE f.doc_id IS NULL
+),
+c AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM d4
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+FROM c WHERE cum <= {_PIPE_BUDGET}
+GROUP BY source
+"""
+
+
+@query("q_curation_pipeline", oracle=_PIPELINE_ORACLE)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    keep_exact = (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    toks = _toks()
+    n_tokens = F.size(toks)
+    d1 = d.join(keep_exact, "doc_id").select(
+        "doc_id", "source", "text", n_tokens.alias("n_tokens")
+    )
+    dup_frac = (
+        F.lit(1.0)
+        - F.size(F.array_distinct(_toks())).cast("double")
+        / F.col("n_tokens")
+    )
+    cpt = F.length("text").cast("double") / F.col("n_tokens")
+    gated = d1.where(
+        F.col("n_tokens").between(20, 1000)
+        & (dup_frac <= 0.6)
+        & cpt.between(3.0, 12.0)
+    )
+    sh = _shingled(spark, sf_dir)
+    bench = (
+        sh.where(F.col("doc_id") < _BENCH_MAX_ID)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus = sh.where(
+        (F.col("doc_id") >= _BENCH_MAX_ID) & (F.size("shingles") > 0)
+    ).select("doc_id", F.explode("shingles").alias("shingle"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    flagged = (
+        sizes.join(hits, "doc_id", "left")
+        .where(
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_sh"),
+                6,
+            )
+            >= 0.6
+        )
+        .select("doc_id")
+    )
+    d4 = gated.join(flagged, "doc_id", "left_anti")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = d4.withColumn("cum", F.sum("n_tokens").over(w)).where(
+        F.col("cum") <= _PIPE_BUDGET
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
