@@ -108,7 +108,7 @@ def main() -> None:
             t = time.time()
             fn(spark, sf_dir).collect()
             best = min(best, time.time() - t)
-        times[name] = round(best, 4)
+        times[name] = round(best, 3)
 
     # Cold full re-execution: rebuild the plan (bypassing the registry's
     # prepared-plan cache, so RDD/shuffle ids are fresh and no completed
@@ -130,7 +130,7 @@ def main() -> None:
             t = time.time()  # is still a full rebuild + re-execution
             builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t)
-        cold[name] = round(best, 4)
+        cold[name] = round(best, 3)
 
     # DuckDB oracle rerun (BASELINE.md protocol): same parquet views,
     # default threads, warm = second run; None for rows-only queries.
@@ -155,30 +155,48 @@ def main() -> None:
         oracle_ms = {n: None for n in names}
         oracle_ms["_error"] = str(e)[:200]  # type: ignore[assignment]
 
-    total = round(sum(times.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_warm_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_cold_reexec": cold,
-                "queries_oracle_ms": oracle_ms,
-                "cold_reexec_total": round(sum(cold.values()), 4),
-                "sf": sf,
-                "startup_sec": round(startup, 2),
-                "n_queries": len(times),
-                "methodology": (
-                    "warm = best-of-3 repeat collects (plan+shuffle-"
-                    "stage reuse); cold_reexec = rebuilt plan, caches "
-                    "cleared, noop sink, every stage re-executed, "
-                    "best-of-2; oracle_ms = DuckDB warm best-of-2 "
-                    "after warmup of the declared oracle SQL, same dir"
-                ),
-            }
-        )
-    )
+    total = round(sum(times.values()), 3)
+    payload = {
+        "metric": "headline_suite_warm_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_cold_reexec": cold,
+        "queries_oracle_ms": oracle_ms,
+        "cold_reexec_total": round(sum(cold.values()), 3),
+        "sf": sf,
+        "startup_sec": round(startup, 2),
+        "n_queries": len(times),
+        "methodology": (
+            "warm = best-of-3 repeat collects (plan+shuffle-"
+            "stage reuse); cold_reexec = rebuilt plan, caches "
+            "cleared, noop sink, every stage re-executed, "
+            "best-of-2; oracle_ms = DuckDB warm best-of-2 "
+            "after warmup of the declared oracle SQL, same dir"
+        ),
+    }
+    # Durable full copy first (round 5's stdout JSON line was truncated
+    # by the driver's tail capture — the in-repo file is the evidence of
+    # record; stdout remains the driver contract).  Round number = one
+    # past the newest recorded BENCH_r{N}.json, since the driver writes
+    # that file only AFTER this script runs.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        import re
+
+        rounds = [
+            int(m.group(1))
+            for f in os.listdir(here)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+        ]
+        full_name = f"BENCH_full_r{max(rounds, default=0) + 1:02d}.json"
+        with open(os.path.join(here, full_name), "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line still carries everything
+    sys.stdout.flush()
+    print(json.dumps(payload, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

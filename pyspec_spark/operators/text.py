@@ -304,7 +304,9 @@ def compression_ratio(
 # those corner cases for whole-stage codegen throughput.
 # ---------------------------------------------------------------------------
 _HTML_ENTITIES = [
-    ("&nbsp;", " "),
+    # &nbsp; is folded into _HTML_STRIP (it decodes to whitespace, so the
+    # strip pass can absorb it into the same collapsed run); the rest
+    # decode to non-space characters, so no re-collapse is needed after.
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
@@ -313,15 +315,34 @@ _HTML_ENTITIES = [
     ("&amp;", "&"),  # keep last — see module comment
 ]
 
+# ONE fused strip pass (round-6 perf fix, same recipe as the round-4 PII
+# single-alternation collapse): script block | style block | generic tag
+# | &nbsp; | whitespace, with a `+` wrapper so an adjacent RUN of any mix
+# collapses to a single space in the same pass — this subsumes the old
+# separate `\s+` collapse.  Left-to-right scan preserves the old
+# pass-ordering semantics: at a `<script` position the block alternative
+# is tried before the generic tag, exactly like running the block strip
+# first.  3 regex passes + 1 collapse + 7 literal replaces → 1 regex
+# pass + 6 literal replaces.  Quantifiers are POSSESSIVE (*+, ++): none
+# of these subpatterns can ever benefit from giving characters back
+# ([^>] can't match '>', the outer run has no continuation), so
+# possessive == greedy semantically, but it stops java.util.regex from
+# keeping backtracking state — measured 436 → ~220 ms warm at sf0.1
+# (BASELINE.md §round 6).  The DuckDB oracle mirror keeps the plain
+# greedy spelling: RE2 is non-backtracking by construction and rejects
+# possessive syntax.
+_HTML_STRIP = (
+    r"(?is)(?:<script[^>]*+>.*?</script>|<style[^>]*+>.*?</style>"
+    r"|<[^>]++>|&nbsp;|\s)++"
+)
+
 
 def html_to_text(col):
     """Visible text of an HTML string column (see block comment)."""
-    s = F.regexp_replace(col, r"(?is)<script[^>]*>.*?</script>", " ")
-    s = F.regexp_replace(s, r"(?is)<style[^>]*>.*?</style>", " ")
-    s = F.regexp_replace(s, r"<[^>]+>", " ")
+    s = F.regexp_replace(col, _HTML_STRIP, " ")
     for ent, rep in _HTML_ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(rep))
-    return F.trim(F.regexp_replace(s, r"\s+", " "))
+    return F.trim(s)
 
 
 # ---------------------------------------------------------------------------

@@ -364,24 +364,23 @@ WITH w AS (
   FROM documents
 ),
 s1 AS (
+  -- mirrors operators/text._HTML_STRIP: ONE fused alternation pass
+  -- (script|style|tag|&nbsp;|whitespace)+ -> ' ', then the non-space
+  -- entity decodes with &amp; last (no re-collapse needed after)
   SELECT doc_id, html,
-         regexp_replace(regexp_replace(html,
-             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-             '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t
+         regexp_replace(html,
+             '(?is)(?:<script[^>]*>.*?</script>|<style[^>]*>.*?</style>|<[^>]+>|&nbsp;|\\s)+',
+             ' ', 'g') AS t
   FROM w
 ),
-s2 AS (SELECT doc_id, html,
-              regexp_replace(t, '<[^>]+>', ' ', 'g') AS t FROM s1),
-s3 AS (
+s4 AS (
   SELECT doc_id, html,
-         replace(replace(replace(replace(replace(replace(replace(t,
-             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+         trim(replace(replace(replace(replace(replace(replace(t,
+             '&lt;', '<'), '&gt;', '>'),
              '&quot;', '"'), '&#39;', chr(39)), '&copy;', '©'),
-             '&amp;', '&') AS t
-  FROM s2
-),
-s4 AS (SELECT doc_id, html,
-              trim(regexp_replace(t, '\\s+', ' ', 'g')) AS t FROM s3)
+             '&amp;', '&')) AS t
+  FROM s1
+)
 SELECT doc_id,
        CAST(length(html) AS BIGINT) AS n_chars_html,
        CAST(length(t) AS BIGINT) AS n_chars_text,

@@ -46,5 +46,10 @@ def get_spark(app_name: str = "pyspec_spark", shuffle_partitions: int | None = N
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # The console progress bar writes \r-terminated frames that get
+        # interleaved with stdout when a harness captures both streams —
+        # round 5's BENCH JSON line was truncated by exactly this.  The
+        # bar carries no information in non-interactive runs.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
