@@ -329,6 +329,8 @@ def _decode_scan(data, p, frame, scan_tables, qtables, huff_dc, huff_ac,
     for cid, hi, vi, tq in comps:
         if tq not in qtables:
             raise ValueError(f"missing quantization table {tq}")
+        if cid not in scan_tables:
+            raise ValueError(f"SOS references unknown component id {cid}")
         td, ta = scan_tables[cid]
         if td not in huff_dc or ta not in huff_ac:
             raise ValueError(f"missing Huffman table DC{td}/AC{ta}")

@@ -313,3 +313,212 @@ def make_minimal_mp4(
     moov = _box("moov", mvhd + trak)
     mdat = _box("mdat", bytes(16) * n_samples)
     return ftyp + moov + mdat
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-MP4 (round 6, VERDICT #4): Motion JPEG stores each video
+# sample as a COMPLETE baseline-JPEG image ('jpeg' sample-entry fourcc
+# per ISO 14496-12 / QuickTime), so the container needs only the sample
+# tables — no bitstream codec.  This closes the mp4 frame-decode stub
+# for the one codec the in-repo T.81 decoder (operators/jpeg.py) can
+# serve; H.264/HEVC/AV1 frames remain the documented out-of-scope
+# boundary.  The synthesizer writes REAL stsc/stco/stsz tables (one
+# chunk holding all samples, per-sample sizes, absolute chunk offset)
+# and the extractor reads frames back through them — the same
+# offset-walk a production demuxer does, so seeking frame k touches
+# only frame k's bytes.
+# ---------------------------------------------------------------------------
+def make_mjpeg_mp4(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: float = 24.0,
+    timescale: int = 1000,
+    language: str = "und",
+) -> bytes:
+    """Valid single-track MJPEG movie whose mdat holds ``frames`` (each
+    a complete JPEG byte string) addressed by real stsz/stsc/stco."""
+    n_samples = len(frames)
+    dur = int(round(n_samples / fps * timescale))
+    ftyp = _box("ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+
+    def moov_for(chunk_offset: int) -> bytes:
+        mvhd = _box(
+            "mvhd",
+            struct.pack(">I", 0)
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, dur)
+            + struct.pack(">I", 0x00010000)
+            + struct.pack(">H", 0x0100) + b"\x00" * 10
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + b"\x00" * 24
+            + struct.pack(">I", 2),
+        )
+        tkhd = _box(
+            "tkhd",
+            struct.pack(">I", 7)
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", 1)
+            + struct.pack(">I", 0)
+            + struct.pack(">I", dur)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        packed_lang = 0
+        for c in language[:3]:
+            packed_lang = (packed_lang << 5) | (ord(c) - 0x60)
+        mdhd = _box(
+            "mdhd",
+            struct.pack(">I", 0)
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">II", timescale, dur)
+            + struct.pack(">HH", packed_lang, 0),
+        )
+        hdlr = _box(
+            "hdlr",
+            struct.pack(">I", 0) + struct.pack(">I", 0) + b"vide"
+            + b"\x00" * 12 + b"video\x00",
+        )
+        entry_rest = (
+            b"\x00" * 6 + struct.pack(">H", 1)
+            + b"\x00" * 16
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x480000, 0x480000)
+            + struct.pack(">I", 0) + struct.pack(">H", 1)
+            + b"\x00" * 32
+            + struct.pack(">Hh", 24, -1)
+        )
+        entry = (
+            struct.pack(">I", 8 + len(entry_rest)) + b"jpeg" + entry_rest
+        )
+        stsd = _box("stsd", struct.pack(">I", 0) + struct.pack(">I", 1) + entry)
+        stsz = _box(
+            "stsz",
+            struct.pack(">I", 0) + struct.pack(">II", 0, n_samples)
+            + b"".join(struct.pack(">I", len(f)) for f in frames),
+        )
+        # one chunk, all samples in it, first sample-description
+        stsc = _box(
+            "stsc",
+            struct.pack(">I", 0) + struct.pack(">I", 1)
+            + struct.pack(">III", 1, n_samples, 1),
+        )
+        stco = _box(
+            "stco",
+            struct.pack(">I", 0) + struct.pack(">I", 1)
+            + struct.pack(">I", chunk_offset),
+        )
+        stbl = _box("stbl", stsd + stsz + stsc + stco)
+        minf = _box("minf", stbl)
+        mdia = _box("mdia", mdhd + hdlr + minf)
+        trak = _box("trak", tkhd + mdia)
+        return _box("moov", mvhd + trak)
+
+    # stco holds an ABSOLUTE file offset, which depends on moov's own
+    # size — build once with a placeholder to learn the size (the size
+    # does not depend on the offset value), then rebuild with the real
+    # offset of the mdat body.
+    moov_len = len(moov_for(0))
+    chunk_offset = len(ftyp) + moov_len + 8  # +8 = mdat header
+    moov = moov_for(chunk_offset)
+    mdat = _box("mdat", b"".join(frames))
+    return ftyp + moov + mdat
+
+
+def extract_mp4_samples(
+    data: bytes, frame_ids: list[int] | None = None
+) -> tuple[str, list[bytes]]:
+    """(sample_codec_fourcc, sample byte strings) for the first video
+    track, addressed through stsz/stsc/stco like a real demuxer.
+
+    ``frame_ids=None`` returns every sample; otherwise only the
+    requested ones (seek = offset arithmetic, untouched samples are
+    never sliced).  Supports the one-chunk layout make_mjpeg_mp4 writes
+    plus the general N-chunk stsc walk.  Raises ValueError on missing
+    sample tables or a sample overrunning the file (truncated mdat)."""
+    list(iter_boxes(data))  # structural gate, same as parse_mp4_metadata
+    moov = _find(data, 0, len(data), "moov")
+    if moov is None:
+        raise ValueError("mp4: no moov box — not a valid ISO-BMFF movie")
+    for fc, trs, tre in iter_boxes(data, moov[0], moov[1]):
+        if fc != "trak":
+            continue
+        mdia = _find(data, trs, tre, "mdia")
+        if not mdia:
+            continue
+        hdlr = _find(data, mdia[0], mdia[1], "hdlr")
+        if not hdlr or data[hdlr[0] + 8 : hdlr[0] + 12] != b"vide":
+            continue
+        minf = _find(data, mdia[0], mdia[1], "minf")
+        stbl = minf and _find(data, minf[0], minf[1], "stbl")
+        if not stbl:
+            raise ValueError("mp4: video track without stbl")
+        stsd = _find(data, stbl[0], stbl[1], "stsd")
+        if not stsd:
+            raise ValueError("mp4: video track without stsd")
+        _need(stsd[1], stsd[0] + 16, "stsd")
+        codec = data[stsd[0] + 12 : stsd[0] + 16].decode("latin-1")
+        stsz = _find(data, stbl[0], stbl[1], "stsz")
+        if not stsz:
+            raise ValueError("mp4: video track without stsz")
+        s, e = stsz
+        _need(e, s + 12, "stsz")
+        fixed, n = struct.unpack_from(">II", data, s + 4)
+        if fixed:
+            sizes = [fixed] * n
+        else:
+            _need(e, s + 12 + 4 * n, "stsz")
+            sizes = list(struct.unpack_from(f">{n}I", data, s + 12))
+        stco = _find(data, stbl[0], stbl[1], "stco")
+        if not stco:
+            raise ValueError("mp4: video track without stco")
+        s, e = stco
+        _need(e, s + 8, "stco")
+        (n_chunks,) = struct.unpack_from(">I", data, s + 4)
+        _need(e, s + 8 + 4 * n_chunks, "stco")
+        chunk_offsets = list(struct.unpack_from(f">{n_chunks}I", data, s + 8))
+        stsc = _find(data, stbl[0], stbl[1], "stsc")
+        if not stsc:
+            raise ValueError("mp4: video track without stsc")
+        s, e = stsc
+        _need(e, s + 8, "stsc")
+        (n_ent,) = struct.unpack_from(">I", data, s + 4)
+        _need(e, s + 8 + 12 * n_ent, "stsc")
+        runs = [
+            struct.unpack_from(">III", data, s + 8 + 12 * i)
+            for i in range(n_ent)
+        ]
+        # expand stsc runs -> samples-per-chunk, then absolute offsets
+        offsets: list[int] = []
+        sample = 0
+        for ci in range(n_chunks):
+            per = 0
+            for first_chunk, spc, _desc in runs:
+                if ci + 1 >= first_chunk:
+                    per = spc
+            off = chunk_offsets[ci]
+            for _ in range(per):
+                if sample >= n:
+                    break
+                offsets.append(off)
+                off += sizes[sample]
+                sample += 1
+        if sample < n:
+            raise ValueError(
+                f"mp4: stsc/stco address only {sample} of {n} samples"
+            )
+        want = range(n) if frame_ids is None else frame_ids
+        out: list[bytes] = []
+        for k in want:
+            if not 0 <= k < n:
+                raise ValueError(f"mp4: frame {k} out of range (n={n})")
+            lo, hi = offsets[k], offsets[k] + sizes[k]
+            if hi > len(data):
+                raise ValueError(
+                    f"mp4: sample {k} overruns file ({hi} > {len(data)})"
+                )
+            out.append(data[lo:hi])
+        return codec, out
+    raise ValueError("mp4: no video (hdlr=vide) track")

@@ -81,11 +81,23 @@ def decode_frame(codec: str, payload: bytes, width: int, height: int, frame_id: 
             f"codec {codec!r} is audio — use decode_wav / extract_audio_features"
         )
     if codec in STUBBED_CODECS:
+        # MJPEG-in-MP4 (round 6): each sample is a complete baseline
+        # JPEG, demuxed through the real stsz/stsc/stco tables and
+        # decoded by the in-repo T.81 decoder.  Only non-MJPEG sample
+        # codecs (avc1/hvc1/av01 bitstreams) remain stubbed.
+        from pyspec_spark.operators.jpeg import decode_jpeg_one
+        from pyspec_spark.operators.mp4 import extract_mp4_samples
+
+        sample_codec, samples = extract_mp4_samples(payload, [frame_id])
+        if sample_codec in ("jpeg", "mjpa"):
+            img, _ = decode_jpeg_one(samples[0], 0)
+            return img
         raise NotImplementedError(
-            f"codec {codec!r}: FRAME decoder library not available in "
-            "this container — plug a decoder in here (PIL/av); container "
-            "METADATA parses without one (video_metadata / operators/"
-            "mp4.py)"
+            f"mp4 sample codec {sample_codec!r}: FRAME decoder library "
+            "not available in this container — plug a decoder in here "
+            "(PIL/av); MJPEG ('jpeg'/'mjpa') decodes natively and "
+            "container METADATA parses without any codec "
+            "(video_metadata / operators/mp4.py)"
         )
     raise ValueError(f"unknown codec {codec!r}")
 
@@ -274,6 +286,33 @@ def make_video_media(spark: SparkSession, n: int = 6) -> DataFrame:
         rows.append(
             (i, "video", "mp4", 64 + 16 * i, 48 + 12 * i, 24 * (i + 1),
              bytearray(payload))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def make_mjpeg_media(
+    spark: SparkSession, n: int = 6, frames: int = 4, width: int = 16, height: int = 12
+) -> DataFrame:
+    """Media table of real MJPEG-in-MP4 movies: each sample is a
+    baseline JPEG of the deterministic synth_image, muxed behind real
+    stsz/stsc/stco tables.  Subsampling alternates 4:4:4 / 4:2:0 per
+    media so both JPEG paths are exercised through the demuxer."""
+    from pyspec_spark.operators.jpeg import encode_jpeg
+    from pyspec_spark.operators.mp4 import make_mjpeg_mp4
+
+    rows = []
+    for i in range(n):
+        jpegs = [
+            encode_jpeg(
+                synth_image(i, f, width, height),
+                quality=92,
+                subsampling="420" if i % 2 else "444",
+            )
+            for f in range(frames)
+        ]
+        payload = make_mjpeg_mp4(jpegs, width, height, fps=24.0)
+        rows.append(
+            (i, "video", "mp4", width, height, frames, bytearray(payload))
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

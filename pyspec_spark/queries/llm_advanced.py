@@ -414,6 +414,59 @@ def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L7 video FRAMES (r6) — the mp4 frame-decode boundary closed for
+# MJPEG: real MJPEG-in-MP4 movies (every sample a complete baseline
+# JPEG behind real stsz/stsc/stco tables, operators/mp4.py
+# make_mjpeg_mp4) are demuxed sample-by-sample and decoded by the
+# in-repo T.81 decoder inside mapInPandas; per-frame mean/std channel
+# features come out.  Oracle = committed golden parquet (the
+# q_compress_ratio promotion pattern): hash-equality pins the ENTIRE
+# demux+entropy-decode+IDCT pipeline to exact bytes — any drift in the
+# Huffman tables, the sample-offset walk, or the upsampling math flips
+# the hash.  Non-MJPEG sample codecs (avc1/hvc1/av01) remain the
+# documented NotImplementedError.  At 100 TB: payloads never leave
+# executors, frame k is seeked via offset arithmetic (not decoded
+# past), and the decode cost is bounded by sampled frames.
+# ---------------------------------------------------------------------------
+_VIDEO_FRAMES_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "video_frames_golden.parquet",
+)
+
+_VIDEO_FRAMES_ORACLE = f"""
+SELECT media_id, frame_id, mean_r, mean_g, mean_b, std_luma
+FROM read_parquet('{_VIDEO_FRAMES_GOLDEN}')
+ORDER BY media_id, frame_id
+"""
+
+
+@query("q_video_frames", oracle=_VIDEO_FRAMES_ORACLE)
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.multimodal import (
+        extract_features,
+        make_mjpeg_media,
+    )
+
+    media = make_mjpeg_media(spark, n=6, frames=4)
+    feats = extract_features(media, sample_every=1)
+    return feats.select(
+        "media_id",
+        "frame_id",
+        F.round(F.element_at("features", 1), 6).alias("mean_r"),
+        F.round(F.element_at("features", 2), 6).alias("mean_g"),
+        F.round(F.element_at("features", 3), 6).alias("mean_b"),
+        F.round(
+            (
+                F.element_at("features", 4) * 0.299
+                + F.element_at("features", 5) * 0.587
+                + F.element_at("features", 6) * 0.114
+            ),
+            6,
+        ).alias("std_luma"),
+    ).orderBy("media_id", "frame_id")
+
+
+# ---------------------------------------------------------------------------
 # L7 audio — per-window RMS / zero-crossing features from REAL WAV PCM
 # payloads decoded by the in-repo RIFF parser (operators/codecs.py)
 # inside mapInPandas (rows-only; goldens pin sine-wave RMS=A/sqrt(2)

@@ -93,6 +93,66 @@ def hash_embed_stream(docs: DataFrame, dim: int = 16) -> DataFrame:
     return fh_bucket_sums(docs, dim)
 
 
+def curate_to_lake(
+    stream: DataFrame,
+    spark: SparkSession,
+    target_dir: str,
+    min_quality: float = 0.5,
+    compact_every: int = 2,
+    files_per_partition: int = 1,
+) -> None:
+    """The production WRITE path of incremental curation (r6 VERDICT
+    #7): each micro-batch of curated documents is MERGE-upserted into a
+    lang-partitioned parquet lake (sinks.merge_upsert — only partitions
+    containing updated keys are rewritten, dynamic partition
+    overwrite), and every ``compact_every`` batches the lake is
+    compacted (sinks.compact_small_files) so streaming ingestion does
+    not accrete one small file per batch per partition — scan cost
+    grows with file COUNT, not bytes, and at 100 TB an uncompacted
+    month of micro-batches is the classic lake-killer.
+
+    Re-delivered doc_ids (crawl re-fetches) UPDATE in place rather than
+    duplicating — the exactly-once-per-key semantics an append sink
+    cannot give.  Runs with availableNow and blocks until drained; the
+    integration test asserts end-state equality with the batch curate()
+    over the same documents, the post-compaction file-count bound, and
+    file-identity on partitions a later merge does not touch."""
+    import os as _os
+
+    from pyspec_spark.sinks import compact_small_files, merge_upsert
+
+    curated = curate(stream, min_quality=min_quality)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not _os.path.isdir(target_dir):
+            # bootstrap: first batch creates the partitioned layout
+            (
+                batch_df.repartition("lang")
+                .write.mode("overwrite")
+                .partitionBy("lang")
+                .parquet(target_dir)
+            )
+        else:
+            merge_upsert(
+                spark, target_dir, batch_df, key="doc_id", partition_col="lang"
+            )
+        if compact_every and batch_id % compact_every == compact_every - 1:
+            compact_small_files(
+                spark,
+                target_dir,
+                partition_col="lang",
+                files_per_partition=files_per_partition,
+            )
+
+    q = (
+        curated.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def bloom_screen_stream(
     docs: DataFrame, bloom_arr: DataFrame, min_containment: float = 0.6
 ) -> DataFrame:

@@ -220,3 +220,138 @@ def test_mp4_parser_fuzz_truncations():
             parse_mp4_metadata(base[:cut])
         except ValueError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# MJPEG-in-MP4 (round 6): demux through real stsz/stsc/stco + T.81
+# decode — the mp4 frame boundary closed for the one codec the repo
+# can serve natively.
+# ---------------------------------------------------------------------------
+def _mjpeg_movie(mid=3, frames=4, w=16, h=12, quality=92):
+    from pyspec_spark.operators.jpeg import encode_jpeg
+    from pyspec_spark.operators.mp4 import make_mjpeg_mp4
+    from pyspec_spark.operators.multimodal import synth_image
+
+    jpegs = [
+        encode_jpeg(synth_image(mid, f, w, h), quality=quality)
+        for f in range(frames)
+    ]
+    return jpegs, make_mjpeg_mp4(jpegs, w, h, fps=24.0)
+
+
+def test_mjpeg_mux_demux_roundtrip_exact_bytes():
+    from pyspec_spark.operators.mp4 import extract_mp4_samples
+
+    jpegs, movie = _mjpeg_movie()
+    codec, samples = extract_mp4_samples(movie)
+    assert codec == "jpeg"
+    assert samples == jpegs  # byte-exact through the sample tables
+
+
+def test_mjpeg_metadata_parses_like_any_mp4():
+    from pyspec_spark.operators.mp4 import parse_mp4_metadata
+
+    _, movie = _mjpeg_movie(frames=6)
+    meta = parse_mp4_metadata(movie)
+    (track,) = meta["tracks"]
+    assert track["codec"] == "jpeg"
+    assert track["handler"] == "vide"
+    assert track["n_samples"] == 6
+    assert meta["duration_s"] == 0.25  # 6 frames / 24 fps
+
+
+def test_mjpeg_frame_seek_decodes_only_requested():
+    """Seeking frame k slices only frame k's bytes (offset arithmetic),
+    and the decoded pixels equal decoding the source JPEG directly."""
+    import numpy as np
+
+    from pyspec_spark.operators.jpeg import decode_jpeg_one
+    from pyspec_spark.operators.mp4 import extract_mp4_samples
+    from pyspec_spark.operators.multimodal import decode_frame
+
+    jpegs, movie = _mjpeg_movie()
+    codec, (s2,) = extract_mp4_samples(movie, [2])
+    assert s2 == jpegs[2]
+    ref, _ = decode_jpeg_one(jpegs[2], 0)
+    got = decode_frame("mp4", movie, 16, 12, 2)
+    assert np.array_equal(got, ref)
+    with pytest.raises(ValueError, match="out of range"):
+        extract_mp4_samples(movie, [99])
+
+
+def test_mjpeg_non_mjpeg_mp4_still_stubbed():
+    """The NotImplementedError boundary remains for bitstream codecs."""
+    from pyspec_spark.operators.mp4 import make_minimal_mp4
+    from pyspec_spark.operators.multimodal import decode_frame
+
+    movie = make_minimal_mp4(codec="avc1", n_samples=4)
+    try:
+        decode_frame("mp4", movie, 64, 48, 0)
+        raise AssertionError("expected NotImplementedError or ValueError")
+    except NotImplementedError as e:
+        assert "avc1" in str(e)
+    except ValueError:
+        # make_minimal_mp4 writes no stco/stsc (metadata-only movie) —
+        # a demux ValueError is equally a correct refusal
+        pass
+
+
+def test_mjpeg_truncation_fuzz():
+    """Every prefix-truncation either demuxes fully or raises ValueError
+    — never garbage frames, never a non-ValueError crash."""
+    from pyspec_spark.operators.mp4 import extract_mp4_samples
+
+    jpegs, movie = _mjpeg_movie(frames=3)
+    ok = err = 0
+    for cut in range(0, len(movie), 11):
+        try:
+            codec, samples = extract_mp4_samples(movie[:cut])
+            assert samples == jpegs  # full success must be byte-exact
+            ok += 1
+        except ValueError:
+            err += 1
+    assert err > 0  # the fuzz must bite
+    # and the intact movie demuxes
+    extract_mp4_samples(movie)
+
+
+def test_mjpeg_byte_corruption_fuzz_decode():
+    """Random single-byte corruptions of the movie: the demux+decode
+    chain either succeeds or raises ValueError — no silent crashes of
+    other types (IndexError/struct.error would mean missing bounds
+    checks)."""
+    import random
+
+    from pyspec_spark.operators.multimodal import decode_frame
+
+    _, movie = _mjpeg_movie(frames=2)
+    rng = random.Random(99)
+    outcomes = {"ok": 0, "value_error": 0}
+    for _ in range(200):
+        data = bytearray(movie)
+        for _ in range(rng.randint(1, 3)):
+            data[rng.randrange(len(data))] = rng.randrange(256)
+        try:
+            decode_frame("mp4", bytes(data), 16, 12, 1)
+            outcomes["ok"] += 1
+        except (ValueError, NotImplementedError):
+            outcomes["value_error"] += 1
+    assert outcomes["value_error"] > 0, outcomes
+
+
+def test_q_video_frames_matches_committed_golden(spark):
+    """The declared query reproduces the committed golden parquet
+    byte-exactly (the oracle the driver replays)."""
+    import pandas as pd
+
+    from pyspec_spark import registry
+
+    registry.load_all()
+    df = registry.QUERIES["q_video_frames"](spark, "/root/testdata/sf0.001")
+    got = df.toPandas()
+    want = pd.read_parquet(
+        "tests/fixtures/video_frames_golden.parquet"
+    ).sort_values(["media_id", "frame_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"frame_id": "int32"}), want.astype({"frame_id": "int32"})
+    )

@@ -439,3 +439,118 @@ def test_stream_hash_embed_equals_batch(spark, doc_chunks):
         if r["fh_val"] != 0.0  # streaming state has no explicit zeros
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r6 VERDICT #7: the production WRITE path — curation stream foreachBatch
+# -> merge_upsert into a lang-partitioned lake + periodic compaction.
+# ---------------------------------------------------------------------------
+def test_stream_curate_to_lake_merge_upsert(spark, doc_chunks, tmp_path):
+    import glob
+
+    import pyspec_spark.streaming.corpus as sc
+    from pyspec_spark.sinks import merge_upsert
+    from pyspec_spark.tables import table
+
+    base, _ = doc_chunks
+    lake = str(tmp_path / "curated_lake")
+    stream = sc.read_document_stream(spark, base, max_files_per_trigger=1)
+    sc.curate_to_lake(
+        stream, spark, lake, min_quality=0.78, compact_every=2,
+        files_per_partition=1,
+    )
+
+    # 1. end-state equality with the batch pipeline (modulo the lang
+    # partition column round-tripping through the directory layout)
+    got = spark.read.parquet(lake)
+    want = sc.curate(table(spark, SF, "documents"), min_quality=0.78)
+    cols = sorted(want.columns)
+    assert sorted(got.columns) == cols
+    assert _collect_sorted(got.select(*cols), cols) == _collect_sorted(
+        want.select(*cols), cols
+    )
+
+    # 2. file-count bound: 4 micro-batches with compact_every=2 must NOT
+    # leave ~4 files per partition; the final compaction pass ran at
+    # batch 3, so at most files_per_partition + 1 uncompacted batch's
+    # worth per partition remains
+    n_langs = got.select("lang").distinct().count()
+    files = glob.glob(os.path.join(lake, "**", "*.parquet"), recursive=True)
+    assert len(files) <= 2 * n_langs, (len(files), n_langs)
+
+    # 3. a later merge touching ONE lang leaves every other partition's
+    # files byte-identical (path + mtime + size)
+    langs = sorted(r.lang for r in got.select("lang").distinct().collect())
+    assert len(langs) >= 2
+    touched, untouched = langs[0], langs[1:]
+
+    def census(skip_lang):
+        out = {}
+        for f in glob.glob(
+            os.path.join(lake, "**", "*.parquet"), recursive=True
+        ):
+            if f"lang={skip_lang}" not in f:
+                st = os.stat(f)
+                out[f] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = census(touched)
+    upd = (
+        got.where(F.col("lang") == touched)
+        .limit(5)
+        .withColumn("quality", F.lit(0.999))
+    )
+    merge_upsert(spark, lake, upd, key="doc_id", partition_col="lang")
+    assert census(touched) == before  # untouched partitions untouched
+    # and the update landed
+    assert (
+        spark.read.parquet(lake)
+        .where((F.col("lang") == touched) & (F.col("quality") == 0.999))
+        .count()
+        == 5
+    )
+
+
+def test_stream_curate_to_lake_upserts_redelivered_keys(spark, tmp_path):
+    """A re-crawled doc_id arriving in a later chunk must UPDATE the
+    lake row, not duplicate it — the merge_upsert semantics an append
+    sink cannot give."""
+    import pandas as pd
+
+    import pyspec_spark.streaming.corpus as sc
+
+    src = tmp_path / "redeliver_src"
+    src.mkdir()
+    lake = str(tmp_path / "redeliver_lake")
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 8
+    rows1 = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [text, text + "one"],
+            "lang": ["en", "en"],
+            "source": ["crawl_a", "crawl_a"],
+            "n_chars": [len(text), len(text) + 3],
+        }
+    )
+    # doc 2 re-delivered with new source; doc 3 new
+    rows2 = pd.DataFrame(
+        {
+            "doc_id": [2, 3],
+            "text": [text + "one", text + "two"],
+            "lang": ["en", "fr"],
+            "source": ["crawl_b", "crawl_b"],
+            "n_chars": [len(text) + 3, len(text) + 3],
+        }
+    )
+    rows1.to_parquet(src / "chunk_0.parquet", index=False)
+    rows2.to_parquet(src / "chunk_1.parquet", index=False)
+    stream = sc.read_document_stream(spark, str(src), max_files_per_trigger=1)
+    sc.curate_to_lake(stream, spark, lake, min_quality=0.0, compact_every=0)
+    got = (
+        spark.read.parquet(lake)
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.doc_id for r in got] == [1, 2, 3]
+    assert got[1].source == "crawl_b"  # updated in place, not duplicated
