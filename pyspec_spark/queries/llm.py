@@ -269,10 +269,21 @@ WHERE CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter) >= 0.2
 """
 
 
-def jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def jaccard_pairs(
+    spark: SparkSession, sf_dir: str, max_doc_id: int | None = 500
+) -> DataFrame:
     """Exact n-gram-Jaccard near-dup pairs (threshold 0.2) — shared by
-    q_jaccard_neardup and the q_dedup_clusters component labeling."""
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    q_jaccard_neardup and the q_dedup_clusters component labeling.
+
+    ``max_doc_id`` bounds the declared-query slice so the DuckDB oracle
+    can replay the pair join at interactive speed; the weak-scaling
+    probe (tools/scale_probe_r5b.py --pipelines) passes None to run the
+    UNCAPPED composition over replicated corpora — the df<=50 hot-
+    shingle cutoff, not the slice, is what bounds join fan-out at
+    scale."""
+    d = table(spark, sf_dir, "documents")
+    if max_doc_id is not None:
+        d = d.where(F.col("doc_id") < max_doc_id)
     toks = F.split("text", " ")
     shingles = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),

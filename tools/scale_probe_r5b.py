@@ -125,12 +125,69 @@ def probe_semdedup_bigram(spark, ks_sem, ks_big) -> None:
         print(f"| {k} | {n:,} | {t * 1000:.0f} ms |")
 
 
+def probe_pipelines(spark, ks) -> None:
+    """r6 VERDICT #5: weak-scale the two MULTI-STAGE compositions —
+    q_curation_pipeline (dedup→gate→decontaminate→budget) and
+    q_dedup_clusters (shingle→jaccard→connected components) — which the
+    per-stage probes don't cover (stage interactions: shuffle reuse,
+    cached intermediates, CC iteration count growth).  Per k: wall time
+    (noop, caches cleared — both compositions cache interiors), output
+    rows (linearity check: salted replicas ⇒ output ~×k), and whether
+    AQE's runtime skew-split fired anywhere in the FINAL adaptive plan
+    (`skew=...` markers scraped from the executed plan after a
+    collect)."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def dedup_clusters_uncapped(spark, d):
+        # the q_dedup_clusters composition WITHOUT the doc_id<500
+        # oracle-replayability slice — otherwise replicas (offset ids)
+        # add zero work and the probe measures nothing
+        from pyspec_spark.operators.dedup import connected_components
+        from pyspec_spark.queries.llm import jaccard_pairs
+
+        edges = jaccard_pairs(spark, d, max_doc_id=None).select(
+            "doc_a", "doc_b"
+        )
+        return connected_components(edges, src="doc_a", dst="doc_b")
+
+    subjects = [
+        ("q_curation_pipeline", lambda s, d: registry.QUERIES[
+            "q_curation_pipeline"](s, d)),
+        ("dedup_clusters (uncapped)", dedup_clusters_uncapped),
+    ]
+    for name, build in subjects:
+        print(f"| k | docs | {name} wall | out rows | AQE skew joins |")
+        print("|---|---|---|---|---|")
+        for k in ks:
+            d = build_neardup_replica(spark, k)
+            n = spark.read.parquet(f"{d}/documents.parquet").count()
+
+            def run():
+                spark.catalog.clearCache()
+                build(spark, d).write.format("noop").mode("overwrite").save()
+
+            t = _best_of(run)
+            # separate run for rows + final adaptive plan: collect()
+            # finalizes AdaptiveSparkPlan so skew=true markers (runtime
+            # skew-splits) are visible in the executed plan string
+            spark.catalog.clearCache()
+            df = build(spark, d)
+            rows = len(df.collect())
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            n_skew = plan.count("skew=true")
+            print(f"| {k} | {n:,} | {t * 1000:.0f} ms | {rows:,} | {n_skew} |")
+
+
 def main() -> None:
     args = sys.argv[1:]
     spark = get_spark("scale_probe_r5b")
     registry.load_all()
     if args and args[0] == "--semdedup-bigram":
         probe_semdedup_bigram(spark, ks_sem=[1, 2, 4], ks_big=[1, 4, 16])
+        return
+    if args and args[0] == "--pipelines":
+        ks = [int(x) for x in (args[1:] or ["1", "2", "4", "8"])]
+        probe_pipelines(spark, ks)
         return
     ks = [int(x) for x in (args or ["1", "4", "16"])]
     header = "| k | docs | " + " | ".join(CURATION) + " | q_pagerank |"
