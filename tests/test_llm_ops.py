@@ -304,11 +304,16 @@ def test_multimodal_plumbing(spark):
     f1 = decode_frame("fake-rgb8", b"\x01" * 32, 16, 12, 0)
     f2 = decode_frame("fake-rgb8", b"\x01" * 32, 16, 12, 0)
     np.testing.assert_array_equal(f1, f2)
-    # mp4 stays the lone stubbed boundary (decoder lib absent from the
-    # container); png/ppm/pgm/jpeg decode for real — tests/test_codecs.py
-    # and tests/test_jpeg.py
-    with pytest.raises(NotImplementedError):
+    # mp4 (r6): MJPEG samples decode for real (tests/test_mp4.py); a
+    # truncated container is a demux ValueError, and only non-MJPEG
+    # sample codecs keep the NotImplementedError boundary
+    with pytest.raises(ValueError):
         decode_frame("mp4", b"\x00\x00\x00\x18ftypmp42", 4, 4, 0)
+    from pyspec_spark.operators.mp4 import make_minimal_mp4
+
+    with pytest.raises((NotImplementedError, ValueError)):
+        # metadata-only movie (no stco): refusal either way, never pixels
+        decode_frame("mp4", make_minimal_mp4(codec="avc1"), 64, 48, 0)
     # jpeg is now a real decoder: truncated bytes are a ValueError, not
     # a stub boundary
     with pytest.raises(ValueError):
