@@ -139,6 +139,43 @@ class SpecScanFrame:
             (F.sqrt(v) / m).alias(f"{counter}_err"),
         )
 
+    def plot(
+        self,
+        counter: str,
+        x: str | None = None,
+        monitor: str | None = None,
+        width: int = 480,
+        height: int = 320,
+    ) -> bytes:
+        """SpecPlot analog (SURVEY §2 S6, r6): PNG bytes of ``counter``
+        vs the scan's first `#L` column (the scanned motor, the
+        reference's default x) or an explicit ``x``, with Poisson error
+        bars; ``monitor=`` normalizes y and its error first (the
+        `norm=` option).  Rendering is operators/plotting.py — pure
+        numpy + the in-repo PNG encoder; the Spark job that feeds it is
+        the already-reduced scan table."""
+        from pyspec_spark.operators.plotting import render_scan_png
+
+        cols = self.columns()
+        if counter not in cols:
+            raise ValueError(f"counter {counter!r} not in {cols}")
+        x = x or cols[0]
+        if x not in cols:
+            raise ValueError(f"x column {x!r} not in {cols}")
+        xv = F.element_at(F.col("values"), x)
+        yv = F.element_at(F.col("values"), counter)
+        if monitor is not None:
+            m = F.nullif(F.element_at(F.col("values"), monitor), F.lit(0.0))
+            y, e = yv / m, F.sqrt(yv) / m
+        else:
+            y, e = yv, F.sqrt(yv)
+        df = self.df.select(
+            xv.alias("_x"), y.alias("_y"), e.alias("_e")
+        )
+        return render_scan_png(
+            df, "_x", "_y", yerr="_e", width=width, height=height
+        )
+
 
 class SpecDataFile:
     """Open one or more SPEC files through the `specfile` DataSource.

@@ -170,3 +170,30 @@ def test_union_across_differing_columns(spark, spec_dir):
         by_scan.setdefault(r["scan_number"], []).append(r[c])
     assert all(v is None for v in by_scan[21])
     assert all(v is not None for v in by_scan[3])
+
+
+def test_scan_plot_png(spark, spec_dir):
+    """SpecPlot analog (r6): scan.plot(counter) yields a decodable PNG
+    with the data ink present; monitor normalization and explicit-x
+    paths render too; unknown counters refuse."""
+    import pytest as _pytest
+
+    from pyspec_spark.api import SpecDataFile
+    from pyspec_spark.operators.codecs import decode_frame_at
+
+    base, truth = spec_dir
+    sf = SpecDataFile(spark, os.path.join(base, "exp0.dat"))
+    scan = sf[3]
+    png = scan.plot("Detector", width=320, height=240)
+    img = decode_frame_at("png", png, 0)
+    assert img.shape == (240, 320, 3)
+    blue = (img[:, :, 2] > 150) & (img[:, :, 0] < 100)
+    assert blue.sum() > 10  # data marks
+    # deterministic
+    assert scan.plot("Detector", width=320, height=240) == png
+    # monitor-normalized and explicit-x variants render
+    cols = scan.columns()
+    assert scan.plot("Detector", monitor="Monitor") != png
+    assert isinstance(scan.plot("Detector", x=cols[0]), bytes)
+    with _pytest.raises(ValueError, match="not in"):
+        scan.plot("Detecotr")
