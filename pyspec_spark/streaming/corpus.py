@@ -93,6 +93,122 @@ def hash_embed_stream(docs: DataFrame, dim: int = 16) -> DataFrame:
     return fh_bucket_sums(docs, dim)
 
 
+def band_hashes_stateless(
+    docs: DataFrame, n_hashes: int = 16, bands: int = 4, shingle_k: int = 2
+) -> DataFrame:
+    """(doc_id, band, band_hash) computed MAP-ONLY — the streaming-safe
+    twin of operators/dedup's minhash_signatures + banding.
+
+    Identical hash basis (sig[i] = min md5(shingle || '#i'), band =
+    md5(concat_ws(',', sub-signature))) so values equal the batch
+    operators' exactly; the per-doc min runs as an array_min HOF
+    instead of the batch explode+agg because a streaming groupBy ahead
+    of keyed state would be two stateful operators in one query.  The
+    HOF form evaluates interpreted (the measured dedup.py tradeoff) —
+    right for micro-batch increments, wrong for a full-corpus backfill:
+    backfill through the batch operator, then stream increments."""
+    from pyspec_spark.operators.dedup import shingles
+
+    if n_hashes % bands != 0:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by bands={bands}")
+    r = n_hashes // bands
+    sh = shingles(docs, "text", shingle_k).where(F.size("_shingles") > 0)
+
+    def sig(i: int):
+        return F.array_min(
+            F.transform(
+                "_shingles", lambda s: F.md5(F.concat(s, F.lit(f"#{i}")))
+            )
+        )
+
+    def band(b: int):
+        return F.md5(F.concat_ws(",", *[sig(b * r + i) for i in range(r)]))
+
+    banded = sh.select(
+        "doc_id",
+        F.posexplode(F.array(*[band(b) for b in range(bands)])).alias(
+            "band", "band_hash"
+        ),
+    )
+    return banded
+
+
+_NEARDUP_STATE = "owner LONG"
+_NEARDUP_OUT = (
+    "doc_id LONG, owner_id LONG, band INT, band_hash STRING"
+)
+
+
+def neardup_stream(
+    docs: DataFrame, n_hashes: int = 16, bands: int = 4, shingle_k: int = 2
+) -> DataFrame:
+    """Cross-batch NEAR-duplicate suppression over a document stream
+    (r6): MinHash-banded LSH with keyed state per (band, band_hash)
+    bucket — the incremental-ingestion complement of dedup_stream's
+    exact-hash dedup.
+
+    State per bucket = the first (minimum) doc_id that ever claimed it;
+    a later doc sharing ANY band bucket with an earlier doc emits a
+    (doc_id, owner_id) candidate row.  State is ONE int64 per distinct
+    band hash — at 100 TB that is bands × n_docs rows of 8 bytes,
+    mergeable and far below corpus bytes; no signature matrix and no
+    pairwise anything is ever held.  Semantics twin: on an id-ordered
+    replay this equals the batch rule "doc is a candidate iff it shares
+    a band bucket with a smaller doc_id" (groupBy(band, band_hash) →
+    min(doc_id) owner), which the stream-twin test asserts exactly.
+    Candidates are LSH-grade (est-Jaccard verification is the batch
+    operator's second stage; run it in foreachBatch against the owner
+    set when precision matters)."""
+    from typing import Any, Iterator as _Iter
+
+    import pandas as _pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    banded = band_hashes_stateless(docs, n_hashes, bands, shingle_k)
+
+    def update(
+        key: tuple[Any, ...],
+        pdfs: _Iter[_pd.DataFrame],
+        state: GroupState,
+    ) -> _Iter[_pd.DataFrame]:
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(x) for x in pdf["doc_id"])
+        ids = sorted(set(ids))
+        if state.exists:
+            (owner,) = state.get
+            dups = [i for i in ids if i != owner]
+        else:
+            owner, dups = ids[0], ids[1:]
+            state.update((owner,))
+        if owner > ids[0]:  # keep the global minimum as owner
+            state.update((ids[0],))
+        if not dups:
+            return
+        yield _pd.DataFrame(
+            {
+                "doc_id": dups,
+                "owner_id": [owner] * len(dups),
+                "band": [int(key[0])] * len(dups),
+                "band_hash": [key[1]] * len(dups),
+            }
+        )
+
+    return (
+        banded.groupBy("band", "band_hash")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_NEARDUP_OUT,
+            stateStructType=_NEARDUP_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def curate_to_lake(
     stream: DataFrame,
     spark: SparkSession,

@@ -554,3 +554,107 @@ def test_stream_curate_to_lake_upserts_redelivered_keys(spark, tmp_path):
     )
     assert [r.doc_id for r in got] == [1, 2, 3]
     assert got[1].source == "crawl_b"  # updated in place, not duplicated
+
+
+# ---------------------------------------------------------------------------
+# r6: streaming NEAR-dup suppression (MinHash band buckets with keyed
+# state) — the incremental complement of exact-hash dedup_stream.
+# ---------------------------------------------------------------------------
+def test_band_hashes_stateless_match_batch_operator(spark):
+    """The map-only band hashes must equal the batch pipeline's
+    (minhash_signatures -> banding) exactly — same md5 salt basis."""
+    import pyspec_spark.streaming.corpus as sc
+    from pyspec_spark.operators.dedup import minhash_signatures
+    from pyspec_spark.tables import table
+
+    docs = table(spark, SF, "documents").where(F.col("doc_id") < 120)
+    got = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in sc.band_hashes_stateless(docs, n_hashes=16, bands=4).collect()
+    }
+    sigs = minhash_signatures(docs, n_hashes=16)
+    r_ = 4
+    want = {
+        (r.id, r.band, r.band_hash)
+        for r in sigs.select(
+            "id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(3)),
+                    lambda b: F.md5(
+                        F.concat_ws(",", F.slice("sig", b * r_ + 1, r_))
+                    ),
+                )
+            ).alias("band", "band_hash"),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_neardup_stream_equals_batch_rule(spark, doc_chunks):
+    """Replayed in doc_id order, the streaming keyed-state suppression
+    must flag EXACTLY the docs that share a band bucket with a smaller
+    doc_id (the batch owner rule), with the right owners."""
+    import pyspec_spark.streaming.corpus as sc
+    import pyspec_spark.streaming.events as se
+    from pyspec_spark.tables import table
+
+    base, _ = doc_chunks
+    stream = sc.read_document_stream(spark, base, max_files_per_trigger=1)
+    se.run_to_memory(
+        sc.neardup_stream(stream, n_hashes=16, bands=4),
+        "t_neardup",
+        output_mode="append",
+    )
+    got_rows = spark.table("t_neardup").collect()
+    got_pairs = {(r.doc_id, r.owner_id) for r in got_rows}
+    got_suppressed = {r.doc_id for r in got_rows}
+
+    banded = sc.band_hashes_stateless(
+        table(spark, SF, "documents"), n_hashes=16, bands=4
+    )
+    buckets = banded.groupBy("band", "band_hash").agg(
+        F.min("doc_id").alias("owner"),
+        F.collect_set("doc_id").alias("ids"),
+    )
+    want_pairs = {
+        (i, r.owner)
+        for r in buckets.collect()
+        for i in r.ids
+        if i != r.owner
+    }
+    assert got_pairs == want_pairs
+    assert got_suppressed == {p[0] for p in want_pairs}
+    # the planted near-dups in the corpus make this non-trivial
+    assert len(got_suppressed) > 0
+
+
+def test_neardup_stream_cross_batch_state(spark, tmp_path):
+    """A near-identical doc arriving in a LATER batch is flagged with
+    the batch-1 owner — proof the bucket state crosses batches."""
+    import pandas as pd
+
+    import pyspec_spark.streaming.corpus as sc
+    import pyspec_spark.streaming.events as se
+
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    base_text = "the quick brown fox jumps over the lazy dog " * 6
+    mk = lambda i, t: {
+        "doc_id": i, "text": t, "lang": "en", "source": "s",
+        "n_chars": len(t),
+    }
+    pd.DataFrame([mk(1, base_text), mk(2, "totally different words here " * 9)]).to_parquet(
+        src / "c0.parquet", index=False
+    )
+    pd.DataFrame([mk(3, base_text + "tail"), mk(4, "another unrelated corpus entry " * 8)]).to_parquet(
+        src / "c1.parquet", index=False
+    )
+    stream = sc.read_document_stream(spark, str(src), max_files_per_trigger=1)
+    se.run_to_memory(
+        sc.neardup_stream(stream, n_hashes=16, bands=4),
+        "t_neardup_cross",
+        output_mode="append",
+    )
+    rows = spark.table("t_neardup_cross").collect()
+    assert {(r.doc_id, r.owner_id) for r in rows} == {(3, 1)}
