@@ -216,6 +216,7 @@ def curate_to_lake(
     min_quality: float = 0.5,
     compact_every: int = 2,
     files_per_partition: int = 1,
+    checkpoint: str | None = None,
 ) -> None:
     """The production WRITE path of incremental curation (r6 VERDICT
     #7): each micro-batch of curated documents is MERGE-upserted into a
@@ -260,12 +261,18 @@ def curate_to_lake(
                 files_per_partition=files_per_partition,
             )
 
-    q = (
-        curated.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    writer = curated.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint:
+        # restart semantics: with a checkpoint, a re-run of the same
+        # source processes ONLY files that arrived since the last run —
+        # already-ingested batches are never replayed into the lake
+        # (merge_upsert makes replays idempotent per key anyway, but
+        # skipping them is what makes incremental ingestion incremental:
+        # a daily 100 TB-lake run must not re-curate the whole crawl).
+        # The restart test pins both halves: no-op on no new data,
+        # delta-only on new chunks, untouched partitions byte-identical.
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
 
 

@@ -658,3 +658,60 @@ def test_neardup_stream_cross_batch_state(spark, tmp_path):
     )
     rows = spark.table("t_neardup_cross").collect()
     assert {(r.doc_id, r.owner_id) for r in rows} == {(3, 1)}
+
+
+def test_curate_to_lake_checkpointed_restart(spark, tmp_path):
+    """Restart semantics of the checkpointed lake writer: a re-run with
+    no new data is a NO-OP (no lake file changes), and after a new
+    chunk lands only the delta is ingested — incremental ingestion
+    stays incremental across restarts."""
+    import glob
+
+    import pandas as pd
+
+    import pyspec_spark.streaming.corpus as sc
+
+    src = tmp_path / "ckpt_src"
+    src.mkdir()
+    lake = str(tmp_path / "ckpt_lake")
+    ckpt = str(tmp_path / "ckpt_state")
+    text = "zeta eta theta iota kappa lambda mu nu xi omicron " * 6
+
+    def mk(i, lang):
+        return {
+            "doc_id": i, "text": text + f"doc{i}", "lang": lang,
+            "source": "s", "n_chars": len(text) + 4,
+        }
+
+    pd.DataFrame([mk(1, "en"), mk(2, "fr")]).to_parquet(
+        src / "c0.parquet", index=False
+    )
+
+    def run():
+        stream = sc.read_document_stream(spark, str(src), max_files_per_trigger=1)
+        sc.curate_to_lake(
+            stream, spark, lake, min_quality=0.0, compact_every=0,
+            checkpoint=ckpt,
+        )
+
+    def census():
+        return {
+            f: (os.stat(f).st_mtime_ns, os.stat(f).st_size)
+            for f in glob.glob(os.path.join(lake, "**", "*.parquet"), recursive=True)
+        }
+
+    run()
+    assert {r.doc_id for r in spark.read.parquet(lake).collect()} == {1, 2}
+    before = census()
+
+    run()  # restart, no new data -> lake must be byte-identical
+    assert census() == before
+
+    pd.DataFrame([mk(3, "en")]).to_parquet(src / "c1.parquet", index=False)
+    run()  # restart with one new chunk -> only the delta ingested
+    after = census()
+    assert {r.doc_id for r in spark.read.parquet(lake).collect()} == {1, 2, 3}
+    # the fr partition held no updated keys -> its files are untouched
+    fr_before = {f: v for f, v in before.items() if "lang=fr" in f}
+    fr_after = {f: v for f, v in after.items() if "lang=fr" in f}
+    assert fr_before == fr_after
