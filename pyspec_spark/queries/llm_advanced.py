@@ -217,6 +217,93 @@ WHERE ROUND(len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0,
 """
 
 
+# ---------------------------------------------------------------------------
+# L2 streaming-face batch twin (r6) — the OWNER RULE the keyed-state
+# streaming near-dup (streaming/corpus.py neardup_stream) implements
+# incrementally: a doc is suppressed iff it shares a MinHash band
+# bucket (16 hashes, 4 bands) with a smaller doc_id; its owner is the
+# minimum owner over all such buckets.  This declared query computes
+# the rule through the CODEGEN batch signature path
+# (minhash_signatures); tests/test_streaming.py separately proves the
+# stream operator's map-only band hashes are value-identical and its
+# replay equals this rule — so the oracle here transitively checks the
+# streaming operator's hash basis and semantics.  At 100 TB: one
+# signature shuffle + one bucket groupBy; state in the streaming face
+# is 8 bytes per bucket.
+# ---------------------------------------------------------------------------
+_NEARDUP_OWNER_ORACLE = """
+WITH sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 2
+              THEN list_distinct(list_transform(
+                  range(1, len(string_split(text, ' '))),
+                  i -> string_split(text, ' ')[i] || ' ' ||
+                       string_split(text, ' ')[i + 1]))
+              ELSE [] END AS shingles
+  FROM documents
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(range(0, 16),
+             i -> list_min(list_transform(shingles,
+                      s -> md5(s || '#' || CAST(i AS VARCHAR))))) AS sig
+  FROM sh
+  WHERE len(shingles) > 0
+),
+banded AS (
+  SELECT doc_id, b,
+         md5(array_to_string(list_slice(sig, b * 4 + 1, b * 4 + 4), ',')) AS band_hash
+  FROM sigs, (SELECT unnest(range(0, 4)) AS b)
+),
+owners AS (
+  SELECT b, band_hash, MIN(doc_id) AS owner
+  FROM banded GROUP BY 1, 2
+)
+SELECT d.doc_id,
+       CAST(MIN(o.owner) AS BIGINT) AS owner_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_buckets
+FROM banded d
+JOIN owners o ON d.b = o.b AND d.band_hash = o.band_hash
+            AND d.doc_id > o.owner
+GROUP BY d.doc_id
+"""
+
+
+@query("q_neardup_owner", oracle=_NEARDUP_OWNER_ORACLE)
+def q_neardup_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.dedup import minhash_signatures
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    sigs = minhash_signatures(d, n_hashes=16)
+    r = 4
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(3)),
+                lambda b: F.md5(
+                    F.concat_ws(",", F.slice("sig", b * r + 1, r))
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    owners = banded.groupBy("band", "band_hash").agg(
+        F.min("id").alias("owner")
+    )
+    hits = banded.join(owners, ["band", "band_hash"]).where(
+        F.col("id") > F.col("owner")
+    )
+    return (
+        hits.groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.min("owner").cast("long").alias("owner_id"),
+            F.count("*").cast("long").alias("n_shared_buckets"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @query("q_minhash_neardup", oracle=_MINHASH_ORACLE)
 def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
