@@ -355,3 +355,97 @@ def test_q_video_frames_matches_committed_golden(spark):
     pd.testing.assert_frame_equal(
         got.astype({"frame_id": "int32"}), want.astype({"frame_id": "int32"})
     )
+
+
+def test_mjpeg_mux_demux_property():
+    """Property: any list of byte-payload 'frames' (not necessarily
+    valid JPEG — demux is codec-agnostic) round-trips byte-exactly
+    through mux + demux at any fps/timescale."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspec_spark.operators.mp4 import extract_mp4_samples, make_mjpeg_mp4
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        frames=st.lists(st.binary(min_size=1, max_size=200), min_size=1, max_size=12),
+        fps=st.sampled_from([10.0, 24.0, 30.0, 60.0]),
+        timescale=st.sampled_from([600, 1000, 90000]),
+    )
+    def prop(frames, fps, timescale):
+        movie = make_mjpeg_mp4(frames, 8, 8, fps=fps, timescale=timescale)
+        codec, back = extract_mp4_samples(movie)
+        assert codec == "jpeg"
+        assert back == frames
+        # per-frame seek agrees with the full demux
+        for k in (0, len(frames) - 1):
+            _, (one,) = extract_mp4_samples(movie, [k])
+            assert one == frames[k]
+
+    prop()
+
+
+def test_multichunk_stsc_walk():
+    """The demuxer's general stsc walk: a movie rewritten to THREE
+    chunks with a varying samples-per-chunk run table (2, 2, then 1)
+    must demux byte-exactly — a layout make_mjpeg_mp4 never writes, so
+    this path is otherwise untested."""
+    import struct
+
+    from pyspec_spark.operators.mp4 import (
+        _box,
+        extract_mp4_samples,
+        iter_boxes,
+        make_mjpeg_mp4,
+    )
+
+    frames = [bytes([65 + i]) * (10 + i) for i in range(5)]
+    sizes = [len(f) for f in frames]
+    base = make_mjpeg_mp4(frames, 8, 8)
+    (mdat_s, mdat_e) = next(
+        (s, e) for fc, s, e in iter_boxes(base) if fc == "mdat"
+    )
+
+    stsc_new = _box(
+        "stsc",
+        struct.pack(">I", 0) + struct.pack(">I", 2)
+        + struct.pack(">III", 1, 2, 1)   # chunks 1..2: 2 samples each
+        + struct.pack(">III", 3, 1, 1),  # chunk 3+: 1 sample
+    )
+
+    old_stsc_idx = base.find(b"stsc") - 4
+    old_stsc_len = struct.unpack_from(">I", base, old_stsc_idx)[0]
+    old_stco_idx = base.find(b"stco") - 4
+    old_stco_len = struct.unpack_from(">I", base, old_stco_idx)[0]
+    assert 0 < old_stsc_idx < old_stco_idx < mdat_s
+
+    stco_new_len = 8 + 4 + 4 + 3 * 4  # hdr + version + count + 3 offsets
+    delta = (len(stsc_new) - old_stsc_len) + (stco_new_len - old_stco_len)
+    body = (mdat_s - 8) + delta + 8  # shifted mdat body start
+    offsets = [body, body + sizes[0] + sizes[1], body + sum(sizes[:4])]
+    stco_new = _box(
+        "stco",
+        struct.pack(">I", 0) + struct.pack(">I", 3)
+        + b"".join(struct.pack(">I", o) for o in offsets),
+    )
+    assert len(stco_new) == stco_new_len
+
+    out = bytearray()
+    out += base[:old_stsc_idx]
+    out += stsc_new
+    out += base[old_stsc_idx + old_stsc_len : old_stco_idx]
+    out += stco_new
+    out += base[old_stco_idx + old_stco_len :]
+    # ancestor box sizes (moov > trak > mdia > minf > stbl, each unique
+    # in this movie) all grow by delta
+    for fourcc in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        idx = bytes(out).find(fourcc) - 4
+        size = struct.unpack_from(">I", bytes(out), idx)[0]
+        struct.pack_into(">I", out, idx, size + delta)
+    movie = bytes(out)
+
+    codec, back = extract_mp4_samples(movie)
+    assert codec == "jpeg"
+    assert back == frames
+    _, (f3,) = extract_mp4_samples(movie, [3])  # seek into chunk 2
+    assert f3 == frames[3]
