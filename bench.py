@@ -70,6 +70,9 @@ HEADLINE = [
     "q_semdedup",
     "q_bigram_backoff",
     "q_curation_pipeline",
+    # round 6: streaming-face owner rule + DSIR data selection
+    "q_neardup_owner",
+    "q_dsir_weights",
 ]
 
 

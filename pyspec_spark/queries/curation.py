@@ -644,3 +644,150 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("tokens_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L22 (r6) — DSIR importance weighting (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"): the
+# standard hashed-ngram data-selection method.  Features = unigrams +
+# token bigrams hashed into m=256 buckets (house md5 idiom); fit
+# Laplace-smoothed bag-of-buckets distributions for the TARGET slice
+# (doc_id < 50 — the "high-quality target" stand-in, same slice
+# convention as the decontamination family) and the RAW pool (the
+# rest); each raw doc's importance log-weight is
+#   sum over gram instances of [ln p_target(bucket) - ln p_raw(bucket)]
+# and selection takes the top-k by weight (the deterministic variant of
+# the paper's Gumbel resampling).  At 100 TB: the bucket tables are
+# m-row broadcasts, gram hashing is map-only, and the per-doc weight is
+# one groupBy(doc_id) of integer micro-units (the _fixed6 exact-sum
+# discipline, q_unigram_logprob's proven pattern) — one shuffle total.
+# ---------------------------------------------------------------------------
+_DSIR_TARGET_MAX = 50
+_DSIR_M = 256
+_DSIR_TOPK = 20
+
+_DSIR_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, unnest(
+           string_split(text, ' ') ||
+           CASE WHEN len(string_split(text, ' ')) >= 2
+                THEN list_transform(
+                    range(1, len(string_split(text, ' '))),
+                    i -> string_split(text, ' ')[i] || ' ' ||
+                         string_split(text, ' ')[i + 1])
+                ELSE [] END) AS gram
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(gram || '#dsir'), 1, 8))::BIGINT % {_DSIR_M} AS bucket
+  FROM g
+),
+tc AS (
+  SELECT bucket, COUNT(*) AS c FROM b WHERE doc_id < {_DSIR_TARGET_MAX} GROUP BY 1
+),
+rc AS (
+  SELECT bucket, COUNT(*) AS c FROM b WHERE doc_id >= {_DSIR_TARGET_MAX} GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS t,
+         (SELECT COALESCE(SUM(c), 0) FROM rc) AS r
+),
+lr AS (
+  SELECT m.bucket,
+         CAST(ROUND(ln((COALESCE(tc.c, 0) + 1.0) / (tot.t + {_DSIR_M})) * 1e6) AS BIGINT)
+         - CAST(ROUND(ln((COALESCE(rc.c, 0) + 1.0) / (tot.r + {_DSIR_M})) * 1e6) AS BIGINT)
+           AS lr_micro
+  FROM (SELECT unnest(range({_DSIR_M})) AS bucket) m
+  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket), tot
+),
+w AS (
+  SELECT b.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_grams,
+         SUM(lr.lr_micro) AS w_micro
+  FROM b JOIN lr USING (bucket)
+  WHERE b.doc_id >= {_DSIR_TARGET_MAX}
+  GROUP BY 1
+)
+SELECT doc_id, n_grams,
+       ROUND(w_micro / 1e6, 6) AS dsir_logweight
+FROM w
+ORDER BY w_micro DESC, doc_id
+LIMIT {_DSIR_TOPK}
+"""
+
+
+@query("q_dsir_weights", oracle=_DSIR_ORACLE)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.functions.determinism import _fixed6
+    from pyspec_spark.queries.quality import _bigrams, _toks
+
+    d = table(spark, sf_dir, "documents")
+    toks = _toks()
+    grams = d.select(
+        "doc_id",
+        F.explode(F.concat(toks, _bigrams(toks))).alias("gram"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("gram"), F.lit("#dsir")).cast("binary")),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % _DSIR_M
+    )
+    b = grams.select("doc_id", bucket.alias("bucket"))
+    tc = (
+        b.where(F.col("doc_id") < _DSIR_TARGET_MAX)
+        .groupBy("bucket").agg(F.count("*").alias("tc"))
+    )
+    rc = (
+        b.where(F.col("doc_id") >= _DSIR_TARGET_MAX)
+        .groupBy("bucket").agg(F.count("*").alias("rc"))
+    )
+    tot = tc.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t")).crossJoin(
+        rc.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("r"))
+    )
+    buckets = spark.range(_DSIR_M).select(F.col("id").alias("bucket"))
+    lr = (
+        buckets.join(F.broadcast(tc), "bucket", "left")
+        .join(F.broadcast(rc), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                _fixed6(
+                    F.log(
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                        / (F.col("t") + F.lit(_DSIR_M))
+                    )
+                )
+                - _fixed6(
+                    F.log(
+                        (F.coalesce(F.col("rc"), F.lit(0)) + 1.0)
+                        / (F.col("r") + F.lit(_DSIR_M))
+                    )
+                )
+            ).alias("lr_micro"),
+        )
+    )
+    w = (
+        b.where(F.col("doc_id") >= _DSIR_TARGET_MAX)
+        .join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum("lr_micro").alias("w_micro"),
+        )
+    )
+    return (
+        w.orderBy(F.col("w_micro").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+        .select(
+            "doc_id",
+            "n_grams",
+            F.round(F.col("w_micro") / 1e6, 6).alias("dsir_logweight"),
+        )
+    )
