@@ -516,3 +516,24 @@ def test_bm25_take_ordered_and_pushed_term_filter(spark):
     assert has_take_ordered(p)
     assert has_partial_aggregate(p)
     assert "IN (spark,hash,window)" in p, "query-term filter not in plan"
+
+
+def test_neardup_owner_plan(spark):
+    """Owner rule: the codegen signature path (no interpreted HOF
+    minhash), bucket owners joined back without a cartesian, and the
+    final per-doc aggregation — bounded exchanges."""
+    p = _plan(spark, "q_neardup_owner")
+    assert "CartesianProduct" not in p
+    assert "Generate" in p  # explode-based signature path (codegen)
+    # banded self-alignment is an equi-join on (band, band_hash)
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_dsir_weights_plan(spark):
+    """DSIR: m-row ratio tables broadcast (never shuffled onto the
+    corpus), top-k via TakeOrderedAndProject, no cartesian beyond the
+    1-row totals broadcast."""
+    p = _plan(spark, "q_dsir_weights")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p  # lr table onto the gram stream
+    assert "CartesianProduct" not in p  # totals join is BroadcastNestedLoop on 1 row
