@@ -330,3 +330,69 @@ def test_compact_files_per_partition_honored(spark, tmp_path):
     for p, n in per_part.items():
         assert 2 <= n <= 3, (p, n)  # spread, bounded by the target
     assert spark.read.parquet(tgt).count() == 10_000
+
+
+def test_merge_delete_rewrites_only_touched_partitions(spark, tmp_path):
+    """Row-level delete: keys vanish, partitions without deleted keys
+    keep byte-identical files, and a fully-emptied partition's
+    directory is removed (the dynamic-overwrite blind spot)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.sinks import merge_delete
+
+    lake = str(tmp_path / "del_lake")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}", f"v{i}") for i in range(30)], "k INT, part STRING, v STRING"
+    )
+    df.repartition("part").write.partitionBy("part").parquet(lake)
+
+    def census(skip=None):
+        return {
+            f: (os.stat(f).st_mtime_ns, os.stat(f).st_size)
+            for f in glob.glob(os.path.join(lake, "**", "*.parquet"), recursive=True)
+            if skip is None or f"part={skip}" not in f
+        }
+
+    # delete two keys living in part=p0 (keys 0,3 -> i%3==0)
+    before_untouched = {
+        f: v for f, v in census().items() if "part=p0" not in f
+    }
+    n = merge_delete(
+        spark, lake, spark.createDataFrame([(0,), (3,)], "k INT"), "k", "part"
+    )
+    assert n == 1  # only p0 rewritten
+    got = spark.read.parquet(lake)
+    assert got.count() == 28
+    assert got.where(F.col("k").isin(0, 3)).count() == 0
+    after_untouched = {
+        f: v for f, v in census().items() if "part=p0" not in f
+    }
+    assert after_untouched == before_untouched
+
+    # delete-keys WITH the partition column skip discovery, same result
+    n = merge_delete(
+        spark, lake,
+        spark.createDataFrame([(6, "p0")], "k INT, part STRING"),
+        "k", "part",
+    )
+    assert n == 1
+    assert spark.read.parquet(lake).count() == 27
+
+    # empty out part=p2 entirely -> its directory must disappear
+    p2_keys = [(i,) for i in range(30) if i % 3 == 2]
+    merge_delete(
+        spark, lake, spark.createDataFrame(p2_keys, "k INT"), "k", "part"
+    )
+    remaining = spark.read.parquet(lake)
+    assert remaining.where(F.col("part") == "p2").count() == 0
+    assert not os.path.isdir(os.path.join(lake, "part=p2"))
+    # and unrelated keys survived it all
+    assert remaining.count() == 27 - len(p2_keys)
+
+    # deleting keys that exist nowhere is a no-op
+    assert merge_delete(
+        spark, lake, spark.createDataFrame([(999,)], "k INT"), "k", "part"
+    ) == 0
