@@ -114,6 +114,27 @@ def minhash_signatures(
     )
 
 
+def band_hashes_from_sigs(
+    sigs: DataFrame, bands: int, n_hashes: int, id_col: str = "id"
+) -> DataFrame:
+    """(id, band, band_hash) from a signature-array table — THE single
+    definition of the banding scheme: band b's hash =
+    md5(concat_ws(',', sig[b*r+1 .. b*r+r])), r = n_hashes/bands.
+    Shared by lsh_candidates, the declared q_neardup_owner, and (as the
+    value-equality target of its twin test) the streaming
+    band_hashes_stateless — one spelling, no drift (r6 review)."""
+    r = n_hashes // bands
+    return sigs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(F.concat_ws(",", F.slice("sig", b * r + 1, r))),
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
 def lsh_candidates(
     sigs: DataFrame, bands: int = 16, max_bucket: int = 1000, n_hashes: int = 64
 ) -> DataFrame:
@@ -147,17 +168,7 @@ def lsh_candidates(
             )
         ),
     )
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(",", F.slice("sig", b * r + 1, r))
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = band_hashes_from_sigs(sigs, bands, n_hashes)
     sized = banded.groupBy("band", "band_hash").agg(
         F.collect_list("id").alias("ids"), F.count("*").alias("n")
     )

@@ -86,19 +86,32 @@ def decode_frame(codec: str, payload: bytes, width: int, height: int, frame_id: 
         # decoded by the in-repo T.81 decoder.  Only non-MJPEG sample
         # codecs (avc1/hvc1/av01 bitstreams) remain stubbed.
         from pyspec_spark.operators.jpeg import decode_jpeg_one
-        from pyspec_spark.operators.mp4 import extract_mp4_samples
-
-        sample_codec, samples = extract_mp4_samples(payload, [frame_id])
-        if sample_codec in ("jpeg", "mjpa"):
-            img, _ = decode_jpeg_one(samples[0], 0)
-            return img
-        raise NotImplementedError(
-            f"mp4 sample codec {sample_codec!r}: FRAME decoder library "
-            "not available in this container — plug a decoder in here "
-            "(PIL/av); MJPEG ('jpeg'/'mjpa') decodes natively and "
-            "container METADATA parses without any codec "
-            "(video_metadata / operators/mp4.py)"
+        from pyspec_spark.operators.mp4 import (
+            extract_mp4_samples,
+            parse_mp4_metadata,
         )
+
+        # Decide the codec from stsd metadata FIRST: a non-MJPEG movie
+        # must hit the documented NotImplementedError boundary even
+        # when it lacks full sample tables (metadata-only movies have
+        # stsz but no stsc/stco — the r6 review caught those dying
+        # with the demux ValueError instead of the contract error).
+        meta = parse_mp4_metadata(payload)
+        video = next(
+            (t for t in meta["tracks"] if t["handler"] == "vide"), None
+        )
+        sample_codec = video and video["codec"]
+        if sample_codec not in ("jpeg", "mjpa"):
+            raise NotImplementedError(
+                f"mp4 sample codec {sample_codec!r}: FRAME decoder "
+                "library not available in this container — plug a "
+                "decoder in here (PIL/av); MJPEG ('jpeg'/'mjpa') "
+                "decodes natively and container METADATA parses "
+                "without any codec (video_metadata / operators/mp4.py)"
+            )
+        _, samples = extract_mp4_samples(payload, [frame_id])
+        img, _ = decode_jpeg_one(samples[0], 0)
+        return img
     raise ValueError(f"unknown codec {codec!r}")
 
 

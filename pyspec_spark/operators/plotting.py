@@ -86,6 +86,8 @@ def _fmt(v: float) -> str:
 def _ticks(lo: float, hi: float, n: int = 5) -> list[float]:
     """Round-number tick positions covering [lo, hi] (the classic
     1/2/5 ladder)."""
+    if not (np.isfinite(lo) and np.isfinite(hi)):  # NaN/inf: no ticks
+        return []
     if hi <= lo:
         return [lo]
     raw = (hi - lo) / max(1, n - 1)
@@ -161,20 +163,34 @@ def render_scan_png(
     scan result DataFrame, error bars from ``yerr``, PNG bytes out.
 
     Driver-side by design (a plot IS a driver artifact); guarded so a
-    full fact table can't be collected by accident."""
-    n = df.limit(MAX_PLOT_ROWS + 1).count()
-    if n > MAX_PLOT_ROWS:
+    full fact table can't be collected by accident.  ONE Spark job:
+    limit(MAX+1) + collect, with the row-count guard, NaN filtering
+    (Spark dropna removes nulls, NOT NaN — e.g. sqrt of a negative
+    background-subtracted counter) and the x-sort all driver-side on
+    the ≤100k collected points (r6 review items 3 and 7)."""
+    from pyspark.sql import functions as F
+
+    cols = [x, y] + ([yerr] if yerr else [])
+    rows = (
+        df.select(*[F.col(c).cast("double").alias(f"_c{i}")
+                    for i, c in enumerate(cols)])
+        .dropna()
+        .limit(MAX_PLOT_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > MAX_PLOT_ROWS:
         raise ValueError(
             f"render_scan_png: >{MAX_PLOT_ROWS} rows — reduce first "
             "(this sink plots results, not fact tables)"
         )
-    cols = [x, y] + ([yerr] if yerr else [])
-    rows = df.select(*cols).dropna().orderBy(x).collect()
-    if not rows:
+    pts = np.array([[r[i] for i in range(len(cols))] for r in rows], dtype=np.float64)
+    if pts.size:
+        pts = pts[np.isfinite(pts).all(axis=1)]  # NaN/inf rows out
+        pts = pts[np.argsort(pts[:, 0], kind="stable")]
+    if not pts.size:
         raise ValueError("render_scan_png: no rows to plot")
-    xs = np.array([float(r[0]) for r in rows])
-    ys = np.array([float(r[1]) for r in rows])
-    es = np.array([float(r[2]) for r in rows]) if yerr else None
+    xs, ys = pts[:, 0], pts[:, 1]
+    es = pts[:, 2] if yerr else None
 
     xlo, xhi = float(xs.min()), float(xs.max())
     ylo = float((ys - (es if es is not None else 0)).min())
@@ -291,12 +307,16 @@ def save_npy(arr: np.ndarray, path: str) -> None:
     """Write `.npy` v1.0 (grids/fits export the reference dumped as
     numpy files)."""
     dt = np.dtype(arr.dtype)
+    if dt.byteorder == ">":
+        # normalize BEFORE the descr lookup: dtype equality includes
+        # byte order, so '>f8' would fail the table probe and the swap
+        # below would be dead code (r6 review item 4)
+        arr = arr.astype(dt.newbyteorder("<"))
+        dt = np.dtype(arr.dtype)
     if dt not in _DESCR:
         raise ValueError(f"save_npy: unsupported dtype {dt}")
     shape = tuple(int(s) for s in arr.shape)  # before ascontiguousarray
     a = np.ascontiguousarray(arr)             # (it promotes 0-d to 1-d)
-    if dt.byteorder == ">":
-        a = a.astype(dt.newbyteorder("<"))
     header = (
         "{'descr': '%s', 'fortran_order': False, 'shape': %s, }"
         % (_DESCR[dt], repr(shape))

@@ -271,23 +271,15 @@ GROUP BY d.doc_id
 
 @query("q_neardup_owner", oracle=_NEARDUP_OWNER_ORACLE)
 def q_neardup_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspec_spark.operators.dedup import minhash_signatures
+    from pyspec_spark.operators.dedup import (
+        band_hashes_from_sigs,
+        minhash_signatures,
+    )
 
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sigs = minhash_signatures(d, n_hashes=16)
-    r = 4
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda b: F.md5(
-                    F.concat_ws(",", F.slice("sig", b * r + 1, r))
-                ),
-            )
-        ).alias("band", "band_hash"),
-    )
+    banded = band_hashes_from_sigs(sigs, bands=4, n_hashes=16)
     owners = banded.groupBy("band", "band_hash").agg(
         F.min("id").alias("owner")
     )

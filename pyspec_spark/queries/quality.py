@@ -842,3 +842,121 @@ def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.sum("lp_micro").cast("double") / F.count("*") / 1e6, 6
         ).alias("xent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (r6) — the published document-filter heuristics
+# of Rae et al. 2021 ("Scaling Language Models: ... Gopher", §A1.1 /
+# MassiveWeb filtering), the ruleset most corpus pipelines quote:
+#   word count in [50, 100k]; mean word length in [3, 10]; <= 90% of
+#   lines starting with a bullet; <= 30% of lines ending in an
+#   ellipsis; >= 80% of words containing an alphabetic character; >= 2
+#   of the 8 "stop words" (the/be/to/of/and/that/have/with) present;
+#   symbol-to-word ratio (# or ...) <= 0.1.
+# Complements q_quality_gate (token bounds / dup-fraction / chars-per-
+# token): these are the RULE-LEVEL flags, one row per document, so a
+# curation pipeline can report per-rule kill rates, not just a pass
+# bit.  (On the synthetic word-salad testdata the stopword rule kills
+# ~everything — avg 0.76 of the 8 stop words present vs the >= 2
+# threshold — which is the published rule behaving correctly on
+# non-natural text; the per-rule metric columns are the informative
+# output there.)  All map-only whole-stage-codegen expressions; exact integer
+# counts with ratios rounded at the edge — one scan, no shuffle (the
+# output is the per-doc table itself).
+# ---------------------------------------------------------------------------
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+_GOPHER_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS w,
+         string_split(text, chr(10)) AS lines,
+         (length(text) - length(replace(text, '#', '')))
+         + (length(text) - length(replace(text, '...', ''))) // 3 AS n_sym
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CAST(len(array_to_string(w, '')) AS DOUBLE) / len(w) AS mwl,
+         CAST(len(list_filter(lines, x -> trim(x) LIKE '-%'
+                  OR trim(x) LIKE '*%' OR trim(x) LIKE chr(8226) || '%'))
+              AS DOUBLE) / len(lines) AS bullet_ratio,
+         CAST(len(list_filter(lines, x -> x LIKE '%...')) AS DOUBLE)
+             / len(lines) AS ellipsis_ratio,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+              AS DOUBLE) / len(w) AS alpha_frac,
+         {" + ".join(f"CAST(list_contains(w, '{t}') AS INT)" for t in _GOPHER_STOPS)}
+           AS n_stops,
+         CAST(n_sym AS DOUBLE) / len(w) AS sym_ratio
+  FROM s
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mwl, 6) AS mean_word_len,
+       ROUND(sym_ratio, 6) AS symbol_word_ratio,
+       ROUND(alpha_frac, 6) AS frac_alpha_words,
+       CAST(n_stops AS INT) AS n_stopwords_present,
+       ROUND(bullet_ratio, 6) AS bullet_ratio,
+       ROUND(ellipsis_ratio, 6) AS ellipsis_ratio,
+       CAST((n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
+             AND bullet_ratio <= 0.9 AND ellipsis_ratio <= 0.3
+             AND alpha_frac >= 0.8 AND n_stops >= 2
+             AND sym_ratio <= 0.1) AS INT) AS passes
+FROM m
+ORDER BY doc_id
+"""
+
+
+@query("q_gopher_rules", oracle=_GOPHER_ORACLE)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = _toks()
+    lines = F.split("text", "\n")
+    n_words = F.size(w)
+    n_lines = F.size(lines)
+    # total word chars = length of all words concatenated (exact int)
+    word_chars = F.length(F.array_join(w, ""))
+    mwl = word_chars.cast("double") / n_words
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ell = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    sym_ratio = (n_hash + F.floor(n_ell)).cast("double") / n_words
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.trim(x).startswith("-")
+            | F.trim(x).startswith("*")
+            | F.trim(x).startswith("•"),
+        )
+    ).cast("double") / n_lines
+    ellipsis = F.size(
+        F.filter(lines, lambda x: x.endswith("..."))
+    ).cast("double") / n_lines
+    alpha = F.size(
+        F.filter(w, lambda x: x.rlike("[A-Za-z]"))
+    ).cast("double") / n_words
+    n_stops = sum(
+        F.array_contains(w, t).cast("int") for t in _GOPHER_STOPS
+    )
+    passes = (
+        n_words.between(50, 100_000)
+        & mwl.between(3.0, 10.0)
+        & (bullet <= 0.9)
+        & (ellipsis <= 0.3)
+        & (alpha >= 0.8)
+        & (n_stops >= 2)
+        & (sym_ratio <= 0.1)
+    ).cast("int")
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(alpha, 6).alias("frac_alpha_words"),
+        n_stops.cast("int").alias("n_stopwords_present"),
+        F.round(bullet, 6).alias("bullet_ratio"),
+        F.round(ellipsis, 6).alias("ellipsis_ratio"),
+        passes.alias("passes"),
+    ).orderBy("doc_id")

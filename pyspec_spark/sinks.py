@@ -238,6 +238,15 @@ def merge_delete(
     merge_upsert."""
     import shutil as _shutil
 
+    # Fail-fast BEFORE any mutation (same up-front policy as
+    # compact_small_files; the r6 review caught the first cut guarding
+    # only at the emptied-partition step, after partitions had already
+    # been rewritten — a half-applied delete on object storage).
+    if "://" in target_dir and not target_dir.startswith("file://"):
+        raise ValueError(
+            f"merge_delete is local-filesystem only, got {target_dir} — "
+            "on object storage use a table format's DELETE"
+        )
     delete_keys = delete_keys.persist()
     try:
         if partition_col in delete_keys.columns:
@@ -278,12 +287,6 @@ def merge_delete(
             kept.unpersist()
         emptied = [p for p in parts if p not in kept_parts]
         if emptied:
-            if "://" in target_dir and not target_dir.startswith("file://"):
-                raise ValueError(
-                    "merge_delete emptied partitions on non-local storage "
-                    f"({emptied}) — remove {partition_col}=<value> dirs via "
-                    "your object-store API or a table format's DELETE"
-                )
             for p in emptied:
                 d = os.path.join(
                     target_dir.removeprefix("file://"),

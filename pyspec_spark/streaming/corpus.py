@@ -174,18 +174,25 @@ def neardup_stream(
         pdfs: _Iter[_pd.DataFrame],
         state: GroupState,
     ) -> _Iter[_pd.DataFrame]:
-        ids: list[int] = []
+        batch: set[int] = set()
         for pdf in pdfs:
-            ids.extend(int(x) for x in pdf["doc_id"])
-        ids = sorted(set(ids))
-        if state.exists:
-            (owner,) = state.get
-            dups = [i for i in ids if i != owner]
-        else:
-            owner, dups = ids[0], ids[1:]
+            batch.update(int(x) for x in pdf["doc_id"])
+        prev = state.get[0] if state.exists else None
+        # owner = global minimum ever seen for this bucket.  If a
+        # SMALLER doc_id arrives after the bucket was claimed
+        # (out-of-order replay), ownership TRANSFERS: the newcomer is
+        # kept and the displaced former owner is emitted as the dup —
+        # the append-mode correction for late-arriving information.
+        # (The r6 code-review caught the inverted first cut, which
+        # flagged the newcomer and never re-flagged the old owner.)
+        seen = batch | ({prev} if prev is not None else set())
+        owner = min(seen)
+        if owner != prev:
             state.update((owner,))
-        if owner > ids[0]:  # keep the global minimum as owner
-            state.update((ids[0],))
+        if prev is None or owner != prev:
+            dups = sorted(seen - {owner})
+        else:  # owner unchanged: prev was kept long ago, only the
+            dups = sorted(batch - {prev})  # newcomers are dups
         if not dups:
             return
         yield _pd.DataFrame(

@@ -311,8 +311,8 @@ def test_multimodal_plumbing(spark):
         decode_frame("mp4", b"\x00\x00\x00\x18ftypmp42", 4, 4, 0)
     from pyspec_spark.operators.mp4 import make_minimal_mp4
 
-    with pytest.raises((NotImplementedError, ValueError)):
-        # metadata-only movie (no stco): refusal either way, never pixels
+    with pytest.raises(NotImplementedError):
+        # non-MJPEG sample codec: the contract error, decided from stsd
         decode_frame("mp4", make_minimal_mp4(codec="avc1"), 64, 48, 0)
     # jpeg is now a real decoder: truncated bytes are a ValueError, not
     # a stub boundary

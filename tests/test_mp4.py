@@ -285,15 +285,10 @@ def test_mjpeg_non_mjpeg_mp4_still_stubbed():
     from pyspec_spark.operators.multimodal import decode_frame
 
     movie = make_minimal_mp4(codec="avc1", n_samples=4)
-    try:
+    # strictly the contract error, even though this metadata-only movie
+    # has no stsc/stco: codec is decided from stsd BEFORE demuxing
+    with pytest.raises(NotImplementedError, match="avc1"):
         decode_frame("mp4", movie, 64, 48, 0)
-        raise AssertionError("expected NotImplementedError or ValueError")
-    except NotImplementedError as e:
-        assert "avc1" in str(e)
-    except ValueError:
-        # make_minimal_mp4 writes no stco/stsc (metadata-only movie) —
-        # a demux ValueError is equally a correct refusal
-        pass
 
 
 def test_mjpeg_truncation_fuzz():

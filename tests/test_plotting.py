@@ -154,3 +154,43 @@ def test_render_grid_png(spark):
     assert img[:, :, 0].max() > 200  # bright stop reached
     flat = img.reshape(-1, 3)
     assert (flat[:, 2] > flat[:, 0]).mean() > 0.3  # dark-blue field
+
+
+def test_render_scan_png_filters_nan(spark):
+    """NaN y/yerr rows (e.g. sqrt of a negative background-subtracted
+    counter) are filtered, not crashed on — Spark dropna() removes
+    nulls only, so the driver-side isfinite filter must catch NaN
+    (r6 review)."""
+    import pandas as pd
+
+    from pyspec_spark.operators.plotting import render_scan_png
+
+    pdf = pd.DataFrame(
+        {
+            "x": [1.0, 2.0, 3.0, 4.0],
+            "y": [1.0, float("nan"), 3.0, 4.0],
+            "e": [0.1, 0.1, float("nan"), 0.1],
+        }
+    )
+    png = render_scan_png(spark.createDataFrame(pdf), "x", "y", yerr="e")
+    img = _decode(png)
+    assert img.shape[2] == 3  # rendered fine from the 2 finite rows
+    # all-NaN input refuses cleanly
+    bad = pd.DataFrame({"x": [1.0], "y": [float("nan")]})
+    with pytest.raises(ValueError, match="no rows"):
+        render_scan_png(spark.createDataFrame(bad), "x", "y")
+
+
+def test_npy_big_endian_normalized(tmp_path):
+    """'>f8' input is byteswapped to little-endian before the descr
+    lookup (r6 review: the swap branch was dead code behind the
+    lookup) — and numpy reads the result back equal."""
+    from pyspec_spark.operators.plotting import load_npy, save_npy
+
+    arr = np.arange(6, dtype=">f8").reshape(2, 3) * 1.25
+    p = str(tmp_path / "be.npy")
+    save_npy(arr, p)
+    back = load_npy(p)
+    assert back.dtype == np.dtype("<f8")
+    assert np.array_equal(back, arr.astype("<f8"))
+    assert np.array_equal(np.load(p), arr.astype("<f8"))

@@ -572,21 +572,12 @@ def test_band_hashes_stateless_match_batch_operator(spark):
         (r.doc_id, r.band, r.band_hash)
         for r in sc.band_hashes_stateless(docs, n_hashes=16, bands=4).collect()
     }
+    from pyspec_spark.operators.dedup import band_hashes_from_sigs
+
     sigs = minhash_signatures(docs, n_hashes=16)
-    r_ = 4
     want = {
         (r.id, r.band, r.band_hash)
-        for r in sigs.select(
-            "id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(3)),
-                    lambda b: F.md5(
-                        F.concat_ws(",", F.slice("sig", b * r_ + 1, r_))
-                    ),
-                )
-            ).alias("band", "band_hash"),
-        ).collect()
+        for r in band_hashes_from_sigs(sigs, bands=4, n_hashes=16).collect()
     }
     assert got == want and len(got) > 0
 
@@ -715,3 +706,32 @@ def test_curate_to_lake_checkpointed_restart(spark, tmp_path):
     fr_before = {f: v for f, v in before.items() if "lang=fr" in f}
     fr_after = {f: v for f, v in after.items() if "lang=fr" in f}
     assert fr_before == fr_after
+
+
+def test_neardup_stream_out_of_order_ownership_transfer(spark, tmp_path):
+    """A SMALLER doc_id arriving after the bucket was claimed must take
+    ownership, with the DISPLACED former owner emitted as the dup —
+    not the inverted pair (the r6 code-review finding)."""
+    import pandas as pd
+
+    import pyspec_spark.streaming.corpus as sc
+    import pyspec_spark.streaming.events as se
+
+    src = tmp_path / "ooo_src"
+    src.mkdir()
+    text = "one two three four five six seven eight nine ten " * 6
+    mk = lambda i, t: {
+        "doc_id": i, "text": t, "lang": "en", "source": "s",
+        "n_chars": len(t),
+    }
+    # batch 1 delivers doc 5; batch 2 delivers the near-identical doc 3
+    pd.DataFrame([mk(5, text)]).to_parquet(src / "c0.parquet", index=False)
+    pd.DataFrame([mk(3, text + "tail")]).to_parquet(src / "c1.parquet", index=False)
+    stream = sc.read_document_stream(spark, str(src), max_files_per_trigger=1)
+    se.run_to_memory(
+        sc.neardup_stream(stream, n_hashes=16, bands=4),
+        "t_neardup_ooo",
+        output_mode="append",
+    )
+    rows = spark.table("t_neardup_ooo").collect()
+    assert {(r.doc_id, r.owner_id) for r in rows} == {(5, 3)}
