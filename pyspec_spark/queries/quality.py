@@ -736,7 +736,7 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _BB_TRAIN_PCT = 60
 
-_BB_ORACLE = f"""
+_BB_CTES = f"""
 WITH d AS (
   SELECT doc_id, text,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#nb'), 1, 8))::BIGINT
@@ -778,7 +778,9 @@ scored AS (
   LEFT JOIN uni ua ON ua.tok = string_split(t.bg, ' ')[1]
   LEFT JOIN uni ub ON ub.tok = string_split(t.bg, ' ')[2],
   n_tot, v_tot
-)
+)"""
+
+_BB_ORACLE = _BB_CTES + """
 SELECT doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        ROUND(-CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) / 1e6, 6) AS xent
@@ -787,8 +789,11 @@ GROUP BY doc_id
 """
 
 
-@query("q_bigram_backoff", oracle=_BB_ORACLE)
-def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-held-out-doc bigram-backoff cross-entropy (doc_id, n_bigrams,
+    xent) — the q_bigram_backoff body, factored so q_ppl_gate can reuse
+    the identical scoring chain (same model tables, same micro-unit
+    rounding) without re-registering it."""
     from pyspec_spark.functions.determinism import _fixed6
     from pyspec_spark.queries.curation import _hash_mod100
 
@@ -842,6 +847,11 @@ def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.sum("lp_micro").cast("double") / F.count("*") / 1e6, 6
         ).alias("xent"),
     )
+
+
+@query("q_bigram_backoff", oracle=_BB_ORACLE)
+def q_bigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bigram_xent(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -960,3 +970,72 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ellipsis, 6).alias("ellipsis_ratio"),
         passes.alias("passes"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity gate (r6b, Wenzek et al. 2020 "CCNet:
+# Extracting High Quality Monolingual Datasets from Web Crawl Data"):
+# score every held-out document with the bigram-backoff LM, then bucket
+# it into head / middle / tail perplexity TERCILES **per language** —
+# the published CCNet recipe (per-lang KenLM perplexity thirds; head =
+# cleanest).  Output is the per-(lang, bucket) audit table a curation
+# run reports: document count and avg/min/max cross-entropy.
+#
+# Scale posture: the scoring chain is q_bigram_backoff's (vocabulary-
+# bounded broadcast model tables; corpus shuffles = two count aggs +
+# the per-doc mean).  The tercile label is NTILE(3) over (lang) — one
+# range-sort exchange partitioned by language, the same shape as any
+# per-group ranking; at 100 TB a production run would snap the two
+# tercile cut points per lang from a sketch and broadcast them, but the
+# declared query keeps the exact window so DuckDB can replay it
+# bit-for-bit.  Per-bucket means sum micro-unit integers (order-
+# independent) before the single rounded divide.
+# ---------------------------------------------------------------------------
+_PPL_ORACLE = _BB_CTES + """,
+xent AS (
+  SELECT doc_id,
+         ROUND(-CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) / 1e6, 6) AS xent
+  FROM scored GROUP BY doc_id
+),
+lab AS (
+  SELECT dd.lang, x.xent,
+         NTILE(3) OVER (PARTITION BY dd.lang
+                        ORDER BY x.xent, x.doc_id) AS bucket
+  FROM xent x JOIN documents dd ON dd.doc_id = x.doc_id
+)
+SELECT lang, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(CAST(ROUND(xent * 1e6) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1e6, 6) AS avg_xent,
+       MIN(xent) AS min_xent,
+       MAX(xent) AS max_xent
+FROM lab
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+@query("q_ppl_gate", oracle=_PPL_ORACLE)
+def q_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    xent = _bigram_xent(spark, sf_dir).select("doc_id", "xent")
+    langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("xent", "doc_id")
+    lab = (
+        xent.join(langs, "doc_id")
+        .select("lang", "xent", F.ntile(3).over(w).alias("bucket"))
+    )
+    micro = F.round(F.col("xent") * 1e6).cast("long")
+    return (
+        lab.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(
+                F.sum(micro).cast("double") / F.count("*") / 1e6, 6
+            ).alias("avg_xent"),
+            F.min("xent").alias("min_xent"),
+            F.max("xent").alias("max_xent"),
+        )
+        .orderBy("lang", "bucket")
+    )

@@ -148,3 +148,44 @@ def test_bigram_backoff_paths_fire_and_replicate(spark):
         assert got[r["doc_id"]] == (len(lps), want_xent)
         checked += 1
     assert checked > 0
+
+
+def test_ppl_gate_terciles_are_balanced_and_ordered(spark):
+    """CCNet semantics: per language, exactly 3 buckets whose sizes are
+    NTILE-balanced (max-min <= 1), bucket means are nondecreasing from
+    head (1) to tail (3), and the bucket populations add back up to the
+    held-out per-lang document counts from the LM scorer."""
+    from collections import defaultdict
+
+    from pyspec_spark.queries.quality import _bigram_xent, q_ppl_gate
+    from pyspec_spark.tables import table
+
+    rows = q_ppl_gate.__wrapped__(spark, SF_SMALL).collect()
+    by_lang = defaultdict(dict)
+    for r in rows:
+        by_lang[r["lang"]][r["bucket"]] = r
+
+    xent = _bigram_xent(spark, SF_SMALL).select("doc_id")
+    langs = table(spark, SF_SMALL, "documents").select("doc_id", "lang")
+    want_counts = {
+        r["lang"]: r["n"]
+        for r in xent.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+
+    assert set(by_lang) == set(want_counts)
+    for lang, buckets in by_lang.items():
+        assert sorted(buckets) == [1, 2, 3], (lang, sorted(buckets))
+        sizes = [buckets[b]["n_docs"] for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert sum(sizes) == want_counts[lang]
+        means = [buckets[b]["avg_xent"] for b in (1, 2, 3)]
+        assert means == sorted(means), (lang, means)
+        # per-bucket extrema bracket the mean and chain across buckets
+        for b in (1, 2, 3):
+            r = buckets[b]
+            assert r["min_xent"] <= r["avg_xent"] <= r["max_xent"]
+        assert buckets[1]["max_xent"] <= buckets[2]["min_xent"] + 1e-9
+        assert buckets[2]["max_xent"] <= buckets[3]["min_xent"] + 1e-9
