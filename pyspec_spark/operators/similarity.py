@@ -827,3 +827,93 @@ def knn_join_lsh(
         .where(F.col("rk") <= k)
         .select("qid", "vec_id", "score", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998): pick
+# k results from a relevance shortlist, greedily trading relevance
+# against redundancy:  argmax  lam*rel(c) - (1-lam)*max_{s in S} cos(c,s).
+#
+# Scale posture: the EXPENSIVE part is shortlist generation, which is
+# whatever ANN/exact top-N the caller supplies (bounded N rows); the
+# greedy itself is O(k*N*dim) over that bounded list and runs in ONE
+# executor-side applyInPandas group — never on the driver, never over
+# the corpus.  Determinism: all cosines snap to 6 places (half away
+# from zero, the DuckDB/Spark ROUND rule) before comparison, with a
+# vec_id tiebreak, so a DuckDB recursive CTE can replay the selection
+# bit-for-bit.
+# ---------------------------------------------------------------------------
+def _round6(x: float) -> float:
+    s = x * 1e6
+    import math as _m
+
+    return (_m.floor(s + 0.5) if s >= 0 else -_m.floor(0.5 - s)) / 1e6
+
+
+def _seq_cos(a, b) -> float:
+    """Sequential-sum cosine in float64 — mirrors the F.aggregate /
+    list_cosine_similarity evaluation order so 6-place rounding is
+    engine-stable (the q_cosine_topk proven parity idiom)."""
+    import math as _m
+
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    return dot / (_m.sqrt(na) * _m.sqrt(nb))
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    k: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    vec_col: str = "emb",
+) -> DataFrame:
+    """Greedy MMR over a bounded shortlist DataFrame with columns
+    (id_col BIGINT, rel_col DOUBLE — 6-place-rounded relevance,
+    vec_col ARRAY<DOUBLE>).  Returns (rank, vec_id, rel, mmr)."""
+
+    def _select(pdf):
+        import pandas as pd
+
+        cands = [
+            (int(r[id_col]), float(r[rel_col]), [float(x) for x in r[vec_col]])
+            for _, r in pdf.iterrows()
+        ]
+        remaining = sorted(cands, key=lambda c: (-c[1], c[0]))
+        out = []
+        sel_vecs: list[list[float]] = []
+        for rank in range(1, min(k, len(cands)) + 1):
+            if rank == 1:
+                best = remaining[0]
+                best_score = best[1]
+            else:
+                best, best_score = None, None
+                for c in remaining:
+                    maxsim = max(
+                        _round6(_seq_cos(c[2], s)) for s in sel_vecs
+                    )
+                    score = _round6(lam * c[1] - (1.0 - lam) * maxsim)
+                    if (
+                        best is None
+                        or score > best_score
+                        or (score == best_score and c[0] < best[0])
+                    ):
+                        best, best_score = c, score
+            out.append((rank, best[0], best[1], best_score))
+            sel_vecs.append(best[2])
+            remaining = [c for c in remaining if c[0] != best[0]]
+        return pd.DataFrame(out, columns=["rank", "vec_id", "rel", "mmr"])
+
+    return (
+        shortlist.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            _select, "rank INT, vec_id BIGINT, rel DOUBLE, mmr DOUBLE"
+        )
+        .orderBy("rank")
+    )

@@ -1075,3 +1075,88 @@ def q_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_hits"),
         F.round(F.count("*") / 10.0, 6).alias("recall_at_10"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L5+ — MMR diversification re-rank (Carbonell & Goldstein 1998),
+# ORACLE-CHECKED end to end: the exact cosine top-20 shortlist (the
+# proven q_cosine_topk parity idiom) feeds a greedy
+#   argmax 0.7*rel - 0.3*max_sel_cos
+# selection of 8, replayed in DuckDB by a recursive CTE whose state
+# carries the selected vectors.  All cosines snap to 6 places before
+# comparison (vec_id tiebreak), so the pick sequence is engine-stable.
+# The greedy runs in ONE bounded applyInPandas group (20 rows) on an
+# executor — the corpus-sized work is only the shortlist scan.
+# ---------------------------------------------------------------------------
+_MMR_N, _MMR_K, _MMR_LAM = 20, 8, 0.7
+
+_MMR_ORACLE = f"""
+WITH RECURSIVE
+cand AS (
+  SELECT e.vec_id,
+         CAST(e.embedding AS DOUBLE[]) AS emb,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               CAST(q.embedding AS DOUBLE[])), 6) AS rel
+  FROM embeddings e
+  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+  WHERE e.vec_id != 0
+  ORDER BY rel DESC, e.vec_id
+  LIMIT {_MMR_N}
+),
+sel AS (
+  (SELECT 1 AS rnk, c.vec_id, c.rel, c.rel AS mmr,
+          [c.emb] AS sel_vecs, [c.vec_id] AS sel_ids
+   FROM cand c ORDER BY c.rel DESC, c.vec_id LIMIT 1)
+  UNION ALL
+  SELECT s.rnk + 1, c.vec_id, c.rel, c.score,
+         list_append(s.sel_vecs, c.emb), list_append(s.sel_ids, c.vec_id)
+  FROM sel s, LATERAL (
+    SELECT c2.vec_id, c2.rel, c2.emb,
+           ROUND({_MMR_LAM} * c2.rel - {round(1 - _MMR_LAM, 6)} *
+               list_max(list_transform(s.sel_vecs,
+                   v -> ROUND(list_cosine_similarity(c2.emb, v), 6))),
+               6) AS score
+    FROM cand c2
+    WHERE NOT list_contains(s.sel_ids, c2.vec_id)
+    ORDER BY score DESC, c2.vec_id LIMIT 1
+  ) c
+  WHERE s.rnk < {_MMR_K}
+)
+SELECT rnk AS rank, vec_id, rel, mmr FROM sel ORDER BY rnk
+"""
+
+
+@query("q_mmr_rerank", oracle=_MMR_ORACLE)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.similarity import mmr_rerank
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    shortlist = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 6
+            ).alias("rel"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_N)
+    )
+    return mmr_rerank(shortlist, k=_MMR_K, lam=_MMR_LAM)

@@ -934,3 +934,59 @@ def test_knn_join_lsh_planted_neardup_recall(spark, emb):
         1 for r in got if r["rk"] == 1 and r["vec_id"] == r["qid"] - 100000
     )
     assert hits >= 16, f"planted NN found only {hits}/20"
+
+
+def test_mmr_rerank_greedy_replicates_and_diversifies(spark):
+    """q_mmr_rerank semantics: rank-1 is the pure-relevance argmax, the
+    pick set is a shortlist subset, every later mmr score is <= its rel
+    (the diversity penalty only subtracts), and a pure-python greedy
+    over the collected shortlist replicates the full selection order."""
+    from pyspec_spark.operators.similarity import _round6, _seq_cos
+    from pyspec_spark.queries.llm_advanced import (
+        _MMR_K,
+        _MMR_LAM,
+        _MMR_N,
+        q_mmr_rerank,
+    )
+    from pyspec_spark.tables import table
+
+    got = [
+        (r["rank"], r["vec_id"], r["rel"], r["mmr"])
+        for r in q_mmr_rerank.__wrapped__(spark, SF).collect()
+    ]
+    assert [r[0] for r in got] == list(range(1, _MMR_K + 1))
+
+    emb = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in table(spark, SF, "embeddings").collect()
+    }
+    qv = emb[0]
+    scored = sorted(
+        ((_round6(_seq_cos(v, qv)), vid) for vid, v in emb.items() if vid != 0),
+        key=lambda t: (-t[0], t[1]),
+    )
+    shortlist = [(vid, rel, emb[vid]) for rel, vid in scored[:_MMR_N]]
+    assert {r[1] for r in got} <= {c[0] for c in shortlist}
+
+    sel = []
+    remaining = list(shortlist)
+    for rank in range(1, _MMR_K + 1):
+        if rank == 1:
+            best = min(remaining, key=lambda c: (-c[1], c[0]))
+            best_score = best[1]
+        else:
+            def key(c):
+                maxsim = max(_round6(_seq_cos(c[2], s[2])) for s in sel)
+                return _round6(_MMR_LAM * c[1] - (1 - _MMR_LAM) * maxsim)
+            best = min(remaining, key=lambda c: (-key(c), c[0]))
+            best_score = key(best)
+        sel.append(best)
+        remaining = [c for c in remaining if c[0] != best[0]]
+        want = (rank, best[0], best[1], best_score)
+        assert got[rank - 1] == want, (got[rank - 1], want)
+
+    for rank, _vid, rel, mmr in got[1:]:
+        assert mmr <= rel + 1e-12
+    # diversification is real on this data: the MMR order differs from
+    # the pure-relevance order
+    assert [r[1] for r in got] != [c[0] for c in shortlist[:_MMR_K]]
