@@ -1,0 +1,358 @@
+"""Snapshot lake — manifest-versioned parquet tables (time travel,
+ACID-ish commits, file-level partition pruning).
+
+The in-place lake ops in sinks.py (merge_upsert / merge_delete /
+compact_small_files) document a shared caveat: dynamic partition
+overwrite mutates the directory, so a crash mid-write can leave
+half-rewritten partitions and there is no way to read yesterday's
+table.  This module closes that caveat with the table-format recipe
+(the public Iceberg/Delta core idea, re-expressed minimally):
+
+- **Data files are immutable.**  Every commit writes NEW parquet files
+  under ``<root>/data/c{version}-{uuid}/`` and never touches existing
+  ones.
+- **A manifest is the table.**  ``<root>/_manifests/v{N}.json`` lists
+  the live files (relative paths) plus each file's partition value.
+  Readers resolve a manifest — the default is the latest — so reads
+  are snapshot-isolated for free and ``version=N`` is time travel.
+- **Commit = one atomic link.**  The manifest is written to a temp
+  name and published with ``os.link`` (fails with EEXIST if another
+  writer took the version) — optimistic concurrency on any POSIX
+  filesystem.  A crash before the link leaves only orphan data files,
+  which ``lake_vacuum`` reclaims; the table is never half-visible.
+- **Partition pruning moves to the manifest.**  Files record their
+  partition value (the write duplicates the partition column into a
+  ``_pc`` hive directory, so the ORIGINAL column stays in the data and
+  no path inference is needed on read).  Upsert/delete rewrite only
+  the files whose partition is affected — the merge_upsert O(k)
+  property, now with old versions intact.
+
+At 100 TB this is exactly the metadata/data split that makes object-
+store lakes workable: planning reads one small JSON (file listing +
+partition values — no directory walks), data files are written once
+and cached aggressively, and maintenance (vacuum) is a pure metadata
+diff.  The local-FS ``os.link`` commit generalizes to any store with
+a conditional-put primitive.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import uuid
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+_PC = "_pc"  # hive layout column (duplicate of the partition column)
+
+
+class LakeConflict(RuntimeError):
+    """Another writer committed this version first — retry on latest."""
+
+
+def _manifest_path(root: str, version: int) -> str:
+    return os.path.join(root, _MANIFEST_DIR, f"v{version:08d}.json")
+
+
+def _versions(root: str) -> list[int]:
+    pat = os.path.join(root, _MANIFEST_DIR, "v*.json")
+    return sorted(int(os.path.basename(p)[1:-5]) for p in glob.glob(pat))
+
+
+def latest_version(root: str) -> int | None:
+    vs = _versions(root)
+    return vs[-1] if vs else None
+
+
+def _load_manifest(root: str, version: int) -> dict:
+    with open(_manifest_path(root, version)) as f:
+        return json.load(f)
+
+
+def lake_history(root: str) -> list[dict]:
+    """All manifests oldest-first (version, op, ts, n_files)."""
+    out = []
+    for v in _versions(root):
+        m = _load_manifest(root, v)
+        out.append(
+            {
+                "version": m["version"],
+                "op": m["op"],
+                "ts": m["ts"],
+                "n_files": len(m["files"]),
+            }
+        )
+    return out
+
+
+def _commit(
+    root: str, op: str, files: list[dict], partition_col, parent: int | None
+) -> int:
+    """Publish the manifest for version parent+1.  ``parent`` is the
+    version the caller READ ITS BASE STATE from (captured at
+    transaction start) — committing exactly parent+1 makes the link an
+    optimistic-concurrency check: if another writer published that
+    version since, the link fails with LakeConflict instead of
+    silently serializing a merge computed against a stale base (a lost
+    update).  The loser's staged data files become orphans, which
+    lake_vacuum reclaims."""
+    os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
+    version = 1 if parent is None else parent + 1
+    manifest = {
+        "version": version,
+        "parent": parent,
+        "op": op,
+        "ts": datetime.now(timezone.utc).isoformat(),
+        "partition_col": partition_col,
+        "files": files,
+    }
+    tmp = os.path.join(
+        root, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}.json"
+    )
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, _manifest_path(root, version))
+    except FileExistsError:
+        raise LakeConflict(
+            f"version {version} already committed under {root}"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return version
+
+
+def _stage_files(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_col: str | None,
+) -> list[dict]:
+    """Write df as immutable files under a fresh commit dir; return the
+    manifest file entries (relative path + partition value string)."""
+    stage_rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex[:12]}")
+    stage = os.path.join(root, stage_rel)
+    if partition_col is not None:
+        # duplicate the partition column into the hive dir so the
+        # original column SURVIVES in the data files (reads never need
+        # path inference; the dir exists purely to split files cleanly
+        # per partition value for manifest-level pruning)
+        (
+            df.withColumn(_PC, F.col(partition_col).cast("string"))
+            .repartition(F.col(_PC))
+            .write.partitionBy(_PC)
+            .parquet(stage)
+        )
+    else:
+        df.write.parquet(stage)
+    entries = []
+    for p in sorted(
+        glob.glob(os.path.join(stage, "**", "*.parquet"), recursive=True)
+    ):
+        rel = os.path.relpath(p, root)
+        part = None
+        for seg in rel.split(os.sep):
+            if seg.startswith(_PC + "="):
+                part = seg[len(_PC) + 1 :]
+        entries.append({"path": rel, "partition": part})
+    return entries
+
+
+def lake_append(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_col: str | None = None,
+) -> int:
+    """Append df as a new snapshot (previous files + new files)."""
+    prev = latest_version(root)
+    old = _load_manifest(root, prev)["files"] if prev is not None else []
+    new = _stage_files(spark, root, df, partition_col)
+    return _commit(root, "append", old + new, partition_col, prev)
+
+
+def lake_overwrite(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_col: str | None = None,
+) -> int:
+    """Replace the table contents (old files stay readable via time
+    travel until vacuumed)."""
+    prev = latest_version(root)
+    new = _stage_files(spark, root, df, partition_col)
+    return _commit(root, "overwrite", new, partition_col, prev)
+
+
+def lake_read(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot (default: latest).  Plans from the manifest's
+    explicit file list — no directory walk, no partition inference."""
+    v = latest_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    m = _load_manifest(root, v)
+    if not m["files"]:
+        raise ValueError(f"version {v} of {root} is empty")
+    paths = [os.path.join(root, e["path"]) for e in m["files"]]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise FileNotFoundError(
+            f"version {v} references vacuumed files, e.g. {missing[0]}"
+        )
+    return spark.read.parquet(*paths)
+
+
+def lake_upsert(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    key: str,
+    partition_col: str,
+) -> int:
+    """MERGE (upsert) as a snapshot commit: rows in `updates` replace
+    same-key rows; new keys append.  Only files whose partition value
+    appears in `updates` are rewritten — every other file is carried
+    into the new manifest BY REFERENCE (zero data movement), and the
+    previous version remains readable."""
+    updates = updates.persist()
+    try:
+        parts = {
+            str(r[0])
+            for r in updates.select(partition_col).distinct().collect()
+            if r[0] is not None
+        }
+        prev = latest_version(root)
+        old = _load_manifest(root, prev)["files"] if prev is not None else []
+        touched = [e for e in old if e["partition"] in parts]
+        kept_entries = [e for e in old if e["partition"] not in parts]
+        if touched:
+            tgt = spark.read.parquet(
+                *[os.path.join(root, e["path"]) for e in touched]
+            )
+            survivors = tgt.join(
+                updates.select(key).distinct(), key, "left_anti"
+            )
+            merged = survivors.unionByName(
+                updates.select(*survivors.columns)
+            )
+        else:
+            merged = updates
+        new = _stage_files(spark, root, merged, partition_col)
+        return _commit(
+            root, "upsert", kept_entries + new, partition_col, prev
+        )
+    finally:
+        updates.unpersist()
+
+
+def lake_delete(
+    spark: SparkSession,
+    root: str,
+    delete_keys: DataFrame,
+    key: str,
+    partition_col: str,
+) -> int:
+    """Row-level DELETE as a snapshot commit.  Files in unaffected
+    partitions carry over by reference; affected partitions are
+    rewritten without the deleted keys (a fully-emptied partition
+    simply contributes no files).  The pre-delete version stays
+    readable until vacuumed — the audit trail a right-to-be-forgotten
+    pipeline wants DURING the retention window, with vacuum as the
+    actual forget step."""
+    delete_keys = delete_keys.persist()
+    try:
+        prev = latest_version(root)
+        old = _load_manifest(root, prev)["files"] if prev is not None else []
+        if partition_col in delete_keys.columns:
+            parts = {
+                str(r[0])
+                for r in delete_keys.select(partition_col)
+                .distinct()
+                .collect()
+                if r[0] is not None
+            }
+        else:
+            cur = lake_read(spark, root)
+            parts = {
+                str(r[0])
+                for r in cur.select(key, partition_col)
+                .join(delete_keys.select(key).distinct(), key, "left_semi")
+                .select(partition_col)
+                .distinct()
+                .collect()
+            }
+        touched = [e for e in old if e["partition"] in parts]
+        kept_entries = [e for e in old if e["partition"] not in parts]
+        if not touched:
+            return prev if prev is not None else 0
+        tgt = spark.read.parquet(
+            *[os.path.join(root, e["path"]) for e in touched]
+        )
+        survivors = tgt.join(
+            delete_keys.select(key).distinct(), key, "left_anti"
+        )
+        new = _stage_files(spark, root, survivors, partition_col)
+        return _commit(
+            root, "delete", kept_entries + new, partition_col, prev
+        )
+    finally:
+        delete_keys.unpersist()
+
+
+def lake_compact(
+    spark: SparkSession, root: str, partition_col: str | None = None
+) -> int:
+    """Rewrite the current snapshot into one file per partition (the
+    small-file maintenance pass) as a COMMIT: readers of older versions
+    keep their file lists; nothing is deleted until vacuum."""
+    prev = latest_version(root)
+    cur = lake_read(spark, root, version=prev)
+    if partition_col is not None:
+        new = _stage_files(
+            spark, root, cur.repartition(F.col(partition_col)),
+            partition_col,
+        )
+    else:
+        new = _stage_files(spark, root, cur.coalesce(1), None)
+    return _commit(root, "compact", new, partition_col, prev)
+
+
+def lake_vacuum(root: str, keep_versions: int = 1) -> int:
+    """Delete data files referenced ONLY by manifests older than the
+    newest `keep_versions`, then drop those manifests.  Returns the
+    number of files removed.  Also reclaims orphan files from aborted
+    commits (staged but never referenced by any manifest)."""
+    vs = _versions(root)
+    if not vs:
+        return 0
+    keep = set(vs[-max(keep_versions, 1):])
+    live: set[str] = set()
+    for v in keep:
+        for e in _load_manifest(root, v)["files"]:
+            live.add(os.path.normpath(e["path"]))
+    removed = 0
+    data_root = os.path.join(root, _DATA_DIR)
+    for p in glob.glob(
+        os.path.join(data_root, "**", "*.parquet"), recursive=True
+    ):
+        rel = os.path.normpath(os.path.relpath(p, root))
+        if rel not in live:
+            os.unlink(p)
+            removed += 1
+    # prune commit dirs that no longer hold any data file (only write
+    # markers like _SUCCESS / .crc remain) and expired manifests
+    for d in glob.glob(os.path.join(data_root, "c-*")):
+        if not glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+            shutil.rmtree(d)
+    for v in vs:
+        if v not in keep:
+            os.unlink(_manifest_path(root, v))
+    return removed

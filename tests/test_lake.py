@@ -1,0 +1,175 @@
+"""Snapshot lake (pyspec_spark/lake.py): manifest-versioned parquet —
+time travel, file-reference carry-over on upsert/delete, optimistic
+commit conflict, vacuum reclamation."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pyspec_spark.lake import (
+    LakeConflict,
+    lake_append,
+    lake_compact,
+    lake_delete,
+    lake_history,
+    lake_overwrite,
+    lake_read,
+    lake_upsert,
+    lake_vacuum,
+    latest_version,
+)
+
+
+def _docs(spark, lo, hi, tag="a"):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit(f"text-{tag}-"), F.col("id")).alias("text"),
+            (F.col("id") % 3).cast("int").alias("part"),
+        )
+    )
+
+
+def _rows(df):
+    return sorted((r["doc_id"], r["text"], r["part"]) for r in df.collect())
+
+
+def test_append_versions_and_time_travel(spark, tmp_path):
+    root = str(tmp_path / "t")
+    v1 = lake_append(spark, root, _docs(spark, 0, 10), "part")
+    v2 = lake_append(spark, root, _docs(spark, 10, 15), "part")
+    assert (v1, v2) == (1, 2)
+    assert latest_version(root) == 2
+    assert lake_read(spark, root).count() == 15
+    assert lake_read(spark, root, version=1).count() == 10
+    assert _rows(lake_read(spark, root, version=1)) == _rows(
+        _docs(spark, 0, 10)
+    )
+    ops = [h["op"] for h in lake_history(root)]
+    assert ops == ["append", "append"]
+
+
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake_upsert(spark, root, _docs(spark, 0, 30), "doc_id", "part")
+    m1_files = {
+        (e["path"], e["partition"])
+        for e in __import__("pyspec_spark.lake", fromlist=["_load_manifest"])
+        ._load_manifest(root, 1)["files"]
+    }
+    # update rows only in partition 0 (doc_id % 3 == 0)
+    upd = _docs(spark, 0, 30, tag="new").where("part = 0")
+    lake_upsert(spark, root, upd, "doc_id", "part")
+    from pyspec_spark.lake import _load_manifest
+
+    m2_files = {
+        (e["path"], e["partition"]) for e in _load_manifest(root, 2)["files"]
+    }
+    # untouched partitions carry over the SAME file paths by reference
+    for path, part in m1_files:
+        if part in ("1", "2"):
+            assert (path, part) in m2_files
+        else:
+            assert (path, part) not in m2_files
+    got = lake_read(spark, root)
+    assert got.where("part = 0").where("text like 'text-new-%'").count() == 10
+    assert got.where("part != 0").where("text like 'text-a-%'").count() == 20
+    # pre-upsert snapshot unchanged
+    assert (
+        lake_read(spark, root, version=1)
+        .where("text like 'text-new-%'")
+        .count()
+        == 0
+    )
+
+
+def test_upsert_adds_new_keys(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 10), "part")
+    lake_upsert(spark, root, _docs(spark, 5, 20, tag="u"), "doc_id", "part")
+    got = lake_read(spark, root)
+    assert got.count() == 20
+    assert got.where("text like 'text-u-%'").count() == 15
+
+
+def test_delete_and_emptied_partition(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 30), "part")
+    # delete every row of partition 1 plus one row of partition 2
+    keys = spark.createDataFrame(
+        [(i,) for i in range(30) if i % 3 == 1] + [(2,)], ["doc_id"]
+    )
+    v = lake_delete(spark, root, keys, "doc_id", "part")
+    assert v == 2
+    got = lake_read(spark, root)
+    assert got.where("part = 1").count() == 0
+    assert got.count() == 30 - 10 - 1
+    # time travel still sees everything
+    assert lake_read(spark, root, version=1).count() == 30
+
+
+def test_commit_conflict_raises_and_leaves_table_intact(spark, tmp_path):
+    """Two writers read base version 1 and race for version 2: the
+    second link MUST fail (stale-base merge = lost update), and the
+    loser's staged files must stay invisible and vacuumable."""
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 6), "part")
+    from pyspec_spark.lake import (
+        _commit,
+        _load_manifest,
+        _stage_files,
+        latest_version,
+    )
+
+    base = latest_version(root)
+    old = _load_manifest(root, base)["files"]
+    # writer A stages and wins version 2
+    files_a = _stage_files(spark, root, _docs(spark, 6, 8, tag="A"), "part")
+    # writer B also staged against base 1
+    files_b = _stage_files(spark, root, _docs(spark, 8, 9, tag="B"), "part")
+    assert _commit(root, "append", old + files_a, "part", base) == 2
+    with pytest.raises(LakeConflict):
+        _commit(root, "append", old + files_b, "part", base)
+    # winner's rows visible, loser's rows not
+    got = lake_read(spark, root)
+    assert got.where("text like 'text-A-%'").count() == 2
+    assert got.where("text like 'text-B-%'").count() == 0
+    # loser's orphaned staging files are reclaimed by vacuum
+    assert lake_vacuum(root, keep_versions=2) > 0
+    assert lake_read(spark, root).count() == 8
+
+
+def test_compact_then_vacuum(spark, tmp_path):
+    root = str(tmp_path / "t")
+    for lo in range(0, 30, 10):  # three commits -> many small files
+        lake_append(spark, root, _docs(spark, lo, lo + 10), "part")
+    before = _rows(lake_read(spark, root))
+    v = lake_compact(spark, root, "part")
+    assert _rows(lake_read(spark, root)) == before
+    from pyspec_spark.lake import _load_manifest
+
+    assert len(_load_manifest(root, v)["files"]) == 3  # one per partition
+    removed = lake_vacuum(root, keep_versions=1)
+    assert removed > 0
+    # latest still reads; expired versions are gone
+    assert _rows(lake_read(spark, root)) == before
+    with pytest.raises(FileNotFoundError):
+        lake_read(spark, root, version=1)
+    # orphans from an aborted commit are reclaimed too
+    from pyspec_spark.lake import _stage_files
+
+    _stage_files(spark, root, _docs(spark, 0, 5), "part")
+    assert lake_vacuum(root, keep_versions=1) > 0
+    assert _rows(lake_read(spark, root)) == before
+
+
+def test_unpartitioned_lake(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake_overwrite(spark, root, _docs(spark, 0, 8))
+    lake_overwrite(spark, root, _docs(spark, 0, 4, tag="b"))
+    assert lake_read(spark, root).count() == 4
+    assert lake_read(spark, root, version=1).count() == 8
