@@ -73,6 +73,9 @@ HEADLINE = [
     # round 6: streaming-face owner rule + DSIR data selection
     "q_neardup_owner",
     "q_dsir_weights",
+    # round 6b: CCNet perplexity terciles + MMR diversification
+    "q_ppl_gate",
+    "q_mmr_rerank",
 ]
 
 

@@ -917,3 +917,151 @@ def mmr_rerank(
         )
         .orderBy("rank")
     )
+
+
+def mmr_rerank_sql(
+    shortlist: DataFrame,
+    k: int = 8,
+    lam: float = 0.7,
+) -> DataFrame:
+    """JVM-side twin of mmr_rerank: the greedy selection unrolled as k
+    chained Catalyst expression steps over the collected shortlist
+    array — zero Python workers.  Kept as a determinism CROSS-CHECK,
+    not the production path: measured on a cached 20-row shortlist at
+    sf0.1, the interpreted nested-HOF greedy costs ~0.37 s vs ~0.19 s
+    for the Arrow round trip + numpy greedy — HigherOrderFunction
+    lambdas are CodegenFallback, so each of the ~300 pair-cosines pays
+    interpreted-expression overhead that dwarfs one pandas worker hop.
+    The declared q_mmr_rerank therefore uses mmr_rerank (applyInPandas);
+    the three-way agreement (this twin == pandas == DuckDB recursive
+    CTE, bit-for-bit at sf0.001/0.01/0.1) is what this form buys.
+
+    Numerics mirror mmr_rerank exactly: per-vector norms precomputed as
+    sqrt(sum sq), pair cosine = seqdot/(nrm_a*nrm_b) rounded to 6, the
+    same (score desc, vec_id asc) tiebreak — so the two forms and the
+    DuckDB recursive-CTE oracle agree bit-for-bit."""
+    lam_c, inv_c = F.lit(lam), F.lit(round(1.0 - lam, 6))
+
+    def _nrm(vec):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(vec, lambda x: x * x),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+
+    def _cos(c, s):
+        dot = F.aggregate(
+            F.zip_with(c["emb"], s["emb"], lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        return F.round(dot / (c["nrm"] * s["nrm"]), 6)
+
+    one = shortlist.select(
+        F.struct(
+            F.col("vec_id"),
+            F.col("rel"),
+            F.col("emb"),
+            _nrm(F.col("emb")).alias("nrm"),
+        ).alias("c")
+    ).agg(F.collect_list("c").alias("cand"))
+
+    # named_struct, not struct(...alias...): aliases inside a HOF
+    # lambda do not survive analysis (fields come out col1/col2/...)
+    by_rel = F.transform(
+        F.sort_array(
+            F.transform(
+                F.col("cand"),
+                lambda c: F.named_struct(
+                    F.lit("k1"), -c["rel"],
+                    F.lit("k2"), c["vec_id"],
+                    F.lit("c"), c,
+                ),
+            )
+        ),
+        lambda s: s["c"],
+    )
+    first = F.get(by_rel, 0)
+    sel0 = F.array(
+        F.struct(
+            first["vec_id"].alias("vec_id"),
+            first["rel"].alias("rel"),
+            first["rel"].alias("mmr"),
+            first["emb"].alias("emb"),
+            first["nrm"].alias("nrm"),
+        )
+    )
+    df = one.select("cand", sel0.alias("sel1"))
+
+    for step in range(2, k + 1):
+        sel = F.col(f"sel{step - 1}")
+        sel_ids = F.transform(sel, lambda s: s["vec_id"])
+
+        def _score(c, _sel=sel):
+            maxsim = F.array_max(
+                F.transform(_sel, lambda s: _cos(c, s))
+            )
+            return F.round(lam_c * c["rel"] - inv_c * maxsim, 6)
+
+        scored = F.transform(
+            F.filter(
+                F.col("cand"),
+                lambda c: ~F.array_contains(sel_ids, c["vec_id"]),
+            ),
+            lambda c: F.named_struct(
+                F.lit("k1"), -_score(c),
+                F.lit("k2"), c["vec_id"],
+                F.lit("mmr"), _score(c),
+                F.lit("c"), c,
+            ),
+        )
+        pick = F.get(F.sort_array(scored), 0)
+        nxt = F.when(
+            pick.isNotNull(),
+            F.concat(
+                sel,
+                F.array(
+                    F.struct(
+                        pick["c"]["vec_id"].alias("vec_id"),
+                        pick["c"]["rel"].alias("rel"),
+                        pick["mmr"].alias("mmr"),
+                        pick["c"]["emb"].alias("emb"),
+                        pick["c"]["nrm"].alias("nrm"),
+                    )
+                ),
+            ),
+        ).otherwise(sel)
+        # Generate is a projection barrier (the q_repetition lesson):
+        # without it the optimizer inlines sel{step-1} into its ~19
+        # uses here, and the expression tree grows ~19^k — measured as
+        # a driver OOM at k=8.  explode of a 1-element array keeps
+        # cardinality (the optimizer cannot remove a Generate), costs
+        # nothing, and caps each step's tree at a constant size.
+        df = df.select(
+            "cand",
+            nxt.alias(f"sel{step}"),
+            F.explode(F.array(F.lit(step))).alias("_barrier"),
+        )
+
+    # posexplode_OUTER, deliberately: for plain posexplode the
+    # InferFiltersFromGenerate rule synthesizes a `size(sel_k) > 0`
+    # filter and pushes it below every barrier — one filter expression
+    # containing the WHOLE unrolled recursion inlined (measured 75 s at
+    # k=4 on a 5-row shortlist; exponential in k).  The outer variant
+    # gets no inferred filter; the null guard lives ABOVE the Generate
+    # where it references only generator output and cannot sink.
+    return (
+        df.select(
+            F.posexplode_outer(F.col(f"sel{k}")).alias("pos", "s")
+        )
+        .where(F.col("s").isNotNull())
+        .select(
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("s")["vec_id"].alias("vec_id"),
+            F.col("s")["rel"].alias("rel"),
+            F.col("s")["mmr"].alias("mmr"),
+        )
+        .orderBy("rank")
+    )

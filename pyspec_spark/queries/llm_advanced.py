@@ -1146,7 +1146,12 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    shortlist = (
+    # The corpus-sized scan computes ONLY (vec_id, rel): attaching the
+    # double-cast embedding inside the scan would run the cast HOF on
+    # every row for 20 survivors (measured 2.2x the scan cost at
+    # sf0.1).  The 20-row top-k is broadcast back onto the table so
+    # the cast touches exactly the shortlist.
+    rel_top = (
         e.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
@@ -1154,9 +1159,17 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 6
             ).alias("rel"),
-            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
         )
         .orderBy(F.desc("rel"), "vec_id")
         .limit(_MMR_N)
+    )
+    shortlist = (
+        e.select("vec_id", "embedding")
+        .join(F.broadcast(rel_top), "vec_id")
+        .select(
+            "vec_id",
+            "rel",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
     )
     return mmr_rerank(shortlist, k=_MMR_K, lam=_MMR_LAM)

@@ -990,3 +990,50 @@ def test_mmr_rerank_greedy_replicates_and_diversifies(spark):
     # diversification is real on this data: the MMR order differs from
     # the pure-relevance order
     assert [r[1] for r in got] != [c[0] for c in shortlist[:_MMR_K]]
+
+
+def test_mmr_sql_twin_matches_pandas_form(spark):
+    """mmr_rerank_sql (unrolled Catalyst greedy) returns bit-identical
+    rows to the declared applyInPandas form — two independent
+    implementations plus the DuckDB recursive-CTE oracle all agree."""
+    from pyspec_spark.operators.similarity import mmr_rerank_sql
+    from pyspec_spark.queries.llm_advanced import (
+        _MMR_K,
+        _MMR_LAM,
+        _MMR_N,
+        q_mmr_rerank,
+    )
+    from pyspec_spark.tables import table
+
+    e = table(spark, SF, "embeddings")
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    sl = (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 6
+            ).alias("rel"),
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        )
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_N)
+    )
+    a = [tuple(r) for r in mmr_rerank_sql(sl, k=_MMR_K, lam=_MMR_LAM).collect()]
+    b = [tuple(r) for r in q_mmr_rerank.__wrapped__(spark, SF).collect()]
+    assert a == b
