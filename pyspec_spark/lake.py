@@ -92,7 +92,12 @@ def lake_history(root: str) -> list[dict]:
 
 
 def _commit(
-    root: str, op: str, files: list[dict], partition_col, parent: int | None
+    root: str,
+    op: str,
+    files: list[dict],
+    partition_col,
+    parent: int | None,
+    stream_commit: tuple[str, int] | None = None,
 ) -> int:
     """Publish the manifest for version parent+1.  ``parent`` is the
     version the caller READ ITS BASE STATE from (captured at
@@ -104,12 +109,24 @@ def _commit(
     lake_vacuum reclaims."""
     os.makedirs(os.path.join(root, _MANIFEST_DIR), exist_ok=True)
     version = 1 if parent is None else parent + 1
+    # stream_commits carries forward through EVERY commit (append,
+    # upsert, compact, ...) so the exactly-once batch watermark of a
+    # streaming writer survives interleaved maintenance commits
+    carried: dict = {}
+    if parent is not None:
+        carried = dict(
+            _load_manifest(root, parent).get("stream_commits", {})
+        )
+    if stream_commit is not None:
+        qname, batch_id = stream_commit
+        carried[qname] = batch_id
     manifest = {
         "version": version,
         "parent": parent,
         "op": op,
         "ts": datetime.now(timezone.utc).isoformat(),
         "partition_col": partition_col,
+        "stream_commits": carried,
         "files": files,
     }
     tmp = os.path.join(
@@ -356,3 +373,86 @@ def lake_vacuum(root: str, keep_versions: int = 1) -> int:
         if v not in keep:
             os.unlink(_manifest_path(root, v))
     return removed
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once Structured Streaming sink.  foreachBatch is at-least-
+# once: after a crash between "sink wrote" and "checkpoint advanced",
+# the same (query, batch_id) is REDELIVERED.  A plain parquet-append
+# sink duplicates that batch; the snapshot lake fixes it the table-
+# format way — the committed manifest records, per named query, the
+# highest batch id it contains, and a redelivered batch is a no-op.
+# The check and the data commit are the SAME atomic manifest link, so
+# there is no window where data landed but the watermark didn't.
+# ---------------------------------------------------------------------------
+def lake_last_batch(root: str, query_name: str) -> int | None:
+    v = latest_version(root)
+    if v is None:
+        return None
+    return _load_manifest(root, v).get("stream_commits", {}).get(query_name)
+
+
+def lake_append_stream(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    partition_col: str | None,
+    query_name: str,
+    batch_id: int,
+    max_retries: int = 5,
+) -> int | None:
+    """Idempotent append: commits df together with the watermark
+    ``stream_commits[query_name] = batch_id``; a batch at or below the
+    recorded watermark is skipped (returns None).  LakeConflict from a
+    CONCURRENT writer retries on the fresh base — safe for appends,
+    whose manifest delta is independent of the base contents — and
+    re-checks the watermark each attempt so a racing replica of the
+    same stream can't double-commit the batch either."""
+    staged: list[dict] | None = None
+    for _ in range(max_retries):
+        last = lake_last_batch(root, query_name)
+        if last is not None and batch_id <= last:
+            return None
+        prev = latest_version(root)
+        old = _load_manifest(root, prev)["files"] if prev is not None else []
+        if staged is None:
+            staged = _stage_files(spark, root, df, partition_col)
+        try:
+            return _commit(
+                root,
+                "stream_append",
+                old + staged,
+                partition_col,
+                prev,
+                stream_commit=(query_name, batch_id),
+            )
+        except LakeConflict:
+            continue
+    raise LakeConflict(
+        f"could not commit batch {batch_id} of {query_name} after "
+        f"{max_retries} conflicts"
+    )
+
+
+def lake_foreach_batch(
+    root: str,
+    partition_col: str | None,
+    query_name: str,
+    transform=None,
+):
+    """Build the function to pass to ``writeStream.foreachBatch``:
+    optionally applies ``transform(df)`` (the per-batch curation
+    logic), then commits exactly-once via lake_append_stream."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        lake_append_stream(
+            batch_df.sparkSession,
+            root,
+            out,
+            partition_col,
+            query_name,
+            int(batch_id),
+        )
+
+    return _sink

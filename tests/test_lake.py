@@ -173,3 +173,101 @@ def test_unpartitioned_lake(spark, tmp_path):
     lake_overwrite(spark, root, _docs(spark, 0, 4, tag="b"))
     assert lake_read(spark, root).count() == 4
     assert lake_read(spark, root, version=1).count() == 8
+
+
+def test_stream_append_exactly_once_on_redelivery(spark, tmp_path):
+    """foreachBatch redelivery (same query, same batch id) must be a
+    no-op — including after an interleaved maintenance commit, which
+    must carry the stream watermark forward."""
+    from pyspec_spark.lake import (
+        lake_append_stream,
+        lake_last_batch,
+    )
+
+    root = str(tmp_path / "t")
+    assert lake_append_stream(
+        spark, root, _docs(spark, 0, 10), "part", "curate", 0
+    ) == 1
+    assert lake_last_batch(root, "curate") == 0
+    # redelivery of batch 0 -> skipped
+    assert (
+        lake_append_stream(
+            spark, root, _docs(spark, 0, 10), "part", "curate", 0
+        )
+        is None
+    )
+    assert lake_read(spark, root).count() == 10
+    # next batch lands
+    assert lake_append_stream(
+        spark, root, _docs(spark, 10, 14), "part", "curate", 1
+    ) == 2
+    assert lake_read(spark, root).count() == 14
+    # maintenance commit between batches carries the watermark
+    lake_compact(spark, root, "part")
+    assert lake_last_batch(root, "curate") == 1
+    assert (
+        lake_append_stream(
+            spark, root, _docs(spark, 10, 14), "part", "curate", 1
+        )
+        is None
+    )
+    assert lake_read(spark, root).count() == 14
+    # an independent query name has its own watermark
+    assert lake_append_stream(
+        spark, root, _docs(spark, 100, 102, tag="z"), "part", "other", 0
+    ) is not None
+    assert lake_last_batch(root, "other") == 0
+    assert lake_last_batch(root, "curate") == 1
+
+
+def test_streaming_lake_sink_end_to_end(spark, tmp_path):
+    """Real readStream -> foreachBatch(lake sink): the lake ends equal
+    to the batch result, across a second availableNow pass that
+    redelivers nothing new."""
+    import pandas as pd
+
+    from pyspec_spark.lake import lake_foreach_batch
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(3):
+        pd.DataFrame(
+            {
+                "doc_id": range(i * 5, i * 5 + 5),
+                "text": [f"t{j}" for j in range(i * 5, i * 5 + 5)],
+                "part": [j % 2 for j in range(i * 5, i * 5 + 5)],
+            }
+        ).to_parquet(src / f"chunk{i}.parquet")
+    root = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id BIGINT, text STRING, part BIGINT"
+
+    def run_pass():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lake_foreach_batch(
+                    root,
+                    "part",
+                    "e2e",
+                    transform=lambda d: d.where(F.col("doc_id") % 5 != 4),
+                )
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_pass()
+    got = sorted(r["doc_id"] for r in lake_read(spark, root).collect())
+    assert got == [i for i in range(15) if i % 5 != 4]
+    # second pass over the same source: checkpoint says nothing new
+    run_pass()
+    assert sorted(
+        r["doc_id"] for r in lake_read(spark, root).collect()
+    ) == got
