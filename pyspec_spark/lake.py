@@ -177,8 +177,49 @@ def _stage_files(
         for seg in rel.split(os.sep):
             if seg.startswith(_PC + "="):
                 part = seg[len(_PC) + 1 :]
-        entries.append({"path": rel, "partition": part})
+        entries.append(
+            {"path": rel, "partition": part, "stats": _footer_stats(p)}
+        )
     return entries
+
+
+# Stats columns are harvested from the parquet FOOTER the file itself
+# already carries (pyarrow metadata read — local, no Spark job, no
+# second data pass), so data skipping costs nothing at write time.
+def _footer_stats(path: str) -> dict:
+    """Per-column [min, max] from the parquet row-group footers —
+    JSON-serializable scalars only; columns without usable stats are
+    simply absent (skipping then never prunes on them)."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {}
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            name = col.path_in_schema
+            if (
+                st is None
+                or not st.has_min_max
+                or "." in name  # nested leaves: skip
+            ):
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes) or isinstance(hi, bytes):
+                continue
+            if hasattr(lo, "isoformat"):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            if not isinstance(lo, (int, float, str)):
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {c: [mins[c], maxs[c]] for c in mins}
 
 
 def lake_append(
@@ -456,3 +497,83 @@ def lake_foreach_batch(
         )
 
     return _sink
+
+
+# ---------------------------------------------------------------------------
+# Data skipping: prune files from the manifest by footer stats BEFORE
+# Spark ever sees them.  Parquet readers already skip ROW GROUPS via
+# footer stats, but only after opening every file — at 100 TB the win
+# is not opening 99% of the files at all (and on object storage, not
+# issuing the GETs).  The residual filter is always applied to the
+# scan, so correctness never depends on the stats being present.
+# ---------------------------------------------------------------------------
+_OPS = {
+    "=": lambda lo, hi, v: lo <= v <= hi,
+    ">=": lambda lo, hi, v: hi >= v,
+    "<=": lambda lo, hi, v: lo <= v,
+    ">": lambda lo, hi, v: hi > v,
+    "<": lambda lo, hi, v: lo < v,
+}
+
+
+def _file_may_match(entry: dict, where: list[tuple]) -> bool:
+    for col, op, val in where:
+        st = entry.get("stats", {}).get(col)
+        if st is None:
+            continue  # no stats -> cannot prune on this predicate
+        lo, hi = st
+        try:
+            if not _OPS[op](lo, hi, val):
+                return False
+        except TypeError:  # mixed types -> refuse to prune
+            continue
+    return True
+
+
+def lake_scan(
+    spark: SparkSession,
+    root: str,
+    where: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Read a snapshot with file-level data skipping.  ``where`` is a
+    list of (column, op, value) with op in =, <, <=, >, >= — ANDed.
+    Files whose footer [min, max] cannot satisfy every predicate are
+    dropped from the plan; the predicates are then applied as normal
+    filters (Spark still row-group-skips inside surviving files)."""
+    v = latest_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    m = _load_manifest(root, v)
+    kept = [e for e in m["files"] if _file_may_match(e, where)]
+    if not kept:
+        full = lake_read(spark, root, version=v)
+        cond = _pred_column(full, where)
+        return full.where(cond).limit(0)
+    df = spark.read.parquet(*[os.path.join(root, e["path"]) for e in kept])
+    return df.where(_pred_column(df, where))
+
+
+def lake_scan_file_counts(
+    root: str, where: list[tuple], version: int | None = None
+) -> tuple[int, int]:
+    """(files kept, files total) for a predicate — the observable the
+    skipping tests and any cost estimator want."""
+    v = latest_version(root) if version is None else version
+    m = _load_manifest(root, v)
+    kept = sum(1 for e in m["files"] if _file_may_match(e, where))
+    return kept, len(m["files"])
+
+
+def _pred_column(df: DataFrame, where: list[tuple]):
+    cond = F.lit(True)
+    for col, op, val in where:
+        c = F.col(col)
+        cond = cond & {
+            "=": c == val,
+            ">=": c >= val,
+            "<=": c <= val,
+            ">": c > val,
+            "<": c < val,
+        }[op]
+    return cond

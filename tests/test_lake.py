@@ -271,3 +271,52 @@ def test_streaming_lake_sink_end_to_end(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in lake_read(spark, root).collect()
     ) == got
+
+
+def test_data_skipping_prunes_files_and_stays_correct(spark, tmp_path):
+    """lake_scan prunes files by footer min/max; results always equal
+    the unskipped filter (residual predicate applied)."""
+    from pyspec_spark.lake import (
+        lake_scan,
+        lake_scan_file_counts,
+    )
+
+    root = str(tmp_path / "t")
+    # three commits with DISJOINT doc_id ranges -> range predicates can
+    # drop whole commits' files
+    for lo in (0, 1000, 2000):
+        lake_append(spark, root, _docs(spark, lo, lo + 100), "part")
+
+    kept, total = lake_scan_file_counts(root, [("doc_id", "<", 100)])
+    assert total >= 3 and kept < total
+    got = sorted(
+        r["doc_id"]
+        for r in lake_scan(spark, root, [("doc_id", "<", 100)]).collect()
+    )
+    assert got == list(range(0, 100))
+
+    # equality predicate inside the middle range
+    kept2, _ = lake_scan_file_counts(root, [("doc_id", "=", 1005)])
+    assert kept2 < total
+    rows = lake_scan(spark, root, [("doc_id", "=", 1005)]).collect()
+    assert [r["doc_id"] for r in rows] == [1005]
+
+    # string-column predicate: stats exist for text too
+    kept3, _ = lake_scan_file_counts(root, [("text", ">=", "text-a-2")])
+    assert kept3 <= total
+
+    # predicate matching NOTHING still returns a well-formed empty df
+    empty = lake_scan(spark, root, [("doc_id", ">", 10_000_000)])
+    assert empty.count() == 0
+    assert "doc_id" in empty.columns
+
+    # conjunctions prune harder than either predicate alone
+    both, _ = lake_scan_file_counts(
+        root, [("doc_id", ">=", 1000), ("doc_id", "<", 1100)]
+    )
+    assert both <= kept2 or both < total
+
+    # correctness guard: a column WITHOUT stats never prunes
+    from pyspec_spark.lake import _file_may_match
+
+    assert _file_may_match({"stats": {}}, [("doc_id", "=", 5)])
