@@ -537,3 +537,31 @@ def test_dsir_weights_plan(spark):
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p  # lr table onto the gram stream
     assert "CartesianProduct" not in p  # totals join is BroadcastNestedLoop on 1 row
+
+
+def test_ppl_gate_broadcast_models_single_tercile_sort(spark):
+    """q_ppl_gate keeps the bigram-LM posture (vocabulary-bounded
+    broadcast model tables, no cartesian) and adds exactly one window
+    function (the per-lang NTILE) — the tercile label must not add
+    corpus-sized joins beyond the doc_id lang join."""
+    p = _plan(spark, "q_ppl_gate")
+    assert has_broadcast_join(p)
+    assert "CartesianProduct" not in p
+    # formatted plans print each node twice (tree + detail section)
+    assert p.count("Window") == 2
+    # bigram chain (<=8, its own gate) + lang join + ntile sort + final agg
+    assert count_exchanges(p) <= 12
+
+
+def test_mmr_rerank_shortlist_topk_and_single_pandas_group(spark):
+    """q_mmr_rerank's corpus work is the rel scan into a TakeOrdered
+    top-20; the embedding cast attaches via a broadcast join of that
+    20-row shortlist (never a shuffle of the table), and the greedy is
+    exactly one grouped-pandas node."""
+    p = _plan(spark, "q_mmr_rerank")
+    assert has_take_ordered(p)
+    assert has_broadcast_join(p)
+    assert "CartesianProduct" not in p.replace(
+        "BroadcastNestedLoopJoin", ""
+    )  # the 1-row query-vector crossJoin plans as BNLJ, not cartesian
+    assert p.count("FlatMapGroupsInPandas") == 2  # tree + detail
