@@ -577,3 +577,40 @@ def _pred_column(df: DataFrame, where: list[tuple]):
             "<": c < val,
         }[op]
     return cond
+
+
+def lake_compact_zorder(
+    spark: SparkSession,
+    root: str,
+    x: str,
+    y: str,
+    n_files: int = 8,
+    bits: int = 16,
+) -> int:
+    """Compaction that CLUSTERS: rewrite the current snapshot range-
+    partitioned and sorted by the Morton interleave z(x, y) (the
+    sinks.py zorder_value expression), as a snapshot commit.
+
+    This is what makes lake_scan's data skipping bite on TWO columns
+    at once: after a plain append, every file's [min, max] on x and y
+    spans most of the domain (skipping prunes ~nothing); after z-order
+    compaction each file covers a compact z-rectangle, so its x and y
+    footer ranges are tight and a 2-D range predicate keeps only the
+    intersecting files — the published reason table formats pair
+    Z-ORDER with file stats.  Unpartitioned layout (the z-sort replaces
+    hive partitioning as the pruning axis); time travel to the
+    pre-compaction layout keeps working."""
+    from pyspec_spark.sinks import zorder_value
+
+    prev = latest_version(root)
+    cur = lake_read(spark, root, version=prev)
+    clustered = (
+        cur.withColumn("_z", zorder_value(x, y, bits))
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    # one file per range partition: maxRecordsPerFile unset, each write
+    # task emits a single sorted file with tight x/y footer stats
+    new = _stage_files(spark, root, clustered, None)
+    return _commit(root, "compact_zorder", new, None, prev)

@@ -320,3 +320,42 @@ def test_data_skipping_prunes_files_and_stays_correct(spark, tmp_path):
     from pyspec_spark.lake import _file_may_match
 
     assert _file_may_match({"stats": {}}, [("doc_id", "=", 5)])
+
+
+def test_zorder_compact_makes_2d_skipping_effective(spark, tmp_path):
+    """After plain appends, a 2-D range predicate prunes ~no files;
+    after lake_compact_zorder the same predicate keeps a strict subset
+    — and results are identical before/after (layout-only change)."""
+    from pyspec_spark.lake import lake_compact_zorder, lake_scan, lake_scan_file_counts
+
+    root = str(tmp_path / "t")
+    # 64x64 grid scattered across 8 random-ish insertion-order files
+    grid = (
+        spark.range(4096)
+        .select(
+            (F.col("id") % 64).alias("gx"),
+            (F.col("id") / 64).cast("long").alias("gy"),
+            # shuffle insertion order so plain files span the domain
+            F.hash("id").alias("h"),
+        )
+        .orderBy("h")
+        .drop("h")
+        .repartition(8)
+    )
+    lake_append(spark, root, grid)
+    pred = [("gx", ">=", 0), ("gx", "<", 8), ("gy", ">=", 0), ("gy", "<", 8)]
+    kept_before, total_before = lake_scan_file_counts(root, pred)
+    want = sorted(
+        (r["gx"], r["gy"]) for r in lake_scan(spark, root, pred).collect()
+    )
+    assert len(want) == 64
+    assert kept_before == total_before  # scattered layout: nothing prunes
+
+    lake_compact_zorder(spark, root, "gx", "gy", n_files=8, bits=6)
+    kept_after, total_after = lake_scan_file_counts(root, pred)
+    assert total_after >= 4
+    assert kept_after < total_after, (kept_after, total_after)
+    got = sorted(
+        (r["gx"], r["gy"]) for r in lake_scan(spark, root, pred).collect()
+    )
+    assert got == want
