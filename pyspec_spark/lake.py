@@ -98,6 +98,8 @@ def _commit(
     partition_col,
     parent: int | None,
     stream_commit: tuple[str, int] | None = None,
+    schema: dict | None = None,
+    retains_parent: bool = True,
 ) -> int:
     """Publish the manifest for version parent+1.  ``parent`` is the
     version the caller READ ITS BASE STATE from (captured at
@@ -120,6 +122,19 @@ def _commit(
     if stream_commit is not None:
         qname, batch_id = stream_commit
         carried[qname] = batch_id
+    # schema_mixed: do the LIVE files span more than one writer schema?
+    # True only while parent files carry over across an add-column
+    # evolution; a full rewrite (overwrite/compact) resets it.  Gates
+    # lake_read's mergeSchema so the homogeneous path never pays the
+    # every-footer merge.
+    mixed = False
+    if retains_parent and parent is not None:
+        pm = _load_manifest(root, parent)
+        mixed = bool(pm.get("schema_mixed")) or (
+            schema is not None
+            and pm.get("schema") is not None
+            and pm["schema"] != schema
+        )
     manifest = {
         "version": version,
         "parent": parent,
@@ -127,6 +142,8 @@ def _commit(
         "ts": datetime.now(timezone.utc).isoformat(),
         "partition_col": partition_col,
         "stream_commits": carried,
+        "schema": schema,
+        "schema_mixed": mixed,
         "files": files,
     }
     tmp = os.path.join(
@@ -228,11 +245,16 @@ def lake_append(
     df: DataFrame,
     partition_col: str | None = None,
 ) -> int:
-    """Append df as a new snapshot (previous files + new files)."""
+    """Append df as a new snapshot (previous files + new files).
+    Add-column schema evolution allowed; drops/retypes refused."""
+    _check_schema_evolution(root, df)
     prev = latest_version(root)
     old = _load_manifest(root, prev)["files"] if prev is not None else []
     new = _stage_files(spark, root, df, partition_col)
-    return _commit(root, "append", old + new, partition_col, prev)
+    return _commit(
+        root, "append", old + new, partition_col, prev,
+        schema=_schema_fields(df),
+    )
 
 
 def lake_overwrite(
@@ -245,7 +267,10 @@ def lake_overwrite(
     travel until vacuumed)."""
     prev = latest_version(root)
     new = _stage_files(spark, root, df, partition_col)
-    return _commit(root, "overwrite", new, partition_col, prev)
+    return _commit(
+        root, "overwrite", new, partition_col, prev,
+        schema=_schema_fields(df), retains_parent=False,
+    )
 
 
 def lake_read(
@@ -265,7 +290,12 @@ def lake_read(
         raise FileNotFoundError(
             f"version {v} references vacuumed files, e.g. {missing[0]}"
         )
-    return spark.read.parquet(*paths)
+    reader = spark.read
+    if m.get("schema_mixed"):
+        # live files span an add-column evolution: merge footers so the
+        # union schema comes back (old files read NULL for new columns)
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*paths)
 
 
 def lake_upsert(
@@ -305,7 +335,9 @@ def lake_upsert(
             merged = updates
         new = _stage_files(spark, root, merged, partition_col)
         return _commit(
-            root, "upsert", kept_entries + new, partition_col, prev
+            root, "upsert", kept_entries + new, partition_col, prev,
+            schema=_schema_fields(merged),
+            retains_parent=bool(kept_entries),
         )
     finally:
         updates.unpersist()
@@ -359,7 +391,9 @@ def lake_delete(
         )
         new = _stage_files(spark, root, survivors, partition_col)
         return _commit(
-            root, "delete", kept_entries + new, partition_col, prev
+            root, "delete", kept_entries + new, partition_col, prev,
+            schema=_schema_fields(survivors),
+            retains_parent=bool(kept_entries),
         )
     finally:
         delete_keys.unpersist()
@@ -380,7 +414,10 @@ def lake_compact(
         )
     else:
         new = _stage_files(spark, root, cur.coalesce(1), None)
-    return _commit(root, "compact", new, partition_col, prev)
+    return _commit(
+        root, "compact", new, partition_col, prev,
+        schema=_schema_fields(cur), retains_parent=False,
+    )
 
 
 def lake_vacuum(root: str, keep_versions: int = 1) -> int:
@@ -457,6 +494,7 @@ def lake_append_stream(
         prev = latest_version(root)
         old = _load_manifest(root, prev)["files"] if prev is not None else []
         if staged is None:
+            _check_schema_evolution(root, df)
             staged = _stage_files(spark, root, df, partition_col)
         try:
             return _commit(
@@ -466,6 +504,7 @@ def lake_append_stream(
                 partition_col,
                 prev,
                 stream_commit=(query_name, batch_id),
+                schema=_schema_fields(df),
             )
         except LakeConflict:
             continue
@@ -613,4 +652,43 @@ def lake_compact_zorder(
     # one file per range partition: maxRecordsPerFile unset, each write
     # task emits a single sorted file with tight x/y footer stats
     new = _stage_files(spark, root, clustered, None)
-    return _commit(root, "compact_zorder", new, None, prev)
+    return _commit(
+        root, "compact_zorder", new, None, prev,
+        schema=_schema_fields(clustered), retains_parent=False,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution (add-column).  The manifest records each commit's
+# writer schema; lake_read turns on parquet schema merging ONLY when
+# the live files actually disagree (mergeSchema reads every footer —
+# needless cost on the common homogeneous path).  Old files simply
+# lack the new column and read as NULL; time travel to a pre-evolution
+# version returns the old schema exactly.  Column REMOVAL or type
+# narrowing is refused — at 100 TB a silent incompatible append is a
+# corpus-wide poisoning, so the check is at commit time, not read time.
+# ---------------------------------------------------------------------------
+def _schema_fields(df: DataFrame) -> dict:
+    return {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+
+def _check_schema_evolution(root: str, df: DataFrame) -> None:
+    prev = latest_version(root)
+    if prev is None:
+        return
+    old = _load_manifest(root, prev).get("schema")
+    if old is None:
+        return
+    new = _schema_fields(df)
+    dropped = [c for c in old if c not in new]
+    if dropped:
+        raise ValueError(
+            f"schema evolution is add-column only; missing {dropped} "
+            f"(write NULLs explicitly to keep a column)"
+        )
+    changed = [c for c in old if new[c] != old[c]]
+    if changed:
+        raise ValueError(
+            f"column type change refused: "
+            f"{[(c, old[c], new[c]) for c in changed]}"
+        )

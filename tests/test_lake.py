@@ -359,3 +359,38 @@ def test_zorder_compact_makes_2d_skipping_effective(spark, tmp_path):
         (r["gx"], r["gy"]) for r in lake_scan(spark, root, pred).collect()
     )
     assert got == want
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Add-column appends merge on read (old rows NULL); drops and
+    retypes are refused at commit time; a rewrite op resets the mixed
+    flag so homogeneous reads skip footer merging."""
+    from pyspec_spark.lake import _load_manifest, lake_compact
+
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 6), "part")
+    evolved = _docs(spark, 6, 10).withColumn("score", F.lit(0.5))
+    lake_append(spark, root, evolved, "part")
+    assert _load_manifest(root, 2)["schema_mixed"] is True
+
+    got = lake_read(spark, root)
+    assert "score" in got.columns
+    assert got.where(F.col("score").isNull()).count() == 6
+    assert got.where(F.col("score") == 0.5).count() == 4
+    # time travel returns the pre-evolution schema exactly
+    assert "score" not in lake_read(spark, root, version=1).columns
+
+    # dropping a column is refused
+    with pytest.raises(ValueError, match="add-column only"):
+        lake_append(spark, root, _docs(spark, 10, 12), "part")
+    # retyping is refused
+    bad = evolved.withColumn("score", F.lit("high"))
+    with pytest.raises(ValueError, match="type change"):
+        lake_append(spark, root, bad, "part")
+
+    # full rewrite resets schema_mixed; all files now carry the column
+    v = lake_compact(spark, root, "part")
+    assert _load_manifest(root, v)["schema_mixed"] is False
+    got2 = lake_read(spark, root)
+    assert got2.where(F.col("score").isNull()).count() == 6
+    assert sorted(got2.columns) == sorted(got.columns)
