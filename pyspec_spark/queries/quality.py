@@ -1039,3 +1039,120 @@ def q_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-document token entropy (r6b) — Shannon entropy of the in-doc
+# unigram distribution, the lexical-diversity face of the repetition
+# family (dup_token_frac says how MUCH repeats; entropy says how
+# concentrated the distribution is).  Plan: ONE up-front doc_id
+# repartition satisfies both the (doc_id, tok) count aggregation and
+# the per-doc window/final agg (the q_repetition single-exchange
+# idiom).  Per-term p*ln(p) snaps to micro-units before the order-
+# independent integer sum.
+# ---------------------------------------------------------------------------
+_ENT_ORACLE = """
+WITH c AS (
+  SELECT doc_id, tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY doc_id, tok
+),
+n AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS v FROM c GROUP BY doc_id)
+SELECT c.doc_id,
+       CAST(ANY_VALUE(n.n) AS BIGINT) AS n_tokens,
+       CAST(ANY_VALUE(n.v) AS BIGINT) AS n_distinct,
+       ROUND(-CAST(SUM(CAST(ROUND(
+             (CAST(c.c AS DOUBLE) / n.n) * ln(CAST(c.c AS DOUBLE) / n.n)
+             * 1e6) AS BIGINT)) AS DOUBLE) / 1e6, 6) AS entropy
+FROM c JOIN n USING (doc_id)
+GROUP BY c.doc_id
+"""
+
+
+@query("q_token_entropy", oracle=_ENT_ORACLE)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    cnt = (
+        d.select("doc_id", F.explode(_toks()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(p * F.log(p) * 1e6).cast("long")
+    return (
+        cnt.withColumn("n", F.sum("c").over(w))
+        .withColumn("v", F.count("*").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.first("n").alias("n_tokens"),
+            F.first("v").cast("long").alias("n_distinct"),
+            F.round(-F.sum(term).cast("double") / 1e6, 6).alias("entropy"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source KL divergence vs the corpus unigram distribution (r6b) —
+# the domain-shift audit a mixture designer reads next to the DSIR
+# weights: KL(p_source || p_corpus) = sum_t p_st * ln(p_st / q_t).
+# The corpus distribution is VOCABULARY-bounded, so it broadcasts onto
+# the (source, token) count table; corpus-sized shuffles are exactly
+# the two count aggregations.  Same micro-unit integer-sum determinism
+# as the entropy/LM family.
+# ---------------------------------------------------------------------------
+_KL_ORACLE = """
+WITH st AS (
+  SELECT source, tok, COUNT(*) AS c
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        FROM documents)
+  GROUP BY source, tok
+),
+tot AS (SELECT tok, SUM(c) AS ct FROM st GROUP BY tok),
+big_n AS (SELECT SUM(c) AS n FROM st),
+ns AS (SELECT source, SUM(c) AS ns FROM st GROUP BY source)
+SELECT st.source,
+       CAST(ANY_VALUE(ns.ns) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(ROUND(
+             (CAST(st.c AS DOUBLE) / ns.ns) *
+             ln((CAST(st.c AS DOUBLE) / ns.ns) /
+                (CAST(tot.ct AS DOUBLE) / big_n.n)) * 1e6) AS BIGINT))
+             AS DOUBLE) / 1e6, 6) AS kl
+FROM st
+JOIN ns USING (source)
+JOIN tot USING (tok), big_n
+GROUP BY st.source
+ORDER BY st.source
+"""
+
+
+@query("q_source_kl", oracle=_KL_ORACLE)
+def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(_toks()).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = st.groupBy("tok").agg(F.sum("c").alias("ct"))
+    big_n = st.agg(F.sum("c").alias("n"))
+    ns = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    p = F.col("c").cast("double") / F.col("ns")
+    q = F.col("ct").cast("double") / F.col("n")
+    term = F.round(p * F.log(p / q) * 1e6).cast("long")
+    return (
+        st.join(F.broadcast(ns), "source")
+        .join(F.broadcast(tot), "tok")
+        .crossJoin(F.broadcast(big_n))
+        .groupBy("source")
+        .agg(
+            F.first("ns").alias("n_tokens"),
+            F.round(F.sum(term).cast("double") / 1e6, 6).alias("kl"),
+        )
+        .orderBy("source")
+    )

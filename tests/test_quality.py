@@ -450,3 +450,74 @@ def test_normalize_text_golden(spark):
     got = {r["doc_id"]: r["m"] for r in df.select("doc_id", F.md5(norm).alias("m")).collect()}
     assert got[1] == hashlib.md5(b"hello world x").hexdigest()
     assert got[2] == hashlib.md5(b"already clean").hexdigest()
+
+
+def test_token_entropy_bounds_and_replication(spark):
+    """0 <= H <= ln(n_distinct) for every doc; one document's entropy
+    replicates in pure python with the micro-unit rounding."""
+    from pyspec_spark.queries.quality import q_token_entropy
+    from pyspec_spark.tables import table
+
+    rows = q_token_entropy.__wrapped__(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["entropy"] <= math.log(r["n_distinct"]) + 1e-6
+        assert r["n_distinct"] <= r["n_tokens"]
+
+    doc = table(spark, SF, "documents").where("doc_id = 7").collect()[0]
+    toks = doc["text"].split(" ")
+    from collections import Counter
+
+    c = Counter(toks)
+    n = len(toks)
+
+    def micro(x):
+        s = x * 1e6
+        return math.floor(s + 0.5) if s >= 0 else -math.floor(0.5 - s)
+
+    want = round(-sum(micro((k / n) * math.log(k / n)) for k in c.values()) / 1e6, 6)
+    got = {r["doc_id"]: r for r in rows}[7]
+    assert (got["n_tokens"], got["n_distinct"], got["entropy"]) == (
+        n, len(c), want,
+    )
+
+
+def test_source_kl_nonnegative_and_zero_for_corpus_clone(spark):
+    """KL >= 0 (Gibbs) up to micro-rounding on every source; and a
+    synthetic source whose token distribution IS the corpus
+    distribution gets KL ~= 0 while a skewed source gets KL > 0."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.queries.quality import q_source_kl
+    from pyspec_spark.tables import table
+
+    rows = q_source_kl.__wrapped__(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["kl"] >= -1e-4, r  # micro-rounding seam only
+
+    # synthetic check on a hand-built corpus: clone vs skew
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "clone", "en", 7),
+            (2, "a b c d", "skew", "en", 7),
+            (3, "a a a a", "skew", "en", 7),
+        ],
+        ["doc_id", "text", "source", "lang", "n_chars"],
+    )
+    import pyspec_spark.tables as T
+
+    orig = T.table
+    try:
+        T.table = lambda s, sf, name: docs
+        import importlib
+
+        from pyspec_spark.queries import quality as Q
+
+        got = {
+            r["source"]: r["kl"]
+            for r in Q.q_source_kl.__wrapped__(spark, "ignored").collect()
+        }
+    finally:
+        T.table = orig
+    assert got["skew"] > got["clone"] >= 0
