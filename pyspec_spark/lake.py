@@ -298,6 +298,56 @@ def lake_read(
     return reader.parquet(*paths)
 
 
+def _spark_part_strings(df: DataFrame, partition_col: str) -> set[str]:
+    """Distinct partition values rendered by the SAME cast('string')
+    Spark applies when writing the _pc hive directory — Python str() of
+    a collected value disagrees for booleans ('True' vs 'true'),
+    timestamps and decimals, which would silently skip affected files."""
+    return {
+        r[0]
+        for r in df.select(F.col(partition_col).cast("string"))
+        .distinct()
+        .collect()
+        if r[0] is not None
+    }
+
+
+def _split_touched(
+    old: list[dict], parts: set[str], manifest: dict, partition_col: str
+) -> tuple[list[dict], list[dict]]:
+    """(touched, kept) file entries for a row-level rewrite.  Entries
+    with partition=None (written by lake_compact_zorder or an
+    unpartitioned append) can hold ANY key, so they are always touched
+    — otherwise an upsert would append duplicates next to them and a
+    delete would silently no-op.  A partition_col mismatch with the
+    manifest means the caller's pruning axis doesn't exist in the
+    layout: refuse rather than guess."""
+    prior = manifest.get("partition_col")
+    if prior is not None and prior != partition_col:
+        raise ValueError(
+            f"partition_col {partition_col!r} does not match the "
+            f"table layout {prior!r} (version {manifest['version']})"
+        )
+    touched = [
+        e for e in old if e["partition"] is None or e["partition"] in parts
+    ]
+    kept = [
+        e
+        for e in old
+        if e["partition"] is not None and e["partition"] not in parts
+    ]
+    return touched, kept
+
+
+def _read_entries(
+    spark: SparkSession, root: str, entries: list[dict], mixed: bool
+) -> DataFrame:
+    reader = spark.read
+    if mixed:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*[os.path.join(root, e["path"]) for e in entries])
+
+
 def lake_upsert(
     spark: SparkSession,
     root: str,
@@ -307,29 +357,35 @@ def lake_upsert(
 ) -> int:
     """MERGE (upsert) as a snapshot commit: rows in `updates` replace
     same-key rows; new keys append.  Only files whose partition value
-    appears in `updates` are rewritten — every other file is carried
-    into the new manifest BY REFERENCE (zero data movement), and the
-    previous version remains readable."""
+    appears in `updates` are rewritten (files without a recorded
+    partition — e.g. after z-order compaction — are always rewritten) —
+    every other file is carried into the new manifest BY REFERENCE
+    (zero data movement), and the previous version remains readable.
+    Schema evolution follows the add-column-only commit contract."""
+    _check_schema_evolution(root, updates)
     updates = updates.persist()
     try:
-        parts = {
-            str(r[0])
-            for r in updates.select(partition_col).distinct().collect()
-            if r[0] is not None
-        }
+        parts = _spark_part_strings(updates, partition_col)
         prev = latest_version(root)
-        old = _load_manifest(root, prev)["files"] if prev is not None else []
-        touched = [e for e in old if e["partition"] in parts]
-        kept_entries = [e for e in old if e["partition"] not in parts]
+        if prev is not None:
+            m = _load_manifest(root, prev)
+            old = m["files"]
+            touched, kept_entries = _split_touched(
+                old, parts, m, partition_col
+            )
+        else:
+            m, touched, kept_entries = None, [], []
         if touched:
-            tgt = spark.read.parquet(
-                *[os.path.join(root, e["path"]) for e in touched]
+            tgt = _read_entries(
+                spark, root, touched, bool(m.get("schema_mixed"))
             )
             survivors = tgt.join(
                 updates.select(key).distinct(), key, "left_anti"
             )
+            # missing-on-either-side columns fill with NULL: updates may
+            # ADD columns (evolution); it may not drop any (checked above)
             merged = survivors.unionByName(
-                updates.select(*survivors.columns)
+                updates, allowMissingColumns=True
             )
         else:
             merged = updates
@@ -360,39 +416,34 @@ def lake_delete(
     delete_keys = delete_keys.persist()
     try:
         prev = latest_version(root)
-        old = _load_manifest(root, prev)["files"] if prev is not None else []
+        if prev is None:
+            return 0
+        m = _load_manifest(root, prev)
+        old = m["files"]
         if partition_col in delete_keys.columns:
-            parts = {
-                str(r[0])
-                for r in delete_keys.select(partition_col)
-                .distinct()
-                .collect()
-                if r[0] is not None
-            }
+            parts = _spark_part_strings(delete_keys, partition_col)
         else:
             cur = lake_read(spark, root)
-            parts = {
-                str(r[0])
-                for r in cur.select(key, partition_col)
-                .join(delete_keys.select(key).distinct(), key, "left_semi")
-                .select(partition_col)
-                .distinct()
-                .collect()
-            }
-        touched = [e for e in old if e["partition"] in parts]
-        kept_entries = [e for e in old if e["partition"] not in parts]
+            parts = _spark_part_strings(
+                cur.select(key, partition_col).join(
+                    delete_keys.select(key).distinct(), key, "left_semi"
+                ),
+                partition_col,
+            )
+        touched, kept_entries = _split_touched(old, parts, m, partition_col)
         if not touched:
-            return prev if prev is not None else 0
-        tgt = spark.read.parquet(
-            *[os.path.join(root, e["path"]) for e in touched]
-        )
+            return prev
+        tgt = _read_entries(spark, root, touched, bool(m.get("schema_mixed")))
         survivors = tgt.join(
             delete_keys.select(key).distinct(), key, "left_anti"
         )
         new = _stage_files(spark, root, survivors, partition_col)
+        # a delete never changes the TABLE schema: commit the parent's
+        # recorded schema (survivors of old pre-evolution files may lack
+        # the newest columns; mixed-ness carries via retains_parent)
         return _commit(
             root, "delete", kept_entries + new, partition_col, prev,
-            schema=_schema_fields(survivors),
+            schema=m.get("schema") or _schema_fields(survivors),
             retains_parent=bool(kept_entries),
         )
     finally:
@@ -420,32 +471,61 @@ def lake_compact(
     )
 
 
-def lake_vacuum(root: str, keep_versions: int = 1) -> int:
+def lake_vacuum(
+    root: str, keep_versions: int = 1, retention_seconds: float = 3600.0
+) -> int:
     """Delete data files referenced ONLY by manifests older than the
     newest `keep_versions`, then drop those manifests.  Returns the
     number of files removed.  Also reclaims orphan files from aborted
-    commits (staged but never referenced by any manifest)."""
+    commits (staged but never referenced by any manifest) — but only
+    orphans older than `retention_seconds`: a file a CONCURRENT writer
+    has staged but not yet linked looks identical to an abort-orphan,
+    and deleting it would let that writer publish a manifest pointing
+    at vanished data (the table formats' vacuum-retention rule).
+    Files that WERE referenced by a now-expired manifest are committed
+    history, not possibly-in-flight staging, so they are reclaimed
+    regardless of age."""
+    import time
+
     vs = _versions(root)
     if not vs:
         return 0
     keep = set(vs[-max(keep_versions, 1):])
     live: set[str] = set()
-    for v in keep:
+    expired_refs: set[str] = set()
+    for v in vs:
         for e in _load_manifest(root, v)["files"]:
-            live.add(os.path.normpath(e["path"]))
+            rel = os.path.normpath(e["path"])
+            (live if v in keep else expired_refs).add(rel)
+    expired_refs -= live
     removed = 0
+    now = time.time()
     data_root = os.path.join(root, _DATA_DIR)
     for p in glob.glob(
         os.path.join(data_root, "**", "*.parquet"), recursive=True
     ):
         rel = os.path.normpath(os.path.relpath(p, root))
-        if rel not in live:
-            os.unlink(p)
-            removed += 1
+        if rel in live:
+            continue
+        if rel not in expired_refs:  # true orphan: maybe in-flight staging
+            try:
+                if now - os.path.getmtime(p) < retention_seconds:
+                    continue
+            except OSError:
+                continue
+        os.unlink(p)
+        removed += 1
     # prune commit dirs that no longer hold any data file (only write
-    # markers like _SUCCESS / .crc remain) and expired manifests
+    # markers like _SUCCESS / .crc remain) and expired manifests; a
+    # young empty dir may be a concurrent writer mid-stage (parquet
+    # parts still under _temporary/) — leave it until past retention
     for d in glob.glob(os.path.join(data_root, "c-*")):
         if not glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True):
+            try:
+                if now - os.path.getmtime(d) < retention_seconds:
+                    continue
+            except OSError:
+                continue
             shutil.rmtree(d)
     for v in vs:
         if v not in keep:

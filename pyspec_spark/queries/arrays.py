@@ -196,25 +196,37 @@ _COV_D = 16
 
 # Named so q_pca_power (queries/ml.py) can reuse this oracle verbatim
 # as its CTE prefix — the same composition trick as q_ann_ivf_det.
+# Moment basis is fl(SUM(BIGINT))/1e6 on BOTH engines (the
+# q_embed_centroid lesson, arrays.py:150): a DECIMAL(18,6) sum widens
+# to int128 in DuckDB whose ->DOUBLE conversion is off by an ulp for
+# some values, flipping the terminal rounding (observed as the r6
+# driver hash mismatch).  BIGINT->DOUBLE is exact below 2^53 and /1e6
+# is one IEEE op, so m2/s/n enter the cov expression bit-identical;
+# the terminal round is scale-0 on value*1e6 (no pre-multiplied-ulp
+# seam inside ROUND(.,6) itself).  DuckDB ROUND = std::round = Spark
+# F.round (BigDecimal HALF_UP) = _fixed6's sign-split floor: all half
+# away from zero, ties included.
 _EMBED_COV_ORACLE = f"""
 WITH idx AS (SELECT CAST(unnest(range(1, {_COV_D} + 1)) AS INT) AS i),
 firsts AS (
   SELECT i,
-         CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
+              AS DOUBLE) / 1e6 AS s,
          COUNT(*) AS n
   FROM embeddings, idx
   GROUP BY i
 ),
 seconds AS (
   SELECT ii.i, jj.i AS j,
-         CAST(SUM(CAST(CAST(embedding[ii.i] AS DOUBLE) * CAST(embedding[jj.i] AS DOUBLE)
-                       AS DECIMAL(18,6))) AS DOUBLE) AS m2
+         CAST(SUM(CAST(ROUND(CAST(embedding[ii.i] AS DOUBLE)
+                             * CAST(embedding[jj.i] AS DOUBLE) * 1e6) AS BIGINT))
+              AS DOUBLE) / 1e6 AS m2
   FROM embeddings, idx ii, idx jj
   WHERE jj.i >= ii.i
   GROUP BY ii.i, jj.i
 )
 SELECT s2.i, s2.j, fi.n, s2.m2,
-       ROUND((s2.m2 - fi.s * fj.s / fi.n) / (fi.n - 1), 6) AS cov
+       ROUND((s2.m2 - fi.s * fj.s / fi.n) / (fi.n - 1) * 1e6) / 1e6 AS cov
 FROM seconds s2
 JOIN firsts fi ON fi.i = s2.i
 JOIN firsts fj ON fj.i = s2.j
@@ -268,10 +280,13 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
             "j",
             "n",
             "m2",
-            F.round(
-                (F.col("m2") - F.col("si") * F.col("sj") / F.col("n"))
-                / (F.col("n") - 1),
-                6,
+            (
+                F.round(
+                    (F.col("m2") - F.col("si") * F.col("sj") / F.col("n"))
+                    / (F.col("n") - 1)
+                    * 1e6
+                )
+                / 1e6
             ).alias("cov"),
         )
     )

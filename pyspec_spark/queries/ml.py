@@ -322,6 +322,10 @@ _PCA_ROUNDS = 2
 def _pca_oracle() -> str:
     from pyspec_spark.queries.arrays import _EMBED_COV_ORACLE
 
+    # Same fl(SUM(BIGINT))/1e6 moment basis as _EMBED_COV_ORACLE (r7):
+    # DECIMAL sums widen to int128 in DuckDB with an ulp-lossy ->DOUBLE
+    # conversion; ROUND(x*1e6)-as-BIGINT sums match Spark's _fixed6
+    # bit-for-bit, and the terminal round is scale-0 on value*1e6.
     sql = f"""
 WITH tri AS ({_EMBED_COV_ORACLE}),
 covf AS (
@@ -330,18 +334,20 @@ covf AS (
   SELECT j AS i, i AS j, cov FROM tri WHERE i < j
 ),
 x1 AS (
-  SELECT i, CAST(SUM(CAST(cov * 0.125 AS DECIMAL(18,6))) AS DOUBLE) AS x
+  SELECT i, CAST(SUM(CAST(ROUND(cov * 0.125 * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS x
   FROM covf GROUP BY i
 ),
-n1 AS (SELECT SQRT(CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE)) AS nrm FROM x1),
+n1 AS (SELECT SQRT(CAST(SUM(CAST(ROUND(x * x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+       AS nrm FROM x1),
 v1 AS (SELECT i, x / nrm AS v FROM x1, n1),
 x2 AS (
-  SELECT covf.i, CAST(SUM(CAST(cov * v1.v AS DECIMAL(18,6))) AS DOUBLE) AS x
+  SELECT covf.i, CAST(SUM(CAST(ROUND(cov * v1.v * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS x
   FROM covf JOIN v1 ON v1.i = covf.j
   GROUP BY covf.i
 ),
-n2 AS (SELECT SQRT(CAST(SUM(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE)) AS nrm FROM x2)
-SELECT i, ROUND(x / nrm, 6) AS pc1 FROM x2, n2
+n2 AS (SELECT SQRT(CAST(SUM(CAST(ROUND(x * x * 1e6) AS BIGINT)) AS DOUBLE) / 1e6)
+       AS nrm FROM x2)
+SELECT i, ROUND(x / nrm * 1e6) / 1e6 AS pc1 FROM x2, n2
 """
     return sql
 
@@ -389,7 +395,7 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(_PCA_ROUNDS - 1):
         v = normalize(mat_vec(v))
-    return v.select("i", F.round("v", 6).alias("pc1"))
+    return v.select("i", (F.round(F.col("v") * 1e6) / 1e6).alias("pc1"))
 
 
 # ---------------------------------------------------------------------------

@@ -1101,10 +1101,12 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-source KL divergence vs the corpus unigram distribution (r6b) —
 # the domain-shift audit a mixture designer reads next to the DSIR
 # weights: KL(p_source || p_corpus) = sum_t p_st * ln(p_st / q_t).
-# The corpus distribution is VOCABULARY-bounded, so it broadcasts onto
-# the (source, token) count table; corpus-sized shuffles are exactly
-# the two count aggregations.  Same micro-unit integer-sum determinism
-# as the entropy/LM family.
+# The per-source totals (ns) and grand total (big_n) are
+# source-count-bounded and broadcast; the corpus token distribution
+# (tot) is VOCABULARY-sized — at web scale that is too big to
+# broadcast, so it joins on `tok` via an ordinary shuffle (AQE may
+# still broadcast it when it measures small).  Same micro-unit
+# integer-sum determinism as the entropy/LM family.
 # ---------------------------------------------------------------------------
 _KL_ORACLE = """
 WITH st AS (
@@ -1134,20 +1136,26 @@ ORDER BY st.source
 @query("q_source_kl", oracle=_KL_ORACLE)
 def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    # cache(): st is consumed three times (tot, ns, main join); without
+    # it Spark re-scans and re-explodes the whole corpus per consumer —
+    # the dominant cost at 100 TB.  Lazy, so zero jobs at build (gate).
     st = (
         d.select("source", F.explode(_toks()).alias("tok"))
         .groupBy("source", "tok")
         .agg(F.count("*").alias("c"))
+        .cache()
     )
     tot = st.groupBy("tok").agg(F.sum("c").alias("ct"))
-    big_n = st.agg(F.sum("c").alias("n"))
     ns = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    # grand total from the source totals (|sources| rows), not a fourth
+    # pass over st
+    big_n = ns.agg(F.sum("ns").alias("n"))
     p = F.col("c").cast("double") / F.col("ns")
     q = F.col("ct").cast("double") / F.col("n")
     term = F.round(p * F.log(p / q) * 1e6).cast("long")
     return (
         st.join(F.broadcast(ns), "source")
-        .join(F.broadcast(tot), "tok")
+        .join(tot, "tok")
         .crossJoin(F.broadcast(big_n))
         .groupBy("source")
         .agg(

@@ -247,9 +247,22 @@ def curate_to_lake(
 
     curated = curate(stream, min_quality=min_quality)
 
+    import glob as _glob
+
+    def _has_data(d: str) -> bool:
+        # bootstrap must key on actual parquet files, not isdir(): a
+        # first batch that curates to ZERO rows leaves a directory with
+        # only _SUCCESS, and merge_upsert's read on it would fail with
+        # 'unable to infer schema' and kill the stream
+        return bool(
+            _glob.glob(_os.path.join(d, "**", "*.parquet"), recursive=True)
+        )
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if not _os.path.isdir(target_dir):
-            # bootstrap: first batch creates the partitioned layout
+        if not _has_data(target_dir):
+            if batch_df.isEmpty():
+                return  # nothing to bootstrap with; wait for real rows
+            # bootstrap: first non-empty batch creates the layout
             (
                 batch_df.repartition("lang")
                 .write.mode("overwrite")

@@ -138,8 +138,9 @@ def test_commit_conflict_raises_and_leaves_table_intact(spark, tmp_path):
     got = lake_read(spark, root)
     assert got.where("text like 'text-A-%'").count() == 2
     assert got.where("text like 'text-B-%'").count() == 0
-    # loser's orphaned staging files are reclaimed by vacuum
-    assert lake_vacuum(root, keep_versions=2) > 0
+    # loser's orphaned staging files are reclaimed by vacuum (explicit
+    # zero retention: we KNOW no writer is in flight here)
+    assert lake_vacuum(root, keep_versions=2, retention_seconds=0) > 0
     assert lake_read(spark, root).count() == 8
 
 
@@ -159,11 +160,14 @@ def test_compact_then_vacuum(spark, tmp_path):
     assert _rows(lake_read(spark, root)) == before
     with pytest.raises(FileNotFoundError):
         lake_read(spark, root, version=1)
-    # orphans from an aborted commit are reclaimed too
+    # orphans from an aborted commit are reclaimed too — but only past
+    # the retention window: a fresh orphan is indistinguishable from a
+    # concurrent writer's in-flight staging, so default vacuum keeps it
     from pyspec_spark.lake import _stage_files
 
     _stage_files(spark, root, _docs(spark, 0, 5), "part")
-    assert lake_vacuum(root, keep_versions=1) > 0
+    assert lake_vacuum(root, keep_versions=1) == 0  # within retention
+    assert lake_vacuum(root, keep_versions=1, retention_seconds=0) > 0
     assert _rows(lake_read(spark, root)) == before
 
 
@@ -394,3 +398,160 @@ def test_schema_evolution_add_column(spark, tmp_path):
     got2 = lake_read(spark, root)
     assert got2.where(F.col("score").isNull()).count() == 6
     assert sorted(got2.columns) == sorted(got.columns)
+
+
+def test_upsert_and_delete_after_zorder_compaction(spark, tmp_path):
+    """Files written by lake_compact_zorder carry partition=None; a
+    row-level upsert/delete must treat them as touched (rewrite), not
+    skip them — the r6 failure mode was duplicate keys after upsert and
+    a silent no-op delete."""
+    from pyspec_spark.lake import lake_compact_zorder
+
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 30), "part")
+    lake_compact_zorder(spark, root, "doc_id", "part", n_files=2)
+
+    upd = _docs(spark, 5, 8, tag="new")
+    lake_upsert(spark, root, upd, "doc_id", "part")
+    got = lake_read(spark, root)
+    assert got.count() == 30  # no duplicate keys
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in got.where(F.col("doc_id").between(5, 7)).collect()
+    }
+    assert all(t.startswith("text-new-") for t in texts.values())
+
+    v = lake_delete(
+        spark, root, spark.range(3).selectExpr("id AS doc_id"), "doc_id", "part"
+    )
+    assert v == latest_version(root)
+    assert lake_read(spark, root).count() == 27
+    assert lake_read(spark, root).where("doc_id < 3").count() == 0
+
+
+def test_upsert_partition_col_mismatch_refused(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 10), "part")
+    upd = _docs(spark, 0, 2).withColumn("lang", F.lit("en"))
+    with pytest.raises(ValueError, match="partition_col"):
+        lake_upsert(spark, root, upd, "doc_id", "lang")
+
+
+def test_boolean_partition_values_match_hive_dirs(spark, tmp_path):
+    """Partition comparison must use Spark's cast('string') rendering
+    ('true'), not Python str() ('True') — a mismatch made upsert skip
+    every affected file and append duplicates."""
+    root = str(tmp_path / "t")
+    base = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2 == 0).alias("flag"),
+        F.lit("old").alias("text"),
+    )
+    lake_append(spark, root, base, "flag")
+    upd = spark.range(2).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2 == 0).alias("flag"),
+        F.lit("new").alias("text"),
+    )
+    lake_upsert(spark, root, upd, "doc_id", "flag")
+    got = lake_read(spark, root)
+    assert got.count() == 10
+    assert got.where("text = 'new'").count() == 2
+    # delete through the same rendering
+    lake_delete(
+        spark, root, spark.range(4).selectExpr("id AS doc_id"), "doc_id", "flag"
+    )
+    assert lake_read(spark, root).count() == 6
+
+
+def test_upsert_refuses_schema_drop_and_retype(spark, tmp_path):
+    """lake_upsert enforces the same add-column-only commit contract as
+    lake_append — a drop/retype upsert would poison the live files."""
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 10), "part")
+    with pytest.raises(ValueError, match="add-column"):
+        lake_upsert(
+            spark,
+            root,
+            _docs(spark, 0, 2).drop("text"),
+            "doc_id",
+            "part",
+        )
+    with pytest.raises(ValueError, match="type change"):
+        lake_upsert(
+            spark,
+            root,
+            _docs(spark, 0, 2).withColumn("text", F.lit(1)),
+            "doc_id",
+            "part",
+        )
+    # add-column upsert is allowed; untouched rows read NULL
+    upd = _docs(spark, 0, 2, tag="new").withColumn("score", F.lit(0.5))
+    lake_upsert(spark, root, upd, "doc_id", "part")
+    got = lake_read(spark, root)
+    assert "score" in got.columns
+    assert got.where("score IS NOT NULL").count() == 2
+    assert got.count() == 10
+
+
+def test_concurrent_commit_race_single_winner(spark, tmp_path):
+    """Two threads staging against the SAME base version: exactly one
+    manifest link wins, the loser raises LakeConflict, and after a
+    zero-retention vacuum the loser's staged files are gone while the
+    winner's table reads intact."""
+    import threading
+
+    from pyspec_spark.lake import _commit, _stage_files
+
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 10), "part")
+    base = latest_version(root)
+
+    # stage both writers' files first (the slow part, outside the race)
+    staged = [
+        _stage_files(spark, root, _docs(spark, 100 + i, 105 + i, tag=f"w{i}"), "part")
+        for i in range(2)
+    ]
+    old = __import__("pyspec_spark.lake", fromlist=["_load_manifest"])._load_manifest(
+        root, base
+    )["files"]
+
+    results: list = [None, None]
+    barrier = threading.Barrier(2)
+
+    def attempt(i):
+        barrier.wait()
+        try:
+            results[i] = _commit(
+                root, "append", old + staged[i], "part", base
+            )
+        except LakeConflict as e:
+            results[i] = e
+
+    ts = [threading.Thread(target=attempt, args=(i,)) for i in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    wins = [r for r in results if isinstance(r, int)]
+    losses = [r for r in results if isinstance(r, LakeConflict)]
+    assert len(wins) == 1 and len(losses) == 1
+    assert wins[0] == base + 1 == latest_version(root)
+    assert lake_read(spark, root).count() == 15
+    # loser's staged files are orphans; vacuum reclaims them and the
+    # winner's version still reads byte-for-byte
+    before = _rows(lake_read(spark, root))
+    assert lake_vacuum(root, keep_versions=1, retention_seconds=0) > 0
+    assert _rows(lake_read(spark, root)) == before
+
+
+def test_time_travel_to_vacuumed_version_raises_cleanly(spark, tmp_path):
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 10), "part")
+    lake_overwrite(spark, root, _docs(spark, 0, 5, tag="b"), "part")
+    lake_vacuum(root, keep_versions=1, retention_seconds=0)
+    # the manifest for v1 is gone -> clean FileNotFoundError, and the
+    # kept version is unaffected
+    with pytest.raises(FileNotFoundError):
+        lake_read(spark, root, version=1)
+    assert lake_read(spark, root).count() == 5

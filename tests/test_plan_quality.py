@@ -565,3 +565,32 @@ def test_mmr_rerank_shortlist_topk_and_single_pandas_group(spark):
         "BroadcastNestedLoopJoin", ""
     )  # the 1-row query-vector crossJoin plans as BNLJ, not cartesian
     assert p.count("FlatMapGroupsInPandas") == 2  # tree + detail
+
+
+def test_token_entropy_single_exchange(spark):
+    """q_token_entropy's one up-front doc_id repartition satisfies the
+    (doc_id, tok) count, the per-doc window, and the final per-doc agg —
+    exactly ONE exchange touches the exploded corpus."""
+    p = _plan(spark, "q_token_entropy")
+    assert count_exchanges(p) == 1
+    assert has_partial_aggregate(p)
+    assert "CartesianProduct" not in p
+
+
+def test_source_kl_no_vocab_broadcast_hint_and_shared_explode(spark):
+    """q_source_kl must NOT hint a broadcast of the vocabulary-sized
+    token-distribution table (tot) — at web-scale vocab that broadcast
+    is a driver OOM; only the source-bounded ns and the 1-row big_n
+    carry hints (2 total).  The corpus explode materializes ONCE via
+    cache() and is shared by all three consumers."""
+    spark.catalog.clearCache()
+    builder = getattr(
+        registry.QUERIES["q_source_kl"], "__wrapped__", registry.QUERIES["q_source_kl"]
+    )
+    df = builder(spark, SF)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2  # ns + big_n, never tot
+    p = physical_plan(df)
+    assert "InMemoryRelation" in p  # st cached: one corpus explode
+    assert "CartesianProduct" not in p
+    spark.catalog.clearCache()

@@ -461,7 +461,11 @@ def test_token_entropy_bounds_and_replication(spark):
     rows = q_token_entropy.__wrapped__(spark, SF).collect()
     assert rows
     for r in rows:
-        assert -1e-9 <= r["entropy"] <= math.log(r["n_distinct"]) + 1e-6
+        # Upper bound holds up to the per-term micro-unit quantization:
+        # each of the n_distinct terms snaps to 1e-6 grid, so the sum can
+        # exceed ln(n_distinct) by at most n_distinct * 5e-7.
+        envelope = r["n_distinct"] * 5e-7 + 1e-9
+        assert -envelope <= r["entropy"] <= math.log(r["n_distinct"]) + envelope
         assert r["n_distinct"] <= r["n_tokens"]
 
     doc = table(spark, SF, "documents").where("doc_id = 7").collect()[0]
@@ -496,28 +500,28 @@ def test_source_kl_nonnegative_and_zero_for_corpus_clone(spark):
     for r in rows:
         assert r["kl"] >= -1e-4, r  # micro-rounding seam only
 
-    # synthetic check on a hand-built corpus: clone vs skew
+    # synthetic check on a hand-built corpus: the "clone" source
+    # dominates the corpus (100 of 104 tokens), so its uniform
+    # distribution ~IS the corpus distribution (KL near 0), while the
+    # tiny all-"a" skew source diverges hard.
     docs = spark.createDataFrame(
         [
-            (1, "a b c d", "clone", "en", 7),
-            (2, "a b c d", "skew", "en", 7),
-            (3, "a a a a", "skew", "en", 7),
+            (1, " ".join(["a b c d"] * 25), "clone", "en", 199),
+            (2, "a a a a", "skew", "en", 7),
         ],
         ["doc_id", "text", "source", "lang", "n_chars"],
     )
-    import pyspec_spark.tables as T
+    # quality.py binds `table` at import time, so patch the module-level
+    # name inside pyspec_spark.queries.quality, not pyspec_spark.tables.
+    from pyspec_spark.queries import quality as Q
 
-    orig = T.table
+    orig = Q.table
     try:
-        T.table = lambda s, sf, name: docs
-        import importlib
-
-        from pyspec_spark.queries import quality as Q
-
+        Q.table = lambda s, sf, name: docs
         got = {
             r["source"]: r["kl"]
             for r in Q.q_source_kl.__wrapped__(spark, "ignored").collect()
         }
     finally:
-        T.table = orig
-    assert got["skew"] > got["clone"] >= 0
+        Q.table = orig
+    assert got["skew"] > 1.0 > 0.01 > got["clone"] >= 0

@@ -188,6 +188,24 @@ def test_embed_cov_matches_numpy(spark):
     assert all(r["cov"] >= 0 for r in rows if r["i"] == r["j"])
 
 
+def test_embed_cov_oracle_basis_is_bigint_micro_units():
+    """Regression pin for the r6 driver hash-flake: the covariance (and
+    reused PCA) oracles must compute moments as fl(SUM(BIGINT))/1e6 —
+    NEVER through a DECIMAL accumulator, whose int128->DOUBLE conversion
+    in DuckDB is off by an ulp for some values and flips the terminal
+    rounding in ways that depend on the build/environment.  The terminal
+    round must be scale-0 on value*1e6 (ROUND(x, 6) pre-multiplies
+    inside the engine with its own ulp seam)."""
+    from pyspec_spark.queries.arrays import _EMBED_COV_ORACLE
+    from pyspec_spark.queries.ml import _pca_oracle
+
+    for sql in (_EMBED_COV_ORACLE, _pca_oracle()):
+        assert "DECIMAL" not in sql.upper()
+        assert "AS BIGINT" in sql
+    assert "* 1e6) / 1e6 AS cov" in _EMBED_COV_ORACLE
+    assert "* 1e6) / 1e6 AS pc1" in _pca_oracle()
+
+
 def test_kmeans2_matches_numpy_lloyd(spark):
     import numpy as np
 
