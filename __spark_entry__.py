@@ -19,41 +19,64 @@ from pyspec_spark import registry
 # ``queries()`` (dict insertion order).  Plain registration order front-
 # loads the relational/grids core and the LLM/ANN/events/curation/graph
 # flagships never earn a hard driver-side row (CORRECTNESS_r03–r05 all
-# sampled the same prefix).  This priority prefix interleaves every
-# family into the sampled window; each name here is oracle-checked
-# (rows-only queries are deliberately excluded so the window contains
-# zero ``no_oracle`` rows).  The remaining queries follow in
+# sampled the same prefix).  The sampled window is therefore built as
+# 15 PERMANENT flagships (one per family, always hard-checked; includes
+# q_embed_cov, the one query that ever failed driver-side) + 35 entries
+# ROTATED by round number over every other oracle-checked query, so each
+# of the ~130 remaining queries earns a hard driver row within ~4
+# rounds.  Rows-only queries are excluded from the window (the driver
+# records only a weak count for them); everything else follows in
 # registration order — nothing is dropped.
-_PRIORITY = [
-    # flagship + relational core
-    "q_pricing_summary",
-    # LLM dedup family
-    "q_dedup_docs", "q_minhash_neardup", "q_semdedup", "q_dedup_clusters",
-    "q_substr_dup_spans", "q_simhash_neardup", "q_jaccard_neardup",
-    "q_dedup_keep_best",
-    # graph / curation
-    "q_pagerank", "q_curation_pipeline", "q_quality_gate", "q_pii_scrub",
-    "q_bloom_decontam", "q_nb_classify", "q_html_extract", "q_split_assign",
-    "q_mix_temperature",
-    # ML / embeddings / ANN
-    "q_kmeans2", "q_pca_power", "q_embed_cov", "q_embed_centroid",
-    "q_hash_embed", "q_ann_lsh_det", "q_ann_ivf_det", "q_ann_pq_det",
-    "q_cosine_topk", "q_pq_recall", "q_ann_recall", "q_knn_join",
-    # text ranking / quality
-    "q_tfidf_topk", "q_bm25_topk", "q_term_stats", "q_hybrid_rrf",
-    "q_lang_id", "q_bigram_backoff", "q_heavy_hitters_cms", "q_repetition",
-    # events / streaming twins
-    "q_events_session", "q_event_transitions", "q_funnel", "q_gap_fill",
-    "q_retention", "q_events_tumbling",
-    # scientific grids / advanced joins
-    "q_grid3d", "q_rot3", "q_asof_join", "q_range_join",
-    # multimodal
-    "q_video_metadata", "q_audio_features_arr",
+_PERMANENT = [
+    "q_pricing_summary",   # flagship multi-metric agg (A1)
+    "q_embed_cov",         # L11 — r6 driver red, keep under watch
+    "q_dedup_docs",        # L1 exact dedup
+    "q_minhash_neardup",   # L2 MinHash-LSH
+    "q_curation_pipeline", # L21 composed pipeline
+    "q_pagerank",          # L18 graph
+    "q_kmeans2",           # L12 clustering
+    "q_knn_join",          # L5 batch k-NN
+    "q_tfidf_topk",        # L9 ranking
+    "q_lang_id",           # L4 language ID
+    "q_events_session",    # ST3 session windows
+    "q_funnel",            # E1 events analytics
+    "q_grid3d",            # A4 scientific gridder
+    "q_rot3",              # X1 ccdToQ
+    "q_video_metadata",    # L7 multimodal
 ]
+_ROTATE_K = 35
+
+
+def _driver_check_counts() -> dict[str, int]:
+    """How many committed driver rounds (CORRECTNESS_r{N}.json) have
+    hard-checked each query — the rotation key: least-checked first, so
+    every oracle query earns a driver row within a few rounds no matter
+    which subset past rounds happened to sample."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    seen: dict[str, int] = {}
+    for p in _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(p) as f:
+                for name in _json.load(f):
+                    seen[name] = seen.get(name, 0) + 1
+        except (OSError, ValueError):
+            continue
+    return seen
+
+
+def _priority() -> list[str]:
+    pool = sorted(n for n in registry.ORACLES if n not in _PERMANENT)
+    seen = _driver_check_counts()
+    rot = sorted(pool, key=lambda n: (seen.get(n, 0), n))[:_ROTATE_K]
+    return _PERMANENT + rot
 
 
 def _ordered(mapping: dict) -> dict:
-    out = {n: mapping[n] for n in _PRIORITY if n in mapping}
+    out = {n: mapping[n] for n in _priority() if n in mapping}
     out.update((n, v) for n, v in mapping.items() if n not in out)
     return out
 

@@ -546,6 +546,115 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L7 COMPOSED multimodal pipeline (r7) — the full pre-training video
+# curation shape in ONE plan: a mixed crawl (6 decodable MJPEG movies +
+# 6 avc1/hvc1/av01 movies) goes through (1) container-metadata parse,
+# (2) a METADATA GATE that keeps only payloads whose track fourcc the
+# engine can decode — the pre-GPU filter that makes 100 TB video
+# curation affordable, here also load-bearing for correctness: an
+# un-gated plan feeds avc1 bytes to the JPEG decoder and the query
+# CRASHES (NotImplementedError) rather than mismatching — (3) per-frame
+# demux+decode+features, (4) per-media quality aggregation.
+#
+# The oracle is genuinely composed, not self-referential: DuckDB
+# aggregates the COMMITTED per-frame golden parquet (whose values
+# q_video_frames + tests/test_mp4.py pin against the independent
+# decoder tests), while Spark recomputes everything from raw MP4 bytes.
+# Per-frame mean/std are rounded to 6dp exactly as q_video_frames emits
+# them, so both engines aggregate bit-identical doubles; avg_luma uses
+# the centroid micro-unit basis (round-to-integer of fl(bigint)/count).
+#
+# 100 TB posture: metadata parse and decode run in mapInPandas on
+# executors (payloads never move to the driver); the gate joins a
+# broadcast of the parsed-metadata side; per-media agg shuffles only
+# (media_id, 6 doubles) rows.
+# ---------------------------------------------------------------------------
+_MM_PIPE_ORACLE = f"""
+WITH f AS (
+  SELECT media_id,
+         0.299 * mean_r + 0.587 * mean_g + 0.114 * mean_b AS luma,
+         std_luma
+  FROM read_parquet('{_VIDEO_FRAMES_GOLDEN}')
+)
+SELECT media_id,
+       'jpeg' AS track_codec,
+       COUNT(*) AS n_frames,
+       ROUND(CAST(SUM(CAST(ROUND(luma * 1e6) AS BIGINT)) AS DOUBLE)
+             / COUNT(*)) / 1e6 AS avg_luma,
+       MAX(std_luma) AS max_std_luma
+FROM f
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+
+@query("q_multimodal_pipeline", oracle=_MM_PIPE_ORACLE)
+def q_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.multimodal import (
+        make_mjpeg_media,
+        make_video_media,
+        video_metadata,
+    )
+
+    mj = make_mjpeg_media(spark, n=6, frames=4)
+    other = make_video_media(spark, n=6).withColumn(
+        "media_id", F.col("media_id") + 100
+    )
+    corpus = mj.unionByName(other)
+    # metadata gate: parse containers, keep only decodable fourccs
+    meta = video_metadata(corpus)
+    decodable = meta.where(F.col("track_codec") == "jpeg").select(
+        "media_id", "track_codec"
+    )
+    gated = corpus.join(F.broadcast(decodable), "media_id")
+    feats = extract_features(
+        gated.select(
+            "media_id", "kind", "codec", "width", "height", "n_frames", "payload"
+        ),
+        sample_every=1,
+    )
+    # per-frame values rounded exactly as q_video_frames emits them, so
+    # the committed golden's doubles are bit-identical inputs here
+    r, g, b = (
+        F.round(F.element_at("features", i), 6) for i in (1, 2, 3)
+    )
+    std_luma = F.round(
+        F.element_at("features", 4) * 0.299
+        + F.element_at("features", 5) * 0.587
+        + F.element_at("features", 6) * 0.114,
+        6,
+    )
+    per_frame = feats.select(
+        "media_id",
+        (F.lit(0.299) * r + F.lit(0.587) * g + F.lit(0.114) * b).alias("luma"),
+        std_luma.alias("std_luma"),
+    )
+    from pyspec_spark.functions.determinism import _fixed6
+
+    return (
+        per_frame.groupBy("media_id")
+        .agg(
+            F.count("*").alias("n_frames"),
+            (
+                F.round(
+                    F.sum(_fixed6(F.col("luma"))).cast("double") / F.count("*")
+                )
+                / 1e6
+            ).alias("avg_luma"),
+            F.max("std_luma").alias("max_std_luma"),
+        )
+        .select(
+            "media_id",
+            F.lit("jpeg").alias("track_codec"),
+            "n_frames",
+            "avg_luma",
+            "max_std_luma",
+        )
+        .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L7 audio — per-window RMS / zero-crossing features from REAL WAV PCM
 # payloads decoded by the in-repo RIFF parser (operators/codecs.py)
 # inside mapInPandas (rows-only; goldens pin sine-wave RMS=A/sqrt(2)

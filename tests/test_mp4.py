@@ -444,3 +444,36 @@ def test_multichunk_stsc_walk():
     assert back == frames
     _, (f3,) = extract_mp4_samples(movie, [3])  # seek into chunk 2
     assert f3 == frames[3]
+
+
+def test_multimodal_pipeline_gates_and_aggregates(spark):
+    """The composed pipeline decodes ONLY metadata-gated MJPEG media
+    (the avc1/hvc1/av01 half of the corpus never reaches the decoder —
+    reaching it would raise), and its per-media aggregates equal an
+    independent aggregation of q_video_frames' per-frame output."""
+    from pyspec_spark import registry
+
+    registry.load_all()
+    rows = registry.QUERIES["q_multimodal_pipeline"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert [r["media_id"] for r in rows] == list(range(6))  # no 100+ ids
+    assert all(r["n_frames"] == 4 for r in rows)
+    assert all(r["track_codec"] == "jpeg" for r in rows)
+
+    frames = registry.QUERIES["q_video_frames"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    per_media: dict[int, list] = {}
+    for f in frames:
+        per_media.setdefault(f["media_id"], []).append(f)
+    for r in rows:
+        fs = per_media[r["media_id"]]
+        lumas = [
+            0.299 * f["mean_r"] + 0.587 * f["mean_g"] + 0.114 * f["mean_b"]
+            for f in fs
+        ]
+        want_avg = sum(round(l * 1e6) for l in lumas) / len(lumas)
+        assert r["avg_luma"] == pytest.approx(round(want_avg) / 1e6, abs=2e-6)
+        assert r["max_std_luma"] == max(f["std_luma"] for f in fs)
+        assert 0.0 <= r["avg_luma"] <= 255.0

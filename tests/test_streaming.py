@@ -735,3 +735,84 @@ def test_neardup_stream_out_of_order_ownership_transfer(spark, tmp_path):
     )
     rows = spark.table("t_neardup_ooo").collect()
     assert {(r.doc_id, r.owner_id) for r in rows} == {(5, 3)}
+
+
+def test_streaming_lake_soak_restart_and_midstream_compaction(spark, tmp_path):
+    """Kill-and-restart soak for the snapshot-lake streaming sink (the
+    production pairing of a curation stream + concurrent maintenance):
+
+    - pass 1 crashes AFTER the lake committed batch 2 but BEFORE the
+      Spark checkpoint advanced — the worst redelivery window;
+    - a maintenance lake_compact commits between the passes (it must
+      carry the stream watermark forward);
+    - pass 2 resumes from the checkpoint, REDELIVERS batch 2 (skipped by
+      the batch-id watermark, not duplicated) and drains the rest.
+
+    End state: every source row exactly once, watermark at the final
+    batch, history shows the compaction interleaved with stream commits."""
+    import pandas as pd
+
+    from pyspec_spark.lake import (
+        lake_append_stream,
+        lake_compact,
+        lake_history,
+        lake_last_batch,
+        lake_read,
+    )
+
+    src = tmp_path / "soak_src"
+    src.mkdir()
+    n_chunks, rows_per = 6, 5
+    for i in range(n_chunks):
+        pd.DataFrame(
+            {
+                "doc_id": range(i * rows_per, (i + 1) * rows_per),
+                "text": [f"t{j}" for j in range(i * rows_per, (i + 1) * rows_per)],
+                "part": [j % 2 for j in range(i * rows_per, (i + 1) * rows_per)],
+            }
+        ).to_parquet(src / f"chunk{i}.parquet")
+    root = str(tmp_path / "lake")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id BIGINT, text STRING, part BIGINT"
+
+    def run_pass(crash_at: int | None):
+        def sink(batch_df, batch_id):
+            lake_append_stream(
+                spark, root, batch_df, "part", "soak", int(batch_id)
+            )
+            if crash_at is not None and batch_id == crash_at:
+                raise RuntimeError("injected crash after lake commit")
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(sink)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="injected crash"):
+        run_pass(crash_at=2)
+    # lake has batches 0..2; checkpoint has only 0..1 acknowledged
+    assert lake_last_batch(root, "soak") == 2
+    n_after_crash = lake_read(spark, root).count()
+    assert n_after_crash == 3 * rows_per
+
+    # concurrent maintenance between the passes
+    lake_compact(spark, root, "part")
+    assert lake_last_batch(root, "soak") == 2  # watermark carried
+
+    run_pass(crash_at=None)  # restart: batch 2 redelivered, then 3..5
+    got = sorted(r["doc_id"] for r in lake_read(spark, root).collect())
+    assert got == list(range(n_chunks * rows_per))  # exactly once
+    assert lake_last_batch(root, "soak") == n_chunks - 1
+    ops = [h["op"] for h in lake_history(root)]
+    assert "compact" in ops
+    assert ops.index("compact") > 0 and "stream_append" in ops[ops.index("compact"):]
