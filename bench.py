@@ -76,6 +76,12 @@ HEADLINE = [
     # round 6b: CCNet perplexity terciles + MMR diversification
     "q_ppl_gate",
     "q_mmr_rerank",
+    # round 7: cross-source duplication matrix, Gopher filter
+    # attribution, embedding hard-negative mining (baselines in
+    # BASELINE.md §round 7)
+    "q_source_overlap",
+    "q_filter_attribution",
+    "q_hard_negatives",
 ]
 
 

@@ -44,6 +44,81 @@ def q_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L1+/L2 — cross-source duplication matrix (r7): which sources copy
+# from which, measured at the token-n-gram level (the Lee et al. 2022
+# granularity, since verbatim whole-document sharing is rare while
+# shared spans are the actual double-counting a mixture designer pays
+# for).  One row per unordered source pair with the number of DISTINCT
+# 8-gram hashes both emit.
+#
+# Plan: map-only gram expansion, ONE corpus shuffle on gram hash
+# (groupBy md5 + collect_set of sources — the set is bounded by
+# |sources|, never by occurrence count), then a MAP-SIDE pair expansion
+# of each sorted source set (<= |sources|²/2 structs per gram) and a
+# tiny aggregation on source-pair keys.  The naive form is a gram
+# self-join — a second corpus-sized shuffle plus a join — which the
+# oracle uses because DuckDB handles it fine at oracle scale, while the
+# set-expansion form is the one that survives 100 TB.
+# ---------------------------------------------------------------------------
+_OVL_N = 8
+
+@query(
+    "q_source_overlap",
+    oracle=f"""
+WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(w[i:i+{_OVL_N - 1}], ' ')) AS h
+  FROM t, unnest(range(1, len(w) - {_OVL_N - 2})) AS u(i)
+)
+SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared_grams
+FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _OVL_N
+    d = table(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("w")
+    )
+    grams = d.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size("w") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - n + 1),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("w", i, n)).cast("binary")
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("h"),
+    )
+    ss = (
+        grams.groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + F.lit(2), F.size("ss")),
+                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
+            ),
+        )
+    )
+    return (
+        ss.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
+        .agg(F.count("*").alias("n_shared_grams"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L3 — per-document text statistics (token counting via single-space
 # split, verified identical semantics cross-engine on this corpus).
 # ---------------------------------------------------------------------------

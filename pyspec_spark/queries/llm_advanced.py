@@ -1144,6 +1144,78 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L5+ hard-negative mining (r7) — the contrastive-training data-prep
+# step: for each anchor vector, the top-3 most-similar corpus vectors
+# with a DIFFERENT label (similar-but-wrong = the negatives that carry
+# the gradient signal; Karpukhin et al. 2020 use BM25 hard negatives
+# for DPR, the embedding-space analog mined here).  Same proven shape
+# as q_knn_join: anchors broadcast onto one corpus scan, cosine scored
+# map-side via the zip_with/aggregate fold (bit-identical to DuckDB's
+# list_cosine_similarity), label exclusion BEFORE the rank window so
+# positives never shuffle, top-3 per anchor by a window over an
+# |anchors|-key space.
+#
+# 100 TB posture: corpus scan x1; the only shuffle carries (anchor,
+# vec_id, score) triples already filtered to cross-label rows; at a
+# larger anchor set the window keys scale with |anchors|, and the
+# LSH-pruned variant (knn_join_lsh) is the documented scale path.
+# ---------------------------------------------------------------------------
+_HN_Q, _HN_K = 8, 3
+
+_HARD_NEG_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS anchor_id, embedding AS qe, label AS q_label
+  FROM embeddings WHERE vec_id < {_HN_Q}
+),
+s AS (
+  SELECT q.anchor_id, e.vec_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(q.qe AS DOUBLE[])), 6) AS score
+  FROM embeddings e
+  JOIN q ON e.label <> q.q_label
+)
+SELECT anchor_id, vec_id AS neg_id, score, CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+           PARTITION BY anchor_id ORDER BY score DESC, vec_id) AS rk
+  FROM s
+)
+WHERE rk <= {_HN_K}
+ORDER BY anchor_id, rk
+"""
+
+
+@query("q_hard_negatives", oracle=_HARD_NEG_ORACLE)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pyspec_spark.operators.similarity import _dot_cols, _norm_expr
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _HN_Q).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("q_label"),
+    )
+    cos = F.round(
+        _dot_cols(F.col("embedding"), F.col("qe"))
+        / (_norm_expr(F.col("embedding")) * _norm_expr(F.col("qe"))),
+        6,
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .select("anchor_id", F.col("vec_id").alias("neg_id"), cos.alias("score"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), "neg_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _HN_K)
+        .select("anchor_id", "neg_id", "score", "rk")
+        .orderBy("anchor_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L5 evaluation (r5) — PQ recall@10, ORACLE-CHECKED: the deterministic
 # ADC ranking's top-10 intersected with the exact cosine top-10 — the
 # same composition trick as q_ann_recall (both legs' oracle SQL already

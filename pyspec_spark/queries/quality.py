@@ -918,8 +918,11 @@ ORDER BY doc_id
 """
 
 
-@query("q_gopher_rules", oracle=_GOPHER_ORACLE)
-def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gopher_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_gopher_rules' per-doc metric table WITHOUT the presentation
+    sort — the composable form (q_filter_attribution builds on it; a
+    global doc_id sort before a downstream aggregation would be a
+    wasted corpus shuffle)."""
     d = table(spark, sf_dir, "documents")
     w = _toks()
     lines = F.split("text", "\n")
@@ -969,7 +972,105 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(bullet, 6).alias("bullet_ratio"),
         F.round(ellipsis, 6).alias("ellipsis_ratio"),
         passes.alias("passes"),
-    ).orderBy("doc_id")
+    )
+
+
+@query("q_gopher_rules", oracle=_GOPHER_ORACLE)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _gopher_metrics(spark, sf_dir).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Filter attribution (r7) — per-rule kill accounting over the Gopher
+# ruleset: for every rule, how many documents fail it, how many fail it
+# AND NOTHING ELSE (solo kills — the marginal cost of keeping the rule:
+# drop the rule, and exactly those documents come back), and the failed
+# fraction.  The diagnostic every curation stack reads before tuning
+# thresholds — per-doc flags (q_gopher_rules) answer "why did MY doc
+# die"; this answers "what is each rule doing to the corpus".
+#
+# Flags are derived from the ROUNDED metric columns q_gopher_rules
+# emits (identical in both engines by its own oracle proof), so this
+# query composes on that contract — the same CTE-prefix reuse trick as
+# q_pca_power on q_embed_cov.  Plan: one corpus scan (map-only metric
+# expressions), a 7x map-side struct expansion, ONE aggregation on a
+# 7-key space.  No shuffle carries more than |rules| x partial rows.
+# ---------------------------------------------------------------------------
+_ATTR_RULES = (
+    "alpha", "bullet", "ellipsis", "mwl", "stops", "symbol", "words",
+)
+
+_ATTR_FLAG_SQL = {
+    "words": "CAST(NOT (n_words BETWEEN 50 AND 100000) AS INT)",
+    "mwl": "CAST(NOT (mean_word_len BETWEEN 3 AND 10) AS INT)",
+    "bullet": "CAST(bullet_ratio > 0.9 AS INT)",
+    "ellipsis": "CAST(ellipsis_ratio > 0.3 AS INT)",
+    "alpha": "CAST(frac_alpha_words < 0.8 AS INT)",
+    "stops": "CAST(n_stopwords_present < 2 AS INT)",
+    "symbol": "CAST(symbol_word_ratio > 0.1 AS INT)",
+}
+
+_ATTR_ORACLE = f"""
+WITH g AS ({_GOPHER_ORACLE}),
+f AS (
+  SELECT doc_id,
+         {", ".join(f"{sql} AS {r}" for r, sql in _ATTR_FLAG_SQL.items())}
+  FROM g
+),
+u AS (
+  SELECT r.rule,
+         CASE r.rule {" ".join(f"WHEN '{r}' THEN {r}" for r in _ATTR_RULES)} END
+           AS failed,
+         {" + ".join(_ATTR_RULES)} AS n_fails
+  FROM f, (SELECT unnest({list(_ATTR_RULES)}) AS rule) r
+)
+SELECT rule,
+       CAST(SUM(failed) AS BIGINT) AS n_failed,
+       CAST(SUM(CASE WHEN failed = 1 AND n_fails = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_solo_failed,
+       ROUND(CAST(SUM(failed) AS DOUBLE) / COUNT(*), 6) AS frac_failed
+FROM u
+GROUP BY rule
+ORDER BY rule
+"""
+
+
+@query("q_filter_attribution", oracle=_ATTR_ORACLE)
+def q_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gopher_metrics(spark, sf_dir)
+    flags = {
+        "words": ~F.col("n_words").between(50, 100_000),
+        "mwl": ~F.col("mean_word_len").between(3.0, 10.0),
+        "bullet": F.col("bullet_ratio") > 0.9,
+        "ellipsis": F.col("ellipsis_ratio") > 0.3,
+        "alpha": F.col("frac_alpha_words") < 0.8,
+        "stops": F.col("n_stopwords_present") < 2,
+        "symbol": F.col("symbol_word_ratio") > 0.1,
+    }
+    arr = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("rule"), flags[r].cast("int").alias("failed")
+            )
+            for r in _ATTR_RULES
+        ]
+    )
+    n_fails = sum(flags[r].cast("int") for r in _ATTR_RULES)
+    ex = g.select(F.explode(arr).alias("r"), n_fails.alias("n_fails"))
+    return (
+        ex.groupBy(F.col("r.rule").alias("rule"))
+        .agg(
+            F.sum("r.failed").alias("n_failed"),
+            F.sum(
+                F.when((F.col("r.failed") == 1) & (F.col("n_fails") == 1), 1)
+                .otherwise(0)
+            ).alias("n_solo_failed"),
+            F.round(
+                F.sum("r.failed").cast("double") / F.count("*"), 6
+            ).alias("frac_failed"),
+        )
+        .orderBy("rule")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -140,7 +140,11 @@ _NEARDUP_OUT = (
 
 
 def neardup_stream(
-    docs: DataFrame, n_hashes: int = 16, bands: int = 4, shingle_k: int = 2
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_k: int = 2,
+    ttl_minutes: float | None = None,
 ) -> DataFrame:
     """Cross-batch NEAR-duplicate suppression over a document stream
     (r6): MinHash-banded LSH with keyed state per (band, band_hash)
@@ -158,7 +162,23 @@ def neardup_stream(
     min(doc_id) owner), which the stream-twin test asserts exactly.
     Candidates are LSH-grade (est-Jaccard verification is the batch
     operator's second stage; run it in foreachBatch against the owner
-    set when precision matters)."""
+    set when precision matters).
+
+    ``ttl_minutes`` bounds the state for INFINITE streams: with no TTL
+    the bucket count grows with the corpus forever (fine for a bounded
+    backfill, wrong for a perpetual crawl); with a TTL, a bucket idle
+    for that long is EVICTED on a processing-time timeout and a later
+    duplicate of a forgotten document is no longer flagged — the
+    standard sliding-horizon dedup trade (state = only the buckets
+    touched within the horizon).  Eviction happens on the timeout
+    callback; a bucket that keeps receiving docs keeps re-arming.
+
+    Driver caveat (measured): with a TTL, do NOT use
+    ``trigger(availableNow=True)`` — pending processing-time timeouts
+    keep generating data-less micro-batches and the query never
+    self-terminates.  For bounded drives use ``processAllAvailable()``
+    then ``stop()``; expired buckets are evicted during any data batch
+    (keys with data take precedence, idle keys fire hasTimedOut)."""
     from typing import Any, Iterator as _Iter
 
     import pandas as _pd
@@ -174,6 +194,9 @@ def neardup_stream(
         pdfs: _Iter[_pd.DataFrame],
         state: GroupState,
     ) -> _Iter[_pd.DataFrame]:
+        if ttl_minutes is not None and state.hasTimedOut:
+            state.remove()  # horizon passed with no traffic: forget
+            return
         batch: set[int] = set()
         for pdf in pdfs:
             batch.update(int(x) for x in pdf["doc_id"])
@@ -189,6 +212,9 @@ def neardup_stream(
         owner = min(seen)
         if owner != prev:
             state.update((owner,))
+        if ttl_minutes is not None:
+            # re-arm the horizon on every touch (data resets the clock)
+            state.setTimeoutDuration(int(ttl_minutes * 60_000))
         if prev is None or owner != prev:
             dups = sorted(seen - {owner})
         else:  # owner unchanged: prev was kept long ago, only the
@@ -204,6 +230,11 @@ def neardup_stream(
             }
         )
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return (
         banded.groupBy("band", "band_hash")
         .applyInPandasWithState(
@@ -211,7 +242,7 @@ def neardup_stream(
             outputStructType=_NEARDUP_OUT,
             stateStructType=_NEARDUP_STATE,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=timeout,
         )
     )
 

@@ -1037,3 +1037,100 @@ def test_mmr_sql_twin_matches_pandas_form(spark):
     a = [tuple(r) for r in mmr_rerank_sql(sl, k=_MMR_K, lam=_MMR_LAM).collect()]
     b = [tuple(r) for r in q_mmr_rerank.__wrapped__(spark, SF).collect()]
     assert a == b
+
+
+def test_source_overlap_properties(spark):
+    """q_source_overlap: unordered pairs (src_a < src_b), every count
+    >= 1, and a planted verbatim copy across two synthetic sources is
+    counted with exactly its n-gram count."""
+    from pyspec_spark import registry
+    from pyspec_spark.queries.llm import _OVL_N, q_source_overlap
+
+    registry.load_all()
+    rows = q_source_overlap.__wrapped__(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    assert all(r["src_a"] < r["src_b"] for r in rows)
+    assert all(r["n_shared_grams"] >= 1 for r in rows)
+
+    # synthetic: one 20-token text shared verbatim by A and B, one
+    # unrelated text in C -> exactly one pair (A, B) with 20-N+1 grams
+    toks = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, toks, "A", "en", len(toks)),
+            (2, toks, "B", "en", len(toks)),
+            (3, " ".join(f"z{i}" for i in range(20)), "C", "en", 99),
+        ],
+        ["doc_id", "text", "source", "lang", "n_chars"],
+    )
+    import pyspec_spark.queries.llm as L
+
+    orig = L.table
+    try:
+        L.table = lambda s, sf, name: docs
+        got = q_source_overlap.__wrapped__(spark, "ignored").collect()
+    finally:
+        L.table = orig
+    assert [(r["src_a"], r["src_b"], r["n_shared_grams"]) for r in got] == [
+        ("A", "B", 20 - _OVL_N + 1)
+    ]
+
+
+def test_filter_attribution_consistent_with_gopher_flags(spark):
+    """Per-rule totals replicate a pandas recount of q_gopher_rules'
+    emitted metrics; solo kills never exceed total kills."""
+    from pyspec_spark.queries.quality import (
+        _ATTR_RULES,
+        q_filter_attribution,
+        q_gopher_rules,
+    )
+
+    g = q_gopher_rules.__wrapped__(spark, SF).toPandas()
+    flags = {
+        "words": ~g["n_words"].between(50, 100_000),
+        "mwl": ~g["mean_word_len"].between(3.0, 10.0),
+        "bullet": g["bullet_ratio"] > 0.9,
+        "ellipsis": g["ellipsis_ratio"] > 0.3,
+        "alpha": g["frac_alpha_words"] < 0.8,
+        "stops": g["n_stopwords_present"] < 2,
+        "symbol": g["symbol_word_ratio"] > 0.1,
+    }
+    n_fails = sum(flags[r].astype(int) for r in _ATTR_RULES)
+    rows = {
+        r["rule"]: r
+        for r in q_filter_attribution.__wrapped__(spark, SF).collect()
+    }
+    assert set(rows) == set(_ATTR_RULES)
+    for rule in _ATTR_RULES:
+        want_failed = int(flags[rule].sum())
+        want_solo = int((flags[rule] & (n_fails == 1)).sum())
+        assert rows[rule]["n_failed"] == want_failed
+        assert rows[rule]["n_solo_failed"] == want_solo
+        assert 0 <= rows[rule]["n_solo_failed"] <= rows[rule]["n_failed"]
+        assert rows[rule]["frac_failed"] == pytest.approx(
+            want_failed / len(g), abs=1e-6
+        )
+
+
+def test_hard_negatives_cross_label_and_ranked(spark):
+    """Every mined negative carries a label different from its anchor's;
+    scores are non-increasing within an anchor and rk is dense 1..k."""
+    from pyspec_spark.queries.llm_advanced import _HN_K, _HN_Q, q_hard_negatives
+    from pyspec_spark.tables import table
+
+    rows = q_hard_negatives.__wrapped__(spark, SF).collect()
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in table(spark, SF, "embeddings").select("vec_id", "label").collect()
+    }
+    per_anchor: dict[int, list] = {}
+    for r in rows:
+        per_anchor.setdefault(r["anchor_id"], []).append(r)
+    assert set(per_anchor) == set(range(_HN_Q))
+    for aid, rs in per_anchor.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rs] == list(range(1, _HN_K + 1))
+        assert all(labels[r["neg_id"]] != labels[aid] for r in rs)
+        scores = [r["score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in scores)

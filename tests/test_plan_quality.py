@@ -594,3 +594,37 @@ def test_source_kl_no_vocab_broadcast_hint_and_shared_explode(spark):
     assert "InMemoryRelation" in p  # st cached: one corpus explode
     assert "CartesianProduct" not in p
     spark.catalog.clearCache()
+
+
+def test_source_overlap_single_corpus_shuffle(spark):
+    """q_source_overlap's corpus-sized shuffle is exactly ONE (gram-hash
+    groupBy with bounded collect_set); the pair expansion is map-side
+    and the pair aggregation + presentation sort shuffle only
+    |sources|²-bounded rows."""
+    p = _plan(spark, "q_source_overlap")
+    assert count_exchanges(p) == 3  # gram agg + pair agg + sort
+    assert "CartesianProduct" not in p
+    assert "Join" not in p  # set-expansion form, never a self-join
+
+
+def test_filter_attribution_no_inherited_sort(spark):
+    """q_filter_attribution composes on the UNSORTED gopher metric
+    table: one map-only scan into the rule expansion, one 7-key
+    aggregation, one presentation sort — a corpus-wide doc_id sort
+    inherited from q_gopher_rules would double the shuffles."""
+    p = _plan(spark, "q_filter_attribution")
+    assert count_exchanges(p) == 2
+    assert has_partial_aggregate(p)
+    assert "CartesianProduct" not in p
+
+
+def test_hard_negatives_window_group_limit_pushdown(spark):
+    """q_hard_negatives: anchors broadcast (never a corpus shuffle for
+    the join), and the rank window carries a WindowGroupLimit pushdown —
+    each map partition forwards at most k rows per anchor into the
+    exchange, so the shuffle is |anchors|·k·partitions, not the scored
+    corpus."""
+    p = _plan(spark, "q_hard_negatives")
+    assert "BroadcastNestedLoopJoin" in p  # label != label anchor join
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p

@@ -816,3 +816,80 @@ def test_streaming_lake_soak_restart_and_midstream_compaction(spark, tmp_path):
     ops = [h["op"] for h in lake_history(root)]
     assert "compact" in ops
     assert ops.index("compact") > 0 and "stream_append" in ops[ops.index("compact"):]
+
+
+def test_neardup_stream_ttl_evicts_idle_buckets(spark, tmp_path):
+    """With a TTL, a bucket idle past the horizon is evicted: a
+    near-duplicate of a FORGOTTEN document is no longer flagged (the
+    sliding-horizon dedup trade that bounds state on infinite streams),
+    while the same three-pass drive without a TTL still flags it."""
+    import time
+
+    import pandas as pd
+
+    import pyspec_spark.streaming.corpus as sc
+    import pyspec_spark.streaming.events as se
+
+    base_text = "the quick brown fox jumps over the lazy dog " * 6
+    mk = lambda i, t: {
+        "doc_id": i, "text": t, "lang": "en", "source": "s",
+        "n_chars": len(t),
+    }
+
+    def drive(ttl, tag, sleep_s):
+        src = tmp_path / f"src_{tag}"
+        src.mkdir()
+        out = str(tmp_path / f"out_{tag}")
+        ckpt = str(tmp_path / f"ckpt_{tag}")
+
+        def one_pass(rows_expected):
+            # With ProcessingTimeTimeout the engine runs a batch every
+            # tick to fire clocks, so neither availableNow nor
+            # processAllAvailable ever observes "done" (documented in
+            # neardup_stream) — poll progress until this pass's rows
+            # are consumed, then stop explicitly.
+            stream = sc.read_document_stream(
+                spark, str(src), max_files_per_trigger=1
+            )
+            q = (
+                sc.neardup_stream(stream, n_hashes=16, bands=4, ttl_minutes=ttl)
+                .writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .start()
+            )
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                n = sum(p["numInputRows"] for p in q.recentProgress)
+                if n >= rows_expected:
+                    break
+                time.sleep(0.3)
+            else:
+                q.stop()
+                raise AssertionError("pass did not consume its rows in time")
+            time.sleep(1.5)  # let the sink batch commit
+            q.stop()
+            q.awaitTermination(60)
+
+        pd.DataFrame(
+            [mk(1, base_text), mk(2, "totally different words here " * 9)]
+        ).to_parquet(src / "c0.parquet", index=False)
+        one_pass(rows_expected=2)
+        time.sleep(sleep_s)
+        # unrelated traffic: runs a batch, which fires expired timeouts
+        pd.DataFrame([mk(4, "another unrelated corpus entry " * 8)]).to_parquet(
+            src / "c1.parquet", index=False
+        )
+        one_pass(rows_expected=1)
+        # near-dup of doc 1 arrives after the horizon
+        pd.DataFrame([mk(3, base_text + "tail")]).to_parquet(
+            src / "c2.parquet", index=False
+        )
+        one_pass(rows_expected=1)
+        return {(r.doc_id, r.owner_id) for r in spark.read.parquet(out).collect()}
+
+    # 1.2 s TTL, 2.5 s idle -> doc 1's buckets evicted before doc 3
+    assert drive(ttl=0.02, tag="ttl", sleep_s=2.5) == set()
+    # no TTL, same drive -> state survives, doc 3 flagged with owner 1
+    assert drive(ttl=None, tag="nottl", sleep_s=0) == {(3, 1)}
