@@ -82,6 +82,7 @@ HEADLINE = [
     "q_source_overlap",
     "q_filter_attribution",
     "q_hard_negatives",
+    "q_source_scorecard",
 ]
 
 

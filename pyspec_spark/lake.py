@@ -471,6 +471,26 @@ def lake_compact(
     )
 
 
+def lake_change_layout(
+    spark: SparkSession, root: str, partition_col: str | None
+) -> int:
+    """Migrate the table to a different partition layout (or to
+    unpartitioned with None) as a snapshot commit — the sanctioned path
+    when lake_upsert/lake_delete refuse a partition_col that doesn't
+    match the manifest.  Full rewrite of the CURRENT snapshot only;
+    older versions keep their original layout and stay time-travelable
+    until vacuumed."""
+    prev = latest_version(root)
+    cur = lake_read(spark, root, version=prev)
+    if partition_col is not None:
+        cur = cur.repartition(F.col(partition_col))
+    new = _stage_files(spark, root, cur, partition_col)
+    return _commit(
+        root, "change_layout", new, partition_col, prev,
+        schema=_schema_fields(cur), retains_parent=False,
+    )
+
+
 def lake_vacuum(
     root: str, keep_versions: int = 1, retention_seconds: float = 3600.0
 ) -> int:

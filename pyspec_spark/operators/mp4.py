@@ -214,6 +214,57 @@ def parse_mp4_metadata(data: bytes) -> dict:
                             tr["codec"] = data[s + 12 : s + 16].decode(
                                 "latin-1"
                             )
+                            # the visual sample entry may carry child
+                            # boxes after its 78-byte fixed body (avcC
+                            # holds the SPS with the TRUE cropped
+                            # dimensions — tkhd lies for non-16-multiple
+                            # sizes)
+                            (esz,) = struct.unpack_from(">I", data, s + 8)
+                            entry_end = min(s + 8 + esz, stsd[1])
+                            child = s + 16 + 78
+                            if child + 8 <= entry_end:
+                                avcc = _find(
+                                    data, child, entry_end, "avcC"
+                                )
+                                if avcc:
+                                    from pyspec_spark.operators.h264 import (
+                                        parse_avcc,
+                                    )
+
+                                    try:
+                                        tr["avc"] = parse_avcc(
+                                            data[avcc[0] : avcc[1]]
+                                        )
+                                    except ValueError:
+                                        tr["avc"] = None
+                                hvcc = _find(
+                                    data, child, entry_end, "hvcC"
+                                )
+                                if hvcc:
+                                    from pyspec_spark.operators.h265 import (
+                                        parse_hvcc,
+                                    )
+
+                                    try:
+                                        tr["hevc"] = parse_hvcc(
+                                            data[hvcc[0] : hvcc[1]]
+                                        )
+                                    except ValueError:
+                                        tr["hevc"] = None
+                                av1c = _find(
+                                    data, child, entry_end, "av1C"
+                                )
+                                if av1c:
+                                    from pyspec_spark.operators.av1 import (
+                                        parse_av1c,
+                                    )
+
+                                    try:
+                                        tr["av1"] = parse_av1c(
+                                            data[av1c[0] : av1c[1]]
+                                        )
+                                    except ValueError:
+                                        tr["av1"] = None
                     stsz = _find(data, stbl[0], stbl[1], "stsz")
                     if stsz:
                         _need(stsz[1], stsz[0] + 12, "stsz")
@@ -242,9 +293,19 @@ def make_minimal_mp4(
     codec: str = "avc1",
     n_samples: int = 48,
     language: str = "und",
+    avc_params: tuple[int, int] | None = None,
+    hevc_params: tuple[int, int, int] | None = None,
+    av1_params: tuple[int, int, int, int] | None = None,
 ) -> bytes:
     """Synthesize a minimal valid MP4: ftyp + moov(mvhd, trak(tkhd,
-    mdia(mdhd, hdlr, minf(stbl(stsd(codec), stsz))))) + tiny mdat."""
+    mdia(mdhd, hdlr, minf(stbl(stsd(codec), stsz))))) + tiny mdat.
+
+    ``avc_params = (profile_idc, level_idc)`` embeds a real avcC child
+    box (one conformant SPS + PPS, operators/h264.py) in the sample
+    entry; the tkhd/entry dimensions are then the MACROBLOCK-rounded
+    size while the SPS carries the true cropped ``width``/``height`` —
+    exactly the mismatch real files exhibit for non-16-multiple video,
+    which is what makes parsing the SPS worth doing."""
     dur = int(round(duration_s * timescale))
     ftyp = _box("ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
     mvhd = _box(
@@ -285,15 +346,67 @@ def make_minimal_mp4(
         struct.pack(">I", 0) + struct.pack(">I", 0) + b"vide"
         + b"\x00" * 12 + b"video\x00",
     )
-    # minimal visual sample entry per 14496-12 §12.1.3
+    # minimal visual sample entry per 14496-12 §12.1.3; with
+    # avc_params the stored entry size is the mb-rounded one (as real
+    # muxers write) and the truth lives in the avcC SPS
+    entry_w, entry_h = width, height
+    children = b""
+    if avc_params is not None:
+        from pyspec_spark.operators.h264 import (
+            encode_pps,
+            encode_sps,
+            make_avcc,
+        )
+
+        profile_idc, level_idc = avc_params
+        entry_w = (width + 15) // 16 * 16
+        entry_h = (height + 15) // 16 * 16
+        children = _box(
+            "avcC",
+            make_avcc(
+                encode_sps(width, height, profile_idc, level_idc),
+                encode_pps(),
+            ),
+        )
+    elif hevc_params is not None:
+        from pyspec_spark.operators.h265 import encode_hevc_sps, make_hvcc
+
+        profile_idc, tier, level_idc = hevc_params
+        entry_w = (width + 7) // 8 * 8   # HEVC min CU rounding
+        entry_h = (height + 7) // 8 * 8
+        children = _box(
+            "hvcC",
+            make_hvcc(
+                encode_hevc_sps(width, height, profile_idc, level_idc, tier)
+            ),
+        )
+    elif av1_params is not None:
+        from pyspec_spark.operators.av1 import (
+            encode_seq_header_obu,
+            make_av1c,
+        )
+
+        profile_idc, level_idx, tier, high_bd = av1_params
+        # AV1 frames are exact-sized (no mb rounding/crop); what the
+        # container CANNOT express is profile/level/tier/bit-depth —
+        # the OBU is the only source for those
+        children = _box(
+            "av1C",
+            make_av1c(
+                encode_seq_header_obu(
+                    width, height, profile_idc, level_idx, tier, high_bd
+                )
+            ),
+        )
     entry_rest = (
         b"\x00" * 6 + struct.pack(">H", 1)         # reserved + dref idx
         + b"\x00" * 16                             # predef/reserved
-        + struct.pack(">HH", width, height)
+        + struct.pack(">HH", entry_w, entry_h)
         + struct.pack(">II", 0x480000, 0x480000)   # 72 dpi
         + struct.pack(">I", 0) + struct.pack(">H", 1)
         + b"\x00" * 32                             # compressor name
         + struct.pack(">Hh", 24, -1)
+        + children
     )
     entry = (
         struct.pack(">I", 8 + len(entry_rest))

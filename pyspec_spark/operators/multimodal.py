@@ -303,6 +303,240 @@ def make_video_media(spark: SparkSession, n: int = 6) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def make_avc_media(spark: SparkSession, n: int = 8) -> DataFrame:
+    """Media table of minimal MP4s whose avc1 sample entries embed REAL
+    avcC records (conformant SPS+PPS, operators/h264.py) with metadata
+    a closed-form function of media_id; true cropped dimensions are
+    deliberately non-16-multiples so the SPS disagrees with the coded
+    size and parsing it is load-bearing."""
+    from pyspec_spark.operators.mp4 import make_minimal_mp4
+
+    rows = []
+    for i in range(n):
+        w = 320 + 16 * i - 2 * (i % 4)
+        h = 240 + 16 * i - 2 * (i % 3)
+        payload = make_minimal_mp4(
+            width=w,
+            height=h,
+            duration_s=1.0,
+            codec="avc1",
+            n_samples=8,
+            avc_params=(66 if i % 2 == 0 else 77, 30 + i),
+        )
+        rows.append((i, "video", "mp4", w, h, 8, bytearray(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AVC_PARAMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("profile_idc", IntegerType(), True),
+        StructField("level_idc", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def avc_track_params(media: DataFrame) -> DataFrame:
+    """Per-payload H.264 stream parameters from the avcC SPS (profile,
+    level, TRUE cropped dimensions) via mapInPandas — the codec-level
+    complement of video_metadata's container fields; payloads never
+    leave executors."""
+    from pyspec_spark.operators.mp4 import parse_mp4_metadata
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["codec"] != "mp4":
+                    continue
+                meta = parse_mp4_metadata(bytes(r["payload"]))
+                avc = next(
+                    (
+                        t["avc"]
+                        for t in meta["tracks"]
+                        if t.get("avc") is not None
+                    ),
+                    None,
+                )
+                if avc is None:
+                    continue
+                out.append(
+                    {
+                        "media_id": int(r["media_id"]),
+                        "profile_idc": avc["profile_idc"],
+                        "level_idc": avc["level_idc"],
+                        "width": avc["width"],
+                        "height": avc["height"],
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AVC_PARAMS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, AVC_PARAMS_SCHEMA)
+
+
+def make_hevc_media(spark: SparkSession, n: int = 8) -> DataFrame:
+    """hvc1 twin of make_avc_media: minimal MP4s whose sample entries
+    embed REAL hvcC records (conformant HEVC SPS, operators/h265.py);
+    true dimensions are non-8-multiples so the conformance window is
+    load-bearing."""
+    from pyspec_spark.operators.mp4 import make_minimal_mp4
+
+    rows = []
+    for i in range(n):
+        w = 426 + 8 * i - 2 * (i % 3)
+        h = 238 + 8 * i - 2 * (i % 2)
+        payload = make_minimal_mp4(
+            width=w,
+            height=h,
+            duration_s=1.0,
+            codec="hvc1",
+            n_samples=8,
+            hevc_params=(1 if i % 2 == 0 else 2, i % 2, 90 + 3 * i),
+        )
+        rows.append((i, "video", "mp4", w, h, 8, bytearray(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+HEVC_PARAMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("profile_idc", IntegerType(), True),
+        StructField("tier", IntegerType(), True),
+        StructField("level_idc", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def hevc_track_params(media: DataFrame) -> DataFrame:
+    """Per-payload HEVC stream parameters from the hvcC SPS via
+    mapInPandas (profile/tier/level + conformance-windowed true
+    dimensions)."""
+    from pyspec_spark.operators.mp4 import parse_mp4_metadata
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["codec"] != "mp4":
+                    continue
+                meta = parse_mp4_metadata(bytes(r["payload"]))
+                hv = next(
+                    (
+                        t["hevc"]
+                        for t in meta["tracks"]
+                        if t.get("hevc") is not None
+                    ),
+                    None,
+                )
+                if hv is None:
+                    continue
+                out.append(
+                    {
+                        "media_id": int(r["media_id"]),
+                        "profile_idc": hv["profile_idc"],
+                        "tier": hv["tier"],
+                        "level_idc": hv["level_idc"],
+                        "width": hv["width"],
+                        "height": hv["height"],
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in HEVC_PARAMS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, HEVC_PARAMS_SCHEMA)
+
+
+def make_av1_media(spark: SparkSession, n: int = 8) -> DataFrame:
+    """av01 member of the codec-trilogy media tables: minimal MP4s
+    whose sample entries embed REAL av1C records (conformant sequence
+    header OBU, operators/av1.py) with profile/level/tier/bit-depth a
+    closed-form function of media_id — fields the container has no
+    typed slot for, so parsing the OBU is the only way to gate on
+    them."""
+    from pyspec_spark.operators.mp4 import make_minimal_mp4
+
+    rows = []
+    for i in range(n):
+        w = 640 + 2 * i
+        h = 360 + 2 * i
+        payload = make_minimal_mp4(
+            width=w,
+            height=h,
+            duration_s=1.0,
+            codec="av01",
+            n_samples=8,
+            av1_params=(
+                i % 2,             # seq_profile 0/1 alternating
+                8 + i,             # seq_level_idx (>7 so tier codable)
+                i % 2,             # seq_tier
+                (i // 2) % 2,      # high_bitdepth
+            ),
+        )
+        rows.append((i, "video", "mp4", w, h, 8, bytearray(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+AV1_PARAMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("seq_profile", IntegerType(), True),
+        StructField("seq_level_idx", IntegerType(), True),
+        StructField("seq_tier", IntegerType(), True),
+        StructField("bit_depth", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def av1_track_params(media: DataFrame) -> DataFrame:
+    """Per-payload AV1 stream parameters from the av1C sequence header
+    OBU via mapInPandas (profile/level/tier/bit-depth + max frame
+    dimensions)."""
+    from pyspec_spark.operators.mp4 import parse_mp4_metadata
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["codec"] != "mp4":
+                    continue
+                meta = parse_mp4_metadata(bytes(r["payload"]))
+                av = next(
+                    (
+                        t["av1"]
+                        for t in meta["tracks"]
+                        if t.get("av1") is not None
+                    ),
+                    None,
+                )
+                if av is None:
+                    continue
+                out.append(
+                    {
+                        "media_id": int(r["media_id"]),
+                        "seq_profile": av["seq_profile"],
+                        "seq_level_idx": av["seq_level_idx"],
+                        "seq_tier": av["seq_tier"],
+                        "bit_depth": av["bit_depth"],
+                        "width": av["width"],
+                        "height": av["height"],
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in AV1_PARAMS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, AV1_PARAMS_SCHEMA)
+
+
 def make_mjpeg_media(
     spark: SparkSession, n: int = 6, frames: int = 4, width: int = 16, height: int = 12
 ) -> DataFrame:

@@ -791,3 +791,300 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("w_micro") / 1e6, 6).alias("dsir_logweight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization + domain blocklist (r7) — the first filter every
+# crawl pipeline runs (C4/RefinedWeb drop blocklisted domains before
+# any text is even fetched): canonicalize (strip fragment, lowercase
+# host, drop the www. prefix, remove utm_* tracking params), derive the
+# registrable domain, and gate against an exact + suffix blocklist.
+# The documents table carries no URL column, so the URL face is
+# synthesized IN-PLAN as a closed-form function of doc_id (the
+# q_video_metadata pattern) — messy-on-purpose: mixed-case hosts, www.
+# prefixes, tracking params, fragments, and an ads subdomain family.
+#
+# Per-domain accounting comes out (kept/blocked counts + a sample
+# canonical URL), so the oracle pins the whole canonicalize→gate→agg
+# chain.  All map-only string expressions in whole-stage codegen; ONE
+# shuffle on the bounded domain key.  At 100 TB the blocklist is a
+# broadcast table (here a literal IN/suffix predicate — same plan
+# shape).
+# ---------------------------------------------------------------------------
+_URL_BLOCK_EXACT = ("domain3.example", "domain7.example")
+_URL_BLOCK_SUFFIX = ".ads.example"
+
+_URL_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://' ||
+         CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END ||
+         CASE WHEN doc_id % 11 = 0 THEN 'track' || (doc_id % 3) || '.ads.example'
+              ELSE 'Domain' || (doc_id % 10) || '.example' END ||
+         '/path/' || doc_id ||
+         CASE WHEN doc_id % 5 = 0 THEN '?utm_source=feed&id=' || doc_id
+              ELSE '?id=' || doc_id END ||
+         CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END AS url
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+         regexp_replace(lower(split_part(split_part(regexp_replace(url, '#.*$', ''),
+                        '://', 2), '/', 1)), '^www\\.', '') AS host,
+         array_to_string(list_filter(string_split(
+             split_part(regexp_replace(url, '#.*$', ''), '?', 2), '&'),
+             x -> NOT x LIKE 'utm_%'), '&') AS clean_query
+  FROM u
+),
+g AS (
+  SELECT doc_id, host,
+         CASE WHEN len(string_split(host, '.')) > 2
+              THEN array_to_string(string_split(host, '.')[-2:], '.')
+              ELSE host END AS domain,
+         (host IN {_URL_BLOCK_EXACT}
+          OR host LIKE '%{_URL_BLOCK_SUFFIX}') AS blocked,
+         clean_query
+  FROM c
+)
+SELECT domain,
+       COUNT(*) AS n_urls,
+       CAST(SUM(CAST(blocked AS INT)) AS BIGINT) AS n_blocked,
+       CAST(SUM(CAST(NOT blocked AS INT)) AS BIGINT) AS n_kept,
+       MIN(CASE WHEN NOT blocked THEN host || '?' || clean_query END)
+         AS sample_kept
+FROM g
+GROUP BY domain
+ORDER BY domain
+"""
+
+
+@query("q_url_filter", oracle=_URL_ORACLE)
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit("track"), (F.col("doc_id") % 3).cast("string"),
+                F.lit(".ads.example"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("Domain"), (F.col("doc_id") % 10).cast("string"),
+                F.lit(".example"),
+            )
+        ),
+        F.lit("/path/"), F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string")),
+        ).otherwise(F.concat(F.lit("?id="), F.col("doc_id").cast("string"))),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    defrag = F.regexp_replace(url, "#.*$", "")
+    host = F.regexp_replace(
+        F.lower(F.split_part(F.split_part(defrag, F.lit("://"), F.lit(2)),
+                             F.lit("/"), F.lit(1))),
+        r"^www\.", "",
+    )
+    clean_query = F.array_join(
+        F.filter(
+            F.split(F.split_part(defrag, F.lit("?"), F.lit(2)), "&"),
+            lambda x: ~x.startswith("utm_"),
+        ),
+        "&",
+    )
+    parts = F.split(host, r"\.")
+    domain = F.when(
+        F.size(parts) > 2,
+        F.concat_ws(".", F.slice(parts, -2, 2)),
+    ).otherwise(host)
+    blocked = host.isin(*_URL_BLOCK_EXACT) | host.endswith(_URL_BLOCK_SUFFIX)
+    g = d.select(
+        domain.alias("domain"),
+        blocked.alias("blocked"),
+        host.alias("host"),
+        clean_query.alias("clean_query"),
+    )
+    return (
+        g.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.sum(F.col("blocked").cast("int")).alias("n_blocked"),
+            F.sum((~F.col("blocked")).cast("int")).alias("n_kept"),
+            F.min(
+                F.when(
+                    ~F.col("blocked"),
+                    F.concat(F.col("host"), F.lit("?"), F.col("clean_query")),
+                )
+            ).alias("sample_kept"),
+        )
+        .orderBy("domain")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L31 — semantic decontamination (r7): embedding-space test-set
+# contamination screening, the vector complement of q_bloom_decontam's
+# n-gram screen.  N-gram decontamination misses paraphrases; the
+# GPT-4-era practice (and the SemDeDup/embedding-similarity literature)
+# is to ALSO flag training docs whose embedding is near-identical to a
+# benchmark item.  The testdata embeddings are near-orthogonal
+# (max cross-cosine ~0.49 at every SF), so contamination is PLANTED in
+# closed form: bench item j is the 1-decimal quantization of corpus
+# vector 16+13j — the "benchmark lightly paraphrased into the crawl"
+# scenario (quantized self-cosine ~0.978 vs <=0.5 background, so the
+# 0.9 gate has a ~2x margin on both sides and the oracle pins the
+# whole cosine+argmax chain at 6 dp).
+#
+# Plan shape / 100 TB posture: the bench table is 8 rows broadcast onto
+# ONE corpus scan; the cosine + threshold filter run map-side, so the
+# only shuffle (the per-vec argmax groupBy) carries CONTAMINATED rows
+# only — at web scale that is ~0 rows, making this a map-only pass in
+# practice.  No top-k window: unlike q_knn_join / q_hard_negatives the
+# gate is absolute (a doc matching ANY bench item is dropped), which is
+# why the aggregation is argmax-over-hits, not rank.
+# ---------------------------------------------------------------------------
+_SEMDECON_B = 8          # bench items
+_SEMDECON_STRIDE = 13    # planted source vec_id = 16 + 13*j
+_SEMDECON_TAU = 0.9
+
+_SEMDECON_ORACLE = f"""
+WITH b AS (
+  SELECT CAST((vec_id - 16) // {_SEMDECON_STRIDE} AS BIGINT) AS bench_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> ROUND(x, 1)) AS be
+  FROM embeddings
+  WHERE vec_id >= 16 AND vec_id < 16 + {_SEMDECON_B * _SEMDECON_STRIDE}
+    AND (vec_id - 16) % {_SEMDECON_STRIDE} = 0
+),
+s AS (
+  SELECT e.vec_id, b.bench_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), b.be),
+               6) AS score
+  FROM embeddings e, b
+),
+hit AS (SELECT * FROM s WHERE score >= {_SEMDECON_TAU}),
+r AS (
+  SELECT vec_id, bench_id, score,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY score DESC, bench_id DESC) AS rk,
+         COUNT(*) OVER (PARTITION BY vec_id) AS n_hits
+  FROM hit
+)
+SELECT vec_id, bench_id, score, CAST(n_hits AS BIGINT) AS n_hits
+FROM r WHERE rk = 1
+ORDER BY vec_id
+"""
+
+
+@query("q_sem_decontam", oracle=_SEMDECON_ORACLE)
+def q_sem_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.similarity import _dot_cols, _norm_expr
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = [16 + _SEMDECON_STRIDE * j for j in range(_SEMDECON_B)]
+    bench = e.where(F.col("vec_id").isin(planted)).select(
+        ((F.col("vec_id") - 16) / _SEMDECON_STRIDE)
+        .cast("long")
+        .alias("bench_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: F.round(x, 1),
+        ).alias("be"),
+    )
+    cos = F.round(
+        _dot_cols(F.col("embedding").cast("array<double>"), F.col("be"))
+        / (
+            _norm_expr(F.col("embedding").cast("array<double>"))
+            * _norm_expr(F.col("be"))
+        ),
+        6,
+    )
+    hits = (
+        e.join(F.broadcast(bench))
+        .select("vec_id", "bench_id", cos.alias("score"))
+        .where(F.col("score") >= _SEMDECON_TAU)
+    )
+    return (
+        hits.groupBy("vec_id")
+        .agg(
+            F.max(F.struct("score", "bench_id")).alias("top"),
+            F.count("*").alias("n_hits"),
+        )
+        .select(
+            "vec_id",
+            F.col("top.bench_id").alias("bench_id"),
+            F.col("top.score").alias("score"),
+            "n_hits",
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L32 — soft deduplication (r7): duplication-aware REWEIGHTING instead
+# of removal (SoftDeDup, Xue et al. ACL 2024 direction: dropping
+# near-dups discards signal — down-weight "common" documents so the
+# sampler sees each piece of content ~once in expectation).  Commonness
+# here = mean document-frequency of the doc's distinct shingles (the
+# same bigram basis as q_bloom_decontam / q_decontaminate, so the
+# exact, Bloom, and soft screens can never drift apart); sampling
+# weight = 1/mean_df = n_sh/sum_df as ONE bigint/bigint double
+# division under the terminal ROUND (no ln/exp — libm differs across
+# engines).  A doc of entirely unique content keeps weight 1; a doc
+# whose every shingle appears in k docs is down-weighted to ~1/k —
+# exactly the multiplicity correction exact dedup applies, but
+# continuous and paraphrase-tolerant.
+#
+# 100 TB posture: the standard two-shuffle term-stat shape (explode →
+# df groupBy(shingle) → join back → per-doc agg), identical scaling to
+# TF-IDF (L9); no broadcast of the shingle-frequency table (it is
+# vocabulary-sized — the q_source_kl lesson).
+# ---------------------------------------------------------------------------
+_SOFT_DEDUP_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+  WHERE len(shingles) > 0
+),
+df AS (
+  SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM ex GROUP BY shingle
+),
+d AS (
+  SELECT ex.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh,
+         CAST(SUM(df.df) AS BIGINT) AS sum_df
+  FROM ex JOIN df USING (shingle) GROUP BY ex.doc_id
+)
+SELECT doc_id, n_sh, sum_df,
+       ROUND(CAST(n_sh AS DOUBLE) / sum_df, 6) AS weight,
+       (sum_df >= 2 * n_sh) AS dup_heavy
+FROM d
+ORDER BY doc_id
+"""
+
+
+@query("q_soft_dedup", oracle=_SOFT_DEDUP_ORACLE)
+def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ex = (
+        _shingled(spark, sf_dir)
+        .where(F.size("shingles") > 0)
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+    df = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+    d = (
+        ex.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"), F.sum("df").alias("sum_df"))
+    )
+    return d.select(
+        "doc_id",
+        "n_sh",
+        "sum_df",
+        F.round(F.col("n_sh").cast("double") / F.col("sum_df"), 6).alias(
+            "weight"
+        ),
+        (F.col("sum_df") >= 2 * F.col("n_sh")).alias("dup_heavy"),
+    ).orderBy("doc_id")

@@ -493,6 +493,100 @@ def q_video_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L7 codec parameters (r7) — H.264 SPS/avcC parse WITHOUT a codec
+# library: the synthesizer embeds a real conformant SPS+PPS (exp-
+# Golomb, emulation prevention, frame-crop offsets; operators/h264.py)
+# into the avc1 sample entry, and the query parses profile/level and
+# the TRUE cropped dimensions back out inside mapInPandas.  The crop
+# arithmetic is load-bearing: SPS stores macroblock-rounded sizes, and
+# the synthesized dims are deliberately non-16-multiples, so a parser
+# that skips frame_cropping reports every width/height wrong (and the
+# container's coded size disagrees with the truth, as in real files).
+# Oracle replays the closed form.  Slice decode remains the documented
+# NotImplementedError boundary.
+# ---------------------------------------------------------------------------
+_AVC_N = 8
+
+_AVC_PARAMS_ORACLE = f"""
+SELECT CAST(range AS BIGINT) AS media_id,
+       CAST(CASE WHEN range % 2 = 0 THEN 66 ELSE 77 END AS INT)
+         AS profile_idc,
+       CAST(30 + range AS INT) AS level_idc,
+       CAST(320 + 16 * range - 2 * (range % 4) AS INT) AS width,
+       CAST(240 + 16 * range - 2 * (range % 3) AS INT) AS height
+FROM range({_AVC_N})
+ORDER BY media_id
+"""
+
+
+@query("q_avc_params", oracle=_AVC_PARAMS_ORACLE)
+def q_avc_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.multimodal import (
+        avc_track_params,
+        make_avc_media,
+    )
+
+    media = make_avc_media(spark, n=_AVC_N)
+    return avc_track_params(media).orderBy("media_id")
+
+
+# hvc1 twin (operators/h265.py): HEVC conformance-window arithmetic —
+# luma sizes round to the 8-px minimum CU, and the synthesized true
+# dimensions are non-8-multiples, so skipping the window is wrong.
+_HEVC_PARAMS_ORACLE = f"""
+SELECT CAST(range AS BIGINT) AS media_id,
+       CAST(CASE WHEN range % 2 = 0 THEN 1 ELSE 2 END AS INT)
+         AS profile_idc,
+       CAST(range % 2 AS INT) AS tier,
+       CAST(90 + 3 * range AS INT) AS level_idc,
+       CAST(426 + 8 * range - 2 * (range % 3) AS INT) AS width,
+       CAST(238 + 8 * range - 2 * (range % 2) AS INT) AS height
+FROM range({_AVC_N})
+ORDER BY media_id
+"""
+
+
+@query("q_hevc_params", oracle=_HEVC_PARAMS_ORACLE)
+def q_hevc_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.multimodal import (
+        hevc_track_params,
+        make_hevc_media,
+    )
+
+    media = make_hevc_media(spark, n=_AVC_N)
+    return hevc_track_params(media).orderBy("media_id")
+
+
+# av01 third of the trilogy (operators/av1.py): profile / level / tier
+# / bit-depth live ONLY in the sequence-header OBU (no typed container
+# slot), and AV1 has no RBSP escaping — the oracle pins leb128 + the
+# unaligned bit layout instead.
+_AV1_PARAMS_ORACLE = f"""
+SELECT CAST(range AS BIGINT) AS media_id,
+       CAST(range % 2 AS INT) AS seq_profile,
+       CAST(8 + range AS INT) AS seq_level_idx,
+       CAST(range % 2 AS INT) AS seq_tier,
+       CAST(CASE WHEN (range // 2) % 2 = 1 THEN 10 ELSE 8 END AS INT)
+         AS bit_depth,
+       CAST(640 + 2 * range AS INT) AS width,
+       CAST(360 + 2 * range AS INT) AS height
+FROM range({_AVC_N})
+ORDER BY media_id
+"""
+
+
+@query("q_av1_params", oracle=_AV1_PARAMS_ORACLE)
+def q_av1_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.multimodal import (
+        av1_track_params,
+        make_av1_media,
+    )
+
+    media = make_av1_media(spark, n=_AVC_N)
+    return av1_track_params(media).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
 # L7 video FRAMES (r6) — the mp4 frame-decode boundary closed for
 # MJPEG: real MJPEG-in-MP4 movies (every sample a complete baseline
 # JPEG behind real stsz/stsc/stco tables, operators/mp4.py

@@ -918,11 +918,15 @@ ORDER BY doc_id
 """
 
 
-def _gopher_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gopher_metrics(
+    spark: SparkSession, sf_dir: str, extra: tuple[str, ...] = ()
+) -> DataFrame:
     """q_gopher_rules' per-doc metric table WITHOUT the presentation
-    sort — the composable form (q_filter_attribution builds on it; a
-    global doc_id sort before a downstream aggregation would be a
-    wasted corpus shuffle)."""
+    sort — the composable form (q_filter_attribution and
+    q_source_scorecard build on it; a global doc_id sort before a
+    downstream aggregation would be a wasted corpus shuffle).  `extra`
+    passes through additional document columns (e.g. source) so
+    composers never need a doc_id join back to the corpus."""
     d = table(spark, sf_dir, "documents")
     w = _toks()
     lines = F.split("text", "\n")
@@ -964,6 +968,7 @@ def _gopher_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("int")
     return d.select(
         "doc_id",
+        *extra,
         n_words.cast("long").alias("n_words"),
         F.round(mwl, 6).alias("mean_word_len"),
         F.round(sym_ratio, 6).alias("symbol_word_ratio"),
@@ -1070,6 +1075,67 @@ def q_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac_failed"),
         )
         .orderBy("rule")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source scorecard (r7) — the per-source crawl-triage rollup a mixture
+# designer reads FIRST: volume (docs, tokens), redundancy (within-
+# source exact-dup fraction), and quality (Gopher pass fraction), one
+# row per source.  Composes the dedup and quality families over a
+# SINGLE corpus scan: _gopher_metrics passes `source` and the text
+# hash through, so no join back to the corpus is ever needed.  The
+# per-source COUNT(DISTINCT hash) is the only 2-phase aggregation
+# (Spark's distinct-expand); everything else rides the same shuffle.
+# ---------------------------------------------------------------------------
+_SCORECARD_ORACLE = f"""
+WITH g AS ({_GOPHER_ORACLE}),
+d AS (SELECT doc_id, source, md5(text) AS h FROM documents)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(*) - COUNT(DISTINCT d.h) AS BIGINT) AS n_dup_docs,
+       ROUND(1.0 - CAST(COUNT(DISTINCT d.h) AS DOUBLE) / COUNT(*), 6)
+         AS dup_frac,
+       CAST(SUM(g.passes) AS BIGINT) AS n_pass,
+       ROUND(CAST(SUM(g.passes) AS DOUBLE) / COUNT(*), 6) AS pass_frac,
+       CAST(SUM(g.n_words) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(g.n_words) AS DOUBLE) / COUNT(*), 6) AS mean_tokens
+FROM g JOIN d USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@query("q_source_scorecard", oracle=_SCORECARD_ORACLE)
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _gopher_metrics(
+        spark,
+        sf_dir,
+        extra=(
+            F.col("source"),
+            F.md5(F.col("text").cast("binary")).alias("text_h"),
+        ),
+    )
+    return (
+        g.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.count("*") - F.countDistinct("text_h")).alias("n_dup_docs"),
+            F.round(
+                1.0
+                - F.countDistinct("text_h").cast("double") / F.count("*"),
+                6,
+            ).alias("dup_frac"),
+            F.sum("passes").alias("n_pass"),
+            F.round(
+                F.sum("passes").cast("double") / F.count("*"), 6
+            ).alias("pass_frac"),
+            F.sum("n_words").alias("total_tokens"),
+            F.round(
+                F.sum("n_words").cast("double") / F.count("*"), 6
+            ).alias("mean_tokens"),
+        )
+        .orderBy("source")
     )
 
 

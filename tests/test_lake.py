@@ -555,3 +555,29 @@ def test_time_travel_to_vacuumed_version_raises_cleanly(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         lake_read(spark, root, version=1)
     assert lake_read(spark, root).count() == 5
+
+
+def test_change_layout_migration_path(spark, tmp_path):
+    """lake_change_layout re-partitions the table as a commit: the old
+    partition_col is refused by row ops afterwards, the new one works,
+    and time travel still reads the pre-migration layout."""
+    from pyspec_spark.lake import lake_change_layout
+
+    root = str(tmp_path / "t")
+    base = _docs(spark, 0, 30).withColumn(
+        "region", (F.col("doc_id") % 2).cast("int")
+    )
+    lake_append(spark, root, base, "part")
+    v = lake_change_layout(spark, root, "region")
+    assert v == latest_version(root)
+    assert lake_read(spark, root).count() == 30
+
+    upd = base.where("doc_id < 3").withColumn("text", F.lit("migrated"))
+    with pytest.raises(ValueError, match="partition_col"):
+        lake_upsert(spark, root, upd, "doc_id", "part")
+    lake_upsert(spark, root, upd, "doc_id", "region")
+    got = lake_read(spark, root)
+    assert got.count() == 30
+    assert got.where("text = 'migrated'").count() == 3
+    # the pre-migration snapshot still reads with its own layout
+    assert lake_read(spark, root, version=1).count() == 30

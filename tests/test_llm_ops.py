@@ -1134,3 +1134,64 @@ def test_hard_negatives_cross_label_and_ranked(spark):
         scores = [r["score"] for r in rs]
         assert scores == sorted(scores, reverse=True)
         assert all(-1.0 <= s <= 1.0 for s in scores)
+
+
+def test_url_filter_canonicalization_and_blocklist(spark):
+    """Canonical URLs are lowercase, www-stripped, utm-free; the ads
+    suffix family and the exact-blocklist domains are fully blocked;
+    every other domain is fully kept."""
+    from pyspec_spark.queries.curation import q_url_filter
+
+    rows = {r["domain"]: r for r in q_url_filter.__wrapped__(spark, SF).collect()}
+    assert "ads.example" in rows
+    ads = rows["ads.example"]
+    assert ads["n_kept"] == 0 and ads["n_blocked"] == ads["n_urls"] > 0
+    for d in ("domain3.example", "domain7.example"):
+        assert rows[d]["n_kept"] == 0 and rows[d]["n_blocked"] > 0
+    for d, r in rows.items():
+        if d == "ads.example" or d in ("domain3.example", "domain7.example"):
+            continue
+        assert r["n_blocked"] == 0 and r["n_kept"] == r["n_urls"]
+        s = r["sample_kept"]
+        assert s is not None and s == s.lower()
+        assert "utm_" not in s and not s.startswith("www.")
+    assert sum(r["n_urls"] for r in rows.values()) == 500
+
+
+def test_sem_decontam_flags_exactly_the_planted_set(spark):
+    """Only the 8 planted sources (vec 16+13j, whose 1-decimal
+    quantization is bench item j) cross the 0.9 gate; each matches
+    exactly its own bench item with near-1 similarity, and the
+    orthogonal background never flags."""
+    from pyspec_spark.queries.curation import (
+        _SEMDECON_B,
+        _SEMDECON_STRIDE,
+        q_sem_decontam,
+    )
+
+    rows = q_sem_decontam.__wrapped__(spark, SF).collect()
+    assert [r["vec_id"] for r in rows] == [
+        16 + _SEMDECON_STRIDE * j for j in range(_SEMDECON_B)
+    ]
+    for j, r in enumerate(rows):
+        assert r["bench_id"] == j          # attribution is self, not a neighbor
+        assert r["n_hits"] == 1
+        assert 0.95 <= r["score"] <= 1.0   # quantized self-cosine
+
+
+def test_soft_dedup_weight_invariants(spark):
+    """weight = n_sh/sum_df is 1 exactly for all-unique-content docs,
+    <1 whenever any shingle is shared, and dup_heavy iff mean df >= 2;
+    the weighting must find real sharing in the corpus (non-vacuous)."""
+    from pyspec_spark.queries.curation import q_soft_dedup
+
+    rows = q_soft_dedup.__wrapped__(spark, SF).collect()
+    assert len(rows) > 0
+    n_shared = 0
+    for r in rows:
+        assert r["n_sh"] <= r["sum_df"]
+        assert 0.0 < r["weight"] <= 1.0
+        assert (r["weight"] == 1.0) == (r["n_sh"] == r["sum_df"])
+        assert r["dup_heavy"] == (r["sum_df"] >= 2 * r["n_sh"])
+        n_shared += r["weight"] < 1.0
+    assert n_shared > 0

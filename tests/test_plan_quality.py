@@ -628,3 +628,46 @@ def test_hard_negatives_window_group_limit_pushdown(spark):
     assert "BroadcastNestedLoopJoin" in p  # label != label anchor join
     assert "CartesianProduct" not in p
     assert "WindowGroupLimit" in p
+
+
+def test_source_scorecard_single_scan_no_join(spark):
+    """q_source_scorecard composes dedup + quality stats over ONE
+    corpus scan — the text hash and source ride the metric projection,
+    so no join back to the corpus appears; shuffles are the per-source
+    distinct-expand (2) plus the presentation sort."""
+    p = _plan(spark, "q_source_scorecard")
+    assert "Join" not in p
+    assert count_exchanges(p) == 3
+    assert has_partial_aggregate(p)
+
+
+def test_sem_decontam_broadcast_mapside_gate(spark):
+    """q_sem_decontam: the bench table broadcasts onto one corpus scan
+    and the cosine threshold runs map-side, so the only shuffles are
+    the contaminated-rows argmax (partial+final) and the presentation
+    sort — no sort-merge join, no rank window over the corpus."""
+    p = _plan(spark, "q_sem_decontam")
+    assert has_broadcast_join(p)
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+    assert has_partial_aggregate(p)
+    assert count_exchanges(p) <= 3
+
+
+def test_soft_dedup_no_vocab_broadcast_hint(spark):
+    """q_soft_dedup must not HINT a broadcast of the vocabulary-sized
+    shingle-df table (the q_source_kl lesson) — at sf0.001 the
+    optimizer still picks broadcast from its own size estimate, which
+    is fine because that choice reverts to a shuffle join as the
+    estimate grows; a hard-coded hint would not.  Gate the logical plan
+    for the absence of the hint, and the physical plan for bounded
+    shuffles + partial aggregation."""
+    spark.catalog.clearCache()
+    q = registry.QUERIES["q_soft_dedup"]
+    builder = getattr(q, "__wrapped__", q)
+    df = builder(spark, SF)
+    logical = df._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in logical and "hint" not in logical.lower()
+    p = physical_plan(df)
+    assert has_partial_aggregate(p)
+    assert count_exchanges(p) <= 4

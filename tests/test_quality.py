@@ -525,3 +525,26 @@ def test_source_kl_nonnegative_and_zero_for_corpus_clone(spark):
     finally:
         Q.table = orig
     assert got["skew"] > 1.0 > 0.01 > got["clone"] >= 0
+
+
+def test_source_scorecard_consistency(spark):
+    """Scorecard rows reconcile with independent per-source recounts:
+    dup_frac matches a pandas groupby on text, pass counts match the
+    gopher table, totals sum to the corpus."""
+    from pyspec_spark.queries.quality import q_gopher_rules, q_source_scorecard
+    from pyspec_spark.tables import table
+
+    rows = {r["source"]: r for r in q_source_scorecard.__wrapped__(spark, SF).collect()}
+    docs = table(spark, SF, "documents").select("doc_id", "source", "text").toPandas()
+    passes = {
+        r["doc_id"]: r["passes"]
+        for r in q_gopher_rules.__wrapped__(spark, SF).collect()
+    }
+    docs["passes"] = docs["doc_id"].map(passes)
+    for src, g in docs.groupby("source"):
+        r = rows[src]
+        assert r["n_docs"] == len(g)
+        assert r["n_dup_docs"] == len(g) - g["text"].nunique()
+        assert r["n_pass"] == int(g["passes"].sum())
+        assert 0.0 <= r["dup_frac"] <= 1.0 and 0.0 <= r["pass_frac"] <= 1.0
+    assert sum(r["n_docs"] for r in rows.values()) == len(docs)
