@@ -83,6 +83,11 @@ HEADLINE = [
     "q_filter_attribution",
     "q_hard_negatives",
     "q_source_scorecard",
+    # round 7b: dedup-reweighting + decontamination + tuning tables
+    "q_soft_dedup",
+    "q_sem_decontam",
+    "q_token_fertility",
+    "q_gate_sweep",
 ]
 
 

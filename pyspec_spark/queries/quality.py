@@ -29,7 +29,7 @@ places and tiebroken by the bigram string under LIMIT (SURVEY §5.3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pyspec_spark.registry import query
@@ -1330,4 +1330,161 @@ def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(term).cast("double") / 1e6, 6).alias("kl"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L33 — tokenizer fertility (r7): the per-language bytes/token and
+# subwords/word table a team reads when choosing a tokenizer for a
+# multilingual corpus (high fertility = a language pays more sequence
+# positions per word; the reason BPE vocabularies get rebalanced).
+# "Subword" here = the GPT-2-style pre-tokenizer classes both engines
+# regex identically: letter runs merge, DIGITS SPLIT ONE PER TOKEN
+# (the Llama-style digit rule), punctuation one per token.  All
+# per-doc counts are exact ints; the two ratios are single
+# bigint/bigint double divisions under terminal ROUNDs.  Map-only scan
+# then ONE |langs|-key shuffle.
+# ---------------------------------------------------------------------------
+_FERTILITY_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+_FERTILITY_ORACLE = f"""
+WITH d AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_words,
+         len(regexp_extract_all(text, '{_FERTILITY_RE}')) AS n_sub,
+         strlen(text) AS n_bytes
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(n_sub) AS BIGINT) AS n_subwords,
+       ROUND(CAST(SUM(n_sub) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+       ROUND(CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_sub), 6)
+         AS bytes_per_subword
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q_token_fertility", oracle=_FERTILITY_ORACLE)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(_toks()).alias("n_words"),
+        F.size(F.regexp_extract_all("text", F.lit(_FERTILITY_RE), 0)).alias(
+            "n_sub"
+        ),
+        F.octet_length("text").alias("n_bytes"),
+    )
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.sum("n_bytes").alias("n_bytes"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_subwords",
+            F.round(
+                F.col("n_subwords").cast("double") / F.col("n_words"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("n_bytes").cast("double") / F.col("n_subwords"), 6
+            ).alias("bytes_per_subword"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L34 — filter operating-point sweep (r7): the threshold-tuning table
+# behind every "we set the quality gate at X" decision — for a grid of
+# candidate thresholds on the alpha-word ratio (fraction of words
+# containing a letter, the Gopher 80%-rule axis), how many docs and
+# what fraction of the token mass survive.  Produced BEFORE committing
+# to a gate, this is how the operating point gets chosen; the solo-kill
+# complement (q_filter_attribution) audits the gate AFTER.
+#
+# Determinism: the kept-predicate is exact integer arithmetic
+# (100*n_alpha >= t100*n_words — no float ratio compare), and every
+# output ratio is one bigint/bigint double division under a terminal
+# ROUND.  Plan: ONE corpus scan -> map-side 20x grid explode ->
+# 20-key shuffle; the denominators are MAX() OVER () on the 20-row
+# aggregate itself (threshold 0 keeps everything, so the maxima ARE
+# the totals) — a single-partition window over 20 rows instead of a
+# second corpus pass (a tot-row self-join measurably re-scanned the
+# corpus: Spark does not dedup the shared subtree across the join's
+# branches here, even under AQE).
+# ---------------------------------------------------------------------------
+_SWEEP_STEPS = 20  # t100 = 0,5,...,95
+
+_GATE_SWEEP_ORACLE = f"""
+WITH d AS (
+  SELECT len(string_split(text, ' ')) AS n_words,
+         len(list_filter(string_split(text, ' '),
+                         x -> regexp_matches(x, '[A-Za-z]'))) AS n_alpha
+  FROM documents
+),
+sweep AS (
+  SELECT CAST(5 * range AS INT) AS t100,
+         CAST(COUNT(CASE WHEN 100 * d.n_alpha >= 5 * range * d.n_words
+                         THEN 1 END) AS BIGINT) AS n_kept,
+         CAST(COALESCE(SUM(CASE WHEN 100 * d.n_alpha >= 5 * range * d.n_words
+                       THEN d.n_words END), 0) AS BIGINT) AS w_kept
+  FROM d, range({_SWEEP_STEPS})
+  GROUP BY 1
+),
+tot AS (SELECT n_kept AS n_all, w_kept AS w_all FROM sweep WHERE t100 = 0)
+SELECT t100, n_kept,
+       ROUND(CAST(n_kept AS DOUBLE) / n_all, 6) AS kept_frac,
+       ROUND(CAST(w_kept AS DOUBLE) / w_all, 6) AS words_kept_frac,
+       ROUND(CAST(w_kept AS DOUBLE) / n_kept, 6) AS mean_words_kept
+FROM sweep, tot
+ORDER BY t100
+"""
+
+
+@query("q_gate_sweep", oracle=_GATE_SWEEP_ORACLE)
+def q_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = _toks()
+    d = table(spark, sf_dir, "documents").select(
+        F.size(w).alias("n_words"),
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).alias("n_alpha"),
+    )
+    grid = F.array(*[F.lit(5 * i) for i in range(_SWEEP_STEPS)])
+    kept = F.col("t100") * F.col("n_words") <= 100 * F.col("n_alpha")
+    sweep = (
+        d.select("n_words", "n_alpha", F.explode(grid).alias("t100"))
+        .groupBy("t100")
+        .agg(
+            F.count(F.when(kept, 1)).alias("n_kept"),
+            F.coalesce(
+                F.sum(F.when(kept, F.col("n_words"))), F.lit(0)
+            ).alias("w_kept"),
+        )
+    )
+    everything = Window.partitionBy()
+    return (
+        sweep.withColumn("n_all", F.max("n_kept").over(everything))
+        .withColumn("w_all", F.max("w_kept").over(everything))
+        .select(
+            "t100",
+            "n_kept",
+            F.round(F.col("n_kept").cast("double") / F.col("n_all"), 6).alias(
+                "kept_frac"
+            ),
+            F.round(F.col("w_kept").cast("double") / F.col("w_all"), 6).alias(
+                "words_kept_frac"
+            ),
+            F.round(F.col("w_kept").cast("double") / F.col("n_kept"), 6).alias(
+                "mean_words_kept"
+            ),
+        )
+        .orderBy("t100")
     )

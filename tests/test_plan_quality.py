@@ -671,3 +671,24 @@ def test_soft_dedup_no_vocab_broadcast_hint(spark):
     p = physical_plan(df)
     assert has_partial_aggregate(p)
     assert count_exchanges(p) <= 4
+
+
+def test_token_fertility_single_shuffle(spark):
+    """q_token_fertility: map-only per-doc counts into one |langs|-key
+    partial+final agg; only (lang, text) read from the corpus."""
+    p = _plan(spark, "q_token_fertility")
+    assert has_partial_aggregate(p)
+    assert count_exchanges(p) == 2  # lang agg + presentation sort
+    for cols in read_schemas(p):
+        assert set(cols) <= {"lang", "text"}
+
+
+def test_gate_sweep_single_corpus_scan(spark):
+    """q_gate_sweep: the denominators come from a window over the
+    20-row aggregate, NOT a totals self-join — the corpus is scanned
+    exactly once (the join form measurably re-scanned it; Spark does
+    not dedup the shared subtree across join branches here)."""
+    p = _plan(spark, "q_gate_sweep")
+    assert has_partial_aggregate(p)
+    assert len(read_schemas(p)) == 1  # corpus scanned exactly once
+    assert "Join" not in p

@@ -548,3 +548,35 @@ def test_source_scorecard_consistency(spark):
         assert r["n_pass"] == int(g["passes"].sum())
         assert 0.0 <= r["dup_frac"] <= 1.0 and 0.0 <= r["pass_frac"] <= 1.0
     assert sum(r["n_docs"] for r in rows.values()) == len(docs)
+
+
+def test_token_fertility_digit_split_and_bounds(spark):
+    """The BPE-ish pre-tokenizer splits digits one per token, so
+    fertility >= 1 wherever digits or punctuation exist; byte rate is
+    bounded by the longest letter run + 1."""
+    from pyspec_spark.queries.quality import q_token_fertility
+
+    rows = q_token_fertility.__wrapped__(spark, SF).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["n_subwords"] >= r["n_words"] > 0
+        assert r["fertility"] >= 1.0
+        assert 1.0 <= r["bytes_per_subword"] <= 40.0
+
+
+def test_gate_sweep_monotone_and_anchored(spark):
+    """Raising the threshold never keeps more: n_kept and both
+    fractions are non-increasing in t100, and the t100=0 row keeps
+    everything by construction."""
+    from pyspec_spark.queries.quality import q_gate_sweep
+
+    rows = sorted(
+        q_gate_sweep.__wrapped__(spark, SF).collect(),
+        key=lambda r: r["t100"],
+    )
+    assert [r["t100"] for r in rows] == [5 * i for i in range(20)]
+    assert rows[0]["kept_frac"] == 1.0 and rows[0]["words_kept_frac"] == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_kept"] <= a["n_kept"]
+        assert b["kept_frac"] <= a["kept_frac"]
+        assert b["words_kept_frac"] <= a["words_kept_frac"]
