@@ -1088,3 +1088,80 @@ def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("sum_df") >= 2 * F.col("n_sh")).alias("dup_heavy"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L36 — unified decontamination report (r7): the three screens —
+# exact n-gram (L3 q_decontaminate), Bloom n-gram (L14, the streaming-
+# friendly superset), and semantic/embedding (L31, the paraphrase
+# catcher) — full-outer-joined into ONE per-document audit table with
+# method attribution.  This is the artifact a data audit actually
+# ships: which docs each screen flags, where the screens agree, and
+# the two invariants that make the composition self-checking (Bloom
+# has no false negatives, so every exact-flagged doc must carry a
+# bloom score >= its exact score; the semantic screen fires on planted
+# paraphrases the n-gram screens cannot see).
+#
+# Oracle = the three ALREADY-REGISTERED oracle SQLs spliced as
+# subqueries (registry.ORACLES — quality loads before curation, and
+# both local screens register earlier in this module), so the report's
+# oracle can never drift from its constituents'.  Plan: three bounded
+# result legs (each already shuffle-minimal) full-joined on doc_id —
+# at web scale each leg is ~0 rows, so the joins are trivial.
+# ---------------------------------------------------------------------------
+from pyspec_spark.registry import ORACLES as _ORACLES
+
+_DECON_REPORT_ORACLE = f"""
+WITH ex AS (
+  SELECT doc_id, containment AS exact_cont
+  FROM ({_ORACLES["q_decontaminate"]})
+),
+bl AS (
+  SELECT doc_id, containment AS bloom_cont
+  FROM ({_ORACLES["q_bloom_decontam"]})
+),
+se AS (
+  SELECT vec_id AS doc_id, score AS sem_cos
+  FROM ({_ORACLES["q_sem_decontam"]})
+)
+SELECT COALESCE(ex.doc_id, bl.doc_id, se.doc_id) AS doc_id,
+       exact_cont, bloom_cont, sem_cos,
+       (CAST(ex.doc_id IS NOT NULL AS INT)
+        + CAST(bl.doc_id IS NOT NULL AS INT)
+        + CAST(se.doc_id IS NOT NULL AS INT)) AS n_methods
+FROM ex
+FULL JOIN bl ON ex.doc_id = bl.doc_id
+FULL JOIN se ON COALESCE(ex.doc_id, bl.doc_id) = se.doc_id
+ORDER BY doc_id
+"""
+
+
+@query("q_decontam_report", oracle=_DECON_REPORT_ORACLE)
+def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.queries.quality import q_decontaminate
+
+    ex = q_decontaminate(spark, sf_dir).select(
+        "doc_id", F.col("containment").alias("exact_cont")
+    )
+    bl = q_bloom_decontam(spark, sf_dir).select(
+        "doc_id", F.col("containment").alias("bloom_cont")
+    )
+    se = q_sem_decontam(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), F.col("score").alias("sem_cos")
+    )
+    return (
+        ex.join(bl, "doc_id", "full")
+        .join(se, "doc_id", "full")
+        .select(
+            "doc_id",
+            "exact_cont",
+            "bloom_cont",
+            "sem_cos",
+            (
+                F.col("exact_cont").isNotNull().cast("int")
+                + F.col("bloom_cont").isNotNull().cast("int")
+                + F.col("sem_cos").isNotNull().cast("int")
+            ).alias("n_methods"),
+        )
+        .orderBy("doc_id")
+    )

@@ -613,3 +613,89 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor(cum_before.cast("double") / _PACK_BUDGET).cast("int").alias("bin_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L35 — split-leakage audit (r7): the check every eval pipeline needs
+# and few run — do any NEAR-DUP clusters straddle the train/val/test
+# boundary?  Content-keyed split hashing (L16, md5 of doc_id) prevents
+# EXACT-dup leakage by construction, but near-dups hash to independent
+# buckets, so a cluster can land members on both sides — silently
+# inflating eval scores.  Composes the L2 jaccard cluster fixpoint
+# with L16's split rule: per cluster, member counts by split and a
+# leaky flag (>= 2 splits represented).  The split is a closed-form
+# function of doc_id, so NO join back to the corpus exists — the
+# audit costs one |clusters|-key aggregation on top of the CC output
+# (clustered docs only; singletons cannot leak).
+#
+# 100 TB posture: inherits q_dedup_clusters' checkpointed large-star/
+# small-star CC; the post-CC audit is one shuffle over cluster
+# members (a vanishing fraction of the corpus), and the leaky-rows
+# output is what the curation run quarantines before training.
+# ---------------------------------------------------------------------------
+_SPLIT_LEAK_ORACLE = f"""
+WITH cc AS ({{__CLUSTERS__}}),
+s AS (
+  SELECT cluster_id,
+         CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT cluster_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))
+             ::BIGINT % 100 AS b
+    FROM cc
+  )
+)
+SELECT cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(COUNT(CASE WHEN split = 'train' THEN 1 END) AS BIGINT)
+         AS n_train,
+       CAST(COUNT(CASE WHEN split = 'val' THEN 1 END) AS BIGINT) AS n_val,
+       CAST(COUNT(CASE WHEN split = 'test' THEN 1 END) AS BIGINT) AS n_test,
+       (COUNT(DISTINCT split) >= 2) AS leaky
+FROM s
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+@query(
+    "q_split_leakage",
+    oracle=_SPLIT_LEAK_ORACLE.replace("{__CLUSTERS__}", _CLUSTERS_ORACLE),
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.dedup import connected_components
+
+    edges = jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("#split")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = F.when(b < 96, "train").when(b < 98, "val").otherwise("test")
+    return (
+        cc.select("cluster_id", split.alias("split"))
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+            F.count(F.when(F.col("split") == "val", 1)).alias("n_val"),
+            F.count(F.when(F.col("split") == "test", 1)).alias("n_test"),
+            (F.count_distinct("split") >= 2).alias("leaky"),
+        )
+        .orderBy("cluster_id")
+    )

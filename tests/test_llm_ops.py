@@ -1195,3 +1195,47 @@ def test_soft_dedup_weight_invariants(spark):
         assert r["dup_heavy"] == (r["sum_df"] >= 2 * r["n_sh"])
         n_shared += r["weight"] < 1.0
     assert n_shared > 0
+
+
+def test_split_leakage_finds_the_planted_straddler(spark):
+    """The audit reports every near-dup cluster with its per-split
+    member counts; at sf0.001 cluster 56 genuinely straddles the
+    boundary (its two members hash to different splits) and must be
+    flagged, while counts always reconcile."""
+    from pyspec_spark.queries.llm import q_split_leakage
+
+    rows = q_split_leakage.__wrapped__(spark, SF).collect()
+    assert len(rows) >= 10
+    by_id = {r["cluster_id"]: r for r in rows}
+    for r in rows:
+        assert r["n_train"] + r["n_val"] + r["n_test"] == r["n_members"]
+        n_splits = sum(1 for c in ("n_train", "n_val", "n_test") if r[c] > 0)
+        assert r["leaky"] == (n_splits >= 2)
+    assert by_id[56]["leaky"]
+    assert sum(1 for r in rows if r["leaky"]) >= 1
+
+
+def test_decontam_report_screen_agreement_invariants(spark):
+    """Bloom has no false negatives, so every exact-flagged doc is also
+    bloom-flagged with bloom >= exact containment; the semantic screen
+    fires on the planted quantized paraphrases, which the n-gram
+    screens never flag (disjoint by construction at sf0.001); and
+    n_methods counts the non-null scores."""
+    from pyspec_spark.queries.curation import q_decontam_report
+
+    rows = q_decontam_report.__wrapped__(spark, SF).collect()
+    assert rows
+    n_sem = n_exact = 0
+    for r in rows:
+        got = sum(
+            1 for c in ("exact_cont", "bloom_cont", "sem_cos")
+            if r[c] is not None
+        )
+        assert r["n_methods"] == got >= 1
+        if r["exact_cont"] is not None:
+            n_exact += 1
+            assert r["bloom_cont"] is not None
+            assert r["bloom_cont"] >= r["exact_cont"]
+        if r["sem_cos"] is not None:
+            n_sem += 1
+    assert n_exact >= 1 and n_sem == 8
