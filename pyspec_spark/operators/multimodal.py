@@ -537,6 +537,64 @@ def av1_track_params(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, AV1_PARAMS_SCHEMA)
 
 
+def make_phash_media(spark: SparkSession, n_base: int = 8) -> DataFrame:
+    """Image near-dup media: n_base deterministic synth pictures, each
+    present TWICE — media 2i is a quality-92 4:4:4 encode, media 2i+1
+    a quality-30 4:2:0 re-encode of the SAME picture (the crawl's
+    "same image, different encoder" case; the payloads share no
+    bytes).  Distinct pictures measure >= 10 bits apart in pHash,
+    re-encode pairs <= 6 (tests pin the margin), so the planted truth
+    is exactly the (2i, 2i+1) pairs."""
+    from pyspec_spark.operators.jpeg import encode_jpeg
+
+    w, h = 48, 36
+    rows = []
+    for i in range(n_base):
+        img = synth_image(i, 0, w, h)
+        for j, (q, sub) in enumerate(((92, "444"), (30, "420"))):
+            payload = encode_jpeg(img, quality=q, subsampling=sub)
+            rows.append(
+                (2 * i + j, "image", "jpeg", w, h, 1, bytearray(payload))
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """Per-image 64-bit perceptual hash (operators/phash.py) via
+    mapInPandas: decode the JPEG payload executor-side, hash the
+    pixels; only the 8-byte fingerprint leaves the batch — the image
+    analog of the text corpus' minhash signature stage."""
+    from pyspec_spark.operators.jpeg import decode_jpeg_one
+    from pyspec_spark.operators.phash import phash64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["codec"] != "jpeg":
+                    continue
+                img, _ = decode_jpeg_one(bytes(r["payload"]), 0)
+                out.append(
+                    {
+                        "media_id": int(r["media_id"]),
+                        "phash": phash64(img),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in PHASH_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, PHASH_SCHEMA)
+
+
 def make_mjpeg_media(
     spark: SparkSession, n: int = 6, frames: int = 4, width: int = 16, height: int = 12
 ) -> DataFrame:

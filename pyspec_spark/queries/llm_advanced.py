@@ -1448,3 +1448,82 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return mmr_rerank(shortlist, k=_MMR_K, lam=_MMR_LAM)
+
+
+# ---------------------------------------------------------------------------
+# L37 image perceptual-hash near-dup (r7) — the multimodal face of the
+# L2 dedup family: text MinHash cannot see that two JPEGs are the same
+# picture re-encoded (the bytes share nothing), pHash can (operators/
+# phash.py: grayscale -> 32x32 -> DCT-II -> 8x8 low-freq -> median
+# threshold -> 64 bits).  The media table plants the truth: 8 synth
+# pictures each encoded twice (q92 4:4:4 and q30 4:2:0); re-encode
+# pairs measure <= 6 bits apart, distinct pictures >= 10 (margin
+# pinned in tests/test_phash.py), so tau = 7 recovers exactly the
+# planted pairs.
+#
+# Scale shape: hashes band into 8x8-bit keys and candidates come from
+# band equality — by pigeonhole a Hamming-<=7 pair MUST agree on at
+# least one of 8 bands, so at this threshold the banded join has
+# GUARANTEED recall (not probabilistic like MinHash banding) and the
+# oracle may use the equivalent exact form over the committed golden
+# hashes.  The exact Hamming check runs only on band collisions; no
+# all-pairs path exists (plan-gated: no cartesian).  Decode + hash
+# leave only 8 bytes per image; the band join shuffles |images| x 8
+# tiny rows.
+# ---------------------------------------------------------------------------
+_PHASH_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "phash_golden.parquet",
+)
+_PHASH_TAU = 7
+_PHASH_BANDS = 8
+
+_PHASH_ORACLE = f"""
+WITH g AS (
+  SELECT media_id, phash FROM read_parquet('{_PHASH_GOLDEN}')
+)
+SELECT a.media_id AS media_a, c.media_id AS media_b,
+       CAST(bit_count(xor(a.phash, c.phash)) AS INT) AS hamming
+FROM g a JOIN g c ON a.media_id < c.media_id
+WHERE bit_count(xor(a.phash, c.phash)) <= {_PHASH_TAU}
+ORDER BY media_a, media_b
+"""
+
+
+@query("q_image_phash_dedup", oracle=_PHASH_ORACLE)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.multimodal import image_phash, make_phash_media
+
+    ph = image_phash(make_phash_media(spark, n_base=8))
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("phash"), 8 * b).bitwiseAND(F.lit(255))
+            for b in range(_PHASH_BANDS)
+        ]
+    )
+    e = ph.select(
+        "media_id", "phash", F.posexplode(band_vals).alias("b", "v")
+    )
+    cand = (
+        e.alias("a")
+        .join(
+            e.alias("c"),
+            (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.v") == F.col("c.v"))
+            & (F.col("a.media_id") < F.col("c.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("c.media_id").alias("media_b"),
+            F.col("a.phash").alias("pa"),
+            F.col("c.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .where(F.col("hamming") <= _PHASH_TAU)
+        .select("media_a", "media_b", "hamming")
+        .orderBy("media_a", "media_b")
+    )

@@ -692,3 +692,12 @@ def test_gate_sweep_single_corpus_scan(spark):
     assert has_partial_aggregate(p)
     assert len(read_schemas(p)) == 1  # corpus scanned exactly once
     assert "Join" not in p
+
+
+def test_image_phash_banded_no_cartesian(spark):
+    """q_image_phash_dedup: candidates come from the 8-bit band
+    equi-join (guaranteed recall at tau=7 by pigeonhole), never an
+    all-pairs comparison."""
+    p = _plan(spark, "q_image_phash_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
