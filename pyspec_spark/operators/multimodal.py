@@ -595,6 +595,93 @@ def image_phash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, PHASH_SCHEMA)
 
 
+def synth_melody(media_id: int, n_notes: int = 8, note_len: int = 2000,
+                 rate: int = 16000) -> np.ndarray:
+    """Deterministic int16 test melody: n_notes segments, each a
+    fundamental + half-amplitude octave harmonic, note frequencies
+    centered on FFT bins 10+8·media_id .. 17+8·media_id so every clip
+    owns a disjoint bin range (distinct clips share landmark hashes
+    only through rare harmonic coincidences — measured <=29 in
+    tests/test_audiofp.py)."""
+    from pyspec_spark.operators.audiofp import FP_WIN
+
+    x = np.zeros(n_notes * note_len)
+    t = np.arange(note_len, dtype=np.float64) / rate
+    for k in range(n_notes):
+        f = (10 + 8 * media_id + k) * rate / FP_WIN
+        x[k * note_len : (k + 1) * note_len] = 600 * np.sin(
+            2 * np.pi * f * t
+        ) + 300 * np.sin(2 * np.pi * 2 * f * t)
+    return np.round(x).astype(np.int16)
+
+
+def degrade_audio(samples: np.ndarray, seed: int, level: float = 0.4,
+                  noise_sigma: float = 600.0) -> np.ndarray:
+    """The planted 'same recording, different capture' transform: a
+    level drop plus additive Gaussian noise that DOMINATES the signal
+    in the time domain (0.4×900 peak vs σ=600) — byte/sample-level
+    comparison sees two unrelated vectors; the spectral landmarks
+    survive because a sine's FFT gain is N/2·A against the noise's
+    √N·σ."""
+    rng = np.random.default_rng(seed)
+    y = level * np.asarray(samples, dtype=np.float64) + rng.normal(
+        0.0, noise_sigma, len(samples)
+    )
+    return np.clip(np.round(y), -32768, 32767).astype(np.int16)
+
+
+def make_audiofp_media(spark: SparkSession, n_base: int = 8) -> DataFrame:
+    """Audio near-dup media: n_base deterministic melodies, each
+    present TWICE — media 2i is the clean recording, media 2i+1 a
+    degraded re-capture (0.4× level + σ=600 noise) of the SAME melody.
+    True pairs share >=149 landmark hashes, distinct clips <=29 (pinned
+    in tests/test_audiofp.py), so the planted truth is exactly the
+    (2i, 2i+1) pairs."""
+    from pyspec_spark.operators.codecs import encode_wav
+
+    rows = []
+    for i in range(n_base):
+        clean = synth_melody(i)
+        for j, samples in enumerate((clean, degrade_audio(clean, seed=i))):
+            rows.append(
+                (2 * i + j, "audio", "wav", None, None, len(samples),
+                 bytearray(encode_wav(samples)))
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+LANDMARK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("lhash", LongType()),
+    ]
+)
+
+
+def audio_landmark_table(media: DataFrame) -> DataFrame:
+    """Exploded (media_id, lhash) landmark rows via mapInPandas: decode
+    the WAV payload executor-side, fingerprint the first channel
+    (operators/audiofp.py); only the bounded hash set leaves the batch
+    — the audio analog of the text corpus' shingle/minhash stage."""
+    from pyspec_spark.operators.audiofp import audio_landmarks
+    from pyspec_spark.operators.codecs import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["codec"] != "wav":
+                    continue
+                samples, _rate = decode_wav(bytes(r["payload"]))
+                for h in sorted(audio_landmarks(samples[:, 0])):
+                    out.append({"media_id": int(r["media_id"]), "lhash": h})
+            yield pd.DataFrame(
+                out, columns=[f.name for f in LANDMARK_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, LANDMARK_SCHEMA)
+
+
 def make_mjpeg_media(
     spark: SparkSession, n: int = 6, frames: int = 4, width: int = 16, height: int = 12
 ) -> DataFrame:

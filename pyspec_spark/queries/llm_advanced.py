@@ -1527,3 +1527,71 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_a", "media_b", "hamming")
         .orderBy("media_a", "media_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# L38 audio landmark-fingerprint near-dup (r7) — the audio face of the
+# L2 dedup family: two WAVs of the SAME recording at a different level
+# with added noise share no bytes (the planted degrade is
+# noise-DOMINATED in the time domain), so byte/minhash dedup cannot
+# see them; constellation landmarks can (operators/audiofp.py: STFT ->
+# per-frame spectral peaks -> anchored peak pairs -> packed
+# (f1,f2,dt) int64 hashes — clean-room from the published landmark
+# construction).  The media table plants the truth: 8 deterministic
+# melodies each present clean AND degraded (0.4x level + sigma=600
+# noise); true pairs share >=149 hashes, distinct clips <=29 (margins
+# pinned in tests/test_audiofp.py), so threshold 60 recovers exactly
+# the (2i, 2i+1) pairs.
+#
+# Scale shape: clips never compare all-pairs — each emits a bounded
+# hash set, candidates come from hash equality (ONE groupBy shuffle on
+# the exploded landmark table, exactly the MinHash-band posture), and
+# the pair score is the shared-hash count.  Only 8-byte hashes leave
+# the decode stage.  Oracle = the same join/count over the committed
+# golden landmark table, reproduced from the live
+# decode+STFT+peak+hash chain by tests/test_audiofp.py.
+# ---------------------------------------------------------------------------
+_AUDIOFP_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "audiofp_golden.parquet",
+)
+_AUDIOFP_MIN_SHARED = 60
+
+_AUDIOFP_ORACLE = f"""
+WITH g AS (
+  SELECT media_id, lhash FROM read_parquet('{_AUDIOFP_GOLDEN}')
+)
+SELECT a.media_id AS media_a, c.media_id AS media_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM g a JOIN g c ON a.lhash = c.lhash AND a.media_id < c.media_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_AUDIOFP_MIN_SHARED}
+ORDER BY media_a, media_b
+"""
+
+
+@query("q_audio_fp_dedup", oracle=_AUDIOFP_ORACLE)
+def q_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.multimodal import (
+        audio_landmark_table,
+        make_audiofp_media,
+    )
+
+    lm = audio_landmark_table(make_audiofp_media(spark, n_base=8))
+    pairs = (
+        lm.alias("a")
+        .join(
+            lm.alias("c"),
+            (F.col("a.lhash") == F.col("c.lhash"))
+            & (F.col("a.media_id") < F.col("c.media_id")),
+        )
+        .groupBy(
+            F.col("a.media_id").alias("media_a"),
+            F.col("c.media_id").alias("media_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        pairs.where(F.col("n_shared") >= _AUDIOFP_MIN_SHARED)
+        .orderBy("media_a", "media_b")
+    )

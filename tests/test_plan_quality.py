@@ -437,14 +437,19 @@ def test_building_declared_queries_runs_zero_jobs(spark):
     vectors, trained models, and profiles all ride in-plan (ADVICE r2:
     the ANN queries' first() probes were the last offenders).
 
-    Documented exemptions: q_dedup_clusters and q_dedup_keep_best run
-    iterative min-label propagation whose per-round convergence count()
+    Documented exemptions: q_dedup_clusters, q_dedup_keep_best and
+    q_split_leakage run iterative min-label propagation (the
+    connected-components fixpoint) whose per-round convergence count()
     and eager lineage checkpoints ARE execution by design (VERDICT r2
     calls this legitimate) — an iterative algorithm cannot be a single
-    lazy plan.  Their job count is bounded separately
+    lazy plan.  The job count of that operator is bounded separately
     (test_dedup_clusters_job_count_bounded).
     """
-    EXEMPT_ITERATIVE = {"q_dedup_clusters", "q_dedup_keep_best"}
+    EXEMPT_ITERATIVE = {
+        "q_dedup_clusters",
+        "q_dedup_keep_best",
+        "q_split_leakage",
+    }
     from pyspec_spark.tables import load
 
     # Warm the table cache first: the FIRST spark.read.parquet of a
@@ -699,5 +704,14 @@ def test_image_phash_banded_no_cartesian(spark):
     equi-join (guaranteed recall at tau=7 by pigeonhole), never an
     all-pairs comparison."""
     p = _plan(spark, "q_image_phash_dedup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_audio_fp_hash_equijoin_no_cartesian(spark):
+    """q_audio_fp_dedup: candidate pairs come from the landmark-hash
+    equi-join (the MinHash-band posture), never an all-pairs clip
+    comparison."""
+    p = _plan(spark, "q_audio_fp_dedup")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
