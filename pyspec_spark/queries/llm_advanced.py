@@ -1595,3 +1595,148 @@ def q_audio_fp_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.where(F.col("n_shared") >= _AUDIOFP_MIN_SHARED)
         .orderBy("media_a", "media_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# L39 bitext / parallel-pair mining (r7) — the cross-lingual curation
+# step behind CCMatrix/NLLB-style corpora: for every source-side
+# sentence vector, the best target-side match scored by the RATIO
+# MARGIN of Artetxe & Schwenk 2019 — cos(x,y) normalised by the mean
+# cosine of each side's k nearest neighbours — because an absolute
+# cosine threshold cannot separate true translations from hubs (vectors
+# near everything).  margin > 1 means "y is closer to x than x's
+# typical neighbourhood", the published mining criterion.
+#
+# Sides are closed-form on vec_id (even = source language, odd =
+# target) so the pair universe needs no extra table.  All cosines are
+# quantised to exact micro-units (the `_fixed6` basis) so both k-NN
+# denominator sums are order-independent bigint sums; the margin is ONE
+# bigint/bigint double division under the terminal ROUND — no libm, no
+# float accumulation (the q_soft_dedup determinism recipe).
+#
+# 100 TB posture: the mined side here is a bounded anchor set (8 rows)
+# broadcast onto ONE target-side scan — the same shape as
+# q_hard_negatives; the scored table shuffles three times on small key
+# spaces (src window, tgt window, final argmax).  Mining corpus ×
+# corpus at web scale replaces the exact scan with the LSH/IVF
+# shortlist (knn_join_lsh / q_ann_ivf_topk are the documented scale
+# path) and the margin arithmetic is unchanged — it only ever sees the
+# shortlist.
+# ---------------------------------------------------------------------------
+_BT_SRC, _BT_K = 16, 4  # anchors = even vec_id < 16 (8 rows); k-NN mean size
+
+_BITEXT_ORACLE = f"""
+WITH src AS (
+  SELECT vec_id AS src_id, embedding AS se
+  FROM embeddings WHERE vec_id < {_BT_SRC} AND vec_id % 2 = 0
+),
+tgt AS (
+  SELECT vec_id AS tgt_id, embedding AS te
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+s AS (
+  SELECT src_id, tgt_id,
+         CAST(ROUND(list_cosine_similarity(CAST(te AS DOUBLE[]),
+                                           CAST(se AS DOUBLE[])) * 1e6)
+              AS BIGINT) AS c
+  FROM tgt CROSS JOIN src
+),
+rx AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY c DESC, tgt_id)
+              AS rk_x
+  FROM s
+),
+dx AS (
+  SELECT *, SUM(CASE WHEN rk_x <= {_BT_K} THEN c ELSE 0 END)
+              OVER (PARTITION BY src_id) AS den_x
+  FROM rx
+),
+ry AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY c DESC, src_id)
+              AS rk_y
+  FROM dx
+),
+dy AS (
+  SELECT *, SUM(CASE WHEN rk_y <= {_BT_K} THEN c ELSE 0 END)
+              OVER (PARTITION BY tgt_id) AS den_y
+  FROM ry
+),
+m AS (
+  SELECT src_id, tgt_id,
+         CAST(c AS DOUBLE) / 1e6 AS cos_sim,
+         CASE WHEN den_x + den_y > 0
+              THEN ROUND(CAST(2 * {_BT_K} * c AS DOUBLE)
+                         / CAST(den_x + den_y AS DOUBLE), 6)
+              ELSE 0.0 END AS margin
+  FROM dy
+)
+SELECT src_id, tgt_id, cos_sim, margin
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY src_id ORDER BY margin DESC, tgt_id) AS rk
+  FROM m
+)
+WHERE rk = 1
+ORDER BY src_id
+"""
+
+
+@query("q_bitext_mine", oracle=_BITEXT_ORACLE)
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pyspec_spark.functions.determinism import _fixed6
+    from pyspec_spark.operators.similarity import _dot_cols, _norm_expr
+
+    e = table(spark, sf_dir, "embeddings")
+    src = e.where((F.col("vec_id") < _BT_SRC) & (F.col("vec_id") % 2 == 0)).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("se")
+    )
+    tgt = e.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("te")
+    )
+    cos = _dot_cols(F.col("te"), F.col("se")) / (
+        _norm_expr(F.col("te")) * _norm_expr(F.col("se"))
+    )
+    s = tgt.crossJoin(F.broadcast(src)).select(
+        "src_id", "tgt_id", _fixed6(cos).alias("c")
+    )
+    wx = Window.partitionBy("src_id").orderBy(F.desc("c"), "tgt_id")
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("c"), "src_id")
+    s = (
+        s.withColumn("rk_x", F.row_number().over(wx))
+        .withColumn(
+            "den_x",
+            F.sum(F.when(F.col("rk_x") <= _BT_K, F.col("c")).otherwise(F.lit(0))).over(
+                Window.partitionBy("src_id")
+            ),
+        )
+        .withColumn("rk_y", F.row_number().over(wy))
+        .withColumn(
+            "den_y",
+            F.sum(F.when(F.col("rk_y") <= _BT_K, F.col("c")).otherwise(F.lit(0))).over(
+                Window.partitionBy("tgt_id")
+            ),
+        )
+    )
+    den = F.col("den_x") + F.col("den_y")
+    m = s.select(
+        "src_id",
+        "tgt_id",
+        (F.col("c").cast("double") / F.lit(1e6)).alias("cos_sim"),
+        F.when(
+            den > 0,
+            F.round(
+                (F.lit(2 * _BT_K) * F.col("c")).cast("double") / den.cast("double"), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("margin"),
+    )
+    wr = Window.partitionBy("src_id").orderBy(F.desc("margin"), "tgt_id")
+    return (
+        m.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select("src_id", "tgt_id", "cos_sim", "margin")
+        .orderBy("src_id")
+    )

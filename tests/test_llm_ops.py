@@ -1239,3 +1239,58 @@ def test_decontam_report_screen_agreement_invariants(spark):
         if r["sem_cos"] is not None:
             n_sem += 1
     assert n_exact >= 1 and n_sem == 8
+
+
+def test_bitext_mine_margin_matches_numpy_recompute(spark):
+    """One row per source anchor, and the (cos, margin, argmax) of the
+    returned best pair matches an independent numpy recompute of the
+    Artetxe & Schwenk ratio margin on the same micro-unit quantization."""
+    import numpy as np
+
+    from pyspec_spark.queries.llm_advanced import _BT_K, _BT_SRC, q_bitext_mine
+    from pyspec_spark.tables import table
+
+    rows = {r["src_id"]: r for r in q_bitext_mine.__wrapped__(spark, SF).collect()}
+    assert set(rows) == set(range(0, _BT_SRC, 2))
+
+    emb = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in table(spark, SF, "embeddings").collect()
+    }
+    src_ids = sorted(v for v in emb if v < _BT_SRC and v % 2 == 0)
+    tgt_ids = sorted(v for v in emb if v % 2 == 1)
+
+    def micro(x: float) -> int:  # HALF_UP micro-units, the _fixed6 basis
+        s = x * 1e6
+        return int(np.floor(s + 0.5)) if s >= 0 else -int(np.floor(0.5 - s))
+
+    c = {
+        (s, t): micro(
+            float(
+                emb[s] @ emb[t]
+                / (np.sqrt(emb[s] @ emb[s]) * np.sqrt(emb[t] @ emb[t]))
+            )
+        )
+        for s in src_ids
+        for t in tgt_ids
+    }
+    den_x = {
+        s: sum(sorted((c[(s, t)] for t in tgt_ids), reverse=True)[:_BT_K])
+        for s in src_ids
+    }
+    den_y = {
+        t: sum(sorted((c[(s, t)] for s in src_ids), reverse=True)[:_BT_K])
+        for t in tgt_ids
+    }
+    for s in src_ids:
+        best = None
+        for t in tgt_ids:
+            den = den_x[s] + den_y[t]
+            m = round(2 * _BT_K * c[(s, t)] / den, 6) if den > 0 else 0.0
+            key = (-m, t)
+            if best is None or key < best[0]:
+                best = (key, t, m)
+        _, t_star, m_star = best
+        assert rows[s]["tgt_id"] == t_star
+        assert rows[s]["margin"] == pytest.approx(m_star, abs=2e-6)
+        assert rows[s]["cos_sim"] == pytest.approx(c[(s, t_star)] / 1e6, abs=1e-9)

@@ -715,3 +715,17 @@ def test_audio_fp_hash_equijoin_no_cartesian(spark):
     p = _plan(spark, "q_audio_fp_dedup")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bitext_mine_broadcast_anchors_and_grouplimit(spark):
+    """q_bitext_mine: the bounded anchor set broadcasts onto ONE
+    target-side scan (BroadcastNestedLoopJoin, never CartesianProduct);
+    the margin windows reuse one exchange per partitioning key (src,
+    tgt, final argmax) plus the presentation sort = 4 exchanges total,
+    and the final argmax carries the WindowGroupLimit pushdown so each
+    map partition forwards one row per anchor."""
+    p = _plan(spark, "q_bitext_mine")
+    assert "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "WindowGroupLimit" in p
+    assert count_exchanges(p) == 4
