@@ -431,3 +431,71 @@ def q_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("best.cid").alias("topic"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L40 inverted index materialization (r7) — the posting lists BM25 and
+# TF-IDF imply but never write: per term, document frequency, collection
+# frequency, and the delta-encoded posting list "docgap:tf,docgap:tf,…"
+# (gaps over sorted doc_ids — the standard index compression basis,
+# because gap distributions are small and skewed while raw ids are not).
+# Same single-space token basis as q_term_stats so the vocabulary rows
+# line up 1:1 with the stats table.
+#
+# Determinism: postings are strings built from exact integers; order
+# inside each list is pinned by doc_id both engine-side (array_sort of
+# (doc_id, entry) structs) and oracle-side (STRING_AGG ... ORDER BY).
+#
+# 100 TB posture: one corpus scan; the (doc,term) aggregation is the
+# big shuffle (partial-aggregated); the gap window and the final
+# per-term aggregation share the SAME hash partitioning on term, so the
+# window's exchange is the only vocabulary shuffle — the groupBy reuses
+# it (plan-gated: 3 exchanges total incl. presentation sort).  Monster
+# posting lists (stopwords: df ≈ n_docs) are the known skew axis; the
+# production mitigation is posting-list sharding by doc-id range, which
+# composes here as a (term, doc_id DIV shard) grouping — not applied at
+# test scale so the oracle pins the unsharded format.
+# ---------------------------------------------------------------------------
+@query(
+    "q_inverted_index",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), g AS (
+  SELECT term, doc_id, tf,
+         doc_id - COALESCE(LAG(doc_id) OVER (
+             PARTITION BY term ORDER BY doc_id), 0) AS gap
+  FROM tf
+)
+SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+       STRING_AGG(CONCAT(CAST(gap AS VARCHAR), ':', CAST(tf AS VARCHAR)),
+                  ',' ORDER BY doc_id) AS postings
+FROM g
+GROUP BY term
+ORDER BY term
+""",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = _tf(spark, sf_dir)
+    w = Window.partitionBy("term").orderBy("doc_id")
+    g = tf.withColumn(
+        "gap",
+        F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(0)),
+    ).withColumn("entry", F.concat_ws(":", F.col("gap"), F.col("tf")))
+    return (
+        g.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                    lambda s: s.getField("entry"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .orderBy("term")
+    )

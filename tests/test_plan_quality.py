@@ -729,3 +729,16 @@ def test_bitext_mine_broadcast_anchors_and_grouplimit(spark):
     assert "CartesianProduct" not in p
     assert "WindowGroupLimit" in p
     assert count_exchanges(p) == 4
+
+
+def test_inverted_index_shared_term_partitioning(spark):
+    """q_inverted_index: ONE corpus scan; the gap window and the final
+    per-term aggregation share the hash partitioning on term, so only
+    three exchanges exist — the (doc,term) aggregation (partial+final),
+    the term window (reused by the groupBy), and the presentation
+    sort."""
+    p = _plan(spark, "q_inverted_index")
+    assert len(read_schemas(p)) == 1
+    assert count_exchanges(p) == 3
+    assert has_partial_aggregate(p)
+    assert "Join" not in p

@@ -296,3 +296,31 @@ def test_weighted_sample_bias_and_layout_independence(spark):
     assert [(r["doc_id"], r["es_key"]) for r in rows] == [
         (r["doc_id"], r["es_key"]) for r in rows2
     ]
+
+
+def test_inverted_index_postings_decode_to_exact_doc_lists(spark):
+    """Delta-decoding every posting list reproduces the exact sorted
+    doc_id list per term, tf entries match a direct recount, and df/cf
+    are consistent with the decoded lists."""
+    from collections import defaultdict
+
+    from pyspec_spark.tables import table
+
+    rows = _run(spark, "q_inverted_index").collect()
+    truth: dict[str, dict[int, int]] = defaultdict(dict)
+    for r in table(spark, SF, "documents").select("doc_id", "text").collect():
+        for t in r["text"].split(" "):
+            truth[t][r["doc_id"]] = truth[t].get(r["doc_id"], 0) + 1
+    assert {r["term"] for r in rows} == set(truth)
+    for r in rows:
+        doc_ids, tfs, acc = [], [], 0
+        for entry in r["postings"].split(","):
+            gap, tf = entry.split(":")
+            acc += int(gap)
+            doc_ids.append(acc)
+            tfs.append(int(tf))
+        want = sorted(truth[r["term"]])
+        assert doc_ids == want
+        assert tfs == [truth[r["term"]][d] for d in want]
+        assert r["df"] == len(want)
+        assert r["cf"] == sum(tfs)
