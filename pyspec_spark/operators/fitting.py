@@ -132,3 +132,48 @@ def fit_groups(
         )
 
     return df.groupBy(key).applyInPandas(fit_one, FIT_SCHEMA)
+
+
+def solve_linear_probe(stats, ridge: float = 0.0) -> dict:
+    """Solve the ridge normal equations from q_linreg_stats' exact
+    bigint sufficient statistics (SURVEY.md §2 L41).
+
+    ``stats`` is the single row of ``q_linreg_stats`` as a mapping:
+    counts n, first moments s_*, and the Gram entries ss_*_* of the
+    feature vector [b, sp, dg] and target y.  The design is
+    [1, b, sp, dg]; the intercept is never penalized.  Returns the
+    weights, the residual sum of squares reconstructed FROM the same
+    statistics (rss = y'y - 2 w'X'y + w'X'X w — no second corpus pass),
+    and n.  This is the whole point of the sufficient-statistics
+    pattern: refitting with any ridge costs a 4x4 solve on 15 numbers.
+    """
+    import numpy as np
+
+    names = ["b", "sp", "dg"]
+    A = np.zeros((4, 4))
+    v = np.zeros(4)
+    A[0, 0] = float(stats["n"])
+    v[0] = float(stats["s_y"])
+    for i, ni in enumerate(names, start=1):
+        A[0, i] = A[i, 0] = float(stats[f"s_{ni}"])
+        v[i] = float(stats[f"ss_{ni}_y"])
+        for j, nj in enumerate(names, start=1):
+            key = f"ss_{ni}_{nj}"
+            if key not in stats:
+                key = f"ss_{nj}_{ni}"
+            A[i, j] = float(stats[key])
+    pen = np.eye(4) * ridge
+    pen[0, 0] = 0.0
+    try:
+        w = np.linalg.solve(A + pen, v)
+    except np.linalg.LinAlgError:
+        # Collinear/constant feature (e.g. a corpus slice with no
+        # digits) makes the Gram singular at ridge 0 — take the
+        # minimal-norm least-squares solution instead.
+        w = np.linalg.pinv(A + pen) @ v
+    rss = float(stats["ss_y_y"] - 2.0 * w @ v + w @ A @ w)
+    return {
+        "weights": {"intercept": w[0], "b": w[1], "sp": w[2], "dg": w[3]},
+        "rss": rss,
+        "n": int(stats["n"]),
+    }

@@ -622,3 +622,87 @@ def semdedup_pairs(
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return semdedup_pairs(emb)
+
+
+# ---------------------------------------------------------------------------
+# L41 linear probe via sufficient statistics (r7) — "training" a ridge
+# regression as ONE aggregation: the Gram matrix of [1, x, y] over the
+# corpus is a set of exact bigint sums, and the d x d solve happens on
+# the driver against 15 numbers (operators/fitting.solve_linear_probe).
+# The probe here is the cheap token-cost estimator every budgeting
+# pipeline wants: predict the subword count (the q_token_fertility
+# basis, i.e. what tokenization WILL cost) from byte statistics that
+# cost nothing to compute (bytes, spaces, digits).  This is the
+# standard scale pattern for any linear/GLS model: sufficient
+# statistics shrink the learning problem from |corpus| rows to
+# d(d+1)/2 numbers, so "fit" costs exactly one partial-aggregated
+# map-reduce and re-fitting with a different ridge is free.
+#
+# Determinism: features and target are exact integer counts on proven
+# cross-engine bases (octet_length/strlen, space stripping, the
+# fertility regex); every output is a bigint SUM — no floats anywhere.
+#
+# 100 TB posture: map-only feature extraction, one global aggregate
+# (partial/final — the exchange carries ONE row per map partition).
+# Overflow guard: SUM(n_bytes^2) at 100 TB of ~2 KB docs is ~2e17,
+# inside int64; byte-huge documents would route through DECIMAL(38,0).
+# ---------------------------------------------------------------------------
+_PROBE_FEATS = """
+  SELECT strlen(text) AS b,
+         strlen(text) - strlen(replace(text, ' ', '')) AS sp,
+         len(regexp_extract_all(text, '[0-9]')) AS dg,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS y
+  FROM documents
+"""
+
+_LINREG_ORACLE = f"""
+WITH f AS ({_PROBE_FEATS})
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(b) AS BIGINT) AS s_b,
+       CAST(SUM(sp) AS BIGINT) AS s_sp,
+       CAST(SUM(dg) AS BIGINT) AS s_dg,
+       CAST(SUM(y) AS BIGINT) AS s_y,
+       CAST(SUM(b * b) AS BIGINT) AS ss_b_b,
+       CAST(SUM(b * sp) AS BIGINT) AS ss_b_sp,
+       CAST(SUM(b * dg) AS BIGINT) AS ss_b_dg,
+       CAST(SUM(b * y) AS BIGINT) AS ss_b_y,
+       CAST(SUM(sp * sp) AS BIGINT) AS ss_sp_sp,
+       CAST(SUM(sp * dg) AS BIGINT) AS ss_sp_dg,
+       CAST(SUM(sp * y) AS BIGINT) AS ss_sp_y,
+       CAST(SUM(dg * dg) AS BIGINT) AS ss_dg_dg,
+       CAST(SUM(dg * y) AS BIGINT) AS ss_dg_y,
+       CAST(SUM(y * y) AS BIGINT) AS ss_y_y
+FROM f
+"""
+
+
+def _probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = table(spark, sf_dir, "documents")
+    return t.select(
+        F.octet_length("text").alias("b"),
+        (
+            F.octet_length("text") - F.octet_length(F.replace("text", F.lit(" ")))
+        ).alias("sp"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0)).alias("dg"),
+        F.size(
+            F.regexp_extract_all(
+                "text", F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), 0
+            )
+        ).alias("y"),
+    )
+
+
+@query("q_linreg_stats", oracle=_LINREG_ORACLE)
+def q_linreg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _probe_features(spark, sf_dir)
+    pairs = [
+        ("b", "b"), ("b", "sp"), ("b", "dg"), ("b", "y"),
+        ("sp", "sp"), ("sp", "dg"), ("sp", "y"),
+        ("dg", "dg"), ("dg", "y"), ("y", "y"),
+    ]
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(c).alias(f"s_{c}") for c in ("b", "sp", "dg", "y")]
+    aggs += [
+        F.sum(F.col(a) * F.col(bb)).alias(f"ss_{a}_{bb}") for a, bb in pairs
+    ]
+    return f.agg(*aggs)

@@ -276,3 +276,47 @@ def test_fit_groups_fixed_and_limits_distributed(spark):
         np.testing.assert_allclose(got[sid]["p"][0], amp, rtol=0.05)
     with pytest.raises(ValueError, match="p0"):
         fit_groups(df, ["gauss"], e="e", fixed=[1])
+
+
+def test_solve_linear_probe_recovers_planted_weights():
+    """Exact planted relationship y = w0 + w1*b + w2*sp + w3*dg: the
+    solver recovers the weights from python-computed sufficient
+    statistics to float precision, with rss ~ 0."""
+    import numpy as np
+
+    from pyspec_spark.operators.fitting import solve_linear_probe
+
+    rng = np.random.default_rng(7)
+    X = rng.integers(0, 200, size=(300, 3))
+    w_true = np.array([5.0, 2.0, -1.0, 3.0])
+    y = w_true[0] + X @ w_true[1:]
+    stats = {"n": 300, "s_y": int(y.sum()), "ss_y_y": int((y * y).sum())}
+    for i, ni in enumerate(["b", "sp", "dg"]):
+        stats[f"s_{ni}"] = int(X[:, i].sum())
+        stats[f"ss_{ni}_y"] = int((X[:, i] * y).sum())
+        for j, nj in enumerate(["b", "sp", "dg"]):
+            if i <= j:
+                stats[f"ss_{ni}_{nj}"] = int((X[:, i] * X[:, j]).sum())
+    out = solve_linear_probe(stats)
+    got = [out["weights"][k] for k in ("intercept", "b", "sp", "dg")]
+    assert np.allclose(got, w_true, atol=1e-6)
+    assert abs(out["rss"]) < 1e-3
+
+
+def test_linear_probe_on_corpus_stats_ridge_monotone(spark):
+    """Fit the token-cost probe on real sf0.001 statistics: rss is
+    non-negative and bounded by total sum of squares, predictions are
+    not degenerate, and increasing ridge never decreases rss."""
+    from pyspec_spark.operators.fitting import solve_linear_probe
+    from pyspec_spark.queries.ml import q_linreg_stats
+
+    row = q_linreg_stats.__wrapped__(spark, "/root/testdata/sf0.001").collect()[0]
+    stats = row.asDict()
+    fit0 = solve_linear_probe(stats)
+    assert -1e-6 <= fit0["rss"] <= stats["ss_y_y"]
+    assert any(abs(v) > 1e-9 for v in fit0["weights"].values())
+    prev = fit0["rss"]
+    for r in (1.0, 1e3, 1e6):
+        cur = solve_linear_probe(stats, ridge=r)["rss"]
+        assert cur >= prev - 1e-6
+        prev = cur

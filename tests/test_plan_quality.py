@@ -742,3 +742,14 @@ def test_inverted_index_shared_term_partitioning(spark):
     assert count_exchanges(p) == 3
     assert has_partial_aggregate(p)
     assert "Join" not in p
+
+
+def test_linreg_stats_single_global_aggregate(spark):
+    """q_linreg_stats: map-only feature extraction feeding ONE
+    partial/final global aggregate — the exchange carries a single row
+    per map partition; no join, no window, one corpus scan."""
+    p = _plan(spark, "q_linreg_stats")
+    assert len(read_schemas(p)) == 1
+    assert count_exchanges(p) == 1
+    assert has_partial_aggregate(p)
+    assert "Join" not in p and "Window" not in p
