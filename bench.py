@@ -88,6 +88,10 @@ HEADLINE = [
     "q_sem_decontam",
     "q_token_fertility",
     "q_gate_sweep",
+    # round 7c: bitext mining, inverted index, sufficient-stats probe
+    "q_bitext_mine",
+    "q_inverted_index",
+    "q_linreg_stats",
 ]
 
 

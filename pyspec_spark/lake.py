@@ -167,6 +167,7 @@ def _stage_files(
     root: str,
     df: DataFrame,
     partition_col: str | None,
+    bloom_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write df as immutable files under a fresh commit dir; return the
     manifest file entries (relative path + partition value string)."""
@@ -194,9 +195,12 @@ def _stage_files(
         for seg in rel.split(os.sep):
             if seg.startswith(_PC + "="):
                 part = seg[len(_PC) + 1 :]
-        entries.append(
-            {"path": rel, "partition": part, "stats": _footer_stats(p)}
-        )
+        entry = {"path": rel, "partition": part, "stats": _footer_stats(p)}
+        if bloom_cols:
+            bl = _file_blooms(p, bloom_cols)
+            if bl:
+                entry["bloom"] = bl
+        entries.append(entry)
     return entries
 
 
@@ -239,18 +243,97 @@ def _footer_stats(path: str) -> dict:
     return {c: [mins[c], maxs[c]] for c in mins}
 
 
+# Per-file Bloom filters: the point-lookup complement of [min, max].
+# Footer ranges prune range predicates, but a hash-distributed key
+# (doc_id written in arrival order, uuids, content hashes) spans the
+# whole domain in EVERY file, so min/max keeps 100% of files for
+# `key = X`.  A small per-file Bloom over the exact values answers
+# "definitely not here" for equality predicates — the same design as
+# Parquet's optional column-level bloom and Delta/Iceberg file skipping.
+# Skipping is engine-internal: a false positive only costs an extra
+# file read; correctness always comes from the residual filter.
+_BLOOM_K = 7  # hash probes; with m = 10 bits/value, FP ~ 1%
+_BLOOM_MAX_BITS = 1 << 20  # 128 KiB cap per (file, column) in manifest
+
+
+def _bloom_canon(v) -> bytes | None:
+    """Canonical bytes for a bloom value — int/str only (floats drift
+    across repr paths; other types are refused so they never prune)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return b"i" + str(v).encode()
+    if isinstance(v, str):
+        return b"s" + v.encode()
+    return None
+
+
+def _bloom_probes(data: bytes, m: int) -> list[int]:
+    import hashlib
+
+    d = hashlib.md5(data).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m for i in range(_BLOOM_K)]
+
+
+def _file_blooms(path: str, cols: list[str]) -> dict:
+    """Build {col: {"m": bits, "b64": ...}} from a parquet file's actual
+    values (one columnar read per requested column — a write-time cost
+    the caller opted into, unlike the free footer stats)."""
+    import base64
+
+    try:
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(path, columns=[c for c in cols])
+    except Exception:
+        return {}
+    out: dict = {}
+    for c in cols:
+        if c not in tbl.column_names:
+            continue
+        vals = [x for x in set(tbl.column(c).to_pylist())]
+        canon = [b for b in (_bloom_canon(v) for v in vals) if b is not None]
+        if not canon:
+            continue
+        m = min(_BLOOM_MAX_BITS, max(64, 10 * len(canon)))
+        bits = bytearray((m + 7) // 8)
+        for b in canon:
+            for idx in _bloom_probes(b, m):
+                bits[idx >> 3] |= 1 << (idx & 7)
+        out[c] = {"m": m, "b64": base64.b64encode(bytes(bits)).decode()}
+    return out
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    import base64
+
+    data = _bloom_canon(value)
+    if data is None:
+        return True  # unprunable type -> never prune
+    bits = base64.b64decode(bloom["b64"])
+    return all(
+        bits[idx >> 3] & (1 << (idx & 7))
+        for idx in _bloom_probes(data, bloom["m"])
+    )
+
+
 def lake_append(
     spark: SparkSession,
     root: str,
     df: DataFrame,
     partition_col: str | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Append df as a new snapshot (previous files + new files).
-    Add-column schema evolution allowed; drops/retypes refused."""
+    Add-column schema evolution allowed; drops/retypes refused.
+    ``bloom_cols`` opts the new files into per-file Bloom filters for
+    equality skipping (int/string columns)."""
     _check_schema_evolution(root, df)
     prev = latest_version(root)
     old = _load_manifest(root, prev)["files"] if prev is not None else []
-    new = _stage_files(spark, root, df, partition_col)
+    new = _stage_files(spark, root, df, partition_col, bloom_cols=bloom_cols)
     return _commit(
         root, "append", old + new, partition_col, prev,
         schema=_schema_fields(df),
@@ -262,11 +345,12 @@ def lake_overwrite(
     root: str,
     df: DataFrame,
     partition_col: str | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Replace the table contents (old files stay readable via time
     travel until vacuumed)."""
     prev = latest_version(root)
-    new = _stage_files(spark, root, df, partition_col)
+    new = _stage_files(spark, root, df, partition_col, bloom_cols=bloom_cols)
     return _commit(
         root, "overwrite", new, partition_col, prev,
         schema=_schema_fields(df), retains_parent=False,
@@ -657,6 +741,10 @@ _OPS = {
 
 def _file_may_match(entry: dict, where: list[tuple]) -> bool:
     for col, op, val in where:
+        if op == "=":
+            bl = entry.get("bloom", {}).get(col)
+            if bl is not None and not _bloom_may_contain(bl, val):
+                return False
         st = entry.get("stats", {}).get(col)
         if st is None:
             continue  # no stats -> cannot prune on this predicate

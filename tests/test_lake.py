@@ -581,3 +581,65 @@ def test_change_layout_migration_path(spark, tmp_path):
     assert got.where("text = 'migrated'").count() == 3
     # the pre-migration snapshot still reads with its own layout
     assert lake_read(spark, root, version=1).count() == 30
+
+
+def test_bloom_skipping_point_lookup_on_hash_distributed_key(spark, tmp_path):
+    """A hash-distributed key spans the full domain in EVERY file, so
+    [min, max] keeps all files for `key = X`; the opt-in per-file Bloom
+    prunes to (nearly) one file and stays exactly correct — including
+    on absent keys and on string columns.  Floats never prune."""
+    from pyspec_spark.lake import lake_scan, lake_scan_file_counts
+
+    root = str(tmp_path / "bloomlake")
+    # ids 0..799 scattered round-robin across 8 files: every file's
+    # [min, max] covers ~[i, 792+i] so range stats cannot isolate a key
+    df = (
+        spark.range(0, 800)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("u-"), F.col("id")).alias("url"),
+            (F.col("id") * 0.5).alias("score"),
+        )
+        .repartition(8)  # round-robin: every file spans ~the full id range
+    )
+    lake_append(spark, root, df, bloom_cols=["doc_id", "url", "score"])
+
+    # min/max alone keeps every file (the bloom-free control): rebuild
+    # the counts with blooms stripped from the manifest entries
+    import json as _json
+
+    from pyspec_spark.lake import _file_may_match, _load_manifest, latest_version
+
+    m = _load_manifest(root, latest_version(root))
+    assert len(m["files"]) == 8, [e["path"] for e in m["files"]]
+    stripped = [
+        {k: v for k, v in e.items() if k != "bloom"} for e in m["files"]
+    ]
+    pred = [("doc_id", "=", 367)]
+    assert sum(1 for e in stripped if _file_may_match(e, pred)) == 8
+
+    # bloom prunes to ~1 file (allow FP slack) and the scan is exact
+    kept, total = lake_scan_file_counts(root, pred)
+    assert total == 8 and kept <= 2
+    got = lake_scan(spark, root, pred).collect()
+    assert [r["doc_id"] for r in got] == [367]
+
+    # absent key: every file says "definitely not" -> 0 files, 0 rows
+    kept_absent, _ = lake_scan_file_counts(root, [("doc_id", "=", 99999)])
+    assert kept_absent <= 1  # FP slack; overwhelmingly 0
+    assert lake_scan(spark, root, [("doc_id", "=", 99999)]).count() == 0
+
+    # string column equality prunes the same way
+    kept_s, _ = lake_scan_file_counts(root, [("url", "=", "u-42")])
+    assert kept_s <= 2
+    assert [r["doc_id"] for r in lake_scan(spark, root, [("url", "=", "u-42")]).collect()] == [42]
+
+    # float column: _bloom_canon refuses, so no bloom is ever BUILT for
+    # it (min/max range stats may still legitimately prune) — and the
+    # scan stays exact either way
+    assert all("score" not in e.get("bloom", {}) for e in m["files"])
+    assert [r["doc_id"] for r in lake_scan(spark, root, [("score", "=", 0.5)]).collect()] == [1]
+
+    # manifest stays valid JSON with blooms embedded
+    raw = _json.dumps(m)
+    assert "bloom" in raw
