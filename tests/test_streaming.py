@@ -893,3 +893,118 @@ def test_neardup_stream_ttl_evicts_idle_buckets(spark, tmp_path):
     assert drive(ttl=0.02, tag="ttl", sleep_s=2.5) == set()
     # no TTL, same drive -> state survives, doc 3 flagged with owner 1
     assert drive(ttl=None, tag="nottl", sleep_s=0) == {(3, 1)}
+
+
+def test_streaming_vector_index_exactly_once_and_pruned_lookup(
+    spark, tmp_path_factory
+):
+    """ST11 streaming vector-index ingestion: embedding micro-batches
+    are assigned to frozen IVF centroids and appended exactly-once to a
+    cid-partitioned lake; a checkpointed restart with no new data
+    commits nothing, a new chunk appends only the delta; full-probe
+    lookup equals a brute-force recompute and a 1-cell probe opens only
+    that cell's files."""
+    import numpy as np
+
+    from pyspec_spark.lake import (
+        lake_read,
+        lake_scan_file_counts,
+        latest_version,
+    )
+    from pyspec_spark.streaming.vectors import index_to_lake, ivf_lookup
+    from pyspec_spark.tables import table
+
+    base = str(tmp_path_factory.mktemp("vec_stream_src"))
+    root = str(tmp_path_factory.mktemp("vec_index_lake"))
+    ckpt = str(tmp_path_factory.mktemp("vec_index_ckpt"))
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    schema = emb.schema
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    pdf["embedding"] = pdf["embedding"].map(
+        lambda v: [float(x) for x in v]
+    )
+    for i, lo in enumerate(range(0, 500, 200)):
+        chunk = spark.createDataFrame(pdf.iloc[lo : lo + 200], schema=schema)
+        chunk.coalesce(1).write.parquet(f"{base}/chunk={i}")
+    import glob as _glob
+    import shutil as _shutil
+
+    files = sorted(_glob.glob(f"{base}/chunk=*/*.parquet"))
+    src = str(tmp_path_factory.mktemp("vec_stream_in"))
+    for i, f in enumerate(files):
+        _shutil.copy(f, f"{src}/c{i}.parquet")
+
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+    index_to_lake(stream(), spark, root, cents, checkpoint=ckpt)
+    v1 = latest_version(root)
+    got = {r["vec_id"]: r["cid"] for r in lake_read(spark, root).collect()}
+    assert len(got) == 500
+
+    # assignment equals a sequential-order numpy recompute (same fold
+    # order as the zip_with aggregate, same (dist, cid) tiebreak)
+    C = {
+        r["cid"]: [float(x) for x in r["c"]] for r in cents.collect()
+    }
+    for _, row in pdf.iloc[::37].iterrows():
+        e = [float(x) for x in row["embedding"]]
+        best = min(
+            (sum((a - b) * (a - b) for a, b in zip(e, c)), cid)
+            for cid, c in C.items()
+        )
+        assert got[row["vec_id"]] == best[1]
+
+    # restart, no new data: nothing recommitted (manifest watermark)
+    index_to_lake(stream(), spark, root, cents, checkpoint=ckpt)
+    assert latest_version(root) == v1
+
+    # new chunk: only the delta lands
+    delta = spark.createDataFrame(
+        [(10_000 + i, pdf.iloc[i]["embedding"]) for i in range(20)],
+        schema=schema,
+    )
+    delta.coalesce(1).write.parquet(f"{src}/late")
+    _shutil.move(
+        _glob.glob(f"{src}/late/*.parquet")[0], f"{src}/c_late.parquet"
+    )
+    _shutil.rmtree(f"{src}/late")
+    index_to_lake(stream(), spark, root, cents, checkpoint=ckpt)
+    assert lake_read(spark, root).count() == 520
+    assert latest_version(root) > v1
+
+    # lookup: probing every cell == brute force; 1 cell probe prunes
+    qv = [float(x) for x in pdf.iloc[7]["embedding"]]
+    topk = ivf_lookup(spark, root, qv, k=5, nprobe=4).collect()
+    qa = np.asarray(qv)
+    all_rows = lake_read(spark, root).collect()
+    brute = sorted(
+        (
+            -float(
+                np.asarray([float(x) for x in r["embedding"]]) @ qa
+                / (
+                    np.linalg.norm([float(x) for x in r["embedding"]])
+                    * np.linalg.norm(qa)
+                )
+            ),
+            r["vec_id"],
+        )
+        for r in all_rows
+    )[:5]
+    assert [r["vec_id"] for r in topk] == [v for _, v in brute]
+
+    probe_cid = topk[0]["cid"]
+    kept, total = lake_scan_file_counts(root, [("cid", "=", int(probe_cid))])
+    assert kept < total
