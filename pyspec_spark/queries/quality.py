@@ -1488,3 +1488,52 @@ def q_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t100")
     )
+
+
+# ---------------------------------------------------------------------------
+# L42 — blocklist word filter (r7): the C4 "bad words" gate (Raffel et
+# al. 2020 drop any page containing ANY word from a fixed blocklist) —
+# distinct from the ratio-based Gopher rules (L23): this is membership,
+# not statistics, and it kills on a single occurrence.  Per doc: the
+# occurrence count, the (deterministic, lexicographically-first)
+# matching word for audit attribution, and the kill flag.  Token basis
+# = the proven single-space split.
+#
+# 100 TB posture: the blocklist is a constant array folded into the
+# plan (a real blocklist is a few thousand words — still a plan
+# literal or a tiny broadcast, never a shuffle side); the whole filter
+# is ONE map-only codegen projection, no shuffle beyond the
+# presentation sort (plan-gated).
+# ---------------------------------------------------------------------------
+_BADWORDS = ["dup", "slow", "leak"]
+
+_BADWORD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '),
+                     w -> list_contains({_BADWORDS}, w)) AS hits
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(hits) AS BIGINT) AS n_bad,
+       list_min(hits) AS first_bad,
+       len(hits) > 0 AS killed
+FROM t
+ORDER BY doc_id
+"""
+
+
+@query("q_badword_filter", oracle=_BADWORD_ORACLE)
+def q_badword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bl = F.array(*[F.lit(w) for w in _BADWORDS])
+    hits = F.filter(_toks(), lambda w: F.array_contains(bl, w))
+    return (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(hits).cast("bigint").alias("n_bad"),
+            F.array_min(hits).alias("first_bad"),
+            (F.size(hits) > 0).alias("killed"),
+        )
+        .orderBy("doc_id")
+    )

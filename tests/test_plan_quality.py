@@ -753,3 +753,12 @@ def test_linreg_stats_single_global_aggregate(spark):
     assert count_exchanges(p) == 1
     assert has_partial_aggregate(p)
     assert "Join" not in p and "Window" not in p
+
+
+def test_badword_filter_map_only(spark):
+    """q_badword_filter: the blocklist is a plan literal and the gate
+    is one map-only codegen projection — no join, no aggregation, the
+    only exchange is the presentation sort."""
+    p = _plan(spark, "q_badword_filter")
+    assert "Join" not in p and "Aggregate" not in p.replace("AdaptiveSparkPlan", "")
+    assert count_exchanges(p) == 1

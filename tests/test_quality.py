@@ -580,3 +580,25 @@ def test_gate_sweep_monotone_and_anchored(spark):
         assert b["n_kept"] <= a["n_kept"]
         assert b["kept_frac"] <= a["kept_frac"]
         assert b["words_kept_frac"] <= a["words_kept_frac"]
+
+
+def test_badword_filter_kills_exactly_docs_containing_blocklist_tokens(spark):
+    """Kill decisions match a python recompute; first_bad is the
+    lexicographic min of the matching occurrences; clean docs carry
+    n_bad=0, first_bad NULL, killed False."""
+    from pyspec_spark.queries.quality import _BADWORDS, q_badword_filter
+    from pyspec_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["doc_id"]: r for r in q_badword_filter.__wrapped__(spark, sf).collect()}
+    docs = table(spark, sf, "documents").select("doc_id", "text").collect()
+    assert set(rows) == {d["doc_id"] for d in docs}
+    n_killed = 0
+    for d in docs:
+        hits = [w for w in d["text"].split(" ") if w in _BADWORDS]
+        r = rows[d["doc_id"]]
+        assert r["n_bad"] == len(hits)
+        assert r["killed"] == bool(hits)
+        assert r["first_bad"] == (min(hits) if hits else None)
+        n_killed += bool(hits)
+    assert 0 < n_killed < len(docs)  # the gate separates, not rubber-stamps
