@@ -92,6 +92,7 @@ HEADLINE = [
     "q_bitext_mine",
     "q_inverted_index",
     "q_linreg_stats",
+    "q_badword_filter",
 ]
 
 

@@ -499,3 +499,79 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ---------------------------------------------------------------------------
+# L40b index READ path (r7) — term lookup THROUGH the delta-encoded
+# posting lists: select terms from the materialized index, decode the
+# "docgap:tf" strings back to doc_ids in-plan (cumulative gap sum over
+# the posting order), and join document metadata — the round-trip that
+# proves the index format is usable inside the engine, not just
+# emitted.  The oracle SPLICES the registered q_inverted_index SQL as
+# its CTE (the q_decontam_report trick) so the two declarations can
+# never drift.
+#
+# 100 TB posture: in production the index is WRITTEN once (bucketed by
+# term) and lookups read only the probed terms' buckets; here the CTE
+# rebuilds it in-plan, so the measured cost is build + decode.  The
+# decode itself is term-local: explode = posting length, cumsum window
+# partitions by term — no corpus-wide shuffle beyond the index build's
+# own exchanges.
+# ---------------------------------------------------------------------------
+_LOOKUP_TERMS = ("data", "spark")
+
+
+def _index_lookup_oracle() -> str:
+    from pyspec_spark.registry import ORACLES
+
+    terms = ", ".join(f"'{t}'" for t in _LOOKUP_TERMS)
+    return f"""
+WITH idx AS ({ORACLES["q_inverted_index"]}),
+sel AS (
+  SELECT term, string_split(postings, ',') AS es
+  FROM idx WHERE term IN ({terms})
+),
+x AS (
+  SELECT term, i AS pos,
+         CAST(string_split(es[i], ':')[1] AS BIGINT) AS gap,
+         CAST(string_split(es[i], ':')[2] AS BIGINT) AS tf
+  FROM sel, LATERAL (SELECT CAST(unnest(range(1, len(es) + 1)) AS INT) AS i) t
+),
+y AS (
+  SELECT term, tf,
+         CAST(SUM(gap) OVER (PARTITION BY term ORDER BY pos) AS BIGINT) AS did
+  FROM x
+)
+SELECT y.term, y.did AS doc_id, y.tf, d.n_chars
+FROM y JOIN documents d ON d.doc_id = y.did
+ORDER BY term, doc_id
+"""
+
+
+@query("q_index_lookup", oracle=_index_lookup_oracle())
+def q_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = q_inverted_index.__wrapped__(spark, sf_dir)
+    sel = idx.where(F.col("term").isin(*_LOOKUP_TERMS)).select(
+        "term", F.split("postings", ",").alias("es")
+    )
+    x = sel.select(
+        "term",
+        F.posexplode("es").alias("pos", "entry"),
+    ).select(
+        "term",
+        "pos",
+        F.split("entry", ":").getItem(0).cast("bigint").alias("gap"),
+        F.split("entry", ":").getItem(1).cast("bigint").alias("tf"),
+    )
+    w = (
+        Window.partitionBy("term")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    y = x.select("term", "tf", F.sum("gap").over(w).alias("doc_id"))
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        y.join(d, "doc_id")
+        .select("term", "doc_id", "tf", "n_chars")
+        .orderBy("term", "doc_id")
+    )

@@ -324,3 +324,23 @@ def test_inverted_index_postings_decode_to_exact_doc_lists(spark):
         assert tfs == [truth[r["term"]][d] for d in want]
         assert r["df"] == len(want)
         assert r["cf"] == sum(tfs)
+
+
+def test_index_lookup_round_trips_through_postings(spark):
+    """The decode path reproduces exactly the docs containing each
+    looked-up term, with the correct per-doc tf — i.e. the index format
+    round-trips inside the engine."""
+    from pyspec_spark.queries.text_ranking import _LOOKUP_TERMS
+
+    from pyspec_spark.tables import table
+
+    rows = _run(spark, "q_index_lookup").collect()
+    docs = table(spark, SF, "documents").select("doc_id", "text").collect()
+    for t in _LOOKUP_TERMS:
+        want = {
+            d["doc_id"]: d["text"].split(" ").count(t)
+            for d in docs
+            if t in d["text"].split(" ")
+        }
+        got = {r["doc_id"]: r["tf"] for r in rows if r["term"] == t}
+        assert got == want
