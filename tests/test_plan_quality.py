@@ -762,3 +762,13 @@ def test_badword_filter_map_only(spark):
     p = _plan(spark, "q_badword_filter")
     assert "Join" not in p and "Aggregate" not in p.replace("AdaptiveSparkPlan", "")
     assert count_exchanges(p) == 1
+
+
+def test_index_lookup_broadcasts_decoded_side(spark):
+    """q_index_lookup: the decoded posting rows (bounded by the probed
+    terms' df) broadcast onto the documents scan — never a sort-merge
+    join of the corpus against the lookup."""
+    p = _plan(spark, "q_index_lookup")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert count_exchanges(p) <= 4
