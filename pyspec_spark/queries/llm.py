@@ -699,3 +699,102 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L35b — split-leakage REPAIR (r7): the fix for what q_split_leakage
+# detects.  Quarantine rule: a near-dup cluster is reassigned wholesale
+# to its MOST RESTRICTIVE represented split — test if ANY member fell
+# in test, else val if any in val, else train — because a near-dup of
+# a test document must never be trained on (moving it the other way
+# would contaminate eval; moving the whole cluster to the eval side
+# only costs a few training docs).  Deterministic by construction: the
+# rule is a max over the cluster, no tiebreak needed.  Output = one
+# row per clustered doc with original split, repaired split, and the
+# moved flag — the changelist a curation run applies before writing
+# final splits (singletons cannot leak, so they never move and never
+# appear here).
+#
+# 100 TB posture: inherits the checkpointed CC; the repair is ONE
+# cluster-keyed window over CC output (the same vanishing corpus
+# fraction as the audit), map-side split hashing, no corpus join.
+# ---------------------------------------------------------------------------
+_SPLIT_REPAIR_ORACLE = f"""
+WITH cc AS ({_CLUSTERS_ORACLE}),
+s AS (
+  SELECT cluster_id, doc_id,
+         CASE WHEN b < 96 THEN 'train' WHEN b < 98 THEN 'val'
+              ELSE 'test' END AS split
+  FROM (
+    SELECT cluster_id, doc_id,
+           ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 8))
+             ::BIGINT % 100 AS b
+    FROM cc
+  )
+),
+r AS (
+  SELECT *,
+         MAX(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY cluster_id) AS has_test,
+         MAX(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY cluster_id) AS has_val
+  FROM s
+)
+SELECT doc_id, cluster_id, split,
+       CASE WHEN has_test = 1 THEN 'test'
+            WHEN has_val = 1 THEN 'val'
+            ELSE 'train' END AS repaired,
+       (CASE WHEN has_test = 1 THEN 'test'
+             WHEN has_val = 1 THEN 'val'
+             ELSE 'train' END) <> split AS moved
+FROM r
+ORDER BY doc_id
+"""
+
+
+@query("q_split_repair", oracle=_SPLIT_REPAIR_ORACLE)
+def q_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pyspec_spark.operators.dedup import connected_components
+
+    edges = jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(edges, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("component").alias("cluster_id")
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("#split")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    split = F.when(b < 96, "train").when(b < 98, "val").otherwise("test")
+    s = cc.select("doc_id", "cluster_id", split.alias("split"))
+    w = Window.partitionBy("cluster_id")
+    has_test = F.max(F.when(F.col("split") == "test", 1).otherwise(0)).over(w)
+    has_val = F.max(F.when(F.col("split") == "val", 1).otherwise(0)).over(w)
+    repaired = (
+        F.when(has_test == 1, "test")
+        .when(has_val == 1, "val")
+        .otherwise("train")
+    )
+    return (
+        s.select(
+            "doc_id",
+            "cluster_id",
+            "split",
+            repaired.alias("repaired"),
+            (repaired != F.col("split")).alias("moved"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1294,3 +1294,34 @@ def test_bitext_mine_margin_matches_numpy_recompute(spark):
         assert rows[s]["tgt_id"] == t_star
         assert rows[s]["margin"] == pytest.approx(m_star, abs=2e-6)
         assert rows[s]["cos_sim"] == pytest.approx(c[(s, t_star)] / 1e6, abs=1e-9)
+
+
+def test_split_repair_quarantines_leaky_clusters(spark):
+    """Every cluster ends in ONE repaired split = its most restrictive
+    represented original (test > val > train); non-leaky clusters never
+    move; the sf0.001 planted straddler actually moves members."""
+    from collections import defaultdict
+
+    from pyspec_spark.queries.llm import q_split_leakage, q_split_repair
+
+    rep = q_split_repair.__wrapped__(spark, SF).collect()
+    leak = {
+        r["cluster_id"]: r
+        for r in q_split_leakage.__wrapped__(spark, SF).collect()
+    }
+    by_cluster = defaultdict(list)
+    for r in rep:
+        by_cluster[r["cluster_id"]].append(r)
+    assert set(by_cluster) == set(leak)
+    rank = {"train": 0, "val": 1, "test": 2}
+    moved_any = False
+    for cid, rs in by_cluster.items():
+        assert len(rs) == leak[cid]["n_members"]
+        want = max((r["split"] for r in rs), key=rank.get)
+        assert {r["repaired"] for r in rs} == {want}
+        for r in rs:
+            assert r["moved"] == (r["split"] != want)
+            moved_any |= r["moved"]
+        if not leak[cid]["leaky"]:
+            assert not any(r["moved"] for r in rs)
+    assert moved_any  # the planted straddler forces at least one move
