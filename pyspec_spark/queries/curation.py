@@ -1165,3 +1165,71 @@ def q_decontam_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L16c — epoch allocation under a token budget (r7): the
+# data-constrained mixing knob (Muennighoff et al. 2023: when the
+# budget exceeds the corpus, sources REPEAT — but repeating past ~4-8
+# epochs stops helping, so allocations cap and the unmet budget is
+# reported, not silently eaten).  Budget B = 4x total corpus tokens
+# (scale-relative, so the semantics hold at every sf); desired_s =
+# B * mix_p_s (the L16b temperature weights, oracle-spliced so the two
+# declarations cannot drift); epochs_s = desired/tokens_s capped at
+# R_MAX = 8; effective tokens = min(desired, R_MAX * tokens_s).
+#
+# Determinism: every float is derived by the SAME single-expression
+# arithmetic on identical operands in both engines (mix_p is already
+# 6-dp pinned; B and token counts are exact bigints; one multiply/one
+# divide under a terminal ROUND).  Plan: the L16b aggregation + one
+# 1-row broadcast total — no new corpus pass.
+# ---------------------------------------------------------------------------
+_EPOCH_RMAX = 8
+
+
+def _epoch_alloc_oracle() -> str:
+    from pyspec_spark.registry import ORACLES
+
+    return f"""
+WITH mix AS ({ORACLES["q_mix_temperature"]}),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM mix)
+SELECT source, n_tokens, mix_p,
+       ROUND(LEAST(CAST(4 * t AS DOUBLE) * mix_p / n_tokens,
+                   CAST({_EPOCH_RMAX} AS DOUBLE)), 6) AS epochs,
+       CAST(ROUND(LEAST(CAST(4 * t AS DOUBLE) * mix_p,
+                        CAST({_EPOCH_RMAX} * n_tokens AS DOUBLE)))
+            AS BIGINT) AS eff_tokens,
+       CAST(4 * t AS DOUBLE) * mix_p / n_tokens > {_EPOCH_RMAX} AS capped
+FROM mix, tot
+ORDER BY source
+"""
+
+
+@query("q_epoch_alloc", oracle=_epoch_alloc_oracle())
+def q_epoch_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mix = q_mix_temperature.__wrapped__(spark, sf_dir)
+    tot = mix.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    b = (F.lit(4) * F.col("t")).cast("double")
+    raw = b * F.col("mix_p") / F.col("n_tokens")
+    return (
+        mix.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            "mix_p",
+            F.round(
+                F.least(raw, F.lit(float(_EPOCH_RMAX))), 6
+            ).alias("epochs"),
+            F.round(
+                F.least(
+                    b * F.col("mix_p"),
+                    (F.lit(_EPOCH_RMAX) * F.col("n_tokens")).cast("double"),
+                ),
+                0,
+            )
+            .cast("bigint")
+            .alias("eff_tokens"),
+            (raw > _EPOCH_RMAX).alias("capped"),
+        )
+        .orderBy("source")
+    )

@@ -167,3 +167,27 @@ def test_bloom_position_range(spark):
     )
     row = df.collect()[0]
     assert all(0 <= v < 8192 for v in row)
+
+
+def test_epoch_alloc_budget_identities(spark):
+    """Allocation identities: eff_tokens = min(B*mix_p, RMAX*tokens)
+    within rounding; capped rows sit exactly at RMAX epochs; total
+    effective tokens never exceed the budget B = 4x corpus tokens."""
+    from pyspec_spark.queries.curation import _EPOCH_RMAX, q_epoch_alloc
+
+    rows = q_epoch_alloc.__wrapped__(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    total = sum(r["n_tokens"] for r in rows)
+    budget = 4 * total
+    eff_sum = 0
+    for r in rows:
+        want = min(budget * r["mix_p"], _EPOCH_RMAX * r["n_tokens"])
+        assert abs(r["eff_tokens"] - want) <= 1.0
+        if r["capped"]:
+            assert r["epochs"] == _EPOCH_RMAX
+        else:
+            assert abs(r["epochs"] * r["n_tokens"] - r["eff_tokens"]) <= (
+                r["n_tokens"] * 5e-7 + 1
+            )
+        eff_sum += r["eff_tokens"]
+    assert eff_sum <= budget + len(rows)  # per-row rounding slack only
