@@ -706,3 +706,109 @@ def q_linreg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col(a) * F.col(bb)).alias(f"ss_{a}_{bb}") for a, bb in pairs
     ]
     return f.agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# L43 — D4-style prototypicality pruning (r7): the second stage of D4
+# (Tirumala et al. 2023) — after SemDeDup removes semantic duplicates,
+# drop each cluster's MOST PROTOTYPICAL members (closest to the
+# centroid): they carry the least marginal information, and pruning
+# them measurably improves data efficiency.  Composes the q_kmeans2
+# trained clustering (the shared CTE prefix, same determinism
+# machinery: exact fixed-point centroid means) with a per-member
+# cosine-to-centroid rank on the same _D-dim basis; the top ceil(20%)
+# of every cluster is flagged pruned.  Output = the full per-member
+# audit table (cos, rank, cluster size, pruned flag) — the drop list a
+# curation run applies.
+#
+# 100 TB posture: inherits q_kmeans2's broadcast-centroid map-side
+# assignment; the rank is one window over |cluster| keys; nothing
+# corpus-quadratic anywhere (the SemDeDup intra-cluster pair scan is
+# the preceding, separately-declared stage).
+# ---------------------------------------------------------------------------
+_PROTO_FRAC = 0.2
+
+
+def _proto_prune_oracle() -> str:
+    return _kmeans_cte_prefix() + f""",
+m AS (
+  SELECT a.vec_id, a.cid,
+         ROUND(list_cosine_similarity(
+             CAST(e.embedding[1:{_D}] AS DOUBLE[]), c.c), 6) AS proto_cos
+  FROM asg2 a
+  JOIN emb e ON e.vec_id = a.vec_id
+  JOIN c2 c ON c.cid = a.cid
+),
+r AS (
+  SELECT *,
+         CAST(ROW_NUMBER() OVER (
+             PARTITION BY cid ORDER BY proto_cos DESC, vec_id) AS INT) AS rk,
+         CAST(COUNT(*) OVER (PARTITION BY cid) AS BIGINT) AS n_cluster
+  FROM m
+)
+SELECT vec_id, cid, proto_cos, rk, n_cluster,
+       rk <= CAST(CEIL({_PROTO_FRAC} * n_cluster) AS INT) AS pruned
+FROM r
+ORDER BY vec_id
+"""
+
+
+@query("q_proto_prune", oracle=_proto_prune_oracle())
+def q_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c0 = emb.where(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(
+            F.slice("embedding", 1, _D), lambda x: x.cast("double")
+        ).alias("c"),
+    )
+    asg1 = _assign(emb, c0)
+    c1 = _update(emb, asg1)
+    asg2 = _assign(emb, c1)
+    c2 = _update(emb, asg2)
+
+    e8 = F.transform(F.slice("embedding", 1, _D), lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(e8, F.col("c"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda a: a * a),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    m = (
+        asg2.join(emb, "vec_id")
+        .join(F.broadcast(c2), "cid")
+        .select(
+            "vec_id",
+            "cid",
+            F.round(dot / (norm(e8) * norm(F.col("c"))), 6).alias(
+                "proto_cos"
+            ),
+        )
+    )
+    wr = Window.partitionBy("cid").orderBy(F.desc("proto_cos"), "vec_id")
+    wc = Window.partitionBy("cid")
+    r = m.withColumn("rk", F.row_number().over(wr).cast("int")).withColumn(
+        "n_cluster", F.count("*").over(wc)
+    )
+    return r.select(
+        "vec_id",
+        "cid",
+        "proto_cos",
+        "rk",
+        "n_cluster",
+        (
+            F.col("rk")
+            <= F.ceil(F.lit(_PROTO_FRAC) * F.col("n_cluster")).cast("int")
+        ).alias("pruned"),
+    ).orderBy("vec_id")

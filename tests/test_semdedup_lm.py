@@ -189,3 +189,29 @@ def test_ppl_gate_terciles_are_balanced_and_ordered(spark):
             assert r["min_xent"] <= r["avg_xent"] <= r["max_xent"]
         assert buckets[1]["max_xent"] <= buckets[2]["min_xent"] + 1e-9
         assert buckets[2]["max_xent"] <= buckets[3]["min_xent"] + 1e-9
+
+
+def test_proto_prune_flags_top_fraction_closest_to_centroid(spark):
+    """Per cluster: exactly ceil(20%·n) members pruned, and they are
+    the rank-ordered MOST prototypical (highest cosine-to-centroid);
+    ranks are dense 1..n within each cluster."""
+    import math
+    from collections import defaultdict
+
+    from pyspec_spark.queries.ml import _PROTO_FRAC, q_proto_prune
+
+    rows = q_proto_prune.__wrapped__(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    by_c = defaultdict(list)
+    for r in rows:
+        by_c[r["cid"]].append(r)
+    for cid, rs in by_c.items():
+        rs.sort(key=lambda r: r["rk"])
+        n = len(rs)
+        assert all(r["n_cluster"] == n for r in rs)
+        assert [r["rk"] for r in rs] == list(range(1, n + 1))
+        cos = [r["proto_cos"] for r in rs]
+        assert cos == sorted(cos, reverse=True)
+        want_pruned = math.ceil(_PROTO_FRAC * n)
+        assert sum(r["pruned"] for r in rs) == want_pruned
+        assert all(r["pruned"] for r in rs[:want_pruned])
