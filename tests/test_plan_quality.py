@@ -772,3 +772,36 @@ def test_index_lookup_broadcasts_decoded_side(spark):
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
     assert count_exchanges(p) <= 4
+
+
+def test_split_repair_post_cc_window_only(spark):
+    """q_split_repair: the repair itself is ONE cluster-keyed window
+    over CC output plus the presentation sort — the split is closed-form
+    on doc_id, so no join back to the corpus exists (the CC fixpoint
+    runs as its own checkpointed jobs before this plan)."""
+    p = _plan(spark, "q_split_repair")
+    assert "Join" not in p
+    assert count_exchanges(p) <= 2
+    assert "Window" in p
+
+
+def test_epoch_alloc_one_row_broadcasts_no_smj(spark):
+    """q_epoch_alloc: the budget total and the weight normalizer are
+    1-row broadcast aggregates onto the |sources|-row mix table — never
+    a sort-merge join or a cartesian of anything corpus-sized."""
+    p = _plan(spark, "q_epoch_alloc")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row totals
+    assert count_exchanges(p) <= 7
+
+
+def test_proto_prune_broadcast_centroids_no_smj(spark):
+    """q_proto_prune: inherits q_kmeans2's broadcast-centroid shape —
+    the member-to-centroid join broadcasts the k-row table and the rank
+    is a window over cluster keys; no sort-merge join, no cartesian."""
+    p = _plan(spark, "q_proto_prune")
+    assert has_broadcast_join(p)
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
