@@ -1233,3 +1233,178 @@ def q_epoch_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# L44 — per-document drop audit (r7): the "why was my document
+# dropped" lineage through the SAME stages as q_curation_pipeline
+# (shared CTE fragments and thresholds — the constants are module-level
+# f-string inputs, so the two declarations cannot drift): exact-dup
+# loser -> quality-gate fail -> benchmark contamination -> token-budget
+# cutoff, each flagged INDEPENDENTLY per doc, plus the pipeline-order
+# verdict (first failing stage, else 'kept').  The pipeline query
+# reports per-source survivor totals; this is its per-doc audit face,
+# and the two must agree exactly — the pytest pins
+# SUM(n_tokens WHERE verdict='kept') per source == tokens_kept.
+#
+# 100 TB posture: identical stage postures to q_curation_pipeline (the
+# audit adds only left joins of per-doc flag tables that are each a
+# vanishing corpus fraction, and the final doc-keyed presentation
+# sort).
+# ---------------------------------------------------------------------------
+_DROP_AUDIT_ORACLE = f"""
+WITH ks AS (
+  SELECT md5(text) AS h, MIN(doc_id) AS keeper
+  FROM documents GROUP BY md5(text)
+),
+base AS (
+  SELECT d.doc_id, d.source,
+         len(string_split(d.text, ' ')) AS n_tokens,
+         (d.doc_id <> k.keeper) AS is_dup,
+         NOT (len(string_split(d.text, ' ')) BETWEEN 20 AND 1000
+              AND 1.0 - len(list_distinct(string_split(d.text, ' '))) * 1.0
+                  / len(string_split(d.text, ' ')) <= 0.6
+              AND length(d.text) * 1.0 / len(string_split(d.text, ' '))
+                  BETWEEN 3.0 AND 12.0) AS quality_fail
+  FROM documents d JOIN ks k ON md5(d.text) = k.h
+),
+{_SHINGLES_CTE.strip()},
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS shingle FROM sh
+  WHERE doc_id < {_BENCH_MAX_ID}
+),
+corpus AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+  WHERE doc_id >= {_BENCH_MAX_ID} AND len(shingles) > 0
+),
+hits AS (
+  SELECT c.doc_id, COUNT(*) AS n_hit
+  FROM corpus c JOIN bench USING (shingle) GROUP BY c.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id),
+flagged AS (
+  SELECT s.doc_id, TRUE AS contaminated
+  FROM sizes s LEFT JOIN hits h USING (doc_id)
+  WHERE ROUND(COALESCE(h.n_hit, 0) * 1.0 / s.n_sh, 6) >= 0.6
+),
+d4 AS (
+  SELECT b.doc_id, b.source, b.n_tokens
+  FROM base b LEFT JOIN flagged f USING (doc_id)
+  WHERE NOT b.is_dup AND NOT b.quality_fail AND f.doc_id IS NULL
+),
+ob AS (
+  SELECT doc_id,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                             ROWS UNBOUNDED PRECEDING) > {_PIPE_BUDGET}
+           AS over_budget
+  FROM d4
+)
+SELECT b.doc_id, b.source, b.n_tokens, b.is_dup, b.quality_fail,
+       COALESCE(f.contaminated, FALSE) AS contaminated,
+       COALESCE(ob.over_budget, FALSE) AS over_budget,
+       CASE WHEN b.is_dup THEN 'dup'
+            WHEN b.quality_fail THEN 'quality'
+            WHEN COALESCE(f.contaminated, FALSE) THEN 'contaminated'
+            WHEN COALESCE(ob.over_budget, FALSE) THEN 'budget'
+            ELSE 'kept' END AS verdict
+FROM base b
+LEFT JOIN flagged f USING (doc_id)
+LEFT JOIN ob USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+@query("q_drop_audit", oracle=_DROP_AUDIT_ORACLE)
+def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    keeper = (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        .agg(F.min("doc_id").alias("keeper"))
+    )
+    n_tokens = F.size(_toks())
+    dup_frac = (
+        F.lit(1.0)
+        - F.size(F.array_distinct(_toks())).cast("double") / n_tokens
+    )
+    cpt = F.length("text").cast("double") / n_tokens
+    base = (
+        d.withColumn("h", F.md5(F.col("text").cast("binary")))
+        .join(keeper, "h")
+        .select(
+            "doc_id",
+            "source",
+            n_tokens.alias("n_tokens"),
+            (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
+            (
+                ~(
+                    n_tokens.between(20, 1000)
+                    & (dup_frac <= 0.6)
+                    & cpt.between(3.0, 12.0)
+                )
+            ).alias("quality_fail"),
+        )
+    )
+    sh = _shingled(spark, sf_dir)
+    bench = (
+        sh.where(F.col("doc_id") < _BENCH_MAX_ID)
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    corpus = sh.where(
+        (F.col("doc_id") >= _BENCH_MAX_ID) & (F.size("shingles") > 0)
+    ).select("doc_id", F.explode("shingles").alias("shingle"))
+    hits = (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    flagged = (
+        sizes.join(hits, "doc_id", "left")
+        .where(
+            F.round(
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_sh"),
+                6,
+            )
+            >= 0.6
+        )
+        .select("doc_id", F.lit(True).alias("contaminated"))
+    )
+    d4 = (
+        base.join(flagged, "doc_id", "left_anti")
+        .where(~F.col("is_dup") & ~F.col("quality_fail"))
+        .select("doc_id", "source", "n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(
+            F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ob = d4.select(
+        "doc_id",
+        (F.sum("n_tokens").over(w) > _PIPE_BUDGET).alias("over_budget"),
+    )
+    out = (
+        base.join(flagged, "doc_id", "left")
+        .join(ob, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "is_dup",
+            "quality_fail",
+            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+            F.coalesce("over_budget", F.lit(False)).alias("over_budget"),
+        )
+    )
+    verdict = (
+        F.when(F.col("is_dup"), "dup")
+        .when(F.col("quality_fail"), "quality")
+        .when(F.col("contaminated"), "contaminated")
+        .when(F.col("over_budget"), "budget")
+        .otherwise("kept")
+    )
+    return out.withColumn("verdict", verdict).orderBy("doc_id")

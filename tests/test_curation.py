@@ -191,3 +191,40 @@ def test_epoch_alloc_budget_identities(spark):
             )
         eff_sum += r["eff_tokens"]
     assert eff_sum <= budget + len(rows)  # per-row rounding slack only
+
+
+def test_drop_audit_agrees_with_pipeline_totals(spark):
+    """The per-doc audit and the per-source pipeline rollup are two
+    faces of the same stages: SUM(n_tokens WHERE verdict='kept') per
+    source must equal q_curation_pipeline's tokens_kept exactly, and
+    the verdict must be the first failing stage in pipeline order."""
+    from collections import defaultdict
+
+    from pyspec_spark.queries.curation import q_curation_pipeline, q_drop_audit
+
+    sf = "/root/testdata/sf0.001"
+    audit = q_drop_audit.__wrapped__(spark, sf).collect()
+    pipe = {
+        r["source"]: (r["n_docs"], r["tokens_kept"])
+        for r in q_curation_pipeline.__wrapped__(spark, sf).collect()
+    }
+    kept = defaultdict(lambda: [0, 0])
+    order = ["dup", "quality", "contaminated", "budget"]
+    flags = {
+        "dup": "is_dup",
+        "quality": "quality_fail",
+        "contaminated": "contaminated",
+        "budget": "over_budget",
+    }
+    seen = set()
+    for r in audit:
+        want = next(
+            (o for o in order if r[flags[o]]), "kept"
+        )
+        assert r["verdict"] == want
+        seen.add(r["verdict"])
+        if r["verdict"] == "kept":
+            kept[r["source"]][0] += 1
+            kept[r["source"]][1] += r["n_tokens"]
+    assert {s: tuple(v) for s, v in kept.items()} == pipe
+    assert "kept" in seen and len(seen) >= 3  # the stages actually fire
