@@ -1740,3 +1740,71 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src_id", "tgt_id", "cos_sim", "margin")
         .orderBy("src_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L2d — dedup threshold sweep (r7): the tuning table behind "dedup at
+# Jaccard >= X" — for every feasible estimate level of the 64-hash
+# MinHash (n matching hash positions, n = 32..64, i.e. tau = n/64 from
+# 0.5 to 1.0), how many candidate pairs the banded index would keep.
+# The q_gate_sweep idea applied to the dedup family: produced BEFORE
+# committing to a threshold, on the SAME signature/band basis as
+# q_minhash_neardup (its oracle prefix is reused by string surgery on
+# the registered constant, so the candidate set cannot drift).  The
+# grid is integer match-counts, not float taus — 1/64 is the method's
+# real resolution, and integer thresholds make every comparison exact.
+#
+# 100 TB posture: the banded candidate pairs are the SAME bounded set
+# the near-dup query already materializes (never all-pairs); the sweep
+# adds one map-side explode of <= 33 qualifying levels per pair and a
+# 33-key aggregation — the tuning table costs one extra tiny shuffle
+# on top of the index build.
+# ---------------------------------------------------------------------------
+_TAU_MIN = 32  # n/64 = 0.5
+
+# everything up to the final threshold filter = the candidate+estimate set
+_MINHASH_PAIRS_SQL = _MINHASH_ORACLE.rsplit("WHERE ROUND", 1)[0]
+
+_TAU_SWEEP_ORACLE = f"""
+WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+n AS (
+  SELECT CAST(ROUND(est_jaccard * 64) AS INT) AS n64 FROM pairs
+),
+grid AS (SELECT CAST(unnest(range({_TAU_MIN}, 65)) AS INT) AS t),
+counts AS (
+  SELECT t, CAST(COUNT(n64) AS BIGINT) AS n_pairs
+  FROM grid LEFT JOIN n ON n64 >= t
+  GROUP BY t
+)
+SELECT t, ROUND(t / 64.0, 6) AS tau, n_pairs
+FROM counts
+ORDER BY t
+"""
+
+
+@query("q_dedup_tau_sweep", oracle=_TAU_SWEEP_ORACLE)
+def q_dedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_neardup(
+        d, threshold=0.0, pre_partition=spark.sparkContext.defaultParallelism
+    )
+    n64 = F.round(F.col("est_jaccard") * 64).cast("int")
+    lvls = F.when(
+        n64 >= _TAU_MIN,
+        F.sequence(F.lit(_TAU_MIN), F.least(n64, F.lit(64))),
+    ).otherwise(F.array())
+    counts = (
+        pairs.select(F.explode(lvls).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    grid = spark.range(_TAU_MIN, 65).select(F.col("id").cast("int").alias("t"))
+    return (
+        grid.join(counts, "t", "left")
+        .select(
+            "t",
+            F.round(F.col("t") / 64.0, 6).alias("tau"),
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+        )
+        .orderBy("t")
+    )

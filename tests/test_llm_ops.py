@@ -1325,3 +1325,25 @@ def test_split_repair_quarantines_leaky_clusters(spark):
         if not leak[cid]["leaky"]:
             assert not any(r["moved"] for r in rs)
     assert moved_any  # the planted straddler forces at least one move
+
+
+def test_dedup_tau_sweep_monotone_and_anchored_to_neardup(spark):
+    """n_pairs is non-increasing in the threshold, and the count at
+    t = 52 (tau = 0.8125, the first level above the 0.8 production
+    threshold) is consistent with q_minhash_neardup's own pair count
+    (whose est >= 0.8 equals n64 >= 52 at 1/64 resolution)."""
+    from pyspec_spark.queries.llm_advanced import (
+        q_dedup_tau_sweep,
+        q_minhash_neardup,
+    )
+
+    rows = sorted(
+        q_dedup_tau_sweep.__wrapped__(spark, SF).collect(),
+        key=lambda r: r["t"],
+    )
+    assert [r["t"] for r in rows] == list(range(32, 65))
+    counts = [r["n_pairs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    prod = len(q_minhash_neardup.__wrapped__(spark, SF).collect())
+    at_080 = next(r["n_pairs"] for r in rows if r["t"] == 52)
+    assert at_080 == prod
