@@ -146,3 +146,79 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc((F.col("pagerank"))), "node")
         .limit(_PR_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# L18b — triangle counting (r7): the third classic distributed graph
+# kernel after CC and PageRank — per-node triangle membership over the
+# near-dup graph (a doc in many triangles sits in a DENSE duplication
+# clique, the "template farm" signature that pairwise thresholds
+# under-report).  Algorithm: the id-oriented two-join — edges are
+# stored (a < b), wedges join e1.b = e2.a (giving i < j < k exactly
+# once), and a final join back to the edge set closes each wedge; per
+# node, count memberships across all three corners.
+#
+# Determinism: pure integer joins on the oracle-shared q_jaccard pair
+# basis (spliced CTE — the edge set cannot drift).
+#
+# 100 TB posture: the i<j<k orientation counts each triangle once with
+# two equi-joins and NO all-pairs step; the known skew axis is a
+# high-degree hub (its wedge count is deg² / 2) — the production
+# mitigation is degree-ordered orientation (orient every edge toward
+# the higher-degree endpoint, bounding wedges by arboricity), which
+# swaps the order key and nothing else; id order keeps the oracle
+# exactly replayable at test scale.
+# ---------------------------------------------------------------------------
+def _triangles_oracle() -> str:
+    from pyspec_spark.registry import ORACLES
+
+    return f"""
+WITH pairs AS ({ORACLES["q_jaccard_neardup"]}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+tri AS (
+  SELECT e1.a AS i, e1.b AS j, e2.b AS k
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+m AS (
+  SELECT i AS node FROM tri
+  UNION ALL SELECT j FROM tri
+  UNION ALL SELECT k FROM tri
+)
+SELECT node AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM m
+GROUP BY node
+ORDER BY doc_id
+"""
+
+
+@query("q_triangles", oracle=_triangles_oracle())
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.queries.llm import jaccard_pairs
+
+    e = jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("i"),
+        F.col("e1.b").alias("j"),
+        F.col("e2.b").alias("k"),
+    )
+    tri = wedges.join(
+        e3, (F.col("i") == F.col("e3.a")) & (F.col("k") == F.col("e3.b"))
+    ).select("i", "j", "k")
+    m = (
+        tri.select(F.col("i").alias("node"))
+        .unionAll(tri.select(F.col("j").alias("node")))
+        .unionAll(tri.select(F.col("k").alias("node")))
+    )
+    return (
+        m.groupBy("node")
+        .agg(F.count("*").alias("n_triangles"))
+        .select(F.col("node").alias("doc_id"), "n_triangles")
+        .orderBy("doc_id")
+    )

@@ -215,3 +215,35 @@ def test_pagerank_mass_is_conserved_within_floor_loss(spark):
     # floor losses: < (2*E + N+1) nano per iteration, far under 1e-3
     assert 0.999 <= total <= 1.0 + 1e-9
     assert n_val == 57  # 50 u-nodes + 7 v-nodes
+
+
+def test_triangles_match_networkx_style_recount(spark):
+    """Per-node triangle counts equal an adjacency-set recount of the
+    same jaccard edge set, and the total incidences are 3x the triangle
+    count."""
+    from collections import defaultdict
+
+    from pyspec_spark.queries.graph import q_triangles
+    from pyspec_spark.queries.llm import jaccard_pairs
+
+    sf = "/root/testdata/sf0.001"
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in jaccard_pairs(spark, sf).select("doc_a", "doc_b").collect()
+    ]
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = defaultdict(int)
+    n_tri = 0
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if b < c:  # a < b < c exactly once
+                n_tri += 1
+                for v in (a, b, c):
+                    want[v] += 1
+    rows = {r["doc_id"]: r["n_triangles"] for r in q_triangles.__wrapped__(spark, sf).collect()}
+    assert rows == dict(want)
+    assert sum(rows.values()) == 3 * n_tri
+    assert n_tri >= 1
