@@ -197,8 +197,14 @@ ORDER BY doc_id
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspec_spark.queries.llm import jaccard_pairs
 
-    e = jaccard_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    # cache the edge list once (the pagerank precedent): without it,
+    # every self-join alias re-runs the whole shingle/jaccard pipeline —
+    # the as-built plan showed 72 parquet scans, vs 1 pipeline + 3
+    # in-memory reads here
+    e = (
+        jaccard_pairs(spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .cache()
     )
     e1 = e.alias("e1")
     e2 = e.alias("e2")

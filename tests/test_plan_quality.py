@@ -805,3 +805,33 @@ def test_proto_prune_broadcast_centroids_no_smj(spark):
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p
     assert "Window" in p
+
+
+def test_drop_audit_no_smj_no_cartesian(spark):
+    """q_drop_audit: stage flags attach as broadcast-able left joins of
+    vanishing-fraction tables; no sort-merge join of corpus-sized sides,
+    no cartesian."""
+    p = _plan(spark, "q_drop_audit")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert has_broadcast_join(p)
+
+
+def test_dedup_tau_sweep_no_cartesian(spark):
+    """q_dedup_tau_sweep: the sweep is a map-side <=33-level explode +
+    33-key agg ON TOP OF the banded candidate set — no cartesian
+    anywhere (the signature joins are the near-dup query's own gated
+    shape)."""
+    p = _plan(spark, "q_dedup_tau_sweep")
+    assert "CartesianProduct" not in p
+    assert has_partial_aggregate(p)
+
+
+def test_triangles_cached_edges_no_cartesian(spark):
+    """q_triangles: the edge list is cached once and every self-join
+    alias reads the InMemoryRelation (without the cache the as-built
+    plan re-ran the whole jaccard pipeline per alias — 72 scans); the
+    wedge/closure joins are equi-joins, never cartesian."""
+    p = _plan(spark, "q_triangles")
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
