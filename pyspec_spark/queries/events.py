@@ -237,3 +237,62 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     cascade = rollup_cascade(e, "ts", ["event_type"], "value")
     return finalize(cascade["day"], ["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# ST12 batch face — view->purchase interval join (r7): every purchase
+# paired with each of the same user's views in the preceding hour (the
+# attribution-join shape; last-touch is one argmax on top).  This is
+# the BATCH TWIN of the stream-stream interval join
+# (streaming/events.py interval_join) — the one Structured Streaming
+# join class the suite did not yet declare: both sides are streams,
+# watermarks bound the buffered state, and the time-range condition is
+# what lets Spark evict it.  Timestamp arithmetic is exact microsecond
+# comparison in both engines; the output gap is integer seconds
+# (boundary count == floor-epoch difference, identical cross-engine).
+#
+# 100 TB posture: the join keys on user_id with a time-range residual —
+# at production key cardinality the shuffle is well-spread (the 15-user
+# test corpus is the deliberately skewed small case); state in the
+# streaming face is bounded by the 1 h window + watermark, one buffered
+# row per in-window event per side.
+# ---------------------------------------------------------------------------
+@query(
+    "q_view_purchase_join",
+    oracle="""
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY view_id, purchase_id
+""",
+)
+def q_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    joined = v.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.col("p_ts").cast("long") - F.col("v_ts").cast("long"))
+        .cast("bigint")
+        .alias("gap_s"),
+    ).orderBy("view_id", "purchase_id")

@@ -160,3 +160,47 @@ def run_foreach_batch(df: DataFrame, fn, output_mode: str = "update") -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def interval_join(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """ST12 — stream-stream interval join (the one Structured Streaming
+    join class the batch suite mirrors in q_view_purchase_join): views
+    and purchases are two branches of the SAME event stream, each
+    watermarked, joined per user with a time-range condition.  The
+    range condition + both watermarks are what let Spark EVICT buffered
+    rows — without them stream-stream join state grows forever; with
+    them each side holds at most `window + watermark` of events."""
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = v.join(
+        p,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {window}")),
+    )
+    return joined.select(
+        "user_id",
+        "view_id",
+        "purchase_id",
+        (F.col("p_ts").cast("long") - F.col("v_ts").cast("long"))
+        .cast("bigint")
+        .alias("gap_s"),
+    )

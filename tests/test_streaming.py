@@ -1008,3 +1008,29 @@ def test_streaming_vector_index_exactly_once_and_pruned_lookup(
     probe_cid = topk[0]["cid"]
     kept, total = lake_scan_file_counts(root, [("cid", "=", int(probe_cid))])
     assert kept < total
+
+
+def test_stream_stream_interval_join_equals_batch_twin(spark, event_chunks):
+    """ST12: the watermarked stream-stream self-join (views x purchases
+    within 1 h per user) replayed over chunked micro-batches produces
+    exactly the batch q_view_purchase_join rows."""
+    from pyspec_spark.queries.events import q_view_purchase_join
+    from pyspec_spark.streaming.events import (
+        interval_join,
+        read_event_stream,
+        run_to_memory,
+    )
+
+    base, _ = event_chunks
+    stream = read_event_stream(spark, base)
+    run_to_memory(interval_join(stream), "st12_pairs")
+    got = _collect_sorted(
+        spark.table("st12_pairs"),
+        ["view_id", "purchase_id", "user_id", "gap_s"],
+    )
+    want = _collect_sorted(
+        q_view_purchase_join.__wrapped__(spark, SF),
+        ["view_id", "purchase_id", "user_id", "gap_s"],
+    )
+    assert got == want
+    assert len(got) >= 1
