@@ -835,3 +835,14 @@ def test_triangles_cached_edges_no_cartesian(spark):
     p = _plan(spark, "q_triangles")
     assert "InMemoryTableScan" in p
     assert "CartesianProduct" not in p
+
+
+def test_view_purchase_join_equi_key_with_range_residual(spark):
+    """q_view_purchase_join: the join carries user_id as a true equi-key
+    (hash-joinable) with the time range as residual condition — never a
+    nested-loop/cartesian over the event pairs; filters on event_type
+    push below the join."""
+    p = _plan(spark, "q_view_purchase_join")
+    assert has_broadcast_join(p) or "SortMergeJoin" in p  # keyed join
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
