@@ -535,20 +535,27 @@ def lake_delete(
 
 
 def lake_compact(
-    spark: SparkSession, root: str, partition_col: str | None = None
+    spark: SparkSession,
+    root: str,
+    partition_col: str | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Rewrite the current snapshot into one file per partition (the
     small-file maintenance pass) as a COMMIT: readers of older versions
-    keep their file lists; nothing is deleted until vacuum."""
+    keep their file lists; nothing is deleted until vacuum.  Pass
+    ``bloom_cols`` to (re)build per-file equality blooms on the merged
+    files — compaction is the natural time to refresh them, since the
+    small pre-compaction files' blooms die with their entries."""
     prev = latest_version(root)
     cur = lake_read(spark, root, version=prev)
     if partition_col is not None:
         new = _stage_files(
             spark, root, cur.repartition(F.col(partition_col)),
-            partition_col,
+            partition_col, bloom_cols=bloom_cols,
         )
     else:
-        new = _stage_files(spark, root, cur.coalesce(1), None)
+        new = _stage_files(spark, root, cur.coalesce(1), None,
+                           bloom_cols=bloom_cols)
     return _commit(
         root, "compact", new, partition_col, prev,
         schema=_schema_fields(cur), retains_parent=False,
@@ -662,6 +669,7 @@ def lake_append_stream(
     query_name: str,
     batch_id: int,
     max_retries: int = 5,
+    bloom_cols: list[str] | None = None,
 ) -> int | None:
     """Idempotent append: commits df together with the watermark
     ``stream_commits[query_name] = batch_id``; a batch at or below the
@@ -679,7 +687,9 @@ def lake_append_stream(
         old = _load_manifest(root, prev)["files"] if prev is not None else []
         if staged is None:
             _check_schema_evolution(root, df)
-            staged = _stage_files(spark, root, df, partition_col)
+            staged = _stage_files(
+                spark, root, df, partition_col, bloom_cols=bloom_cols
+            )
         try:
             return _commit(
                 root,

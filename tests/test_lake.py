@@ -643,3 +643,44 @@ def test_bloom_skipping_point_lookup_on_hash_distributed_key(spark, tmp_path):
     # manifest stays valid JSON with blooms embedded
     raw = _json.dumps(m)
     assert "bloom" in raw
+
+
+def test_compact_rebuilds_blooms_and_stream_append_carries_them(
+    spark, tmp_path
+):
+    """bloom_cols on lake_append_stream attaches blooms to streamed
+    files, and lake_compact(bloom_cols=...) refreshes them on the merged
+    files — point lookups keep pruning across the maintenance pass."""
+    from pyspec_spark.lake import (
+        _load_manifest,
+        lake_append_stream,
+        lake_compact,
+        lake_scan,
+        lake_scan_file_counts,
+        latest_version,
+    )
+
+    root = str(tmp_path / "bloomstream")
+    for b in range(3):
+        df = (
+            spark.range(b * 100, (b + 1) * 100)
+            .select(
+                F.col("id").alias("doc_id"),
+                (F.col("id") % 2).cast("int").alias("part"),
+            )
+            .repartition(2)
+        )
+        lake_append_stream(
+            spark, root, df, None, "blm", b, bloom_cols=["doc_id"]
+        )
+    m = _load_manifest(root, latest_version(root))
+    assert all("doc_id" in e.get("bloom", {}) for e in m["files"])
+    kept, total = lake_scan_file_counts(root, [("doc_id", "=", 137)])
+    assert total == 6 and kept <= 2
+    assert [r["doc_id"] for r in lake_scan(spark, root, [("doc_id", "=", 137)]).collect()] == [137]
+
+    lake_compact(spark, root, bloom_cols=["doc_id"])
+    m2 = _load_manifest(root, latest_version(root))
+    assert all("doc_id" in e.get("bloom", {}) for e in m2["files"])
+    assert [r["doc_id"] for r in lake_scan(spark, root, [("doc_id", "=", 137)]).collect()] == [137]
+    assert lake_scan(spark, root, [("doc_id", "=", 7777)]).count() == 0
