@@ -163,7 +163,10 @@ def run_foreach_batch(df: DataFrame, fn, output_mode: str = "update") -> None:
 
 
 def interval_join(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """ST12 — stream-stream interval join (the one Structured Streaming
     join class the batch suite mirrors in q_view_purchase_join): views
@@ -190,11 +193,18 @@ def interval_join(
         )
         .withWatermark("p_ts", watermark)
     )
+    # how="leftOuter": a view with NO matching purchase emits once with
+    # NULL purchase columns — but only after the watermark passes
+    # v_ts + window (Spark must be sure no match can still arrive);
+    # unmatched views inside the final watermark horizon are withheld
+    # forever on a finite stream — the documented outer-join semantics
+    # the twin test pins.
     joined = v.join(
         p,
         (F.col("p_user") == F.col("user_id"))
         & (F.col("p_ts") >= F.col("v_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {window}")),
+        how,
     )
     return joined.select(
         "user_id",

@@ -1034,3 +1034,56 @@ def test_stream_stream_interval_join_equals_batch_twin(spark, event_chunks):
     )
     assert got == want
     assert len(got) >= 1
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(
+    spark, event_chunks
+):
+    """ST12 leftOuter: unmatched views emit exactly once with NULL
+    purchase columns once the watermark passes v_ts + window; unmatched
+    views inside the final watermark horizon are withheld (the
+    documented finite-stream semantics); matched rows equal the inner
+    join."""
+    import datetime
+
+    from pyspec_spark.queries.events import q_view_purchase_join
+    from pyspec_spark.streaming.events import (
+        interval_join,
+        read_event_stream,
+        run_to_memory,
+    )
+    from pyspec_spark.tables import table
+
+    base, _ = event_chunks
+    stream = read_event_stream(spark, base)
+    run_to_memory(
+        interval_join(stream, how="leftOuter"), "st12_outer"
+    )
+    got = spark.table("st12_outer").collect()
+    inner = {
+        (r["view_id"], r["purchase_id"])
+        for r in q_view_purchase_join.__wrapped__(spark, SF).collect()
+    }
+    got_matched = {
+        (r["view_id"], r["purchase_id"])
+        for r in got
+        if r["purchase_id"] is not None
+    }
+    assert got_matched == inner
+
+    ev = table(spark, SF, "events")
+    views = {
+        r["event_id"]: r["ts"]
+        for r in ev.where("event_type = 'view'").collect()
+    }
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    matched_views = {v for v, _ in inner}
+    horizon = max_ts - datetime.timedelta(hours=3)  # window 1h + wm 2h
+    want_nulls = {
+        vid
+        for vid, ts in views.items()
+        if vid not in matched_views and ts < horizon
+    }
+    got_nulls = {r["view_id"] for r in got if r["purchase_id"] is None}
+    assert got_nulls == want_nulls
+    assert len(got_nulls) >= 1
