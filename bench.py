@@ -93,6 +93,11 @@ HEADLINE = [
     "q_inverted_index",
     "q_linreg_stats",
     "q_badword_filter",
+    # round 7d: audit/tuning/graph/stream-join faces
+    "q_drop_audit",
+    "q_dedup_tau_sweep",
+    "q_triangles",
+    "q_view_purchase_join",
 ]
 
 
