@@ -437,8 +437,9 @@ def test_building_declared_queries_runs_zero_jobs(spark):
     vectors, trained models, and profiles all ride in-plan (ADVICE r2:
     the ANN queries' first() probes were the last offenders).
 
-    Documented exemptions: q_dedup_clusters, q_dedup_keep_best and
-    q_split_leakage run iterative min-label propagation (the
+    Documented exemptions: q_dedup_clusters, q_dedup_keep_best,
+    q_split_leakage and q_split_repair run iterative min-label
+    propagation (the
     connected-components fixpoint) whose per-round convergence count()
     and eager lineage checkpoints ARE execution by design (VERDICT r2
     calls this legitimate) — an iterative algorithm cannot be a single
@@ -449,6 +450,7 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_dedup_clusters",
         "q_dedup_keep_best",
         "q_split_leakage",
+        "q_split_repair",  # same CC fixpoint as q_split_leakage
     }
     from pyspec_spark.tables import load
 
