@@ -507,3 +507,49 @@ def test_feature_hash_embed_matches_local_reference(spark, data):
         for k in range(dim):
             want = round(raw[k] / n2, 6) if n2 > 0 else 0.0
             assert got[d][k] == want, (d, k, got[d][k], want)
+
+
+# ---------------------------------------------------------------------------
+# Manifest Bloom filters (pure Python — generous example budget): the
+# structural guarantee skipping correctness rests on is NO FALSE
+# NEGATIVES — a file is never pruned while containing the value.  FP
+# behavior only costs an extra read and is sanity-bounded, not pinned.
+# ---------------------------------------------------------------------------
+_bloom_vals = st.lists(
+    st.one_of(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        st.text(min_size=0, max_size=24),
+    ),
+    min_size=1,
+    max_size=300,
+)
+
+
+@given(vals=_bloom_vals, probes=_bloom_vals)
+@settings(max_examples=200, deadline=None)
+def test_bloom_never_false_negative(tmp_path_factory, vals, probes):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspec_spark.lake import _bloom_may_contain, _file_blooms
+
+    base = tmp_path_factory.mktemp("bloomprop")
+    ints = [v for v in vals if isinstance(v, int)] or [0]
+    strs = [v for v in vals if isinstance(v, str)] or ["x"]
+    blooms = {}
+    for col, arr in (
+        ("i", pa.array(ints, type=pa.int64())),
+        ("s", pa.array(strs, type=pa.string())),
+    ):
+        p = str(base / f"{col}.parquet")
+        pq.write_table(pa.table({col: arr}), p)
+        blooms.update(_file_blooms(p, [col]))
+    for col, inserted in (("i", ints), ("s", strs)):
+        assert col in blooms
+        for v in inserted:
+            assert _bloom_may_contain(blooms[col], v)  # never a false negative
+    # sanity: values far outside the inserted set mostly answer "no"
+    misses = sum(
+        not _bloom_may_contain(blooms["i"], 10**15 + k) for k in range(50)
+    )
+    assert misses >= 25  # FP rate far below coin-flip
