@@ -553,3 +553,61 @@ def test_bloom_never_false_negative(tmp_path_factory, vals, probes):
         not _bloom_may_contain(blooms["i"], 10**15 + k) for k in range(50)
     )
     assert misses >= 25  # FP rate far below coin-flip
+
+
+# ---------------------------------------------------------------------------
+# Interval join (Spark examples — bounded budget): the view x purchase
+# pairing over arbitrary event sets equals a brute-force pandas
+# recompute, including window-boundary events (p_ts == v_ts and
+# p_ts == v_ts + 1h are both inclusive).
+# ---------------------------------------------------------------------------
+@given(data=st.data())
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_interval_join_matches_brute_force(spark, data):
+    import datetime
+
+    from pyspec_spark.queries.events import q_view_purchase_join
+    from pyspec_spark.tables import table as _table
+
+    base = datetime.datetime(2024, 1, 1)
+    n = data.draw(st.integers(min_value=2, max_value=40))
+    rows = []
+    for i in range(n):
+        user = data.draw(st.integers(min_value=1, max_value=3))
+        kind = data.draw(st.sampled_from(["view", "purchase"]))
+        # offsets in whole seconds, including exact 0 and 3600 gaps
+        off = data.draw(st.integers(min_value=0, max_value=3 * 3600))
+        rows.append(
+            (i, base + datetime.timedelta(seconds=off), user, kind, 0.0, "{}")
+        )
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP, user_id LONG, "
+        "event_type STRING, value DOUBLE, props STRING"
+    )
+
+    import pyspec_spark.queries.events as ev
+
+    orig = ev.table
+    try:
+        ev.table = lambda s, d, name: df
+        got = sorted(
+            (r["view_id"], r["purchase_id"], r["gap_s"])
+            for r in q_view_purchase_join.__wrapped__(spark, "ignored").collect()
+        )
+    finally:
+        ev.table = orig
+
+    want = sorted(
+        (v[0], p[0], int((p[1] - v[1]).total_seconds()))
+        for v in rows
+        if v[3] == "view"
+        for p in rows
+        if p[3] == "purchase"
+        and p[2] == v[2]
+        and v[1] <= p[1] <= v[1] + datetime.timedelta(hours=1)
+    )
+    assert got == want
