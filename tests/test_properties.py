@@ -611,3 +611,55 @@ def test_interval_join_matches_brute_force(spark, data):
         and v[1] <= p[1] <= v[1] + datetime.timedelta(hours=1)
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (Spark examples — bounded budget): the id-oriented
+# two-join equals an adjacency-set recount on arbitrary graphs (stars,
+# cliques, isolated edges, multi-component), and total incidences are
+# exactly 3x the triangle count.
+# ---------------------------------------------------------------------------
+@given(data=st.data())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_triangles_match_recount_on_random_graphs(spark, data):
+    from collections import defaultdict
+
+    import pyspec_spark.queries.llm as llm
+    from pyspec_spark.queries.graph import q_triangles
+
+    n_nodes = data.draw(st.integers(min_value=3, max_value=14))
+    possible = [(a, b) for a in range(n_nodes) for b in range(a + 1, n_nodes)]
+    edges = data.draw(
+        st.lists(st.sampled_from(possible), min_size=1, max_size=30, unique=True)
+    )
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "doc_a LONG, doc_b LONG, jaccard DOUBLE"
+    )
+    orig = llm.jaccard_pairs
+    try:
+        llm.jaccard_pairs = lambda s, d, max_doc_id=None: df
+        got = {
+            r["doc_id"]: r["n_triangles"]
+            for r in q_triangles.__wrapped__(spark, "ignored").collect()
+        }
+    finally:
+        llm.jaccard_pairs = orig
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = defaultdict(int)
+    n_tri = 0
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if b < c:
+                n_tri += 1
+                for v in (a, b, c):
+                    want[v] += 1
+    assert got == dict(want)
+    assert sum(got.values()) == 3 * n_tri
