@@ -1087,3 +1087,68 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(
     got_nulls = {r["view_id"] for r in got if r["purchase_id"] is None}
     assert got_nulls == want_nulls
     assert len(got_nulls) >= 1
+
+
+def test_stream_stream_join_state_survives_restart(spark, tmp_path_factory):
+    """A view buffered in join state before a restart must still pair
+    with a purchase arriving AFTER the restart: drain the first half of
+    the chunks with availableNow, stop, add the rest, resume on the same
+    checkpoint — the union of both runs' outputs equals the batch
+    twin."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from pyspec_spark.queries.events import q_view_purchase_join
+    from pyspec_spark.streaming.events import interval_join, read_event_stream
+    from pyspec_spark.tables import table
+
+    # chunked source (reuse the module fixture's layout, fresh dirs so we
+    # control arrival order)
+    base_all = str(tmp_path_factory.mktemp("st12_restart_all"))
+    src = str(tmp_path_factory.mktemp("st12_restart_src"))
+    ckpt = str(tmp_path_factory.mktemp("st12_restart_ckpt"))
+    out = str(tmp_path_factory.mktemp("st12_restart_out"))
+    ev = table(spark, SF, "events").orderBy("ts")
+    pdf = ev.toPandas()
+    n = len(pdf)
+    chunk = (n + 9) // 10
+    for i in range(10):
+        part = pdf.iloc[i * chunk : (i + 1) * chunk]
+        if len(part):
+            part.to_parquet(
+                _os.path.join(base_all, f"chunk_{i:02d}.parquet"),
+                index=False,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+    files = sorted(_glob.glob(f"{base_all}/chunk_*.parquet"))
+
+    def drain():
+        q = (
+            interval_join(read_event_stream(spark, src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for f in files[:5]:
+        _shutil.copy(f, src)
+    drain()  # first run buffers trailing unmatched views in state
+    for f in files[5:]:
+        _shutil.copy(f, src)
+    drain()  # restart: state recovery must pair them with late purchases
+
+    got = sorted(
+        (r["view_id"], r["purchase_id"], r["user_id"], r["gap_s"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["view_id"], r["purchase_id"], r["user_id"], r["gap_s"])
+        for r in q_view_purchase_join.__wrapped__(spark, SF).collect()
+    )
+    assert got == want
