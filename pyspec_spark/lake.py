@@ -285,15 +285,18 @@ def _file_blooms(path: str, cols: list[str]) -> dict:
 
     try:
         import pyarrow.parquet as pq
-
-        tbl = pq.read_table(path, columns=[c for c in cols])
     except Exception:
         return {}
     out: dict = {}
     for c in cols:
-        if c not in tbl.column_names:
+        # one columnar read PER COLUMN, each under its own guard: a
+        # column absent from this file (schema evolution, caller typo)
+        # must not kill the blooms of the columns that DO exist —
+        # pq.read_table raises on any missing name in the batch form
+        try:
+            vals = set(pq.read_table(path, columns=[c]).column(c).to_pylist())
+        except Exception:
             continue
-        vals = [x for x in set(tbl.column(c).to_pylist())]
         canon = [b for b in (_bloom_canon(v) for v in vals) if b is not None]
         if not canon:
             continue
@@ -438,6 +441,7 @@ def lake_upsert(
     updates: DataFrame,
     key: str,
     partition_col: str,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """MERGE (upsert) as a snapshot commit: rows in `updates` replace
     same-key rows; new keys append.  Only files whose partition value
@@ -473,7 +477,9 @@ def lake_upsert(
             )
         else:
             merged = updates
-        new = _stage_files(spark, root, merged, partition_col)
+        new = _stage_files(
+            spark, root, merged, partition_col, bloom_cols=bloom_cols
+        )
         return _commit(
             root, "upsert", kept_entries + new, partition_col, prev,
             schema=_schema_fields(merged),
@@ -489,6 +495,7 @@ def lake_delete(
     delete_keys: DataFrame,
     key: str,
     partition_col: str,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Row-level DELETE as a snapshot commit.  Files in unaffected
     partitions carry over by reference; affected partitions are
@@ -521,7 +528,9 @@ def lake_delete(
         survivors = tgt.join(
             delete_keys.select(key).distinct(), key, "left_anti"
         )
-        new = _stage_files(spark, root, survivors, partition_col)
+        new = _stage_files(
+            spark, root, survivors, partition_col, bloom_cols=bloom_cols
+        )
         # a delete never changes the TABLE schema: commit the parent's
         # recorded schema (survivors of old pre-evolution files may lack
         # the newest columns; mixed-ness carries via retains_parent)

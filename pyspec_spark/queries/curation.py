@@ -525,6 +525,13 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # introduces a new shuffle class.
 # ---------------------------------------------------------------------------
 _PIPE_BUDGET = 3000
+# quality-gate thresholds shared by the pipeline (L21) and the per-doc
+# drop audit (L44) — oracle AND Spark faces interpolate these, so a
+# tweak cannot silently diverge the two declarations
+_GATE_TOK_MIN, _GATE_TOK_MAX = 20, 1000
+_GATE_DUP_MAX = 0.6
+_GATE_CPT_MIN, _GATE_CPT_MAX = 3.0, 12.0
+_CONTAM_MIN = 0.6
 
 _PIPELINE_ORACLE = f"""
 WITH keep_exact AS (
@@ -537,10 +544,10 @@ d1 AS (
 ),
 gated AS (
   SELECT doc_id, source, text, n_tokens FROM d1
-  WHERE n_tokens BETWEEN 20 AND 1000
+  WHERE n_tokens BETWEEN {_GATE_TOK_MIN} AND {_GATE_TOK_MAX}
     AND 1.0 - len(list_distinct(string_split(text, ' '))) * 1.0 / n_tokens
-        <= 0.6
-    AND length(text) * 1.0 / n_tokens BETWEEN 3.0 AND 12.0
+        <= {_GATE_DUP_MAX}
+    AND length(text) * 1.0 / n_tokens BETWEEN {_GATE_CPT_MIN} AND {_GATE_CPT_MAX}
 ),
 {_SHINGLES_CTE.strip()},
 bench AS (
@@ -558,7 +565,7 @@ hits AS (
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id),
 flagged AS (
   SELECT s.doc_id FROM sizes s LEFT JOIN hits h USING (doc_id)
-  WHERE ROUND(COALESCE(h.n_hit, 0) * 1.0 / s.n_sh, 6) >= 0.6
+  WHERE ROUND(COALESCE(h.n_hit, 0) * 1.0 / s.n_sh, 6) >= {_CONTAM_MIN}
 ),
 d4 AS (
   SELECT g.* FROM gated g LEFT JOIN flagged f USING (doc_id)
@@ -599,9 +606,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cpt = F.length("text").cast("double") / F.col("n_tokens")
     gated = d1.where(
-        F.col("n_tokens").between(20, 1000)
-        & (dup_frac <= 0.6)
-        & cpt.between(3.0, 12.0)
+        F.col("n_tokens").between(_GATE_TOK_MIN, _GATE_TOK_MAX)
+        & (dup_frac <= _GATE_DUP_MAX)
+        & cpt.between(_GATE_CPT_MIN, _GATE_CPT_MAX)
     )
     sh = _shingled(spark, sf_dir)
     bench = (
@@ -625,7 +632,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_sh"),
                 6,
             )
-            >= 0.6
+            >= _CONTAM_MIN
         )
         .select("doc_id")
     )
@@ -1261,11 +1268,11 @@ base AS (
   SELECT d.doc_id, d.source,
          len(string_split(d.text, ' ')) AS n_tokens,
          (d.doc_id <> k.keeper) AS is_dup,
-         NOT (len(string_split(d.text, ' ')) BETWEEN 20 AND 1000
+         NOT (len(string_split(d.text, ' ')) BETWEEN {_GATE_TOK_MIN} AND {_GATE_TOK_MAX}
               AND 1.0 - len(list_distinct(string_split(d.text, ' '))) * 1.0
-                  / len(string_split(d.text, ' ')) <= 0.6
+                  / len(string_split(d.text, ' ')) <= {_GATE_DUP_MAX}
               AND length(d.text) * 1.0 / len(string_split(d.text, ' '))
-                  BETWEEN 3.0 AND 12.0) AS quality_fail
+                  BETWEEN {_GATE_CPT_MIN} AND {_GATE_CPT_MAX}) AS quality_fail
   FROM documents d JOIN ks k ON md5(d.text) = k.h
 ),
 {_SHINGLES_CTE.strip()},
@@ -1285,7 +1292,7 @@ sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM corpus GROUP BY doc_id),
 flagged AS (
   SELECT s.doc_id, TRUE AS contaminated
   FROM sizes s LEFT JOIN hits h USING (doc_id)
-  WHERE ROUND(COALESCE(h.n_hit, 0) * 1.0 / s.n_sh, 6) >= 0.6
+  WHERE ROUND(COALESCE(h.n_hit, 0) * 1.0 / s.n_sh, 6) >= {_CONTAM_MIN}
 ),
 d4 AS (
   SELECT b.doc_id, b.source, b.n_tokens
@@ -1338,9 +1345,9 @@ def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
             (
                 ~(
-                    n_tokens.between(20, 1000)
-                    & (dup_frac <= 0.6)
-                    & cpt.between(3.0, 12.0)
+                    n_tokens.between(_GATE_TOK_MIN, _GATE_TOK_MAX)
+                    & (dup_frac <= _GATE_DUP_MAX)
+                    & cpt.between(_GATE_CPT_MIN, _GATE_CPT_MAX)
                 )
             ).alias("quality_fail"),
         )
@@ -1367,7 +1374,7 @@ def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_sh"),
                 6,
             )
-            >= 0.6
+            >= _CONTAM_MIN
         )
         .select("doc_id", F.lit(True).alias("contaminated"))
     )

@@ -23,9 +23,9 @@ Design choices, and why they hold at 100 TB:
   racing replica) can never double-ingest a batch — the same guarantee
   the curation lake uses, re-verified here by the kill-and-restart
   test.
-- **Map-only assignment.** Each batch crossJoins the broadcast
-  centroid table and takes MIN(struct(dist, cid)) per vector: no
-  shuffle of the batch beyond the per-vector argmin aggregation, no
+- **Map-only assignment.** The codebook is collected once per stream
+  and folded into each batch's plan as literals; the per-vector argmin
+  is array_min over k (dist, cid) structs — zero shuffle per batch, no
   state operator — the index IS the lake layout.
 - **Cell-pruned lookup.** ivf_lookup ranks centroids driver-side
   (numpy over index metadata, not a Spark job), then scans only the
@@ -60,17 +60,29 @@ def _sqdist(e_col, c_col):
     )
 
 
-def assign_cells(batch: DataFrame, cents: DataFrame) -> DataFrame:
+def _codebook_rows(cents) -> list[tuple[int, list[float]]]:
+    """Normalize a codebook to a sorted [(cid, vector)] list.  Accepts
+    either a (cid, c) DataFrame (collected ONCE — callers on a hot path
+    should do this themselves and pass the list) or an already-collected
+    list."""
+    if isinstance(cents, list):
+        return sorted((int(c), [float(x) for x in v]) for c, v in cents)
+    return sorted(
+        (int(r["cid"]), [float(x) for x in r["c"]]) for r in cents.collect()
+    )
+
+
+def assign_cells(batch: DataFrame, cents) -> DataFrame:
     """Nearest-centroid assignment, fully MAP-SIDE: the codebook is
     bounded by construction (k x d), so it is folded into the plan as
     literals and the per-vector argmin is array_min over k
     (dist, cid) structs — deterministic cid tiebreak, zero shuffle of
     the batch (the crossJoin+groupBy form would shuffle every batch on
     vec_id; for a k too large to inline, that broadcast-join form is
-    the fallback).  Returns (vec_id, embedding, cid)."""
-    rows = sorted(
-        ((r["cid"], [float(x) for x in r["c"]]) for r in cents.collect())
-    )
+    the fallback).  ``cents`` is a (cid, c) DataFrame or a
+    pre-collected [(cid, vector)] list.  Returns (vec_id, embedding,
+    cid)."""
+    rows = _codebook_rows(cents)
     structs = []
     for cid, c in rows:
         clit = F.array(*[F.lit(x) for x in c])
@@ -86,15 +98,29 @@ def assign_cells(batch: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def save_centroids(root: str, cents: DataFrame) -> None:
+def save_centroids(root: str, cents) -> None:
     """Persist the frozen codebook next to the manifests (index
-    metadata — k x d doubles, bounded by construction)."""
-    rows = sorted(
-        ((r["cid"], [float(x) for x in r["c"]]) for r in cents.collect())
-    )
+    metadata — k x d doubles, bounded by construction).  WRITE-ONCE:
+    the frozen-codebook contract (module docstring) is enforced here —
+    a restart passing a DIFFERENT codebook for the same root raises
+    instead of silently stranding every already-written cell under a
+    stale layout; re-training means a new index root."""
+    rows = _codebook_rows(cents)
+    payload = {"cids": [c for c, _ in rows], "c": [v for _, v in rows]}
+    path = os.path.join(root, _CENTROIDS_FILE)
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        if existing != payload:
+            raise ValueError(
+                f"index root {root} was built with a different codebook; "
+                "re-training requires a NEW index root (frozen-centroid "
+                "contract)"
+            )
+        return
     os.makedirs(root, exist_ok=True)
-    with open(os.path.join(root, _CENTROIDS_FILE), "w") as f:
-        json.dump({"cids": [c for c, _ in rows], "c": [v for _, v in rows]}, f)
+    with open(path, "w") as f:
+        json.dump(payload, f)
 
 
 def load_centroids(root: str) -> tuple[list[int], np.ndarray]:
@@ -116,10 +142,11 @@ def index_to_lake(
     availableNow trigger drains."""
     from pyspec_spark.lake import lake_append_stream
 
-    save_centroids(root, cents)
+    codebook = _codebook_rows(cents)  # ONE collect, reused every batch
+    save_centroids(root, codebook)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        assigned = assign_cells(batch_df, cents)
+        assigned = assign_cells(batch_df, codebook)
         lake_append_stream(
             spark, root, assigned, "cid", query_name, batch_id
         )
@@ -142,14 +169,24 @@ def ivf_lookup(
     Centroid ranking runs driver-side on index metadata (k x d — not a
     Spark job); only the probed cells' files are opened (manifest
     stats pruning on cid)."""
-    from pyspec_spark.lake import lake_scan
+    from pyspec_spark.lake import lake_scan, latest_version
 
     cids, C = load_centroids(root)
     q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt(q @ q))
+    if qn == 0.0:
+        raise ValueError("zero query vector has no nearest neighbors")
     order = np.argsort(((C - q) ** 2).sum(axis=1), kind="stable")
     probe = [cids[i] for i in order[: max(1, nprobe)]]
 
-    parts = [lake_scan(spark, root, [("cid", "=", cid)]) for cid in probe]
+    # resolve the snapshot ONCE: per-cell scans each re-reading
+    # latest_version would tear across a concurrent commit (cell A at
+    # v, cell B at v+1 — a mixed-snapshot top-k)
+    v = latest_version(root)
+    parts = [
+        lake_scan(spark, root, [("cid", "=", cid)], version=v)
+        for cid in probe
+    ]
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)
@@ -171,11 +208,14 @@ def ivf_lookup(
             lambda acc, x: acc + x,
         )
     )
-    qn = float(np.sqrt(q @ q))
+    # zero-norm stored vectors score NaN through the division, and
+    # Spark sorts NaN ABOVE every double — pin them to -inf instead so
+    # they can never top a lookup
+    score = F.when(
+        nrm > 0, dot / (nrm * F.lit(qn))
+    ).otherwise(F.lit(float("-inf")))
     return (
-        cand.select(
-            "vec_id", "cid", (dot / (nrm * F.lit(qn))).alias("score")
-        )
+        cand.select("vec_id", "cid", score.alias("score"))
         .orderBy(F.desc("score"), "vec_id")
         .limit(k)
     )
