@@ -451,6 +451,9 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_dedup_keep_best",
         "q_split_leakage",
         "q_split_repair",  # same CC fixpoint as q_split_leakage
+        # materializing round-trip BY DESIGN: the lake write it
+        # verifies IS execution (a commit cannot be a lazy plan)
+        "q_lake_roundtrip",
     }
     from pyspec_spark.tables import load
 
