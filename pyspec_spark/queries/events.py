@@ -296,3 +296,62 @@ def q_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gap_s"),
     ).orderBy("view_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# ST1 under the driver gate (r7) — the STREAMING ENGINE itself as a
+# declared oracle query: replay the events table's own parquet files as
+# an availableNow micro-batch stream, run the ST1 tumbling aggregation
+# through the real Structured Streaming runtime (watermark wider than
+# the data span so nothing late-drops: the query verifies the engine's
+# state machinery, not lateness policy), drain to a memory sink, and
+# return the sink.  The oracle is the SAME SQL as q_events_tumbling —
+# if the streaming runtime's incremental state produced anything
+# different from the batch aggregation, the value hash flips.  Twin
+# tests cover this per-operator at sf0.001; this row makes one of them
+# driver-checkable at sf0.01.
+#
+# Bounded side effect: one availableNow drain per invocation (unique
+# memory-sink name, so repeated driver runs never collide); exempted
+# from the zero-jobs build gate as execution BY DESIGN.
+# ---------------------------------------------------------------------------
+@query(
+    "q_stream_tumbling_rt",
+    oracle="""
+SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_stream_tumbling_rt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid as _uuid
+
+    from pyspec_spark.streaming.events import EVENT_SCHEMA, tumbling
+
+    # the test tables are single parquet FILES; a file-source stream
+    # needs a directory of arriving files — stage the events into 4
+    # chunks so the drain runs 4 real micro-batches of incremental
+    # state, not one degenerate batch
+    src = tempfile.mkdtemp(prefix="pyspec_stream_rt_")
+    table(spark, sf_dir, "events").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    name = f"t_stream_rt_{_uuid.uuid4().hex[:10]}"
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        tumbling(stream, watermark="3650 days")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("bucket", "event_type")

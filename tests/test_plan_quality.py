@@ -451,9 +451,10 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_dedup_keep_best",
         "q_split_leakage",
         "q_split_repair",  # same CC fixpoint as q_split_leakage
-        # materializing round-trip BY DESIGN: the lake write it
-        # verifies IS execution (a commit cannot be a lazy plan)
+        # materializing round-trips BY DESIGN: the lake write / the
+        # availableNow stream drain they verify IS execution
         "q_lake_roundtrip",
+        "q_stream_tumbling_rt",
     }
     from pyspec_spark.tables import load
 
