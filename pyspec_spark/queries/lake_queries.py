@@ -69,3 +69,71 @@ def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# S1b — SPEC DataSource under the oracle gate (r7): the custom Spark 4
+# Python DataSource (sources/spec_datasource.py), previously unit-only,
+# made driver-checkable: synthesize a SPEC text file FROM the documents
+# table (one scan, integer motor columns doc_id / n_chars — integers
+# survive the %g text round-trip exactly, which is why no float column
+# rides along), read it back through the registered "specfile" format's
+# per-scan partitions and values map, and return the parsed columns.
+# The oracle selects the same slice straight from the table: any parser
+# offset error, column mix-up, or map-key defect flips the value hash.
+# Bounded side effect (one tmp file per invocation); exempt from the
+# zero-jobs build gate (the synthesis collect IS the fixture).
+# ---------------------------------------------------------------------------
+_SPEC_RT_MAX_ID = 200
+
+
+@query(
+    "q_spec_roundtrip",
+    oracle=f"""
+SELECT CAST(doc_id AS DOUBLE) AS doc_id_v,
+       CAST(n_chars AS DOUBLE) AS n_chars_v
+FROM documents
+WHERE doc_id < {_SPEC_RT_MAX_ID}
+ORDER BY doc_id_v
+""",
+)
+def q_spec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspec_spark.sources.spec_datasource import SpecDataSource
+
+    rows = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _SPEC_RT_MAX_ID)
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    lines = [
+        "#F roundtrip.spec",
+        "#E 1300000000",
+        "#D Thu Feb 24 14:05:35 2011",
+        "#O0 dummy",
+        "",
+        f"#S 1 ascan doc 0 {max(1, len(rows) - 1)} {max(1, len(rows) - 1)} 1",
+        "#D Thu Feb 24 14:06:35 2011",
+        "#T 1 (Seconds)",
+        "#P0 0.0",
+        "#N 2",
+        "#L doc_id  n_chars",
+    ]
+    lines += [f"{r['doc_id']} {r['n_chars']}" for r in rows]
+    lines.append("")
+    tmp = tempfile.mkdtemp(prefix="pyspec_spec_rt_")
+    path = os.path.join(tmp, "roundtrip.spec")
+    with open(path, "w") as f:
+        f.write("\n".join(lines))
+    try:
+        spark.dataSource.register(SpecDataSource)
+    except Exception:
+        pass  # already registered in this session
+    pts = spark.read.format("specfile").option("path", path).load()
+    return pts.select(
+        F.col("values")["doc_id"].alias("doc_id_v"),
+        F.col("values")["n_chars"].alias("n_chars_v"),
+    ).orderBy("doc_id_v")

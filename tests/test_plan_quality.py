@@ -455,6 +455,7 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         # availableNow stream drain they verify IS execution
         "q_lake_roundtrip",
         "q_stream_tumbling_rt",
+        "q_spec_roundtrip",  # the fixture-synthesis collect IS the point
     }
     from pyspec_spark.tables import load
 
