@@ -238,3 +238,78 @@ def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("c_acctbal", "sum_bal"),
         F.min("c_custkey").alias("min_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# W8 — time-weighted average (r7): per user, each event's value held
+# until the NEXT event (zero-order hold) and averaged by holding time —
+# the TWAP shape every metering/pricing/telemetry pipeline computes,
+# and a different beast from the plain mean when events arrive
+# irregularly (a value held for an hour must weigh 3600x one held for
+# a second).  Last event per user has no holding interval and is
+# excluded; single-event users drop out entirely.
+#
+# Determinism: holding times are exact integer milliseconds
+# (unix_millis / epoch_ms agree exactly), values are exact milli-units
+# (the _fixed6 idiom at 1e3 — the corpus carries 2 decimals, and the
+# 1e3 scale keeps SUM(v * w) inside int64: 5.6e5 x 2.6e9 x 99 events
+# per user ~ 1.4e17 < 2^63), and the TWAP is ONE bigint/bigint double
+# division under the terminal ROUND.  Ordering ties on equal
+# timestamps break by event_id in both engines.
+#
+# 100 TB posture: one user-keyed window shuffle (lead + the two sums
+# share the partitioning), then the per-user aggregation reuses the
+# same key — the q_inverted_index exchange-sharing shape.
+# ---------------------------------------------------------------------------
+@query(
+    "q_twap",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_ms(ts) AS ms,
+         CAST(ROUND(value * 1e3) AS BIGINT) AS v3
+  FROM events
+),
+h AS (
+  SELECT user_id, v3,
+         LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms
+           AS w_ms
+  FROM e
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_held,
+       CAST(SUM(w_ms) AS BIGINT) AS span_ms,
+       ROUND(CAST(SUM(v3 * w_ms) AS DOUBLE)
+             / CAST(SUM(w_ms) * 1000 AS DOUBLE), 6) AS twap
+FROM h
+WHERE w_ms IS NOT NULL
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 1e3).cast("bigint").alias("v3"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    h = e.select(
+        "user_id",
+        "v3",
+        (F.lead("ms").over(w) - F.col("ms")).alias("w_ms"),
+    ).where(F.col("w_ms").isNotNull())
+    return (
+        h.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_held"),
+            F.sum("w_ms").alias("span_ms"),
+            F.round(
+                (F.sum(F.col("v3") * F.col("w_ms"))).cast("double")
+                / (F.sum("w_ms") * 1000).cast("double"),
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )

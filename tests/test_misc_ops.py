@@ -164,3 +164,35 @@ def test_range_frame_window(spark):
     w = Window.partitionBy("g").orderBy("x").rangeBetween(-2, 0)
     out = {r["x"]: r["s"] for r in df.withColumn("s", F.sum("v").over(w)).collect()}
     assert out == {1: 10.0, 2: 30.0, 4: 60.0, 8: 80.0}
+
+
+def test_twap_matches_pandas_zero_order_hold(spark):
+    """TWAP equals an independent pandas recompute of the zero-order
+    hold (value held until the next event, weighted by holding ms)."""
+    from pyspec_spark.queries.windows import q_twap
+    from pyspec_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["user_id"]: r for r in q_twap.__wrapped__(spark, sf).collect()}
+    pdf = (
+        table(spark, sf, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .toPandas()
+        .sort_values(["user_id", "ts", "event_id"])
+    )
+    import math
+
+    for uid, g in pdf.groupby("user_id"):
+        ms = (g["ts"].astype("int64") // 1_000_000).tolist()
+        v3 = [round(v * 1e3) for v in g["value"]]
+        ws = [b - a for a, b in zip(ms, ms[1:])]
+        if not ws:
+            assert uid not in got
+            continue
+        num = sum(v * w for v, w in zip(v3, ws))
+        den = sum(ws)
+        r = got[uid]
+        assert r["n_held"] == len(ws)
+        assert r["span_ms"] == den
+        want = num / (den * 1000)
+        assert math.isclose(r["twap"], round(want, 6), abs_tol=1e-9)

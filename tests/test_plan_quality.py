@@ -853,3 +853,14 @@ def test_view_purchase_join_equi_key_with_range_residual(spark):
     assert has_broadcast_join(p) or "SortMergeJoin" in p  # keyed join
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
+
+
+def test_twap_shares_user_partitioning(spark):
+    """q_twap: the lead window and the per-user aggregation share the
+    hash partitioning on user_id — two exchanges total (window +
+    presentation sort), one scan, partial aggregation present."""
+    p = _plan(spark, "q_twap")
+    assert len(read_schemas(p)) == 1
+    assert count_exchanges(p) == 2
+    assert has_partial_aggregate(p)
+    assert "Join" not in p
