@@ -137,3 +137,64 @@ def q_spec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("values")["doc_id"].alias("doc_id_v"),
         F.col("values")["n_chars"].alias("n_chars_v"),
     ).orderBy("doc_id_v")
+
+
+# ---------------------------------------------------------------------------
+# S6c — lake change-data capture under the oracle gate (r7): commit two
+# versions derived from the documents table by CLOSED-FORM edits —
+# delete doc_id % 7 == 0, update n_chars on doc_id % 5 == 0 (of the
+# survivors), insert 10 fresh keys — then lake_diff the manifests and
+# return the changelist.  The oracle states the same closed form
+# directly over the table, so the query verifies the whole CDC chain:
+# two commits, two manifest-planned reads, the keyed full-outer diff,
+# and the change classification.  Same bounded-side-effect contract as
+# the other round-trip rows (fresh tmp root per invocation, zero-jobs
+# exempt).
+# ---------------------------------------------------------------------------
+_DIFF_MAX_ID = 300
+_DIFF_INS_LO, _DIFF_INS_N = 10_000, 10
+
+
+@query(
+    "q_lake_diff",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id FROM documents WHERE doc_id < {_DIFF_MAX_ID}
+)
+SELECT doc_id, 'delete' AS change FROM base WHERE doc_id % 7 = 0
+UNION ALL
+SELECT doc_id, 'update' FROM base WHERE doc_id % 5 = 0 AND doc_id % 7 <> 0
+UNION ALL
+SELECT CAST(unnest(range({_DIFF_INS_LO}, {_DIFF_INS_LO + _DIFF_INS_N}))
+            AS BIGINT) AS doc_id,
+       'insert'
+ORDER BY doc_id
+""",
+)
+def q_lake_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.lake import lake_diff, lake_overwrite
+
+    base = (
+        table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _DIFF_MAX_ID)
+        .select("doc_id", "lang", "n_chars")
+    )
+    root = tempfile.mkdtemp(prefix="pyspec_lake_cdc_")
+    v1 = lake_overwrite(spark, root, base, partition_col="lang")
+    inserted = spark.range(_DIFF_INS_LO, _DIFF_INS_LO + _DIFF_INS_N).select(
+        F.col("id").alias("doc_id"),
+        F.lit("xx").alias("lang"),
+        F.lit(1).cast("long").alias("n_chars"),
+    )
+    v2_df = (
+        base.where(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "n_chars",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.col("n_chars") + 1
+            ).otherwise(F.col("n_chars")),
+        )
+        .unionByName(inserted)
+    )
+    v2 = lake_overwrite(spark, root, v2_df, partition_col="lang")
+    return lake_diff(spark, root, v1, v2, "doc_id").orderBy("doc_id")

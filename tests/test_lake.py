@@ -684,3 +684,38 @@ def test_compact_rebuilds_blooms_and_stream_append_carries_them(
     assert all("doc_id" in e.get("bloom", {}) for e in m2["files"])
     assert [r["doc_id"] for r in lake_scan(spark, root, [("doc_id", "=", 137)]).collect()] == [137]
     assert lake_scan(spark, root, [("doc_id", "=", 7777)]).count() == 0
+
+
+def test_lake_diff_classifies_insert_delete_update(spark, tmp_path):
+    """lake_diff between two versions reports exactly the changed keys
+    with the right class; unchanged keys are absent; the diff of a
+    version against itself is empty."""
+    from pyspec_spark.lake import lake_diff, lake_overwrite
+
+    root = str(tmp_path / "cdc")
+    v1 = lake_overwrite(spark, root, _docs(spark, 0, 20), "part")
+    changed = (
+        _docs(spark, 0, 20)
+        .where("doc_id % 4 != 0")  # delete multiples of 4
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit("!"))
+            ).otherwise(F.col("text")),  # update multiples of 3
+        )
+        .unionByName(_docs(spark, 100, 103))  # insert 3 new keys
+    )
+    v2 = lake_overwrite(spark, root, changed, "part")
+    got = {
+        (r["doc_id"], r["change"])
+        for r in lake_diff(spark, root, v1, v2, "doc_id").collect()
+    }
+    want = set()
+    for i in range(20):
+        if i % 4 == 0:
+            want.add((i, "delete"))
+        elif i % 3 == 0:
+            want.add((i, "update"))
+    want |= {(i, "insert") for i in range(100, 103)}
+    assert got == want
+    assert lake_diff(spark, root, v2, v2, "doc_id").count() == 0
