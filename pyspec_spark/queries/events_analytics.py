@@ -252,3 +252,128 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n"),
         F.round(F.col("n").cast("double") / F.col("tot"), 6).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E6 — OHLC bars (r7): open/high/low/close of `value` per (hour,
+# event_type) — the candlestick rollup every market-data/metering
+# pipeline materializes.  Open/close are PICKED values (first/last in
+# (ts, event_id) order — the event_id tiebreak makes equal-timestamp
+# bars deterministic in both engines), high/low are exact MIN/MAX; no
+# arithmetic touches the doubles at all, so there is no float-sum
+# caveat anywhere.
+#
+# 100 TB posture: ONE partial-aggregated shuffle on the (bucket, type)
+# key — open/close ride as MIN/MAX of (ts, event_id, value) structs,
+# so no window pass and no second shuffle exists.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ohlc",
+    oracle="""
+SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       (MIN(struct_pack(ts := ts, event_id := event_id,
+                        value := value))).value AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       (MAX(struct_pack(ts := ts, event_id := event_id,
+                        value := value))).value AS close
+FROM events
+GROUP BY 1, 2
+ORDER BY bucket, event_type
+""",
+)
+def q_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    key = F.struct(
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("event_id"),
+        F.col("value").alias("value"),
+    )
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("bucket"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min(key).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(key).getField("value").alias("close"),
+        )
+        .orderBy("bucket", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E7 — exact 3-sigma outliers (r7): per user, flag events whose value
+# sits more than 3 population standard deviations from that user's
+# mean — WITHOUT ever computing a mean, a variance, or a square root.
+# The float chain mean/std/z is the classic cross-engine minefield
+# (libm sqrt, order-dependent sums); instead the z-test is multiplied
+# through into pure int64 arithmetic on milli-unit values:
+#
+#     |x - S/n| > 3 * sqrt((Q/n) - (S/n)^2)
+#  <=>  (n*x - S)^2  >  9 * (n*Q - S^2)
+#
+# (multiply the z-test through by n^2: d^2 > 9*sigma^2 with sigma^2 =
+# (n*Q - S^2)/n^2).  S = SUM(v3), Q = SUM(v3^2) exact bigints; both
+# sides stay inside int64 for this corpus shape (v3 <= ~5.6e5, n <=
+# 99: LHS <= ~3e15, RHS <= ~3e16 — the in-code bound note is part of the
+# contract; a corpus violating it routes through DECIMAL(38,0)
+# comparisons, never through floats).  Every flagged row is EXACTLY
+# the set a real-arithmetic z-test would flag — no epsilon anywhere.
+#
+# 100 TB posture: one user-keyed aggregation for (n, S, Q) joined back
+# to the events (user-keyed equi-join, broadcastable per partition at
+# small key widths), flag map-side; two shuffles total.
+# ---------------------------------------------------------------------------
+@query(
+    "q_value_outliers",
+    oracle="""
+WITH v AS (
+  SELECT user_id, event_id,
+         CAST(ROUND(value * 1e3) AS BIGINT) AS v3
+  FROM events
+),
+st AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v3) AS BIGINT) AS s,
+         CAST(SUM(v3 * v3) AS BIGINT) AS q
+  FROM v GROUP BY user_id
+)
+SELECT v.user_id, v.event_id,
+       CAST(v.v3 AS DOUBLE) / 1e3 AS value_r
+FROM v JOIN st USING (user_id)
+WHERE st.n >= 3
+  AND (st.n * v.v3 - st.s) * (st.n * v.v3 - st.s)
+      > 9 * (st.n * st.q - st.s * st.s)
+ORDER BY user_id, event_id
+""",
+)
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") * 1e3).cast("bigint").alias("v3"),
+    )
+    st = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("v3").alias("s"),
+        F.sum(F.col("v3") * F.col("v3")).alias("q"),
+    )
+    j = e.join(st, "user_id")
+    dev = F.col("n") * F.col("v3") - F.col("s")
+    return (
+        j.where(
+            (F.col("n") >= 3)
+            & (dev * dev > 9 * (F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+        )
+        .select(
+            "user_id",
+            "event_id",
+            (F.col("v3").cast("double") / 1e3).alias("value_r"),
+        )
+        .orderBy("user_id", "event_id")
+    )

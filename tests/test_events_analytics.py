@@ -65,3 +65,63 @@ def test_retention_day0_counts_every_user(spark):
     assert rows[0] == n_users  # every user is active on their own day-0
     assert all(v <= n_users for v in rows.values())
     assert min(rows) == 0 and all(k >= 0 for k in rows)
+
+
+def test_value_outliers_equal_float_z_test(spark):
+    """The integer inequality flags EXACTLY the rows a real-arithmetic
+    3-sigma z-test (population std over milli-unit values) flags."""
+    from collections import defaultdict
+
+    from pyspec_spark.queries.events_analytics import q_value_outliers
+    from pyspec_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in q_value_outliers.__wrapped__(spark, sf).collect()
+    }
+    rows = table(spark, sf, "events").select(
+        "user_id", "event_id", "value"
+    ).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append((r["event_id"], round(r["value"] * 1e3)))
+    from fractions import Fraction
+
+    want = set()
+    for uid, vs in by_user.items():
+        n = len(vs)
+        if n < 3:
+            continue
+        s = sum(v for _, v in vs)
+        q = sum(v * v for _, v in vs)
+        mean = Fraction(s, n)
+        var = Fraction(q, n) - mean * mean
+        for eid, v in vs:
+            if (v - mean) ** 2 > 9 * var:  # exact rational z-test
+                want.add((uid, eid))
+    assert got == want
+    assert 0 < len(got) < len(rows) // 10
+
+
+def test_ohlc_bars_match_pandas(spark):
+    """Every bar's O/H/L/C equals a pandas recompute with the same
+    (ts, event_id) pick order."""
+    from pyspec_spark.queries.events_analytics import q_ohlc
+    from pyspec_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["bucket"], r["event_type"]): r
+        for r in q_ohlc.__wrapped__(spark, sf).collect()
+    }
+    pdf = table(spark, sf, "events").toPandas()
+    pdf["bucket"] = pdf["ts"].dt.floor("h")
+    for (b, t), g in pdf.groupby(["bucket", "event_type"]):
+        g = g.sort_values(["ts", "event_id"])
+        r = got[(b.to_pydatetime(), t)]
+        assert r["n"] == len(g)
+        assert r["open"] == g["value"].iloc[0]
+        assert r["close"] == g["value"].iloc[-1]
+        assert r["high"] == g["value"].max()
+        assert r["low"] == g["value"].min()

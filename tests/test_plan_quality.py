@@ -865,3 +865,24 @@ def test_twap_shares_user_partitioning(spark):
     assert count_exchanges(p) == 2
     assert has_partial_aggregate(p)
     assert "Join" not in p
+
+
+def test_ohlc_single_shuffle(spark):
+    """q_ohlc: open/close ride as struct MIN/MAX inside the same
+    partial-aggregated (bucket, type) aggregation as high/low — one
+    exchange plus the presentation sort, no window pass."""
+    p = _plan(spark, "q_ohlc")
+    assert has_partial_aggregate(p)
+    assert count_exchanges(p) == 2
+    assert "Window" not in p and "Join" not in p
+
+
+def test_value_outliers_two_shuffles(spark):
+    """q_value_outliers: one user-keyed stats aggregation joined back
+    on the same key, flag map-side — the join must be keyed (never
+    nested-loop) and exchanges bounded."""
+    p = _plan(spark, "q_value_outliers")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert has_partial_aggregate(p)
+    assert count_exchanges(p) <= 4
