@@ -377,3 +377,52 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# E8 — user growth curve (r7): per day, how many users appeared for the
+# FIRST time and the cumulative total — the activation/growth table
+# every events dashboard opens with.  Cumulative COUNT(DISTINCT) over a
+# window is the naive (and quadratic-state) form; the standard scale
+# rewrite computes each user's first-seen day with ONE user-keyed
+# aggregation, then a |days|-sized daily rollup and a running sum over
+# the tiny day table.
+#
+# 100 TB posture: the only corpus shuffle is the per-user MIN(day);
+# everything after runs on |days| rows (the running-sum window is a
+# single partition of a few thousand rows — fine BECAUSE the corpus
+# never enters it).
+# ---------------------------------------------------------------------------
+@query(
+    "q_user_growth",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+  FROM first_seen GROUP BY d0
+)
+SELECT day, new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS total_users
+FROM daily
+ORDER BY day
+""",
+)
+def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    daily = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").alias("new_users")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        daily.withColumn("total_users", F.sum("new_users").over(w))
+        .orderBy("day")
+    )

@@ -886,3 +886,14 @@ def test_value_outliers_two_shuffles(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert has_partial_aggregate(p)
     assert count_exchanges(p) <= 4
+
+
+def test_user_growth_corpus_shuffle_only_for_first_seen(spark):
+    """q_user_growth: the only corpus-sized shuffle is the per-user
+    MIN(day); the daily rollup and the running sum run on |days| rows
+    (the single-partition window is fine BECAUSE the corpus never
+    enters it)."""
+    p = _plan(spark, "q_user_growth")
+    assert has_partial_aggregate(p)
+    assert "Join" not in p
+    assert count_exchanges(p) <= 4
