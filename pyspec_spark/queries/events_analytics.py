@@ -426,3 +426,77 @@ def q_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("total_users", F.sum("new_users").over(w))
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# E9 — inter-arrival percentiles (r7): p50/p90/p99 of the gap between
+# consecutive events per event_type — the latency/cadence table a
+# capacity planner reads (tail gaps are what page; the mean gap hides
+# them).  Gaps are exact integer milliseconds on the proven
+# unix_millis/epoch_ms basis with (ts, event_id) tie ordering;
+# percentiles use the discrete CUME_DIST >= p selection (the
+# q_percentile_disc idiom — a PICKED element, never an interpolation,
+# so no float arithmetic exists anywhere).
+#
+# 100 TB posture: one type-keyed window shuffle for the lag (shared by
+# the CUME_DIST pass — same partitioning), then a |types|-key
+# aggregation; at production the per-type window is the watch-item for
+# monster types, and the standard mitigation is per-(type, day)
+# sub-windows (gaps never span days at metric granularity).
+# ---------------------------------------------------------------------------
+@query(
+    "q_gap_percentiles",
+    oracle="""
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) AS ms, event_id FROM events
+),
+g AS (
+  SELECT event_type,
+         ms - LAG(ms) OVER (PARTITION BY event_type
+                            ORDER BY ms, event_id) AS gap_ms
+  FROM e
+),
+c AS (
+  SELECT event_type, gap_ms,
+         CUME_DIST() OVER (PARTITION BY event_type ORDER BY gap_ms) AS cd
+  FROM g WHERE gap_ms IS NOT NULL
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(CASE WHEN cd >= 0.5 THEN gap_ms END) AS BIGINT) AS p50_ms,
+       CAST(MIN(CASE WHEN cd >= 0.9 THEN gap_ms END) AS BIGINT) AS p90_ms,
+       CAST(MIN(CASE WHEN cd >= 0.99 THEN gap_ms END) AS BIGINT) AS p99_ms
+FROM c
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def q_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select(
+        "event_type", F.unix_millis("ts").alias("ms"), "event_id"
+    )
+    wl = Window.partitionBy("event_type").orderBy("ms", "event_id")
+    g = e.select(
+        "event_type",
+        (F.col("ms") - F.lag("ms").over(wl)).alias("gap_ms"),
+    ).where(F.col("gap_ms").isNotNull())
+    wc = Window.partitionBy("event_type").orderBy("gap_ms")
+    c = g.withColumn("cd", F.cume_dist().over(wc))
+
+    def disc(p: float, alias: str):
+        return (
+            F.min(F.when(F.col("cd") >= p, F.col("gap_ms")))
+            .cast("bigint")
+            .alias(alias)
+        )
+
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            disc(0.5, "p50_ms"),
+            disc(0.9, "p90_ms"),
+            disc(0.99, "p99_ms"),
+        )
+        .orderBy("event_type")
+    )

@@ -125,3 +125,39 @@ def test_ohlc_bars_match_pandas(spark):
         assert r["close"] == g["value"].iloc[-1]
         assert r["high"] == g["value"].max()
         assert r["low"] == g["value"].min()
+
+
+def test_gap_percentiles_match_numpy(spark):
+    """p50/p90/p99 equal a numpy discrete-percentile recompute (element
+    at ceil(p*n) in sorted order) of the same integer-ms gaps."""
+    import math
+    from collections import defaultdict
+
+    from pyspec_spark.queries.events_analytics import q_gap_percentiles
+    from pyspec_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["event_type"]: r
+        for r in q_gap_percentiles.__wrapped__(spark, sf).collect()
+    }
+    rows = table(spark, sf, "events").select(
+        "event_type", "ts", "event_id"
+    ).collect()
+    import calendar
+
+    seqs = defaultdict(list)
+    for r in rows:
+        ts = r["ts"]
+        # exact epoch-ms (unix_millis semantics: floor of microseconds),
+        # never through float .timestamp()
+        us = calendar.timegm(ts.timetuple()) * 1_000_000 + ts.microsecond
+        seqs[r["event_type"]].append((us // 1000, r["event_id"]))
+    for t, es in seqs.items():
+        es.sort()
+        gaps = sorted(b[0] - a[0] for a, b in zip(es, es[1:]))
+        r = got[t]
+        assert r["n_gaps"] == len(gaps)
+        for p, col in ((0.5, "p50_ms"), (0.9, "p90_ms"), (0.99, "p99_ms")):
+            want = gaps[math.ceil(p * len(gaps)) - 1]
+            assert r[col] == want, (t, col)

@@ -897,3 +897,12 @@ def test_user_growth_corpus_shuffle_only_for_first_seen(spark):
     assert has_partial_aggregate(p)
     assert "Join" not in p
     assert count_exchanges(p) <= 4
+
+
+def test_gap_percentiles_type_keyed_windows(spark):
+    """q_gap_percentiles: the lag and CUME_DIST windows and the final
+    aggregation all key on event_type; no join, bounded exchanges."""
+    p = _plan(spark, "q_gap_percentiles")
+    assert "Join" not in p
+    assert has_partial_aggregate(p)
+    assert count_exchanges(p) <= 4
