@@ -196,22 +196,29 @@ _COV_D = 16
 
 # Named so q_pca_power (queries/ml.py) can reuse this oracle verbatim
 # as its CTE prefix — the same composition trick as q_ann_ivf_det.
-# Moment basis is fl(SUM(BIGINT))/1e6 on BOTH engines (the
-# q_embed_centroid lesson, arrays.py:150): a DECIMAL(18,6) sum widens
-# to int128 in DuckDB whose ->DOUBLE conversion is off by an ulp for
-# some values, flipping the terminal rounding (observed as the r6
-# driver hash mismatch).  BIGINT->DOUBLE is exact below 2^53 and /1e6
-# is one IEEE op, so m2/s/n enter the cov expression bit-identical;
-# the terminal round is scale-0 on value*1e6 (no pre-multiplied-ulp
-# seam inside ROUND(.,6) itself).  DuckDB ROUND = std::round = Spark
-# F.round (BigDecimal HALF_UP) = _fixed6's sign-split floor: all half
-# away from zero, ties included.
+#
+# r8: FULL-INTEGER output.  The r6/r7 driver reds traced to
+# build-sensitive int128->double / float-chain rounding seams in the
+# terminal ROUND: r7 moved the moments onto fl(SUM(BIGINT))/1e6 and the
+# driver's DuckDB build STILL disagreed (local 1.0.0 passed both
+# rounds).  So the declared result now carries ZERO float columns:
+#   s_i, s_j = SUM(ROUND(x*1e6))           (micro-unit first moments)
+#   m2       = SUM(ROUND(x_i*x_j*1e6))     (micro-unit second moment)
+#   cov_num  = n*m2*1e6 - s_i*s_j          (sample-cov numerator, micro^2)
+#   cov_den  = n*(n-1)                     (cov value = num/den/1e12)
+# All arithmetic after the per-row quantization is exact integer math
+# (HUGEINT in DuckDB, DECIMAL(38,0) in Spark, both re-cast to BIGINT —
+# every value fits int64 by orders of magnitude at the declared scales).
+# The per-row quantization itself is deterministic: float->double casts
+# are exact, one double multiply is bit-identical IEEE on any build,
+# and DuckDB ROUND = std::round = Spark _fixed6's sign-split floor
+# (half away from zero).  Integers hash identically on every build.
 _EMBED_COV_ORACLE = f"""
 WITH idx AS (SELECT CAST(unnest(range(1, {_COV_D} + 1)) AS INT) AS i),
 firsts AS (
   SELECT i,
          CAST(SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT))
-              AS DOUBLE) / 1e6 AS s,
+              AS BIGINT) AS s,
          COUNT(*) AS n
   FROM embeddings, idx
   GROUP BY i
@@ -220,13 +227,16 @@ seconds AS (
   SELECT ii.i, jj.i AS j,
          CAST(SUM(CAST(ROUND(CAST(embedding[ii.i] AS DOUBLE)
                              * CAST(embedding[jj.i] AS DOUBLE) * 1e6) AS BIGINT))
-              AS DOUBLE) / 1e6 AS m2
+              AS BIGINT) AS m2
   FROM embeddings, idx ii, idx jj
   WHERE jj.i >= ii.i
   GROUP BY ii.i, jj.i
 )
-SELECT s2.i, s2.j, fi.n, s2.m2,
-       ROUND((s2.m2 - fi.s * fj.s / fi.n) / (fi.n - 1) * 1e6) / 1e6 AS cov
+SELECT s2.i, s2.j, fi.n,
+       fi.s AS s_i, fj.s AS s_j, s2.m2,
+       CAST(CAST(fi.n AS HUGEINT) * s2.m2 * 1000000
+            - CAST(fi.s AS HUGEINT) * fj.s AS BIGINT) AS cov_num,
+       fi.n * (fi.n - 1) AS cov_den
 FROM seconds s2
 JOIN firsts fi ON fi.i = s2.i
 JOIN firsts fj ON fj.i = s2.j
@@ -258,20 +268,22 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.explode(pairs).alias("p"))
         .select("p.i", "p.j", "p.xx")
         .groupBy("i", "j")
-        .agg((F.sum(_fixed6(F.col("xx"))).cast("double") / 1e6).alias("m2"))
+        .agg(F.sum(_fixed6(F.col("xx"))).alias("m2"))
     )
     firsts = (
         e.select(F.posexplode(F.slice("embedding", 1, d)).alias("pos", "raw"))
         .select((F.col("pos") + 1).cast("int").alias("i"),
                 F.col("raw").cast("double").alias("v"))
         .groupBy("i")
-        .agg(
-            (F.sum(_fixed6(F.col("v"))).cast("double") / 1e6).alias("s"),
-            F.count("*").alias("n"),
-        )
+        .agg(F.sum(_fixed6(F.col("v"))).alias("s"), F.count("*").alias("n"))
     )
-    fi = firsts.select(F.col("i"), F.col("s").alias("si"), F.col("n"))
-    fj = firsts.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    fi = firsts.select(F.col("i"), F.col("s").alias("s_i"), F.col("n"))
+    fj = firsts.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    dec = "decimal(38,0)"
+    cov_num = (
+        F.col("n").cast(dec) * F.col("m2").cast(dec) * F.lit(1000000).cast(dec)
+        - F.col("s_i").cast(dec) * F.col("s_j").cast(dec)
+    ).cast("long")
     return (
         seconds.join(F.broadcast(fi), "i")
         .join(F.broadcast(fj), "j")
@@ -279,15 +291,11 @@ def q_embed_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i",
             "j",
             "n",
+            "s_i",
+            "s_j",
             "m2",
-            (
-                F.round(
-                    (F.col("m2") - F.col("si") * F.col("sj") / F.col("n"))
-                    / (F.col("n") - 1)
-                    * 1e6
-                )
-                / 1e6
-            ).alias("cov"),
+            cov_num.alias("cov_num"),
+            (F.col("n") * (F.col("n") - 1)).alias("cov_den"),
         )
     )
 

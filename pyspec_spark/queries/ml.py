@@ -322,16 +322,26 @@ _PCA_ROUNDS = 2
 def _pca_oracle() -> str:
     from pyspec_spark.queries.arrays import _EMBED_COV_ORACLE
 
-    # Same fl(SUM(BIGINT))/1e6 moment basis as _EMBED_COV_ORACLE (r7):
-    # DECIMAL sums widen to int128 in DuckDB with an ulp-lossy ->DOUBLE
-    # conversion; ROUND(x*1e6)-as-BIGINT sums match Spark's _fixed6
-    # bit-for-bit, and the terminal round is scale-0 on value*1e6.
+    # r8: _EMBED_COV_ORACLE now emits the covariance as an exact integer
+    # pair (cov_num micro^2, cov_den) — zero float columns, build-proof.
+    # The iteration needs a double matrix, so cov is re-derived here as
+    # ROUND(fl(num)/fl(den)/1e6)/1e6: BIGINT->DOUBLE is correctly
+    # rounded per IEEE on every build (int64, NOT the hugeint path),
+    # the two divisions are single IEEE ops on bit-identical inputs,
+    # and the terminal round is scale-0 — both engines see the same
+    # bits.  Spark mirrors the exact same chain (q_pca_power below).
     sql = f"""
 WITH tri AS ({_EMBED_COV_ORACLE}),
 covf AS (
-  SELECT i, j, cov FROM tri
+  SELECT i, j,
+         ROUND(CAST(cov_num AS DOUBLE) / CAST(cov_den AS DOUBLE) / 1e6)
+           / 1e6 AS cov
+  FROM tri
   UNION ALL
-  SELECT j AS i, i AS j, cov FROM tri WHERE i < j
+  SELECT j AS i, i AS j,
+         ROUND(CAST(cov_num AS DOUBLE) / CAST(cov_den AS DOUBLE) / 1e6)
+           / 1e6 AS cov
+  FROM tri WHERE i < j
 ),
 x1 AS (
   SELECT i, CAST(SUM(CAST(ROUND(cov * 0.125 * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS x
@@ -357,7 +367,14 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspec_spark.queries.arrays import q_embed_cov
 
     cov_builder = getattr(q_embed_cov, "__wrapped__", q_embed_cov)
-    tri = cov_builder(spark, sf_dir).select("i", "j", "cov")
+    # same double re-derivation as the oracle's covf CTE (see _pca_oracle)
+    cov_dbl = (
+        F.round(
+            F.col("cov_num").cast("double") / F.col("cov_den").cast("double") / 1e6
+        )
+        / 1e6
+    ).alias("cov")
+    tri = cov_builder(spark, sf_dir).select("i", "j", cov_dbl)
     covf = tri.unionByName(
         tri.where(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "cov"

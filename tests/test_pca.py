@@ -98,18 +98,29 @@ def test_pca_power_equals_numpy_iterate(spark, emb_local):
     def r6_up(x):
         return float(np.floor(abs(x) * 1e6 + 0.5) * np.sign(x)) / 1e6
 
-    # mirror q_embed_cov's exact arithmetic (micro-unit moment sums,
-    # one IEEE division, HALF_UP round to 6) — np.cov differs at
-    # rounding boundaries by 1e-6, which the tiny first-round x
-    # magnitudes amplify, so the mirror must be exact, not approximate
+    # mirror q_embed_cov's exact r8 arithmetic: integer micro-unit
+    # moment sums -> exact integer numerator/denominator -> the one
+    # double chain fl(num)/fl(den)/1e6 -> scale-0 HALF-AWAY round.
+    # np.cov differs at rounding boundaries by 1e-6, which the tiny
+    # first-round x magnitudes amplify, so the mirror must be exact.
+    def q6_isum(terms):
+        t = np.asarray(terms) * 1e6
+        # integer-valued floats, sum < 2^53 -> exact
+        return int((np.floor(np.abs(t) + 0.5) * np.sign(t)).sum())
+
+    def r0_up(t):
+        return float(np.floor(abs(t) + 0.5) * np.sign(t))
+
     Xd = X[:, :16]
     n = Xd.shape[0]
-    s = np.array([q6_sum(Xd[:, i]) for i in range(16)])
+    s_int = [q6_isum(Xd[:, i]) for i in range(16)]
     C = np.zeros((16, 16))
     for i in range(16):
         for j in range(i, 16):
-            m2 = q6_sum(Xd[:, i] * Xd[:, j])
-            C[i, j] = C[j, i] = r6_up((m2 - s[i] * s[j] / n) / (n - 1))
+            m2 = q6_isum(Xd[:, i] * Xd[:, j])
+            num = n * m2 * 10**6 - s_int[i] * s_int[j]  # exact python int
+            den = n * (n - 1)
+            C[i, j] = C[j, i] = r0_up(float(num) / float(den) / 1e6) / 1e6
 
     v_ref = np.full(16, 0.125)
     for _ in range(2):

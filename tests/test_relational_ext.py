@@ -180,29 +180,48 @@ def test_embed_cov_matches_numpy(spark):
     )
     ref = np.cov(emb, rowvar=False)  # sample covariance (ddof=1)
     assert len(rows) == 16 * 17 // 2
+    n = emb.shape[0]
     for r in rows:
-        assert r["n"] == emb.shape[0]
+        assert r["n"] == n
+        assert r["cov_den"] == n * (n - 1)
+        # r8 integer contract: num == n*m2*1e6 - s_i*s_j exactly
+        assert r["cov_num"] == n * r["m2"] * 10**6 - r["s_i"] * r["s_j"]
+        cov = r["cov_num"] / r["cov_den"] / 1e12
         # exact-sum path quantizes products to 1e-6: tolerance ~1e-4
-        assert abs(r["cov"] - ref[r["i"] - 1, r["j"] - 1]) < 1e-4
+        assert abs(cov - ref[r["i"] - 1, r["j"] - 1]) < 1e-4
+        # raw integer moments sit near their float counterparts
+        assert abs(r["s_i"] / 1e6 - emb[:, r["i"] - 1].sum()) < 1e-3
     # diagonal entries are variances: non-negative
-    assert all(r["cov"] >= 0 for r in rows if r["i"] == r["j"])
+    assert all(r["cov_num"] >= 0 for r in rows if r["i"] == r["j"])
 
 
 def test_embed_cov_oracle_basis_is_bigint_micro_units():
-    """Regression pin for the r6 driver hash-flake: the covariance (and
-    reused PCA) oracles must compute moments as fl(SUM(BIGINT))/1e6 —
-    NEVER through a DECIMAL accumulator, whose int128->DOUBLE conversion
-    in DuckDB is off by an ulp for some values and flips the terminal
-    rounding in ways that depend on the build/environment.  The terminal
-    round must be scale-0 on value*1e6 (ROUND(x, 6) pre-multiplies
-    inside the engine with its own ulp seam)."""
+    """Regression pin for the r6/r7 driver hash-flakes: the covariance
+    oracle must never route a declared value through a DECIMAL/HUGEINT
+    accumulator's ->DOUBLE conversion (off by an ulp on some DuckDB
+    builds) NOR through a multi-op float chain feeding a terminal round.
+    r8 contract: the declared covariance is a pure-integer pair
+    (cov_num, cov_den) — integer columns hash identically on any build —
+    and every SUM is re-cast to BIGINT before any further arithmetic,
+    with products widened through HUGEINT (exact integer math).  The
+    reused PCA oracle re-derives its double cov ONLY via the
+    correctly-rounded BIGINT->DOUBLE path with a scale-0 terminal
+    round."""
     from pyspec_spark.queries.arrays import _EMBED_COV_ORACLE
     from pyspec_spark.queries.ml import _pca_oracle
 
     for sql in (_EMBED_COV_ORACLE, _pca_oracle()):
         assert "DECIMAL" not in sql.upper()
-        assert "AS BIGINT" in sql
-    assert "* 1e6) / 1e6 AS cov" in _EMBED_COV_ORACLE
+    # no float column in the covariance result: every declared column is
+    # an integer, and the sums are BIGINT-re-cast before arithmetic
+    assert "AS DOUBLE) / 1e6" not in _EMBED_COV_ORACLE
+    assert "AS BIGINT) AS s" in _EMBED_COV_ORACLE
+    assert "AS BIGINT) AS m2" in _EMBED_COV_ORACLE
+    assert "AS HUGEINT" in _EMBED_COV_ORACLE
+    assert "AS cov_num" in _EMBED_COV_ORACLE
+    assert "AS cov_den" in _EMBED_COV_ORACLE
+    # PCA re-derivation: BIGINT->DOUBLE (int64, not hugeint) + scale-0 round
+    assert "CAST(cov_num AS DOUBLE) / CAST(cov_den AS DOUBLE) / 1e6" in _pca_oracle()
     assert "* 1e6) / 1e6 AS pc1" in _pca_oracle()
 
 
