@@ -41,6 +41,7 @@ import glob
 import json
 import os
 import shutil
+import urllib.parse
 import uuid
 from datetime import datetime, timezone
 
@@ -194,7 +195,18 @@ def _stage_files(
         part = None
         for seg in rel.split(os.sep):
             if seg.startswith(_PC + "="):
-                part = seg[len(_PC) + 1 :]
+                # Spark hive-escapes path-hostile chars as %XX in the
+                # dir segment (':' in every timestamp, '/', '%', ...).
+                # The manifest must record the RAW cast('string') value
+                # or _spark_part_strings' touched-file matching silently
+                # misses these files (delete no-ops, upsert duplicates).
+                # '%' itself is escaped, so unquote is an exact inverse.
+                part = urllib.parse.unquote(seg[len(_PC) + 1 :])
+                if part == "__HIVE_DEFAULT_PARTITION__":
+                    # null partition value: record as None so row-level
+                    # ops always treat the file as touched (a null key
+                    # can never appear in a parts set)
+                    part = None
         entry = {"path": rel, "partition": part, "stats": _footer_stats(p)}
         if bloom_cols:
             bl = _file_blooms(p, bloom_cols)
@@ -918,6 +930,10 @@ def lake_diff(
     Rows are compared by a fingerprint over every non-key column
     (md5 of the canonical JSON struct) — engine-internal, both sides
     computed by the same Spark build, so no cross-engine caveat.
+    Duplicate keys are well-defined: each side is reduced to ONE
+    multiset fingerprint per key (md5 over the sorted row fingerprints,
+    which folds multiplicity in), so the full-outer join stays 1:1 and
+    a key whose duplicate-row multiset changed classifies as 'update'.
 
     100 TB posture: one full-outer join keyed on `key`; with both
     versions written partition-aligned the join co-locates, and at rest
@@ -933,7 +949,16 @@ def lake_diff(
     a = read_or_empty(v_from)
     b = read_or_empty(v_to)
     if a is None and b is None:
-        return spark.createDataFrame([], f"{key} BIGINT, change STRING")
+        # derive the key's type from the recorded manifest schema (a
+        # hardcoded BIGINT would return a wrong-schema frame for string
+        # or date keys)
+        key_type = "BIGINT"
+        for v in (v_to, v_from):
+            sch = _load_manifest(root, v).get("schema") or {}
+            if key in sch:
+                key_type = sch[key]
+                break
+        return spark.createDataFrame([], f"{key} {key_type}, change STRING")
     if a is None:
         a = b.limit(0)
     if b is None:
@@ -941,11 +966,20 @@ def lake_diff(
 
     def fp(df: DataFrame, side: str) -> DataFrame:
         cols = [c for c in sorted(df.columns) if c != key]
-        return df.select(
-            F.col(key),
-            F.md5(
-                F.to_json(F.struct(*[F.col(c) for c in cols])).cast("binary")
-            ).alias(f"fp_{side}"),
+        row_fp = F.md5(
+            F.to_json(F.struct(*[F.col(c) for c in cols])).cast("binary")
+        )
+        # one multiset fingerprint per key: sorted row fps folded into
+        # a single md5 — duplicate keys can't cross-product the join
+        return (
+            df.select(F.col(key), row_fp.alias("rfp"))
+            .groupBy(key)
+            .agg(
+                F.md5(
+                    F.concat_ws(",", F.array_sort(F.collect_list("rfp")))
+                    .cast("binary")
+                ).alias(f"fp_{side}")
+            )
         )
 
     j = fp(a, "a").join(fp(b, "b"), key, "full_outer")

@@ -23,6 +23,8 @@ from the manifest's explicit file list (no directory walk).
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +32,17 @@ from pyspark.sql import functions as F
 
 from pyspec_spark.registry import query
 from pyspec_spark.tables import table
+
+
+def _tmp_root(prefix: str) -> str:
+    """mkdtemp whose removal is deferred to interpreter exit: the
+    returned DataFrame plans lazily over the staged files (the driver
+    collects AFTER the query function returns), so an eager finally
+    would yank the files out from under the read — but without cleanup
+    repeated sweep runs accumulate unbounded tmp disk."""
+    root = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
 
 
 @query(
@@ -51,7 +64,7 @@ def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "n_chars"
     )
-    root = tempfile.mkdtemp(prefix="pyspec_lake_rt_")
+    root = _tmp_root("pyspec_lake_rt_")
     lake_append(spark, root, d, partition_col="lang", bloom_cols=["doc_id"])
     try:
         back = lake_read(spark, root)
@@ -124,7 +137,7 @@ def q_spec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     lines += [f"{r['doc_id']} {r['n_chars']}" for r in rows]
     lines.append("")
-    tmp = tempfile.mkdtemp(prefix="pyspec_spec_rt_")
+    tmp = _tmp_root("pyspec_spec_rt_")
     path = os.path.join(tmp, "roundtrip.spec")
     with open(path, "w") as f:
         f.write("\n".join(lines))
@@ -179,7 +192,7 @@ def q_lake_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") < _DIFF_MAX_ID)
         .select("doc_id", "lang", "n_chars")
     )
-    root = tempfile.mkdtemp(prefix="pyspec_lake_cdc_")
+    root = _tmp_root("pyspec_lake_cdc_")
     v1 = lake_overwrite(spark, root, base, partition_col="lang")
     inserted = spark.range(_DIFF_INS_LO, _DIFF_INS_LO + _DIFF_INS_N).select(
         F.col("id").alias("doc_id"),

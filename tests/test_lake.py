@@ -719,3 +719,198 @@ def test_lake_diff_classifies_insert_delete_update(spark, tmp_path):
     want |= {(i, "insert") for i in range(100, 103)}
     assert got == want
     assert lake_diff(spark, root, v2, v2, "doc_id").count() == 0
+
+
+def test_escaped_partition_values_match_hive_dirs(spark, tmp_path):
+    """Partition values Spark percent-escapes in the hive dir (':' in
+    every timestamp rendering, '/', '%') must still match the raw
+    cast('string') value at upsert/delete time: the manifest records
+    the UNESCAPED value, so touched-file matching can't silently no-op
+    (delete) or append duplicates (upsert)."""
+    root = str(tmp_path / "t")
+    base = spark.range(12).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("k:"), (F.col("id") % 3).cast("string"), F.lit("/x%y")
+        ).alias("bucket"),
+        F.lit("old").alias("text"),
+    )
+    lake_append(spark, root, base, "bucket")
+    from pyspec_spark.lake import _load_manifest
+
+    m = _load_manifest(root, 1)
+    parts = {e["partition"] for e in m["files"]}
+    assert parts == {"k:0/x%y", "k:1/x%y", "k:2/x%y"}  # raw, not escaped
+    upd = spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("k:"), (F.col("id") % 3).cast("string"), F.lit("/x%y")
+        ).alias("bucket"),
+        F.lit("new").alias("text"),
+    )
+    lake_upsert(spark, root, upd, "doc_id", "bucket")
+    got = lake_read(spark, root)
+    assert got.count() == 12  # no duplicate keys appended
+    assert got.where("text = 'new'").count() == 3
+    lake_delete(
+        spark,
+        root,
+        spark.range(6).selectExpr("id AS doc_id"),
+        "doc_id",
+        "bucket",
+    )
+    assert lake_read(spark, root).count() == 6  # delete actually fired
+
+
+def test_timestamp_partition_roundtrip_upsert_delete(spark, tmp_path):
+    """Timestamps always contain ':' — the exact silent-skip class the
+    escaping fix closes."""
+    root = str(tmp_path / "t")
+    base = spark.range(8).select(
+        F.col("id").alias("doc_id"),
+        F.to_timestamp(
+            F.concat(F.lit("2024-01-0"), (F.col("id") % 2 + 1).cast("string"),
+                     F.lit(" 10:30:00"))
+        ).alias("day"),
+        F.lit("old").alias("text"),
+    )
+    lake_append(spark, root, base, "day")
+    upd = base.where("doc_id < 2").withColumn("text", F.lit("new"))
+    lake_upsert(spark, root, upd, "doc_id", "day")
+    got = lake_read(spark, root)
+    assert got.count() == 8
+    assert got.where("text = 'new'").count() == 2
+    lake_delete(
+        spark, root, spark.range(4).selectExpr("id AS doc_id"), "doc_id", "day"
+    )
+    assert lake_read(spark, root).count() == 4
+
+
+def test_null_partition_values_always_touched(spark, tmp_path):
+    """Null partition rows land under __HIVE_DEFAULT_PARTITION__; the
+    manifest records them as partition=None so row-level ops always
+    rewrite those files instead of silently no-oping / duplicating."""
+    root = str(tmp_path / "t")
+    base = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 3).cast("string"))
+        .otherwise(F.lit(None))
+        .alias("part"),
+        F.lit("old").alias("text"),
+    )
+    lake_append(spark, root, base, "part")
+    from pyspec_spark.lake import _load_manifest
+
+    parts = {e["partition"] for e in _load_manifest(root, 1)["files"]}
+    assert None in parts
+    assert "__HIVE_DEFAULT_PARTITION__" not in parts
+    # upsert a null-partition key: must replace, not duplicate
+    upd = base.where("doc_id = 1").withColumn("text", F.lit("new"))
+    lake_upsert(spark, root, upd, "doc_id", "part")
+    got = lake_read(spark, root)
+    assert got.count() == 10
+    assert got.where("text = 'new'").count() == 1
+    # delete a null-partition key: must actually remove it
+    lake_delete(
+        spark,
+        root,
+        spark.range(3, 4).selectExpr("id AS doc_id"),
+        "doc_id",
+        "part",
+    )
+    assert lake_read(spark, root).count() == 9
+
+
+def test_lake_diff_duplicate_keys_no_cross_product(spark, tmp_path):
+    """Duplicate keys reduce to one multiset fingerprint per key: the
+    full-outer join stays 1:1 (no cross-product row blowup), a changed
+    duplicate-row multiset classifies as 'update', and an identical
+    multiset is absent from the diff."""
+    from pyspec_spark.lake import lake_diff, lake_overwrite
+
+    root = str(tmp_path / "cdc")
+    v1_df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "x"), (2, "x"), (3, "z")],
+        "doc_id INT, text STRING",
+    )
+    v1 = lake_overwrite(spark, root, v1_df, partition_col=None)
+    v2_df = spark.createDataFrame(
+        # key 1 unchanged (same multiset, different row order)
+        # key 2: one copy dropped -> update; key 3 deleted; key 4 inserted
+        [(1, "b"), (1, "a"), (2, "x"), (4, "q")],
+        "doc_id INT, text STRING",
+    )
+    v2 = lake_overwrite(spark, root, v2_df, partition_col=None)
+    rows = lake_diff(spark, root, v1, v2, "doc_id").collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})  # one row per key
+    got = {(r["doc_id"], r["change"]) for r in rows}
+    assert got == {(2, "update"), (3, "delete"), (4, "insert")}
+
+
+def test_lake_diff_empty_versions_key_schema(spark, tmp_path):
+    """Both-versions-empty diff derives the key type from the recorded
+    manifest schema instead of hardcoding BIGINT."""
+    from pyspec_spark.lake import lake_diff, lake_overwrite
+
+    root = str(tmp_path / "cdc")
+    empty = spark.createDataFrame([], "name STRING, n INT")
+    v1 = lake_overwrite(spark, root, empty, partition_col=None)
+    v2 = lake_overwrite(spark, root, empty, partition_col=None)
+    out = lake_diff(spark, root, v1, v2, "name")
+    assert out.count() == 0
+    assert dict(out.dtypes)["name"] == "string"
+
+
+def test_vacuum_race_with_in_flight_writer(spark, tmp_path):
+    """Writer×vacuum race, both arms deterministic:
+    (a) a vacuum with a sane retention window running MID-STAGE must
+        leave the concurrent writer's staged-but-unlinked files alone,
+        so its subsequent commit reads back intact with zero dangling
+        file refs;
+    (b) a zero-retention vacuum (operator error) may reclaim the
+        in-flight staging, and the writer's later commit then fails
+        CLEANLY at read time (missing-file error), never silently."""
+    import threading
+
+    from pyspec_spark.lake import _commit, _load_manifest, _stage_files
+
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 10), "part")
+    base = latest_version(root)
+    old = _load_manifest(root, base)["files"]
+
+    # (a) stage, vacuum mid-stage with retention, then commit
+    staged = _stage_files(spark, root, _docs(spark, 100, 110, tag="w"), "part")
+    staged_paths = [os.path.join(root, e["path"]) for e in staged]
+    barrier = threading.Barrier(2)
+    vac_removed: list = [None]
+
+    def vac():
+        barrier.wait()
+        vac_removed[0] = lake_vacuum(
+            root, keep_versions=1, retention_seconds=3600
+        )
+
+    t = threading.Thread(target=vac)
+    t.start()
+    barrier.wait()
+    t.join()
+    assert all(os.path.exists(p) for p in staged_paths)  # survived vacuum
+    v2 = _commit(root, "append", old + staged, "part", base)
+    got = lake_read(spark, root, version=v2)
+    assert got.count() == 20
+    # no dangling refs: every manifest entry resolves on disk
+    for e in _load_manifest(root, v2)["files"]:
+        assert os.path.exists(os.path.join(root, e["path"]))
+
+    # (b) zero-retention vacuum mid-stage reclaims the staging; the
+    # commit itself links, but the read fails loudly, not silently
+    staged2 = _stage_files(spark, root, _docs(spark, 200, 205, tag="x"), "part")
+    lake_vacuum(root, keep_versions=1, retention_seconds=0)
+    assert not any(
+        os.path.exists(os.path.join(root, e["path"])) for e in staged2
+    )
+    v3 = _commit(root, "append", _load_manifest(root, v2)["files"] + staged2,
+                 "part", v2)
+    with pytest.raises(FileNotFoundError):
+        lake_read(spark, root, version=v3)
