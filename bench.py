@@ -225,6 +225,35 @@ def main() -> None:
         pass  # read-only checkout: stdout line still carries everything
     sys.stdout.flush()
     print(json.dumps(payload, separators=(",", ":")), flush=True)
+    # The driver captures only a ~2000-char stdout tail; the full line
+    # above exceeds it at 47 queries, so its parse came back null two
+    # rounds running.  Emit a compact summary as the LAST line — same
+    # contract keys, `queries` trimmed to the 5 worst warm-vs-oracle
+    # ratios — so the driver-side record parses while the full data
+    # lives in BENCH_full_r{N}.json.
+    ratios = {
+        n: round(times[n] / (oracle_ms.get(n) / 1000.0), 2)
+        for n in times
+        if isinstance(oracle_ms.get(n), (int, float)) and oracle_ms[n] > 0
+    }
+    worst5 = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:5])
+    summary = {
+        "metric": "headline_suite_warm_total",
+        "value": total,
+        "unit": "sec",
+        "queries": worst5,
+        "queries_unit": "warm_ratio_vs_duckdb",
+        "cold_reexec_total": payload["cold_reexec_total"],
+        "median_warm_ratio": (
+            round(sorted(ratios.values())[len(ratios) // 2], 3) if ratios else None
+        ),
+        "sf": sf,
+        "n_queries": len(times),
+        "full": "BENCH_full_r{N}.json in-repo has per-query detail",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    assert len(line) < 1900, "summary line must fit the driver tail window"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":
