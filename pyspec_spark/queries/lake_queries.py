@@ -211,3 +211,185 @@ def q_lake_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v2 = lake_overwrite(spark, root, v2_df, partition_col="lang")
     return lake_diff(spark, root, v1, v2, "doc_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# ST11 — streaming vector-index ingestion under the oracle gate (r8):
+# the ONE r7 engine subsystem that was still unit-only.  The query
+# drives the real path end to end: derive a frozen codebook from the
+# embeddings table (the 8 lowest vec_ids — no RNG), replay the table as
+# an availableNow file stream through index_to_lake (map-side nearest-
+# centroid assignment -> cid-partitioned lake commits with the
+# exactly-once manifest watermark), then LOOK UP through manifest-
+# pruned lake_scan probes of the 2 cells nearest a fixed query vector
+# (vec_id 0's embedding) and rank candidates by an exact integer
+# micro-unit dot product.  The oracle replays codebook, assignment
+# argmin, probe choice, and scoring straight off the table in SQL: if
+# ingestion dropped/duplicated a batch, assigned a wrong cell, or the
+# manifest pruning surfaced the wrong files, membership or n_cand
+# flips the value hash.
+#
+# Determinism contract (the q_ann_pq_det discipline):
+# - assignment distances: explicit 64-term left-associated chains ==
+#   Spark's zip_with + left-fold aggregate, bit-identical IEEE;
+# - argmin: array_min / MIN(struct(dist, cid)) — shared lexicographic
+#   struct order, lowest-cid tiebreak;
+# - probe choice + scores: per-element micro-unit quantization ->
+#   integer sums (order-free), ranked on (integer, vec_id);
+# - every output column is an integer.
+#
+# Bounded side effect per invocation (fresh tmp root, atexit-reclaimed);
+# exempt from the zero-jobs build gate as a materializing round-trip.
+# ---------------------------------------------------------------------------
+_VIX_D = 64
+_VIX_K = 8          # codebook size (vec_id < _VIX_K)
+_VIX_NPROBE = 2
+_VIX_TOPK = 10
+
+
+def _vix_sq_chain(e: str, c: str) -> str:
+    """64-term left-associated squared-L2 chain — must mirror
+    assign_cells' zip_with((a-b)*(a-b)) + left-fold exactly."""
+    return " + ".join(
+        f"(CAST({e}.embedding[{i}] AS DOUBLE) - CAST({c}.embedding[{i}] AS DOUBLE))"
+        f" * (CAST({e}.embedding[{i}] AS DOUBLE) - CAST({c}.embedding[{i}] AS DOUBLE))"
+        for i in range(1, _VIX_D + 1)
+    )
+
+
+def _vix_probe_chain(c: str, q: str) -> str:
+    """Integer micro-unit centroid distance: per-element quantization
+    then an order-free integer sum (replayed in Python driver-side)."""
+    return " + ".join(
+        f"CAST(ROUND((CAST({c}.embedding[{i}] AS DOUBLE) - CAST({q}.embedding[{i}] AS DOUBLE))"
+        f" * (CAST({c}.embedding[{i}] AS DOUBLE) - CAST({q}.embedding[{i}] AS DOUBLE)) * 1e6) AS BIGINT)"
+        for i in range(1, _VIX_D + 1)
+    )
+
+
+def _vix_dot_chain(e: str, q: str) -> str:
+    return " + ".join(
+        f"CAST(ROUND(CAST({e}.embedding[{i}] AS DOUBLE)"
+        f" * CAST({q}.embedding[{i}] AS DOUBLE) * 1e6) AS BIGINT)"
+        for i in range(1, _VIX_D + 1)
+    )
+
+
+_VIX_ORACLE = f"""
+WITH cb AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding
+  FROM embeddings WHERE vec_id < {_VIX_K}
+),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT e.vec_id,
+         (MIN(struct_pack(d := {_vix_sq_chain('e', 'c')}, cid := c.cid))).cid AS cid
+  FROM embeddings e, cb c
+  GROUP BY e.vec_id
+),
+probes AS (
+  SELECT c.cid, {_vix_probe_chain('c', 'q')} AS dist_micro
+  FROM cb c, qv q
+),
+probed AS (SELECT cid FROM probes ORDER BY dist_micro, cid LIMIT {_VIX_NPROBE}),
+cand AS (
+  SELECT a.vec_id, a.cid, e.embedding
+  FROM assigned a JOIN embeddings e USING (vec_id)
+  WHERE a.cid IN (SELECT cid FROM probed)
+)
+SELECT c.vec_id, c.cid,
+       {_vix_dot_chain('c', 'q')} AS dot_micro,
+       COUNT(*) OVER () AS n_cand
+FROM cand c, qv q
+ORDER BY dot_micro DESC, c.vec_id
+LIMIT {_VIX_TOPK}
+"""
+
+
+@query("q_vector_index_roundtrip", oracle=_VIX_ORACLE)
+def q_vector_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspark.sql.window import Window
+
+    from pyspec_spark.functions.determinism import _fixed6
+    from pyspec_spark.lake import lake_scan
+    from pyspec_spark.streaming.vectors import (
+        index_to_lake,
+        load_centroids,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    cb_rows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.where(F.col("vec_id") < _VIX_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not cb_rows or cb_rows[0][0] != 0:
+        # empty (or vec_id-0-less) corpus: nothing to index or query
+        return spark.createDataFrame(
+            [], "vec_id BIGINT, cid INT, dot_micro BIGINT, n_cand BIGINT"
+        )
+
+    # replay the table as a 4-micro-batch availableNow file stream
+    # through the real ingestion path (assignment + manifest watermark)
+    src = _tmp_root("pyspec_vix_src_")
+    e.select("vec_id", "embedding").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    root = _tmp_root("pyspec_vix_idx_")
+    index_to_lake(
+        stream,
+        spark,
+        root,
+        cb_rows,
+        checkpoint=os.path.join(root, "_chk"),
+    )
+
+    # probe choice from the PERSISTED codebook (the lookup path's own
+    # metadata), integer micro-unit distances == the oracle's chain
+    cids, C = load_centroids(root)
+    qv = cb_rows[0][1]
+
+    def dist_micro(cvec) -> int:
+        tot = 0
+        for a, b in zip(cvec, qv):
+            t = (a - b) * (a - b) * 1e6
+            tot += int(t + 0.5) if t >= 0 else -int(0.5 - t)
+        return tot
+
+    probed = sorted(
+        (dist_micro(C[i]), int(cids[i])) for i in range(len(cids))
+    )[:_VIX_NPROBE]
+
+    # manifest-pruned candidate scan (the subsystem under test), one
+    # snapshot for all probes
+    parts = [lake_scan(spark, root, [("cid", "=", cid)]) for _, cid in probed]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+
+    qlit = F.array(*[F.lit(x) for x in qv])
+    dot_micro = F.aggregate(
+        F.zip_with(
+            "embedding", qlit, lambda a, b: a.cast("double") * b
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + _fixed6(x),
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "cid",
+            dot_micro.alias("dot_micro"),
+            F.count("*").over(Window.partitionBy()).alias("n_cand"),
+        )
+        .orderBy(F.desc("dot_micro"), "vec_id")
+        .limit(_VIX_TOPK)
+    )

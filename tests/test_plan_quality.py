@@ -457,6 +457,7 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_stream_tumbling_rt",
         "q_spec_roundtrip",  # the fixture-synthesis collect IS the point
         "q_lake_diff",  # two lake commits by design (the CDC fixture)
+        "q_vector_index_roundtrip",  # availableNow ingest drain (ST11)
     }
     from pyspec_spark.tables import load
 
