@@ -164,10 +164,12 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB posture: the i<j<k orientation counts each triangle once with
 # two equi-joins and NO all-pairs step; the known skew axis is a
 # high-degree hub (its wedge count is deg² / 2) — the production
-# mitigation is degree-ordered orientation (orient every edge toward
-# the higher-degree endpoint, bounding wedges by arboricity), which
-# swaps the order key and nothing else; id order keeps the oracle
-# exactly replayable at test scale.
+# mitigation is degree-ordered orientation, IMPLEMENTED as
+# oriented_edges(orient="degree") below (r8): same chain join, wedge
+# fan-out bounded by graph degeneracy instead of raw degree,
+# per-node counts equality-property-tested against id order, and the
+# planted-hub wedge bound asserted directly.  Id order keeps the
+# oracle exactly replayable, so the declared query stays on it.
 # ---------------------------------------------------------------------------
 def _triangles_oracle() -> str:
     from pyspec_spark.registry import ORACLES
@@ -193,6 +195,76 @@ ORDER BY doc_id
 """
 
 
+def oriented_edges(edges: DataFrame, orient: str = "id") -> DataFrame:
+    """Acyclic orientation of an undirected, deduplicated (a < b) edge
+    list -> directed (src, dst).
+
+    orient="id": src=a, dst=b — the node id is the total order; exactly
+    replayable in the SQL oracle, used by the declared query.
+
+    orient="degree" (r8, the documented skew mitigation made real):
+    every edge points from the lower- to the higher-(degree, id)
+    endpoint.  Wedge centers then fan out only toward HIGHER-degree
+    nodes, so a node's out-degree — and with it the wedge count it
+    generates, out-deg choose 2 — is bounded by the graph's degeneracy
+    / O(sqrt(m)) instead of its raw degree: the hub that generates
+    deg^2/2 wedges under id order generates none as a center.  One
+    extra degree aggregation + broadcast-join per build; triangle
+    counts are identical (equality property-tested)."""
+    if orient == "id":
+        return edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    if orient != "degree":
+        raise ValueError(f"orient must be 'id' or 'degree', got {orient!r}")
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    er = (
+        edges.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("dega")),
+            "a",
+        ).join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("degb")),
+            "b",
+        )
+    )
+    a_first = (F.col("dega") < F.col("degb")) | (
+        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
+    )
+    return er.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    )
+
+
+def oriented_wedges(edges: DataFrame, orient: str = "id") -> DataFrame:
+    """(i, j, k) wedges i->j->k of the chosen orientation — the
+    intermediate whose size IS the algorithm's cost, exposed so the
+    skew tests can assert the degree orientation's bound directly."""
+    d = oriented_edges(edges, orient)
+    e1, e2 = d.alias("e1"), d.alias("e2")
+    return e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("i"),
+        F.col("e1.dst").alias("j"),
+        F.col("e2.dst").alias("k"),
+    )
+
+
+def triangle_memberships(edges: DataFrame, orient: str = "id") -> DataFrame:
+    """Each triangle exactly once as (i, j, k), i->j->k->closing i->k:
+    any total-order orientation is a DAG, so transitivity guarantees
+    the closing edge (if present) is directed i->k — the same chain
+    join closes both orientations."""
+    d = oriented_edges(edges, orient)
+    wedges = oriented_wedges(edges, orient)
+    e3 = d.alias("e3")
+    return wedges.join(
+        e3, (F.col("i") == F.col("e3.src")) & (F.col("k") == F.col("e3.dst"))
+    ).select("i", "j", "k")
+
+
 @query("q_triangles", oracle=_triangles_oracle())
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspec_spark.queries.llm import jaccard_pairs
@@ -206,17 +278,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .cache()
     )
-    e1 = e.alias("e1")
-    e2 = e.alias("e2")
-    e3 = e.alias("e3")
-    wedges = e1.join(e2, F.col("e1.b") == F.col("e2.a")).select(
-        F.col("e1.a").alias("i"),
-        F.col("e1.b").alias("j"),
-        F.col("e2.b").alias("k"),
-    )
-    tri = wedges.join(
-        e3, (F.col("i") == F.col("e3.a")) & (F.col("k") == F.col("e3.b"))
-    ).select("i", "j", "k")
+    tri = triangle_memberships(e, orient="id")
     m = (
         tri.select(F.col("i").alias("node"))
         .unionAll(tri.select(F.col("j").alias("node")))

@@ -663,3 +663,63 @@ def test_triangles_match_recount_on_random_graphs(spark, data):
                     want[v] += 1
     assert got == dict(want)
     assert sum(got.values()) == 3 * n_tri
+
+
+@given(data=st.data())
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_degree_orientation_counts_equal_id_orientation(spark, data):
+    """orient='degree' (the skew mitigation) must count EXACTLY the
+    same per-node triangle memberships as orient='id' on arbitrary
+    graphs — orientation changes the wedge distribution, never the
+    triangle set."""
+    from collections import defaultdict
+
+    from pyspec_spark.queries.graph import triangle_memberships
+
+    n_nodes = data.draw(st.integers(min_value=3, max_value=14))
+    possible = [(a, b) for a in range(n_nodes) for b in range(a + 1, n_nodes)]
+    edges = data.draw(
+        st.lists(st.sampled_from(possible), min_size=1, max_size=30, unique=True)
+    )
+    df = spark.createDataFrame(edges, "a LONG, b LONG")
+
+    def counts(orient):
+        tri = triangle_memberships(df, orient=orient).collect()
+        got = defaultdict(int)
+        for r in tri:
+            for v in (r["i"], r["j"], r["k"]):
+                got[v] += 1
+        return dict(got)
+
+    assert counts("degree") == counts("id")
+
+
+def test_degree_orientation_bounds_planted_hub_wedges(spark):
+    """The wedge is the path i->j->k, so the skewed quantity is
+    in-deg(j) * out-deg(j) at the MIDDLE node.  A planted hub with a
+    middle id (25 of 0..50) centers 25*25 wedges under id orientation;
+    under degree orientation every star edge points INTO the hub
+    (highest degree), its out-degree drops to zero, and the whole
+    wedge set collapses to the few chord->hub chains."""
+    from pyspec_spark.queries.graph import oriented_wedges
+
+    hub = 25
+    star = [(i, hub) for i in range(hub)] + [
+        (hub, j) for j in range(hub + 1, 2 * hub + 1)
+    ]
+    chords = [(1, 2), (3, 4), (5, 6)]  # a few leaf-leaf edges
+    df = spark.createDataFrame(star + chords, "a LONG, b LONG")
+
+    id_wedges = oriented_wedges(df, orient="id")
+    deg_wedges = oriented_wedges(df, orient="degree")
+    # id orientation: 25 in-edges x 25 out-edges centered at the hub
+    assert id_wedges.where(f"j = {hub}").count() == hub * hub
+    assert id_wedges.count() >= hub * hub
+    # degree orientation: the hub centers NOTHING (out-degree 0), and
+    # only one chord->hub chain per chord survives
+    assert deg_wedges.where(f"j = {hub}").count() == 0
+    assert deg_wedges.count() <= 2 * len(chords)
