@@ -167,7 +167,11 @@ def render_scan_png(
     limit(MAX+1) + collect, with the row-count guard, NaN filtering
     (Spark dropna removes nulls, NOT NaN — e.g. sqrt of a negative
     background-subtracted counter) and the x-sort all driver-side on
-    the ≤100k collected points (r6 review items 3 and 7)."""
+    the ≤100k collected points (r6 review items 3 and 7).
+
+    The rasterization itself lives in ``render_points_png`` so a
+    per-group executor-side render (the q_plot_golden sink query) uses
+    the exact same pixels as this driver-side path."""
     from pyspark.sql import functions as F
 
     cols = [x, y] + ([yerr] if yerr else [])
@@ -184,13 +188,30 @@ def render_scan_png(
             "(this sink plots results, not fact tables)"
         )
     pts = np.array([[r[i] for i in range(len(cols))] for r in rows], dtype=np.float64)
+    return render_points_png(
+        pts, has_err=yerr is not None, width=width, height=height, line=line
+    )
+
+
+def render_points_png(
+    pts: np.ndarray,
+    has_err: bool = False,
+    width: int = 480,
+    height: int = 320,
+    line: bool = True,
+) -> bytes:
+    """Rasterization core shared by the driver-side sink and in-executor
+    renders: pts is an (n, 2|3) float64 array of (x, y[, yerr]) in ANY
+    row order (a stable x-sort happens here, so a shuffled pandas group
+    renders the identical PNG)."""
+    pts = np.asarray(pts, dtype=np.float64)
     if pts.size:
         pts = pts[np.isfinite(pts).all(axis=1)]  # NaN/inf rows out
         pts = pts[np.argsort(pts[:, 0], kind="stable")]
     if not pts.size:
-        raise ValueError("render_scan_png: no rows to plot")
+        raise ValueError("render_points_png: no rows to plot")
     xs, ys = pts[:, 0], pts[:, 1]
-    es = pts[:, 2] if yerr else None
+    es = pts[:, 2] if has_err and pts.shape[1] > 2 else None
 
     xlo, xhi = float(xs.min()), float(xs.max())
     ylo = float((ys - (es if es is not None else 0)).min())
@@ -303,9 +324,10 @@ _DESCR = {
 }
 
 
-def save_npy(arr: np.ndarray, path: str) -> None:
-    """Write `.npy` v1.0 (grids/fits export the reference dumped as
-    numpy files)."""
+def npy_bytes(arr: np.ndarray) -> bytes:
+    """`.npy` v1.0 serialization as bytes — the format core of
+    save_npy, reusable where the payload goes to a column or a hash
+    instead of a file (q_plot_golden's npy_md5)."""
     dt = np.dtype(arr.dtype)
     if dt.byteorder == ">":
         # normalize BEFORE the descr lookup: dtype equality includes
@@ -324,12 +346,20 @@ def save_npy(arr: np.ndarray, path: str) -> None:
     base = len(_NPY_MAGIC) + 2 + 2  # magic + version + u16 length
     pad = (64 - (base + len(header) + 1) % 64) % 64
     header = header + " " * pad + "\n"
+    return (
+        _NPY_MAGIC
+        + bytes((1, 0))
+        + struct.pack("<H", len(header))
+        + header.encode("latin-1")
+        + a.tobytes(order="C")
+    )
+
+
+def save_npy(arr: np.ndarray, path: str) -> None:
+    """Write `.npy` v1.0 (grids/fits export the reference dumped as
+    numpy files)."""
     with open(path, "wb") as fh:
-        fh.write(_NPY_MAGIC)
-        fh.write(bytes((1, 0)))
-        fh.write(struct.pack("<H", len(header)))
-        fh.write(header.encode("latin-1"))
-        fh.write(a.tobytes(order="C"))
+        fh.write(npy_bytes(arr))
 
 
 def load_npy(path: str) -> np.ndarray:

@@ -18,3 +18,4 @@ import pyspec_spark.queries.quality  # noqa: F401
 import pyspec_spark.queries.curation  # noqa: F401
 import pyspec_spark.queries.graph  # noqa: F401
 import pyspec_spark.queries.lake_queries  # noqa: F401
+import pyspec_spark.queries.plots  # noqa: F401

@@ -194,3 +194,32 @@ def test_npy_big_endian_normalized(tmp_path):
     assert back.dtype == np.dtype("<f8")
     assert np.array_equal(back, arr.astype("<f8"))
     assert np.array_equal(np.load(p), arr.astype("<f8"))
+
+
+def test_plot_golden_executor_render_matches_driver_path(spark):
+    """The in-executor per-group render (q_plot_golden) and the
+    driver-side render_scan_png sink must produce byte-identical PNGs —
+    one rasterization core, two entry points — and the committed golden
+    parquet pins both."""
+    import hashlib
+
+    import pandas as pd
+
+    from pyspec_spark.queries.plots import (
+        _PLOT_GOLDEN,
+        q_plot_golden,
+        synthetic_scans,
+    )
+    from pyspec_spark.operators.plotting import render_scan_png
+
+    golden = pd.read_parquet(_PLOT_GOLDEN).set_index("plot_id")
+    got = {r["plot_id"]: r for r in q_plot_golden.__wrapped__(
+        spark, "ignored").collect()}
+    assert set(got) == set(golden.index)
+    for pid, r in got.items():
+        assert r["png_md5"] == golden.loc[pid, "png_md5"]
+        assert r["npy_md5"] == golden.loc[pid, "npy_md5"]
+    # driver-side sink renders plot 0 to the same bytes
+    one = synthetic_scans(spark).where("plot_id = 0")
+    png = render_scan_png(one, "x", "y", yerr="yerr")
+    assert hashlib.md5(png).hexdigest() == golden.loc[0, "png_md5"]
