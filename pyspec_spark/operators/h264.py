@@ -2,13 +2,16 @@
 Python (clean-room from the public ITU-T H.264 (08/2021) spec §7.3.2
 and ISO/IEC 14496-15 §5.3.3 for the avcC record).
 
-Scope: the PARAMETER SETS only — the metadata a curation pipeline gates
+Scope: the PARAMETER SETS — the metadata a curation pipeline gates
 on before shipping payloads to a GPU decoder: profile_idc, level_idc,
 and the TRUE cropped display dimensions (SPS dimensions are stored in
 16-px macroblock units plus frame-crop offsets; naive readers that
 trust the container's tkhd width/height mis-size every non-multiple-
-of-16 video).  Slice/macroblock decode stays the documented
-NotImplementedError boundary (operators/multimodal.decode_frame).
+of-16 video) — PLUS, since r8, FRAME decode for IDR/I_PCM streams
+(encode_ipcm_idr / decode_ipcm_idr below): raw byte-aligned samples,
+exact reconstruction, no transform machinery.  Transformed/predicted
+macroblocks remain the documented NotImplementedError boundary
+(operators/multimodal.decode_frame), now per-macroblock.
 
 Everything round-trips through real bytes: `encode_sps` emits a
 spec-conformant NAL with emulation-prevention (00 00 0x -> 00 00 03 0x)
@@ -274,3 +277,137 @@ def parse_avcc(buf: bytes) -> dict:
     out["n_sps"] = n_sps
     out["n_pps"] = n_pps
     return out
+
+
+# ---------------------------------------------------------------------------
+# I_PCM slice codec (r8) — FRAME decode for the one H.264 coding mode a
+# pure-numpy engine can serve EXACTLY: I_PCM macroblocks (ITU-T H.264
+# §7.3.5 macroblock_layer, mb_type 25 in I slices, Table 7-11) carry
+# raw byte-aligned samples — no transform, no prediction, no entropy
+# coding — so encode -> decode is the identity on every pixel.  This
+# narrows the long-documented avc1 frame-decode boundary: conformant
+# IDR/I_PCM streams (what lossless archival intermediates use) decode
+# natively; transformed/predicted macroblocks still raise the contract
+# NotImplementedError in decode_avc_frame.
+#
+# Slice header scope matches the parameter sets this module emits
+# (encode_sps: log2_max_frame_num_minus4=0, pic_order_cnt_type=2,
+# frame_mbs_only=1; encode_pps: CAVLC, deblocking control present) —
+# deblocking is explicitly disabled per slice (idc=1), which the spec
+# requires for bit-exact I_PCM reconstruction to hold at the block
+# edges (§8.7 skips filtering only when disabled or qp bounds exclude).
+# ---------------------------------------------------------------------------
+_I_PCM_MB_TYPE = 25  # Table 7-11: I slice mb_type for I_PCM
+
+
+def encode_ipcm_idr(
+    y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray"
+) -> bytes:
+    """IDR slice NAL (header 0x65) whose macroblocks are all I_PCM.
+    ``y`` is (H, W) uint8 with H, W multiples of 16 (pad to the SPS'
+    macroblock canvas first — frame cropping recovers the true size);
+    ``cb``/``cr`` are the (H/2, W/2) 4:2:0 chroma planes."""
+    import numpy as np
+
+    y = np.asarray(y, dtype=np.uint8)
+    cb = np.asarray(cb, dtype=np.uint8)
+    cr = np.asarray(cr, dtype=np.uint8)
+    hh, ww = y.shape
+    if hh % 16 or ww % 16:
+        raise ValueError("h264: I_PCM canvas must be macroblock-aligned")
+    if cb.shape != (hh // 2, ww // 2) or cr.shape != (hh // 2, ww // 2):
+        raise ValueError("h264: chroma planes must be (H/2, W/2)")
+    w = BitWriter()
+    # slice_header (§7.3.3) for IDR under this module's SPS/PPS layout
+    w.ue(0)          # first_mb_in_slice
+    w.ue(7)          # slice_type: I (all slices in picture are I)
+    w.ue(0)          # pic_parameter_set_id
+    w.u(0, 4)        # frame_num (log2_max_frame_num_minus4=0 -> 4 bits)
+    w.ue(0)          # idr_pic_id
+    # pic_order_cnt_type 2 -> no POC fields
+    # dec_ref_pic_marking (IdrPicFlag=1):
+    w.u(0, 1)        # no_output_of_prior_pics_flag
+    w.u(0, 1)        # long_term_reference_flag
+    w.se(0)          # slice_qp_delta
+    w.ue(1)          # disable_deblocking_filter_idc=1 (PPS control on)
+    # slice_data (§7.3.4, CAVLC): I slices carry no mb_skip_run
+    for mby in range(hh // 16):
+        for mbx in range(ww // 16):
+            w.ue(_I_PCM_MB_TYPE)
+            while len(w._bits) % 8:       # pcm_alignment_zero_bit
+                w.u(0, 1)
+            blk_y = y[mby * 16:(mby + 1) * 16, mbx * 16:(mbx + 1) * 16]
+            for b in blk_y.reshape(-1):
+                w.u(int(b), 8)            # pcm_sample_luma
+            for plane in (cb, cr):        # pcm_sample_chroma (Cb, Cr)
+                blk = plane[mby * 8:(mby + 1) * 8, mbx * 8:(mbx + 1) * 8]
+                for b in blk.reshape(-1):
+                    w.u(int(b), 8)
+    w.rbsp_trailing()
+    return b"\x65" + _escape_rbsp(w.bytes())
+
+
+def decode_ipcm_idr(
+    nal: bytes, mbs_w: int, mbs_h: int
+) -> tuple["np.ndarray", "np.ndarray", "np.ndarray"]:
+    """Invert encode_ipcm_idr: (y, cb, cr) planes on the macroblock
+    canvas (crop with the SPS dimensions afterwards).  Raises
+    NotImplementedError on any non-I_PCM macroblock — that is the
+    documented remaining boundary, now per-macroblock instead of
+    per-codec."""
+    import numpy as np
+
+    if not nal or (nal[0] & 0x1F) not in (1, 5):
+        raise ValueError("h264: not a slice NAL")
+    r = BitReader(_unescape_rbsp(nal[1:]))
+    first_mb = r.ue()
+    slice_type = r.ue()
+    if slice_type % 5 != 2:
+        raise NotImplementedError(
+            f"h264: only I slices decode (slice_type {slice_type})"
+        )
+    if first_mb != 0:
+        raise NotImplementedError("h264: multi-slice pictures unsupported")
+    r.ue()           # pic_parameter_set_id
+    r.u(4)           # frame_num
+    if nal[0] & 0x1F == 5:
+        r.ue()       # idr_pic_id
+        r.u(1)       # no_output_of_prior_pics_flag
+        r.u(1)       # long_term_reference_flag
+    r.se()           # slice_qp_delta
+    dfi = r.ue()     # disable_deblocking_filter_idc
+    if dfi > 2:
+        raise ValueError("h264: bad disable_deblocking_filter_idc")
+    if dfi != 1:
+        r.se()       # slice_alpha_c0_offset_div2
+        r.se()       # slice_beta_offset_div2
+    y = np.zeros((mbs_h * 16, mbs_w * 16), dtype=np.uint8)
+    cb = np.zeros((mbs_h * 8, mbs_w * 8), dtype=np.uint8)
+    cr = np.zeros((mbs_h * 8, mbs_w * 8), dtype=np.uint8)
+    for mby in range(mbs_h):
+        for mbx in range(mbs_w):
+            mb_type = r.ue()
+            if mb_type != _I_PCM_MB_TYPE:
+                raise NotImplementedError(
+                    f"h264: mb_type {mb_type} needs transform/prediction "
+                    "decode — only I_PCM macroblocks are in scope"
+                )
+            while r._pos % 8:             # pcm_alignment_zero_bit
+                if r.u(1):
+                    raise ValueError("h264: nonzero pcm alignment bit")
+            buf = np.frombuffer(
+                r._d[r._pos >> 3:(r._pos >> 3) + 384], dtype=np.uint8
+            )
+            if buf.size != 384:
+                raise ValueError("h264: truncated I_PCM macroblock")
+            r._pos += 384 * 8
+            y[mby * 16:(mby + 1) * 16, mbx * 16:(mbx + 1) * 16] = (
+                buf[:256].reshape(16, 16)
+            )
+            cb[mby * 8:(mby + 1) * 8, mbx * 8:(mbx + 1) * 8] = (
+                buf[256:320].reshape(8, 8)
+            )
+            cr[mby * 8:(mby + 1) * 8, mbx * 8:(mbx + 1) * 8] = (
+                buf[320:384].reshape(8, 8)
+            )
+    return y, cb, cr

@@ -448,9 +448,16 @@ def make_mjpeg_mp4(
     fps: float = 24.0,
     timescale: int = 1000,
     language: str = "und",
+    entry_fourcc: str = "jpeg",
+    entry_children: bytes = b"",
+    entry_dims: tuple[int, int] | None = None,
 ) -> bytes:
-    """Valid single-track MJPEG movie whose mdat holds ``frames`` (each
-    a complete JPEG byte string) addressed by real stsz/stsc/stco."""
+    """Valid single-track movie whose mdat holds ``frames`` addressed by
+    real stsz/stsc/stco.  Default sample entry is MJPEG ('jpeg', each
+    frame a complete JPEG byte string); ``entry_fourcc``/
+    ``entry_children``/``entry_dims`` generalize it (r8: 'avc1' +
+    an avcC child + the macroblock-rounded coded size, frames =
+    length-prefixed NAL samples — see make_avc_ipcm_mp4)."""
     n_samples = len(frames)
     dur = int(round(n_samples / fps * timescale))
     ftyp = _box("ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
@@ -494,17 +501,21 @@ def make_mjpeg_mp4(
             struct.pack(">I", 0) + struct.pack(">I", 0) + b"vide"
             + b"\x00" * 12 + b"video\x00",
         )
+        ew, eh = entry_dims or (width, height)
         entry_rest = (
             b"\x00" * 6 + struct.pack(">H", 1)
             + b"\x00" * 16
-            + struct.pack(">HH", width, height)
+            + struct.pack(">HH", ew, eh)
             + struct.pack(">II", 0x480000, 0x480000)
             + struct.pack(">I", 0) + struct.pack(">H", 1)
             + b"\x00" * 32
             + struct.pack(">Hh", 24, -1)
+            + entry_children
         )
         entry = (
-            struct.pack(">I", 8 + len(entry_rest)) + b"jpeg" + entry_rest
+            struct.pack(">I", 8 + len(entry_rest))
+            + entry_fourcc.encode("latin-1")
+            + entry_rest
         )
         stsd = _box("stsd", struct.pack(">I", 0) + struct.pack(">I", 1) + entry)
         stsz = _box(
@@ -635,3 +646,64 @@ def extract_mp4_samples(
             out.append(data[lo:hi])
         return codec, out
     raise ValueError("mp4: no video (hdlr=vide) track")
+
+
+def make_avc_ipcm_mp4(
+    planes: list[tuple],
+    width: int,
+    height: int,
+    fps: float = 24.0,
+) -> bytes:
+    """Valid single-track avc1 movie whose samples are REAL H.264
+    IDR/I_PCM access units (r8): each element of ``planes`` is a
+    (y, cb, cr) tuple on the true width x height geometry; planes pad
+    to the macroblock canvas (edge-replication — cropped away at
+    decode), encode as an I_PCM IDR NAL, and land in mdat as the
+    4-byte-length-prefixed samples the avcC lengthSizeMinusOne=3
+    contract prescribes (ISO 14496-15 §5.3.4.2).  The sample entry
+    carries the coded (macroblock-rounded) size and a real avcC; the
+    SPS carries the true cropped dimensions — the same mismatch
+    make_minimal_mp4 plants, now with decodable payload behind it."""
+    import numpy as np
+
+    from pyspec_spark.operators.h264 import (
+        encode_ipcm_idr,
+        encode_pps,
+        encode_sps,
+        make_avcc,
+    )
+
+    if width % 2 or height % 2:
+        raise ValueError("mp4/avc: 4:2:0 dimensions must be even")
+    ew = (width + 15) // 16 * 16
+    eh = (height + 15) // 16 * 16
+    sps, pps = encode_sps(width, height), encode_pps()
+    samples = []
+    for y, cb, cr in planes:
+        y = np.asarray(y, dtype=np.uint8)
+        cb = np.asarray(cb, dtype=np.uint8)
+        cr = np.asarray(cr, dtype=np.uint8)
+        if y.shape != (height, width):
+            raise ValueError("mp4/avc: luma plane must be height x width")
+        yp = np.pad(y, ((0, eh - height), (0, ew - width)), mode="edge")
+        cbp = np.pad(
+            cb,
+            ((0, eh // 2 - height // 2), (0, ew // 2 - width // 2)),
+            mode="edge",
+        )
+        crp = np.pad(
+            cr,
+            ((0, eh // 2 - height // 2), (0, ew // 2 - width // 2)),
+            mode="edge",
+        )
+        nal = encode_ipcm_idr(yp, cbp, crp)
+        samples.append(struct.pack(">I", len(nal)) + nal)
+    return make_mjpeg_mp4(
+        samples,
+        width,
+        height,
+        fps=fps,
+        entry_fourcc="avc1",
+        entry_children=_box("avcC", make_avcc(sps, pps)),
+        entry_dims=(ew, eh),
+    )

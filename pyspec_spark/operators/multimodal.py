@@ -101,12 +101,45 @@ def decode_frame(codec: str, payload: bytes, width: int, height: int, frame_id: 
             (t for t in meta["tracks"] if t["handler"] == "vide"), None
         )
         sample_codec = video and video["codec"]
+        if sample_codec == "avc1" and (video.get("avc") or {}).get("width"):
+            # r8: IDR/I_PCM access units decode natively and exactly
+            # (operators/h264.py); any transformed/predicted macroblock
+            # raises the contract NotImplementedError inside
+            # decode_ipcm_idr — the boundary is now per-macroblock.
+            from pyspec_spark.operators.mp4 import extract_mp4_samples
+
+            w, h = video["avc"]["width"], video["avc"]["height"]
+            try:
+                _, samples = extract_mp4_samples(payload, [frame_id])
+                y, cb, cr = decode_avc_ipcm_sample(samples[0], w, h)
+            except ValueError as e:
+                # metadata-only movies (stsz without stsc/stco) and
+                # non-I_PCM payloads without a slice NAL must still hit
+                # the CONTRACT error, not a demux ValueError (the r6
+                # review class)
+                raise NotImplementedError(
+                    f"avc1: no decodable I_PCM access unit ({e}) — only "
+                    "IDR/I_PCM streams decode natively"
+                ) from None
+            yf = y.astype(np.float64)
+            cbf = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)[
+                :h, :w
+            ].astype(np.float64)
+            crf = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)[
+                :h, :w
+            ].astype(np.float64)
+            # same JFIF full-range conversion the JPEG decoder applies
+            r_ = yf + 1.402 * (crf - 128.0)
+            g_ = yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0)
+            b_ = yf + 1.772 * (cbf - 128.0)
+            img = np.stack([r_, g_, b_], axis=2)
+            return np.clip(np.round(img), 0, 255).astype(np.uint8)
         if sample_codec not in ("jpeg", "mjpa"):
             raise NotImplementedError(
                 f"mp4 sample codec {sample_codec!r}: FRAME decoder "
                 "library not available in this container — plug a "
-                "decoder in here (PIL/av); MJPEG ('jpeg'/'mjpa') "
-                "decodes natively and container METADATA parses "
+                "decoder in here (PIL/av); MJPEG ('jpeg'/'mjpa') and "
+                "avc1 I_PCM decode natively, container METADATA parses "
                 "without any codec (video_metadata / operators/mp4.py)"
             )
         _, samples = extract_mp4_samples(payload, [frame_id])
@@ -848,3 +881,73 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             )
 
     return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# avc1 I_PCM frame decode (r8) — the long-documented H.264 frame-decode
+# boundary narrowed from per-codec to per-macroblock: IDR/I_PCM access
+# units (raw byte-aligned samples, operators/h264.py) decode natively
+# and EXACTLY; transformed/predicted macroblocks still raise the
+# contract NotImplementedError inside decode_ipcm_idr.
+# ---------------------------------------------------------------------------
+def ipcm_pattern(
+    media_id: int, frame_id: int, width: int, height: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Closed-form YCbCr 4:2:0 planes (values 1..254 — integer modular
+    patterns an SQL oracle replays exactly; chroma generated AT half
+    resolution so the 4:2:0 round-trip is lossless)."""
+    xx, yy = np.meshgrid(np.arange(width), np.arange(height))
+    y = ((xx * 7 + yy * 13 + media_id * 31 + frame_id * 17) % 254 + 1).astype(
+        np.uint8
+    )
+    cxx, cyy = np.meshgrid(np.arange(width // 2), np.arange(height // 2))
+    cb = ((cxx * 5 + cyy * 11 + media_id * 7 + frame_id * 3) % 254 + 1).astype(
+        np.uint8
+    )
+    cr = ((cxx * 3 + cyy * 7 + media_id * 13 + frame_id * 5) % 254 + 1).astype(
+        np.uint8
+    )
+    return y, cb, cr
+
+
+def make_avc_ipcm_media(
+    spark: SparkSession, n: int = 4, frames: int = 2
+) -> DataFrame:
+    """Media table of real avc1 movies whose samples are decodable
+    IDR/I_PCM access units; dimensions are non-16-multiples so the SPS
+    crop is load-bearing at decode."""
+    from pyspec_spark.operators.mp4 import make_avc_ipcm_mp4
+
+    rows = []
+    for i in range(n):
+        w, h = 44 + 4 * i, 28 + 4 * i
+        planes = [ipcm_pattern(i, f, w, h) for f in range(frames)]
+        payload = make_avc_ipcm_mp4(planes, w, h)
+        rows.append((i, "video", "mp4", w, h, frames, bytearray(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_avc_ipcm_sample(
+    sample: bytes, width: int, height: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One avc1 sample (4-byte-length-prefixed NALs, lengthSizeMinusOne=3)
+    -> cropped (y, cb, cr).  Non-VCL NALs (SPS/PPS/SEI riding in-band)
+    are skipped; the first slice NAL decodes."""
+    import struct as _struct
+
+    from pyspec_spark.operators.h264 import decode_ipcm_idr
+
+    mbs_w, mbs_h = (width + 15) // 16, (height + 15) // 16
+    pos = 0
+    while pos + 4 <= len(sample):
+        (ln,) = _struct.unpack_from(">I", sample, pos)
+        nal = sample[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if nal and (nal[0] & 0x1F) in (1, 5):
+            y, cb, cr = decode_ipcm_idr(nal, mbs_w, mbs_h)
+            return (
+                y[:height, :width],
+                cb[: height // 2, : width // 2],
+                cr[: height // 2, : width // 2],
+            )
+    raise ValueError("avc1 sample holds no slice NAL")

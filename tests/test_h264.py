@@ -252,3 +252,97 @@ def test_q_av1_params_fields_only_in_obu(spark):
     assert {r["seq_profile"] for r in rows} == {0, 1}
     assert {r["seq_tier"] for r in rows} == {0, 1}
     assert {r["bit_depth"] for r in rows} == {8, 10}
+
+
+# ---------------------------------------------------------------------------
+# I_PCM frame decode (r8)
+# ---------------------------------------------------------------------------
+def test_ipcm_roundtrip_exact_random_planes():
+    import numpy as np
+
+    from pyspec_spark.operators.h264 import decode_ipcm_idr, encode_ipcm_idr
+
+    rng = np.random.default_rng(5)
+    for mbs_w, mbs_h in ((1, 1), (3, 2), (4, 4)):
+        y = rng.integers(0, 256, (mbs_h * 16, mbs_w * 16), dtype=np.uint8)
+        cb = rng.integers(0, 256, (mbs_h * 8, mbs_w * 8), dtype=np.uint8)
+        cr = rng.integers(0, 256, (mbs_h * 8, mbs_w * 8), dtype=np.uint8)
+        y2, cb2, cr2 = decode_ipcm_idr(encode_ipcm_idr(y, cb, cr), mbs_w, mbs_h)
+        assert (y2 == y).all() and (cb2 == cb).all() and (cr2 == cr).all()
+
+
+def test_ipcm_zero_planes_stress_emulation_prevention():
+    """All-zero samples produce maximal 00-runs in the RBSP — the
+    escaping inserts one 03 every two zeros and the decoder must strip
+    every one of them."""
+    import numpy as np
+
+    from pyspec_spark.operators.h264 import decode_ipcm_idr, encode_ipcm_idr
+
+    y = np.zeros((16, 16), dtype=np.uint8)
+    c = np.zeros((8, 8), dtype=np.uint8)
+    nal = encode_ipcm_idr(y, c, c)
+    assert b"\x00\x00\x03" in nal  # escaping actually fired
+    y2, cb2, cr2 = decode_ipcm_idr(nal, 1, 1)
+    assert not y2.any() and not cb2.any() and not cr2.any()
+
+
+def test_ipcm_decoder_rejects_non_ipcm_macroblocks():
+    import pytest
+
+    from pyspec_spark.operators.h264 import (
+        BitWriter,
+        _escape_rbsp,
+        decode_ipcm_idr,
+    )
+
+    w = BitWriter()
+    w.ue(0); w.ue(7); w.ue(0); w.u(0, 4); w.ue(0)
+    w.u(0, 1); w.u(0, 1); w.se(0); w.ue(1)
+    w.ue(3)  # mb_type I_4x4-class, NOT I_PCM
+    w.rbsp_trailing()
+    nal = b"\x65" + _escape_rbsp(w.bytes())
+    with pytest.raises(NotImplementedError, match="I_PCM"):
+        decode_ipcm_idr(nal, 1, 1)
+
+
+def test_avc_ipcm_movie_decodes_through_generic_frame_path(spark):
+    """decode_frame + extract_features run end-to-end on a real avc1
+    I_PCM movie — the generic multimodal pipeline, not a special
+    path."""
+    import numpy as np
+
+    from pyspec_spark.operators.multimodal import (
+        decode_frame,
+        extract_features,
+        ipcm_pattern,
+        make_avc_ipcm_media,
+    )
+
+    media = make_avc_ipcm_media(spark, n=2, frames=2)
+    rows = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    img = decode_frame("mp4", rows[1], 48, 32, 0)
+    assert img.shape == (32, 48, 3) and img.dtype == np.uint8
+    # the RGB must equal the JFIF conversion of the EXACT source planes
+    # (decode is lossless; only the colorspace matrix + clip follow)
+    y_src, cb_src, cr_src = ipcm_pattern(1, 0, 48, 32)
+    yf = y_src.astype(np.float64)
+    cbf = np.repeat(np.repeat(cb_src, 2, 0), 2, 1).astype(np.float64)
+    crf = np.repeat(np.repeat(cr_src, 2, 0), 2, 1).astype(np.float64)
+    want = np.clip(
+        np.round(
+            np.stack(
+                [
+                    yf + 1.402 * (crf - 128.0),
+                    yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0),
+                    yf + 1.772 * (cbf - 128.0),
+                ],
+                axis=2,
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(img, want)
+    feats = extract_features(media, sample_every=1).collect()
+    assert len(feats) == 4  # 2 media x 2 frames
