@@ -907,3 +907,29 @@ def test_gap_percentiles_type_keyed_windows(spark):
     assert "Join" not in p
     assert has_partial_aggregate(p)
     assert count_exchanges(p) <= 4
+
+
+def test_bitext_mine_lsh_plan_no_nested_loop(spark):
+    """q_bitext_mine_lsh exists to REPLACE the exact path's broadcast
+    nested-loop scan: candidates must come from the banded equi-join —
+    no cartesian, no BroadcastNestedLoopJoin anywhere in the plan."""
+    p = _plan(spark, "q_bitext_mine_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the band candidate join is a hash/merge EQUI-join of the two
+    # exploded signature sides (broadcast at test scale is fine — it is
+    # still keyed on (b, band))
+    assert any(
+        j in p
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
+
+
+def test_triangles_degree_orientation_plan_no_cartesian(spark):
+    """The degree-oriented chain join stays equi-join-only too."""
+    from pyspec_spark.queries.graph import triangle_memberships
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a LONG, b LONG")
+    p = physical_plan(triangle_memberships(df, orient="degree"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
