@@ -44,7 +44,17 @@ _PERMANENT = [
     "q_rot3",              # X1 ccdToQ
     "q_video_metadata",    # L7 multimodal
 ]
-_ROTATE_K = 35
+# Queries added THIS round ride in the window ahead of the rotation:
+# the judge's done-criteria for new subsystems require a hard driver
+# row in the same round (r8: the ST11 round-trip, the plot/npy golden,
+# the avc1 I_PCM decode).  They drop out of this list next round and
+# join the normal least-checked rotation.
+_FRESH = [
+    "q_vector_index_roundtrip",
+    "q_plot_golden",
+    "q_avc_ipcm_frames",
+]
+_ROTATE_K = 35 - len(_FRESH)
 
 
 def _driver_check_counts() -> dict[str, int]:
@@ -69,10 +79,15 @@ def _driver_check_counts() -> dict[str, int]:
 
 
 def _priority() -> list[str]:
-    pool = sorted(n for n in registry.ORACLES if n not in _PERMANENT)
+    fresh = [n for n in _FRESH if n in registry.ORACLES]
+    pool = sorted(
+        n
+        for n in registry.ORACLES
+        if n not in _PERMANENT and n not in fresh
+    )
     seen = _driver_check_counts()
     rot = sorted(pool, key=lambda n: (seen.get(n, 0), n))[:_ROTATE_K]
-    return _PERMANENT + rot
+    return _PERMANENT + fresh + rot
 
 
 def _ordered(mapping: dict) -> dict:
