@@ -914,3 +914,78 @@ def test_vacuum_race_with_in_flight_writer(spark, tmp_path):
                  "part", v2)
     with pytest.raises(FileNotFoundError):
         lake_read(spark, root, version=v3)
+
+
+def test_lake_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: random sequences of keyed lake ops must keep
+    lake_read() equal to a plain dict model at every step.  Partition
+    values include hive-escaped characters (':' — the r8 fix class) and
+    NULLs (the __HIVE_DEFAULT_PARTITION__ sentinel), so every row-level
+    op crosses both seams; compaction and zero-retention vacuum are
+    interleaved as the no-op-on-content maintenance passes they must
+    be."""
+    import random
+
+    from pyspec_spark.lake import _load_manifest
+
+    rng = random.Random(20260815)
+
+    def part_of(k):
+        return None if k % 7 == 0 else f"p:{k % 3}"
+
+    def df_of(items):
+        return spark.createDataFrame(
+            [(k, part_of(k), t) for k, t in sorted(items.items())],
+            "doc_id LONG, part STRING, text STRING",
+        )
+
+    def read_back(root):
+        return {
+            r["doc_id"]: (r["part"], r["text"])
+            for r in lake_read(spark, root).collect()
+        }
+
+    for seq in range(2):
+        root = str(tmp_path / f"t{seq}")
+        model = {k: f"v0-{k}" for k in range(0, 30)}
+        lake_append(spark, root, df_of(model), "part")
+        next_key = 100 * (seq + 1)
+        for step in range(8):
+            op = rng.choice(["upsert", "delete", "append", "compact", "vacuum"])
+            if op == "upsert":
+                ks = rng.sample(sorted(model), k=min(5, len(model)))
+                ks += [next_key, next_key + 1]
+                next_key += 2
+                upd = {k: f"s{step}-{k}" for k in ks}
+                lake_upsert(spark, root, df_of(upd), "doc_id", "part")
+                model.update(upd)
+            elif op == "delete":
+                ks = rng.sample(sorted(model), k=min(4, len(model)))
+                ks.append(99999)  # missing key: must no-op silently
+                lake_delete(
+                    spark,
+                    root,
+                    spark.createDataFrame([(k,) for k in ks], "doc_id LONG"),
+                    "doc_id",
+                    "part",
+                )
+                for k in ks:
+                    model.pop(k, None)
+            elif op == "append":
+                fresh = {next_key + i: f"a{step}-{i}" for i in range(3)}
+                next_key += 3
+                lake_append(spark, root, df_of(fresh), "part")
+                model.update(fresh)
+            elif op == "compact":
+                lake_compact(spark, root, "part")
+            else:
+                lake_vacuum(root, keep_versions=1, retention_seconds=0)
+            got = read_back(root)
+            want = {k: (part_of(k), t) for k, t in model.items()}
+            assert got == want, f"seq {seq} step {step} op {op} diverged"
+        # every file the final manifest references exists on disk
+        import os as _os
+
+        v = latest_version(root)
+        for e in _load_manifest(root, v)["files"]:
+            assert _os.path.exists(_os.path.join(root, e["path"]))
