@@ -821,12 +821,39 @@ def extract_features(
     return media.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def rgb_to_ycbcr420(
+    img: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """JFIF forward matrix + 2x2 chroma mean subsample — the encode
+    inverse of decode_frame's upsample+convert path (dimensions must be
+    even, the 4:2:0 contract)."""
+    h, w = img.shape[:2]
+    if h % 2 or w % 2:
+        raise ValueError("rgb_to_ycbcr420: dimensions must be even")
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    def q(p):
+        return np.clip(np.round(p), 0, 255).astype(np.uint8)
+
+    def sub(p):
+        return q(p.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)))
+
+    return q(y), sub(cb), sub(cr)
+
+
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """REAL resize for the decodable codecs: every frame is decoded,
     nearest-neighbor resampled to (height, width), and re-encoded with
     the same codec inside mapInPandas — payloads never leave their
-    executor.  Stub-codec rows (jpeg/wav/mp4) raise, same boundary as
-    decode_frame."""
+    executor.  mp4 movies re-mux with their own sample codec (r8):
+    MJPEG frames re-encode as baseline JPEGs, avc1 I_PCM frames
+    re-encode as I_PCM access units; other bitstream codecs raise,
+    same boundary as decode_frame."""
     from pyspec_spark.operators.codecs import encode_pgm, encode_png, encode_ppm
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -857,6 +884,38 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                     # lossy re-encode at high quality, same policy as any
                     # real image pipeline's jpeg->jpeg resize
                     payload = b"".join(encode_jpeg(fr, quality=95) for fr in frames)
+                elif codec == "mp4":
+                    from pyspec_spark.operators.mp4 import (
+                        make_avc_ipcm_mp4,
+                        make_mjpeg_mp4,
+                        parse_mp4_metadata,
+                    )
+
+                    meta = parse_mp4_metadata(bytes(r["payload"]))
+                    video = next(
+                        t for t in meta["tracks"] if t["handler"] == "vide"
+                    )
+                    if video["codec"] in ("jpeg", "mjpa"):
+                        from pyspec_spark.operators.jpeg import encode_jpeg
+
+                        payload = make_mjpeg_mp4(
+                            [encode_jpeg(fr, quality=95) for fr in frames],
+                            width,
+                            height,
+                        )
+                    elif video["codec"] == "avc1":
+                        # the frames decoded, so the stream was I_PCM:
+                        # re-encode losslessly modulo the 4:2:0 colorspace
+                        payload = make_avc_ipcm_mp4(
+                            [rgb_to_ycbcr420(fr) for fr in frames],
+                            width,
+                            height,
+                        )
+                    else:
+                        raise NotImplementedError(
+                            f"resize for mp4 sample codec {video['codec']!r}: "
+                            "no encoder available"
+                        )
                 else:
                     raise NotImplementedError(
                         f"resize for codec {codec!r}: no encoder available"

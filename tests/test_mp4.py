@@ -477,3 +477,52 @@ def test_multimodal_pipeline_gates_and_aggregates(spark):
         assert r["avg_luma"] == pytest.approx(round(want_avg) / 1e6, abs=2e-6)
         assert r["max_std_luma"] == max(f["std_luma"] for f in fs)
         assert 0.0 <= r["avg_luma"] <= 255.0
+
+
+def test_resize_media_remuxes_mjpeg_and_avc_ipcm(spark):
+    """resize_media (r8) re-muxes video with its own sample codec: an
+    MJPEG movie comes back as a decodable MJPEG movie at the new
+    geometry; an avc1 I_PCM movie comes back as a decodable I_PCM movie
+    (lossless modulo the 4:2:0 colorspace round-trip)."""
+    import numpy as np
+
+    from pyspec_spark.operators.multimodal import (
+        decode_frame,
+        make_avc_ipcm_media,
+        make_mjpeg_media,
+        resize_media,
+    )
+
+    w2, h2 = 24, 16
+    for media in (
+        make_mjpeg_media(spark, n=2, frames=2),
+        make_avc_ipcm_media(spark, n=2, frames=2),
+    ):
+        small = {
+            r["media_id"]: r
+            for r in resize_media(media, w2, h2).collect()
+        }
+        assert set(small) == {0, 1}
+        for mid, r in small.items():
+            assert (r["width"], r["height"]) == (w2, h2)
+            for f in range(int(r["n_frames"])):
+                img = decode_frame("mp4", bytes(r["payload"]), w2, h2, f)
+                assert img.shape == (h2, w2, 3) and img.dtype == np.uint8
+
+
+def test_resize_media_non_ipcm_avc_still_raises(spark):
+    """A metadata-only avc1 movie (no decodable access units) must hit
+    the contract NotImplementedError through resize too."""
+    import pytest as _pytest
+
+    from pyspec_spark.operators.multimodal import (
+        make_avc_media,
+        resize_media,
+    )
+
+    media = make_avc_media(spark, n=1)
+    with _pytest.raises(Exception) as ei:
+        resize_media(media, 16, 16).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
