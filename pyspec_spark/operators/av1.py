@@ -10,7 +10,10 @@ dimensions — none of which the ISO container carries in a typed field
 (the av1C header bits duplicate a subset, and real muxers have been
 observed to contradict the OBU; the OBU is the truth).  Tile/frame
 decode stays the documented NotImplementedError boundary
-(operators/multimodal.decode_frame).
+(operators/multimodal.decode_frame); AV1 has no raw-sample coding
+mode at all (every block goes through the transform/prediction
+pipeline with entropy-coded symbols), so no I_PCM-style exact
+narrowing (the r8 avc1 path) exists to implement.
 
 Unlike H.264/H.265 RBSP there is NO emulation-prevention escaping in
 AV1 — OBUs are length-delimited (leb128 obu_size) instead, so the

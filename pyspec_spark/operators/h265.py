@@ -7,7 +7,13 @@ pipeline gates on for ``hvc1`` tracks — general profile / tier / level
 and the TRUE display dimensions (HEVC stores luma sizes rounded to the
 minimum CU and carries a conformance window; readers that skip the
 window mis-size non-8-multiple video).  CTU/slice decode stays the
-documented NotImplementedError boundary.
+documented NotImplementedError boundary — and unlike H.264 (whose
+CAVLC slice data let r8 implement exact I_PCM frame decode with
+plain exp-Golomb reads, h264.py), HEVC slice data is CABAC-only:
+even the per-CU pcm_flag is arithmetic-coded behind the
+coding-quadtree, so a lossless-PCM fast path would still require a
+full CABAC engine + quadtree parser.  That is why the per-macroblock
+narrowing stops at avc1.
 
 Shares the BitWriter/BitReader/escaping primitives with h264.py — the
 RBSP emulation-prevention scheme is byte-identical across the two
