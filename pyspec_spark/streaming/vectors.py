@@ -72,28 +72,60 @@ def _codebook_rows(cents) -> list[tuple[int, list[float]]]:
     )
 
 
-def assign_cells(batch: DataFrame, cents) -> DataFrame:
-    """Nearest-centroid assignment, fully MAP-SIDE: the codebook is
-    bounded by construction (k x d), so it is folded into the plan as
-    literals and the per-vector argmin is array_min over k
-    (dist, cid) structs — deterministic cid tiebreak, zero shuffle of
-    the batch (the crossJoin+groupBy form would shuffle every batch on
-    vec_id; for a k too large to inline, that broadcast-join form is
-    the fallback).  ``cents`` is a (cid, c) DataFrame or a
-    pre-collected [(cid, vector)] list.  Returns (vec_id, embedding,
-    cid)."""
+# Above this k the literal-inlined plan gets expensive to ANALYZE (k*d
+# expression nodes per batch); the broadcast-row form costs one tiny
+# broadcast instead and keeps the plan O(1) in k.  Both are map-side.
+_INLINE_MAX_K = 64
+
+
+def assign_cells(batch: DataFrame, cents, inline_max_k: int | None = None) -> DataFrame:
+    """Nearest-centroid assignment, fully MAP-SIDE, two plan shapes:
+
+    - k <= inline_max_k (default 64): the codebook folds into the plan
+      as literals; per-vector argmin = array_min over k (dist, cid)
+      structs — zero shuffle, zero join.
+    - k > inline_max_k (r8): the codebook aggregates into ONE row
+      holding an array<struct<cid, c>> which broadcast-crossJoins onto
+      the batch; the argmin is array_min over a transform of that
+      array.  Still ZERO shuffle of the batch (a 1-row broadcast is a
+      metadata-sized exchange) and the plan stays O(1) in k — the
+      shuffling crossJoin+groupBy form the r7 docstring named as the
+      fallback is never needed.
+
+    Both shapes use the identical (dist, cid) lexicographic argmin
+    (deterministic lowest-cid tiebreak) and are equality-tested against
+    each other.  ``cents`` is a (cid, c) DataFrame or a pre-collected
+    [(cid, vector)] list.  Returns (vec_id, embedding, cid)."""
     rows = _codebook_rows(cents)
-    structs = []
-    for cid, c in rows:
-        clit = F.array(*[F.lit(x) for x in c])
-        structs.append(
-            F.struct(
-                _sqdist(F.col("embedding"), clit).alias("dist"),
-                F.lit(int(cid)).alias("cid"),
+    limit = _INLINE_MAX_K if inline_max_k is None else inline_max_k
+    if len(rows) <= limit:
+        structs = []
+        for cid, c in rows:
+            clit = F.array(*[F.lit(x) for x in c])
+            structs.append(
+                F.struct(
+                    _sqdist(F.col("embedding"), clit).alias("dist"),
+                    F.lit(int(cid)).alias("cid"),
+                )
             )
+        best = F.array_min(F.array(*structs))
+        return batch.select(
+            "vec_id", "embedding", best.getField("cid").alias("cid")
         )
-    best = F.array_min(F.array(*structs))
-    return batch.select(
+    spark = batch.sparkSession
+    cb = spark.createDataFrame(
+        [(rows,)], "cb ARRAY<STRUCT<cid: INT, c: ARRAY<DOUBLE>>>"
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cb"),
+            lambda s: F.struct(
+                _sqdist(F.col("embedding"), s.getField("c")).alias("dist"),
+                s.getField("cid").alias("cid"),
+            ),
+        )
+    )
+    return batch.crossJoin(F.broadcast(cb)).select(
         "vec_id", "embedding", best.getField("cid").alias("cid")
     )
 

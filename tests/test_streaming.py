@@ -1152,3 +1152,45 @@ def test_stream_stream_join_state_survives_restart(spark, tmp_path_factory):
         for r in q_view_purchase_join.__wrapped__(spark, SF).collect()
     )
     assert got == want
+
+
+def test_assign_cells_broadcast_form_matches_inline(spark):
+    """The r8 large-k assignment path (1-row broadcast array of structs)
+    must assign every vector to the SAME cell as the literal-inlined
+    plan, including lexicographic lowest-cid tiebreaks, and must not
+    shuffle the batch."""
+    import numpy as np
+
+    from pyspec_spark.plans import physical_plan
+    from pyspec_spark.streaming.vectors import assign_cells
+
+    rng = np.random.default_rng(17)
+    cents = [
+        (cid, [float(x) for x in rng.normal(0, 1, 8)]) for cid in range(20)
+    ]
+    # duplicate centroid: ties must break to the LOWER cid in both forms
+    cents.append((20, list(cents[3][1])))
+    batch = spark.createDataFrame(
+        [
+            (i, [float(x) for x in rng.normal(0, 1, 8)])
+            for i in range(200)
+        ]
+        + [(1000 + cid, list(c)) for cid, c in cents],  # exact hits
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    inline = {
+        r["vec_id"]: r["cid"]
+        for r in assign_cells(batch, cents, inline_max_k=64).collect()
+    }
+    bcast = {
+        r["vec_id"]: r["cid"]
+        for r in assign_cells(batch, cents, inline_max_k=4).collect()
+    }
+    assert inline == bcast
+    assert inline[1003] == 3 and inline[1020] == 3  # duplicate -> lower cid
+    p = physical_plan(assign_cells(batch, cents, inline_max_k=4))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+    # the BATCH side must not shuffle: no hash/range exchange anywhere
+    import re
+
+    assert not re.search(r"Exchange (hash|range)partitioning", p)
