@@ -434,7 +434,9 @@ def make_minimal_mp4(
 # per ISO 14496-12 / QuickTime), so the container needs only the sample
 # tables — no bitstream codec.  This closes the mp4 frame-decode stub
 # for the one codec the in-repo T.81 decoder (operators/jpeg.py) can
-# serve; H.264/HEVC/AV1 frames remain the documented out-of-scope
+# serve; r8 additionally closed avc1 for IDR/I_PCM streams
+# (make_avc_ipcm_mp4 below, operators/h264.py); HEVC/AV1 frames and
+# transformed H.264 macroblocks remain the documented out-of-scope
 # boundary.  The synthesizer writes REAL stsc/stco/stsz tables (one
 # chunk holding all samples, per-sample sizes, absolute chunk offset)
 # and the extractor reads frames back through them — the same

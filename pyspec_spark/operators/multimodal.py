@@ -746,8 +746,9 @@ def video_metadata(media: DataFrame) -> DataFrame:
     """Typed container metadata for video rows — the r5 answer to the
     mp4 boundary: a mixed crawl's video column yields duration /
     geometry / codec-fourcc ROWS (what curation filters on) without any
-    codec library; FRAME decode remains the documented
-    NotImplementedError in decode_frame.  Runs inside mapInPandas on
+    codec library; FRAME decode of transformed/predicted bitstreams
+    remains the documented NotImplementedError in decode_frame (MJPEG
+    and avc1 I_PCM decode natively).  Runs inside mapInPandas on
     executors; only the parsed metadata (not payloads) leaves the
     batch."""
     from pyspec_spark.operators.mp4 import parse_mp4_metadata
