@@ -9,11 +9,13 @@ Image decode is REAL for the public formats implemented in
 PNG, and baseline JPEG per ITU-T T.81; multi-frame via concatenation) —
 no codec library needed.  MP4 CONTAINER metadata is REAL too
 (operators/mp4.py parses the ISO 14496-12 box tree: duration, track
-geometry, codec fourcc, sample counts — see ``video_metadata``); only
-mp4 FRAME decode raises NotImplementedError at a clearly-marked
-boundary (an H.264 decoder is out of scope for pure numpy — plug
-PIL/av in at that one seam).  The deterministic `fake-rgb8` codec
-remains for plumbing tests.
+geometry, codec fourcc, sample counts — see ``video_metadata``), and
+mp4 FRAME decode is real for MJPEG samples (r6) and avc1 IDR/I_PCM
+streams (r8, operators/h264.py).  Transformed/predicted bitstream
+macroblocks (HEVC/AV1, non-I_PCM H.264) raise NotImplementedError at
+a clearly-marked boundary (a full entropy/transform decoder is out of
+scope for pure numpy — plug PIL/av in at that one seam).  The
+deterministic `fake-rgb8` codec remains for plumbing tests.
 
 Scale notes: one media blob never leaves its executor; decode is
 per-row inside Arrow batches; frame sampling happens *before* feature
