@@ -75,13 +75,18 @@ def _codebook_rows(cents) -> list[tuple[int, list[float]]]:
 # Above this k the literal-inlined plan gets expensive to ANALYZE (k*d
 # expression nodes per batch); the broadcast-row form costs one tiny
 # broadcast instead and keeps the plan O(1) in k.  Both are map-side.
-_INLINE_MAX_K = 64
+# Measured (SCALING.md r8c, 20k x 64-dim batch, local[32], build+run):
+# inline 2.1/20.9/91.1 s at k=8/256/1024 vs broadcast 1.1/2.4/8.5 s —
+# the expression-tree analysis dominates well before k=64, so the
+# threshold stays at the tiny-codebook end where the two are within
+# noise and the inline plan is simplest to gate.
+_INLINE_MAX_K = 8
 
 
 def assign_cells(batch: DataFrame, cents, inline_max_k: int | None = None) -> DataFrame:
     """Nearest-centroid assignment, fully MAP-SIDE, two plan shapes:
 
-    - k <= inline_max_k (default 64): the codebook folds into the plan
+    - k <= inline_max_k (default 8): the codebook folds into the plan
       as literals; per-vector argmin = array_min over k (dist, cid)
       structs — zero shuffle, zero join.
     - k > inline_max_k (r8): the codebook aggregates into ONE row
