@@ -626,3 +626,61 @@ def feature_hash_vectors(
             ),
         ).alias("v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Term-bucketed inverted-index layout (r8) — the write-once production
+# layout q_index_lookup's docstring named as prose: the index lands
+# hive-partitioned by a STABLE md5-derived term bucket, so a probe for
+# terms T opens only T's buckets' directories (path-level pruning — no
+# full-index scan, no manifest needed).  md5 rather than F.hash because
+# the probe side computes the same bucket DRIVER-side in plain Python
+# (hashlib) to build the directory list; Murmur3 has no stdlib twin.
+# Bucket count is fixed at write time — size it to the vocabulary and
+# target cluster, not the toy test value.
+# ---------------------------------------------------------------------------
+TERM_INDEX_BUCKETS = 64
+
+
+def _term_bucket_col(term_col, n_buckets: int):
+    return F.pmod(
+        F.conv(F.substring(F.md5(term_col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def term_bucket_of(term: str, n_buckets: int = TERM_INDEX_BUCKETS) -> int:
+    """Driver-side twin of _term_bucket_col (same md5-prefix math)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+
+
+def write_term_index(
+    idx: DataFrame, path: str, n_buckets: int = TERM_INDEX_BUCKETS
+) -> None:
+    """Materialize an inverted index (term, df, cf, postings — the
+    q_inverted_index shape) partitioned by term bucket.  One round-robin
+    repartition on the bucket key groups each bucket's vocabulary rows
+    into its own files; at 100 TB the write cost IS the index build's
+    own shuffle — this adds a bounded re-bucketing of vocabulary-sized
+    rows, never a corpus pass."""
+    (
+        idx.withColumn("tb", _term_bucket_col(F.col("term"), n_buckets))
+        .repartition(F.col("tb"))
+        .write.partitionBy("tb")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def probe_term_index(
+    spark, path: str, terms: list[str], n_buckets: int = TERM_INDEX_BUCKETS
+) -> DataFrame:
+    """Read ONLY the probed terms' buckets (directory list computed
+    driver-side from the md5 twin) and filter to the exact terms —
+    lookup cost scales with |probed buckets|, not vocabulary size."""
+    buckets = sorted({term_bucket_of(t, n_buckets) for t in terms})
+    paths = [f"{path}/tb={b}" for b in buckets]
+    df = spark.read.parquet(*paths)
+    return df.where(F.col("term").isin(*terms))

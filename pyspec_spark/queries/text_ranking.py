@@ -511,9 +511,12 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # its CTE (the q_decontam_report trick) so the two declarations can
 # never drift.
 #
-# 100 TB posture: in production the index is WRITTEN once (bucketed by
-# term) and lookups read only the probed terms' buckets; here the CTE
-# rebuilds it in-plan, so the measured cost is build + decode.  The
+# 100 TB posture: in production the index is WRITTEN once, partitioned
+# by a stable md5 term bucket, and lookups open only the probed terms'
+# bucket directories — IMPLEMENTED r8 as operators/text.write_term_index
+# / probe_term_index (path-pruning pinned by test_layout.py); here the
+# CTE rebuilds the index in-plan so the oracle stays drift-free, and
+# the measured cost is build + decode.  The
 # decode itself is term-local: explode = posting length, cumsum window
 # partitions by term — no corpus-wide shuffle beyond the index build's
 # own exchanges.

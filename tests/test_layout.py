@@ -396,3 +396,48 @@ def test_merge_delete_rewrites_only_touched_partitions(spark, tmp_path):
     assert merge_delete(
         spark, lake, spark.createDataFrame([(999,)], "k INT"), "k", "part"
     ) == 0
+
+
+def test_term_bucketed_index_prunes_and_roundtrips(spark, tmp_path):
+    """write_term_index + probe_term_index (r8): the probe must (a)
+    return exactly the index rows of the probed terms, (b) open only
+    the probed buckets' directories — path-level pruning, the
+    production lookup the q_index_lookup docstring promises."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import (
+        probe_term_index,
+        term_bucket_of,
+        write_term_index,
+    )
+    from pyspec_spark.queries.text_ranking import q_inverted_index
+
+    idx = q_inverted_index.__wrapped__(spark, "/root/testdata/sf0.001")
+    root = str(tmp_path / "tidx")
+    write_term_index(idx, root, n_buckets=16)
+    n_dirs = sum(1 for d in os.listdir(root) if d.startswith("tb="))
+    assert n_dirs > 2  # vocabulary actually spreads over buckets
+
+    terms = ["data", "spark"]
+    got = {
+        r["term"]: (r["df"], r["cf"], r["postings"])
+        for r in probe_term_index(spark, root, terms, n_buckets=16).collect()
+    }
+    want = {
+        r["term"]: (r["df"], r["cf"], r["postings"])
+        for r in idx.where(F.col("term").isin(*terms)).collect()
+    }
+    assert got == want and set(got) == set(terms)
+
+    probe = probe_term_index(spark, root, terms, n_buckets=16)
+    touched = {
+        seg
+        for f in probe.inputFiles()
+        for seg in f.split("/")
+        if seg.startswith("tb=")
+    }
+    want_buckets = {f"tb={term_bucket_of(t, 16)}" for t in terms}
+    assert touched == want_buckets  # nothing outside the probed buckets
+    assert len(touched) < n_dirs
