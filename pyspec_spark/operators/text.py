@@ -684,3 +684,77 @@ def probe_term_index(
     paths = [f"{path}/tb={b}" for b in buckets]
     df = spark.read.parquet(*paths)
     return df.where(F.col("term").isin(*terms))
+
+
+def sharded_postings(tf: DataFrame, shard_size: int) -> DataFrame:
+    """Posting-list sharding by doc-id range (r8) — the stopword-skew
+    mitigation the q_inverted_index docstring named as prose: a term
+    with df ~ n_docs produces ONE monster (term) group whose sort +
+    collect_list stalls its reducer; grouping on (term, doc_id DIV
+    shard_size) caps every group at shard_size entries, and shards of
+    one term land on different reducers.  Gaps are delta-encoded WITHIN
+    the shard from the shard's base doc_id (gap_0 = doc_id - base), so
+    a reader reconstructs absolute ids from (shard, base) alone and
+    concatenating shards in shard order replays the full posting list.
+
+    Input: the (doc_id, term, tf) table; output one row per
+    (term, shard): df_shard, cf_shard, postings."""
+    from pyspark.sql import Window
+
+    shard = (F.col("doc_id") / F.lit(shard_size)).cast("long").alias("shard")
+    w = Window.partitionBy("term", "shard").orderBy("doc_id")
+    g = (
+        tf.select("term", "doc_id", "tf", shard)
+        .withColumn(
+            "gap",
+            F.col("doc_id")
+            - F.coalesce(
+                F.lag("doc_id").over(w), F.col("shard") * F.lit(shard_size)
+            ),
+        )
+        .withColumn("entry", F.concat_ws(":", F.col("gap"), F.col("tf")))
+    )
+    return g.groupBy("term", "shard").agg(
+        F.count("*").alias("df_shard"),
+        F.sum("tf").alias("cf_shard"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                lambda s: s.getField("entry"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+def decode_postings(
+    idx: DataFrame, base_col=None, shard_size: int | None = None
+) -> DataFrame:
+    """Invert the delta encoding: (term[, shard], postings) ->
+    (term, doc_id, tf) rows.  For the sharded layout pass shard_size;
+    for the flat q_inverted_index layout the base is 0."""
+    from pyspark.sql import Window
+
+    base = (
+        (F.col("shard") * F.lit(shard_size)).cast("long")
+        if shard_size is not None
+        else F.lit(0).cast("long")
+    )
+    part = ["term", "shard"] if shard_size is not None else ["term"]
+    x = idx.select(
+        *part,
+        base.alias("base"),
+        F.posexplode(F.split("postings", ",")).alias("pos", "entry"),
+    ).select(
+        *part,
+        "base",
+        "pos",
+        F.split("entry", ":").getItem(0).cast("long").alias("gap"),
+        F.split("entry", ":").getItem(1).cast("long").alias("tf"),
+    )
+    w = Window.partitionBy(*part).orderBy("pos")
+    return x.select(
+        "term",
+        (F.col("base") + F.sum("gap").over(w)).alias("doc_id"),
+        "tf",
+    )

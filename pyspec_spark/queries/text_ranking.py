@@ -452,9 +452,12 @@ def q_doc_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window's exchange is the only vocabulary shuffle — the groupBy reuses
 # it (plan-gated: 3 exchanges total incl. presentation sort).  Monster
 # posting lists (stopwords: df ≈ n_docs) are the known skew axis; the
-# production mitigation is posting-list sharding by doc-id range, which
-# composes here as a (term, doc_id DIV shard) grouping — not applied at
-# test scale so the oracle pins the unsharded format.
+# mitigation is IMPLEMENTED r8 as operators/text.sharded_postings —
+# a (term, doc_id DIV shard_size) grouping with gaps delta-encoded from
+# the shard base, so decode_postings replays absolute ids losslessly
+# (equality-pytested against this flat format, with the <= shard_size
+# per-group bound asserted).  The flat format here stays the
+# oracle-pinned declaration.
 # ---------------------------------------------------------------------------
 @query(
     "q_inverted_index",

@@ -1386,3 +1386,38 @@ def test_bitext_mine_lsh_planted_translation_recall(spark, emb):
     hits = [r for r in got if r["tgt_id"] == r["src_id"] - 500000]
     assert len(hits) >= 6, f"planted partner mined only {len(hits)}/8"
     assert all(r["margin"] > 1.0 for r in hits)
+
+
+def test_sharded_postings_decode_equals_flat_index(spark):
+    """The doc-id-range shard mitigation must be lossless: decoding the
+    sharded postings reproduces exactly the (term, doc_id, tf) set of
+    the flat q_inverted_index postings, and no (term, shard) group
+    exceeds shard_size entries (the skew bound that IS the point)."""
+    from pyspec_spark.operators.text import decode_postings, sharded_postings
+    from pyspec_spark.queries.text_ranking import _tf, q_inverted_index
+
+    sf = "/root/testdata/sf0.001"
+    tf = _tf(spark, sf)
+    shard_size = 64
+    sharded = sharded_postings(tf, shard_size).cache()
+    flat = q_inverted_index.__wrapped__(spark, sf)
+
+    got = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in decode_postings(sharded, shard_size=shard_size).collect()
+    }
+    want = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in decode_postings(flat).collect()
+    }
+    assert got == want and len(want) > 0
+    # the skew bound: every group holds at most shard_size postings
+    assert sharded.agg(F.max("df_shard")).collect()[0][0] <= shard_size
+    # shards really split the worst term
+    worst = (
+        sharded.groupBy("term")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()
+    )
+    assert worst["count"] > 1
