@@ -346,3 +346,28 @@ def test_avc_ipcm_movie_decodes_through_generic_frame_path(spark):
     np.testing.assert_array_equal(img, want)
     feats = extract_features(media, sample_every=1).collect()
     assert len(feats) == 4  # 2 media x 2 frames
+
+
+def test_ipcm_roundtrip_hypothesis_adversarial_bytes():
+    """Property pin: ANY byte content round-trips through the I_PCM
+    slice — hypothesis drives the plane bytes (shrinking toward the
+    00/01/02/03 runs that stress emulation prevention)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pyspec_spark.operators.h264 import decode_ipcm_idr, encode_ipcm_idr
+
+    @given(
+        data=st.binary(min_size=384, max_size=384),
+    )
+    @settings(max_examples=30, deadline=None)
+    def prop(data):
+        buf = np.frombuffer(data, dtype=np.uint8)
+        y = buf[:256].reshape(16, 16)
+        cb = buf[256:320].reshape(8, 8)
+        cr = buf[320:384].reshape(8, 8)
+        y2, cb2, cr2 = decode_ipcm_idr(encode_ipcm_idr(y, cb, cr), 1, 1)
+        assert (y2 == y).all() and (cb2 == cb).all() and (cr2 == cr).all()
+
+    prop()
