@@ -393,3 +393,64 @@ def q_vector_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dot_micro"), "vec_id")
         .limit(_VIX_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# S3 — SPE binary source under the oracle gate (r8): the WinView frame
+# decoder (sources/spe.py), previously unit-only, made driver-checkable
+# with the q_avc_ipcm_frames closed-form trick: synthesize a 3-frame
+# uint16 SPE file whose pixels are an integer modular pattern, read it
+# back through read_spe's binaryFile + mapInPandas path, and aggregate
+# per frame — n_px plus v/v·x/v·y integer sums, so a transposed
+# reshape, wrong dtype width, off-by-one header offset, or frame-order
+# defect flips an exact integer.  The oracle replays the pattern from
+# generate-series arithmetic; no golden file, no table dependency.
+# ---------------------------------------------------------------------------
+_SPE_NF, _SPE_NY, _SPE_NX = 3, 16, 32
+
+_SPE_RT_ORACLE = f"""
+WITH f AS (SELECT CAST(unnest(range(0, {_SPE_NF})) AS INT) AS frame_id),
+yy AS (SELECT CAST(unnest(range(0, {_SPE_NY})) AS INT) AS y),
+xx AS (SELECT CAST(unnest(range(0, {_SPE_NX})) AS INT) AS x)
+SELECT f.frame_id,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM((x * 3 + y * 5 + frame_id * 7) % 251) AS BIGINT) AS v_sum,
+       CAST(SUM(((x * 3 + y * 5 + frame_id * 7) % 251) * x) AS BIGINT)
+         AS vx_sum,
+       CAST(SUM(((x * 3 + y * 5 + frame_id * 7) % 251) * y) AS BIGINT)
+         AS vy_sum
+FROM f, yy, xx
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q_spe_roundtrip", oracle=_SPE_RT_ORACLE)
+def q_spe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import numpy as np
+
+    from pyspec_spark.sources.spe import encode_spe, read_spe
+
+    fid, yy, xx = np.meshgrid(
+        np.arange(_SPE_NF), np.arange(_SPE_NY), np.arange(_SPE_NX),
+        indexing="ij",
+    )
+    frames = ((xx * 3 + yy * 5 + fid * 7) % 251).astype(np.uint16)
+    tmp = _tmp_root("pyspec_spe_rt_")
+    path = os.path.join(tmp, "roundtrip.spe")
+    with open(path, "wb") as fh:
+        fh.write(encode_spe(frames, dtype_code=3))
+    pts = read_spe(spark, path)
+    v = F.col("intensity").cast("long")
+    return (
+        pts.groupBy("frame_id")
+        .agg(
+            F.count("*").alias("n_px"),
+            F.sum(v).alias("v_sum"),
+            F.sum(v * F.col("x")).alias("vx_sum"),
+            F.sum(v * F.col("y")).alias("vy_sum"),
+        )
+        .orderBy("frame_id")
+    )

@@ -96,3 +96,22 @@ def read_spe(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     return binary.select("path", "content").mapInPandas(decode, FRAME_SCHEMA)
+
+
+def encode_spe(frames: np.ndarray, dtype_code: int = 3) -> bytes:
+    """Serialize a (nframes, ydim, xdim) array as an SPE v2 payload —
+    the exact inverse of decode_spe_bytes (same fixed header offsets),
+    so round-trip queries and fixtures share one format definition
+    (r8; previously only tests/fixtures.py could write the format)."""
+    if frames.ndim != 3:
+        raise ValueError("encode_spe: frames must be (nframes, ydim, xdim)")
+    if dtype_code not in _DTYPES:
+        raise ValueError(f"unsupported SPE datatype code {dtype_code}")
+    nframes, ydim, xdim = (int(s) for s in frames.shape)
+    header = bytearray(SPE_HEADER_LEN)
+    struct.pack_into("<H", header, 42, xdim)
+    struct.pack_into("<h", header, 108, dtype_code)
+    struct.pack_into("<H", header, 656, ydim)
+    struct.pack_into("<i", header, 1446, nframes)
+    dt = np.dtype(_DTYPES[dtype_code]).newbyteorder("<")
+    return bytes(header) + frames.astype(dt).tobytes()
