@@ -53,6 +53,7 @@ _FRESH = [
     "q_vector_index_roundtrip",
     "q_plot_golden",
     "q_avc_ipcm_frames",
+    "q_spe_roundtrip",
 ]
 _ROTATE_K = 35 - len(_FRESH)
 
