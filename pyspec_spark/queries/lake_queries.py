@@ -454,3 +454,70 @@ def q_spe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frame_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# S4 — dark-frame role under the oracle gate (r8): the remaining
+# unit-only source row.  TWO real SPE files — a 3-frame data pattern
+# and a single-frame dark pattern — go through read_spe and the REAL
+# operators/images.dark_subtract (the broadcast (y, x) join), then
+# aggregate corrected per-frame integer sums.  Oracle replays
+# data − dark in closed form; a wrong join alignment, a missed
+# broadcast null, or any decode defect in EITHER file flips an exact
+# integer.
+# ---------------------------------------------------------------------------
+_SPE_DK = 11  # dark pattern modulus offset
+
+
+_SPE_DARK_ORACLE = f"""
+WITH f AS (SELECT CAST(unnest(range(0, {_SPE_NF})) AS INT) AS frame_id),
+yy AS (SELECT CAST(unnest(range(0, {_SPE_NY})) AS INT) AS y),
+xx AS (SELECT CAST(unnest(range(0, {_SPE_NX})) AS INT) AS x)
+SELECT f.frame_id,
+       CAST(SUM((x * 3 + y * 5 + frame_id * 7) % 251
+                - (x * 2 + y * 3 + {_SPE_DK}) % 97) AS BIGINT) AS corr_sum,
+       CAST(SUM(CASE WHEN (x * 3 + y * 5 + frame_id * 7) % 251
+                          > (x * 2 + y * 3 + {_SPE_DK}) % 97
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+FROM f, yy, xx
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("q_spe_dark_roundtrip", oracle=_SPE_DARK_ORACLE)
+def q_spe_dark_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    import numpy as np
+
+    from pyspec_spark.operators.images import dark_subtract
+    from pyspec_spark.sources.spe import encode_spe, read_spe
+
+    fid, yy, xx = np.meshgrid(
+        np.arange(_SPE_NF), np.arange(_SPE_NY), np.arange(_SPE_NX),
+        indexing="ij",
+    )
+    data = ((xx * 3 + yy * 5 + fid * 7) % 251).astype(np.uint16)
+    dyy, dxx = np.meshgrid(
+        np.arange(_SPE_NY), np.arange(_SPE_NX), indexing="ij"
+    )
+    dark = (((dxx * 2 + dyy * 3 + _SPE_DK) % 97).astype(np.uint16))[None]
+    tmp = _tmp_root("pyspec_spe_dark_")
+    dpath = os.path.join(tmp, "data.spe")
+    kpath = os.path.join(tmp, "dark.spe")
+    with open(dpath, "wb") as fh:
+        fh.write(encode_spe(data, dtype_code=3))
+    with open(kpath, "wb") as fh:
+        fh.write(encode_spe(dark, dtype_code=3))
+    frames = read_spe(spark, dpath)
+    corrected = dark_subtract(frames, read_spe(spark, kpath))
+    v = F.col("intensity").cast("long")
+    return (
+        corrected.groupBy("frame_id")
+        .agg(
+            F.sum(v).alias("corr_sum"),
+            F.sum(F.when(v > 0, 1).otherwise(0)).alias("n_pos"),
+        )
+        .orderBy("frame_id")
+    )
