@@ -100,28 +100,17 @@ def q_lake_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPEC_RT_MAX_ID = 200
 
 
-@query(
-    "q_spec_roundtrip",
-    oracle=f"""
-SELECT CAST(doc_id AS DOUBLE) AS doc_id_v,
-       CAST(n_chars AS DOUBLE) AS n_chars_v
-FROM documents
-WHERE doc_id < {_SPEC_RT_MAX_ID}
-ORDER BY doc_id_v
-""",
-)
-def q_spec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
-    from pyspec_spark.sources.spec_datasource import SpecDataSource
-
-    rows = (
+def _spec_fixture_rows(spark: SparkSession, sf_dir: str) -> list:
+    return (
         table(spark, sf_dir, "documents")
         .where(F.col("doc_id") < _SPEC_RT_MAX_ID)
         .select("doc_id", "n_chars")
         .orderBy("doc_id")
         .collect()
     )
+
+
+def _spec_fixture_lines(rows) -> list[str]:
     lines = [
         "#F roundtrip.spec",
         "#E 1300000000",
@@ -137,6 +126,25 @@ def q_spec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     lines += [f"{r['doc_id']} {r['n_chars']}" for r in rows]
     lines.append("")
+    return lines
+
+
+@query(
+    "q_spec_roundtrip",
+    oracle=f"""
+SELECT CAST(doc_id AS DOUBLE) AS doc_id_v,
+       CAST(n_chars AS DOUBLE) AS n_chars_v
+FROM documents
+WHERE doc_id < {_SPEC_RT_MAX_ID}
+ORDER BY doc_id_v
+""",
+)
+def q_spec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspec_spark.sources.spec_datasource import SpecDataSource
+
+    lines = _spec_fixture_lines(_spec_fixture_rows(spark, sf_dir))
     tmp = _tmp_root("pyspec_spec_rt_")
     path = os.path.join(tmp, "roundtrip.spec")
     with open(path, "w") as f:
@@ -521,3 +529,39 @@ def q_spe_dark_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frame_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# UD4 — the SPEC UDTF surface under the oracle gate (r8): the SAME scan
+# block q_spec_roundtrip writes to disk rides instead as a column of
+# one row and lateral-explodes through the registered spec_points UDTF
+# — the embedded-blocks plumbing (blocks inside another table) that the
+# file DataSource cannot serve.  The oracle is spliced verbatim from
+# q_spec_roundtrip's registration, so the two declarations can never
+# drift; a parser or UDTF-plumbing defect flips the shared value hash.
+# Exempt from the zero-jobs gate (the fixture collect, as for S1b).
+# ---------------------------------------------------------------------------
+def _spec_udtf_oracle() -> str:
+    from pyspec_spark.registry import ORACLES
+
+    return ORACLES["q_spec_roundtrip"]
+
+
+@query("q_spec_udtf_roundtrip", oracle=_spec_udtf_oracle())
+def q_spec_udtf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.sources.spec_udtf import register_spec_udtf
+
+    rows = _spec_fixture_rows(spark, sf_dir)
+    # the scan block only (no #F file preamble): the UDTF contract is
+    # one block per input row, starting at #S
+    block = "\n".join(_spec_fixture_lines(rows)[5:])
+    register_spec_udtf(spark)
+    blocks = spark.createDataFrame([(block,)], "block_text STRING")
+    blocks.createOrReplaceTempView("_spec_udtf_blocks")
+    pts = spark.sql(
+        "SELECT s.* FROM _spec_udtf_blocks, LATERAL spec_points(block_text) s"
+    )
+    return pts.select(
+        F.col("values")["doc_id"].alias("doc_id_v"),
+        F.col("values")["n_chars"].alias("n_chars_v"),
+    ).orderBy("doc_id_v")

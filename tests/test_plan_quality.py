@@ -456,6 +456,7 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_lake_roundtrip",
         "q_stream_tumbling_rt",
         "q_spec_roundtrip",  # the fixture-synthesis collect IS the point
+        "q_spec_udtf_roundtrip",  # same fixture collect, UDTF surface
         "q_lake_diff",  # two lake commits by design (the CDC fixture)
         "q_vector_index_roundtrip",  # availableNow ingest drain (ST11)
     }
