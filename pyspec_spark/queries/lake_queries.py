@@ -565,3 +565,90 @@ def q_spec_udtf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("values")["doc_id"].alias("doc_id_v"),
         F.col("values")["n_chars"].alias("n_chars_v"),
     ).orderBy("doc_id_v")
+
+
+# ---------------------------------------------------------------------------
+# ST4 — watermark / late-data policy under the oracle gate (r8): the
+# last unit-only streaming row.  Four parquet chunks with CLOSED-FORM
+# timestamps replay as a real file-source stream (mtime-ordered,
+# maxFilesPerTrigger=1, the test_watermark_drops_late_data technique):
+# batch 0 = the on-time cohort (hours 0..5 at :30), batch 1 = a 7:30
+# spacer, batch 2 = the late cohort at :45, batch 3 = a trailing 9:00
+# spacer.  The 89-minute watermark puts every comparison strictly off
+# window boundaries, and the oracle pins the EXACT observed engine
+# semantics (verified against StreamingQueryProgress): the filter
+# watermark lags max-event-time by one batch — during the late batch it
+# is 4:01 (from batch 0's 5:30 max; batch 1's 7:30 has not propagated
+# yet) — so late rows for hours 0..3 (window end <= 4:01) DROP while
+# hours 4..5 (ends 5:00/6:00 > 4:01) are ACCEPTED; append output then
+# flushes hours 0..3 during batch 1 (wm 4:01) and hours 4..5 during
+# batch 3 (wm 6:01), and every window >= hour 6 stays withheld (final
+# wm 7:31 < their ends).  Both the drop AND the accept cohort are
+# value-visible, so a shifted watermark, a wrong lag, or a broken
+# append horizon all flip the hash.  Closed-form generate-series
+# oracle — no golden, no table dependency, no boundary ties.
+# ---------------------------------------------------------------------------
+_LATE_N0 = 100  # on-time rows: i in 0..99, hour = i % 6, minute :30
+_LATE_N2 = 12   # late rows: j in 0..11, hour = j % 6, minute :45
+
+
+_LATE_ORACLE = f"""
+WITH i AS (SELECT CAST(unnest(range(0, {_LATE_N0})) AS BIGINT) AS i),
+ontime AS (SELECT i % 6 AS h, CAST(i AS DOUBLE) AS v FROM i),
+j AS (SELECT CAST(unnest(range(0, {_LATE_N2})) AS BIGINT) AS j),
+-- accepted late rows: window end (h+1):00 > the 4:01 lagged watermark
+late AS (SELECT j % 6 AS h, 1000.0 AS v FROM j WHERE j % 6 >= 4),
+allr AS (SELECT * FROM ontime UNION ALL SELECT * FROM late)
+SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (h) HOUR AS bucket,
+       'view' AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(v AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM allr
+GROUP BY h
+ORDER BY bucket
+"""
+
+
+@query("q_stream_late_drop", oracle=_LATE_ORACLE)
+def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid as _uuid
+
+    import pandas as pd
+
+    import pyspec_spark.streaming.events as se
+
+    base = _tmp_root("pyspec_late_src_")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    b0 = [
+        (i, t0 + pd.Timedelta(hours=i % 6, minutes=30), 1, "view",
+         float(i), "{}")
+        for i in range(_LATE_N0)
+    ]
+    # spacer: advances max event time to 7:30 -> watermark 6:01 commits
+    b1 = [(500, t0 + pd.Timedelta(hours=7, minutes=30), 1, "view", 1.0, "{}")]
+    # late cohort: hours 0..5 at :45 — every window already finalized
+    b2 = [
+        (600 + j, t0 + pd.Timedelta(hours=j % 6, minutes=45), 1, "view",
+         1000.0, "{}")
+        for j in range(_LATE_N2)
+    ]
+    # trailing spacer: emission lags one batch exactly like filtering —
+    # hours 4..5 finalize at the 6:01 watermark committed after b1, but
+    # only a SUBSEQUENT batch flushes them to append output
+    b3 = [(700, t0 + pd.Timedelta(hours=9), 1, "view", 1.0, "{}")]
+    kw = dict(
+        index=False, coerce_timestamps="us", allow_truncated_timestamps=True
+    )
+    for k, rows in enumerate((b0, b1, b2, b3)):
+        f = os.path.join(base, f"b{k}.parquet")
+        pd.DataFrame(rows, columns=cols).to_parquet(f, **kw)
+        os.utime(f, (1_000_000_000 + 100 * k,) * 2)
+
+    stream = se.read_event_stream(spark, base, max_files_per_trigger=1)
+    name = f"t_late_drop_{_uuid.uuid4().hex[:10]}"
+    se.run_to_memory(
+        se.tumbling(stream, watermark="89 minutes"), name, "append"
+    )
+    return spark.table(name).orderBy("bucket")

@@ -459,6 +459,7 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_spec_udtf_roundtrip",  # same fixture collect, UDTF surface
         "q_lake_diff",  # two lake commits by design (the CDC fixture)
         "q_vector_index_roundtrip",  # availableNow ingest drain (ST11)
+        "q_stream_late_drop",  # availableNow drain (ST4 lateness policy)
     }
     from pyspec_spark.tables import load
 
