@@ -1,24 +1,25 @@
-"""Declared queries whose data path runs THROUGH the snapshot lake —
-putting lake.py's write → manifest → read chain under the driver's
-oracle gate instead of unit tests alone.
+"""Engine-subsystem ROUND-TRIP queries — the oracle gate applied to
+paths that are side-effectful by nature and were historically unit-only:
+the snapshot lake's write → manifest → read chain and CDC diff (S6b/
+S6c), the SPEC DataSource and its UDTF twin (S1b/UD4), the SPE binary
+source and the dark-frame role (S3/S4), and the streaming runtime's
+watermark/late-data policy (ST4).
 
-Reference loci (SURVEY.md §0 policy): absent from `stuwilkins/pyspec`
-[H] — table-format round-trip verification, the property a lake user
-cares about most: what you committed is exactly what every subsequent
-reader plans from the manifest.
+Shared contract: each call synthesizes its fixture into a FRESH tmp
+root (unique per invocation, atexit-reclaimed, so repeated driver runs
+and racing processes never collide), drives the REAL engine path, and
+returns an aggregation whose oracle is either the source table itself
+or a closed-form generate-series replay — any manifest field, partition
+string, parser offset, header byte, or watermark boundary that goes
+wrong flips the value hash.
 
-The query is deliberately side-effectful in a bounded way: each call
-stages the documents table into a FRESH lake root under the system tmp
-dir (unique per invocation, so repeated driver runs and racing
-processes never collide), commits one version, and aggregates the read
-back through ``lake_read``.  If any manifest field, partition string,
-or file reference were wrong, the aggregation would differ from the
-direct-over-parquet oracle and the value hash would catch it.
+Reference loci (SURVEY.md §0 policy): the lake/CDC rows are absent from
+`stuwilkins/pyspec` [H] (table-format capability); the SPEC/SPE rows
+verify the reference's own file formats through this engine's sources.
 
-100 TB posture: the round-trip is one partitioned write (lang-keyed,
-the same layout the curation lake uses) + one manifest-planned read;
-nothing here scales worse than the write itself, and the read plans
-from the manifest's explicit file list (no directory walk).
+100 TB posture: every round-trip costs its own bounded write + one
+manifest-/table-planned read; nothing scales worse than the write, and
+lake reads plan from explicit file lists (no directory walk).
 """
 
 from __future__ import annotations
