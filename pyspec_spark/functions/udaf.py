@@ -46,3 +46,21 @@ def weighted_mean_by_index(v: pd.Series) -> float:
         return float("nan")
     w = 1.0 / np.maximum(a, 1.0)
     return float((a * w).sum() / w.sum())
+
+
+@pandas_udf("long")
+def exact_micro_sum(v: pd.Series) -> int:
+    """Order-independent EXACT reducer (r8): per-element HALF-AWAY
+    micro-unit quantization (the engine's `_fixed6` rule, numpy form)
+    then an int64 sum — the one UDAF shape that CAN be oracle-declared,
+    because integer addition is associative/commutative while float
+    reduction order inside a group is engine-defined.  Puts the
+    GROUPED_AGG mechanism itself (Arrow group transport, null handling,
+    long return path) under the driver's value-hash gate via
+    q_udaf_micro_sum."""
+    a = v.dropna().to_numpy(dtype=np.float64)
+    if a.size == 0:
+        return 0
+    s = a * 1e6
+    q = np.where(s >= 0, np.floor(s + 0.5), -np.floor(0.5 - s))
+    return int(q.astype(np.int64).sum())

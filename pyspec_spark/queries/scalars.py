@@ -263,3 +263,47 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UD3 — the grouped-agg pandas UDAF surface under the oracle gate (r8).
+# Float UDAF reducers stay unit-only by design (reduction order inside
+# a group is engine-defined), but an EXACT reducer — per-element
+# micro-unit quantization then an int64 sum — is order-independent, so
+# the Arrow GROUPED_AGG mechanism itself (group transport, null
+# handling, the long return path) becomes driver-checkable.  The
+# oracle states the same quantized sum in plain SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "q_udaf_micro_sum",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 1e6) AS BIGINT)) AS BIGINT)
+         AS price_micro,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def q_udaf_micro_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.functions.udaf import exact_micro_sum
+
+    li = table(spark, sf_dir, "lineitem")
+    # Spark refuses to mix GROUPED_AGG pandas UDFs with built-in
+    # aggregates in one agg() — the row count rides as a second UDAF
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            exact_micro_sum(F.col("l_extendedprice").cast("double")).alias(
+                "price_micro"
+            ),
+            exact_micro_sum(F.lit(1.0)).alias("n_micro"),
+        )
+        .select(
+            "l_returnflag",
+            "price_micro",
+            (F.col("n_micro") / F.lit(1_000_000)).cast("long").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
