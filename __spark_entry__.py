@@ -27,21 +27,20 @@ from pyspec_spark import registry
 # rounds.  Rows-only queries are excluded from the window (the driver
 # records only a weak count for them); everything else follows in
 # registration order — nothing is dropped.
-# r8 rebalance: the window budget is ~50 and the r8 round added seven
+# r8 rebalance: the window budget is ~50 and the r8 round added eight
 # NEW oracle-gated subsystem queries that must earn same-round driver
 # rows, while the back-catalog target (cumulative coverage >= 173 of
 # the r7-era 193) needs the FULL 35 least-checked rotation.  Permanents
-# trimmed to 8 — every dropped flagship (q_dedup_docs, q_kmeans2,
-# q_knn_join, q_tfidf_topk, q_lang_id, q_funnel, q_video_metadata) has
-# 6-7 green driver rows already and re-enters via the rotation when it
-# becomes least-checked again.
+# trimmed to 7 — every dropped flagship (q_dedup_docs, q_kmeans2,
+# q_knn_join, q_tfidf_topk, q_lang_id, q_funnel, q_video_metadata,
+# q_events_session) has 6-7 green driver rows already and re-enters via
+# the rotation when it becomes least-checked again.
 _PERMANENT = [
     "q_pricing_summary",   # flagship multi-metric agg (A1)
     "q_embed_cov",         # L11 — r6/r7 driver red, keep until green
     "q_minhash_neardup",   # L2 MinHash-LSH
     "q_curation_pipeline", # L21 composed pipeline
     "q_pagerank",          # L18 graph
-    "q_events_session",    # ST3 session windows
     "q_grid3d",            # A4 scientific gridder
     "q_rot3",              # X1 ccdToQ
 ]
@@ -59,6 +58,7 @@ _FRESH = [
     "q_spe_dark_roundtrip",
     "q_spec_udtf_roundtrip",
     "q_stream_late_drop",
+    "q_udaf_micro_sum",
 ]
 _ROTATE_K = 35
 
