@@ -20,13 +20,13 @@ from pyspec_spark import registry
 # loads the relational/grids core and the LLM/ANN/events/curation/graph
 # flagships never earn a hard driver-side row (CORRECTNESS_r03–r05 all
 # sampled the same prefix).  The sampled window is therefore built as
-# 15 PERMANENT flagships (one per family, always hard-checked; includes
-# q_embed_cov, the one query that ever failed driver-side) + 35 entries
-# ROTATED by round number over every other oracle-checked query, so each
-# of the ~130 remaining queries earns a hard driver row within ~4
-# rounds.  Rows-only queries are excluded from the window (the driver
-# records only a weak count for them); everything else follows in
-# registration order — nothing is dropped.
+# PERMANENT flagships (always hard-checked; includes q_embed_cov, the
+# one query that ever failed driver-side) + this round's FRESH additions
+# + entries ROTATED by least-driver-checked-first over every other
+# oracle query, so each remaining query earns a hard driver row within
+# a few rounds.  Rows-only queries are excluded from the window (the
+# driver records only a weak count for them); everything else follows
+# in registration order — nothing is dropped.
 # r8 rebalance: the window budget is ~50 and the r8 round added eight
 # NEW oracle-gated subsystem queries that must earn same-round driver
 # rows, while the back-catalog target (cumulative coverage >= 173 of
