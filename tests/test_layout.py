@@ -441,3 +441,27 @@ def test_term_bucketed_index_prunes_and_roundtrips(spark, tmp_path):
     want_buckets = {f"tb={term_bucket_of(t, 16)}" for t in terms}
     assert touched == want_buckets  # nothing outside the probed buckets
     assert len(touched) < n_dirs
+
+
+def test_term_bucket_python_twin_matches_spark_expr(spark):
+    """probe_term_index prunes directories computed by the PYTHON md5
+    twin; if it ever diverged from the Spark write-side expression, a
+    probe would silently miss its term's files.  Pin them equal over an
+    adversarial vocabulary (unicode, empties, md5-hex-looking strings)."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import _term_bucket_col, term_bucket_of
+
+    terms = [
+        "", "a", "data", "spark", "ü", "日本語", "x" * 200,
+        "0123456789abcdef", "term with spaces", "UPPER", "üñïçødé-mix",
+    ] + [f"t{i}" for i in range(50)]
+    df = spark.createDataFrame([(t,) for t in terms], "term STRING")
+    got = {
+        r["term"]: r["b"]
+        for r in df.select(
+            "term", _term_bucket_col(F.col("term"), 64).alias("b")
+        ).collect()
+    }
+    for t in terms:
+        assert got[t] == term_bucket_of(t, 64), t
