@@ -256,3 +256,59 @@ def ivf_lookup(
         .orderBy(F.desc("score"), "vec_id")
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Re-train + atomic swap (r8) — the other half of the frozen-codebook
+# contract the module docstring prescribes: assignment drift from a
+# moving codebook silently invalidates every written cell, so
+# re-training builds a NEW index root and PUBLISHES it atomically.
+# ---------------------------------------------------------------------------
+_POINTER_FILE = "CURRENT"
+
+
+def publish_index(base: str, root: str) -> None:
+    """Atomically point base/CURRENT at a built index root (write-tmp +
+    os.replace — one rename syscall, so a concurrent reader sees either
+    the old root or the new one, never a partial pointer).  The root
+    must already hold a codebook and at least one committed version."""
+    import uuid as _uuid
+
+    if not os.path.exists(os.path.join(root, _CENTROIDS_FILE)):
+        raise ValueError(f"{root} has no codebook — build before publish")
+    os.makedirs(base, exist_ok=True)
+    tmp = os.path.join(base, f".tmp-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(os.path.abspath(root))
+    os.replace(tmp, os.path.join(base, _POINTER_FILE))
+
+
+def current_index(base: str) -> str:
+    """Resolve the published index root."""
+    with open(os.path.join(base, _POINTER_FILE)) as f:
+        return f.read().strip()
+
+
+def reindex(
+    spark: SparkSession,
+    old_root: str,
+    new_root: str,
+    new_cents,
+) -> int:
+    """Rebuild an index under a NEW codebook: batch-read the old lake's
+    current snapshot, re-assign every vector map-side against the new
+    frozen centroids, and commit the cid-partitioned layout into
+    ``new_root`` (one lake version).  Returns the committed version.
+    The caller publishes with publish_index when ready — readers of the
+    old root are never disturbed (separate manifests, separate files).
+
+    100 TB posture: ONE scan of the stored vectors + the partitioned
+    write — the same cost as the original ingest; assignment stays
+    map-side (broadcast-row codebook above the inline threshold)."""
+    from pyspec_spark.lake import lake_append, lake_read
+
+    codebook = _codebook_rows(new_cents)
+    save_centroids(new_root, codebook)
+    vecs = lake_read(spark, old_root).select("vec_id", "embedding")
+    assigned = assign_cells(vecs, codebook)
+    return lake_append(spark, new_root, assigned, partition_col="cid")

@@ -1194,3 +1194,83 @@ def test_assign_cells_broadcast_form_matches_inline(spark):
     import re
 
     assert not re.search(r"Exchange (hash|range)partitioning", p)
+
+
+def test_reindex_and_atomic_publish(spark, tmp_path):
+    """The frozen-codebook retrain contract end-to-end: stream-ingest
+    under codebook A, reindex into a NEW root under codebook B (one
+    batch pass), publish atomically, and lookups through the pointer
+    match numpy brute force over B's cells — while the old root stays
+    fully readable (separate manifests; nothing mutated)."""
+    import numpy as np
+
+    from pyspec_spark.lake import lake_read
+    from pyspec_spark.streaming.vectors import (
+        current_index,
+        index_to_lake,
+        ivf_lookup,
+        load_centroids,
+        publish_index,
+        reindex,
+    )
+    from pyspec_spark.tables import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents_a = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where("vec_id < 4").collect()
+    ]
+    cents_b = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where("vec_id >= 4 AND vec_id < 12").collect()
+    ]
+    src = str(tmp_path / "src")
+    emb.select("vec_id", "embedding").repartition(2).write.parquet(src)
+    base = str(tmp_path / "index")
+    root_a = str(tmp_path / "index_a")
+    root_b = str(tmp_path / "index_b")
+    stream = (
+        spark.readStream.schema("vec_id BIGINT, embedding ARRAY<FLOAT>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    index_to_lake(stream, spark, root_a, cents_a,
+                  checkpoint=str(tmp_path / "ck"))
+    publish_index(base, root_a)
+    assert current_index(base) == os.path.abspath(root_a)
+
+    n_before = lake_read(spark, root_a).count()
+    reindex(spark, root_a, root_b, cents_b)
+    publish_index(base, root_b)
+    assert current_index(base) == os.path.abspath(root_b)
+    # the old root is untouched and fully readable
+    assert lake_read(spark, root_a).count() == n_before
+    # every vector survived the rebuild, under the NEW codebook's cells
+    assert lake_read(spark, root_b).count() == n_before
+    cids_b, _ = load_centroids(root_b)
+    got_cells = {
+        r["cid"] for r in lake_read(spark, root_b).select("cid").distinct().collect()
+    }
+    assert got_cells <= set(cids_b)
+
+    # lookup through the pointer == numpy brute force over probed cells
+    q = [float(x) for x in emb.where("vec_id = 20").first()["embedding"]]
+    top = ivf_lookup(spark, current_index(base), q, k=5, nprobe=8).collect()
+    X = np.array(
+        [r["embedding"] for r in
+         lake_read(spark, root_b).orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    ids = [r["vec_id"] for r in
+           lake_read(spark, root_b).orderBy("vec_id").collect()]
+    qv = np.asarray(q)
+    cos = (X @ qv) / (np.linalg.norm(X, axis=1) * np.linalg.norm(qv))
+    order = np.lexsort((ids, -cos))[:5]
+    want = [ids[i] for i in order]
+    assert [r["vec_id"] for r in top] == want
+
+    # write-once contract still enforced on the new root
+    with pytest.raises(ValueError, match="different codebook"):
+        from pyspec_spark.streaming.vectors import save_centroids
+
+        save_centroids(root_b, cents_a)
