@@ -195,10 +195,15 @@ class SpecDataFile:
             SpecDataFile._registered.add(app)
 
     def _read(self, table: str) -> DataFrame:
+        from pyspec_spark.sources.spec_datasource import pushdown_enabled
+
+        # conf sniffed driver-side: serve the pushFilters reader only
+        # when the session allows it (see spec_datasource.read_spec)
         return (
             self.spark.read.format("specfile")
             .option("path", self.path)
             .option("table", table)
+            .option("pushdown", "true" if pushdown_enabled(self.spark) else "false")
             .load()
         )
 

@@ -143,18 +143,19 @@ ORDER BY doc_id_v
 def q_spec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from pyspec_spark.sources.spec_datasource import SpecDataSource
+    from pyspec_spark.sources.spec_datasource import read_spec
 
     lines = _spec_fixture_lines(_spec_fixture_rows(spark, sf_dir))
     tmp = _tmp_root("pyspec_spec_rt_")
     path = os.path.join(tmp, "roundtrip.spec")
     with open(path, "w") as f:
         f.write("\n".join(lines))
-    try:
-        spark.dataSource.register(SpecDataSource)
-    except Exception:
-        pass  # already registered in this session
-    pts = spark.read.format("specfile").option("path", path).load()
+    # read_spec sniffs spark.sql.python.filterPushdown.enabled in THIS
+    # session and only serves the pushFilters-bearing reader when true —
+    # the r8 driver session had it false and hard-crashed the old direct
+    # format read (CORRECTNESS_r08 q_spec_roundtrip DATA_SOURCE_PUSHDOWN_
+    # DISABLED); correctness must not depend on the conf.
+    pts = read_spec(spark, path)
     return pts.select(
         F.col("values")["doc_id"].alias("doc_id_v"),
         F.col("values")["n_chars"].alias("n_chars_v"),

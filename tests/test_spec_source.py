@@ -110,29 +110,44 @@ def test_scan_number_pushdown_prunes_partitions(registered, spec_dir):
     reader (the distributed twin of pyspec's byte-offset index)."""
     from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, LessThan
 
-    from pyspec_spark.sources.spec_datasource import SpecDataSourceReader
+    from pyspec_spark.sources.spec_datasource import (
+        SpecDataSourceReader,
+        SpecPushdownReader,
+    )
 
     spark = registered
     base, _ = spec_dir
-    # end-to-end: filtered read returns the right rows
-    assert _points(spark, base).where("scan_number = 5").count() == 3 * 81
+    # end-to-end: filtered read returns the right rows (pushdown opted in)
+    assert (
+        _points(spark, base, pushdown="true").where("scan_number = 5").count()
+        == 3 * 81
+    )
+    # the BASE reader must NOT define pushFilters (Spark 4.1 hard-fails a
+    # pushFilters-bearing reader when the session conf is false — the r8
+    # driver red; pushdown is an opt-in subclass)
+    assert "pushFilters" not in SpecDataSourceReader.__dict__
     # reader-level: partition list shrinks under pushdown
-    full = SpecDataSourceReader({"path": base}, "points")
+    full = SpecPushdownReader({"path": base}, "points")
     assert len(full.partitions()) == 3 * 25 + 1  # 25 scans/file + 1 dup block
-    eq = SpecDataSourceReader({"path": base}, "points")
+    eq = SpecPushdownReader({"path": base}, "points")
     rejected = list(eq.pushFilters([EqualTo(("scan_number",), 5)]))
     assert rejected == []
     assert len(eq.partitions()) == 3  # one block per file
-    rng = SpecDataSourceReader({"path": base}, "points")
+    rng = SpecPushdownReader({"path": base}, "points")
     list(rng.pushFilters([GreaterThanOrEqual(("scan_number",), 10), LessThan(("scan_number",), 12)]))
     assert len(rng.partitions()) == 6  # scans 10,11 in each of 3 files
     # IN-list (what .isin()/.where("IN (...)") push down; In.value tuple)
     from pyspark.sql.datasource import In
 
-    inr = SpecDataSourceReader({"path": base}, "points")
+    inr = SpecPushdownReader({"path": base}, "points")
     assert list(inr.pushFilters([In(("scan_number",), (2, 5))])) == []
     assert len(inr.partitions()) == 6  # scans 2,5 in each of 3 files
-    assert _points(spark, base).where(F.col("scan_number").isin(2, 5)).count() == 3 * 2 * 81
+    assert (
+        _points(spark, base, pushdown="true")
+        .where(F.col("scan_number").isin(2, 5))
+        .count()
+        == 3 * 2 * 81
+    )
 
 
 def test_reload_append_pattern(registered, spec_dir, tmp_path):

@@ -1,11 +1,19 @@
 #!/usr/bin/env python
 """Run every registered query against the DuckDB oracle (driver mimic).
 
-Usage: python tools/check.py [--json OUT.json] [sf_dir] [query ...]
+Usage: python tools/check.py [--json OUT.json] [--driver-session] [sf_dir] [query ...]
 
 With --json, also writes a CORRECTNESS_r{N}-shaped report (one object
 per query: rows/schema/hash match booleans + row counts) so self-check
 runs at driver scale can be committed as evidence.
+
+With --driver-session, the Spark session is a PLAIN
+``SparkSession.builder.master(...).getOrCreate()`` — none of
+session.py's confs (no arrow flag, no filterPushdown enable, no AQE/
+broadcast tuning).  This mimics the driver's default-conf session, the
+environment class that produced two only-visible-in-the-driver reds
+(r6/r7 q_embed_cov, r8 q_spec_roundtrip DATA_SOURCE_PUSHDOWN_DISABLED):
+any query that silently depends on a session conf fails HERE first.
 """
 
 from __future__ import annotations
@@ -34,10 +42,30 @@ def main() -> int:
             return 2
         json_out = args[i + 1]
         del args[i : i + 2]
+    driver_session = "--driver-session" in args
+    if driver_session:
+        args.remove("--driver-session")
     sf_dir = args.pop(0) if args and "/" in args[0] else "/root/testdata/sf0.01"
     registry.load_all()
     names = args or sorted(registry.QUERIES)
-    spark = get_spark("pyspec_spark_check")
+    if driver_session:
+        import os
+
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.appName("pyspec_check_driver_parity")
+            .master(f"local[{cpus}]")
+            .getOrCreate()
+        )
+        try:
+            pd = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+        except Exception:
+            pd = "<unset>"
+        print(f"[driver-session] plain getOrCreate — filterPushdown={pd}")
+    else:
+        spark = get_spark("pyspec_spark_check")
     con = duckdb_connect(sf_dir)
     failures = 0
     report: dict[str, dict] = {}
