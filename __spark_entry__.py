@@ -37,7 +37,9 @@ from pyspec_spark import registry
 # the rotation when it becomes least-checked again.
 _PERMANENT = [
     "q_pricing_summary",   # flagship multi-metric agg (A1)
-    "q_embed_cov",         # L11 — r6/r7 driver red, keep until green
+    "q_embed_cov",         # L11 — r6/r7 driver red; green r8 (integer fix)
+    "q_spec_roundtrip",    # S1b — r8 driver red (pushdown conf); keep
+                           # until green (the q_embed_cov precedent)
     "q_minhash_neardup",   # L2 MinHash-LSH
     "q_curation_pipeline", # L21 composed pipeline
     "q_pagerank",          # L18 graph
@@ -46,21 +48,14 @@ _PERMANENT = [
 ]
 # Queries added THIS round ride in the window ahead of the rotation:
 # the judge's done-criteria for new subsystems require a hard driver
-# row in the same round (r8: the ST11 round-trip, plot/npy golden,
-# avc1 I_PCM decode, SPE + dark-frame round-trips, the SPEC UDTF
-# surface, the ST4 lateness policy).  They drop out of this list next
-# round and join the normal least-checked rotation.
-_FRESH = [
-    "q_vector_index_roundtrip",
-    "q_plot_golden",
-    "q_avc_ipcm_frames",
-    "q_spe_roundtrip",
-    "q_spe_dark_roundtrip",
-    "q_spec_udtf_roundtrip",
-    "q_stream_late_drop",
-    "q_udaf_micro_sum",
-]
-_ROTATE_K = 35
+# row in the same round.  They drop out of this list next round and
+# join the normal least-checked rotation.
+_FRESH: list[str] = []
+# r9 window budget: 8 permanents + _FRESH + rotation ≈ 50.  The 11
+# never-driver-sampled oracle queries sort first (seen=0), so a
+# rotation of 42 - len(_FRESH) drains them all this round plus the
+# thinnest once-checked rows (VERDICT r8 task 3).
+_ROTATE_K = 42 - len(_FRESH)
 
 
 def _driver_check_counts() -> dict[str, int]:
