@@ -50,7 +50,9 @@ _PERMANENT = [
 # the judge's done-criteria for new subsystems require a hard driver
 # row in the same round.  They drop out of this list next round and
 # join the normal least-checked rotation.
-_FRESH: list[str] = []
+_FRESH: list[str] = [
+    "q_hevc_ipcm_frames",   # r9: hvc1 PCM frame decode (bounded CABAC)
+]
 # r9 window budget: 8 permanents + _FRESH + rotation ≈ 50.  The 11
 # never-driver-sampled oracle queries sort first (seen=0), so a
 # rotation of 42 - len(_FRESH) drains them all this round plus the

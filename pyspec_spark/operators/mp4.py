@@ -709,3 +709,67 @@ def make_avc_ipcm_mp4(
         entry_children=_box("avcC", make_avcc(sps, pps)),
         entry_dims=(ew, eh),
     )
+
+
+def make_hevc_ipcm_mp4(
+    planes: list[tuple],
+    width: int,
+    height: int,
+    fps: float = 24.0,
+) -> bytes:
+    """Valid single-track hvc1 movie whose samples are REAL HEVC
+    IDR/PCM access units (r9, the hvc1 twin of make_avc_ipcm_mp4):
+    each element of ``planes`` is a (y, cb, cr) tuple on the true
+    width x height geometry; planes pad to the 16-px CTU canvas
+    (edge-replication — cropped away at decode via the SPS conformance
+    window), encode as an all-PCM IDR_W_RADL NAL
+    (operators/h265.py encode_pcm_islice — real CABAC-framed PCM
+    coding units), and land in mdat as the 4-byte-length-prefixed
+    samples the hvcC lengthSizeMinusOne=3 contract prescribes (ISO
+    14496-15 §8.3.3).  The sample entry carries the coded
+    (CTU-rounded) size and a real hvcC with SPS+PPS arrays; the SPS
+    carries the true windowed dimensions."""
+    import numpy as np
+
+    from pyspec_spark.operators.h265 import (
+        encode_hevc_pps,
+        encode_hevc_sps,
+        encode_pcm_islice,
+        make_hvcc,
+    )
+
+    if width % 2 or height % 2:
+        raise ValueError("mp4/hevc: 4:2:0 dimensions must be even")
+    ew = (width + 15) // 16 * 16
+    eh = (height + 15) // 16 * 16
+    sps = encode_hevc_sps(width, height, pcm=True)
+    pps = encode_hevc_pps()
+    samples = []
+    for y, cb, cr in planes:
+        y = np.asarray(y, dtype=np.uint8)
+        cb = np.asarray(cb, dtype=np.uint8)
+        cr = np.asarray(cr, dtype=np.uint8)
+        if y.shape != (height, width):
+            raise ValueError("mp4/hevc: luma plane must be height x width")
+        yp = np.pad(y, ((0, eh - height), (0, ew - width)), mode="edge")
+        cbp = np.pad(
+            cb,
+            ((0, eh // 2 - height // 2), (0, ew // 2 - width // 2)),
+            mode="edge",
+        )
+        crp = np.pad(
+            cr,
+            ((0, eh // 2 - height // 2), (0, ew // 2 - width // 2)),
+            mode="edge",
+        )
+        nal = encode_pcm_islice(yp, cbp, crp)
+        samples.append(struct.pack(">I", len(nal)) + nal)
+    return make_mjpeg_mp4(
+        samples,
+        width,
+        height,
+        fps=fps,
+        entry_fourcc="hvc1",
+        entry_children=_box("hvcC", make_hvcc(sps, pps)),
+        entry_dims=(ew, eh),
+    )

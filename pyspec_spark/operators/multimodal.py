@@ -85,8 +85,10 @@ def decode_frame(codec: str, payload: bytes, width: int, height: int, frame_id: 
     if codec in STUBBED_CODECS:
         # MJPEG-in-MP4 (round 6): each sample is a complete baseline
         # JPEG, demuxed through the real stsz/stsc/stco tables and
-        # decoded by the in-repo T.81 decoder.  Only non-MJPEG sample
-        # codecs (avc1/hvc1/av01 bitstreams) remain stubbed.
+        # decoded by the in-repo T.81 decoder.  avc1 IDR/I_PCM (r8)
+        # and hvc1 all-PCM IDR (r9, bounded-CABAC path) also decode
+        # natively; the remaining stub is transformed/predicted CUs
+        # and av01 (no raw-sample mode exists in AV1).
         from pyspec_spark.operators.jpeg import decode_jpeg_one
         from pyspec_spark.operators.mp4 import (
             extract_mp4_samples,
@@ -136,13 +138,41 @@ def decode_frame(codec: str, payload: bytes, width: int, height: int, frame_id: 
             b_ = yf + 1.772 * (cbf - 128.0)
             img = np.stack([r_, g_, b_], axis=2)
             return np.clip(np.round(img), 0, 255).astype(np.uint8)
+        if sample_codec == "hvc1" and (video.get("hevc") or {}).get("width"):
+            # r9: all-PCM IDR access units decode natively and exactly
+            # through the bounded CABAC path (operators/h265.py); any
+            # other bin pattern (split/NxN/pcm_flag=0/non-I) raises the
+            # contract NotImplementedError inside decode_pcm_islice —
+            # the hvc1 boundary is now per-CU.
+            w, h = video["hevc"]["width"], video["hevc"]["height"]
+            try:
+                _, samples = extract_mp4_samples(payload, [frame_id])
+                y, cb, cr = decode_hevc_ipcm_sample(samples[0], w, h)
+            except ValueError as e:
+                raise NotImplementedError(
+                    f"hvc1: no decodable PCM access unit ({e}) — only "
+                    "all-PCM IDR streams decode natively"
+                ) from None
+            yf = y.astype(np.float64)
+            cbf = np.repeat(np.repeat(cb, 2, axis=0), 2, axis=1)[
+                :h, :w
+            ].astype(np.float64)
+            crf = np.repeat(np.repeat(cr, 2, axis=0), 2, axis=1)[
+                :h, :w
+            ].astype(np.float64)
+            r_ = yf + 1.402 * (crf - 128.0)
+            g_ = yf - 0.344136 * (cbf - 128.0) - 0.714136 * (crf - 128.0)
+            b_ = yf + 1.772 * (cbf - 128.0)
+            img = np.stack([r_, g_, b_], axis=2)
+            return np.clip(np.round(img), 0, 255).astype(np.uint8)
         if sample_codec not in ("jpeg", "mjpa"):
             raise NotImplementedError(
                 f"mp4 sample codec {sample_codec!r}: FRAME decoder "
                 "library not available in this container — plug a "
-                "decoder in here (PIL/av); MJPEG ('jpeg'/'mjpa') and "
-                "avc1 I_PCM decode natively, container METADATA parses "
-                "without any codec (video_metadata / operators/mp4.py)"
+                "decoder in here (PIL/av); MJPEG ('jpeg'/'mjpa'), "
+                "avc1 I_PCM and hvc1 PCM decode natively, container "
+                "METADATA parses without any codec (video_metadata / "
+                "operators/mp4.py)"
             )
         _, samples = extract_mp4_samples(payload, [frame_id])
         img, _ = decode_jpeg_one(samples[0], 0)
@@ -1013,3 +1043,48 @@ def decode_avc_ipcm_sample(
                 cr[: height // 2, : width // 2],
             )
     raise ValueError("avc1 sample holds no slice NAL")
+
+
+def make_hevc_ipcm_media(
+    spark: SparkSession, n: int = 4, frames: int = 2
+) -> DataFrame:
+    """Media table of real hvc1 movies whose samples are decodable
+    IDR/PCM access units (r9 hvc1 twin of make_avc_ipcm_media);
+    dimensions are non-16-multiples so the SPS conformance window is
+    load-bearing at decode."""
+    from pyspec_spark.operators.mp4 import make_hevc_ipcm_mp4
+
+    rows = []
+    for i in range(n):
+        w, h = 36 + 4 * i, 24 + 4 * i
+        planes = [ipcm_pattern(i, f, w, h) for f in range(frames)]
+        payload = make_hevc_ipcm_mp4(planes, w, h)
+        rows.append((i, "video", "mp4", w, h, frames, bytearray(payload)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_hevc_ipcm_sample(
+    sample: bytes, width: int, height: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One hvc1 sample (4-byte-length-prefixed NALs,
+    lengthSizeMinusOne=3) -> windowed (y, cb, cr).  Non-VCL NALs
+    (parameter sets/SEI riding in-band) are skipped; the first VCL NAL
+    decodes through the CABAC-framed PCM path."""
+    import struct as _struct
+
+    from pyspec_spark.operators.h265 import decode_pcm_islice
+
+    ctbs_w, ctbs_h = (width + 15) // 16, (height + 15) // 16
+    pos = 0
+    while pos + 4 <= len(sample):
+        (ln,) = _struct.unpack_from(">I", sample, pos)
+        nal = sample[pos + 4 : pos + 4 + ln]
+        pos += 4 + ln
+        if nal and ((nal[0] >> 1) & 0x3F) <= 31:   # VCL NAL types 0..31
+            y, cb, cr = decode_pcm_islice(nal, ctbs_w, ctbs_h)
+            return (
+                y[:height, :width],
+                cb[: height // 2, : width // 2],
+                cr[: height // 2, : width // 2],
+            )
+    raise ValueError("hvc1 sample holds no slice NAL")

@@ -1897,3 +1897,108 @@ def q_avc_ipcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id BIGINT, frame_id INT, n_px BIGINT, y_sum BIGINT, "
         "cb_sum BIGINT, cr_sum BIGINT",
     ).orderBy("media_id", "frame_id")
+
+
+# ---------------------------------------------------------------------------
+# L30+ hvc1 PCM FRAME decode under the oracle gate (r9) — the HEVC
+# half of the video frame-decode boundary narrowed to per-CU: samples
+# are REAL all-PCM IDR access units (operators/h265.py
+# encode_pcm_islice — CABAC-framed PCM coding units: real context
+# init, DecodeDecision part_mode bins, terminate-bin pcm_flag /
+# end_of_slice, engine re-init after every pcm_sample block), muxed
+# behind real stsz/stsc/stco with a real hvcC (SPS+PPS arrays),
+# demuxed and decoded in-executor, windowed by the SPS conformance
+# window (non-16-multiple dims, so the window is load-bearing).  Same
+# golden-file-free oracle scheme as q_avc_ipcm_frames: the planes are
+# closed-form integer modular patterns, so DuckDB replays per-frame
+# pixel sums from generate-series arithmetic — any CABAC, alignment,
+# escaping, demux, or window defect flips an exact integer.
+#
+# 100 TB posture: decode runs in mapInPandas on executors (payloads
+# never move), only (media, frame, 4 ints) rows shuffle.  Non-PCM
+# coding units remain the contract NotImplementedError.
+# ---------------------------------------------------------------------------
+_HEVC_IPCM_N, _HEVC_IPCM_FRAMES = 4, 2
+
+_HEVC_IPCM_ORACLE = f"""
+WITH m AS (SELECT CAST(unnest(range(0, {_HEVC_IPCM_N})) AS BIGINT) AS media_id),
+fr AS (SELECT CAST(unnest(range(0, {_HEVC_IPCM_FRAMES})) AS INT) AS frame_id),
+d AS (SELECT media_id, 36 + 4 * media_id AS w, 24 + 4 * media_id AS h FROM m),
+ys AS (
+  SELECT d.media_id, fr.frame_id,
+         CAST(COUNT(*) AS BIGINT) AS n_px,
+         CAST(SUM((xx.x * 7 + yy.y * 13 + d.media_id * 31
+                   + fr.frame_id * 17) % 254 + 1) AS BIGINT) AS y_sum
+  FROM d, fr,
+       LATERAL (SELECT unnest(range(0, d.w)) AS x) xx,
+       LATERAL (SELECT unnest(range(0, d.h)) AS y) yy
+  GROUP BY 1, 2
+),
+cs AS (
+  SELECT d.media_id, fr.frame_id,
+         CAST(SUM((xx.x * 5 + yy.y * 11 + d.media_id * 7
+                   + fr.frame_id * 3) % 254 + 1) AS BIGINT) AS cb_sum,
+         CAST(SUM((xx.x * 3 + yy.y * 7 + d.media_id * 13
+                   + fr.frame_id * 5) % 254 + 1) AS BIGINT) AS cr_sum
+  FROM d, fr,
+       LATERAL (SELECT unnest(range(0, d.w // 2)) AS x) xx,
+       LATERAL (SELECT unnest(range(0, d.h // 2)) AS y) yy
+  GROUP BY 1, 2
+)
+SELECT ys.media_id, ys.frame_id, ys.n_px, ys.y_sum, cs.cb_sum, cs.cr_sum
+FROM ys JOIN cs USING (media_id, frame_id)
+ORDER BY media_id, frame_id
+"""
+
+
+@query("q_hevc_ipcm_frames", oracle=_HEVC_IPCM_ORACLE)
+def q_hevc_ipcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import pandas as pd
+
+    from pyspec_spark.operators.multimodal import make_hevc_ipcm_media
+
+    media = make_hevc_ipcm_media(
+        spark, n=_HEVC_IPCM_N, frames=_HEVC_IPCM_FRAMES
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from pyspec_spark.operators.mp4 import (
+            extract_mp4_samples,
+            parse_mp4_metadata,
+        )
+        from pyspec_spark.operators.multimodal import decode_hevc_ipcm_sample
+
+        cols = ["media_id", "frame_id", "n_px", "y_sum", "cb_sum", "cr_sum"]
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                meta = parse_mp4_metadata(payload)
+                video = next(
+                    t for t in meta["tracks"] if t["handler"] == "vide"
+                )
+                w, h = video["hevc"]["width"], video["hevc"]["height"]
+                _, samples = extract_mp4_samples(payload)
+                for f, s in enumerate(samples):
+                    y, cb, cr = decode_hevc_ipcm_sample(s, w, h)
+                    out.append(
+                        {
+                            "media_id": int(r["media_id"]),
+                            "frame_id": f,
+                            "n_px": w * h,
+                            "y_sum": int(y.sum(dtype=np.int64)),
+                            "cb_sum": int(cb.sum(dtype=np.int64)),
+                            "cr_sum": int(cr.sum(dtype=np.int64)),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(
+        run,
+        "media_id BIGINT, frame_id INT, n_px BIGINT, y_sum BIGINT, "
+        "cb_sum BIGINT, cr_sum BIGINT",
+    ).orderBy("media_id", "frame_id")
