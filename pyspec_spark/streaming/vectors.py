@@ -267,11 +267,19 @@ def ivf_lookup(
 _POINTER_FILE = "CURRENT"
 
 
+_HISTORY_FILE = "HISTORY"
+
+
 def publish_index(base: str, root: str) -> None:
     """Atomically point base/CURRENT at a built index root (write-tmp +
     os.replace — one rename syscall, so a concurrent reader sees either
     the old root or the new one, never a partial pointer).  The root
-    must already hold a codebook and at least one committed version."""
+    must already hold a codebook and at least one committed version.
+
+    Each publish is also appended to base/HISTORY (after the pointer
+    swap — CURRENT stays authoritative if the append is lost to a
+    crash), giving vacuum_indexes an ordered record of superseded
+    roots to reclaim."""
     import uuid as _uuid
 
     if not os.path.exists(os.path.join(root, _CENTROIDS_FILE)):
@@ -281,6 +289,8 @@ def publish_index(base: str, root: str) -> None:
     with open(tmp, "w") as f:
         f.write(os.path.abspath(root))
     os.replace(tmp, os.path.join(base, _POINTER_FILE))
+    with open(os.path.join(base, _HISTORY_FILE), "a") as f:
+        f.write(os.path.abspath(root) + "\n")
 
 
 def current_index(base: str) -> str:
@@ -312,3 +322,80 @@ def reindex(
     vecs = lake_read(spark, old_root).select("vec_id", "embedding")
     assigned = assign_cells(vecs, codebook)
     return lake_append(spark, new_root, assigned, partition_col="cid")
+
+
+def index_history(base: str) -> list[str]:
+    """Ordered distinct publish history (oldest first, last occurrence
+    wins the position — re-publishing an old root moves it to newest)."""
+    path = os.path.join(base, _HISTORY_FILE)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        raw = [ln.strip() for ln in f if ln.strip()]
+    out: list[str] = []
+    for r in raw:
+        if r in out:
+            out.remove(r)
+        out.append(r)
+    return out
+
+
+def vacuum_indexes(
+    base: str, keep: int = 1, retention_seconds: float = 3600.0
+) -> list[str]:
+    """Index-lifecycle GC (r9 — the other end of reindex + atomic
+    publish, which otherwise accumulates old roots forever).  Deletes:
+
+    - **superseded roots**: publish-history entries older than the
+      newest ``keep`` — committed history, reclaimed regardless of age
+      (the lake_vacuum expired-manifest rule).  The CURRENT root is
+      never deleted, whatever ``keep`` says.
+    - **orphan roots**: directories under ``base/`` that hold a
+      codebook but were never published — but only when older than
+      ``retention_seconds``: a root a CONCURRENT rebuild is still
+      writing looks identical to an abort-orphan, and deleting it
+      would break the builder's upcoming publish (the same
+      vacuum-retention discipline as lake_vacuum's staged-file rule).
+
+    Readers that re-resolve base/CURRENT per query are never affected;
+    a reader still holding a superseded root's path fails LOUDLY on
+    its next scan (missing files), never silently — the retention
+    contract is that readers re-resolve at least every
+    ``retention_seconds``.  Rewrites HISTORY to the kept entries and
+    returns the deleted root paths."""
+    import shutil
+    import time
+
+    try:
+        current = os.path.abspath(current_index(base))
+    except FileNotFoundError:
+        current = None
+    hist = index_history(base)
+    keep_roots = set(hist[-max(keep, 1):])
+    if current:
+        keep_roots.add(current)
+    removed: list[str] = []
+    for r in hist:
+        if r not in keep_roots and os.path.isdir(r):
+            shutil.rmtree(r, ignore_errors=True)
+            removed.append(r)
+    # orphans under base: codebook-bearing dirs never published
+    now = time.time()
+    known = set(hist) | keep_roots
+    for name in sorted(os.listdir(base)):
+        p = os.path.abspath(os.path.join(base, name))
+        if not os.path.isdir(p) or p in known:
+            continue
+        if not os.path.exists(os.path.join(p, _CENTROIDS_FILE)):
+            continue  # not an index root — never touch
+        try:
+            if now - os.path.getmtime(p) < retention_seconds:
+                continue  # possibly an in-flight rebuild
+        except OSError:
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
+    kept = [r for r in hist if r in keep_roots]
+    with open(os.path.join(base, _HISTORY_FILE), "w") as f:
+        f.writelines(r + "\n" for r in kept)
+    return removed

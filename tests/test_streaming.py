@@ -1274,3 +1274,86 @@ def test_reindex_and_atomic_publish(spark, tmp_path):
         from pyspec_spark.streaming.vectors import save_centroids
 
         save_centroids(root_b, cents_a)
+
+
+def test_vacuum_indexes_retention_and_reader_race(spark, tmp_path):
+    """Index-lifecycle GC (r9): superseded roots beyond keep are
+    reclaimed, the CURRENT root never is, unpublished in-flight roots
+    survive the retention window, and both reader arms of the race are
+    deterministic — a re-resolving reader keeps working, a reader
+    pinned to the vacuumed root fails LOUDLY (missing files), never
+    silently."""
+    import threading
+    import time
+
+    from pyspec_spark.lake import lake_append, lake_read
+    from pyspec_spark.streaming.vectors import (
+        current_index,
+        index_history,
+        publish_index,
+        save_centroids,
+        vacuum_indexes,
+    )
+
+    def build_root(path, tag):
+        save_centroids(path, [(0, [0.0, 0.0]), (1, [1.0, 1.0])])
+        df = spark.createDataFrame(
+            [(tag * 10 + i, [float(i), 0.0], i % 2) for i in range(4)],
+            "vec_id BIGINT, embedding ARRAY<DOUBLE>, cid INT",
+        )
+        lake_append(spark, path, df, partition_col="cid")
+        return path
+
+    base = str(tmp_path / "idx")
+    roots = [
+        build_root(str(tmp_path / f"root_{i}"), i) for i in range(3)
+    ]
+    for r in roots:
+        publish_index(base, r)
+    assert [os.path.basename(p) for p in index_history(base)] == [
+        "root_0", "root_1", "root_2",
+    ]
+    # an in-flight rebuild: codebook written, publish not yet done —
+    # lives UNDER base (the orphan-scan scope), younger than retention
+    inflight = str(tmp_path / "idx" / "building")
+    build_root(inflight, 9)
+    # an old abandoned orphan under base (mtime pushed past retention)
+    stale = str(tmp_path / "idx" / "abandoned")
+    build_root(stale, 8)
+    os.utime(stale, (time.time() - 7200, time.time() - 7200))
+
+    # reader pins the SOON-TO-BE-VACUUMED root_0 before the vacuum,
+    # while the vacuum runs concurrently (the lake-race pattern)
+    pinned = lake_read(spark, roots[0])  # plan built against root_0
+    barrier = threading.Barrier(2)
+    removed: list = [None]
+
+    def vac():
+        barrier.wait()
+        removed[0] = vacuum_indexes(base, keep=2, retention_seconds=3600)
+
+    t = threading.Thread(target=vac)
+    t.start()
+    barrier.wait()
+    t.join()
+
+    got = {os.path.basename(p) for p in removed[0]}
+    assert got == {"root_0", "abandoned"}
+    # current + keep window + in-flight rebuild survive
+    assert os.path.isdir(roots[1]) and os.path.isdir(roots[2])
+    assert os.path.isdir(inflight)
+    assert current_index(base) == os.path.abspath(roots[2])
+    assert [os.path.basename(p) for p in index_history(base)] == [
+        "root_1", "root_2",
+    ]
+    # arm 1: re-resolving reader is never affected
+    assert lake_read(spark, current_index(base)).count() == 4
+    # arm 2: the pinned reader fails loudly, not silently
+    with pytest.raises(Exception):
+        pinned.count()
+    assert not os.path.isdir(roots[0])
+
+    # keep=1 can never delete CURRENT even if history says otherwise
+    vacuum_indexes(base, keep=1)
+    assert os.path.isdir(roots[2])
+    assert lake_read(spark, current_index(base)).count() == 4
