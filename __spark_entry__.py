@@ -51,7 +51,8 @@ _PERMANENT = [
 # row in the same round.  They drop out of this list next round and
 # join the normal least-checked rotation.
 _FRESH: list[str] = [
-    "q_hevc_ipcm_frames",   # r9: hvc1 PCM frame decode (bounded CABAC)
+    "q_hevc_ipcm_frames",     # r9: hvc1 PCM frame decode (bounded CABAC)
+    "q_index_bucket_lookup",  # r9: term-bucketed index read path (L40c)
 ]
 # r9 window budget: 8 permanents + _FRESH + rotation ≈ 50.  The 11
 # never-driver-sampled oracle queries sort first (seen=0), so a

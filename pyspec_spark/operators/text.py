@@ -674,14 +674,30 @@ def write_term_index(
     )
 
 
+_TERM_INDEX_SCHEMA = "term STRING, df BIGINT, cf BIGINT, postings STRING"
+
+
 def probe_term_index(
     spark, path: str, terms: list[str], n_buckets: int = TERM_INDEX_BUCKETS
 ) -> DataFrame:
     """Read ONLY the probed terms' buckets (directory list computed
     driver-side from the md5 twin) and filter to the exact terms —
-    lookup cost scales with |probed buckets|, not vocabulary size."""
+    lookup cost scales with |probed buckets|, not vocabulary size.
+
+    Bucket dirs that don't exist are skipped (a bucket with no
+    vocabulary rows writes no directory — and an index over an EMPTY
+    corpus writes none at all, in which case the probe returns an
+    empty frame in the flat index schema instead of dying on
+    PATH_NOT_FOUND)."""
+    import os
+
     buckets = sorted({term_bucket_of(t, n_buckets) for t in terms})
-    paths = [f"{path}/tb={b}" for b in buckets]
+    paths = [
+        p for b in buckets
+        if os.path.isdir(p := os.path.join(path, f"tb={b}"))
+    ]
+    if not paths:
+        return spark.createDataFrame([], _TERM_INDEX_SCHEMA)
     df = spark.read.parquet(*paths)
     return df.where(F.col("term").isin(*terms))
 

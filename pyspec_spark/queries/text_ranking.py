@@ -581,3 +581,95 @@ def q_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "doc_id", "tf", "n_chars")
         .orderBy("term", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L40c term-bucketed index READ path under the oracle gate (r9) — the
+# physical layout r8 implemented (operators/text.write_term_index /
+# probe_term_index) exercised end-to-end as a declared query: build
+# the flat inverted index, MATERIALIZE it partitioned by md5 term
+# bucket into a tmp root, probe a fixed term set through ONLY the
+# probed bucket directories (path list computed driver-side from the
+# md5 twin — the FS analogue of partition pruning), decode the
+# delta-encoded postings in-plan, and join document metadata.  The
+# oracle splices the registered q_inverted_index SQL filtered to the
+# same terms, so the bucketed round-trip must reproduce the flat
+# declaration byte-for-byte.  The touched-file bound (every file
+# opened lives under a probed tb= dir; probed dirs < total dirs) is
+# pinned by test_layout.py's FS gate on this query's probe.
+#
+# 100 TB posture: the write adds one vocabulary-sized re-bucketing to
+# the index build (never a corpus pass); the lookup opens |probed
+# buckets| directories regardless of vocabulary size; decode windows
+# are term-local.  Same bounded-side-effect contract as the other
+# round-trip rows (fresh tmp root per invocation, zero-jobs exempt).
+# ---------------------------------------------------------------------------
+_BUCKET_TERMS = ("scan", "column", "window")
+
+
+def _index_bucket_lookup_oracle() -> str:
+    from pyspec_spark.registry import ORACLES
+
+    terms = ", ".join(f"'{t}'" for t in _BUCKET_TERMS)
+    return f"""
+WITH idx AS ({ORACLES["q_inverted_index"]}),
+sel AS (
+  SELECT term, string_split(postings, ',') AS es
+  FROM idx WHERE term IN ({terms})
+),
+x AS (
+  SELECT term, i AS pos,
+         CAST(string_split(es[i], ':')[1] AS BIGINT) AS gap,
+         CAST(string_split(es[i], ':')[2] AS BIGINT) AS tf
+  FROM sel, LATERAL (SELECT CAST(unnest(range(1, len(es) + 1)) AS INT) AS i) t
+),
+y AS (
+  SELECT term, tf,
+         CAST(SUM(gap) OVER (PARTITION BY term ORDER BY pos) AS BIGINT) AS did
+  FROM x
+)
+SELECT y.term, y.did AS doc_id, y.tf, d.n_chars
+FROM y JOIN documents d ON d.doc_id = y.did
+ORDER BY term, doc_id
+"""
+
+
+@query("q_index_bucket_lookup", oracle=_index_bucket_lookup_oracle())
+def q_index_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import (
+        decode_postings,
+        probe_term_index,
+        write_term_index,
+    )
+    from pyspec_spark.queries.lake_queries import _tmp_root
+
+    # the UNSORTED index body (q_inverted_index minus its presentation
+    # sort — write_term_index re-buckets anyway, and inheriting a
+    # corpus-wide sort into a composed query is the documented trap)
+    tf = _tf(spark, sf_dir)
+    w = Window.partitionBy("term").orderBy("doc_id")
+    g = tf.withColumn(
+        "gap",
+        F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w), F.lit(0)),
+    ).withColumn("entry", F.concat_ws(":", F.col("gap"), F.col("tf")))
+    idx = g.groupBy("term").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("cf"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                lambda s: s.getField("entry"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+    root = _tmp_root("pyspec_term_idx_")
+    write_term_index(idx, root)
+    probed = probe_term_index(spark, root, list(_BUCKET_TERMS))
+    decoded = decode_postings(probed.select("term", "postings"))
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return (
+        decoded.join(d, "doc_id")
+        .select("term", "doc_id", "tf", "n_chars")
+        .orderBy("term", "doc_id")
+    )

@@ -465,3 +465,40 @@ def test_term_bucket_python_twin_matches_spark_expr(spark):
     }
     for t in terms:
         assert got[t] == term_bucket_of(t, 64), t
+
+
+def test_index_bucket_lookup_query_opens_only_probed_dirs(spark):
+    """The files-opened gate for q_index_bucket_lookup (r9): the
+    query's own probe — the declared _BUCKET_TERMS over the default
+    64-bucket layout — must touch only the probed tb= directories."""
+    import os
+
+    from pyspec_spark.operators.text import (
+        probe_term_index,
+        term_bucket_of,
+        write_term_index,
+    )
+    from pyspec_spark.queries.text_ranking import (
+        _BUCKET_TERMS,
+        q_inverted_index,
+    )
+
+    idx = q_inverted_index.__wrapped__(spark, "/root/testdata/sf0.001")
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="tidx_gate_")
+    write_term_index(idx, root)
+    n_dirs = sum(1 for d in os.listdir(root) if d.startswith("tb="))
+    probe = probe_term_index(spark, root, list(_BUCKET_TERMS))
+    touched = {
+        seg
+        for f in probe.inputFiles()
+        for seg in f.split("/")
+        if seg.startswith("tb=")
+    }
+    want = {f"tb={term_bucket_of(t)}" for t in _BUCKET_TERMS}
+    assert touched <= want  # nothing outside the probed buckets
+    assert n_dirs > len(want)  # pruning is real: most dirs untouched
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)

@@ -460,6 +460,7 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_lake_diff",  # two lake commits by design (the CDC fixture)
         "q_vector_index_roundtrip",  # availableNow ingest drain (ST11)
         "q_stream_late_drop",  # availableNow drain (ST4 lateness policy)
+        "q_index_bucket_lookup",  # materializes the bucketed index (r9)
     }
     from pyspec_spark.tables import load
 
