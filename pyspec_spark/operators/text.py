@@ -688,14 +688,25 @@ def probe_term_index(
     vocabulary rows writes no directory — and an index over an EMPTY
     corpus writes none at all, in which case the probe returns an
     empty frame in the flat index schema instead of dying on
-    PATH_NOT_FOUND)."""
-    import os
-
+    PATH_NOT_FOUND).  Existence goes through the Hadoop FileSystem
+    API so the probe works on whatever store the index lives on
+    (HDFS/object storage at scale, not just the local FS), with a
+    plain os.path fallback if the JVM gateway is unavailable."""
     buckets = sorted({term_bucket_of(t, n_buckets) for t in terms})
-    paths = [
-        p for b in buckets
-        if os.path.isdir(p := os.path.join(path, f"tb={b}"))
-    ]
+    candidates = [f"{path}/tb={b}" for b in buckets]
+    try:
+        jvm = spark._jvm
+        jsc = spark._jsc
+        conf = jsc.hadoopConfiguration()
+        paths = []
+        for p in candidates:
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            if hp.getFileSystem(conf).exists(hp):
+                paths.append(p)
+    except Exception:  # pragma: no cover — connect-mode / no gateway
+        import os
+
+        paths = [p for p in candidates if os.path.isdir(p)]
     if not paths:
         return spark.createDataFrame([], _TERM_INDEX_SCHEMA)
     df = spark.read.parquet(*paths)
