@@ -49,6 +49,8 @@ _ROUNDTRIP_FAMILY = [
     "q_stream_late_drop",
     "q_plot_golden",
     "q_avc_ipcm_frames",
+    "q_hevc_ipcm_frames",     # r9: CABAC-framed PCM decode
+    "q_index_bucket_lookup",  # r9: bucketed-layout write + FS probe
 ]
 
 
