@@ -883,10 +883,11 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """REAL resize for the decodable codecs: every frame is decoded,
     nearest-neighbor resampled to (height, width), and re-encoded with
     the same codec inside mapInPandas — payloads never leave their
-    executor.  mp4 movies re-mux with their own sample codec (r8):
+    executor.  mp4 movies re-mux with their own sample codec (r8/r9):
     MJPEG frames re-encode as baseline JPEGs, avc1 I_PCM frames
-    re-encode as I_PCM access units; other bitstream codecs raise,
-    same boundary as decode_frame."""
+    re-encode as I_PCM access units, hvc1 PCM frames re-encode as
+    all-PCM IDR slices; other bitstream codecs raise, same boundary
+    as decode_frame."""
     from pyspec_spark.operators.codecs import encode_pgm, encode_png, encode_ppm
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -940,6 +941,18 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
                         # the frames decoded, so the stream was I_PCM:
                         # re-encode losslessly modulo the 4:2:0 colorspace
                         payload = make_avc_ipcm_mp4(
+                            [rgb_to_ycbcr420(fr) for fr in frames],
+                            width,
+                            height,
+                        )
+                    elif video["codec"] == "hvc1":
+                        # same contract (r9): decoded means all-PCM, so
+                        # the re-mux is lossless modulo 4:2:0
+                        from pyspec_spark.operators.mp4 import (
+                            make_hevc_ipcm_mp4,
+                        )
+
+                        payload = make_hevc_ipcm_mp4(
                             [rgb_to_ycbcr420(fr) for fr in frames],
                             width,
                             height,

@@ -493,10 +493,13 @@ def test_resize_media_remuxes_mjpeg_and_avc_ipcm(spark):
         resize_media,
     )
 
+    from pyspec_spark.operators.multimodal import make_hevc_ipcm_media
+
     w2, h2 = 24, 16
     for media in (
         make_mjpeg_media(spark, n=2, frames=2),
         make_avc_ipcm_media(spark, n=2, frames=2),
+        make_hevc_ipcm_media(spark, n=2, frames=2),  # r9 hvc1 PCM re-mux
     ):
         small = {
             r["media_id"]: r
