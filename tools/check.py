@@ -57,6 +57,16 @@ def main() -> int:
         spark = (
             SparkSession.builder.appName("pyspec_check_driver_parity")
             .master(f"local[{cpus}]")
+            # process PROVISIONING, not SQL semantics: a bare
+            # getOrCreate gets the 1g default heap and OOMs mid-sweep
+            # (r9, after 128 green queries) — the real driver harness
+            # provisions its JVM at launch; what this mode must leave
+            # at defaults is every spark.sql.* conf, and it does.
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            )
+            .config("spark.ui.showConsoleProgress", "false")
             .getOrCreate()
         )
         try:
