@@ -657,20 +657,68 @@ def term_bucket_of(term: str, n_buckets: int = TERM_INDEX_BUCKETS) -> int:
 
 
 def write_term_index(
-    idx: DataFrame, path: str, n_buckets: int = TERM_INDEX_BUCKETS
+    idx: DataFrame,
+    path: str,
+    n_buckets: int = TERM_INDEX_BUCKETS,
+    mode: str = "overwrite",
 ) -> None:
     """Materialize an inverted index (term, df, cf, postings — the
-    q_inverted_index shape) partitioned by term bucket.  One round-robin
-    repartition on the bucket key groups each bucket's vocabulary rows
-    into its own files; at 100 TB the write cost IS the index build's
-    own shuffle — this adds a bounded re-bucketing of vocabulary-sized
-    rows, never a corpus pass."""
+    q_inverted_index shape; or the sharded (term, shard, …) shape)
+    partitioned by term bucket.  One round-robin repartition on the
+    bucket key groups each bucket's vocabulary rows into its own files;
+    at 100 TB the write cost IS the index build's own shuffle — this
+    adds a bounded re-bucketing of vocabulary-sized rows, never a
+    corpus pass.
+
+    ``mode="append"`` lands NEW rows into the existing bucket dirs —
+    the incremental-maintenance path (r9): with the sharded layout,
+    an increment over a fresh doc-id range writes only its own
+    (term, shard) rows and the reader's shard-order concatenation
+    replays the merged posting lists with no rebuild (see
+    append_term_index)."""
     (
         idx.withColumn("tb", _term_bucket_col(F.col("term"), n_buckets))
         .repartition(F.col("tb"))
         .write.partitionBy("tb")
-        .mode("overwrite")
+        .mode(mode)
         .parquet(path)
+    )
+
+
+def append_term_index(
+    tf_delta: DataFrame,
+    path: str,
+    shard_size: int,
+    n_buckets: int = TERM_INDEX_BUCKETS,
+) -> None:
+    """Incremental index maintenance (r9): fold a NEW batch of
+    documents into an existing SHARDED term index without rebuilding
+    it.  ``tf_delta`` is the (doc_id, term, tf) table of the new docs
+    only.  Correctness contract: the delta's doc ids are DISJOINT
+    from the base's (monotone ingestion ids — the natural shape of an
+    append-only corpus).  Shard boundaries need no alignment: a shard
+    split across the base write and an increment decodes correctly
+    because every row's gaps are relative to the SHARD base and
+    decode_postings windows per stored row.  Duplicate (term, shard)
+    rows are therefore legal; verify_term_shards surfaces them for
+    readers doing per-shard df/cf accounting (sum across rows).
+    Cost: one groupBy over the DELTA (not the corpus) + a
+    vocabulary-sized bucketed append."""
+    write_term_index(
+        sharded_postings(tf_delta, shard_size), path,
+        n_buckets=n_buckets, mode="append",
+    )
+
+
+def verify_term_shards(idx: DataFrame) -> DataFrame:
+    """Audit a sharded index: the (term, shard) keys stored as more
+    than one row.  Decode handles them (per-row cumsum windows), but
+    per-shard df/cf consumers must SUM across rows — this shows where."""
+    return (
+        idx.groupBy("term", "shard")
+        .count()
+        .where(F.col("count") > 1)
+        .select("term", "shard", F.col("count").alias("n_rows"))
     )
 
 
@@ -678,7 +726,11 @@ _TERM_INDEX_SCHEMA = "term STRING, df BIGINT, cf BIGINT, postings STRING"
 
 
 def probe_term_index(
-    spark, path: str, terms: list[str], n_buckets: int = TERM_INDEX_BUCKETS
+    spark,
+    path: str,
+    terms: list[str],
+    n_buckets: int = TERM_INDEX_BUCKETS,
+    empty_schema: str | None = None,
 ) -> DataFrame:
     """Read ONLY the probed terms' buckets (directory list computed
     driver-side from the md5 twin) and filter to the exact terms —
@@ -708,7 +760,7 @@ def probe_term_index(
 
         paths = [p for p in candidates if os.path.isdir(p)]
     if not paths:
-        return spark.createDataFrame([], _TERM_INDEX_SCHEMA)
+        return spark.createDataFrame([], empty_schema or _TERM_INDEX_SCHEMA)
     df = spark.read.parquet(*paths)
     return df.where(F.col("term").isin(*terms))
 
@@ -759,7 +811,15 @@ def decode_postings(
 ) -> DataFrame:
     """Invert the delta encoding: (term[, shard], postings) ->
     (term, doc_id, tf) rows.  For the sharded layout pass shard_size;
-    for the flat q_inverted_index layout the base is 0."""
+    for the flat q_inverted_index layout the base is 0.
+
+    The cumulative-gap window partitions by a PER-ROW uid, not just
+    (term, shard): every stored row's gaps are relative to its own
+    shard base (sharded_postings' first gap = doc_id − shard·size),
+    so rows decode independently — which is what makes incremental
+    appends composable: a boundary shard split across a base write
+    and a later increment decodes correctly with no merge step (r9,
+    append_term_index)."""
     from pyspark.sql import Window
 
     base = (
@@ -768,18 +828,20 @@ def decode_postings(
         else F.lit(0).cast("long")
     )
     part = ["term", "shard"] if shard_size is not None else ["term"]
-    x = idx.select(
+    x = idx.withColumn("_row", F.monotonically_increasing_id()).select(
         *part,
+        "_row",
         base.alias("base"),
         F.posexplode(F.split("postings", ",")).alias("pos", "entry"),
     ).select(
         *part,
+        "_row",
         "base",
         "pos",
         F.split("entry", ":").getItem(0).cast("long").alias("gap"),
         F.split("entry", ":").getItem(1).cast("long").alias("tf"),
     )
-    w = Window.partitionBy(*part).orderBy("pos")
+    w = Window.partitionBy(*part, "_row").orderBy("pos")
     return x.select(
         "term",
         (F.col("base") + F.sum("gap").over(w)).alias("doc_id"),

@@ -673,3 +673,84 @@ def q_index_bucket_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "doc_id", "tf", "n_chars")
         .orderBy("term", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L40d incremental index maintenance under the oracle gate (r9) — the
+# append-only production story for L40: the base corpus (doc_id < C)
+# is indexed in the SHARDED layout (doc-range shards, gaps
+# delta-encoded from the shard base) and bucketed by term; the delta
+# (doc_id >= C) is then folded in with append_term_index — ONE groupBy
+# over the delta plus a vocabulary-sized bucketed append, no rebuild.
+# C is deliberately NOT a shard-boundary multiple, so the boundary
+# shard is split across the base write and the increment (two rows for
+# the same (term, shard)); decode_postings handles that by windowing
+# per stored row (gaps are shard-base-relative).  The oracle is the
+# spliced FULL-corpus q_inverted_index lookup: increment + base must
+# equal a from-scratch rebuild exactly.
+#
+# 100 TB posture: indexing cost per increment scales with the
+# increment; the probed read stays |probed buckets|/64 of the layout
+# (SCALING.md r9b); per-row decode windows keep boundary shards merge-
+# free.  Bounded-side-effect round-trip (tmp root, zero-jobs exempt).
+# ---------------------------------------------------------------------------
+_INC_SPLIT, _INC_SHARD = 130, 64
+
+
+def _index_incremental_oracle() -> str:
+    from pyspec_spark.registry import ORACLES
+
+    terms = ", ".join(f"'{t}'" for t in _BUCKET_TERMS)
+    return f"""
+WITH idx AS ({ORACLES["q_inverted_index"]}),
+sel AS (
+  SELECT term, string_split(postings, ',') AS es
+  FROM idx WHERE term IN ({terms})
+),
+x AS (
+  SELECT term, i AS pos,
+         CAST(string_split(es[i], ':')[1] AS BIGINT) AS gap,
+         CAST(string_split(es[i], ':')[2] AS BIGINT) AS tf
+  FROM sel, LATERAL (SELECT CAST(unnest(range(1, len(es) + 1)) AS INT) AS i) t
+),
+y AS (
+  SELECT term, tf,
+         CAST(SUM(gap) OVER (PARTITION BY term ORDER BY pos) AS BIGINT) AS did
+  FROM x
+)
+SELECT y.term, y.did AS doc_id, y.tf
+FROM y
+ORDER BY term, doc_id
+"""
+
+
+@query("q_index_incremental", oracle=_index_incremental_oracle())
+def q_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import (
+        append_term_index,
+        decode_postings,
+        probe_term_index,
+        sharded_postings,
+        write_term_index,
+    )
+    from pyspec_spark.queries.lake_queries import _tmp_root
+
+    tf = _tf(spark, sf_dir)
+    base_tf = tf.where(F.col("doc_id") < _INC_SPLIT)
+    delta_tf = tf.where(F.col("doc_id") >= _INC_SPLIT)
+    root = _tmp_root("pyspec_inc_idx_")
+    write_term_index(sharded_postings(base_tf, _INC_SHARD), root)
+    append_term_index(delta_tf, root, _INC_SHARD)
+    probed = probe_term_index(
+        spark,
+        root,
+        list(_BUCKET_TERMS),
+        empty_schema="term STRING, shard BIGINT, df_shard BIGINT, "
+        "cf_shard BIGINT, postings STRING",
+    )
+    decoded = decode_postings(
+        probed.select("term", "shard", "postings"), shard_size=_INC_SHARD
+    )
+    return decoded.select(
+        "term", "doc_id", F.col("tf").cast("long").alias("tf")
+    ).orderBy("term", "doc_id")

@@ -502,3 +502,40 @@ def test_index_bucket_lookup_query_opens_only_probed_dirs(spark):
     import shutil
 
     shutil.rmtree(root, ignore_errors=True)
+
+
+def test_incremental_index_append_equals_full_rebuild(spark, tmp_path):
+    """append_term_index (r9): base write + delta append must decode to
+    exactly the full corpus's (term, doc_id, tf) set — INCLUDING a
+    boundary shard split across the two writes (the split point is not
+    a shard multiple), which verify_term_shards surfaces as legal
+    duplicate (term, shard) rows and per-row decode windows handle
+    without a merge step."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import (
+        append_term_index,
+        decode_postings,
+        sharded_postings,
+        verify_term_shards,
+        write_term_index,
+    )
+    from pyspec_spark.queries.text_ranking import _tf
+
+    tf = _tf(spark, "/root/testdata/sf0.001").cache()
+    split, shard = 130, 100  # 130 is not a multiple of 100: split shard 1
+    root = str(tmp_path / "incidx")
+    write_term_index(
+        sharded_postings(tf.where(F.col("doc_id") < split), shard), root
+    )
+    append_term_index(tf.where(F.col("doc_id") >= split), root, shard)
+    full = spark.read.parquet(root)
+    # the boundary shard really is split (duplicates exist and are legal)
+    assert verify_term_shards(full).count() > 0
+    dec = decode_postings(
+        full.select("term", "shard", "postings"), shard_size=shard
+    )
+    got = {(r["term"], r["doc_id"], r["tf"]) for r in dec.collect()}
+    want = {(r["term"], r["doc_id"], r["tf"]) for r in tf.collect()}
+    assert got == want
+    tf.unpersist()

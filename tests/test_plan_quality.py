@@ -461,6 +461,7 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_vector_index_roundtrip",  # availableNow ingest drain (ST11)
         "q_stream_late_drop",  # availableNow drain (ST4 lateness policy)
         "q_index_bucket_lookup",  # materializes the bucketed index (r9)
+        "q_index_incremental",  # base write + incremental append (r9)
     }
     from pyspec_spark.tables import load
 
