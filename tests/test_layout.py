@@ -539,3 +539,44 @@ def test_incremental_index_append_equals_full_rebuild(spark, tmp_path):
     want = {(r["term"], r["doc_id"], r["tf"]) for r in tf.collect()}
     assert got == want
     tf.unpersist()
+
+
+def test_incremental_index_property_random_splits(spark, tmp_path):
+    """Property pin for append_term_index: for RANDOM corpora and
+    RANDOM split points (including shard-boundary and off-boundary
+    splits, empty base, empty delta), base write + append always
+    decodes to exactly the direct (term, doc_id, tf) set."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import (
+        append_term_index,
+        decode_postings,
+        sharded_postings,
+        write_term_index,
+    )
+
+    rng = random.Random(17)
+    vocab = [f"t{i}" for i in range(12)]
+    for trial in range(4):
+        n_docs = rng.randint(1, 60)
+        shard = rng.choice([3, 7, 10])
+        split = rng.choice([0, shard, rng.randint(0, n_docs)])
+        rows = []
+        for d in range(n_docs):
+            for t in rng.sample(vocab, rng.randint(1, 5)):
+                rows.append((d, t, rng.randint(1, 4)))
+        tf = spark.createDataFrame(rows, "doc_id BIGINT, term STRING, tf BIGINT")
+        root = str(tmp_path / f"p{trial}")
+        write_term_index(
+            sharded_postings(tf.where(F.col("doc_id") < split), shard), root
+        )
+        append_term_index(tf.where(F.col("doc_id") >= split), root, shard)
+        dec = decode_postings(
+            spark.read.parquet(root).select("term", "shard", "postings"),
+            shard_size=shard,
+        )
+        got = {(r["term"], r["doc_id"], r["tf"]) for r in dec.collect()}
+        want = {(t, d, c) for d, t, c in rows}
+        assert got == want, (trial, n_docs, shard, split)
