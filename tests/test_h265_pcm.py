@@ -270,3 +270,30 @@ def test_hevc_metadata_only_movie_still_hits_contract_error(spark):
     payload = bytes(media.collect()[0]["payload"])
     with pytest.raises(NotImplementedError):
         decode_frame("mp4", payload, 16, 16, 0)
+
+
+def test_cabac_table_structural_invariants():
+    """The rangeTabLps / transIdxLps tables are transcribed from the
+    public spec; pin the structural properties a transcription typo
+    would break: 64 rows x 4 cols; each row strictly increasing in the
+    range quantile; each column non-increasing down the states (the
+    LPS probability shrinks as the state adapts); the terminate row
+    (state 63) is the constant 2; LPS transitions never increase the
+    state and are monotone non-decreasing."""
+    from pyspec_spark.operators.h265 import _RANGE_TAB_LPS, _TRANS_IDX_LPS
+
+    assert len(_RANGE_TAB_LPS) == 64
+    assert all(len(r) == 4 for r in _RANGE_TAB_LPS)
+    for s, row in enumerate(_RANGE_TAB_LPS[:63]):  # 63 is the constant trm row
+        assert row[0] < row[1] < row[2] < row[3], s
+    for q in range(4):
+        col = [r[q] for r in _RANGE_TAB_LPS[:63]]  # 63 is the trm row
+        assert all(a >= b for a, b in zip(col, col[1:])), q
+    assert _RANGE_TAB_LPS[63] == (2, 2, 2, 2)
+    assert len(_TRANS_IDX_LPS) == 64
+    assert all(
+        t <= s for s, t in enumerate(_TRANS_IDX_LPS)
+    )  # LPS never advances adaptation
+    body = _TRANS_IDX_LPS[:63]
+    assert all(a <= b for a, b in zip(body, body[1:]))
+    assert _TRANS_IDX_LPS[63] == 63  # terminate state is absorbing
