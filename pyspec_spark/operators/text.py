@@ -847,3 +847,23 @@ def decode_postings(
         (F.col("base") + F.sum("gap").over(w)).alias("doc_id"),
         "tf",
     )
+
+
+def compact_term_index(
+    spark, path: str, dest: str, n_buckets: int = TERM_INDEX_BUCKETS
+) -> None:
+    """Maintenance pass for an incrementally-appended index: every
+    append_term_index lands new files in the bucket dirs, so a
+    long-lived index accumulates small files.  Rewrite the full index
+    into ``dest`` with one file-per-bucket-partition layout (ONE scan +
+    the bucketed write — row content untouched, duplicate (term, shard)
+    rows preserved verbatim since decode handles them).  ``dest`` must
+    be a NEW root: readers of ``path`` are never disturbed, and the
+    caller swaps atomically (the publish_index pattern) or just
+    repoints — the same new-root discipline as IVF reindex."""
+    import os
+
+    if os.path.abspath(dest) == os.path.abspath(path):
+        raise ValueError("compact_term_index requires a NEW dest root")
+    idx = spark.read.parquet(path).drop("tb")
+    write_term_index(idx, dest, n_buckets=n_buckets)

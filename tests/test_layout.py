@@ -580,3 +580,52 @@ def test_incremental_index_property_random_splits(spark, tmp_path):
         got = {(r["term"], r["doc_id"], r["tf"]) for r in dec.collect()}
         want = {(t, d, c) for d, t, c in rows}
         assert got == want, (trial, n_docs, shard, split)
+
+
+def test_compact_term_index_preserves_content_and_shrinks_files(spark, tmp_path):
+    """compact_term_index (r9): after several appends the bucket dirs
+    hold many small files; compaction into a new root must decode to
+    the identical (term, doc_id, tf) set with fewer files, leaving the
+    source root untouched."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import (
+        append_term_index,
+        compact_term_index,
+        decode_postings,
+        sharded_postings,
+        write_term_index,
+    )
+    from pyspec_spark.queries.text_ranking import _tf
+
+    tf = _tf(spark, "/root/testdata/sf0.001").cache()
+    shard = 100
+    root = str(tmp_path / "idx")
+    write_term_index(sharded_postings(tf.where("doc_id < 100"), shard), root)
+    for lo, hi in ((100, 200), (200, 300), (300, 10**9)):
+        append_term_index(
+            tf.where(f"doc_id >= {lo} AND doc_id < {hi}"), root, shard
+        )
+    dest = str(tmp_path / "idx_c")
+    compact_term_index(spark, root, dest)
+    n_src = len(g.glob(f"{root}/tb=*/*.parquet"))
+    n_dst = len(g.glob(f"{dest}/tb=*/*.parquet"))
+    assert n_dst < n_src  # the point of the pass
+
+    def decoded(p):
+        return {
+            (r["term"], r["doc_id"], r["tf"])
+            for r in decode_postings(
+                spark.read.parquet(p).select("term", "shard", "postings"),
+                shard_size=shard,
+            ).collect()
+        }
+
+    want = {(r["term"], r["doc_id"], r["tf"]) for r in tf.collect()}
+    assert decoded(dest) == want
+    assert decoded(root) == want  # source untouched
+    with pytest.raises(ValueError, match="NEW dest"):
+        compact_term_index(spark, root, root)
+    tf.unpersist()
