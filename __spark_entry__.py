@@ -54,6 +54,7 @@ _FRESH: list[str] = [
     "q_hevc_ipcm_frames",     # r9: hvc1 PCM frame decode (bounded CABAC)
     "q_index_bucket_lookup",  # r9: term-bucketed index read path (L40c)
     "q_index_incremental",    # r9: incremental index maintenance (L40d)
+    "q_flac_roundtrip",       # r9: FLAC audio decode (L7+, lossless tier)
 ]
 # r9 window budget: 8 permanents + _FRESH + rotation ≈ 50.  The 11
 # never-driver-sampled oracle queries sort first (seen=0), so a

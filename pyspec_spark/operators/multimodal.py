@@ -63,7 +63,7 @@ FEATURE_SCHEMA = StructType(
 )
 
 DECODED_CODECS = ("ppm", "pgm", "png", "jpeg")  # real image decoders (codecs.py)
-AUDIO_CODECS = ("wav",)                     # real audio decoder (codecs.py)
+AUDIO_CODECS = ("wav", "flac")              # real audio decoders (codecs.py, flac.py)
 STUBBED_CODECS = ("mp4",)                   # decoder libs absent from container
 
 
@@ -80,7 +80,7 @@ def decode_frame(codec: str, payload: bytes, width: int, height: int, frame_id: 
         return rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
     if codec in AUDIO_CODECS:
         raise ValueError(
-            f"codec {codec!r} is audio — use decode_wav / extract_audio_features"
+            f"codec {codec!r} is audio — use decode_audio / extract_audio_features"
         )
     if codec in STUBBED_CODECS:
         # MJPEG-in-MP4 (round 6): each sample is a complete baseline
@@ -210,6 +210,21 @@ def synth_audio(media_id: int, n: int = 16000, rate: int = 16000) -> np.ndarray:
     return np.round(amp * np.sin(2 * np.pi * freq * t)).astype(np.int16)
 
 
+def decode_audio(codec: str, payload: bytes):
+    """Dispatch an audio payload to its decoder: WAV RIFF/PCM16 or
+    FLAC (r9, the lossless fixed-predictor tier — operators/flac.py).
+    Returns ((n, channels) int16, rate)."""
+    if codec == "wav":
+        from pyspec_spark.operators.codecs import decode_wav
+
+        return decode_wav(payload)
+    if codec == "flac":
+        from pyspec_spark.operators.flac import decode_flac
+
+        return decode_flac(payload)
+    raise ValueError(f"decode_audio: codec {codec!r} is not audio")
+
+
 def make_audio_media(spark: SparkSession, n: int = 8, rate: int = 16000) -> DataFrame:
     """Media table of real WAV PCM payloads (kind='audio'; width/height
     unused for audio, n_frames carries the sample count)."""
@@ -225,22 +240,37 @@ def make_audio_media(spark: SparkSession, n: int = 8, rate: int = 16000) -> Data
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def make_flac_media(spark: SparkSession, n: int = 8, rate: int = 16000) -> DataFrame:
+    """FLAC twin of make_audio_media: the same deterministic signals
+    land as real FLAC payloads (CONSTANT/FIXED/VERBATIM subframes, real
+    CRCs + MD5), so every audio operator exercises the compressed
+    container too."""
+    from pyspec_spark.operators.flac import encode_flac
+
+    rows = []
+    for i in range(n):
+        samples = synth_audio(i, n=rate, rate=rate)
+        rows.append(
+            (i, "audio", "flac", None, None, len(samples),
+             bytearray(encode_flac(samples, rate)))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def extract_audio_features(media: DataFrame, window: int = 1024) -> DataFrame:
     """Per-window audio features (RMS, zero-crossing rate) via
     mapInPandas: decode WAV PCM16 executor-side, window the first
     channel, one output row per (media, window).  The trailing partial
     window is dropped (fixed-size windows keep features comparable)."""
-    from pyspec_spark.operators.codecs import decode_wav
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, r in pdf.iterrows():
-                if r["codec"] != "wav":
+                if r["codec"] not in AUDIO_CODECS:
                     raise ValueError(
                         f"extract_audio_features: codec {r['codec']!r} is not audio"
                     )
-                samples, _rate = decode_wav(bytes(r["payload"]))
+                samples, _rate = decode_audio(r["codec"], bytes(r["payload"]))
                 x = samples[:, 0].astype(np.float64)
                 n_win = len(x) // window
                 for w in range(n_win):
@@ -729,15 +759,14 @@ def audio_landmark_table(media: DataFrame) -> DataFrame:
     (operators/audiofp.py); only the bounded hash set leaves the batch
     — the audio analog of the text corpus' shingle/minhash stage."""
     from pyspec_spark.operators.audiofp import audio_landmarks
-    from pyspec_spark.operators.codecs import decode_wav
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for _, r in pdf.iterrows():
-                if r["codec"] != "wav":
+                if r["codec"] not in AUDIO_CODECS:
                     continue
-                samples, _rate = decode_wav(bytes(r["payload"]))
+                samples, _rate = decode_audio(r["codec"], bytes(r["payload"]))
                 for h in sorted(audio_landmarks(samples[:, 0])):
                     out.append({"media_id": int(r["media_id"]), "lhash": h})
             yield pd.DataFrame(

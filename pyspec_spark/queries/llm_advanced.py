@@ -2002,3 +2002,104 @@ def q_hevc_ipcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id BIGINT, frame_id INT, n_px BIGINT, y_sum BIGINT, "
         "cb_sum BIGINT, cr_sum BIGINT",
     ).orderBy("media_id", "frame_id")
+
+
+# ---------------------------------------------------------------------------
+# L7+ FLAC audio decode under the oracle gate (r9) — the audio half of
+# the multimodal boundary narrowed: speech corpora (LibriSpeech and
+# kin) ship FLAC, and FLAC is LOSSLESS, so the decode is held to the
+# same exact-integer contract as the PCM video paths.  Fixture
+# payloads are REAL FLAC streams (operators/flac.py: STREAMINFO,
+# CRC-8/CRC-16-checked frames, CONSTANT/FIXED/VERBATIM subframes with
+# Rice-coded residuals, MD5-verified PCM) synthesized from closed-form
+# integer modular samples; the query decodes in-executor and emits
+# per-window integer sums, and DuckDB replays the same sums from
+# generate-series arithmetic — any framing, Rice, CRC, or predictor
+# defect flips an exact integer.  LPC subframes / mid-side stereo
+# remain the documented NotImplementedError tier (re-encode losslessly
+# through encode_flac to ingest them).
+#
+# 100 TB posture: decode runs in mapInPandas on executors (payloads
+# never move); only (media, window, 3 ints) rows shuffle.
+# ---------------------------------------------------------------------------
+_FLAC_N, _FLAC_WIN = 4, 500
+
+
+def _flac_len(m: int) -> int:
+    return 3000 + 500 * m
+
+
+def _flac_sample_expr(m: str, i: str) -> str:
+    """The synth pattern, as SQL over media index m and sample index i."""
+    return f"(({i} * (7 + {m}) + {m} * 97) % 4001) - 2000"
+
+
+_FLAC_ORACLE = f"""
+WITH m AS (SELECT CAST(unnest(range(0, {_FLAC_N})) AS BIGINT) AS media_id),
+s AS (
+  SELECT m.media_id,
+         CAST(ii.i AS BIGINT) AS i,
+         CAST({_flac_sample_expr('m.media_id', 'ii.i')} AS BIGINT) AS x
+  FROM m, LATERAL (
+    SELECT unnest(range(0, 3000 + 500 * m.media_id)) AS i
+  ) ii
+)
+SELECT media_id,
+       CAST(i // {_FLAC_WIN} AS INT) AS window_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_s,
+       CAST(SUM(ABS(x)) AS BIGINT) AS sum_abs
+FROM s
+GROUP BY 1, 2
+ORDER BY media_id, window_id
+"""
+
+
+@query("q_flac_roundtrip", oracle=_FLAC_ORACLE)
+def q_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from pyspec_spark.operators.flac import encode_flac
+    from pyspec_spark.operators.multimodal import MEDIA_SCHEMA
+
+    rows = []
+    for m in range(_FLAC_N):
+        n = _flac_len(m)
+        i = np.arange(n, dtype=np.int64)
+        x = ((i * (7 + m) + m * 97) % 4001 - 2000).astype(np.int16)
+        rows.append(
+            (m, "audio", "flac", None, None, n,
+             bytearray(encode_flac(x, rate=16000)))
+        )
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspec_spark.operators.flac import decode_flac
+
+        cols = ["media_id", "window_id", "n", "sum_s", "sum_abs"]
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                samples, _rate = decode_flac(bytes(r["payload"]))
+                x = samples[:, 0].astype(np.int64)
+                for w in range(len(x) // _FLAC_WIN):
+                    seg = x[w * _FLAC_WIN : (w + 1) * _FLAC_WIN]
+                    out.append(
+                        {
+                            "media_id": int(r["media_id"]),
+                            "window_id": w,
+                            "n": len(seg),
+                            "sum_s": int(seg.sum()),
+                            "sum_abs": int(np.abs(seg).sum()),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return media.mapInPandas(
+        run,
+        "media_id BIGINT, window_id INT, n BIGINT, sum_s BIGINT, "
+        "sum_abs BIGINT",
+    ).orderBy("media_id", "window_id")
