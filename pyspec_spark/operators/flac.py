@@ -6,26 +6,29 @@ curates audio at scale must read it natively.
 
 Scope (and why it is exact): FLAC is LOSSLESS, so encode → decode is
 the identity on every sample — the same testable contract as the r8/r9
-PCM video paths.  This implementation covers the subset its own
-encoder emits and every structural feature needed to read it back:
+PCM video paths.  The DECODER covers the full lossless surface a
+real-world 16-bit stream uses:
 
 - STREAMINFO metadata block (the mandatory first block; other blocks
   are skipped structurally by length).
-- Fixed-blocking frames: 14-bit sync, UTF-8-coded frame number,
-  16-bit (blocksize−1) tail, CRC-8 header check, CRC-16 frame check.
-- Subframe types CONSTANT, VERBATIM, and FIXED orders 0–4 with
-  Rice-coded residuals (4-bit parameters, partition order 0, plus the
-  0b1111 escape to raw binary) — the complete lossless fixed-predictor
-  tier of the spec.  LPC subframes and mid/side stereo raise the
-  contract NotImplementedError (they are a compression-ratio upgrade,
-  not a correctness boundary: every FLAC re-encodes losslessly into
-  the fixed tier).
-- Channels stored independently; 16-bit samples; MD5 of the raw
-  interleaved PCM verified on decode (the spec's end-to-end check).
+- Fixed-blocking frames: 14-bit sync, UTF-8-coded frame number, all
+  blocksize/sample-rate code forms, CRC-8 header check, CRC-16 frame
+  check, MD5-verified PCM (the spec's end-to-end integrity ladder —
+  corruption is never silent).
+- Subframe types CONSTANT, VERBATIM, FIXED orders 0–4, and **LPC
+  orders 1–32** (quantized-coefficient integer prediction with the
+  arithmetic-shift rounding the spec prescribes — exactly invertible,
+  so losslessness survives), all with partitioned Rice residuals
+  (4-/5-bit parameters + the raw-binary escape).
+- All three stereo decorrelation modes (left-side / right-side /
+  mid-side; the side channel carries bps+1 bits).
 
-The encoder picks per block the cheapest of CONSTANT / FIXED 0–2 /
-VERBATIM, so smooth synthetic signals genuinely compress while
-adversarial noise falls back to VERBATIM — both paths round-trip.
+The ENCODER picks per block the cheapest of CONSTANT / FIXED 0–2 /
+VERBATIM (smooth signals compress, noise falls back to VERBATIM), and
+can be forced onto the LPC / decorrelation / partition paths so every
+decoder branch is round-trip-testable without an external encoder.
+The remaining contract errors: non-16-bit depths and wasted-bits
+subframes.
 """
 
 from __future__ import annotations
@@ -163,26 +166,88 @@ def _signed(r: BitReader, bits: int) -> int:
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
-def _encode_subframe(w: BitWriter, x: np.ndarray) -> None:
-    """Pick the cheapest of CONSTANT / FIXED 0-2 / VERBATIM for one
-    channel's block and emit it."""
+def _write_residuals(
+    w: BitWriter, res: np.ndarray, bs: int, order: int, part_order: int
+) -> None:
+    """Rice residual section: method 0 (4-bit params), the given
+    partition order, per-partition parameter choice with the 0b1111
+    escape to raw binary.  The spec requires the block size to divide
+    evenly into the partitions and the first partition to still have
+    residuals after the warmup — clamp the requested order down until
+    both hold (a trailing partial block typically forces order 0)."""
+    while part_order > 0 and (
+        bs % (1 << part_order) or (bs >> part_order) <= order
+    ):
+        part_order -= 1
+    w.u(0, 2)                 # residual method: 4-bit rice
+    w.u(part_order, 4)
+    n_parts = 1 << part_order
+    off = 0
+    for p in range(n_parts):
+        cnt = (bs >> part_order) - (order if p == 0 else 0)
+        part = res[off : off + cnt]
+        off += cnt
+        k = _rice_param(part)
+        if k <= 14:
+            w.u(k, 4)
+            _write_rice(w, part, k)
+        else:                 # escape: raw binary residuals
+            w.u(0b1111, 4)
+            bits = int(max(1, int(np.abs(part).max()))).bit_length() + 1
+            w.u(bits, 5)
+            for v in part:
+                w.u(int(v) & ((1 << bits) - 1), bits)
+
+
+def _encode_subframe(
+    w: BitWriter,
+    x: np.ndarray,
+    sbps: int = _BPS,
+    lpc: tuple[list[int], int, int] | None = None,
+    part_order: int = 0,
+) -> None:
+    """Emit one channel's subframe: the cheapest of CONSTANT / FIXED
+    0-2 / VERBATIM, or — when ``lpc=(coeffs, precision, shift)`` is
+    forced — an LPC subframe with those quantized coefficients (used
+    to exercise the LPC decode path; the integer predictor is exactly
+    invertible so the round-trip stays lossless)."""
     n = len(x)
+    mask = (1 << sbps) - 1
+    if lpc is not None and n > len(lpc[0]):
+        coeffs, precision, shift = lpc
+        order = len(coeffs)
+        xi = x.astype(np.int64)
+        pred = np.zeros(n - order, dtype=np.int64)
+        for t, c in enumerate(coeffs):
+            pred += c * xi[order - 1 - t : n - 1 - t]
+        res = xi[order:] - (pred >> shift)
+        w.u(0, 1)
+        w.u(0b100000 | (order - 1), 6)   # LPC, order-1 in the low bits
+        w.u(0, 1)
+        for v in x[:order]:
+            w.u(int(v) & mask, sbps)     # warmup
+        w.u(precision - 1, 4)
+        w.u(shift & 0x1F, 5)
+        for c in coeffs:
+            w.u(int(c) & ((1 << precision) - 1), precision)
+        _write_residuals(w, res, n, order, part_order)
+        return
     if np.all(x == x[0]):
         w.u(0, 1)
         w.u(0b000000, 6)  # CONSTANT
         w.u(0, 1)
-        w.u(int(x[0]) & 0xFFFF, _BPS)
+        w.u(int(x[0]) & mask, sbps)
         return
-    best_order, best_cost = None, n * _BPS  # VERBATIM baseline
+    best_order, best_cost = None, n * sbps  # VERBATIM baseline
     plans = {}
     for order in (0, 1, 2):
-        if n <= order:
+        if n <= order or (n >> part_order) <= order:
             continue
         res = _fixed_residual(x, order)
         k = _rice_param(res)
         folded = _zigzag(res)
-        cost = order * _BPS + 2 + 4 + 4 + int((folded >> k).sum()) + res.size * (1 + k)
-        plans[order] = (res, k)
+        cost = order * sbps + 2 + 4 + 4 + int((folded >> k).sum()) + res.size * (1 + k)
+        plans[order] = res
         if cost < best_cost:
             best_order, best_cost = order, cost
     if best_order is None:
@@ -190,38 +255,41 @@ def _encode_subframe(w: BitWriter, x: np.ndarray) -> None:
         w.u(0b000001, 6)  # VERBATIM
         w.u(0, 1)
         for v in x:
-            w.u(int(v) & 0xFFFF, _BPS)
+            w.u(int(v) & mask, sbps)
         return
-    res, k = plans[best_order]
+    res = plans[best_order]
     w.u(0, 1)
     w.u(0b001000 | best_order, 6)  # FIXED, order in the low bits
     w.u(0, 1)  # no wasted bits
     for v in x[:best_order]:
-        w.u(int(v) & 0xFFFF, _BPS)  # warmup samples
-    w.u(0, 2)  # residual method: 4-bit rice
-    w.u(0, 4)  # partition order 0 (one partition)
-    if k <= 14:
-        w.u(k, 4)
-        _write_rice(w, res, k)
-    else:  # escape: raw binary residuals
-        w.u(0b1111, 4)
-        bits = int(max(1, int(np.abs(res)).max())).bit_length() + 1
-        w.u(bits, 5)
-        for v in res:
-            w.u(int(v) & ((1 << bits) - 1), bits)
+        w.u(int(v) & mask, sbps)  # warmup samples
+    _write_residuals(w, res, n, best_order, part_order)
 
 
 def encode_flac(
-    samples: np.ndarray, rate: int = 16000, block_size: int = 4096
+    samples: np.ndarray,
+    rate: int = 16000,
+    block_size: int = 4096,
+    stereo_mode: str = "independent",
+    lpc: tuple[list[int], int, int] | None = None,
+    part_order: int = 0,
 ) -> bytes:
-    """(n,) or (n, channels) int16 -> FLAC bytes (independent channels,
-    fixed blocking, CONSTANT/FIXED/VERBATIM subframes)."""
+    """(n,) or (n, channels) int16 -> FLAC bytes.
+
+    ``stereo_mode`` (2-channel input only): "independent" (default),
+    or the spec's decorrelation modes "left_side" / "right_side" /
+    "mid_side" — the side channel is coded at bps+1 bits, exactly as
+    the format prescribes.  ``lpc=(coeffs, precision, shift)`` forces
+    LPC subframes; ``part_order`` forces a Rice partition order > 0.
+    All combinations are lossless."""
     s = np.asarray(samples, dtype=np.int16)
     if s.ndim == 1:
         s = s[:, None]
     n, ch = s.shape
     if not 1 <= ch <= 8:
         raise ValueError("flac: 1..8 channels")
+    if stereo_mode != "independent" and ch != 2:
+        raise ValueError("flac: stereo decorrelation needs 2 channels")
     # STREAMINFO
     md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
     si = BitWriter()
@@ -236,8 +304,14 @@ def encode_flac(
     info = si.bytes() + md5
     out = bytearray(_MAGIC)
     out += bytes([0x80 | 0]) + len(info).to_bytes(3, "big") + info  # last block
+    ch_code = {
+        "independent": ch - 1,
+        "left_side": 8,
+        "right_side": 9,
+        "mid_side": 10,
+    }[stereo_mode]
     for fi, lo in enumerate(range(0, n, block_size)):
-        blk = s[lo : lo + block_size]
+        blk = s[lo : lo + block_size].astype(np.int64)
         bs = len(blk)
         h = BitWriter()
         h.u(0b11111111111110, 14)
@@ -245,14 +319,26 @@ def encode_flac(
         h.u(0, 1)  # fixed blocking: frame number coded
         h.u(0b0111, 4)  # blocksize: 16-bit (n-1) at header end
         h.u(0b0000, 4)  # sample rate: from STREAMINFO
-        h.u(ch - 1, 4)  # independent channels
+        h.u(ch_code, 4)
         h.u(0b100, 3)  # 16 bits per sample
         h.u(0, 1)  # reserved
         hdr = h.bytes() + _utf8_code(fi) + struct.pack(">H", bs - 1)
         hdr += bytes([_crc8(hdr)])
         fw = BitWriter()
-        for c in range(ch):
-            _encode_subframe(fw, blk[:, c])
+        if stereo_mode == "independent":
+            stored = [(blk[:, c], _BPS) for c in range(ch)]
+        else:
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if stereo_mode == "left_side":
+                stored = [(left, _BPS), (side, _BPS + 1)]
+            elif stereo_mode == "right_side":
+                stored = [(side, _BPS + 1), (right, _BPS)]
+            else:  # mid_side
+                mid = (left + right) >> 1
+                stored = [(mid, _BPS), (side, _BPS + 1)]
+        for xc, sbps in stored:
+            _encode_subframe(fw, xc, sbps=sbps, lpc=lpc, part_order=part_order)
         while len(fw._bits) % 8:
             fw.u(0, 1)
         frame = hdr + fw.bytes()
@@ -263,11 +349,77 @@ def encode_flac(
 # ---------------------------------------------------------------------------
 # Decoder
 # ---------------------------------------------------------------------------
+def _read_residuals(r: BitReader, bs: int, order: int) -> np.ndarray:
+    method = r.u(2)
+    if method not in (0, 1):
+        raise ValueError("flac: reserved residual method")
+    part_order = r.u(4)
+    if part_order and (bs % (1 << part_order) or (bs >> part_order) <= order):
+        raise ValueError("flac: partition order does not divide block size")
+    pbits = 4 if method == 0 else 5
+    res_parts = []
+    for p in range(1 << part_order):
+        cnt = (bs >> part_order) - (order if p == 0 else 0)
+        k = r.u(pbits)
+        if k == (1 << pbits) - 1:  # escape: raw binary
+            raw_bits = r.u(5)
+            res_parts.append(
+                np.array(
+                    [_signed(r, raw_bits) for _ in range(cnt)], dtype=np.int64
+                )
+            )
+        else:
+            res_parts.append(_read_rice(r, cnt, k))
+    return np.concatenate(res_parts) if res_parts else np.empty(0, np.int64)
+
+
+def _decode_subframe(r: BitReader, bs: int, sbps: int) -> np.ndarray:
+    """One channel's subframe -> int64 samples (CONSTANT / VERBATIM /
+    FIXED 0-4 / LPC 1-32 with partitioned Rice residuals)."""
+    if r.u(1):
+        raise ValueError("flac: bad subframe padding bit")
+    stype = r.u(6)
+    if r.u(1):
+        raise NotImplementedError("flac: wasted-bits subframes")
+    if stype == 0b000000:  # CONSTANT
+        return np.full(bs, _signed(r, sbps), dtype=np.int64)
+    if stype == 0b000001:  # VERBATIM
+        return np.array([_signed(r, sbps) for _ in range(bs)], dtype=np.int64)
+    if 0b001000 <= stype <= 0b001100:  # FIXED 0..4
+        order = stype & 0x07
+        warm = np.array([_signed(r, sbps) for _ in range(order)], dtype=np.int64)
+        return _fixed_restore(warm, _read_residuals(r, bs, order), order)
+    if stype >= 0b100000:  # LPC, order 1..32 (r9: the real-world tier)
+        order = (stype & 0x1F) + 1
+        warm = np.array([_signed(r, sbps) for _ in range(order)], dtype=np.int64)
+        prec = r.u(4) + 1
+        if prec == 16:
+            raise ValueError("flac: invalid qlp precision escape")
+        shift = _signed(r, 5)
+        if shift < 0:
+            raise ValueError("flac: negative qlp shift")
+        coeffs = [_signed(r, prec) for _ in range(order)]
+        res = _read_residuals(r, bs, order)
+        out = np.concatenate([warm, np.empty(len(res), np.int64)])
+        for i in range(len(res)):
+            j = order + i
+            pred = 0
+            for t, c in enumerate(coeffs):
+                pred += c * out[j - 1 - t]
+            out[j] = res[i] + (pred >> shift)  # arithmetic shift per spec
+        return out
+    raise ValueError(f"flac: reserved subframe type {stype:#08b}")
+
+
 def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     """FLAC bytes -> ((n, channels) int16, sample_rate).  Verifies the
-    header CRC-8, frame CRC-16, and STREAMINFO MD5; raises the contract
-    NotImplementedError on LPC subframes / mid-side stereo / non-16-bit
-    depths (see module docstring)."""
+    header CRC-8, frame CRC-16, and STREAMINFO MD5.  Decodes the full
+    lossless surface a real-world 16-bit stream uses: CONSTANT /
+    VERBATIM / FIXED / LPC subframes, partitioned Rice residuals with
+    the raw-binary escape, and all three stereo decorrelation modes
+    (left-side / right-side / mid-side, side channel at bps+1).
+    Non-16-bit depths and wasted-bits subframes raise the contract
+    errors (see module docstring)."""
     if payload[:4] != _MAGIC:
         raise ValueError("flac: bad magic")
     pos = 4
@@ -327,67 +479,41 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("flac: reserved blocksize code")
         if sr_code in (0b1100, 0b1101, 0b1110):
             r.u(8 if sr_code == 0b1100 else 16)  # inline rates: skip
-        if ch_code > 7:
-            raise NotImplementedError(
-                "flac: mid/side stereo decorrelation not in the fixed tier"
-            )
-        if ch_code + 1 != ch:
+        if ch_code > 10:
+            raise ValueError("flac: reserved channel assignment")
+        if ch_code <= 7 and ch_code + 1 != ch:
             raise ValueError("flac: frame/streaminfo channel mismatch")
+        if ch_code > 7 and ch != 2:
+            raise ValueError("flac: stereo decorrelation in a non-stereo stream")
         if ss_code not in (0b000, 0b100):
             raise NotImplementedError("flac: frame sample size != 16 bit")
         # header CRC-8 covers bytes from sync to just before the crc byte
         hdr_len = (r._pos + 7) // 8
         if _crc8(payload[frame_start : frame_start + hdr_len]) != r.u(8):
             raise ValueError("flac: frame header CRC-8 mismatch")
+        # side channels carry one extra bit (spec: the decorrelated
+        # difference needs bps+1); index of the side channel per mode
+        side_idx = {8: 1, 9: 0, 10: 1}.get(ch_code)
+        stored = []
         for c in range(ch):
-            if r.u(1):
-                raise ValueError("flac: bad subframe padding bit")
-            stype = r.u(6)
-            wasted = r.u(1)
-            if wasted:
-                raise NotImplementedError("flac: wasted-bits subframes")
-            if stype == 0b000000:  # CONSTANT
-                v = _signed(r, _BPS)
-                chans[c].append(np.full(bs, v, dtype=np.int64))
-            elif stype == 0b000001:  # VERBATIM
-                vals = np.empty(bs, dtype=np.int64)
-                for i in range(bs):
-                    vals[i] = _signed(r, _BPS)
-                chans[c].append(vals)
-            elif 0b001000 <= stype <= 0b001100:  # FIXED 0..4
-                order = stype & 0x07
-                warm = np.array(
-                    [_signed(r, _BPS) for _ in range(order)], dtype=np.int64
-                )
-                method = r.u(2)
-                if method not in (0, 1):
-                    raise ValueError("flac: reserved residual method")
-                part_order = r.u(4)
-                pbits = 4 if method == 0 else 5
-                n_parts = 1 << part_order
-                res_parts = []
-                for p in range(n_parts):
-                    cnt = (bs >> part_order) - (order if p == 0 else 0)
-                    k = r.u(pbits)
-                    if k == (1 << pbits) - 1:  # escape: raw binary
-                        raw_bits = r.u(5)
-                        res_parts.append(
-                            np.array(
-                                [_signed(r, raw_bits) for _ in range(cnt)],
-                                dtype=np.int64,
-                            )
-                        )
-                    else:
-                        res_parts.append(_read_rice(r, cnt, k))
-                res = np.concatenate(res_parts) if res_parts else np.empty(0)
-                chans[c].append(_fixed_restore(warm, res, order))
-            elif stype >= 0b100000:
-                raise NotImplementedError(
-                    "flac: LPC subframes not in the fixed tier — re-encode "
-                    "losslessly with encode_flac to read through this engine"
-                )
-            else:
-                raise ValueError(f"flac: reserved subframe type {stype:#08b}")
+            sbps = _BPS + (1 if c == side_idx else 0)
+            stored.append(_decode_subframe(r, bs, sbps))
+        if ch_code <= 7:
+            for c in range(ch):
+                chans[c].append(stored[c])
+        elif ch_code == 8:  # left/side
+            left, side = stored
+            chans[0].append(left)
+            chans[1].append(left - side)
+        elif ch_code == 9:  # right/side (side stored first)
+            side, right = stored
+            chans[0].append(right + side)
+            chans[1].append(right)
+        else:  # 10: mid/side
+            mid, side = stored
+            m2 = (mid.astype(np.int64) << 1) | (side & 1)
+            chans[0].append((m2 + side) >> 1)
+            chans[1].append((m2 - side) >> 1)
         while r._pos % 8:
             if r.u(1):
                 raise ValueError("flac: nonzero frame padding")

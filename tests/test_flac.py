@@ -65,28 +65,58 @@ def test_corruption_is_detected_never_silent():
         decode_flac(bytes(enc))
 
 
-def test_lpc_subframe_hits_contract_boundary():
-    """A frame whose subframe type is LPC (0b1xxxxx) must raise the
-    contract NotImplementedError, not decode garbage."""
+def test_lpc_stereo_partition_roundtrips_exact():
+    """The real-world tier (r9): LPC subframes (several coefficient
+    sets incl. nonzero quantization shift), all three stereo
+    decorrelation modes, partition orders > 0, and their combination —
+    every path round-trips bit-exactly, including full-scale samples
+    through the bps+1 side channel."""
+    rng = np.random.default_rng(5)
+    mono = (1800 * np.sin(np.arange(20_001) / 45)).astype(np.int16)
+    stereo = np.stack(
+        [
+            mono,
+            (mono * 0.7).astype(np.int16)
+            + rng.integers(-30, 30, 20_001).astype(np.int16),
+        ],
+        axis=1,
+    )
+    ext = np.stack(
+        [np.full(4096, 32767, np.int16), np.full(4096, -32768, np.int16)],
+        axis=1,
+    )
+    cases = [
+        (dict(lpc=([1], 2, 0)), stereo),
+        (dict(lpc=([25, -12, 3], 6, 4)), stereo),
+        (dict(lpc=([52, -30, 12, -3], 7, 5)), stereo),
+        (dict(stereo_mode="left_side"), stereo),
+        (dict(stereo_mode="right_side"), stereo),
+        (dict(stereo_mode="mid_side"), stereo),
+        (dict(stereo_mode="mid_side", lpc=([3, -3, 1], 4, 0), part_order=2), stereo),
+        (dict(part_order=3), mono),
+        (dict(stereo_mode="mid_side"), ext),
+        (dict(stereo_mode="left_side"), ext),
+        (dict(stereo_mode="right_side"), ext),
+        (dict(stereo_mode="left_side", part_order=4),
+         rng.integers(-32768, 32768, (8192, 2)).astype(np.int16)),
+    ]
+    for kw, x in cases:
+        dec, _ = decode_flac(encode_flac(x, **kw))
+        x2 = x[:, None] if x.ndim == 1 else x
+        np.testing.assert_array_equal(dec, x2, err_msg=str(kw))
+
+
+def test_tampered_subframe_type_never_silent():
+    """Rewriting a subframe type byte (even with a recomputed header
+    CRC) must surface as an error — the CRC-16 / MD5 ladder guarantees
+    corruption is never silent."""
     x = np.zeros(256, dtype=np.int16)
     enc = bytearray(encode_flac(x, block_size=256))
-    # locate the first frame: magic(4) + metadata header(4) + 34 bytes
     fstart = 4 + 4 + 34
     assert enc[fstart] == 0xFF and enc[fstart + 1] & 0xFC == 0xF8
-    # subframe header is the byte right after the CRC-8: header is
-    # 4 bytes fixed + 1 utf8 + 2 blocksize + 1 crc = offset 8
     sub = fstart + 8
-    assert enc[sub] & 0x80 == 0  # padding bit
     enc[sub] = (enc[sub] & 0x81) | (0b100000 << 1)  # type := LPC order 1
-    with pytest.raises((NotImplementedError, ValueError)) as ei:
-        decode_flac(bytes(enc))
-    # CRC-8 catches the tamper first unless we recompute — either way
-    # nothing decodes silently; with a recomputed CRC it must be the
-    # NotImplementedError path:
-    from pyspec_spark.operators.flac import _crc8
-
-    enc[fstart + 7] = _crc8(bytes(enc[fstart : fstart + 7]))
-    with pytest.raises(NotImplementedError, match="LPC"):
+    with pytest.raises(ValueError):
         decode_flac(bytes(enc))
 
 
