@@ -27,8 +27,9 @@ The ENCODER picks per block the cheapest of CONSTANT / FIXED 0–2 /
 VERBATIM (smooth signals compress, noise falls back to VERBATIM), and
 can be forced onto the LPC / decorrelation / partition paths so every
 decoder branch is round-trip-testable without an external encoder.
-The remaining contract errors: non-16-bit depths and wasted-bits
-subframes.
+Wasted-bits subframes (the quiet-passage optimization) are encoded
+and decoded too; the one remaining contract error is non-16-bit
+sample depth.
 """
 
 from __future__ import annotations
@@ -199,6 +200,19 @@ def _write_residuals(
                 w.u(int(v) & ((1 << bits) - 1), bits)
 
 
+def _write_wasted(w: BitWriter, wasted: int) -> None:
+    """Subframe wasted-bits field: flag 0 = none; flag 1 + unary
+    (count-1 zeroes then a 1) = samples stored at sbps-count bits and
+    shifted back up on decode — the spec's quiet-passage optimization,
+    emitted whenever the block's samples share trailing zero bits."""
+    if wasted == 0:
+        w.u(0, 1)
+    else:
+        w.u(1, 1)
+        w.u(0, wasted - 1)
+        w.u(1, 1)
+
+
 def _encode_subframe(
     w: BitWriter,
     x: np.ndarray,
@@ -212,6 +226,18 @@ def _encode_subframe(
     to exercise the LPC decode path; the integer predictor is exactly
     invertible so the round-trip stays lossless)."""
     n = len(x)
+    xi64 = np.asarray(x, dtype=np.int64)
+    wasted = 0
+    if np.any(xi64):  # common trailing-zero count across the block
+        orall = 0
+        for v in xi64:
+            orall |= int(v)
+        while wasted < sbps - 1 and not (orall >> wasted) & 1:
+            wasted += 1
+    if wasted:
+        x = (xi64 >> wasted).astype(np.int64)
+        sbps -= wasted
+    n = len(x)
     mask = (1 << sbps) - 1
     if lpc is not None and n > len(lpc[0]):
         coeffs, precision, shift = lpc
@@ -223,7 +249,7 @@ def _encode_subframe(
         res = xi[order:] - (pred >> shift)
         w.u(0, 1)
         w.u(0b100000 | (order - 1), 6)   # LPC, order-1 in the low bits
-        w.u(0, 1)
+        _write_wasted(w, wasted)
         for v in x[:order]:
             w.u(int(v) & mask, sbps)     # warmup
         w.u(precision - 1, 4)
@@ -235,7 +261,7 @@ def _encode_subframe(
     if np.all(x == x[0]):
         w.u(0, 1)
         w.u(0b000000, 6)  # CONSTANT
-        w.u(0, 1)
+        _write_wasted(w, wasted)
         w.u(int(x[0]) & mask, sbps)
         return
     best_order, best_cost = None, n * sbps  # VERBATIM baseline
@@ -253,14 +279,14 @@ def _encode_subframe(
     if best_order is None:
         w.u(0, 1)
         w.u(0b000001, 6)  # VERBATIM
-        w.u(0, 1)
+        _write_wasted(w, wasted)
         for v in x:
             w.u(int(v) & mask, sbps)
         return
     res = plans[best_order]
     w.u(0, 1)
     w.u(0b001000 | best_order, 6)  # FIXED, order in the low bits
-    w.u(0, 1)  # no wasted bits
+    _write_wasted(w, wasted)
     for v in x[:best_order]:
         w.u(int(v) & mask, sbps)  # warmup samples
     _write_residuals(w, res, n, best_order, part_order)
@@ -379,16 +405,27 @@ def _decode_subframe(r: BitReader, bs: int, sbps: int) -> np.ndarray:
     if r.u(1):
         raise ValueError("flac: bad subframe padding bit")
     stype = r.u(6)
-    if r.u(1):
-        raise NotImplementedError("flac: wasted-bits subframes")
+    wasted = 0
+    if r.u(1):  # wasted-bits flag: unary count follows (k zeroes + 1)
+        wasted = 1
+        while r.u(1) == 0:
+            wasted += 1
+        sbps -= wasted
+        if sbps <= 0:
+            raise ValueError("flac: wasted bits exceed sample size")
     if stype == 0b000000:  # CONSTANT
-        return np.full(bs, _signed(r, sbps), dtype=np.int64)
+        return np.full(bs, _signed(r, sbps), dtype=np.int64) << wasted
     if stype == 0b000001:  # VERBATIM
-        return np.array([_signed(r, sbps) for _ in range(bs)], dtype=np.int64)
+        return (
+            np.array([_signed(r, sbps) for _ in range(bs)], dtype=np.int64)
+            << wasted
+        )
     if 0b001000 <= stype <= 0b001100:  # FIXED 0..4
         order = stype & 0x07
         warm = np.array([_signed(r, sbps) for _ in range(order)], dtype=np.int64)
-        return _fixed_restore(warm, _read_residuals(r, bs, order), order)
+        return (
+            _fixed_restore(warm, _read_residuals(r, bs, order), order) << wasted
+        )
     if stype >= 0b100000:  # LPC, order 1..32 (r9: the real-world tier)
         order = (stype & 0x1F) + 1
         warm = np.array([_signed(r, sbps) for _ in range(order)], dtype=np.int64)
@@ -407,7 +444,7 @@ def _decode_subframe(r: BitReader, bs: int, sbps: int) -> np.ndarray:
             for t, c in enumerate(coeffs):
                 pred += c * out[j - 1 - t]
             out[j] = res[i] + (pred >> shift)  # arithmetic shift per spec
-        return out
+        return out << wasted
     raise ValueError(f"flac: reserved subframe type {stype:#08b}")
 
 
@@ -418,8 +455,9 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     VERBATIM / FIXED / LPC subframes, partitioned Rice residuals with
     the raw-binary escape, and all three stereo decorrelation modes
     (left-side / right-side / mid-side, side channel at bps+1).
-    Non-16-bit depths and wasted-bits subframes raise the contract
-    errors (see module docstring)."""
+    Wasted-bits subframes decode (and are emitted when a block's
+    samples share trailing zero bits); non-16-bit depths raise the
+    contract error (see module docstring)."""
     if payload[:4] != _MAGIC:
         raise ValueError("flac: bad magic")
     pos = 4

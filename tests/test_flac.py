@@ -144,3 +144,42 @@ def test_flac_media_equals_wav_media_through_operators(spark):
     lw = {(r["media_id"], r["lhash"]) for r in audio_landmark_table(w).collect()}
     lf = {(r["media_id"], r["lhash"]) for r in audio_landmark_table(f).collect()}
     assert lw == lf and len(lf) > 0
+
+
+def test_wasted_bits_roundtrip_exact():
+    """Wasted-bits subframes (r9): blocks whose samples share trailing
+    zero bits store at reduced width and shift back on decode — exact
+    through every subframe type, alone and combined with LPC and
+    mid/side."""
+    rng = np.random.default_rng(9)
+    cases = [
+        ((2 * rng.integers(-5000, 5000, 9000)).astype(np.int16), {}),
+        ((8 * rng.integers(-1000, 1000, 5000)).astype(np.int16), {}),
+        (
+            (8 * rng.integers(-1000, 1000, 5000)).astype(np.int16),
+            dict(lpc=([2, -1], 3, 0)),
+        ),
+        (
+            np.concatenate(
+                [
+                    4 * rng.integers(-100, 100, 4096),
+                    rng.integers(-32768, 32768, 4096),
+                ]
+            ).astype(np.int16),
+            {},
+        ),
+        (
+            np.stack(
+                [
+                    2 * rng.integers(-500, 500, 8192),
+                    2 * rng.integers(-500, 500, 8192),
+                ],
+                axis=1,
+            ).astype(np.int16),
+            dict(stereo_mode="mid_side"),
+        ),
+    ]
+    for x, kw in cases:
+        dec, _ = decode_flac(encode_flac(x, **kw))
+        x2 = x[:, None] if x.ndim == 1 else x
+        np.testing.assert_array_equal(dec, x2, err_msg=str(kw))
