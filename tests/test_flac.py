@@ -183,3 +183,29 @@ def test_wasted_bits_roundtrip_exact():
         dec, _ = decode_flac(encode_flac(x, **kw))
         x2 = x[:, None] if x.ndim == 1 else x
         np.testing.assert_array_equal(dec, x2, err_msg=str(kw))
+
+
+def test_fuzz_garbage_and_mutations_never_silent():
+    """Robustness: random garbage bytes (with and without the magic)
+    must raise, and random bit mutations of a valid stream must either
+    raise or decode to the EXACT original — the CRC-8/CRC-16/MD5
+    ladder leaves no silent-corruption path.  Also a no-hang check:
+    the whole fuzz runs in bounded time."""
+    rng = np.random.RandomState(11)
+    for _ in range(80):
+        data = bytes(rng.randint(0, 256, rng.randint(1, 400), dtype=np.uint8))
+        if rng.rand() < 0.5:
+            data = b"fLaC" + data
+        with pytest.raises(Exception):
+            decode_flac(data)
+    x = (500 * np.sin(np.arange(6000) / 20)).astype(np.int16)
+    enc = encode_flac(x)
+    for _ in range(80):
+        m = bytearray(enc)
+        for _ in range(rng.randint(1, 4)):
+            m[rng.randint(0, len(m))] ^= 1 << rng.randint(0, 8)
+        try:
+            dec, _ = decode_flac(bytes(m))
+        except Exception:
+            continue
+        np.testing.assert_array_equal(dec[:, 0], x)
