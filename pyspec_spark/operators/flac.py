@@ -1,35 +1,47 @@
 """FLAC codec — clean-room from the public FLAC format specification
-(xiph.org / RFC 9639), pure Python + numpy.  SURVEY.md §2.12 L7 (r9):
-the audio half of the multimodal boundary narrowed one honest step —
+(xiph.org / RFC 9639), pure Python + numpy.  SURVEY.md §2.12 L7 (r9,
+depth-generalized r10): the audio half of the multimodal boundary —
 speech corpora (LibriSpeech and kin) ship FLAC, so an engine that
 curates audio at scale must read it natively.
 
 Scope (and why it is exact): FLAC is LOSSLESS, so encode → decode is
 the identity on every sample — the same testable contract as the r8/r9
 PCM video paths.  The DECODER covers the full lossless surface a
-real-world 16-bit stream uses:
+real-world stream uses:
 
 - STREAMINFO metadata block (the mandatory first block; other blocks
   are skipped structurally by length).
-- Fixed-blocking frames: 14-bit sync, UTF-8-coded frame number, all
+- Fixed-blocking frames: 14-bit sync, the UTF-8-style coded frame
+  number extended to 36 bits (the spec's 7-byte form — NOT Python
+  str.encode, which rejects surrogates and stops at 0x10FFFF), all
   blocksize/sample-rate code forms, CRC-8 header check, CRC-16 frame
   check, MD5-verified PCM (the spec's end-to-end integrity ladder —
-  corruption is never silent).
-- Subframe types CONSTANT, VERBATIM, FIXED orders 0–4, and **LPC
-  orders 1–32** (quantized-coefficient integer prediction with the
+  corruption is never silent).  STREAMINFO total_samples == 0 means
+  UNKNOWN per the spec: the decoder then consumes frames to the end
+  of the payload instead of trusting a count.
+- Subframe types CONSTANT, VERBATIM, FIXED orders 0–4, and LPC
+  orders 1–32 (quantized-coefficient integer prediction with the
   arithmetic-shift rounding the spec prescribes — exactly invertible,
   so losslessness survives), all with partitioned Rice residuals
-  (4-/5-bit parameters + the raw-binary escape).
+  (4-/5-bit parameters + the raw-binary escape, including the
+  spec-legal 0-bit escape meaning an all-zero partition).
 - All three stereo decorrelation modes (left-side / right-side /
   mid-side; the side channel carries bps+1 bits).
+- ALL standard sample depths: 8/12/16/20/24/32-bit (r10 — 24-bit is
+  the standard music/production depth; 16-bit covers speech corpora).
+  Decoded output is int16 for depths <= 16 and int32 above.
 
 The ENCODER picks per block the cheapest of CONSTANT / FIXED 0–2 /
 VERBATIM (smooth signals compress, noise falls back to VERBATIM), and
 can be forced onto the LPC / decorrelation / partition paths so every
 decoder branch is round-trip-testable without an external encoder.
-Wasted-bits subframes (the quiet-passage optimization) are encoded
-and decoded too; the one remaining contract error is non-16-bit
-sample depth.
+A partition whose Rice quotients would blow up (spiky data at a small
+mean) falls back to the raw-binary escape instead of raising.  Wasted-
+bits subframes (the quiet-passage optimization) are encoded and
+decoded too.  The one residual limit is the spec's own: the raw escape
+stores at most 31-bit residuals, so a forced-LPC plan whose residuals
+exceed that raises (the cost-based planner never picks such a plan —
+VERBATIM is always cheaper there).
 """
 
 from __future__ import annotations
@@ -42,7 +54,10 @@ import numpy as np
 from pyspec_spark.operators.h264 import BitReader, BitWriter
 
 _MAGIC = b"fLaC"
-_BPS = 16
+
+# Frame-header sample-size codes (RFC 9639 §9.1.3) <-> depth in bits.
+_SS_CODE = {8: 0b001, 12: 0b010, 16: 0b100, 20: 0b101, 24: 0b110, 32: 0b111}
+_SS_BITS = {v: k for k, v in _SS_CODE.items()}
 
 
 # ---------------------------------------------------------------------------
@@ -70,8 +85,23 @@ def _crc16(data: bytes) -> int:
 
 
 def _utf8_code(n: int) -> bytes:
-    """The frame-number coding: standard UTF-8 of the integer value."""
-    return chr(n).encode("utf-8")
+    """The frame-number coding: the UTF-8 bit layout extended to 36
+    bits (7-byte form, 0xFE lead byte with zero payload bits).  Emitted
+    directly from the integer — round-tripping through chr().encode()
+    would raise on surrogate code points (frame 55296 of a stream) and
+    cannot reach the spec's 36-bit range at all."""
+    if n < 0x80:
+        return bytes([n])
+    for cont in range(1, 7):
+        if n < (1 << (6 * cont + (6 - cont))):
+            break
+    else:
+        raise ValueError("flac: frame number exceeds 36 bits")
+    lead = (0x100 - (1 << (7 - cont))) | (n >> (6 * cont))
+    out = bytearray([lead])
+    for i in range(cont - 1, -1, -1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(out)
 
 
 def _read_utf8_code(r: BitReader) -> int:
@@ -113,8 +143,6 @@ def _rice_param(res: np.ndarray) -> int:
 def _write_rice(w: BitWriter, res: np.ndarray, k: int) -> None:
     for u in _zigzag(res):
         q = int(u) >> k
-        if q > 10_000:  # pathological parameter; encoder avoids via escape
-            raise ValueError("flac: rice quotient blowup")
         w.u(0, q)
         w.u(1, 1)
         if k:
@@ -164,9 +192,24 @@ def _signed(r: BitReader, bits: int) -> int:
     return v - (1 << bits) if v & (1 << (bits - 1)) else v
 
 
+def _pack_pcm(s: np.ndarray, bps: int) -> bytes:
+    """Interleaved little-endian two's-complement PCM bytes at
+    ceil(bps/8) bytes per sample — the byte stream STREAMINFO's MD5
+    covers (shared by encoder and decoder, so the integrity check can
+    never drift between them)."""
+    nb = (bps + 7) // 8
+    b = np.ascontiguousarray(s.astype("<i4")).tobytes()
+    if nb == 4:
+        return b
+    return np.frombuffer(b, np.uint8).reshape(-1, 4)[:, :nb].tobytes()
+
+
 # ---------------------------------------------------------------------------
 # Encoder
 # ---------------------------------------------------------------------------
+_RICE_Q_MAX = 10_000  # above this a unary quotient is pathological
+
+
 def _write_residuals(
     w: BitWriter, res: np.ndarray, bs: int, order: int, part_order: int
 ) -> None:
@@ -175,7 +218,10 @@ def _write_residuals(
     escape to raw binary.  The spec requires the block size to divide
     evenly into the partitions and the first partition to still have
     residuals after the warmup — clamp the requested order down until
-    both hold (a trailing partial block typically forces order 0)."""
+    both hold (a trailing partial block typically forces order 0).
+    A partition whose max unary quotient would blow past _RICE_Q_MAX
+    (spiky samples around a small mean) is written with the raw-binary
+    escape instead of raising (ADVICE r9)."""
     while part_order > 0 and (
         bs % (1 << part_order) or (bs >> part_order) <= order
     ):
@@ -189,12 +235,19 @@ def _write_residuals(
         part = res[off : off + cnt]
         off += cnt
         k = _rice_param(part)
-        if k <= 14:
+        folded = _zigzag(part) if part.size else np.zeros(0, np.int64)
+        q_max = int(folded.max() >> k) if part.size else 0
+        if q_max <= _RICE_Q_MAX:
             w.u(k, 4)
             _write_rice(w, part, k)
         else:                 # escape: raw binary residuals
-            w.u(0b1111, 4)
             bits = int(max(1, int(np.abs(part).max()))).bit_length() + 1
+            if bits > 31:
+                raise ValueError(
+                    "flac: residual magnitude exceeds the 31-bit raw "
+                    "escape (use VERBATIM for this block)"
+                )
+            w.u(0b1111, 4)
             w.u(bits, 5)
             for v in part:
                 w.u(int(v) & ((1 << bits) - 1), bits)
@@ -216,7 +269,7 @@ def _write_wasted(w: BitWriter, wasted: int) -> None:
 def _encode_subframe(
     w: BitWriter,
     x: np.ndarray,
-    sbps: int = _BPS,
+    sbps: int,
     lpc: tuple[list[int], int, int] | None = None,
     part_order: int = 0,
 ) -> None:
@@ -299,25 +352,33 @@ def encode_flac(
     stereo_mode: str = "independent",
     lpc: tuple[list[int], int, int] | None = None,
     part_order: int = 0,
+    bps: int = 16,
 ) -> bytes:
-    """(n,) or (n, channels) int16 -> FLAC bytes.
+    """(n,) or (n, channels) integer samples -> FLAC bytes.
 
-    ``stereo_mode`` (2-channel input only): "independent" (default),
-    or the spec's decorrelation modes "left_side" / "right_side" /
-    "mid_side" — the side channel is coded at bps+1 bits, exactly as
-    the format prescribes.  ``lpc=(coeffs, precision, shift)`` forces
-    LPC subframes; ``part_order`` forces a Rice partition order > 0.
-    All combinations are lossless."""
-    s = np.asarray(samples, dtype=np.int16)
+    ``bps`` is any standard depth (8/12/16/20/24/32); samples must fit
+    the signed range of that depth.  ``stereo_mode`` (2-channel input
+    only): "independent" (default), or the spec's decorrelation modes
+    "left_side" / "right_side" / "mid_side" — the side channel is
+    coded at bps+1 bits, exactly as the format prescribes.
+    ``lpc=(coeffs, precision, shift)`` forces LPC subframes;
+    ``part_order`` forces a Rice partition order > 0.  All
+    combinations are lossless."""
+    if bps not in _SS_CODE:
+        raise ValueError(f"flac: unsupported depth {bps} (8/12/16/20/24/32)")
+    s = np.asarray(samples, dtype=np.int64)
     if s.ndim == 1:
         s = s[:, None]
+    lim = 1 << (bps - 1)
+    if s.size and (s.min() < -lim or s.max() >= lim):
+        raise ValueError(f"flac: sample out of {bps}-bit signed range")
     n, ch = s.shape
     if not 1 <= ch <= 8:
         raise ValueError("flac: 1..8 channels")
     if stereo_mode != "independent" and ch != 2:
         raise ValueError("flac: stereo decorrelation needs 2 channels")
     # STREAMINFO
-    md5 = hashlib.md5(s.astype("<i2").tobytes()).digest()
+    md5 = hashlib.md5(_pack_pcm(s, bps)).digest()
     si = BitWriter()
     si.u(block_size, 16)
     si.u(block_size, 16)
@@ -325,7 +386,7 @@ def encode_flac(
     si.u(0, 24)  # max frame size unknown
     si.u(rate, 20)
     si.u(ch - 1, 3)
-    si.u(_BPS - 1, 5)
+    si.u(bps - 1, 5)
     si.u(n & ((1 << 36) - 1), 36)
     info = si.bytes() + md5
     out = bytearray(_MAGIC)
@@ -346,23 +407,23 @@ def encode_flac(
         h.u(0b0111, 4)  # blocksize: 16-bit (n-1) at header end
         h.u(0b0000, 4)  # sample rate: from STREAMINFO
         h.u(ch_code, 4)
-        h.u(0b100, 3)  # 16 bits per sample
+        h.u(_SS_CODE[bps], 3)
         h.u(0, 1)  # reserved
         hdr = h.bytes() + _utf8_code(fi) + struct.pack(">H", bs - 1)
         hdr += bytes([_crc8(hdr)])
         fw = BitWriter()
         if stereo_mode == "independent":
-            stored = [(blk[:, c], _BPS) for c in range(ch)]
+            stored = [(blk[:, c], bps) for c in range(ch)]
         else:
             left, right = blk[:, 0], blk[:, 1]
             side = left - right
             if stereo_mode == "left_side":
-                stored = [(left, _BPS), (side, _BPS + 1)]
+                stored = [(left, bps), (side, bps + 1)]
             elif stereo_mode == "right_side":
-                stored = [(side, _BPS + 1), (right, _BPS)]
+                stored = [(side, bps + 1), (right, bps)]
             else:  # mid_side
                 mid = (left + right) >> 1
-                stored = [(mid, _BPS), (side, _BPS + 1)]
+                stored = [(mid, bps), (side, bps + 1)]
         for xc, sbps in stored:
             _encode_subframe(fw, xc, sbps=sbps, lpc=lpc, part_order=part_order)
         while len(fw._bits) % 8:
@@ -389,11 +450,15 @@ def _read_residuals(r: BitReader, bs: int, order: int) -> np.ndarray:
         k = r.u(pbits)
         if k == (1 << pbits) - 1:  # escape: raw binary
             raw_bits = r.u(5)
-            res_parts.append(
-                np.array(
-                    [_signed(r, raw_bits) for _ in range(cnt)], dtype=np.int64
+            if raw_bits == 0:
+                # spec-legal: 0-bit residuals = an all-zero partition
+                res_parts.append(np.zeros(cnt, dtype=np.int64))
+            else:
+                res_parts.append(
+                    np.array(
+                        [_signed(r, raw_bits) for _ in range(cnt)], dtype=np.int64
+                    )
                 )
-            )
         else:
             res_parts.append(_read_rice(r, cnt, k))
     return np.concatenate(res_parts) if res_parts else np.empty(0, np.int64)
@@ -449,15 +514,16 @@ def _decode_subframe(r: BitReader, bs: int, sbps: int) -> np.ndarray:
 
 
 def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
-    """FLAC bytes -> ((n, channels) int16, sample_rate).  Verifies the
-    header CRC-8, frame CRC-16, and STREAMINFO MD5.  Decodes the full
-    lossless surface a real-world 16-bit stream uses: CONSTANT /
-    VERBATIM / FIXED / LPC subframes, partitioned Rice residuals with
-    the raw-binary escape, and all three stereo decorrelation modes
-    (left-side / right-side / mid-side, side channel at bps+1).
-    Wasted-bits subframes decode (and are emitted when a block's
-    samples share trailing zero bits); non-16-bit depths raise the
-    contract error (see module docstring)."""
+    """FLAC bytes -> ((n, channels) int16/int32, sample_rate).
+    Verifies the header CRC-8, frame CRC-16, and STREAMINFO MD5.
+    Decodes the full lossless surface a real-world stream uses:
+    CONSTANT / VERBATIM / FIXED / LPC subframes, partitioned Rice
+    residuals with the raw-binary escape (incl. the 0-bit all-zero
+    form), all three stereo decorrelation modes (side channel at
+    bps+1), wasted-bits subframes, and every standard depth
+    8/12/16/20/24/32 (int16 out for depths <= 16, int32 above).
+    STREAMINFO total_samples == 0 means UNKNOWN: frames are decoded to
+    the end of the payload instead."""
     if payload[:4] != _MAGIC:
         raise ValueError("flac: bad magic")
     pos = 4
@@ -486,11 +552,12 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
     bps = r.u(5) + 1
     total = r.u(36)
     want_md5 = info[18:34]
-    if bps != _BPS:
-        raise NotImplementedError(f"flac: {bps}-bit depth (16-bit only)")
+    if bps not in _SS_CODE:
+        raise NotImplementedError(f"flac: nonstandard {bps}-bit depth")
     chans: list[list[np.ndarray]] = [[] for _ in range(ch)]
     got = 0
-    while got < total:
+    # total == 0 means UNKNOWN (spec): decode frames to end of payload
+    while (got < total) if total else (pos < len(payload)):
         frame_start = pos
         r = BitReader(payload[pos:])
         if r.u(14) != 0b11111111111110:
@@ -523,8 +590,8 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("flac: frame/streaminfo channel mismatch")
         if ch_code > 7 and ch != 2:
             raise ValueError("flac: stereo decorrelation in a non-stereo stream")
-        if ss_code not in (0b000, 0b100):
-            raise NotImplementedError("flac: frame sample size != 16 bit")
+        if ss_code != 0 and _SS_BITS.get(ss_code) != bps:
+            raise ValueError("flac: frame/streaminfo sample-size mismatch")
         # header CRC-8 covers bytes from sync to just before the crc byte
         hdr_len = (r._pos + 7) // 8
         if _crc8(payload[frame_start : frame_start + hdr_len]) != r.u(8):
@@ -534,7 +601,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         side_idx = {8: 1, 9: 0, 10: 1}.get(ch_code)
         stored = []
         for c in range(ch):
-            sbps = _BPS + (1 if c == side_idx else 0)
+            sbps = bps + (1 if c == side_idx else 0)
             stored.append(_decode_subframe(r, bs, sbps))
         if ch_code <= 7:
             for c in range(ch):
@@ -563,10 +630,16 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("flac: frame CRC-16 mismatch")
         pos = frame_start + body_len + 2
         got += bs
-    s = np.stack([np.concatenate(c)[:total] for c in chans], axis=1)
-    if np.any(s < -(1 << 15)) or np.any(s >= (1 << 15)):
-        raise ValueError("flac: decoded sample out of 16-bit range")
-    s16 = s.astype(np.int16)
-    if hashlib.md5(s16.astype("<i2").tobytes()).digest() != want_md5:
+    if chans[0]:
+        s = np.stack([np.concatenate(c) for c in chans], axis=1)
+        if total:
+            s = s[:total]
+    else:
+        s = np.zeros((0, ch), dtype=np.int64)
+    lim = 1 << (bps - 1)
+    if np.any(s < -lim) or np.any(s >= lim):
+        raise ValueError(f"flac: decoded sample out of {bps}-bit range")
+    out = s.astype(np.int16 if bps <= 16 else np.int32)
+    if hashlib.md5(_pack_pcm(out, bps)).digest() != want_md5:
         raise ValueError("flac: STREAMINFO MD5 mismatch (corrupt stream)")
-    return s16, rate
+    return out, rate

@@ -2015,9 +2015,10 @@ def q_hevc_ipcm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer modular samples; the query decodes in-executor and emits
 # per-window integer sums, and DuckDB replays the same sums from
 # generate-series arithmetic — any framing, Rice, CRC, or predictor
-# defect flips an exact integer.  LPC subframes / mid-side stereo
-# remain the documented NotImplementedError tier (re-encode losslessly
-# through encode_flac to ingest them).
+# defect flips an exact integer.  The decoder covers the full lossless
+# surface (LPC 1-32, all three stereo decorrelation modes, partitioned
+# Rice + raw escape, wasted bits — r9) at every standard depth
+# 8/12/16/20/24/32 (r10); only nonstandard depths raise.
 #
 # 100 TB posture: decode runs in mapInPandas on executors (payloads
 # never move); only (media, window, 3 ints) rows shuffle.

@@ -1,6 +1,9 @@
-"""FLAC codec (r9) — lossless round-trip, CRC/MD5 integrity, the
-contract boundary (LPC / mid-side / non-16-bit), and container
-equivalence through the generic audio operators."""
+"""FLAC codec (r9, depth-generalized r10) — lossless round-trip at
+every standard depth (8/12/16/20/24/32), CRC/MD5 integrity, every
+subframe/stereo/partition branch, the ADVICE-r9 edge cases (extended
+frame-number coding, 0-bit raw escape, unknown total, empty streams,
+rice-quotient escape fallback), and container equivalence through the
+generic audio operators."""
 
 from __future__ import annotations
 
@@ -209,3 +212,135 @@ def test_fuzz_garbage_and_mutations_never_silent():
         except Exception:
             continue
         np.testing.assert_array_equal(dec[:, 0], x)
+
+
+# ---------------------------------------------------------------------------
+# r10: depth generalization (8/12/16/20/24/32-bit) + the five ADVICE
+# regressions (extended frame-number coding, 0-bit raw escape, unknown
+# total_samples, empty streams, rice-quotient escape fallback).
+# ---------------------------------------------------------------------------
+def test_roundtrip_every_standard_depth():
+    rng = np.random.default_rng(11)
+    for bps in (8, 12, 16, 20, 24, 32):
+        lim = 1 << (bps - 1)
+        x = rng.integers(-lim, lim, 6000, dtype=np.int64)
+        x[:10] = [0, 1, -1, lim - 1, -lim, 0, lim - 1, -lim, 3, -3]
+        dec, rate = decode_flac(encode_flac(x, rate=48000, bps=bps))
+        assert rate == 48000
+        assert dec.dtype == (np.int16 if bps <= 16 else np.int32)
+        np.testing.assert_array_equal(dec[:, 0].astype(np.int64), x)
+
+
+def test_depth_stereo_lpc_partitions_wasted_bits():
+    # every decoder branch at the two non-16 real-world depths
+    rng = np.random.default_rng(13)
+    for bps in (8, 24):
+        lim = 1 << (bps - 1)
+        smooth = (0.4 * lim * np.sin(np.arange(9001) / 37)).astype(np.int64)
+        noisy = rng.integers(-lim // 4, lim // 4, 9001, dtype=np.int64)
+        x = np.stack([smooth, noisy], axis=1)
+        for mode in ("independent", "left_side", "right_side", "mid_side"):
+            dec, _ = decode_flac(
+                encode_flac(
+                    x, bps=bps, stereo_mode=mode,
+                    lpc=([3, -1], 6, 1), part_order=2,
+                )
+            )
+            np.testing.assert_array_equal(dec.astype(np.int64), x)
+        # wasted bits: samples sharing trailing zeros
+        w = (x // 16) * 16
+        dec, _ = decode_flac(encode_flac(w, bps=bps, stereo_mode="mid_side"))
+        np.testing.assert_array_equal(dec.astype(np.int64), w)
+
+
+def test_depth_range_validation():
+    with pytest.raises(ValueError, match="signed range"):
+        encode_flac(np.array([300], dtype=np.int64), bps=8)
+    with pytest.raises(ValueError, match="unsupported depth"):
+        encode_flac(np.array([1], dtype=np.int64), bps=13)
+
+
+def test_frame_number_coding_full_36_bit_range():
+    # ADVICE r9: chr().encode round-trip raised on surrogates (55296)
+    # and could not reach the 36-bit spec range at all.
+    from pyspec_spark.operators.flac import _read_utf8_code, _utf8_code
+    from pyspec_spark.operators.h264 import BitReader
+
+    for n in (0, 1, 0x7F, 0x80, 2047, 2048, 55296, 0xFFFF, 0x10FFFF,
+              0x110000, (1 << 31) - 1, (1 << 36) - 1):
+        assert _read_utf8_code(BitReader(_utf8_code(n))) == n
+    with pytest.raises(ValueError, match="36 bits"):
+        _utf8_code(1 << 36)
+
+
+def test_frame_55296_stream_roundtrips():
+    # a stream whose SECOND frame number would be a surrogate is not
+    # constructible cheaply; pin the encoder path by encoding enough
+    # blocks to cross 0x80 (2-byte coding) and checking losslessness
+    x = np.arange(0, 200 * 16, dtype=np.int64) % 251 - 125
+    dec, _ = decode_flac(encode_flac(x, block_size=16, bps=16))
+    np.testing.assert_array_equal(dec[:, 0].astype(np.int64), x)
+
+
+def test_raw_escape_zero_bits_decodes_as_zero_partition():
+    # ADVICE r9: a conformant stream may store an all-zero partition as
+    # a 0-bit raw escape; _signed(bits=0) used to raise.
+    from pyspec_spark.operators.flac import _read_residuals
+    from pyspec_spark.operators.h264 import BitReader, BitWriter
+
+    w = BitWriter()
+    w.u(0, 2)        # method 0 (4-bit params)
+    w.u(0, 4)        # partition order 0
+    w.u(0b1111, 4)   # escape
+    w.u(0, 5)        # raw_bits = 0 -> all-zero partition
+    while len(w._bits) % 8:
+        w.u(0, 1)
+    res = _read_residuals(BitReader(w.bytes()), 12, 0)
+    np.testing.assert_array_equal(res, np.zeros(12, dtype=np.int64))
+
+
+def test_unknown_total_samples_decodes_to_payload_end():
+    # ADVICE r9: STREAMINFO total == 0 means UNKNOWN, not empty.
+    x = (np.arange(7000, dtype=np.int64) * 13 % 2001) - 1000
+    enc = bytearray(encode_flac(x, bps=16))
+    # zero the 36-bit total: bits 108..143 of the STREAMINFO body,
+    # which starts at byte 8 (4 magic + 4 block header)
+    enc[8 + 13] &= 0xF0
+    enc[8 + 14 : 8 + 18] = b"\x00" * 4
+    dec, _ = decode_flac(bytes(enc))
+    np.testing.assert_array_equal(dec[:, 0].astype(np.int64), x)
+
+
+def test_empty_stream_roundtrips():
+    # ADVICE r9: encode of 0 samples used to emit a stream its own
+    # decoder could not read (np.concatenate on an empty list).
+    for ch_shape in ((0,), (0, 2)):
+        dec, rate = decode_flac(
+            encode_flac(np.zeros(ch_shape, dtype=np.int64), rate=8000)
+        )
+        assert rate == 8000
+        assert dec.shape == (0, 1 if len(ch_shape) == 1 else 2)
+
+
+def test_rice_quotient_blowup_falls_back_to_escape():
+    # ADVICE r9: spiky residuals around a tiny mean used to raise
+    # 'rice quotient blowup'; the partition must escape to raw binary
+    # instead.  A forced low-order LPC over a mostly-flat 32-bit signal
+    # with huge spikes makes max-quotient >> 10k at the chosen k.
+    x = np.zeros(5000, dtype=np.int64)
+    x[100] = (1 << 29)
+    x[3000] = -(1 << 29)
+    enc = encode_flac(x, bps=32, lpc=([1], 2, 0))
+    dec, _ = decode_flac(enc)
+    np.testing.assert_array_equal(dec[:, 0].astype(np.int64), x)
+
+
+def test_residual_beyond_raw_escape_width_raises_clearly():
+    # the spec's own 31-bit raw-escape ceiling: a forced-LPC plan whose
+    # residuals exceed it raises the documented error (the cost-based
+    # planner never picks such a plan — VERBATIM is cheaper)
+    x = np.zeros(5000, dtype=np.int64)
+    x[100] = (1 << 31) - 1
+    x[101] = -(1 << 31)
+    with pytest.raises(ValueError, match="raw escape"):
+        encode_flac(x, bps=32, lpc=([1], 2, 0))
