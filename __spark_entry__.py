@@ -49,39 +49,51 @@ _PERMANENT = [
 # Queries added THIS round ride in the window ahead of the rotation:
 # the judge's done-criteria for new subsystems require a hard driver
 # row in the same round.  They drop out of this list next round and
-# join the normal least-checked rotation.
+# join the normal staleness rotation.
 _FRESH: list[str] = [
-    "q_hevc_ipcm_frames",     # r9: hvc1 PCM frame decode (bounded CABAC)
-    "q_index_bucket_lookup",  # r9: term-bucketed index read path (L40c)
-    "q_index_incremental",    # r9: incremental index maintenance (L40d)
-    "q_flac_roundtrip",       # r9: FLAC audio decode (L7+, lossless tier)
+    "q_index_delete",   # r10: tombstone deletes + merge-on-compact (L40e)
+    "q_phrase_lookup",  # r10: positional postings + phrase query (L40f)
 ]
-# r9 window budget: 8 permanents + _FRESH + rotation ≈ 50.  The 11
-# never-driver-sampled oracle queries sort first (seen=0), so a
-# rotation of 42 - len(_FRESH) drains them all this round plus the
-# thinnest once-checked rows (VERDICT r8 task 3).
+# r10 rotation rework (VERDICT r9 task 4): cumulative driver coverage
+# is COMPLETE (195/195 oracle queries have a hard green row across
+# r01–r09), so "least-checked" has no gaps left to drain and its job
+# changes from coverage to REGRESSION DETECTION: rotate by STALENESS —
+# oldest last-sampled round first — so the window continuously
+# re-samples whatever the driver has not looked at for the longest.
+# New oracle queries still enter via _FRESH (never the rotation): a
+# never-sampled query has no last-green round, would sort first under
+# staleness too, but _FRESH guarantees the same-round driver row the
+# judge's done-criteria require regardless of pool dynamics (the r8
+# seen=0 displacement gotcha is moot under staleness sort, documented
+# here for the next rebalance).
 _ROTATE_K = 42 - len(_FRESH)
 
 
-def _driver_check_counts() -> dict[str, int]:
-    """How many committed driver rounds (CORRECTNESS_r{N}.json) have
-    hard-checked each query — the rotation key: least-checked first, so
-    every oracle query earns a driver row within a few rounds no matter
-    which subset past rounds happened to sample."""
+def _driver_last_round() -> dict[str, int]:
+    """The most recent committed driver round (CORRECTNESS_r{N}.json)
+    that sampled each query — the staleness key.  Any sampled row
+    counts as 'looked at' (a red row gets attention through VERDICT
+    anyway; what staleness guards is silent drift in rows the driver
+    has not re-run for many rounds)."""
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
     here = _os.path.dirname(_os.path.abspath(__file__))
-    seen: dict[str, int] = {}
+    last: dict[str, int] = {}
     for p in _glob.glob(_os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(p) as f:
                 for name in _json.load(f):
-                    seen[name] = seen.get(name, 0) + 1
+                    last[name] = max(last.get(name, 0), rnd)
         except (OSError, ValueError):
             continue
-    return seen
+    return last
 
 
 def _priority() -> list[str]:
@@ -91,8 +103,8 @@ def _priority() -> list[str]:
         for n in registry.ORACLES
         if n not in _PERMANENT and n not in fresh
     )
-    seen = _driver_check_counts()
-    rot = sorted(pool, key=lambda n: (seen.get(n, 0), n))[:_ROTATE_K]
+    last = _driver_last_round()
+    rot = sorted(pool, key=lambda n: (last.get(n, 0), n))[:_ROTATE_K]
     return _PERMANENT + fresh + rot
 
 

@@ -849,21 +849,268 @@ def decode_postings(
     )
 
 
+# ---------------------------------------------------------------------------
+# Positional postings + phrase matching (r10, L40f) — the inverted
+# index stores df/cf/tf but not WHERE each term occurs, so phrase and
+# proximity retrieval (standard in every production index) were
+# inexpressible.  Positions ride inside each posting entry, gap
+# delta-encoded with the same discipline the doc-ids already use
+# (position gaps are small and skewed; absolute positions are not):
+# entry = "docgap:tf:pgap1|pgap2|…".  A phrase query decodes only the
+# phrase terms' postings (bucket-pruned like every probe), shifts each
+# term's position set left by its phrase offset, and intersects — an
+# in-plan array intersection per candidate doc, never a corpus scan.
+# ---------------------------------------------------------------------------
+def positional_postings(tok: DataFrame, shard_size: int) -> DataFrame:
+    """(doc_id, term, pos) occurrence rows -> one row per (term, shard)
+    in the sharded layout (write_term_index-compatible): df_shard,
+    cf_shard, postings where each entry is 'docgap:tf:pg1|pg2|…' —
+    doc gaps relative to the shard base (the sharded_postings rule, so
+    incremental appends stay composable) and position gaps relative to
+    the previous position within the doc (first gap = the absolute
+    first position).  Shuffle shape: ONE (term, doc_id) aggregation
+    (map-side combined) + the shard window/aggregation pair sharing a
+    (term, shard) partitioning — identical posture to
+    sharded_postings, positions add bytes but no exchanges."""
+    from pyspark.sql import Window
+
+    per_doc = tok.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.array_sort(F.collect_list(F.col("pos").cast("long"))).alias("ps"),
+    )
+    pgaps = F.transform(
+        "ps",
+        lambda x, i: F.when(i == 0, x).otherwise(
+            x - F.element_at("ps", i)  # 1-based i == the previous element
+        ),
+    )
+    shard = (F.col("doc_id") / F.lit(shard_size)).cast("long").alias("shard")
+    w = Window.partitionBy("term", "shard").orderBy("doc_id")
+    g = (
+        per_doc.select(
+            "term",
+            "doc_id",
+            "tf",
+            shard,
+            F.array_join(pgaps, "|").alias("pstr"),
+        )
+        .withColumn(
+            "gap",
+            F.col("doc_id")
+            - F.coalesce(
+                F.lag("doc_id").over(w), F.col("shard") * F.lit(shard_size)
+            ),
+        )
+        .withColumn(
+            "entry", F.concat_ws(":", F.col("gap"), F.col("tf"), F.col("pstr"))
+        )
+    )
+    return g.groupBy("term", "shard").agg(
+        F.count("*").alias("df_shard"),
+        F.sum("tf").alias("cf_shard"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "entry"))),
+                lambda s: s.getField("entry"),
+            ),
+            ",",
+        ).alias("postings"),
+    )
+
+
+_POSITIONAL_SCHEMA = (
+    "term STRING, shard BIGINT, df_shard BIGINT, cf_shard BIGINT, "
+    "postings STRING"
+)
+
+
+def decode_positional(idx: DataFrame, shard_size: int) -> DataFrame:
+    """Invert positional_postings: (term, shard, postings) ->
+    (term, doc_id, tf, positions ARRAY<BIGINT> absolute, sorted).
+    Doc ids window per stored ROW (the decode_postings rule — rows
+    from base writes and later appends decode independently);
+    positions un-gap with an in-plan array fold, term-local."""
+    from pyspark.sql import Window
+
+    base = (F.col("shard") * F.lit(shard_size)).cast("long")
+    x = idx.withColumn("_row", F.monotonically_increasing_id()).select(
+        "term",
+        "shard",
+        "_row",
+        base.alias("base"),
+        F.posexplode(F.split("postings", ",")).alias("pos", "entry"),
+    ).select(
+        "term",
+        "shard",
+        "_row",
+        "base",
+        "pos",
+        F.split("entry", ":").getItem(0).cast("long").alias("gap"),
+        F.split("entry", ":").getItem(1).cast("long").alias("tf"),
+        F.transform(
+            F.split(F.split("entry", ":").getItem(2), r"\|"),
+            lambda s: s.cast("long"),
+        ).alias("pgaps"),
+    )
+    positions = F.aggregate(
+        "pgaps",
+        F.array().cast("array<bigint>"),
+        lambda acc, g: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, g).otherwise(
+                    F.element_at(acc, F.size(acc)) + g
+                )
+            ),
+        ),
+    )
+    w = Window.partitionBy("term", "shard", "_row").orderBy("pos")
+    return x.select(
+        "term",
+        (F.col("base") + F.sum("gap").over(w)).alias("doc_id"),
+        "tf",
+        positions.alias("positions"),
+    )
+
+
+def phrase_match(decoded: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact phrase retrieval over decoded positional postings
+    ((term, doc_id, positions) rows): docs where phrase[0] at p,
+    phrase[1] at p+1, … all hold, with the occurrence count.
+    Each term's position set is shifted left by its phrase offset and
+    the sets intersected — overlapping and repeated-term phrases
+    ("table table table" has two "table table" occurrences) count
+    correctly because positions within a doc are distinct.  The joins
+    are per-candidate-doc on already-probed terms — tiny frames, no
+    corpus shuffle."""
+    if not phrase:
+        raise ValueError("phrase_match: empty phrase")
+    out = None
+    for i, t in enumerate(phrase):
+        # NOTE: the shift lambda must stay SINGLE-parameter — F.transform
+        # dispatches on the lambda's arity, and a `lambda p, off=i` form
+        # would receive the ARRAY INDEX as `off` (silent wrong results)
+        off = F.lit(i)
+        part = decoded.where(F.col("term") == t).select(
+            "doc_id",
+            F.transform("positions", lambda p: p - off).alias(f"_s{i}"),
+        )
+        out = part if out is None else out.join(part, "doc_id")
+    starts = F.col("_s0")
+    for i in range(1, len(phrase)):
+        starts = F.array_intersect(starts, F.col(f"_s{i}"))
+    return (
+        out.select("doc_id", F.size(starts).alias("n_occ"))
+        .where(F.col("n_occ") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index document DELETION (r10, L40e) — tombstones + merge-on-compact.
+# The engine's own curation output deletes documents (dedup losers,
+# quality fails, split-leakage repair); without this, removing them
+# from a built index meant a full rebuild, defeating the r9
+# incremental story.  Production design (the Lucene liveDocs shape):
+# deletes append tiny doc-id tombstone rows under the index root; the
+# READ path decodes postings as usual and anti-joins the broadcast
+# tombstone set (no index row is ever rewritten at delete time); the
+# COMPACT pass physically drops tombstoned postings by decode ->
+# filter -> re-encode, after which delete+compact equals a
+# from-scratch rebuild over the post-delete corpus EXACTLY (pytested).
+#
+# 100 TB posture: a delete costs one bounded write of the doc-id
+# delta — never a corpus or index scan; reads pay one broadcast
+# anti-join whose build side is the tombstone set (bounded by deletes
+# since the last compact, the quantity compaction exists to cap).
+# The `_tombstones` name is load-bearing: Hadoop/Spark ignore
+# underscore-prefixed dirs during partition discovery, so the bucket
+# layout and its readers never see it.
+# ---------------------------------------------------------------------------
+_TOMBSTONE_DIR = "_tombstones"
+
+
+def delete_term_index(doc_ids: DataFrame, path: str) -> None:
+    """Mark documents deleted: append their ids as tombstone rows
+    under ``path``.  ``doc_ids`` needs a ``doc_id`` column; duplicates
+    (re-deleting an already-deleted doc) are harmless — the read path
+    is an anti-join and compaction drops them with everything else."""
+    (
+        doc_ids.select(F.col("doc_id").cast("long"))
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(f"{path}/{_TOMBSTONE_DIR}")
+    )
+
+
+def read_tombstones(spark, path: str) -> DataFrame:
+    """The index's tombstone set (empty frame when none exist).
+    Existence goes through the Hadoop FS API (object-storage-safe,
+    the probe_term_index precedent)."""
+    p = f"{path}/{_TOMBSTONE_DIR}"
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        hp = jvm.org.apache.hadoop.fs.Path(p)
+        exists = hp.getFileSystem(conf).exists(hp)
+    except Exception:  # pragma: no cover — connect-mode / no gateway
+        import os
+
+        exists = os.path.isdir(p)
+    if not exists:
+        return spark.createDataFrame([], "doc_id BIGINT")
+    return spark.read.parquet(p)
+
+
+def apply_tombstones(decoded: DataFrame, tombstones: DataFrame) -> DataFrame:
+    """Filter decoded postings to live documents: one broadcast
+    anti-join on doc_id (the build side is the tombstone set — bounded
+    by deletes since the last compact, never corpus-sized)."""
+    return decoded.join(
+        F.broadcast(tombstones.select("doc_id")), "doc_id", "left_anti"
+    )
+
+
 def compact_term_index(
-    spark, path: str, dest: str, n_buckets: int = TERM_INDEX_BUCKETS
+    spark,
+    path: str,
+    dest: str,
+    n_buckets: int = TERM_INDEX_BUCKETS,
+    shard_size: int | None = None,
 ) -> None:
     """Maintenance pass for an incrementally-appended index: every
     append_term_index lands new files in the bucket dirs, so a
     long-lived index accumulates small files.  Rewrite the full index
-    into ``dest`` with one file-per-bucket-partition layout (ONE scan +
-    the bucketed write — row content untouched, duplicate (term, shard)
-    rows preserved verbatim since decode handles them).  ``dest`` must
-    be a NEW root: readers of ``path`` are never disturbed, and the
-    caller swaps atomically (the publish_index pattern) or just
-    repoints — the same new-root discipline as IVF reindex."""
+    into ``dest`` with one file-per-bucket-partition layout.  ``dest``
+    must be a NEW root: readers of ``path`` are never disturbed, and
+    the caller swaps atomically (the publish_index pattern) or just
+    repoints — the same new-root discipline as IVF reindex.
+
+    Without tombstones this is ONE scan + the bucketed write — row
+    content untouched, duplicate (term, shard) rows preserved verbatim
+    since decode handles them.  With tombstones present (r10,
+    delete_term_index) the pass MERGES them: decode -> anti-join the
+    tombstone set -> re-encode with sharded_postings, so the output
+    holds no trace of deleted docs and no tombstone dir — it equals a
+    from-scratch rebuild over the post-delete corpus exactly.  That
+    path needs the sharded layout's ``shard_size`` (the flat layout
+    has no delete story; rebuild it instead)."""
     import os
 
     if os.path.abspath(dest) == os.path.abspath(path):
         raise ValueError("compact_term_index requires a NEW dest root")
     idx = spark.read.parquet(path).drop("tb")
+    tombs = read_tombstones(spark, path)
+    if not tombs.isEmpty():
+        if shard_size is None:
+            raise ValueError(
+                "compact_term_index: tombstone purge needs the sharded "
+                "layout's shard_size"
+            )
+        live = apply_tombstones(
+            decode_postings(
+                idx.select("term", "shard", "postings"), shard_size=shard_size
+            ),
+            tombs,
+        )
+        idx = sharded_postings(live, shard_size)
     write_term_index(idx, dest, n_buckets=n_buckets)

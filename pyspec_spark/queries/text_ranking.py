@@ -754,3 +754,168 @@ def q_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decoded.select(
         "term", "doc_id", F.col("tf").cast("long").alias("tf")
     ).orderBy("term", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L40e index document DELETION under the oracle gate (r10) — the last
+# leg of the index lifecycle (build r7, bucketed layout r8, incremental
+# append + compaction r9): the engine's own curation output deletes
+# documents, and removing them from a built index must not force a
+# rebuild.  The query indexes the FULL corpus in the sharded bucketed
+# layout, tombstones every doc with doc_id % 5 == 2
+# (operators/text.delete_term_index — one bounded doc-id write, no
+# index row touched), probes the fixed term set through bucket pruning,
+# decodes, and filters through the broadcast tombstone anti-join
+# (apply_tombstones).  The oracle is the spliced q_inverted_index SQL
+# evaluated over the POST-delete corpus — the no-drift trick: the
+# tombstoned read must equal a from-scratch rebuild over the surviving
+# documents exactly.  (compact_term_index's physical purge is pinned
+# equal to the same rebuild in test_layout.py.)
+#
+# 100 TB posture: delete cost = the doc-id delta write; read cost adds
+# one broadcast anti-join bounded by deletes-since-compact; probe
+# stays |probed buckets|/64 of the layout.  Bounded-side-effect
+# round-trip (fresh tmp root, zero-jobs exempt).
+# ---------------------------------------------------------------------------
+_DEL_SHARD = 64
+_DEL_PRED_SQL = "doc_id % 5 <> 2"  # survivors; tombstones are the rest
+
+
+def _index_delete_oracle() -> str:
+    from pyspec_spark.registry import ORACLES
+
+    inv = ORACLES["q_inverted_index"]
+    assert inv.count("FROM documents") == 1  # the splice rewrites exactly it
+    terms = ", ".join(f"'{t}'" for t in _BUCKET_TERMS)
+    return f"""
+WITH live AS (SELECT * FROM documents WHERE {_DEL_PRED_SQL}),
+idx AS ({inv.replace("FROM documents", "FROM live")}),
+sel AS (
+  SELECT term, string_split(postings, ',') AS es
+  FROM idx WHERE term IN ({terms})
+),
+x AS (
+  SELECT term, i AS pos,
+         CAST(string_split(es[i], ':')[1] AS BIGINT) AS gap,
+         CAST(string_split(es[i], ':')[2] AS BIGINT) AS tf
+  FROM sel, LATERAL (SELECT CAST(unnest(range(1, len(es) + 1)) AS INT) AS i) t
+),
+y AS (
+  SELECT term, tf,
+         CAST(SUM(gap) OVER (PARTITION BY term ORDER BY pos) AS BIGINT) AS did
+  FROM x
+)
+SELECT y.term, y.did AS doc_id, y.tf
+FROM y
+ORDER BY term, doc_id
+"""
+
+
+@query("q_index_delete", oracle=_index_delete_oracle())
+def q_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import (
+        apply_tombstones,
+        decode_postings,
+        delete_term_index,
+        probe_term_index,
+        read_tombstones,
+        sharded_postings,
+        write_term_index,
+    )
+    from pyspec_spark.queries.lake_queries import _tmp_root
+
+    tf = _tf(spark, sf_dir)
+    root = _tmp_root("pyspec_del_idx_")
+    write_term_index(sharded_postings(tf, _DEL_SHARD), root)
+    docs = table(spark, sf_dir, "documents")
+    delete_term_index(docs.where("doc_id % 5 = 2").select("doc_id"), root)
+    probed = probe_term_index(
+        spark,
+        root,
+        list(_BUCKET_TERMS),
+        empty_schema="term STRING, shard BIGINT, df_shard BIGINT, "
+        "cf_shard BIGINT, postings STRING",
+    )
+    decoded = decode_postings(
+        probed.select("term", "shard", "postings"), shard_size=_DEL_SHARD
+    )
+    live = apply_tombstones(decoded, read_tombstones(spark, root))
+    return live.select(
+        "term", "doc_id", F.col("tf").cast("long").alias("tf")
+    ).orderBy("term", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L40f positional postings + phrase lookup under the oracle gate (r10)
+# — the inverted index gains token positions (gap delta-encoded inside
+# each posting entry, the same compression discipline as the doc-id
+# gaps), and a phrase query runs THROUGH the materialized index: build
+# the positional sharded index over the corpus, write it term-bucketed
+# to a tmp root, probe ONLY the phrase terms' buckets, decode postings
+# + positions in-plan, and intersect the offset-shifted position sets
+# per candidate doc (operators/text.phrase_match).  The oracle is the
+# DIRECT text scan (tokenize with ordinality, self-join on pos+1) —
+# deliberately NOT a splice: the index round-trip must reproduce the
+# ground truth a full scan computes, which pins the position encoding,
+# the shard windows, and the adjacency math all at once.
+#
+# 100 TB posture: the index build is the same two exchanges as
+# sharded_postings (positions add bytes, not shuffles); the phrase
+# probe opens |phrase-term buckets| dirs regardless of vocabulary; the
+# intersection is per-candidate-doc array math on already-probed rows.
+# Bounded-side-effect round-trip (tmp root, zero-jobs exempt).
+# ---------------------------------------------------------------------------
+_PHRASE = ("scan", "query")
+_PHRASE_SHARD = 64
+
+
+def _phrase_lookup_oracle() -> str:
+    joins = []
+    for i, t in enumerate(_PHRASE[1:], start=1):
+        joins.append(
+            f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.pos = t0.pos + {i} AND t{i}.term = '{t}'"
+        )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, i AS pos, toks[i] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT CAST(unnest(range(1, len(toks) + 1)) AS INT) AS i) t
+)
+SELECT t0.doc_id AS doc_id, CAST(COUNT(*) AS INT) AS n_occ
+FROM tok t0 {' '.join(joins)}
+WHERE t0.term = '{_PHRASE[0]}'
+GROUP BY t0.doc_id
+ORDER BY t0.doc_id
+"""
+
+
+@query("q_phrase_lookup", oracle=_phrase_lookup_oracle())
+def q_phrase_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import (
+        decode_positional,
+        phrase_match,
+        positional_postings,
+        probe_term_index,
+        write_term_index,
+    )
+    from pyspec_spark.operators.text import _POSITIONAL_SCHEMA
+    from pyspec_spark.queries.lake_queries import _tmp_root
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "term")
+    ).select("doc_id", "term", (F.col("p0") + 1).alias("pos"))
+    root = _tmp_root("pyspec_pos_idx_")
+    write_term_index(positional_postings(tok, _PHRASE_SHARD), root)
+    probed = probe_term_index(
+        spark, root, sorted(set(_PHRASE)), empty_schema=_POSITIONAL_SCHEMA
+    )
+    decoded = decode_positional(
+        probed.select("term", "shard", "postings"), shard_size=_PHRASE_SHARD
+    )
+    return (
+        phrase_match(decoded, list(_PHRASE))
+        .select("doc_id", F.col("n_occ").cast("int").alias("n_occ"))
+        .orderBy("doc_id")
+    )

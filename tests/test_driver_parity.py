@@ -52,6 +52,7 @@ _ROUNDTRIP_FAMILY = [
     "q_hevc_ipcm_frames",     # r9: CABAC-framed PCM decode
     "q_index_bucket_lookup",  # r9: bucketed-layout write + FS probe
     "q_index_incremental",    # r9: base write + incremental append
+    "q_index_delete",         # r10: tombstone delete + anti-join read
     "q_flac_roundtrip",       # r9: FLAC decode through Rice/CRC path
 ]
 

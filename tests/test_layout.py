@@ -629,3 +629,259 @@ def test_compact_term_index_preserves_content_and_shrinks_files(spark, tmp_path)
     with pytest.raises(ValueError, match="NEW dest"):
         compact_term_index(spark, root, root)
     tf.unpersist()
+
+
+def test_index_delete_tombstone_read_path_and_compact_purge(spark, tmp_path):
+    """delete_term_index (r10, L40e): (a) the tombstoned READ path
+    (decode + broadcast anti-join) equals the post-delete corpus
+    exactly; (b) compact_term_index with tombstones physically purges
+    them — its output rows equal a FROM-SCRATCH rebuild over the
+    surviving docs row-for-row (df/cf recomputed, no tombstone dir,
+    no trace of deleted ids); (c) the source root is untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import (
+        append_term_index,
+        apply_tombstones,
+        compact_term_index,
+        decode_postings,
+        delete_term_index,
+        read_tombstones,
+        sharded_postings,
+        write_term_index,
+    )
+    from pyspec_spark.queries.text_ranking import _tf
+
+    tf = _tf(spark, "/root/testdata/sf0.001").cache()
+    shard = 100
+    root = str(tmp_path / "delidx")
+    write_term_index(sharded_postings(tf.where("doc_id < 130"), shard), root)
+    append_term_index(tf.where("doc_id >= 130"), root, shard)
+    delete_term_index(
+        tf.where("doc_id % 3 = 1").select("doc_id").distinct(), root
+    )
+    # re-deleting a subset is harmless (anti-join ignores duplicates)
+    delete_term_index(
+        tf.where("doc_id % 6 = 1").select("doc_id").distinct(), root
+    )
+
+    live_tf = tf.where("doc_id % 3 <> 1")
+    want = {(r["term"], r["doc_id"], r["tf"]) for r in live_tf.collect()}
+
+    dec = decode_postings(
+        spark.read.parquet(root).select("term", "shard", "postings"),
+        shard_size=shard,
+    )
+    got_read = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in apply_tombstones(dec, read_tombstones(spark, root)).collect()
+    }
+    assert got_read == want
+
+    # compact with tombstones requires the sharded layout's shard_size
+    with pytest.raises(ValueError, match="shard_size"):
+        compact_term_index(spark, root, str(tmp_path / "nope"))
+
+    dest = str(tmp_path / "delidx_c")
+    compact_term_index(spark, root, dest, shard_size=shard)
+    assert not os.path.isdir(os.path.join(dest, "_tombstones"))
+
+    # row-for-row equality with a from-scratch rebuild of the survivors
+    rebuild = str(tmp_path / "delidx_r")
+    write_term_index(sharded_postings(live_tf, shard), rebuild)
+
+    def rows(p):
+        return {
+            (r["term"], r["shard"], r["df_shard"], r["cf_shard"], r["postings"])
+            for r in spark.read.parquet(p).collect()
+        }
+
+    assert rows(dest) == rows(rebuild)
+    # source root untouched: tombstoned read still works there
+    assert {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in apply_tombstones(
+            decode_postings(
+                spark.read.parquet(root).select("term", "shard", "postings"),
+                shard_size=shard,
+            ),
+            read_tombstones(spark, root),
+        ).collect()
+    } == want
+    tf.unpersist()
+
+
+def test_tombstones_invisible_to_bucket_probe(spark, tmp_path):
+    """The `_tombstones` dir must never leak into the bucketed read
+    path: partition discovery ignores underscore dirs, the probe opens
+    only probed tb= dirs, and an index with zero deletes (or an empty
+    tombstone write) compacts through the verbatim path."""
+    from pyspec_spark.operators.text import (
+        compact_term_index,
+        delete_term_index,
+        probe_term_index,
+        read_tombstones,
+        sharded_postings,
+        term_bucket_of,
+        write_term_index,
+    )
+    from pyspec_spark.queries.text_ranking import _tf
+
+    tf = _tf(spark, "/root/testdata/sf0.001")
+    root = str(tmp_path / "tvidx")
+    write_term_index(sharded_postings(tf, 100), root)
+    delete_term_index(tf.where("doc_id < 5").select("doc_id").distinct(), root)
+    terms = ["data", "spark"]
+    probe = probe_term_index(
+        spark, root, terms,
+        empty_schema="term STRING, shard BIGINT, df_shard BIGINT, "
+        "cf_shard BIGINT, postings STRING",
+    )
+    touched = {
+        seg
+        for f in probe.inputFiles()
+        for seg in f.split("/")
+        if seg.startswith("tb=") or seg == "_tombstones"
+    }
+    assert touched == {f"tb={term_bucket_of(t)}" for t in terms}
+
+    # empty delete set -> read_tombstones empty -> verbatim compact path
+    root2 = str(tmp_path / "tvidx2")
+    write_term_index(sharded_postings(tf.where("doc_id < 20"), 100), root2)
+    delete_term_index(tf.where("doc_id < 0").select("doc_id"), root2)
+    assert read_tombstones(spark, root2).isEmpty()
+    compact_term_index(spark, root2, str(tmp_path / "tvidx2_c"))  # no raise
+
+
+def test_positional_postings_roundtrip_and_append(spark, tmp_path):
+    """positional_postings/decode_positional (r10, L40f): decode must
+    reproduce the exact (term, doc_id, tf, positions) truth of a direct
+    aggregation — including through a base-write + append split at a
+    non-shard-multiple (the L40d composability rule: rows decode
+    per-row, so boundary shards need no merge)."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import (
+        _POSITIONAL_SCHEMA,
+        decode_positional,
+        positional_postings,
+        write_term_index,
+    )
+    from pyspec_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "term")
+    ).select("doc_id", "term", (F.col("p0") + 1).alias("pos")).cache()
+    want = {
+        (r["term"], r["doc_id"], r["tf"], tuple(r["ps"]))
+        for r in tok.groupBy("term", "doc_id")
+        .agg(
+            F.count("*").alias("tf"),
+            F.array_sort(F.collect_list(F.col("pos").cast("long"))).alias("ps"),
+        )
+        .collect()
+    }
+    shard = 100
+    root = str(tmp_path / "posidx")
+    write_term_index(
+        positional_postings(tok.where("doc_id < 130"), shard), root
+    )
+    write_term_index(
+        positional_postings(tok.where("doc_id >= 130"), shard),
+        root,
+        mode="append",
+    )
+    dec = decode_positional(
+        spark.read.parquet(root).select("term", "shard", "postings"),
+        shard_size=shard,
+    )
+    got = {
+        (r["term"], r["doc_id"], r["tf"], tuple(r["positions"]))
+        for r in dec.collect()
+    }
+    assert got == want
+    tok.unpersist()
+
+
+def test_phrase_match_overlaps_repeats_and_multiterm(spark):
+    """phrase_match correctness pins: overlapping occurrences count
+    ('a b a b' has two 'a b'), repeated-term phrases shift-intersect
+    correctly ('a a' matches only true adjacency — the F.transform
+    arity trap this test would catch), and 3-term phrases compose."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import (
+        decode_positional,
+        phrase_match,
+        positional_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "b a b a b"), (2, "c c a b"), (3, "a a a")],
+        "doc_id BIGINT, text STRING",
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "term")
+    ).select("doc_id", "term", (F.col("p0") + 1).alias("pos"))
+    dec = decode_positional(
+        positional_postings(tok, 2).select("term", "shard", "postings"), 2
+    )
+
+    def got(phrase):
+        return sorted(tuple(r) for r in phrase_match(dec, phrase).collect())
+
+    assert got(["a", "b"]) == [(0, 2), (1, 2), (2, 1)]
+    assert got(["a", "a"]) == [(3, 2)]          # 'a a a' overlaps twice
+    assert got(["b", "a", "b"]) == [(0, 1), (1, 2)]
+    assert got(["c", "a", "b"]) == [(2, 1)]
+    assert got(["b", "c", "a"]) == []
+    with pytest.raises(ValueError, match="empty phrase"):
+        phrase_match(dec, [])
+
+
+def test_phrase_lookup_query_opens_only_phrase_buckets(spark):
+    """FS gate for q_phrase_lookup (r10): the probe for the declared
+    phrase terms must open only their tb= directories — positional
+    entries change the payload, never the pruning."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import (
+        _POSITIONAL_SCHEMA,
+        positional_postings,
+        probe_term_index,
+        term_bucket_of,
+        write_term_index,
+    )
+    from pyspec_spark.queries.text_ranking import _PHRASE
+    from pyspec_spark.tables import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "term")
+    ).select("doc_id", "term", (F.col("p0") + 1).alias("pos"))
+    root = tempfile.mkdtemp(prefix="posidx_gate_")
+    try:
+        import os
+
+        write_term_index(positional_postings(tok, 64), root)
+        n_dirs = sum(1 for d in os.listdir(root) if d.startswith("tb="))
+        probe = probe_term_index(
+            spark, root, sorted(set(_PHRASE)), empty_schema=_POSITIONAL_SCHEMA
+        )
+        touched = {
+            seg
+            for f in probe.inputFiles()
+            for seg in f.split("/")
+            if seg.startswith("tb=")
+        }
+        want = {f"tb={term_bucket_of(t)}" for t in _PHRASE}
+        assert touched <= want
+        assert n_dirs > len(want)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

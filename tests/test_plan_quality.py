@@ -462,6 +462,7 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_stream_late_drop",  # availableNow drain (ST4 lateness policy)
         "q_index_bucket_lookup",  # materializes the bucketed index (r9)
         "q_index_incremental",  # base write + incremental append (r9)
+        "q_index_delete",  # index write + tombstone delete (r10, L40e)
     }
     from pyspec_spark.tables import load
 
