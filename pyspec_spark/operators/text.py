@@ -850,6 +850,77 @@ def decode_postings(
 
 
 # ---------------------------------------------------------------------------
+# Streamed increments (r10) — the read/compact half of the streaming
+# index face (streaming/corpus.index_stream_to_buckets writes them).
+# Each micro-batch lands its sharded+bucketed rows under
+# {inc_path}/batch={batch_id} with mode=overwrite, which is what makes
+# a foreachBatch REPLAY after a crash idempotent: a bare append into
+# the base bucket dirs would double the replayed batch's postings (the
+# crash-between-append-and-checkpoint window), while overwriting the
+# batch's own scoped root converges to the same bytes.  Readers union
+# the base with the increments at read time (rows decode per-row — the
+# L40d rule — so no merge step exists to get wrong); compaction folds
+# everything into one new root, after which the increments can be
+# retired.
+# ---------------------------------------------------------------------------
+_SHARDED_COLS = ["term", "shard", "df_shard", "cf_shard", "postings"]
+
+
+def _has_parquet(path: str) -> bool:
+    import glob as _glob
+    import os as _os
+
+    return bool(
+        _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+
+
+def read_streamed_index(spark, inc_path: str, base_path: str | None = None):
+    """Union view of a streamed index: the optional batch-built base
+    plus every committed stream increment ({inc}/batch=N roots).
+    Read-time only — no files move; empty roots (a stream that has not
+    delivered yet, or an all-empty batch) contribute nothing."""
+    parts = []
+    if base_path is not None and _has_parquet(base_path):
+        parts.append(spark.read.parquet(base_path).select(*_SHARDED_COLS))
+    if _has_parquet(inc_path):
+        parts.append(spark.read.parquet(inc_path).select(*_SHARDED_COLS))
+    if not parts:
+        return spark.createDataFrame(
+            [], "term STRING, shard BIGINT, df_shard BIGINT, "
+            "cf_shard BIGINT, postings STRING"
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_streamed_index(
+    spark,
+    inc_path: str,
+    dest: str,
+    base_path: str | None = None,
+    n_buckets: int = TERM_INDEX_BUCKETS,
+) -> None:
+    """Fold a streamed index (base + batch increments) into ONE fresh
+    bucketed root — the same new-root discipline as compact_term_index
+    (readers of the live roots are never disturbed; the caller repoints
+    then retires the increments)."""
+    import os
+
+    if os.path.abspath(dest) in (
+        os.path.abspath(inc_path),
+        os.path.abspath(base_path) if base_path else None,
+    ):
+        raise ValueError("compact_streamed_index requires a NEW dest root")
+    write_term_index(
+        read_streamed_index(spark, inc_path, base_path), dest,
+        n_buckets=n_buckets,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Positional postings + phrase matching (r10, L40f) — the inverted
 # index stores df/cf/tf but not WHERE each term occurs, so phrase and
 # proximity retrieval (standard in every production index) were

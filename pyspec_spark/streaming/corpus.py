@@ -327,6 +327,68 @@ def curate_to_lake(
     q.awaitTermination()
 
 
+def index_stream_to_buckets(
+    stream: DataFrame,
+    spark: SparkSession,
+    inc_path: str,
+    shard_size: int,
+    checkpoint: str | None = None,
+    n_buckets: int | None = None,
+) -> None:
+    """Streaming face of incremental index maintenance (r10 — L40d
+    tied to the ST9 pattern): each micro-batch of NEW documents is
+    tokenized, folded to (doc_id, term, tf) — one groupBy over the
+    BATCH, never the corpus — sharded (doc-range shards, gaps relative
+    to the shard base) and written term-bucketed under
+    ``{inc_path}/batch={batch_id}`` with mode=overwrite.
+
+    Exactly-once across kill-and-restart: the checkpoint guarantees a
+    committed batch is never reprocessed, and a batch REPLAYED after a
+    crash between the write and the checkpoint commit overwrites its
+    own batch-scoped root — idempotent, which a bare append into
+    shared bucket dirs is not (the replay would duplicate that batch's
+    postings; this is why increments land batch-scoped rather than
+    through append_term_index directly).  Same doc-id contract as
+    append_term_index: batches carry disjoint, monotone ingestion ids.
+
+    Readers union base + increments (operators/text.
+    read_streamed_index) and decode unchanged — rows decode per-row,
+    so a term's postings split across base and any number of batch
+    roots need no merge.  Periodic compact_streamed_index folds
+    everything into one fresh root (the small-file story, same as
+    curate_to_lake's compact_every)."""
+    from pyspec_spark.operators.text import (
+        TERM_INDEX_BUCKETS,
+        _term_bucket_col,
+        sharded_postings,
+    )
+
+    nb = n_buckets or TERM_INDEX_BUCKETS
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        tf = (
+            batch_df.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("term")
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        (
+            sharded_postings(tf, shard_size)
+            .withColumn("tb", _term_bucket_col(F.col("term"), nb))
+            .repartition(F.col("tb"))
+            .write.partitionBy("tb")
+            .mode("overwrite")
+            .parquet(f"{inc_path}/batch={batch_id}")
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
 def bloom_screen_stream(
     docs: DataFrame, bloom_arr: DataFrame, min_containment: float = 0.6
 ) -> DataFrame:

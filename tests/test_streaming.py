@@ -1357,3 +1357,141 @@ def test_vacuum_indexes_retention_and_reader_race(spark, tmp_path):
     vacuum_indexes(base, keep=1)
     assert os.path.isdir(roots[2])
     assert lake_read(spark, current_index(base)).count() == 4
+
+
+def test_stream_index_to_buckets_equals_batch_and_restart(spark, tmp_path):
+    """Streaming face of incremental indexing (r10): a checkpointed
+    document stream drained through index_stream_to_buckets must (a)
+    decode to exactly the one-shot batch build over the same docs —
+    base + streamed increments, boundary shards and all; (b) be a
+    NO-OP on a restart with no new data; (c) ingest only the delta
+    when a new chunk lands; (d) converge to the same decoded index
+    under a FULL REPLAY (fresh checkpoint, every batch redelivered
+    onto the existing batch roots) — the batch-scoped overwrite is
+    what makes redelivery idempotent, i.e. exactly-once end state
+    across any kill-and-restart window."""
+    import glob
+
+    import pandas as pd
+
+    import pyspec_spark.streaming.corpus as sc
+    from pyspec_spark.operators.text import (
+        compact_streamed_index,
+        decode_postings,
+        read_streamed_index,
+        sharded_postings,
+        write_term_index,
+    )
+
+    src = tmp_path / "idx_src"
+    src.mkdir()
+    words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows_per = 7
+
+    def mk_chunk(ci):
+        return pd.DataFrame(
+            [
+                {
+                    "doc_id": i,
+                    "text": " ".join(
+                        words[(i + j) % len(words)] for j in range(1 + i % 4)
+                    ),
+                    "lang": "en",
+                    "source": "s",
+                    "n_chars": 10,
+                }
+                for i in range(100 + ci * rows_per, 100 + (ci + 1) * rows_per)
+            ]
+        )
+
+    for ci in range(3):
+        mk_chunk(ci).to_parquet(src / f"c{ci}.parquet", index=False)
+
+    # a batch-built base over an earlier doc range (shard 10 does not
+    # divide the 100 boundary evenly with the chunk ranges -> split
+    # shards between base/increments are in play)
+    shard = 10
+    base = str(tmp_path / "idx_base")
+    base_docs = spark.createDataFrame(
+        [(i, words[i % len(words)] + " " + words[(i + 2) % len(words)])
+         for i in range(95)],
+        "doc_id BIGINT, text STRING",
+    )
+    base_tf = (
+        base_docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    write_term_index(sharded_postings(base_tf, shard), base)
+
+    inc = str(tmp_path / "idx_inc")
+    ckpt = str(tmp_path / "idx_ckpt")
+
+    def run(ck=ckpt):
+        stream = sc.read_document_stream(spark, str(src), max_files_per_trigger=1)
+        sc.index_stream_to_buckets(stream, spark, inc, shard, checkpoint=ck)
+
+    def decoded():
+        return {
+            (r["term"], r["doc_id"], r["tf"])
+            for r in decode_postings(
+                read_streamed_index(spark, inc, base).select(
+                    "term", "shard", "postings"
+                ),
+                shard_size=shard,
+            ).collect()
+        }
+
+    def truth(n_chunks):
+        all_docs = base_docs.unionByName(
+            spark.createDataFrame(
+                pd.concat([mk_chunk(c) for c in range(n_chunks)]),
+            ).select("doc_id", "text")
+        )
+        tf = (
+            all_docs.select(
+                "doc_id", F.explode(F.split("text", " ")).alias("term")
+            )
+            .groupBy("doc_id", "term")
+            .agg(F.count("*").alias("tf"))
+        )
+        return {(r["term"], r["doc_id"], r["tf"]) for r in tf.collect()}
+
+    run()
+    assert decoded() == truth(3)  # (a) stream end == one-shot build
+
+    def census():
+        return {
+            f: (os.stat(f).st_mtime_ns, os.stat(f).st_size)
+            for f in glob.glob(os.path.join(inc, "**", "*.parquet"), recursive=True)
+        }
+
+    before = census()
+    run()  # (b) restart, no new data -> increments byte-identical
+    assert census() == before
+
+    mk_chunk(3).to_parquet(src / "c3.parquet", index=False)
+    run()  # (c) only the delta batch lands
+    after = census()
+    assert set(before) <= set(after)
+    assert all(after[f] == before[f] for f in before)  # old batches untouched
+    assert decoded() == truth(4)
+
+    # (d) FULL replay: fresh checkpoint redelivers every batch onto the
+    # existing batch roots; the overwrite converges, decode unchanged
+    run(ck=str(tmp_path / "idx_ckpt2"))
+    assert decoded() == truth(4)
+
+    # compaction folds base + increments into one fresh root
+    dest = str(tmp_path / "idx_compact")
+    compact_streamed_index(spark, inc, dest, base_path=base)
+    got_c = {
+        (r["term"], r["doc_id"], r["tf"])
+        for r in decode_postings(
+            spark.read.parquet(dest).select("term", "shard", "postings"),
+            shard_size=shard,
+        ).collect()
+    }
+    assert got_c == truth(4)
