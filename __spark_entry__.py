@@ -51,8 +51,9 @@ _PERMANENT = [
 # row in the same round.  They drop out of this list next round and
 # join the normal staleness rotation.
 _FRESH: list[str] = [
-    "q_index_delete",   # r10: tombstone deletes + merge-on-compact (L40e)
-    "q_phrase_lookup",  # r10: positional postings + phrase query (L40f)
+    "q_index_delete",      # r10: tombstone deletes + merge-on-compact (L40e)
+    "q_phrase_lookup",     # r10: positional postings + phrase query (L40f)
+    "q_proximity_lookup",  # r10: proximity retrieval over positions (L40f+)
 ]
 # r10 rotation rework (VERDICT r9 task 4): cumulative driver coverage
 # is COMPLETE (195/195 oracle queries have a hard green row across

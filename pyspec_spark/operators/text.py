@@ -1076,6 +1076,45 @@ def phrase_match(decoded: DataFrame, phrase: list[str]) -> DataFrame:
     )
 
 
+def proximity_match(
+    decoded: DataFrame, term_a: str, term_b: str, window: int
+) -> DataFrame:
+    """Proximity retrieval over decoded positional postings: docs where
+    ``term_a`` and ``term_b`` co-occur within ``window`` tokens, with
+    the count of a-positions that have a b-neighbor (n_near) and the
+    minimum absolute distance (min_dist) — the standard proximity
+    signals a ranker consumes.  Per-candidate-doc array math (positions
+    arrays are term-local tf lists, tiny); same probe posture as
+    phrase_match."""
+    a = decoded.where(F.col("term") == term_a).select(
+        "doc_id", F.col("positions").alias("_pa")
+    )
+    b = decoded.where(F.col("term") == term_b).select(
+        "doc_id", F.col("positions").alias("_pb")
+    )
+    near = F.size(
+        F.filter(
+            "_pa",
+            lambda pa: F.exists(
+                "_pb", lambda pb: F.abs(pb - pa) <= F.lit(window)
+            ),
+        )
+    )
+    min_dist = F.array_min(
+        F.flatten(
+            F.transform(
+                "_pa",
+                lambda pa: F.transform("_pb", lambda pb: F.abs(pb - pa)),
+            )
+        )
+    )
+    return (
+        a.join(b, "doc_id")
+        .select("doc_id", near.alias("n_near"), min_dist.alias("min_dist"))
+        .where(F.col("n_near") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Index document DELETION (r10, L40e) — tombstones + merge-on-compact.
 # The engine's own curation output deletes documents (dedup losers,

@@ -919,3 +919,76 @@ def q_phrase_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("n_occ").cast("int").alias("n_occ"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L40f+ proximity lookup under the oracle gate (r10) — the second
+# retrieval mode positions unlock: docs where two terms co-occur
+# within a token window, with the count of anchor positions that have
+# a neighbor (n_near) and the minimum absolute distance (min_dist) —
+# the proximity signals rankers consume.  Same round-trip shape as
+# q_phrase_lookup (positional index in a tmp root, bucket-pruned
+# probe, in-plan array math via operators/text.proximity_match); the
+# oracle is again the DIRECT text scan, so the index path must
+# reproduce ground truth.
+# ---------------------------------------------------------------------------
+_PROX_A, _PROX_B, _PROX_WIN = "hash", "join", 3
+
+
+def _proximity_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, i AS pos, toks[i] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT CAST(unnest(range(1, len(toks) + 1)) AS INT) AS i) t
+),
+a AS (SELECT doc_id, pos FROM tok WHERE term = '{_PROX_A}'),
+b AS (SELECT doc_id, pos FROM tok WHERE term = '{_PROX_B}'),
+p AS (
+  SELECT a.doc_id AS doc_id, a.pos AS pa, b.pos AS pb
+  FROM a JOIN b ON b.doc_id = a.doc_id
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT CASE WHEN ABS(pb - pa) <= {_PROX_WIN}
+                 THEN pa END) AS INT) AS n_near,
+       CAST(MIN(ABS(pb - pa)) AS BIGINT) AS min_dist
+FROM p
+GROUP BY doc_id
+HAVING COUNT(DISTINCT CASE WHEN ABS(pb - pa) <= {_PROX_WIN} THEN pa END) > 0
+ORDER BY doc_id
+"""
+
+
+@query("q_proximity_lookup", oracle=_proximity_oracle())
+def q_proximity_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import (
+        _POSITIONAL_SCHEMA,
+        decode_positional,
+        positional_postings,
+        probe_term_index,
+        proximity_match,
+        write_term_index,
+    )
+    from pyspec_spark.queries.lake_queries import _tmp_root
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "term")
+    ).select("doc_id", "term", (F.col("p0") + 1).alias("pos"))
+    root = _tmp_root("pyspec_prox_idx_")
+    write_term_index(positional_postings(tok, _PHRASE_SHARD), root)
+    probed = probe_term_index(
+        spark, root, [_PROX_A, _PROX_B], empty_schema=_POSITIONAL_SCHEMA
+    )
+    decoded = decode_positional(
+        probed.select("term", "shard", "postings"), shard_size=_PHRASE_SHARD
+    )
+    return (
+        proximity_match(decoded, _PROX_A, _PROX_B, _PROX_WIN)
+        .select(
+            "doc_id",
+            F.col("n_near").cast("int").alias("n_near"),
+            F.col("min_dist").cast("long").alias("min_dist"),
+        )
+        .orderBy("doc_id")
+    )

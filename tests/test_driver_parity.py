@@ -53,6 +53,8 @@ _ROUNDTRIP_FAMILY = [
     "q_index_bucket_lookup",  # r9: bucketed-layout write + FS probe
     "q_index_incremental",    # r9: base write + incremental append
     "q_index_delete",         # r10: tombstone delete + anti-join read
+    "q_phrase_lookup",        # r10: positional index + phrase probe
+    "q_proximity_lookup",     # r10: positional index + proximity probe
     "q_flac_roundtrip",       # r9: FLAC decode through Rice/CRC path
 ]
 

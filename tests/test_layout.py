@@ -885,3 +885,57 @@ def test_phrase_lookup_query_opens_only_phrase_buckets(spark):
         assert n_dirs > len(want)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_proximity_match_counts_and_min_dist(spark):
+    """proximity_match (r10): n_near counts anchor positions with a
+    neighbor inside the window (not pairs), min_dist is the global
+    minimum pair distance, and docs with no near pair are dropped."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import (
+        decode_positional,
+        positional_postings,
+        proximity_match,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a x x b a"),     # a@{1,5}, b@4: |4-1|=3, |4-5|=1
+            (1, "a x x x x b"),   # a@1, b@6: dist 5 — outside window 3
+            (2, "b a b"),         # a@2, b@{1,3}: both dist 1
+            (3, "a a"),           # no b at all
+        ],
+        "doc_id BIGINT, text STRING",
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "term")
+    ).select("doc_id", "term", (F.col("p0") + 1).alias("pos"))
+    dec = decode_positional(
+        positional_postings(tok, 2).select("term", "shard", "postings"), 2
+    )
+    got = {
+        r["doc_id"]: (r["n_near"], r["min_dist"])
+        for r in proximity_match(dec, "a", "b", 3).collect()
+    }
+    assert got == {0: (2, 1), 2: (1, 1)}
+
+
+def test_apply_tombstones_plan_is_broadcast_anti_join(spark):
+    """The tombstoned read path must stay a BROADCAST LeftAnti join —
+    a shuffled anti-join would re-shuffle corpus-sized decoded postings
+    on every read (the exact cost tombstones exist to avoid)."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import apply_tombstones
+
+    decoded = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("t").alias("term"),
+        F.lit(1).alias("tf"),
+    )
+    tombs = spark.range(10).select(F.col("id").alias("doc_id"))
+    from pyspec_spark.plans import physical_plan
+
+    plan = physical_plan(apply_tombstones(decoded, tombs))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

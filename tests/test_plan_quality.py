@@ -463,6 +463,8 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_index_bucket_lookup",  # materializes the bucketed index (r9)
         "q_index_incremental",  # base write + incremental append (r9)
         "q_index_delete",  # index write + tombstone delete (r10, L40e)
+        "q_phrase_lookup",  # positional index write + probe (r10, L40f)
+        "q_proximity_lookup",  # positional index write + probe (r10)
     }
     from pyspec_spark.tables import load
 
