@@ -212,8 +212,10 @@ def synth_audio(media_id: int, n: int = 16000, rate: int = 16000) -> np.ndarray:
 
 def decode_audio(codec: str, payload: bytes):
     """Dispatch an audio payload to its decoder: WAV RIFF/PCM16 or
-    FLAC (r9, the lossless fixed-predictor tier — operators/flac.py).
-    Returns ((n, channels) int16, rate)."""
+    FLAC (r9/r10, the full lossless surface at every standard depth —
+    operators/flac.py).  Returns ((n, channels) int16 — int32 for
+    FLAC depths above 16 — and the sample rate); the feature
+    extractors promote to float64 either way."""
     if codec == "wav":
         from pyspec_spark.operators.codecs import decode_wav
 

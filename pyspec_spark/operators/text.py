@@ -1186,6 +1186,7 @@ def compact_term_index(
     dest: str,
     n_buckets: int = TERM_INDEX_BUCKETS,
     shard_size: int | None = None,
+    positional: bool = False,
 ) -> None:
     """Maintenance pass for an incrementally-appended index: every
     append_term_index lands new files in the bucket dirs, so a
@@ -1203,7 +1204,11 @@ def compact_term_index(
     holds no trace of deleted docs and no tombstone dir — it equals a
     from-scratch rebuild over the post-delete corpus exactly.  That
     path needs the sharded layout's ``shard_size`` (the flat layout
-    has no delete story; rebuild it instead)."""
+    has no delete story; rebuild it instead).  A POSITIONAL index
+    (positional_postings entries, r10) purges through
+    decode_positional + re-encode with ``positional=True``; the purge
+    refuses to run plain decode over positional entries — that would
+    silently DROP the positions (detected by the third entry field)."""
     import os
 
     if os.path.abspath(dest) == os.path.abspath(path):
@@ -1216,11 +1221,32 @@ def compact_term_index(
                 "compact_term_index: tombstone purge needs the sharded "
                 "layout's shard_size"
             )
-        live = apply_tombstones(
-            decode_postings(
-                idx.select("term", "shard", "postings"), shard_size=shard_size
-            ),
-            tombs,
-        )
-        idx = sharded_postings(live, shard_size)
+        if not positional and bool(
+            idx.where(F.col("postings").rlike("^[0-9]+:[0-9]+:")).take(1)
+        ):
+            raise ValueError(
+                "compact_term_index: positional entries detected — pass "
+                "positional=True or the purge would drop the positions"
+            )
+        if positional:
+            live = apply_tombstones(
+                decode_positional(
+                    idx.select("term", "shard", "postings"),
+                    shard_size=shard_size,
+                ),
+                tombs,
+            )
+            tok = live.select(
+                "term", "doc_id", F.explode("positions").alias("pos")
+            )
+            idx = positional_postings(tok, shard_size)
+        else:
+            live = apply_tombstones(
+                decode_postings(
+                    idx.select("term", "shard", "postings"),
+                    shard_size=shard_size,
+                ),
+                tombs,
+            )
+            idx = sharded_postings(live, shard_size)
     write_term_index(idx, dest, n_buckets=n_buckets)

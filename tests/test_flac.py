@@ -344,3 +344,37 @@ def test_residual_beyond_raw_escape_width_raises_clearly():
     x[101] = -(1 << 31)
     with pytest.raises(ValueError, match="raw escape"):
         encode_flac(x, bps=32, lpc=([1], 2, 0))
+
+
+def test_24bit_flac_through_generic_audio_features(spark):
+    """Non-16-bit FLAC must flow through the generic media operators
+    end-to-end: a 24-bit stream's windowed RMS/ZCR features equal the
+    same math computed directly on the source samples (the extractors
+    promote to float64, so the int32 decode path changes nothing)."""
+    import numpy as np
+
+    from pyspec_spark.operators.flac import encode_flac
+    from pyspec_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_audio_features,
+    )
+
+    n, win = 4096, 1024
+    i = np.arange(n, dtype=np.int64)
+    x = ((i * 9973 + 12345) % 2_000_001) - 1_000_000  # needs >16 bits
+    media = spark.createDataFrame(
+        [(0, "audio", "flac", None, None, n,
+          bytearray(encode_flac(x, rate=16000, bps=24)))],
+        MEDIA_SCHEMA,
+    )
+    got = {
+        r["window_id"]: (r["rms"], r["zcr"])
+        for r in extract_audio_features(media, window=win).collect()
+    }
+    xf = x.astype(np.float64)
+    for w in range(n // win):
+        seg = xf[w * win : (w + 1) * win]
+        rms = float(np.sqrt(np.mean(seg * seg)))
+        zc = float(np.mean(np.abs(np.diff(np.signbit(seg))).astype(np.float64)))
+        assert got[w][0] == pytest.approx(rms, rel=1e-12)
+        assert got[w][1] == pytest.approx(zc, rel=1e-12)

@@ -939,3 +939,74 @@ def test_apply_tombstones_plan_is_broadcast_anti_join(spark):
 
     plan = physical_plan(apply_tombstones(decoded, tombs))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_tombstones_compose_with_positional_phrase(spark, tmp_path):
+    """Deletion composes with the positional index: tombstoned docs
+    vanish from phrase results through the same broadcast anti-join
+    (read-path composition), compact(positional=True) physically
+    purges them with positions intact — equal to a positional rebuild
+    of the survivors row-for-row — and the purge REFUSES to run in
+    plain mode over positional entries (it would silently drop the
+    positions)."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import (
+        apply_tombstones,
+        decode_positional,
+        delete_term_index,
+        phrase_match,
+        positional_postings,
+        read_tombstones,
+        write_term_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b"), (2, "x a b"), (3, "b a")],
+        "doc_id BIGINT, text STRING",
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "term")
+    ).select("doc_id", "term", (F.col("p0") + 1).alias("pos"))
+    root = str(tmp_path / "posdel")
+    write_term_index(positional_postings(tok, 2), root)
+    delete_term_index(
+        spark.createDataFrame([(1,)], "doc_id BIGINT"), root
+    )
+    dec = apply_tombstones(
+        decode_positional(
+            spark.read.parquet(root).select("term", "shard", "postings"), 2
+        ),
+        read_tombstones(spark, root),
+    )
+    got = sorted(tuple(r) for r in phrase_match(dec, ["a", "b"]).collect())
+    assert got == [(0, 1), (2, 1)]  # doc 1 tombstoned out
+
+    # plain-mode purge over positional entries must refuse, not corrupt
+    from pyspec_spark.operators.text import compact_term_index
+
+    with pytest.raises(ValueError, match="positional"):
+        compact_term_index(
+            spark, root, str(tmp_path / "posdel_bad"), shard_size=2
+        )
+
+    # positional purge == positional rebuild of the survivors
+    dest = str(tmp_path / "posdel_c")
+    compact_term_index(
+        spark, root, dest, shard_size=2, positional=True
+    )
+    rebuild = str(tmp_path / "posdel_r")
+    write_term_index(
+        positional_postings(tok.where("doc_id <> 1"), 2), rebuild
+    )
+
+    def rows(p):
+        return {
+            (r["term"], r["shard"], r["df_shard"], r["cf_shard"], r["postings"])
+            for r in spark.read.parquet(p).collect()
+        }
+
+    assert rows(dest) == rows(rebuild)
+    import os
+
+    assert not os.path.isdir(os.path.join(dest, "_tombstones"))
