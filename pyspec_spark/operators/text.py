@@ -850,6 +850,129 @@ def decode_postings(
 
 
 # ---------------------------------------------------------------------------
+# Term-index publish lifecycle (r10) — the same CURRENT-pointer
+# discipline the IVF vector index uses (streaming/vectors.py
+# publish_index / vacuum_indexes): compact_term_index and
+# compact_streamed_index build NEW roots by contract, so a long-lived
+# index accumulates superseded roots unless something swaps a pointer
+# atomically and reclaims history.  Pointer swap = write-tmp +
+# os.replace (one rename syscall — a concurrent reader resolves either
+# the old root or the new one, never a partial pointer); HISTORY is
+# appended AFTER the swap so CURRENT stays authoritative if the append
+# is lost to a crash.  Readers that re-resolve CURRENT per query are
+# never affected by vacuum; a reader pinned to a superseded root fails
+# LOUDLY on its next scan (missing files), never silently.
+# ---------------------------------------------------------------------------
+_POINTER_FILE = "CURRENT"
+_HISTORY_FILE = "HISTORY"
+
+
+def _looks_like_term_index(root: str) -> bool:
+    import os
+
+    if not os.path.isdir(root):
+        return False
+    return any(
+        n.startswith("tb=") or n == "_SUCCESS" for n in os.listdir(root)
+    )
+
+
+def publish_term_index(base: str, root: str) -> None:
+    """Atomically point base/CURRENT at a built term-index root.  The
+    root must look like one (tb= bucket dirs, or the _SUCCESS of an
+    empty-corpus write) — publishing a half-typed path would otherwise
+    silently break every re-resolving reader at once."""
+    import os
+    import uuid as _uuid
+
+    if not _looks_like_term_index(root):
+        raise ValueError(f"{root} is not a term-index root")
+    os.makedirs(base, exist_ok=True)
+    tmp = os.path.join(base, f".tmp-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(os.path.abspath(root))
+    os.replace(tmp, os.path.join(base, _POINTER_FILE))
+    with open(os.path.join(base, _HISTORY_FILE), "a") as f:
+        f.write(os.path.abspath(root) + "\n")
+
+
+def current_term_index(base: str) -> str:
+    """Resolve the published index root (re-resolve per query — the
+    vacuum retention contract)."""
+    import os
+
+    with open(os.path.join(base, _POINTER_FILE)) as f:
+        return f.read().strip()
+
+
+def term_index_history(base: str) -> list[str]:
+    """Ordered distinct publish history (oldest first; re-publishing an
+    old root moves it to newest)."""
+    import os
+
+    path = os.path.join(base, _HISTORY_FILE)
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        raw = [ln.strip() for ln in f if ln.strip()]
+    out: list[str] = []
+    for r in raw:
+        if r in out:
+            out.remove(r)
+        out.append(r)
+    return out
+
+
+def vacuum_term_indexes(
+    base: str, keep: int = 1, retention_seconds: float = 3600.0
+) -> list[str]:
+    """Term-index GC — the vectors.vacuum_indexes rules verbatim:
+    superseded HISTORY roots beyond the newest ``keep`` are reclaimed
+    regardless of age (committed history; CURRENT never deleted
+    whatever ``keep`` says); unpublished orphan roots under ``base/``
+    (dirs bearing the tb= signature) only past ``retention_seconds``,
+    because an in-flight compact/rebuild looks identical to an abort
+    orphan.  Rewrites HISTORY to the kept entries and returns the
+    deleted root paths."""
+    import os
+    import shutil
+    import time
+
+    try:
+        current = os.path.abspath(current_term_index(base))
+    except FileNotFoundError:
+        current = None
+    hist = term_index_history(base)
+    keep_roots = set(hist[-max(keep, 1):])
+    if current:
+        keep_roots.add(current)
+    removed: list[str] = []
+    for r in hist:
+        if r not in keep_roots and os.path.isdir(r):
+            shutil.rmtree(r, ignore_errors=True)
+            removed.append(r)
+    now = time.time()
+    known = set(hist) | keep_roots
+    for name in sorted(os.listdir(base)):
+        p = os.path.abspath(os.path.join(base, name))
+        if not os.path.isdir(p) or p in known:
+            continue
+        if not _looks_like_term_index(p):
+            continue  # not an index root — never touch
+        try:
+            if now - os.path.getmtime(p) < retention_seconds:
+                continue  # possibly an in-flight rebuild
+        except OSError:
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
+    kept = [r for r in hist if r in keep_roots]
+    with open(os.path.join(base, _HISTORY_FILE), "w") as f:
+        f.writelines(r + "\n" for r in kept)
+    return removed
+
+
+# ---------------------------------------------------------------------------
 # Streamed increments (r10) — the read/compact half of the streaming
 # index face (streaming/corpus.index_stream_to_buckets writes them).
 # Each micro-batch lands its sharded+bucketed rows under

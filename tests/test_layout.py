@@ -1010,3 +1010,75 @@ def test_tombstones_compose_with_positional_phrase(spark, tmp_path):
     import os
 
     assert not os.path.isdir(os.path.join(dest, "_tombstones"))
+
+
+def test_term_index_publish_swap_and_vacuum(spark, tmp_path):
+    """publish_term_index / vacuum_term_indexes (r10): the pointer
+    swaps atomically between built roots, vacuum reclaims superseded
+    history but never CURRENT, aged unpublished orphans go while fresh
+    ones stay (in-flight-rebuild retention), a re-resolving reader is
+    unaffected and a pinned reader fails loudly."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import (
+        compact_term_index,
+        current_term_index,
+        decode_postings,
+        publish_term_index,
+        sharded_postings,
+        term_index_history,
+        vacuum_term_indexes,
+        write_term_index,
+    )
+
+    tf = spark.createDataFrame(
+        [(d, f"t{d % 3}", 1) for d in range(30)],
+        "doc_id BIGINT, term STRING, tf BIGINT",
+    )
+    base = str(tmp_path / "pub")
+    os.makedirs(base)
+    r1 = os.path.join(base, "v1")
+    write_term_index(sharded_postings(tf, 10), r1)
+    with pytest.raises(ValueError, match="not a term-index root"):
+        publish_term_index(base, str(tmp_path / "nowhere"))
+    publish_term_index(base, r1)
+    assert current_term_index(base) == os.path.abspath(r1)
+
+    # compact into a new root, publish: pointer swaps, history grows
+    r2 = os.path.join(base, "v2")
+    compact_term_index(spark, r1, r2)
+    publish_term_index(base, r2)
+    assert current_term_index(base) == os.path.abspath(r2)
+    assert term_index_history(base) == [os.path.abspath(r1), os.path.abspath(r2)]
+
+    # an aged orphan root (abandoned rebuild) and a fresh one
+    r_orphan = os.path.join(base, "vX")
+    write_term_index(sharded_postings(tf.where("doc_id < 5"), 10), r_orphan)
+    old = time.time() - 7200
+    os.utime(r_orphan, (old, old))
+    r_fresh = os.path.join(base, "vY")
+    write_term_index(sharded_postings(tf.where("doc_id < 5"), 10), r_fresh)
+
+    removed = vacuum_term_indexes(base, keep=1, retention_seconds=3600)
+    assert set(removed) == {os.path.abspath(r1), os.path.abspath(r_orphan)}
+    assert os.path.isdir(r2) and os.path.isdir(r_fresh)
+    assert term_index_history(base) == [os.path.abspath(r2)]
+
+    # re-resolving reader: unaffected
+    dec = decode_postings(
+        spark.read.parquet(current_term_index(base)).select(
+            "term", "shard", "postings"
+        ),
+        shard_size=10,
+    )
+    assert dec.count() == 30
+    # pinned reader on the reclaimed root: loud failure, never silent
+    with pytest.raises(Exception):
+        spark.read.parquet(r1).collect()
+
+    # CURRENT survives even keep=0-ish abuse (clamped to >= 1)
+    vacuum_term_indexes(base, keep=0)
+    assert os.path.isdir(current_term_index(base))
