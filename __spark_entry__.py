@@ -54,6 +54,8 @@ _FRESH: list[str] = [
     "q_index_delete",      # r10: tombstone deletes + merge-on-compact (L40e)
     "q_phrase_lookup",     # r10: positional postings + phrase query (L40f)
     "q_proximity_lookup",  # r10: proximity retrieval over positions (L40f+)
+    "q_index_topk_and",    # r10: rarest-term conjunctive top-k (L40g)
+    "q_index_topk_or",     # r10: block-max disjunctive top-k (L40g)
 ]
 # r10 rotation rework (VERDICT r9 task 4): cumulative driver coverage
 # is COMPLETE (195/195 oracle queries have a hard green row across

@@ -850,6 +850,103 @@ def decode_postings(
 
 
 # ---------------------------------------------------------------------------
+# Block-max sidecar (r10, L40g) — the impact/skip statistic of
+# block-max retrieval (Ding & Suel, "Faster top-k document retrieval
+# using block-max indexes", SIGIR 2011 — public literature): one
+# (term, shard, max_tf) row per posting shard, written under
+# ``root/_blockmax`` so partition discovery and every existing reader
+# of the bucket layout never see it (the _tombstones precedent —
+# underscore-prefixed dirs are hidden from Hadoop/Spark listings).
+# max_tf bounds the BM25 term contribution of ANY document in the
+# shard: part(tf, dl) = idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) is
+# increasing in tf and decreasing in dl, so
+# part ≤ idf·max_tf·(k1+1)/(max_tf + k1·(1−b)).  Because shards are
+# DOC-RANGE partitions (doc d lives in shard d÷size for every term it
+# appears in), per-shard bounds sum to a per-DOCUMENT score bound —
+# the skip argument is exact per doc, with none of classical WAND's
+# pointer-alignment machinery.
+#
+# The sidecar derives map-side from the stored row (array_max over the
+# entry tfs — no explode, no window, no join); it rides the index
+# build's own write and is a vocabulary-of-shards-sized table.
+# compact_term_index writes a NEW root and does not carry sidecars —
+# re-derive with write_block_max(read(dest), dest) after compaction,
+# same as the tombstone dir (which compaction retires by design).
+# ---------------------------------------------------------------------------
+_BLOCKMAX_DIR = "_blockmax"
+
+
+def _entry_tf(entry_col):
+    # entry layouts: "gap:tf" (sharded_postings) and
+    # "gap:tf:p0.p1..." (positional_postings) — tf is field 1 in both
+    return F.split(entry_col, ":").getItem(1).cast("long")
+
+
+def write_block_max(
+    idx: DataFrame, path: str, n_buckets: int = TERM_INDEX_BUCKETS
+) -> None:
+    """Derive and write the block-max sidecar for a SHARDED index
+    (flat single-row-per-term layouts gain nothing from skipping).
+    ``idx`` is the sharded frame (term, shard, …, postings); appends
+    compose — run it over each increment's rows exactly as
+    append_term_index lands them and the sidecar stays in sync
+    (duplicate (term, shard) sidecar rows are legal; consumers take
+    MAX, mirroring decode's per-row independence)."""
+    bm = idx.select(
+        "term",
+        "shard",
+        F.array_max(
+            F.transform(F.split("postings", ","), _entry_tf)
+        ).alias("max_tf"),
+    )
+    (
+        bm.withColumn("tb", _term_bucket_col(F.col("term"), n_buckets))
+        .repartition(F.col("tb"))
+        .write.partitionBy("tb")
+        .mode("append")
+        .parquet(f"{path}/{_BLOCKMAX_DIR}")
+    )
+
+
+def probe_block_max(
+    spark,
+    path: str,
+    terms: list[str],
+    n_buckets: int = TERM_INDEX_BUCKETS,
+) -> DataFrame:
+    """Bucket-pruned sidecar probe (probe_term_index's directory math
+    against ``_blockmax``): returns (term, shard, max_tf) for the
+    probed terms, MAX-merged across duplicate rows so incremental
+    appends never double-count.  Missing sidecar → empty frame (the
+    caller's skip plan degrades to decode-everything, never to wrong
+    answers)."""
+    buckets = sorted({term_bucket_of(t, n_buckets) for t in terms})
+    candidates = [f"{path}/{_BLOCKMAX_DIR}/tb={b}" for b in buckets]
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        paths = []
+        for p in candidates:
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            if hp.getFileSystem(conf).exists(hp):
+                paths.append(p)
+    except Exception:  # pragma: no cover — connect-mode / no gateway
+        import os
+
+        paths = [p for p in candidates if os.path.isdir(p)]
+    if not paths:
+        return spark.createDataFrame(
+            [], "term STRING, shard BIGINT, max_tf BIGINT"
+        )
+    return (
+        spark.read.parquet(*paths)
+        .where(F.col("term").isin(*terms))
+        .groupBy("term", "shard")
+        .agg(F.max("max_tf").alias("max_tf"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Term-index publish lifecycle (r10) — the same CURRENT-pointer
 # discipline the IVF vector index uses (streaming/vectors.py
 # publish_index / vacuum_indexes): compact_term_index and

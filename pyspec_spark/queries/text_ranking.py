@@ -992,3 +992,287 @@ def q_proximity_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L40g top-k retrieval WITH SKIPPING (r10) — the serving-side answer
+# to "why build an index at all": the previous L40 rows prove the
+# lifecycle (build/bucket/append/delete/positions); these two prove
+# the index makes QUERIES cheaper than a corpus scan, the block-max
+# retrieval family of the public literature (Ding & Suel, SIGIR 2011;
+# Broder et al. WAND, CIKM 2003) re-expressed on doc-range shards.
+#
+# Doc-range sharding changes the classical game: a document d lives in
+# shard d÷size for EVERY term it contains, so per-shard statistics sum
+# to per-DOCUMENT bounds and the skip argument is exact per doc — no
+# cursor alignment, no pointer movement, just relational joins over
+# shard ids.  Both queries are EXACT top-k (oracle = straight BM25
+# over the corpus in DuckDB); skipping changes what gets decoded,
+# never what is returned:
+#
+# - q_index_topk_and (conjunctive): candidates must contain the
+#   RAREST term (min df, read off the probed shard rows without any
+#   decode), so only shards where that term appears are decoded for
+#   ANY term.  Decode cost scales with df(rarest), not df(frequent) —
+#   'dup' appears in 5% of documents, so ~95% of the frequent terms'
+#   postings are never exploded.
+# - q_index_topk_or (disjunctive): phase 1 scores the rare-term docs
+#   exactly (their shards carry all their terms); the k-th best seeds
+#   the threshold θ.  Phase 2 keeps only shards whose block-max score
+#   bound Σ_t idf·max_tf·(k1+1)/(max_tf+k1·(1−b)) can reach θ−margin
+#   (the _blockmax sidecar, probed bucket-pruned; margin 1e-5 covers
+#   the round-6 slop, bounds are vs UNROUNDED parts otherwise).  A doc
+#   in a dropped shard has total score ≤ the shard bound < θ ≤ the
+#   true k-th best, so it cannot enter the top-k — exactness by
+#   arithmetic, verified by the oracle.
+#
+# 100 TB posture: probe opens |query-term buckets|/64 of the layout;
+# df/idf come from shard metadata (no decode); the decode explode +
+# cumsum window — the only corpus-proportional work — runs over the
+# kept shards only.  test_layout.py pins kept ⊂ probed on a skewed
+# synthetic corpus; SCALING.md r10b measures the decoded fraction.
+# Bounded-side-effect round-trip (fresh tmp root, zero-jobs exempt).
+# ---------------------------------------------------------------------------
+_TOPK_TERMS = ("dup", "filter", "spark")
+_TOPK_SHARD = 64
+_TOPK_K = 10
+_SHARDED_SCHEMA = (
+    "term STRING, shard BIGINT, df_shard BIGINT, "
+    "cf_shard BIGINT, postings STRING"
+)
+
+
+def _topk_oracle(conjunctive: bool) -> str:
+    terms = ", ".join(f"('{t}')" for t in _TOPK_TERMS)
+    cand = (
+        f"""
+cand AS (
+  SELECT doc_id FROM tf GROUP BY doc_id
+  HAVING COUNT(DISTINCT term) = {len(_TOPK_TERMS)}
+),"""
+        if conjunctive
+        else ""
+    )
+    cand_join = "JOIN cand USING (doc_id)" if conjunctive else ""
+    return f"""
+WITH q(term) AS (VALUES {terms}),
+dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  WHERE term IN (SELECT term FROM q)
+  GROUP BY doc_id, term
+),{cand}
+idf AS (
+  SELECT term,
+         ROUND(LN(1.0 + (stats.n_docs - COUNT(DISTINCT doc_id) + 0.5)
+                        / (COUNT(DISTINCT doc_id) + 0.5)), 6) AS idf
+  FROM tf CROSS JOIN stats
+  GROUP BY term, stats.n_docs
+),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(idf.idf * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / stats.avgdl)), 6) AS part
+  FROM tf
+  {cand_join}
+  JOIN idf USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, ROUND(SUM(part), 6) AS bm25
+FROM scored
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT {_TOPK_K}
+"""
+
+
+def _topk_index_parts(spark: SparkSession, sf_dir: str, root: str):
+    """Shared retrieval plumbing over a built index root: probed shard
+    rows, full-corpus per-term df (summed off shard metadata — no
+    decode), round-6 idf, the rarest term (min df, term tiebreak), the
+    doc-length table and the 1-row (n_docs, avgdl) stats."""
+    from pyspec_spark.operators.text import probe_term_index
+
+    docs = table(spark, sf_dir, "documents")
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    probed = probe_term_index(
+        spark, root, list(_TOPK_TERMS), empty_schema=_SHARDED_SCHEMA
+    )
+    dfs = probed.groupBy("term").agg(F.sum("df_shard").alias("df"))
+    rare = dfs.orderBy("df", "term").limit(1).select("term")
+    idf = dfs.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+            6,
+        ).alias("idf"),
+    )
+    return probed, dfs, rare, idf, dl, stats
+
+
+def _bm25_part() -> Column:
+    return F.round(
+        F.col("idf")
+        * (F.col("tf") * (_BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + _BM25_K1
+            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    )
+
+
+def _score_decoded(decoded: DataFrame, idf: DataFrame, dl: DataFrame, stats: DataFrame) -> DataFrame:
+    """(term, doc_id, tf) -> (doc_id, n_terms, bm25): round-6 parts
+    (idf broadcast, dl join, 1-row stats broadcast), summed per doc."""
+    return (
+        decoded.join(F.broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", _bm25_part().alias("part"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.round(F.sum("part"), 6).alias("bm25"),
+        )
+    )
+
+
+@query("q_index_topk_and", oracle=_topk_oracle(conjunctive=True))
+def q_index_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import (
+        decode_postings,
+        sharded_postings,
+        write_term_index,
+    )
+    from pyspec_spark.queries.lake_queries import _tmp_root
+
+    root = _tmp_root("pyspec_topk_and_")
+    write_term_index(sharded_postings(_tf(spark, sf_dir), _TOPK_SHARD), root)
+    probed, dfs, rare, idf, dl, stats = _topk_index_parts(spark, sf_dir, root)
+    # conjunctive skip: every candidate doc contains the rarest term,
+    # and doc-range sharding puts a doc in the SAME shard id for every
+    # term — so restricting ALL terms to the rare term's shard set
+    # loses no candidate while skipping the frequent terms' postings
+    # everywhere the rare term is absent.
+    cand_shards = (
+        probed.join(F.broadcast(rare), "term", "left_semi")
+        .select("shard")
+        .distinct()
+    )
+    kept = probed.join(F.broadcast(cand_shards), "shard", "left_semi")
+    decoded = decode_postings(
+        kept.select("term", "shard", "postings"), shard_size=_TOPK_SHARD
+    )
+    return (
+        _score_decoded(decoded, idf, dl, stats)
+        .where(F.col("n_terms") == len(_TOPK_TERMS))
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_TOPK_K)
+    )
+
+
+_BM_MARGIN = 1e-5  # covers round-6 slop: ≤3 parts x 5e-7 + final 5e-7
+
+
+@query("q_index_topk_or", oracle=_topk_oracle(conjunctive=False))
+def q_index_topk_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import (
+        decode_postings,
+        probe_block_max,
+        sharded_postings,
+        write_block_max,
+        write_term_index,
+    )
+    from pyspec_spark.queries.lake_queries import _tmp_root
+
+    root = _tmp_root("pyspec_topk_or_")
+    write_term_index(sharded_postings(_tf(spark, sf_dir), _TOPK_SHARD), root)
+    # sidecar derives from the WRITTEN rows (vocabulary-sized re-scan,
+    # never a second corpus pass)
+    write_block_max(spark.read.parquet(root).drop("tb"), root)
+    probed, dfs, rare, idf, dl, stats = _topk_index_parts(spark, sf_dir, root)
+
+    # ---- phase 1: exact scores for every doc containing the rare term
+    cand_shards = (
+        probed.join(F.broadcast(rare), "term", "left_semi")
+        .select("shard")
+        .distinct()
+    )
+    kept1 = probed.join(F.broadcast(cand_shards), "shard", "left_semi")
+    decoded1 = decode_postings(
+        kept1.select("term", "shard", "postings"), shard_size=_TOPK_SHARD
+    )
+    scores1 = _score_decoded(decoded1, idf, dl, stats)
+    rare_docs = (
+        decoded1.join(F.broadcast(rare), "term", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    seed = scores1.join(F.broadcast(rare_docs), "doc_id", "left_semi")
+    # θ = k-th best seed score; fewer than k seeds → -inf (no skip,
+    # still exact)
+    top_seed = seed.orderBy(F.desc("bm25"), "doc_id").limit(_TOPK_K)
+    theta = top_seed.agg(
+        F.when(F.count("*") >= _TOPK_K, F.min("bm25"))
+        .otherwise(F.lit(float("-inf")))
+        .alias("theta")
+    )
+
+    # ---- phase 2: block-max shard bounds for the non-rare terms
+    bm = probe_block_max(spark, root, list(_TOPK_TERMS))
+    ub = (
+        bm.join(F.broadcast(rare), "term", "left_anti")
+        .join(F.broadcast(idf), "term")
+        .select(
+            "shard",
+            (
+                F.col("idf")
+                * (F.col("max_tf") * (_BM25_K1 + 1.0))
+                / (F.col("max_tf") + _BM25_K1 * (1.0 - _BM25_B))
+            ).alias("ub"),
+        )
+        .groupBy("shard")
+        .agg(F.sum("ub").alias("tot_ub"))
+    )
+    kept2_shards = (
+        ub.crossJoin(F.broadcast(theta))
+        .where(F.col("tot_ub") >= F.col("theta") - _BM_MARGIN)
+        .select("shard")
+        .join(F.broadcast(cand_shards), "shard", "left_anti")
+    )
+    decoded2 = decode_postings(
+        probed.join(F.broadcast(rare), "term", "left_anti")
+        .join(F.broadcast(kept2_shards), "shard", "left_semi")
+        .select("term", "shard", "postings"),
+        shard_size=_TOPK_SHARD,
+    )
+    # docs without the rare term: exact OR scores.  In cand shards they
+    # were already decoded (scores1 minus the seed set); in kept2
+    # shards they come from decoded2; in dropped shards their score is
+    # ≤ tot_ub < θ and cannot place.
+    others = scores1.join(
+        F.broadcast(rare_docs), "doc_id", "left_anti"
+    ).unionByName(_score_decoded(decoded2, idf, dl, stats))
+    return (
+        seed.unionByName(others)
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_TOPK_K)
+    )

@@ -55,6 +55,8 @@ _ROUNDTRIP_FAMILY = [
     "q_index_delete",         # r10: tombstone delete + anti-join read
     "q_phrase_lookup",        # r10: positional index + phrase probe
     "q_proximity_lookup",     # r10: positional index + proximity probe
+    "q_index_topk_and",       # r10: rarest-term conjunctive retrieval
+    "q_index_topk_or",        # r10: block-max disjunctive retrieval
     "q_flac_roundtrip",       # r9: FLAC decode through Rice/CRC path
 ]
 

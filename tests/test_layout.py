@@ -1082,3 +1082,235 @@ def test_term_index_publish_swap_and_vacuum(spark, tmp_path):
     # CURRENT survives even keep=0-ish abuse (clamped to >= 1)
     vacuum_term_indexes(base, keep=0)
     assert os.path.isdir(current_term_index(base))
+
+
+# ---------------------------------------------------------------------------
+# L40g block-max top-k retrieval (r10) — skip gates on an adversarially
+# SKEWED synthetic corpus (the shipped testdata is df-uniform, so the
+# skip is invisible there; correctness there is the oracle's job).
+# Corpus shape: 224 docs / shard_size 32 → 7 shards; 'dup' lives ONLY
+# in docs 40..49 (shard 1) with heavy 'filter'/'spark' counts, so the
+# rare-term seed dominates the top-k and the block-max bounds drop
+# every other shard.
+# ---------------------------------------------------------------------------
+_TOPK_SYNTH_SHARD = 32
+
+
+def _topk_synth_docs(spark, tmp_path):
+    rows = []
+    for i in range(224):
+        toks = ["filter"] * (i % 3 + 1) + ["spark"] * ((i * 7) % 4 + 1)
+        toks += ["pad"] * (i % 5 + 1)
+        if 40 <= i < 50:
+            toks += ["dup"] * (i % 2 + 1) + ["filter"] * 8 + ["spark"] * 8
+        rows.append((i, " ".join(toks)))
+    sf = str(tmp_path / "synth_sf")
+    spark.createDataFrame(rows, "doc_id BIGINT, text STRING").coalesce(
+        1
+    ).write.parquet(f"{sf}/documents.parquet")
+    return sf
+
+
+def _topk_oracle_rows(sf: str, name: str):
+    import duckdb
+
+    from pyspec_spark import registry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    return con.execute(registry.ORACLES[name]).fetchall()
+
+
+def test_blockmax_sidecar_hidden_and_max_merged(spark, tmp_path):
+    """The _blockmax sidecar must (a) stay invisible to every existing
+    reader of the bucket layout, (b) reproduce the per-(term, shard)
+    max tf exactly, and (c) MAX-merge duplicate rows from incremental
+    appends instead of double-counting."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import (
+        decode_postings,
+        probe_block_max,
+        sharded_postings,
+        write_block_max,
+        write_term_index,
+    )
+
+    sf = _topk_synth_docs(spark, tmp_path)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    root = str(tmp_path / "bm_idx")
+    base = tf.where("doc_id < 100")
+    delta = tf.where("doc_id >= 100")
+    sh_base = sharded_postings(base, _TOPK_SYNTH_SHARD)
+    sh_delta = sharded_postings(delta, _TOPK_SYNTH_SHARD)
+    write_term_index(sh_base, root, n_buckets=16)
+    write_block_max(sh_base, root, n_buckets=16)
+    write_term_index(sh_delta, root, n_buckets=16, mode="append")
+    write_block_max(sh_delta, root, n_buckets=16)
+
+    # (a) invisible: the main read sees only the sharded columns
+    main = spark.read.parquet(root)
+    assert sorted(c for c in main.columns if c != "tb") == [
+        "cf_shard",
+        "df_shard",
+        "postings",
+        "shard",
+        "term",
+    ]
+    assert "max_tf" not in main.columns
+
+    # (b)+(c): probe equals brute force off the decoded postings
+    terms = ["dup", "filter", "spark", "pad"]
+    got = {
+        (r["term"], r["shard"]): r["max_tf"]
+        for r in probe_block_max(spark, root, terms, n_buckets=16).collect()
+    }
+    want = {
+        (r["term"], r["shard"]): r["mx"]
+        for r in decode_postings(
+            main.where(F.col("term").isin(*terms)).select(
+                "term", "shard", "postings"
+            ),
+            shard_size=_TOPK_SYNTH_SHARD,
+        )
+        .withColumn(
+            "shard",
+            (F.col("doc_id") / _TOPK_SYNTH_SHARD).cast("long"),
+        )
+        .groupBy("term", "shard")
+        .agg(F.max("tf").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_topk_and_conjunctive_skip_and_exact(spark, tmp_path):
+    """q_index_topk_and on the skewed corpus: (gate 1) the rare term's
+    shard set — which bounds EVERYTHING decoded — is a strict subset
+    of the layout's shards; (gate 2) the result equals the registered
+    DuckDB oracle run over the same synthetic corpus (exactness under
+    skew, where a wrong skip would actually change the answer)."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import probe_term_index
+    from pyspec_spark.queries import text_ranking as tr
+
+    sf = _topk_synth_docs(spark, tmp_path)
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in tr.q_index_topk_and.__wrapped__(spark, sf).collect()
+    ]
+    want = [(int(d), float(b)) for d, b in _topk_oracle_rows(sf, "q_index_topk_and")]
+    assert got == want and len(got) == 10
+    assert {d for d, _ in got} == set(range(40, 50))  # the dup docs
+
+    # skip gate: recompute the candidate shard set the query derives
+    # over a fresh index, to inspect the shard structure directly
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    from pyspec_spark.operators.text import sharded_postings, write_term_index
+
+    idx_root = str(tmp_path / "and_idx")
+    write_term_index(sharded_postings(tf, tr._TOPK_SHARD), idx_root)
+    probed = probe_term_index(
+        spark, idx_root, list(tr._TOPK_TERMS), empty_schema=tr._SHARDED_SCHEMA
+    )
+    rare_shards = {
+        r["shard"] for r in probed.where("term = 'dup'").select("shard").collect()
+    }
+    all_shards = {r["shard"] for r in probed.select("shard").distinct().collect()}
+    assert rare_shards == {0}  # docs 40..49, shard_size 64 → shard 0
+    assert len(all_shards) == 4  # 224 docs / 64
+    # the conjunctive plan decodes only rare_shards of EVERY term:
+    kept = probed.join(
+        spark.createDataFrame(
+            [(s,) for s in rare_shards], "shard BIGINT"
+        ),
+        "shard",
+        "left_semi",
+    )
+    assert kept.count() == 3  # one row per term in shard 0
+    # full probe: dup 1 shard + filter/spark 4 shards each = 9 rows —
+    # the conjunctive plan decodes 3 of 9
+    assert probed.count() == 9
+
+
+def test_topk_or_blockmax_bound_drops_shards(spark, tmp_path):
+    """q_index_topk_or on the skewed corpus: the θ seeded from the
+    rare docs exceeds every other shard's block-max bound, so phase 2
+    decodes NOTHING extra — and the result still equals the oracle
+    (the docs the bound skipped really cannot place)."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.text import (
+        probe_block_max,
+        sharded_postings,
+        write_block_max,
+        write_term_index,
+    )
+    from pyspec_spark.queries import text_ranking as tr
+
+    sf = _topk_synth_docs(spark, tmp_path)
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in tr.q_index_topk_or.__wrapped__(spark, sf).collect()
+    ]
+    want = [(int(d), float(b)) for d, b in _topk_oracle_rows(sf, "q_index_topk_or")]
+    assert got == want and len(got) == 10
+    assert {d for d, _ in got} == set(range(40, 50))  # seed dominates
+
+    # bound gate: every non-rare shard's Σ ub sits below θ = 10th seed
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    n_docs, avgdl = dl.agg(F.count("*"), F.avg("dl")).collect()[0]
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    idx_root = str(tmp_path / "or_idx")
+    sh = sharded_postings(tf, tr._TOPK_SHARD)
+    write_term_index(sh, idx_root)
+    write_block_max(sh, idx_root)
+    theta = min(b for _, b in want)
+    import math
+
+    dfs = {
+        r["term"]: r["df"]
+        for r in tf.where(F.col("term").isin(*tr._TOPK_TERMS))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .collect()
+    }
+    k1, b = tr._BM25_K1, tr._BM25_B
+    tot_ub: dict[int, float] = {}
+    for r in probe_block_max(spark, idx_root, list(tr._TOPK_TERMS)).collect():
+        if r["term"] == "dup":
+            continue
+        idf = round(
+            math.log(
+                1.0
+                + (n_docs - dfs[r["term"]] + 0.5) / (dfs[r["term"]] + 0.5)
+            ),
+            6,
+        )
+        ub = idf * r["max_tf"] * (k1 + 1.0) / (r["max_tf"] + k1 * (1.0 - b))
+        tot_ub[r["shard"]] = tot_ub.get(r["shard"], 0.0) + ub
+    # every shard outside the rare term's (shard 0) sums below θ —
+    # phase 2 keeps NOTHING, the skip is total on this corpus ('dup'
+    # idf ≈ 3.06 vs ubiquitous-term idf ≈ 0.002)
+    non_rare = {s for s in tot_ub if s != 0}
+    assert non_rare == {1, 2, 3}
+    assert all(tot_ub[s] < theta - tr._BM_MARGIN for s in non_rare)

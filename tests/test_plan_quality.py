@@ -465,6 +465,8 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_index_delete",  # index write + tombstone delete (r10, L40e)
         "q_phrase_lookup",  # positional index write + probe (r10, L40f)
         "q_proximity_lookup",  # positional index write + probe (r10)
+        "q_index_topk_and",  # index + block-max sidecar write (r10, L40g)
+        "q_index_topk_or",  # index + block-max sidecar write (r10, L40g)
     }
     from pyspec_spark.tables import load
 
