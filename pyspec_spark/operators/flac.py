@@ -64,23 +64,35 @@ _SS_BITS = {v: k for k, v in _SS_CODE.items()}
 # CRCs (FLAC frame checks): CRC-8 poly 0x07, CRC-16 poly 0x8005, both
 # init 0, MSB-first, no reflection.
 # ---------------------------------------------------------------------------
+def _make_crc_table(poly: int, width: int) -> list[int]:
+    mask = (1 << width) - 1
+    top = 1 << (width - 1)
+    table = []
+    for b in range(256):
+        crc = b << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) & mask if crc & top else (crc << 1) & mask
+        table.append(crc)
+    return table
+
+
+_CRC8_TABLE = _make_crc_table(0x07, 8)
+_CRC16_TABLE = _make_crc_table(0x8005, 16)
+
+
 def _crc8(data: bytes) -> int:
     crc = 0
+    t = _CRC8_TABLE
     for b in data:
-        crc ^= b
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = t[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    t = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFFFF) ^ t[(crc >> 8) ^ b]
     return crc
 
 
@@ -149,15 +161,111 @@ def _write_rice(w: BitWriter, res: np.ndarray, k: int) -> None:
             w.u(int(u) & ((1 << k) - 1), k)
 
 
+def _bit_array(r: BitReader) -> np.ndarray:
+    """The reader's payload as a 0/1 uint8 array, unpacked once per
+    payload and cached on the reader (bytes are immutable, so the
+    cache can never go stale)."""
+    ba = getattr(r, "_flac_bits", None)
+    if ba is None:
+        ba = np.unpackbits(np.frombuffer(r._d, dtype=np.uint8))
+        r._flac_bits = ba
+    return ba
+
+
+def _ones_array(r: BitReader) -> np.ndarray:
+    """Sorted global positions of the payload's set bits (the unary-
+    terminator candidates), computed once per payload."""
+    oa = getattr(r, "_flac_ones", None)
+    if oa is None:
+        oa = np.flatnonzero(_bit_array(r)).astype(np.int64)
+        r._flac_ones = oa
+    return oa
+
+
 def _read_rice(r: BitReader, n: int, k: int) -> np.ndarray:
-    out = np.empty(n, dtype=np.int64)
-    for i in range(n):
-        q = 0
-        while r.u(1) == 0:
-            q += 1
-        u = (q << k) | (r.u(k) if k else 0)
-        out[i] = (u >> 1) ^ -(u & 1)
-    return out
+    """Vectorized Rice partition decode (r10 — replaces the per-bit
+    Python loop SCALING.md r9d named as the per-sample constant).
+
+    A Rice stream is [0^q 1 r_k] × n.  The only sequential dependency
+    is WHICH set bits are terminators (a remainder's bits may contain
+    1s that must be skipped), and that dependency lives in ones-index
+    space: if terminator i sits at set-bit index j, terminator i+1 is
+    the first set bit at/after position ones[j]+k+1 — a successor
+    function g computable for EVERY candidate at once with one array
+    searchsorted.  The orbit 0, g(0), g²(0), … is then materialized
+    for all n samples with pointer doubling (log₂n fancy-index
+    passes), after which quotients (terminator − start gaps) and
+    remainders (a [n,k] bit-matrix dot powers-of-two) fall out in
+    single numpy expressions.  Per orbit step the counting bound is
+    1 terminator + ≤k skipped ones, so a slice of n(k+1)+1 candidates
+    provably contains the whole orbit — an exhausted slice means a
+    truncated stream and raises instead of hanging (the fuzz-test
+    contract)."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    bits = _bit_array(r)
+    ones = _ones_array(r)
+    j0 = int(np.searchsorted(ones, r._pos))
+    seg = ones[j0 : j0 + n * (k + 1) + 1]
+    m = len(seg)
+    if m == 0:
+        raise ValueError("flac: truncated rice partition")
+    # successor in seg-index space, with sentinel m = "past end"
+    g = np.empty(m + 1, dtype=np.int64)
+    g[:m] = np.searchsorted(seg, seg + (k + 1))
+    g[m] = m
+    # orbit of 0 under g for all sample indices 0..n-1: binary jumps
+    j_idx = np.zeros(n, dtype=np.int64)
+    sample = np.arange(n)
+    level = g
+    bit = 1
+    while bit < n:
+        sel = (sample & bit) != 0
+        j_idx[sel] = level[j_idx[sel]]
+        bit <<= 1
+        if bit < n:
+            nxt = np.empty(m + 1, dtype=np.int64)
+            nxt[:m] = level[level[:m]]
+            nxt[m] = m
+            level = nxt
+    if j_idx.max() >= m:
+        raise ValueError("flac: truncated rice partition")
+    ts = seg[j_idx]
+    starts = np.empty(n, dtype=np.int64)
+    starts[0] = r._pos
+    starts[1:] = ts[:-1] + k + 1
+    q = ts - starts
+    if k:
+        rem_idx = ts[:, None] + 1 + np.arange(k, dtype=np.int64)
+        if int(rem_idx[-1, -1]) >= len(bits):
+            raise ValueError("flac: truncated rice partition")
+        powers = np.left_shift(
+            np.int64(1), np.arange(k - 1, -1, -1, dtype=np.int64)
+        )
+        rem = bits[rem_idx].astype(np.int64) @ powers
+        u = (q << k) | rem
+    else:
+        u = q
+    r._pos = int(ts[-1]) + 1 + k
+    return (u >> 1) ^ -(u & 1)
+
+
+def _read_raw_signed(r: BitReader, n: int, bits_per: int) -> np.ndarray:
+    """Vectorized raw-binary escape read: n two's-complement values of
+    ``bits_per`` bits as one [n, bits_per] bit-matrix."""
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    bits = _bit_array(r)
+    end = r._pos + n * bits_per
+    if end > len(bits):
+        raise ValueError("flac: truncated raw partition")
+    mat = bits[r._pos : end].reshape(n, bits_per).astype(np.int64)
+    powers = np.left_shift(
+        np.int64(1), np.arange(bits_per - 1, -1, -1, dtype=np.int64)
+    )
+    v = mat @ powers
+    r._pos = end
+    return v - (mat[:, 0] << np.int64(bits_per))
 
 
 _FIXED_COEFFS = {
@@ -177,14 +285,18 @@ def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
 
 
 def _fixed_restore(warm: np.ndarray, res: np.ndarray, order: int) -> np.ndarray:
-    """Invert _fixed_residual given the first `order` warmup samples."""
-    out = np.concatenate([warm.astype(np.int64), np.empty(len(res), np.int64)])
-    coef = _FIXED_COEFFS[order]
-    for i in range(len(res)):
-        j = order + i
-        pred = sum(c * out[j - 1 - t] for t, c in enumerate(coef))
-        out[j] = res[i] + pred
-    return out
+    """Invert _fixed_residual given the first `order` warmup samples.
+    A FIXED predictor's residual is diff^order(x), so restore is
+    ``order`` iterated cumsums, each seeded with the last value of the
+    corresponding warmup difference level (r10 — replaces the
+    per-sample Python recurrence; exact in int64, which has >30 bits
+    of headroom over the 33-bit worst-case side-channel samples)."""
+    warm = warm.astype(np.int64)
+    out = res.astype(np.int64)
+    for j in range(order, 0, -1):
+        seed = warm if j == 1 else np.diff(warm, j - 1)
+        out = (seed[-1] if len(seed) else np.int64(0)) + np.cumsum(out)
+    return np.concatenate([warm, out])
 
 
 def _signed(r: BitReader, bits: int) -> int:
@@ -454,11 +566,7 @@ def _read_residuals(r: BitReader, bs: int, order: int) -> np.ndarray:
                 # spec-legal: 0-bit residuals = an all-zero partition
                 res_parts.append(np.zeros(cnt, dtype=np.int64))
             else:
-                res_parts.append(
-                    np.array(
-                        [_signed(r, raw_bits) for _ in range(cnt)], dtype=np.int64
-                    )
-                )
+                res_parts.append(_read_raw_signed(r, cnt, raw_bits))
         else:
             res_parts.append(_read_rice(r, cnt, k))
     return np.concatenate(res_parts) if res_parts else np.empty(0, np.int64)
@@ -481,10 +589,7 @@ def _decode_subframe(r: BitReader, bs: int, sbps: int) -> np.ndarray:
     if stype == 0b000000:  # CONSTANT
         return np.full(bs, _signed(r, sbps), dtype=np.int64) << wasted
     if stype == 0b000001:  # VERBATIM
-        return (
-            np.array([_signed(r, sbps) for _ in range(bs)], dtype=np.int64)
-            << wasted
-        )
+        return _read_raw_signed(r, bs, sbps) << wasted
     if 0b001000 <= stype <= 0b001100:  # FIXED 0..4
         order = stype & 0x07
         warm = np.array([_signed(r, sbps) for _ in range(order)], dtype=np.int64)
@@ -556,10 +661,15 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(f"flac: nonstandard {bps}-bit depth")
     chans: list[list[np.ndarray]] = [[] for _ in range(ch)]
     got = 0
+    # ONE reader over the whole payload, seeked per frame: a per-frame
+    # payload[pos:] slice would copy O(frames x bytes) AND discard the
+    # unpacked-bit / set-bit caches the vectorized Rice decode keys on
+    # the reader instance (r10)
+    r = BitReader(payload)
     # total == 0 means UNKNOWN (spec): decode frames to end of payload
     while (got < total) if total else (pos < len(payload)):
         frame_start = pos
-        r = BitReader(payload[pos:])
+        r._pos = frame_start * 8
         if r.u(14) != 0b11111111111110:
             raise ValueError("flac: lost frame sync")
         r.u(1)
@@ -593,7 +703,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         if ss_code != 0 and _SS_BITS.get(ss_code) != bps:
             raise ValueError("flac: frame/streaminfo sample-size mismatch")
         # header CRC-8 covers bytes from sync to just before the crc byte
-        hdr_len = (r._pos + 7) // 8
+        hdr_len = (r._pos - frame_start * 8 + 7) // 8
         if _crc8(payload[frame_start : frame_start + hdr_len]) != r.u(8):
             raise ValueError("flac: frame header CRC-8 mismatch")
         # side channels carry one extra bit (spec: the decorrelated
@@ -622,7 +732,7 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
         while r._pos % 8:
             if r.u(1):
                 raise ValueError("flac: nonzero frame padding")
-        body_len = r._pos // 8
+        body_len = r._pos // 8 - frame_start
         (crc,) = struct.unpack(
             ">H", payload[frame_start + body_len : frame_start + body_len + 2]
         )
