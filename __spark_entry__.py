@@ -56,6 +56,8 @@ _FRESH: list[str] = [
     "q_proximity_lookup",  # r10: proximity retrieval over positions (L40f+)
     "q_index_topk_and",    # r10: rarest-term conjunctive top-k (L40g)
     "q_index_topk_or",     # r10: block-max disjunctive top-k (L40g)
+    "q_jsonl_roundtrip",   # r10: JSONL ingest + quarantine policy (S8)
+    "q_csv_roundtrip",     # r10: CSV ingest + quarantine policy (S9)
 ]
 # r10 rotation rework (VERDICT r9 task 4): cumulative driver coverage
 # is COMPLETE (195/195 oracle queries have a hard green row across

@@ -57,6 +57,8 @@ _ROUNDTRIP_FAMILY = [
     "q_proximity_lookup",     # r10: positional index + proximity probe
     "q_index_topk_and",       # r10: rarest-term conjunctive retrieval
     "q_index_topk_or",        # r10: block-max disjunctive retrieval
+    "q_jsonl_roundtrip",      # r10: JSONL ingest + quarantine (S8)
+    "q_csv_roundtrip",        # r10: CSV ingest + quarantine (S9)
     "q_flac_roundtrip",       # r9: FLAC decode through Rice/CRC path
 ]
 

@@ -467,6 +467,8 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_proximity_lookup",  # positional index write + probe (r10)
         "q_index_topk_and",  # index + block-max sidecar write (r10, L40g)
         "q_index_topk_or",  # index + block-max sidecar write (r10, L40g)
+        "q_jsonl_roundtrip",  # JSONL stage + landed parse (r10, S8)
+        "q_csv_roundtrip",  # CSV stage + landed parse (r10, S9)
     }
     from pyspec_spark.tables import load
 
