@@ -908,6 +908,31 @@ def write_block_max(
     )
 
 
+_NORMS_DIR = "_norms"
+
+
+def write_norms(dl: DataFrame, path: str) -> None:
+    """Write the per-document length norms sidecar under the index
+    root (``_norms`` — hidden like ``_tombstones``/``_blockmax``).
+    BM25's length normalization needs every candidate's dl and the
+    corpus (n_docs, avgdl); storing them WITH the index is what makes
+    serving corpus-scan-free — the production shape (Lucene norms).
+    ``dl`` is (doc_id, dl); appends compose for incremental builds
+    (disjoint doc-id ranges, the append_term_index contract)."""
+    (
+        dl.select(F.col("doc_id").cast("long"), F.col("dl").cast("long"))
+        .write.mode("append")
+        .parquet(f"{path}/{_NORMS_DIR}")
+    )
+
+
+def read_norms(spark, path: str) -> DataFrame:
+    """The index's (doc_id, dl) norms table.  Loud failure when the
+    sidecar is missing — silently falling back to a corpus scan would
+    defeat the reason it exists."""
+    return spark.read.parquet(f"{path}/{_NORMS_DIR}")
+
+
 def probe_block_max(
     spark,
     path: str,

@@ -1026,10 +1026,14 @@ def q_proximity_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   true k-th best, so it cannot enter the top-k — exactness by
 #   arithmetic, verified by the oracle.
 #
-# 100 TB posture: probe opens |query-term buckets|/64 of the layout;
-# df/idf come from shard metadata (no decode); the decode explode +
-# cumsum window — the only corpus-proportional work — runs over the
-# kept shards only.  test_layout.py pins kept ⊂ probed on a skewed
+# 100 TB posture: SERVING touches only index artifacts — probe opens
+# |query-term buckets|/64 of the layout; df/idf come from shard
+# metadata (no decode); doc lengths + (n_docs, avgdl) come from the
+# _norms sidecar written at build (the Lucene-norms shape), so no
+# retrieval plan ever scans the corpus (test_layout.py pins
+# documents.parquet out of inputFiles); the decode explode + cumsum
+# window — the only corpus-proportional work — runs over the kept
+# shards only.  test_layout.py pins kept ⊂ probed on a skewed
 # synthetic corpus; SCALING.md r10b measures the decoded fraction.
 # Bounded-side-effect round-trip (fresh tmp root, zero-jobs exempt).
 # ---------------------------------------------------------------------------
@@ -1094,15 +1098,37 @@ LIMIT {_TOPK_K}
 """
 
 
-def _topk_index_parts(spark: SparkSession, sf_dir: str, root: str):
-    """Shared retrieval plumbing over a built index root: probed shard
-    rows, full-corpus per-term df (summed off shard metadata — no
-    decode), round-6 idf, the rarest term (min df, term tiebreak), the
-    doc-length table and the 1-row (n_docs, avgdl) stats."""
-    from pyspec_spark.operators.text import probe_term_index
+def _build_topk_index(spark: SparkSession, sf_dir: str, prefix: str) -> str:
+    """Index build for the retrieval queries: sharded postings +
+    the ``_norms`` length sidecar, so SERVING afterwards touches only
+    index artifacts (the corpus-scan-free gate in test_layout.py pins
+    documents.parquet out of the retrieval plan's inputFiles)."""
+    from pyspec_spark.operators.text import (
+        sharded_postings,
+        write_norms,
+        write_term_index,
+    )
+    from pyspec_spark.queries.lake_queries import _tmp_root
 
+    root = _tmp_root(prefix)
+    write_term_index(sharded_postings(_tf(spark, sf_dir), _TOPK_SHARD), root)
     docs = table(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    write_norms(
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("dl")), root
+    )
+    return root
+
+
+def _topk_index_parts(spark: SparkSession, root: str):
+    """Shared retrieval plumbing over a built index root — EVERY input
+    is an index artifact: probed shard rows, full-corpus per-term df
+    (summed off shard metadata — no decode), round-6 idf, the rarest
+    term (min df, term tiebreak), and doc lengths + the 1-row
+    (n_docs, avgdl) stats from the _norms sidecar (one narrow
+    index-local scan, never the corpus)."""
+    from pyspec_spark.operators.text import probe_term_index, read_norms
+
+    dl = read_norms(spark, root)
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
@@ -1155,16 +1181,10 @@ def _score_decoded(decoded: DataFrame, idf: DataFrame, dl: DataFrame, stats: Dat
 
 @query("q_index_topk_and", oracle=_topk_oracle(conjunctive=True))
 def q_index_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspec_spark.operators.text import (
-        decode_postings,
-        sharded_postings,
-        write_term_index,
-    )
-    from pyspec_spark.queries.lake_queries import _tmp_root
+    from pyspec_spark.operators.text import decode_postings
 
-    root = _tmp_root("pyspec_topk_and_")
-    write_term_index(sharded_postings(_tf(spark, sf_dir), _TOPK_SHARD), root)
-    probed, dfs, rare, idf, dl, stats = _topk_index_parts(spark, sf_dir, root)
+    root = _build_topk_index(spark, sf_dir, "pyspec_topk_and_")
+    probed, dfs, rare, idf, dl, stats = _topk_index_parts(spark, root)
     # conjunctive skip: every candidate doc contains the rarest term,
     # and doc-range sharding puts a doc in the SAME shard id for every
     # term — so restricting ALL terms to the rare term's shard set
@@ -1196,18 +1216,14 @@ def q_index_topk_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspec_spark.operators.text import (
         decode_postings,
         probe_block_max,
-        sharded_postings,
         write_block_max,
-        write_term_index,
     )
-    from pyspec_spark.queries.lake_queries import _tmp_root
 
-    root = _tmp_root("pyspec_topk_or_")
-    write_term_index(sharded_postings(_tf(spark, sf_dir), _TOPK_SHARD), root)
+    root = _build_topk_index(spark, sf_dir, "pyspec_topk_or_")
     # sidecar derives from the WRITTEN rows (vocabulary-sized re-scan,
     # never a second corpus pass)
     write_block_max(spark.read.parquet(root).drop("tb"), root)
-    probed, dfs, rare, idf, dl, stats = _topk_index_parts(spark, sf_dir, root)
+    probed, dfs, rare, idf, dl, stats = _topk_index_parts(spark, root)
 
     # ---- phase 1: exact scores for every doc containing the rare term
     cand_shards = (

@@ -1314,3 +1314,21 @@ def test_topk_or_blockmax_bound_drops_shards(spark, tmp_path):
     non_rare = {s for s in tot_ub if s != 0}
     assert non_rare == {1, 2, 3}
     assert all(tot_ub[s] < theta - tr._BM_MARGIN for s in non_rare)
+
+
+def test_topk_serving_is_corpus_scan_free(spark):
+    """The L40g retrieval plans must read ONLY index artifacts: doc
+    lengths and corpus stats come from the _norms sidecar written at
+    build, never from a documents scan at query time (at 100 TB a
+    per-query corpus column scan would dwarf the probe).  inputFiles()
+    enumerates every file the RETURNED plan scans — pin that no
+    documents.parquet appears and that norms + bucket dirs do."""
+    from pyspec_spark.queries import text_ranking as tr
+
+    for q in (tr.q_index_topk_and, tr.q_index_topk_or):
+        df = q.__wrapped__(spark, SF)
+        files = df.inputFiles()
+        assert files, q.__query_name__
+        assert not any("documents.parquet" in f for f in files), files
+        assert any("_norms" in f for f in files)
+        assert any("/tb=" in f for f in files)
