@@ -426,3 +426,58 @@ def bloom_screen_stream(
         )
         .where(F.col("containment") >= min_containment)
     )
+
+
+def ingest_jsonl_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema: str,
+    land_path: str,
+    checkpoint: str | None = None,
+    mode: str = "PERMISSIVE",
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming face of S8 (sources/textlines.py): continuous JSONL
+    ingestion from a drop directory — the shape a live corpus feed
+    actually has (files keep arriving; nobody re-lists the world).
+
+    readStream's file source discovers NEW files per micro-batch under
+    the same explicit-schema + malformed-policy contract as the batch
+    reader (PERMISSIVE routes each bad line's raw text into the
+    quarantine column riding the row stream).  Each batch LANDS
+    columnar under ``{land_path}/batch={batch_id}`` with
+    mode=overwrite — the index_stream_to_buckets idempotency shape: a
+    batch replayed after a crash between write and checkpoint-commit
+    overwrites its own scoped dir instead of duplicating rows, and the
+    one parsing pass per line is preserved (downstream, including the
+    quarantine audit, reads the landed parquet — the q_jsonl_roundtrip
+    design).  ``batch=`` doubles as a partition column: per-batch
+    lineage for free.
+
+    ``max_files_per_trigger`` bounds batch size (ingest pacing);
+    availableNow drains everything discoverable and stops — callers
+    wanting a long-lived stream swap the trigger."""
+    from pyspec_spark.sources.textlines import CORRUPT_COL
+
+    full = schema
+    if mode.upper() == "PERMISSIVE":
+        full = f"{schema}, {CORRUPT_COL} STRING"
+    reader = (
+        spark.readStream.schema(full)
+        .option("mode", mode)
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(src_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{land_path}/batch={batch_id}"
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()

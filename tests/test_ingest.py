@@ -109,3 +109,82 @@ def test_csv_partial_parse_is_still_quarantined(spark, tmp_path):
     bad = [r for r in rows if r[CORRUPT_COL] is not None]
     assert len(bad) == 1
     assert bad[0].doc_id == 99  # leading field parsed anyway
+
+
+# ---------------------------------------------------------------------------
+# Streaming face (S8): drop-directory JSONL ingestion through
+# ingest_jsonl_stream — stream twin of the q_jsonl_roundtrip design.
+# ---------------------------------------------------------------------------
+def _landed(spark, land):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    return spark.read.parquet(land)
+
+
+def test_jsonl_stream_lands_batches_and_matches_batch_read(spark, tmp_path):
+    import json
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    for i in range(2):
+        with open(src / f"feed{i}.jsonl", "w") as f:
+            for j in range(10):
+                f.write(json.dumps({"doc_id": i * 10 + j, "text": f"d{j}"}) + "\n")
+    with open(src / "bad.jsonl", "w") as f:
+        f.write("{nope\n")
+
+    from pyspec_spark.streaming.corpus import ingest_jsonl_stream
+
+    land = str(tmp_path / "landed")
+    ck = str(tmp_path / "ck")
+    ingest_jsonl_stream(spark, str(src), _SCHEMA, land, checkpoint=ck)
+
+    got = _landed(spark, land)
+    # stream-end state == the one-shot batch read (the twin contract).
+    # The quarantine COUNT runs on the LANDED table only — counting it
+    # on the raw batch read is exactly what Spark's corrupt-only-plan
+    # refusal forbids (and what landing exists to solve); the batch
+    # side compares valid rows (a projection referencing data columns,
+    # which is allowed).
+    batch = read_jsonl(spark, str(src), _SCHEMA, mode="PERMISSIVE")
+    batch_valid = sorted(
+        r.doc_id
+        for r in batch.select("doc_id", CORRUPT_COL).collect()
+        if r[CORRUPT_COL] is None
+    )
+    assert got.count() == 21  # 20 valid + 1 planted bad line
+    assert got.where(f"{CORRUPT_COL} IS NOT NULL").count() == 1
+    assert (
+        sorted(r.doc_id for r in got.collect() if r[CORRUPT_COL] is None)
+        == batch_valid
+        == list(range(20))
+    )
+
+
+def test_jsonl_stream_redrain_is_delta_only(spark, tmp_path):
+    import json
+    import os as _os
+
+    from pyspec_spark.streaming.corpus import ingest_jsonl_stream
+
+    src = tmp_path / "drop"
+    src.mkdir()
+    with open(src / "a.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "x"}) + "\n")
+    land = str(tmp_path / "landed")
+    ck = str(tmp_path / "ck")
+    ingest_jsonl_stream(spark, str(src), _SCHEMA, land, checkpoint=ck)
+    assert _landed(spark, land).count() == 1
+
+    # a second drain with NOTHING new adds nothing (checkpoint holds)
+    ingest_jsonl_stream(spark, str(src), _SCHEMA, land, checkpoint=ck)
+    assert _landed(spark, land).count() == 1
+
+    # new file -> exactly the delta lands, in a NEW batch dir
+    with open(src / "b.jsonl", "w") as f:
+        f.write(json.dumps({"doc_id": 2, "text": "y"}) + "\n")
+    ingest_jsonl_stream(spark, str(src), _SCHEMA, land, checkpoint=ck)
+    got = _landed(spark, land)
+    assert sorted(r.doc_id for r in got.collect()) == [1, 2]
+    batch_dirs = [d for d in _os.listdir(land) if d.startswith("batch=")]
+    assert len(batch_dirs) >= 2  # per-batch lineage preserved
