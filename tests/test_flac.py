@@ -378,3 +378,72 @@ def test_24bit_flac_through_generic_audio_features(spark):
         zc = float(np.mean(np.abs(np.diff(np.signbit(seg))).astype(np.float64)))
         assert got[w][0] == pytest.approx(rms, rel=1e-12)
         assert got[w][1] == pytest.approx(zc, rel=1e-12)
+
+
+def test_vectorized_rice_matches_scalar_reference():
+    """The r10 vectorized Rice decode (pointer-doubled terminator
+    chase + bit-matrix remainders) against a straight per-bit scalar
+    reference, across every k the format can emit (0..30, incl. far
+    past the encoder's own cap), adversarial value shapes, and
+    arbitrary non-byte-aligned start offsets.  The round-trip tests
+    pin stream-level behavior; this pins the kernel itself."""
+    import numpy as np
+
+    from pyspec_spark.operators.flac import _read_rice
+    from pyspec_spark.operators.h264 import BitReader, BitWriter
+
+    def scalar_rice(r, n, k):
+        out = np.empty(n, dtype=np.int64)
+        for i in range(n):
+            q = 0
+            while r.u(1) == 0:
+                q += 1
+            u = (q << k) | (r.u(k) if k else 0)
+            out[i] = (u >> 1) ^ -(u & 1)
+        return out
+
+    rng = np.random.default_rng(1234)
+    for trial in range(60):
+        k = int(rng.integers(0, 31))
+        n = int(rng.integers(1, 400))
+        shape = trial % 4
+        if shape == 0:
+            vals = rng.integers(-(1 << k) - 3, (1 << k) + 4, n)
+        elif shape == 1:
+            vals = np.zeros(n, dtype=np.int64)  # all-zero: q=0 runs
+        elif shape == 2:
+            vals = rng.integers(-5000, 5000, n)  # quotient-heavy at low k
+            if k < 4:
+                vals = vals // 50
+        else:
+            vals = ((-1) ** np.arange(n)) * np.arange(n)  # alternating
+        vals = vals.astype(np.int64)
+        w = BitWriter()
+        pad = int(rng.integers(0, 8))
+        for _ in range(pad):
+            w.u(1, 1)  # non-aligned start, all-ones prefix
+        for v in vals:
+            u = int(v) * 2 if v >= 0 else -2 * int(v) - 1
+            w.u(0, u >> k)
+            w.u(1, 1)
+            if k:
+                w.u(u & ((1 << k) - 1), k)
+        w.u(0b10101, 5)  # trailing noise the decode must not consume
+        while len(w._bits) % 8:
+            w.u(1, 1)  # byte-align (writer asserts alignment)
+        data = w.bytes()
+        rv = BitReader(data)
+        rv._pos = pad
+        rs = BitReader(data)
+        rs._pos = pad
+        got = _read_rice(rv, n, k)
+        want = scalar_rice(rs, n, k)
+        assert np.array_equal(got, want), (trial, k, n)
+        assert rv._pos == rs._pos  # identical consumption
+
+    # truncated stream: loud, never a hang or wrong output
+    w = BitWriter()
+    w.u(0b10000000, 8)
+    short = w.bytes()
+    with pytest.raises(ValueError):
+        _read_rice(BitReader(short), 50, 3)
