@@ -1221,8 +1221,12 @@ def q_index_topk_or(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _build_topk_index(spark, sf_dir, "pyspec_topk_or_")
     # sidecar derives from the WRITTEN rows (vocabulary-sized re-scan,
-    # never a second corpus pass)
-    write_block_max(spark.read.parquet(root).drop("tb"), root)
+    # never a second corpus pass); explicit schema so an EMPTY corpus
+    # (index root with no bucket files) reads as an empty frame
+    # instead of failing schema inference
+    write_block_max(
+        spark.read.schema(_SHARDED_SCHEMA).parquet(root), root
+    )
     probed, dfs, rare, idf, dl, stats = _topk_index_parts(spark, root)
 
     # ---- phase 1: exact scores for every doc containing the rare term
