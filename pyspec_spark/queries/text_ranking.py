@@ -1296,3 +1296,173 @@ def q_index_topk_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_TOPK_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# L40h retrieve-then-rerank (r10) — the full modern LEXICAL serving
+# pipeline composed from the index family: BM25 retrieval scored
+# entirely off ONE positional index (tf = position-list length, dl +
+# corpus stats from the _norms sidecar — corpus-scan-free like L40g),
+# then a proximity RERANK of the candidate pool: docs where the two
+# query terms sit near each other get boosted by
+# score = ROUND(bm25 · (1 + 1/(2 + min_dist)), 6)
+# (min_dist from the same decoded positions — one index serves both
+# stages, which is exactly why production indexes store positions).
+# Docs lacking either term keep score = bm25 (no positions, no
+# boost).  Pool = top-20 by bm25 with doc_id tiebreak, output =
+# top-10 by reranked score — both cutoffs deterministic round-6
+# (the q_tfidf_topk rule), so DuckDB replays the whole pipeline.
+#
+# 100 TB posture: identical to L40g serving (bucket-pruned probe, no
+# corpus scan) + the rerank stage runs on ≤20 rows — the candidate
+# pool is where reranking cost lives no matter how fancy the second
+# stage gets, and the pool size is a constant.
+# ---------------------------------------------------------------------------
+_RR_A, _RR_B = "hash", "join"
+_RR_POOL, _RR_K = 20, 10
+
+
+def _rerank_oracle() -> str:
+    return f"""
+WITH q(term) AS (VALUES ('{_RR_A}'), ('{_RR_B}')),
+dl AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+),
+tok AS (
+  SELECT doc_id, i AS pos, toks[i] AS term
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       LATERAL (SELECT CAST(unnest(range(1, len(toks) + 1)) AS INT) AS i) t
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok
+  WHERE term IN (SELECT term FROM q)
+  GROUP BY doc_id, term
+),
+idf AS (
+  SELECT term,
+         ROUND(LN(1.0 + (stats.n_docs - COUNT(DISTINCT doc_id) + 0.5)
+                        / (COUNT(DISTINCT doc_id) + 0.5)), 6) AS idf
+  FROM tf CROSS JOIN stats
+  GROUP BY term, stats.n_docs
+),
+scored AS (
+  SELECT tf.doc_id,
+         ROUND(idf.idf * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / stats.avgdl)), 6) AS part
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+pool AS (
+  SELECT doc_id, ROUND(SUM(part), 6) AS bm25
+  FROM scored GROUP BY doc_id
+  ORDER BY bm25 DESC, doc_id LIMIT {_RR_POOL}
+),
+a AS (SELECT doc_id, pos FROM tok WHERE term = '{_RR_A}'),
+b AS (SELECT doc_id, pos FROM tok WHERE term = '{_RR_B}'),
+mind AS (
+  SELECT a.doc_id AS doc_id, CAST(MIN(ABS(b.pos - a.pos)) AS BIGINT) AS md
+  FROM a JOIN b ON b.doc_id = a.doc_id GROUP BY a.doc_id
+)
+SELECT pool.doc_id, pool.bm25,
+       COALESCE(mind.md, -1) AS min_dist,
+       ROUND(pool.bm25 * (1.0 + CASE WHEN mind.md IS NULL THEN 0.0
+             ELSE 1.0 / (2.0 + mind.md) END), 6) AS score
+FROM pool LEFT JOIN mind USING (doc_id)
+ORDER BY score DESC, doc_id
+LIMIT {_RR_K}
+"""
+
+
+@query("q_proximity_rerank", oracle=_rerank_oracle())
+def q_proximity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import (
+        _POSITIONAL_SCHEMA,
+        decode_positional,
+        positional_postings,
+        probe_term_index,
+        read_norms,
+        write_norms,
+        write_term_index,
+    )
+    from pyspec_spark.queries.lake_queries import _tmp_root
+
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("p0", "term")
+    ).select("doc_id", "term", (F.col("p0") + 1).alias("pos"))
+    root = _tmp_root("pyspec_rerank_idx_")
+    write_term_index(positional_postings(tok, _TOPK_SHARD), root)
+    write_norms(
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("dl")), root
+    )
+
+    # ---- retrieval stage, index artifacts only
+    probed = probe_term_index(
+        spark, root, [_RR_A, _RR_B], empty_schema=_POSITIONAL_SCHEMA
+    )
+    decoded = decode_positional(
+        probed.select("term", "shard", "postings"), shard_size=_TOPK_SHARD
+    )
+    dfs = probed.groupBy("term").agg(F.sum("df_shard").alias("df"))
+    dl = read_norms(spark, root)
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    idf = dfs.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+            6,
+        ).alias("idf"),
+    )
+    pool = (
+        _score_decoded(decoded.select("term", "doc_id", "tf"), idf, dl, stats)
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_RR_POOL)
+    )
+
+    # ---- rerank stage: min term distance from the SAME decoded
+    # positions, evaluated on the ≤20-row pool only
+    a = decoded.where(F.col("term") == _RR_A).select(
+        "doc_id", F.col("positions").alias("_pa")
+    )
+    b = decoded.where(F.col("term") == _RR_B).select(
+        "doc_id", F.col("positions").alias("_pb")
+    )
+    mind = (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            F.array_min(
+                F.flatten(
+                    F.transform(
+                        "_pa",
+                        lambda pa: F.transform(
+                            "_pb", lambda pb: F.abs(pb - pa)
+                        ),
+                    )
+                )
+            ).alias("md"),
+        )
+    )
+    boost = F.when(F.col("md").isNull(), F.lit(0.0)).otherwise(
+        1.0 / (2.0 + F.col("md"))
+    )
+    return (
+        pool.join(F.broadcast(mind), "doc_id", "left")
+        .select(
+            "doc_id",
+            "bm25",
+            F.coalesce(F.col("md"), F.lit(-1)).cast("long").alias("min_dist"),
+            F.round(F.col("bm25") * (1.0 + boost), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_RR_K)
+    )

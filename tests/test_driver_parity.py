@@ -59,6 +59,7 @@ _ROUNDTRIP_FAMILY = [
     "q_index_topk_or",        # r10: block-max disjunctive retrieval
     "q_jsonl_roundtrip",      # r10: JSONL ingest + quarantine (S8)
     "q_csv_roundtrip",        # r10: CSV ingest + quarantine (S9)
+    "q_proximity_rerank",     # r10: positional retrieve-then-rerank (L40h)
     "q_flac_roundtrip",       # r9: FLAC decode through Rice/CRC path
 ]
 

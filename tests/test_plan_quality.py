@@ -469,6 +469,7 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_index_topk_or",  # index + block-max sidecar write (r10, L40g)
         "q_jsonl_roundtrip",  # JSONL stage + landed parse (r10, S8)
         "q_csv_roundtrip",  # CSV stage + landed parse (r10, S9)
+        "q_proximity_rerank",  # positional index + norms write (r10, L40h)
     }
     from pyspec_spark.tables import load
 
