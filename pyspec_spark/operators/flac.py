@@ -164,7 +164,15 @@ def _write_rice(w: BitWriter, res: np.ndarray, k: int) -> None:
 def _bit_array(r: BitReader) -> np.ndarray:
     """The reader's payload as a 0/1 uint8 array, unpacked once per
     payload and cached on the reader (bytes are immutable, so the
-    cache can never go stale)."""
+    cache can never go stale).
+
+    Memory contract: the unpacked bits cost 8 bytes per payload byte
+    and the set-bit index (~4 more on typical audio), held for the
+    DURATION OF ONE decode_flac call (the decoder frees both before
+    assembling its output).  Executor-side that bounds peak at ~12x
+    the largest single file in the current mapInPandas batch — fine
+    for audio-corpus file sizes; a future >1 GB-file tier would want
+    per-frame unpacking instead (same total work, bounded peak)."""
     ba = getattr(r, "_flac_bits", None)
     if ba is None:
         ba = np.unpackbits(np.frombuffer(r._d, dtype=np.uint8))
@@ -740,6 +748,12 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("flac: frame CRC-16 mismatch")
         pos = frame_start + body_len + 2
         got += bs
+    # release the unpacked-bit caches BEFORE assembling the output —
+    # peak memory is then max(bit caches, pcm), not their sum (the
+    # _bit_array memory contract)
+    for attr in ("_flac_bits", "_flac_ones"):
+        if hasattr(r, attr):
+            delattr(r, attr)
     if chans[0]:
         s = np.stack([np.concatenate(c) for c in chans], axis=1)
         if total:

@@ -725,6 +725,27 @@ def verify_term_shards(idx: DataFrame) -> DataFrame:
 _TERM_INDEX_SCHEMA = "term STRING, df BIGINT, cf BIGINT, postings STRING"
 
 
+def _existing_paths(spark, candidates: list[str]) -> list[str]:
+    """Existence-filter candidate paths through the Hadoop FileSystem
+    API, so probes work on whatever store the index lives on
+    (HDFS/object storage at scale, not just the local FS), with a
+    plain os.path fallback if the JVM gateway is unavailable.  The
+    ONE copy of this logic — every bucket/sidecar probe routes here."""
+    try:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        out = []
+        for p in candidates:
+            hp = jvm.org.apache.hadoop.fs.Path(p)
+            if hp.getFileSystem(conf).exists(hp):
+                out.append(p)
+        return out
+    except Exception:  # pragma: no cover — connect-mode / no gateway
+        import os
+
+        return [p for p in candidates if os.path.isdir(p)]
+
+
 def probe_term_index(
     spark,
     path: str,
@@ -745,20 +766,7 @@ def probe_term_index(
     (HDFS/object storage at scale, not just the local FS), with a
     plain os.path fallback if the JVM gateway is unavailable."""
     buckets = sorted({term_bucket_of(t, n_buckets) for t in terms})
-    candidates = [f"{path}/tb={b}" for b in buckets]
-    try:
-        jvm = spark._jvm
-        jsc = spark._jsc
-        conf = jsc.hadoopConfiguration()
-        paths = []
-        for p in candidates:
-            hp = jvm.org.apache.hadoop.fs.Path(p)
-            if hp.getFileSystem(conf).exists(hp):
-                paths.append(p)
-    except Exception:  # pragma: no cover — connect-mode / no gateway
-        import os
-
-        paths = [p for p in candidates if os.path.isdir(p)]
+    paths = _existing_paths(spark, [f"{path}/tb={b}" for b in buckets])
     if not paths:
         return spark.createDataFrame([], empty_schema or _TERM_INDEX_SCHEMA)
     df = spark.read.parquet(*paths)
@@ -946,19 +954,9 @@ def probe_block_max(
     caller's skip plan degrades to decode-everything, never to wrong
     answers)."""
     buckets = sorted({term_bucket_of(t, n_buckets) for t in terms})
-    candidates = [f"{path}/{_BLOCKMAX_DIR}/tb={b}" for b in buckets]
-    try:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        paths = []
-        for p in candidates:
-            hp = jvm.org.apache.hadoop.fs.Path(p)
-            if hp.getFileSystem(conf).exists(hp):
-                paths.append(p)
-    except Exception:  # pragma: no cover — connect-mode / no gateway
-        import os
-
-        paths = [p for p in candidates if os.path.isdir(p)]
+    paths = _existing_paths(
+        spark, [f"{path}/{_BLOCKMAX_DIR}/tb={b}" for b in buckets]
+    )
     if not paths:
         return spark.createDataFrame(
             [], "term STRING, shard BIGINT, max_tf BIGINT"
@@ -1402,16 +1400,7 @@ def read_tombstones(spark, path: str) -> DataFrame:
     Existence goes through the Hadoop FS API (object-storage-safe,
     the probe_term_index precedent)."""
     p = f"{path}/{_TOMBSTONE_DIR}"
-    try:
-        jvm = spark._jvm
-        conf = spark._jsc.hadoopConfiguration()
-        hp = jvm.org.apache.hadoop.fs.Path(p)
-        exists = hp.getFileSystem(conf).exists(hp)
-    except Exception:  # pragma: no cover — connect-mode / no gateway
-        import os
-
-        exists = os.path.isdir(p)
-    if not exists:
+    if not _existing_paths(spark, [p]):
         return spark.createDataFrame([], "doc_id BIGINT")
     return spark.read.parquet(p)
 

@@ -1119,13 +1119,20 @@ def _build_topk_index(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     return root
 
 
-def _topk_index_parts(spark: SparkSession, root: str):
+def _topk_index_parts(
+    spark: SparkSession,
+    root: str,
+    terms: tuple[str, ...] = _TOPK_TERMS,
+    empty_schema: str = _SHARDED_SCHEMA,
+):
     """Shared retrieval plumbing over a built index root — EVERY input
     is an index artifact: probed shard rows, full-corpus per-term df
     (summed off shard metadata — no decode), round-6 idf, the rarest
     term (min df, term tiebreak), and doc lengths + the 1-row
     (n_docs, avgdl) stats from the _norms sidecar (one narrow
-    index-local scan, never the corpus)."""
+    index-local scan, never the corpus).  ONE definition of the idf /
+    stats arithmetic for every retrieval family (L40g and the L40h
+    reranker), so the rounding discipline cannot drift between them."""
     from pyspec_spark.operators.text import probe_term_index, read_norms
 
     dl = read_norms(spark, root)
@@ -1134,7 +1141,7 @@ def _topk_index_parts(spark: SparkSession, root: str):
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
     )
     probed = probe_term_index(
-        spark, root, list(_TOPK_TERMS), empty_schema=_SHARDED_SCHEMA
+        spark, root, list(terms), empty_schema=empty_schema
     )
     dfs = probed.groupBy("term").agg(F.sum("df_shard").alias("df"))
     rare = dfs.orderBy("df", "term").limit(1).select("term")
@@ -1255,10 +1262,19 @@ def q_index_topk_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("theta")
     )
 
-    # ---- phase 2: block-max shard bounds for the non-rare terms
+    # ---- phase 2: block-max shard bounds for the non-rare terms.
+    # The bound table LEFT-joins the sidecar onto the PROBED shard
+    # rows: a posting row with no sidecar coverage (sidecar missing
+    # after a compaction, or a failed sidecar write) has an UNKNOWN
+    # bound and must be KEPT — probe_block_max's contract is that a
+    # degraded sidecar costs decode work, never correctness.  Dropping
+    # a shard is only legal when EVERY non-rare posting row in it has
+    # a known bound and their sum still misses θ.
     bm = probe_block_max(spark, root, list(_TOPK_TERMS))
     ub = (
-        bm.join(F.broadcast(rare), "term", "left_anti")
+        probed.join(F.broadcast(rare), "term", "left_anti")
+        .select("term", "shard")
+        .join(bm, ["term", "shard"], "left")
         .join(F.broadcast(idf), "term")
         .select(
             "shard",
@@ -1269,11 +1285,19 @@ def q_index_topk_or(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ub"),
         )
         .groupBy("shard")
-        .agg(F.sum("ub").alias("tot_ub"))
+        .agg(
+            F.sum("ub").alias("tot_ub"),
+            F.sum(F.when(F.col("ub").isNull(), 1).otherwise(0)).alias(
+                "n_unknown"
+            ),
+        )
     )
     kept2_shards = (
         ub.crossJoin(F.broadcast(theta))
-        .where(F.col("tot_ub") >= F.col("theta") - _BM_MARGIN)
+        .where(
+            (F.col("n_unknown") > 0)
+            | (F.col("tot_ub") >= F.col("theta") - _BM_MARGIN)
+        )
         .select("shard")
         .join(F.broadcast(cand_shards), "shard", "left_anti")
     )
@@ -1382,8 +1406,6 @@ def q_proximity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _POSITIONAL_SCHEMA,
         decode_positional,
         positional_postings,
-        probe_term_index,
-        read_norms,
         write_norms,
         write_term_index,
     )
@@ -1399,27 +1421,13 @@ def q_proximity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.size(F.split("text", " ")).alias("dl")), root
     )
 
-    # ---- retrieval stage, index artifacts only
-    probed = probe_term_index(
-        spark, root, [_RR_A, _RR_B], empty_schema=_POSITIONAL_SCHEMA
+    # ---- retrieval stage, index artifacts only (shared plumbing:
+    # idf/stats arithmetic is _topk_index_parts', never re-derived)
+    probed, dfs, _rare, idf, dl, stats = _topk_index_parts(
+        spark, root, terms=(_RR_A, _RR_B), empty_schema=_POSITIONAL_SCHEMA
     )
     decoded = decode_positional(
         probed.select("term", "shard", "postings"), shard_size=_TOPK_SHARD
-    )
-    dfs = probed.groupBy("term").agg(F.sum("df_shard").alias("df"))
-    dl = read_norms(spark, root)
-    stats = dl.agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
-    )
-    idf = dfs.crossJoin(F.broadcast(stats)).select(
-        "term",
-        F.round(
-            F.log(
-                1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            ),
-            6,
-        ).alias("idf"),
     )
     pool = (
         _score_decoded(decoded.select("term", "doc_id", "tf"), idf, dl, stats)
@@ -1429,13 +1437,18 @@ def q_proximity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- rerank stage: min term distance from the SAME decoded
-    # positions, evaluated on the ≤20-row pool only
-    a = decoded.where(F.col("term") == _RR_A).select(
-        "doc_id", F.col("positions").alias("_pa")
-    )
-    b = decoded.where(F.col("term") == _RR_B).select(
-        "doc_id", F.col("positions").alias("_pb")
-    )
+    # positions.  Both position streams are FIRST restricted to the
+    # ≤20-row pool (broadcast semi-join) — without that, the pairwise
+    # |pa|×|pb| distance expansion and the broadcast of its result
+    # would be corpus-proportional for common terms, exactly the cost
+    # the constant-size pool exists to cap.
+    pool_ids = pool.select("doc_id")
+    a = decoded.where(F.col("term") == _RR_A).join(
+        F.broadcast(pool_ids), "doc_id", "left_semi"
+    ).select("doc_id", F.col("positions").alias("_pa"))
+    b = decoded.where(F.col("term") == _RR_B).join(
+        F.broadcast(pool_ids), "doc_id", "left_semi"
+    ).select("doc_id", F.col("positions").alias("_pb"))
     mind = (
         a.join(b, "doc_id")
         .select(

@@ -37,6 +37,14 @@ from pyspark.sql import DataFrame, SparkSession
 CORRUPT_COL = "_malformed"
 
 
+def permissive_schema(schema: str) -> str:
+    """The PERMISSIVE read schema: caller's contract + the quarantine
+    column.  One definition — the batch readers and the streaming
+    ingest face must never drift on the quarantine column's name or
+    type (the stream-end == batch-read twin tests assume they agree)."""
+    return f"{schema}, {CORRUPT_COL} STRING"
+
+
 def write_jsonl(df: DataFrame, path: str, compression: str | None = None) -> None:
     """Write one JSON object per line (the corpus-interchange shape),
     one file per partition."""
@@ -60,9 +68,11 @@ def read_jsonl(
     with all data columns null for that row — filter on it for the
     quarantine stream.  ``DROPMALFORMED`` / ``FAILFAST`` behave as the
     Spark reader defines."""
-    full = schema
-    if mode.upper() == "PERMISSIVE":
-        full = f"{schema}, {corrupt_col} STRING"
+    full = (
+        f"{schema}, {corrupt_col} STRING"
+        if mode.upper() == "PERMISSIVE"
+        else schema
+    )
     return (
         spark.read.schema(full)
         .option("mode", mode)
@@ -101,9 +111,11 @@ def read_csv(
     same malformed-line policy surface as read_jsonl (PERMISSIVE
     quarantines lines whose field count or types violate the schema,
     e.g. a truncated upload or a stray unquoted delimiter)."""
-    full = schema
-    if mode.upper() == "PERMISSIVE":
-        full = f"{schema}, {corrupt_col} STRING"
+    full = (
+        f"{schema}, {corrupt_col} STRING"
+        if mode.upper() == "PERMISSIVE"
+        else schema
+    )
     return (
         spark.read.schema(full)
         .option("header", "true")

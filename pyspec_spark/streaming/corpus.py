@@ -433,7 +433,7 @@ def ingest_jsonl_stream(
     src_dir: str,
     schema: str,
     land_path: str,
-    checkpoint: str | None = None,
+    checkpoint: str,
     mode: str = "PERMISSIVE",
     max_files_per_trigger: int | None = None,
 ) -> None:
@@ -454,14 +454,24 @@ def ingest_jsonl_stream(
     design).  ``batch=`` doubles as a partition column: per-batch
     lineage for free.
 
+    ``checkpoint`` is REQUIRED, not optional: batch-scoped overwrite
+    only gives idempotency when batch ids are stable across runs,
+    which is the checkpoint's job — a checkpoint-less re-drain would
+    reprocess everything as batch 0, overwrite only that dir, and
+    leave the prior run's higher batch dirs as silent duplicates.
+
     ``max_files_per_trigger`` bounds batch size (ingest pacing);
     availableNow drains everything discoverable and stops — callers
     wanting a long-lived stream swap the trigger."""
-    from pyspec_spark.sources.textlines import CORRUPT_COL
+    from pyspec_spark.sources.textlines import CORRUPT_COL, permissive_schema
 
-    full = schema
-    if mode.upper() == "PERMISSIVE":
-        full = f"{schema}, {CORRUPT_COL} STRING"
+    if not checkpoint:
+        raise ValueError(
+            "ingest_jsonl_stream: a checkpoint location is required — "
+            "without it batch ids restart at 0 on every run and stale "
+            "batch= dirs from prior runs silently duplicate rows"
+        )
+    full = permissive_schema(schema) if mode.upper() == "PERMISSIVE" else schema
     reader = (
         spark.readStream.schema(full)
         .option("mode", mode)
@@ -476,8 +486,11 @@ def ingest_jsonl_stream(
             f"{land_path}/batch={batch_id}"
         )
 
-    writer = stream.writeStream.foreachBatch(sink).outputMode("append")
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    q = writer.trigger(availableNow=True).start()
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
     q.awaitTermination()

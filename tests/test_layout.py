@@ -1332,3 +1332,32 @@ def test_topk_serving_is_corpus_scan_free(spark):
         assert not any("documents.parquet" in f for f in files), files
         assert any("_norms" in f for f in files)
         assert any("/tb=" in f for f in files)
+
+
+def test_topk_or_degrades_safely_without_blockmax_sidecar(
+    spark, tmp_path, monkeypatch
+):
+    """probe_block_max's contract: a missing/empty sidecar costs
+    decode work, never correctness.  Force the sidecar probe to come
+    back EMPTY (a failed sidecar write, or a compacted root whose
+    sidecar was not re-derived) — phase 2 must then keep every
+    unknown-bound shard and the result must still equal the oracle,
+    not silently drop every non-rare-shard document."""
+    import pyspec_spark.operators.text as text_ops
+    from pyspec_spark.queries import text_ranking as tr
+
+    sf = _topk_synth_docs(spark, tmp_path)
+    want = [(int(d), float(b)) for d, b in _topk_oracle_rows(sf, "q_index_topk_or")]
+
+    real = text_ops.probe_block_max
+
+    def empty_probe(spark_, path, terms, n_buckets=text_ops.TERM_INDEX_BUCKETS):
+        df = real(spark_, path, terms, n_buckets)
+        return df.where("1 = 0")  # schema-correct, zero rows
+
+    monkeypatch.setattr(text_ops, "probe_block_max", empty_probe)
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in tr.q_index_topk_or.__wrapped__(spark, sf).collect()
+    ]
+    assert got == want
