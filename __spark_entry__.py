@@ -59,6 +59,7 @@ _FRESH: list[str] = [
     "q_jsonl_roundtrip",   # r10: JSONL ingest + quarantine policy (S8)
     "q_csv_roundtrip",     # r10: CSV ingest + quarantine policy (S9)
     "q_proximity_rerank",  # r10: retrieve-then-rerank off one positional index (L40h)
+    "q_train_order",       # r10: scalable seeded global shuffle + shards (L45)
 ]
 # r10 rotation rework (VERDICT r9 task 4): cumulative driver coverage
 # is COMPLETE (195/195 oracle queries have a hard green row across

@@ -1415,3 +1415,63 @@ def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("kept")
     )
     return out.withColumn("verdict", verdict).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L45 training-order materialization (r10) — the seeded GLOBAL SHUFFLE
+# every training run consumes its mix through, done the way it scales:
+# the naive ROW_NUMBER() OVER (ORDER BY md5(seed||id)) is a
+# single-partition window (the whole corpus through one reducer); the
+# engine's operators/ordering.global_order_index computes the SAME
+# exact positions via the two-level rank — 256 md5-first-byte buckets
+# (hex-prefix order is monotone in the key order, so bucket-major
+# equals global order by construction), per-bucket windows in
+# parallel, bucket offsets from a 256-row prefix sum.  The oracle IS
+# the naive formulation in DuckDB, so the scalable plan must
+# reproduce the single-funnel semantics row-for-row; the plan gate
+# pins that the corpus-sized window is hash-partitioned (the 256-row
+# offsets window is the only single-partition one).  shard /
+# pos_in_shard are the fixed-size dataloader coordinates
+# (write_train_shards materializes shard=K/ dirs a loader reads
+# partition-pruned, in order).
+# ---------------------------------------------------------------------------
+_TORDER_SEED = "r10s"
+_TORDER_SHARD = 256
+
+_TRAIN_ORDER_ORACLE = f"""
+WITH k AS (
+  SELECT doc_id, md5('{_TORDER_SEED}' || CAST(doc_id AS VARCHAR)) AS key
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+  FROM k
+)
+SELECT doc_id, pos,
+       CAST(pos // {_TORDER_SHARD} AS BIGINT) AS shard,
+       CAST(pos % {_TORDER_SHARD} AS BIGINT) AS pos_in_shard
+FROM r
+ORDER BY doc_id
+"""
+
+
+@query("q_train_order", oracle=_TRAIN_ORDER_ORACLE)
+def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.ordering import (
+        assign_train_shards,
+        global_order_index,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    ordered = global_order_index(docs, "doc_id", seed=_TORDER_SEED)
+    return (
+        assign_train_shards(ordered, _TORDER_SHARD)
+        .select(
+            "doc_id",
+            "pos",
+            F.col("shard").cast("long").alias("shard"),
+            F.col("pos_in_shard").cast("long").alias("pos_in_shard"),
+        )
+        .orderBy("doc_id")
+    )

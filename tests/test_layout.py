@@ -1361,3 +1361,49 @@ def test_topk_or_degrades_safely_without_blockmax_sidecar(
         for r in tr.q_index_topk_or.__wrapped__(spark, sf).collect()
     ]
     assert got == want
+
+
+def test_train_shards_layout_replays_order_partition_pruned(spark, tmp_path):
+    """write_train_shards (L45): shard=K dirs on disk, a dataloader
+    reading ONE shard gets exactly its fixed-size slice of the seeded
+    global order (partition-pruned read), and concatenating shards in
+    (shard, pos_in_shard) order replays the full permutation."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.ordering import (
+        global_order_index,
+        write_train_shards,
+    )
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    ordered = global_order_index(docs, "doc_id", seed="t")
+    base = str(tmp_path / "shards")
+    write_train_shards(ordered, base, shard_size=128)
+
+    dirs = sorted(d for d in os.listdir(base) if d.startswith("shard="))
+    assert len(dirs) == 8  # ceil(1000/128)
+
+    at_rest = spark.read.parquet(base)
+    one = at_rest.where("shard = 3")
+    # partition pruning visible on the scan
+    from pyspec_spark.plans import physical_plan
+
+    plan = physical_plan(one)
+    assert any(
+        "PartitionFilters" in ln and "shard" in ln
+        for ln in plan.splitlines()
+    ), plan[:1500]
+    got = [r.doc_id for r in one.orderBy("pos_in_shard").collect()]
+    want = [
+        r.doc_id
+        for r in ordered.orderBy("pos").collect()[3 * 128 : 4 * 128]
+    ]
+    assert got == want and len(got) == 128
+    # full replay across shards
+    allg = [
+        r.doc_id
+        for r in at_rest.orderBy("shard", "pos_in_shard").collect()
+    ]
+    assert allg == [r.doc_id for r in ordered.orderBy("pos").collect()]

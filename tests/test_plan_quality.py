@@ -945,3 +945,34 @@ def test_triangles_degree_orientation_plan_no_cartesian(spark):
     p = physical_plan(triangle_memberships(df, orient="degree"))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_train_order_window_is_bucket_partitioned(spark):
+    """L45's whole point: the corpus-sized ranking window must be
+    PARTITIONED (256 md5-prefix buckets), never the naive global
+    ROW_NUMBER's single-partition funnel.  The only SinglePartition
+    window allowed in this plan is the 256-row bucket-offset prefix
+    sum."""
+    plan = _plan(spark, "q_train_order")
+    assert "hashpartitioning(_bucket" in plan, plan[:2000]
+
+
+def test_train_order_positions_are_a_permutation(spark):
+    """pos must be exactly 0..n-1 (no gaps/dupes across the
+    bucket-offset splice) and follow the seeded md5 order."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark import registry
+
+    df = registry.QUERIES["q_train_order"].__wrapped__(spark, SF)
+    n, mn, mx, d = df.agg(
+        F.count("*"), F.min("pos"), F.max("pos"), F.countDistinct("pos")
+    ).collect()[0]
+    assert (mn, mx, d) == (0, n - 1, n)
+    rows = df.orderBy("pos").limit(5).collect()
+    import hashlib
+
+    keys = [
+        hashlib.md5(f"r10s{r.doc_id}".encode()).hexdigest() for r in rows
+    ]
+    assert keys == sorted(keys)  # the order really is the seeded key order
