@@ -917,28 +917,107 @@ def write_block_max(
 
 
 _NORMS_DIR = "_norms"
+_NORMS_STATS_DIR = "_norms_stats"
 
 
-def write_norms(dl: DataFrame, path: str) -> None:
+def write_norms(dl: DataFrame, path: str, shard_size: int | None = None) -> None:
     """Write the per-document length norms sidecar under the index
     root (``_norms`` — hidden like ``_tombstones``/``_blockmax``).
     BM25's length normalization needs every candidate's dl and the
     corpus (n_docs, avgdl); storing them WITH the index is what makes
     serving corpus-scan-free — the production shape (Lucene norms).
     ``dl`` is (doc_id, dl); appends compose for incremental builds
-    (disjoint doc-id ranges, the append_term_index contract)."""
+    (disjoint doc-id ranges, the append_term_index contract).
+
+    With ``shard_size`` the norms are PARTITIONED by doc-range bucket
+    (nb = doc_id ÷ shard_size — the posting shards' own granularity),
+    so a query whose candidate doc ranges are known reads only those
+    buckets (probe_norms), never the corpus-length table.
+
+    The collection statistics (n_docs, sum_dl) land as a 1-row
+    ``_norms_stats`` sidecar: serving must not pay a corpus-length
+    aggregate per query for two numbers the build already knows.
+    Appends compose here too — readers SUM across rows (exact bigint
+    sums, so avgdl = sum/count is reproducible to the last bit)."""
+    dl = dl.select(F.col("doc_id").cast("long"), F.col("dl").cast("long"))
+    if shard_size is not None:
+        (
+            dl.withColumn(
+                "nb", (F.col("doc_id") / F.lit(shard_size)).cast("long")
+            )
+            .repartition(F.col("nb"))
+            .write.partitionBy("nb")
+            .mode("append")
+            .parquet(f"{path}/{_NORMS_DIR}")
+        )
+    else:
+        dl.write.mode("append").parquet(f"{path}/{_NORMS_DIR}")
     (
-        dl.select(F.col("doc_id").cast("long"), F.col("dl").cast("long"))
+        dl.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        )
+        .coalesce(1)
         .write.mode("append")
-        .parquet(f"{path}/{_NORMS_DIR}")
+        .parquet(f"{path}/{_NORMS_STATS_DIR}")
     )
 
 
 def read_norms(spark, path: str) -> DataFrame:
-    """The index's (doc_id, dl) norms table.  Loud failure when the
-    sidecar is missing — silently falling back to a corpus scan would
-    defeat the reason it exists."""
-    return spark.read.parquet(f"{path}/{_NORMS_DIR}")
+    """The index's (doc_id, dl) norms table (bucket column dropped —
+    callers join on doc_id).  An EMPTY-corpus build writes the sidecar
+    dir with no data files (the partitioned writer emits nothing for
+    zero rows), which reads as an empty frame here; a MISSING dir
+    still fails loudly — silently falling back to a corpus scan would
+    defeat the reason the sidecar exists."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return (
+            spark.read.parquet(f"{path}/{_NORMS_DIR}")
+            .select("doc_id", "dl")
+        )
+    except AnalysisException as e:
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], "doc_id BIGINT, dl BIGINT")
+        raise
+
+
+def read_norm_stats(spark, path: str) -> DataFrame:
+    """The 1-row collection statistics (n_docs, avgdl) off the
+    ``_norms_stats`` sidecar — summed across append rows (exact
+    bigint), divided once.  The per-query corpus aggregate this
+    replaces was the last corpus-length operation in the serving
+    path."""
+    return (
+        spark.read.parquet(f"{path}/{_NORMS_STATS_DIR}")
+        .agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+        )
+        .select(
+            "n_docs",
+            (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+        )
+    )
+
+
+def probe_norms(
+    spark, path: str, shards: list[int], empty_ok: bool = False
+) -> DataFrame:
+    """Bucket-pruned norms read: only the ``nb=`` dirs of the given
+    doc-range shard ids (the probe_term_index directory math on the
+    norms sidecar).  The caller supplies a BOUNDED shard list — e.g.
+    the rarest term's shards, whose count is capped by df(rarest) ÷
+    shard_size."""
+    paths = _existing_paths(
+        spark, [f"{path}/{_NORMS_DIR}/nb={s}" for s in sorted(set(shards))]
+    )
+    if not paths:
+        if empty_ok:
+            return spark.createDataFrame([], "doc_id BIGINT, dl BIGINT")
+        raise FileNotFoundError(
+            f"probe_norms: no norm buckets under {path} for {shards!r}"
+        )
+    return spark.read.parquet(*paths).select("doc_id", "dl")
 
 
 def probe_block_max(

@@ -1113,8 +1113,13 @@ def _build_topk_index(spark: SparkSession, sf_dir: str, prefix: str) -> str:
     root = _tmp_root(prefix)
     write_term_index(sharded_postings(_tf(spark, sf_dir), _TOPK_SHARD), root)
     docs = table(spark, sf_dir, "documents")
+    # norms bucketed at the posting shards' own doc-range granularity
+    # (candidate ranges map 1:1 onto norm buckets) + the 1-row
+    # collection stats — serving never aggregates the corpus again
     write_norms(
-        docs.select("doc_id", F.size(F.split("text", " ")).alias("dl")), root
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("dl")),
+        root,
+        shard_size=_TOPK_SHARD,
     )
     return root
 
@@ -1133,13 +1138,18 @@ def _topk_index_parts(
     index-local scan, never the corpus).  ONE definition of the idf /
     stats arithmetic for every retrieval family (L40g and the L40h
     reranker), so the rounding discipline cannot drift between them."""
-    from pyspec_spark.operators.text import probe_term_index, read_norms
+    from pyspec_spark.operators.text import (
+        probe_term_index,
+        read_norm_stats,
+        read_norms,
+    )
 
     dl = read_norms(spark, root)
-    stats = dl.agg(
-        F.count("*").alias("n_docs"),
-        F.avg(F.col("dl").cast("double")).alias("avgdl"),
-    )
+    # (n_docs, avgdl) from the build-time stats sidecar: sum_dl is an
+    # exact bigint, so sum/count equals the corpus aggregate to the
+    # last bit (integer-valued doubles below 2^53 add exactly) — and
+    # the per-query corpus-length reduction is gone
+    stats = read_norm_stats(spark, root)
     probed = probe_term_index(
         spark, root, list(terms), empty_schema=empty_schema
     )
@@ -1188,7 +1198,7 @@ def _score_decoded(decoded: DataFrame, idf: DataFrame, dl: DataFrame, stats: Dat
 
 @query("q_index_topk_and", oracle=_topk_oracle(conjunctive=True))
 def q_index_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspec_spark.operators.text import decode_postings
+    from pyspec_spark.operators.text import decode_postings, probe_norms
 
     root = _build_topk_index(spark, sf_dir, "pyspec_topk_and_")
     probed, dfs, rare, idf, dl, stats = _topk_index_parts(spark, root)
@@ -1196,18 +1206,34 @@ def q_index_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and doc-range sharding puts a doc in the SAME shard id for every
     # term — so restricting ALL terms to the rare term's shard set
     # loses no candidate while skipping the frequent terms' postings
-    # everywhere the rare term is absent.
-    cand_shards = (
-        probed.join(F.broadcast(rare), "term", "left_semi")
-        .select("shard")
-        .distinct()
+    # everywhere the rare term is absent.  The shard set is resolved
+    # DRIVER-side (two bounded collects over the probed metadata —
+    # |terms| rows, then ≤ df(rarest)÷shard_size shard ids, the
+    # probe_term_index literal-list pattern): candidate NORM buckets
+    # are then literal directories too, so doc lengths are read
+    # bucket-pruned (probe_norms) instead of corpus-length.
+    rare_rows = dfs.orderBy("df", "term").limit(1).collect()
+    shard_ids = (
+        sorted(
+            r["shard"]
+            for r in probed.where(F.col("term") == rare_rows[0]["term"])
+            .select("shard")
+            .distinct()
+            .collect()
+        )
+        if rare_rows
+        else []
+    )
+    cand_shards = spark.createDataFrame(
+        [(int(s),) for s in shard_ids], "shard BIGINT"
     )
     kept = probed.join(F.broadcast(cand_shards), "shard", "left_semi")
     decoded = decode_postings(
         kept.select("term", "shard", "postings"), shard_size=_TOPK_SHARD
     )
+    dl_pruned = probe_norms(spark, root, shard_ids, empty_ok=True)
     return (
-        _score_decoded(decoded, idf, dl, stats)
+        _score_decoded(decoded, idf, dl_pruned, stats)
         .where(F.col("n_terms") == len(_TOPK_TERMS))
         .select("doc_id", "bm25")
         .orderBy(F.desc("bm25"), "doc_id")
@@ -1418,8 +1444,15 @@ def q_proximity_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _tmp_root("pyspec_rerank_idx_")
     write_term_index(positional_postings(tok, _TOPK_SHARD), root)
     write_norms(
-        docs.select("doc_id", F.size(F.split("text", " ")).alias("dl")), root
+        docs.select("doc_id", F.size(F.split("text", " ")).alias("dl")),
+        root,
+        shard_size=_TOPK_SHARD,
     )
+    # Unlike q_index_topk_and, the pool stage here scores EVERY doc
+    # holding either (frequent) query term, so the candidate shard set
+    # is ~all shards and the norms read stays the full (narrow,
+    # column-pruned) sidecar — the bucket-pruned probe_norms path is
+    # the rare-term story; a serving deployment composes both.
 
     # ---- retrieval stage, index artifacts only (shared plumbing:
     # idf/stats arithmetic is _topk_index_parts', never re-derived)

@@ -1407,3 +1407,37 @@ def test_train_shards_layout_replays_order_partition_pruned(spark, tmp_path):
         for r in at_rest.orderBy("shard", "pos_in_shard").collect()
     ]
     assert allg == [r.doc_id for r in ordered.orderBy("pos").collect()]
+
+
+def test_topk_and_norms_read_is_bucket_pruned(spark, tmp_path):
+    """The r10 serving refinement: doc lengths come from the _norms
+    sidecar bucketed at posting-shard granularity, and the conjunctive
+    query probes ONLY the rare term's norm buckets — on the skewed
+    corpus ('dup' docs 40..49, shard size 64) that is nb=0 alone, out
+    of 4 norm buckets on disk.  Also pins the _norms_stats sidecar:
+    serving runs no corpus-length aggregate (stats files, not the dl
+    table, feed n_docs/avgdl)."""
+    import os
+
+    from pyspec_spark.queries import text_ranking as tr
+
+    sf = _topk_synth_docs(spark, tmp_path)
+    df = tr.q_index_topk_and.__wrapped__(spark, sf)
+    files = df.inputFiles()
+    norm_dirs = {
+        seg
+        for f in files
+        if "_norms/" in f
+        for seg in f.split("/")
+        if seg.startswith("nb=")
+    }
+    assert norm_dirs == {"nb=0"}, norm_dirs
+    assert any("_norms_stats" in f for f in files)
+    # the layout really has more buckets than the probe touched
+    root = next(f.split("/_norms/")[0] for f in files if "_norms/" in f)
+    root = root.replace("file:", "")
+    on_disk = {
+        d for d in os.listdir(os.path.join(root, "_norms"))
+        if d.startswith("nb=")
+    }
+    assert len(on_disk) == 4 and "nb=0" in on_disk
