@@ -60,6 +60,7 @@ _FRESH: list[str] = [
     "q_csv_roundtrip",     # r10: CSV ingest + quarantine policy (S9)
     "q_proximity_rerank",  # r10: retrieve-then-rerank off one positional index (L40h)
     "q_train_order",       # r10: scalable seeded global shuffle + shards (L45)
+    "q_data_contract",     # r10: Deequ-style data-quality contract (V1)
 ]
 # r10 rotation rework (VERDICT r9 task 4): cumulative driver coverage
 # is COMPLETE (195/195 oracle queries have a hard green row across

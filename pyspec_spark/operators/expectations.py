@@ -1,0 +1,100 @@
+"""Data-quality contracts — "unit tests for data" in one pass.
+
+Reference loci (SURVEY.md §0 policy): absent from `stuwilkins/pyspec`
+[H] — north-star: the production pattern of Deequ (Schelter et al.,
+VLDB 2018) and dbt tests, re-expressed as plain aggregates.  A corpus
+or warehouse pipeline gates every landing on a CONTRACT: completeness,
+range/set membership, key uniqueness, referential integrity — and the
+report must come from exact counts, not samples.
+
+Scale shape (the whole point of the design):
+- every ROW-LEVEL check is one SUM(CASE WHEN …) expression, so N
+  checks share ONE aggregation pass over ONE scan (map-side partial
+  aggregation; adding a check adds an expression, never a pass);
+- key uniqueness rides the SAME pass as COUNT(DISTINCT keys);
+- referential integrity is the only extra job: one LEFT ANTI join
+  against the parent keys, reduced to one number;
+- the report assembles driver-free: the 1-row count frame explodes
+  into (check, metric, threshold, ok) rows in-plan.
+
+Metrics are pass-fractions ROUND(ok/total, 6) — exact integer counts
+under one terminal division, the repo's determinism rule — and an
+empty table passes vacuously (the Deequ convention)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def run_contract(
+    df: DataFrame,
+    row_checks: list[tuple[str, Column, float]],
+    unique_key: tuple[str, list[str], float] | None = None,
+    referential: tuple[str, DataFrame, Column, float] | None = None,
+) -> DataFrame:
+    """Evaluate a contract against ``df``.
+
+    ``row_checks``: (name, predicate, min_pass_fraction) — predicate
+    is any boolean Column over df's row.
+    ``unique_key``: (name, key_cols, min_distinct_fraction).
+    ``referential``: (name, parent_df, join_condition,
+    min_child_with_parent_fraction); parent_df should be the parent
+    KEY table (projected — it is scanned once).
+
+    Returns (check, metric, threshold, ok), one row per check, in
+    declaration order (stable output for oracles and reports)."""
+    aggs = [F.count(F.lit(1)).alias("_total")]
+    for i, (_, pred, _) in enumerate(row_checks):
+        aggs.append(
+            F.sum(F.when(pred, 1).otherwise(0)).alias(f"_c{i}")
+        )
+    if unique_key is not None:
+        aggs.append(
+            F.countDistinct(*unique_key[1]).alias("_uniq")
+        )
+    counts = df.agg(*aggs)
+    if referential is not None:
+        _, parent, cond, _ = referential
+        orphans = (
+            df.join(parent, cond, "left_anti")
+            .agg(F.count(F.lit(1)).alias("_orphans"))
+        )
+        counts = counts.crossJoin(F.broadcast(orphans))
+
+    def frac(num: Column) -> Column:
+        # empty table -> vacuous pass (the Deequ convention); the
+        # branch, not coalesce — ANSI mode (Spark 4 default) makes
+        # x/0 an ERROR, not a null
+        return F.when(F.col("_total") == 0, F.lit(1.0)).otherwise(
+            F.round(num.cast("double") / F.col("_total"), 6)
+        )
+
+    entries = []
+    for i, (name, _, thr) in enumerate(row_checks):
+        entries.append((name, frac(F.col(f"_c{i}")), thr))
+    if unique_key is not None:
+        entries.append((unique_key[0], frac(F.col("_uniq")), unique_key[2]))
+    if referential is not None:
+        entries.append(
+            (
+                referential[0],
+                frac(F.col("_total") - F.col("_orphans")),
+                referential[3],
+            )
+        )
+    report = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("check"),
+                metric.alias("metric"),
+                F.lit(float(thr)).alias("threshold"),
+            )
+            for name, metric, thr in entries
+        ]
+    )
+    return (
+        counts.select(F.explode(report).alias("r"))
+        .select("r.check", "r.metric", "r.threshold")
+        .withColumn("ok", F.col("metric") >= F.col("threshold"))
+    )

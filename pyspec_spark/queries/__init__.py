@@ -19,4 +19,5 @@ import pyspec_spark.queries.curation  # noqa: F401
 import pyspec_spark.queries.graph  # noqa: F401
 import pyspec_spark.queries.lake_queries  # noqa: F401
 import pyspec_spark.queries.ingest  # noqa: F401
+import pyspec_spark.queries.contracts  # noqa: F401
 import pyspec_spark.queries.plots  # noqa: F401
