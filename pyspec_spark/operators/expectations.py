@@ -50,8 +50,14 @@ def run_contract(
             F.sum(F.when(pred, 1).otherwise(0)).alias(f"_c{i}")
         )
     if unique_key is not None:
+        # countDistinct over a STRUCT, not bare columns: SQL
+        # COUNT(DISTINCT a, b) skips any tuple containing a NULL,
+        # which both diverges from DuckDB's COUNT(DISTINCT (a, b))
+        # (a struct with a null field is itself non-null) and is the
+        # wrong uniqueness semantics for a contract — a null key that
+        # appears twice IS a duplicate (the Deequ convention).
         aggs.append(
-            F.countDistinct(*unique_key[1]).alias("_uniq")
+            F.countDistinct(F.struct(*unique_key[1])).alias("_uniq")
         )
     counts = df.agg(*aggs)
     if referential is not None:

@@ -938,8 +938,16 @@ def write_norms(dl: DataFrame, path: str, shard_size: int | None = None) -> None
     ``_norms_stats`` sidecar: serving must not pay a corpus-length
     aggregate per query for two numbers the build already knows.
     Appends compose here too — readers SUM across rows (exact bigint
-    sums, so avgdl = sum/count is reproducible to the last bit)."""
-    dl = dl.select(F.col("doc_id").cast("long"), F.col("dl").cast("long"))
+    sums, so avgdl = sum/count is reproducible to the last bit).
+    ``dl`` is persisted for the call's duration: the norms write and
+    the stats aggregate would otherwise each re-run its upstream
+    lineage (typically a full corpus tokenize — the dominant build
+    cost paid twice).  Reading the just-written sidecar back is NOT
+    an alternative under appends: the stats row must cover THIS
+    increment's rows only, and a read-back sees prior appends too."""
+    dl = dl.select(
+        F.col("doc_id").cast("long"), F.col("dl").cast("long")
+    ).persist()
     if shard_size is not None:
         (
             dl.withColumn(
@@ -952,14 +960,17 @@ def write_norms(dl: DataFrame, path: str, shard_size: int | None = None) -> None
         )
     else:
         dl.write.mode("append").parquet(f"{path}/{_NORMS_DIR}")
-    (
-        dl.agg(
-            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    try:
+        (
+            dl.agg(
+                F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(f"{path}/{_NORMS_STATS_DIR}")
         )
-        .coalesce(1)
-        .write.mode("append")
-        .parquet(f"{path}/{_NORMS_STATS_DIR}")
-    )
+    finally:
+        dl.unpersist()
 
 
 def read_norms(spark, path: str) -> DataFrame:
@@ -977,9 +988,27 @@ def read_norms(spark, path: str) -> DataFrame:
             .select("doc_id", "dl")
         )
     except AnalysisException as e:
-        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+        if "UNABLE_TO_INFER_SCHEMA" not in str(e):
+            raise
+        # no data files: legal ONLY for an empty-corpus build — the
+        # stats sidecar arbitrates (n_docs == 0).  A crashed partial
+        # write on a real corpus must stay loud, not serve an empty
+        # dl table that silently drops every candidate.
+        try:
+            n = (
+                spark.read.parquet(f"{path}/{_NORMS_STATS_DIR}")
+                .agg(F.sum("n_docs"))
+                .collect()[0][0]
+            )
+        except Exception:
+            n = None
+        if n == 0:
             return spark.createDataFrame([], "doc_id BIGINT, dl BIGINT")
-        raise
+        raise ValueError(
+            f"read_norms: {path}/{_NORMS_DIR} has no data files but the "
+            f"stats sidecar records n_docs={n!r} — partial/corrupt norms "
+            "write"
+        ) from e
 
 
 def read_norm_stats(spark, path: str) -> DataFrame:
@@ -1000,22 +1029,33 @@ def read_norm_stats(spark, path: str) -> DataFrame:
     )
 
 
-def probe_norms(
-    spark, path: str, shards: list[int], empty_ok: bool = False
-) -> DataFrame:
+def probe_norms(spark, path: str, shards: list[int]) -> DataFrame:
     """Bucket-pruned norms read: only the ``nb=`` dirs of the given
     doc-range shard ids (the probe_term_index directory math on the
     norms sidecar).  The caller supplies a BOUNDED shard list — e.g.
     the rarest term's shards, whose count is capped by df(rarest) ÷
-    shard_size."""
+    shard_size.
+
+    An empty shard list reads nothing (empty frame — the empty-corpus
+    path).  A NON-empty list whose buckets are missing raises: every
+    posting shard implies documents in that doc range, so its norm
+    bucket must exist — an unbucketed sidecar (write_norms without
+    shard_size) or a partial write must fail LOUDLY here, never
+    silently drop every candidate at the dl join (the degraded-
+    sidecar wrong-answer class)."""
+    want = sorted(set(shards))
+    if not want:
+        return spark.createDataFrame([], "doc_id BIGINT, dl BIGINT")
     paths = _existing_paths(
-        spark, [f"{path}/{_NORMS_DIR}/nb={s}" for s in sorted(set(shards))]
+        spark, [f"{path}/{_NORMS_DIR}/nb={s}" for s in want]
     )
-    if not paths:
-        if empty_ok:
-            return spark.createDataFrame([], "doc_id BIGINT, dl BIGINT")
+    if len(paths) < len(want):
+        got = {p.rsplit("nb=", 1)[1] for p in paths}
+        missing = [s for s in want if str(s) not in got]
         raise FileNotFoundError(
-            f"probe_norms: no norm buckets under {path} for {shards!r}"
+            f"probe_norms: norm buckets missing under {path}: {missing!r} "
+            "— sidecar not bucketed (write_norms needs shard_size) or a "
+            "partial write"
         )
     return spark.read.parquet(*paths).select("doc_id", "dl")
 

@@ -1211,8 +1211,12 @@ def q_index_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |terms| rows, then ≤ df(rarest)÷shard_size shard ids, the
     # probe_term_index literal-list pattern): candidate NORM buckets
     # are then literal directories too, so doc lengths are read
-    # bucket-pruned (probe_norms) instead of corpus-length.
-    rare_rows = dfs.orderBy("df", "term").limit(1).collect()
+    # bucket-pruned (probe_norms) instead of corpus-length.  The rare
+    # term comes from the helper's ONE definition of the min-df/term
+    # tiebreak (collected, not re-derived — two copies of that logic
+    # could silently desynchronize the AND pruning from the OR
+    # phase-1 seeding).
+    rare_rows = rare.collect()
     shard_ids = (
         sorted(
             r["shard"]
@@ -1231,7 +1235,7 @@ def q_index_topk_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     decoded = decode_postings(
         kept.select("term", "shard", "postings"), shard_size=_TOPK_SHARD
     )
-    dl_pruned = probe_norms(spark, root, shard_ids, empty_ok=True)
+    dl_pruned = probe_norms(spark, root, shard_ids)
     return (
         _score_decoded(decoded, idf, dl_pruned, stats)
         .where(F.col("n_terms") == len(_TOPK_TERMS))

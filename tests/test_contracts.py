@@ -35,8 +35,11 @@ def test_planted_violations_reported_exactly(spark):
     assert got["k_complete"] == (0.75, False)
     assert got["v_nonneg"] == (0.75, False)
     assert got["v_nonneg_75pct"] == (0.75, True)  # threshold honored
-    # 4 rows, distinct non-null (k, sub) tuples = {(1,1),(2,1)} -> 0.5
-    assert got["k_sub_unique"] == (0.5, False)
+    # 4 rows, distinct (k, sub) STRUCTS = {(1,1),(2,1),(NULL,2)} ->
+    # 0.75 — the null key counts as a value (DuckDB/Deequ semantics;
+    # bare countDistinct(a, b) would skip the NULL tuple and report
+    # 0.5, silently diverging from the oracle)
+    assert got["k_sub_unique"] == (0.75, False)
     # orphans: k=2 and k=NULL rows fail the anti-join -> 2/4 pass
     assert got["k_in_parent"] == (0.5, False)
 

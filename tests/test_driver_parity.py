@@ -147,6 +147,7 @@ def test_every_registered_query_is_documented_in_survey():
     Caught live in r10: q_token_entropy and q_source_kl shipped in r6
     but were only implied by their family row."""
     import os
+    import re
 
     from pyspec_spark import registry
 
@@ -154,5 +155,12 @@ def test_every_registered_query_is_documented_in_survey():
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(here, "SURVEY.md")) as f:
         text = f.read()
-    missing = sorted(n for n in registry.QUERIES if n not in text)
+    # boundary-aware match: a bare substring test would let q_topk
+    # ride on q_topk_group, q_norm on q_normalize_text, etc. — the
+    # exact vacuous pass this guard exists to prevent
+    missing = sorted(
+        n
+        for n in registry.QUERIES
+        if not re.search(re.escape(n) + r"(?![A-Za-z0-9_])", text)
+    )
     assert not missing, f"registered but absent from SURVEY.md: {missing}"
