@@ -406,6 +406,147 @@ def q_vector_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ST11c — vector-index DELETION under the oracle gate (r10): the
+# curation-deletion symmetry.  The engine's own pipeline drops
+# documents (dedup losers, quality fails, L35b split repair) and r10
+# gave the TERM index tombstones (L40e, merge-on-read) — this closes
+# the same gap for the VECTOR index, copy-on-write via lake_delete
+# (delete_vectors in streaming/vectors.py documents why the two
+# indexes want opposite designs).
+#
+# Flow: codebook = the 8 lowest vec_ids (the _VIX discipline), batch
+# assignment via assign_cells (map-side argmin, zero shuffle),
+# lake_append into a cid-partitioned root, then delete_vectors for the
+# deterministic set vec_id % 7 == 3, then the SAME probe + integer
+# micro-unit scoring as q_vector_index_roundtrip over the post-delete
+# snapshot.  The oracle replays codebook/assignment/probe/scoring off
+# the embeddings table and EXCLUDES the deleted ids from candidates
+# only (assignment ran pre-delete; the frozen codebook never moves):
+# a delete that dropped the wrong rows, rewrote an untouched cell
+# wrongly, or resurrected a deleted id through a stale manifest entry
+# flips membership, n_cand, or the value hash.
+#
+# Bounded side effect per invocation (fresh tmp root, atexit-
+# reclaimed); exempt from the zero-jobs build gate as a materializing
+# round-trip.  The touched-cells-only file accounting is pinned in
+# tests/test_streaming.py (carried-by-reference manifest entries).
+# ---------------------------------------------------------------------------
+_VDEL_MOD, _VDEL_RESID = 7, 3
+
+_VDEL_ORACLE = f"""
+WITH cb AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding
+  FROM embeddings WHERE vec_id < {_VIX_K}
+),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT e.vec_id,
+         (MIN(struct_pack(d := {_vix_sq_chain('e', 'c')}, cid := c.cid))).cid AS cid
+  FROM embeddings e, cb c
+  GROUP BY e.vec_id
+),
+probes AS (
+  SELECT c.cid, {_vix_probe_chain('c', 'q')} AS dist_micro
+  FROM cb c, qv q
+),
+probed AS (SELECT cid FROM probes ORDER BY dist_micro, cid LIMIT {_VIX_NPROBE}),
+cand AS (
+  SELECT a.vec_id, a.cid, e.embedding
+  FROM assigned a JOIN embeddings e USING (vec_id)
+  WHERE a.cid IN (SELECT cid FROM probed)
+    AND a.vec_id % {_VDEL_MOD} <> {_VDEL_RESID}
+)
+SELECT c.vec_id, c.cid,
+       {_vix_dot_chain('c', 'q')} AS dot_micro,
+       COUNT(*) OVER () AS n_cand
+FROM cand c, qv q
+ORDER BY dot_micro DESC, c.vec_id
+LIMIT {_VIX_TOPK}
+"""
+
+
+@query("q_vector_delete", oracle=_VDEL_ORACLE)
+def q_vector_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from pyspec_spark.functions.determinism import _fixed6
+    from pyspec_spark.lake import lake_append, lake_scan
+    from pyspec_spark.streaming.vectors import (
+        assign_cells,
+        delete_vectors,
+        load_centroids,
+        save_centroids,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    cb_rows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.where(F.col("vec_id") < _VIX_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not cb_rows or cb_rows[0][0] != 0:
+        return spark.createDataFrame(
+            [], "vec_id BIGINT, cid INT, dot_micro BIGINT, n_cand BIGINT"
+        )
+
+    # batch build: map-side assignment -> one cid-partitioned commit
+    root = _tmp_root("pyspec_vdel_idx_")
+    save_centroids(root, cb_rows)
+    lake_append(
+        spark,
+        root,
+        assign_cells(e.select("vec_id", "embedding"), cb_rows),
+        partition_col="cid",
+        bloom_cols=["vec_id"],
+    )
+
+    # the deletion under test: ids the curation pipeline would drop
+    delete_vectors(
+        spark,
+        root,
+        e.where(F.col("vec_id") % _VDEL_MOD == _VDEL_RESID).select("vec_id"),
+    )
+
+    # probe + score over the post-delete snapshot — identical
+    # arithmetic to q_vector_index_roundtrip (shared _vix chains)
+    cids, C = load_centroids(root)
+    qv = cb_rows[0][1]
+
+    def dist_micro(cvec) -> int:
+        tot = 0
+        for a, b in zip(cvec, qv):
+            t = (a - b) * (a - b) * 1e6
+            tot += int(t + 0.5) if t >= 0 else -int(0.5 - t)
+        return tot
+
+    probed = sorted(
+        (dist_micro(C[i]), int(cids[i])) for i in range(len(cids))
+    )[:_VIX_NPROBE]
+    parts = [lake_scan(spark, root, [("cid", "=", cid)]) for _, cid in probed]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+
+    qlit = F.array(*[F.lit(x) for x in qv])
+    dot_micro = F.aggregate(
+        F.zip_with("embedding", qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + _fixed6(x),
+    )
+    return (
+        cand.select(
+            "vec_id",
+            "cid",
+            dot_micro.alias("dot_micro"),
+            F.count("*").over(Window.partitionBy()).alias("n_cand"),
+        )
+        .orderBy(F.desc("dot_micro"), "vec_id")
+        .limit(_VIX_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # S3 — SPE binary source under the oracle gate (r8): the WinView frame
 # decoder (sources/spe.py), previously unit-only, made driver-checkable
 # with the q_avc_ipcm_frames closed-form trick: synthesize a 3-frame

@@ -258,6 +258,42 @@ def ivf_lookup(
     )
 
 
+def delete_vectors(
+    spark: SparkSession,
+    root: str,
+    vec_ids: DataFrame,
+) -> int:
+    """Remove vectors from a built IVF index (r10 — the curation-
+    deletion symmetry: the engine's own pipeline drops documents
+    (dedup losers, quality fails, split repair), and their embeddings
+    must leave the index too, without a retrain).
+
+    Copy-on-write via lake_delete, the opposite design from the term
+    index's merge-on-read tombstones (operators/text.py) — and the
+    right one HERE: a cell file is a flat row set re-rankable by any
+    reader, so rewriting the touched cells keeps ivf_lookup entirely
+    filter-free (no per-row tombstone join on the query path, which
+    serves online lookups), while the term index's value-encoded
+    posting shards make rewrite expensive and probe-time filtering
+    cheap.  Cost scales with the TOUCHED cells only: lake_delete
+    semi-joins the ids to find affected cids, carries every other
+    cell's files by reference, and rewrites just the survivors.
+
+    The pre-delete snapshot stays readable (lake version pinning)
+    until lake_vacuum — the audit-trail window a right-to-be-forgotten
+    pipeline wants, with vacuum as the actual forget step.  The frozen
+    codebook is untouched: deletion never moves a centroid, so all
+    remaining assignments stay valid (cells may thin out; re-balance
+    is reindex + publish, the existing lifecycle).  Returns the new
+    snapshot version."""
+    from pyspec_spark.lake import lake_delete
+
+    return lake_delete(
+        spark, root, vec_ids.select("vec_id"), key="vec_id",
+        partition_col="cid", bloom_cols=["vec_id"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Re-train + atomic swap (r8) — the other half of the frozen-codebook
 # contract the module docstring prescribes: assignment drift from a

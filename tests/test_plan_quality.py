@@ -470,6 +470,7 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_jsonl_roundtrip",  # JSONL stage + landed parse (r10, S8)
         "q_csv_roundtrip",  # CSV stage + landed parse (r10, S9)
         "q_proximity_rerank",  # positional index + norms write (r10, L40h)
+        "q_vector_delete",  # index build + CoW delete (r10, ST11c)
     }
     from pyspec_spark.tables import load
 

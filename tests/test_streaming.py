@@ -1276,6 +1276,77 @@ def test_reindex_and_atomic_publish(spark, tmp_path):
         save_centroids(root_b, cents_a)
 
 
+def test_delete_vectors_touched_cells_only_and_audit_trail(spark, tmp_path):
+    """ST11c delete_vectors (r10): right-to-be-forgotten on the IVF
+    index without a retrain.  Pins the three contracts the docstring
+    makes: (1) the post-delete snapshot excludes exactly the deleted
+    ids and ivf_lookup can never return them; (2) copy-on-write cost
+    is TOUCHED CELLS ONLY — every unaffected cell's manifest entries
+    carry over by reference (identical file paths across versions);
+    (3) the pre-delete version stays readable until vacuum (the audit
+    window), then vacuum actually forgets."""
+    from pyspec_spark.lake import _load_manifest, lake_read, lake_vacuum
+    from pyspec_spark.streaming.vectors import (
+        assign_cells,
+        delete_vectors,
+        ivf_lookup,
+        save_centroids,
+    )
+    from pyspec_spark.lake import lake_append
+
+    root = str(tmp_path / "vdel_idx")
+    # 2-D codebook with 4 well-separated cells; 40 vectors clustered
+    # tightly around each centroid so assignment is unambiguous
+    cents = [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [0.0, 10.0]), (3, [10.0, 10.0])]
+    rows = []
+    for i in range(40):
+        cx, cy = cents[i % 4][1]
+        rows.append((i, [cx + 0.01 * (i // 4), cy + 0.02]))
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    save_centroids(root, cents)
+    v1 = lake_append(
+        spark, root, assign_cells(df, cents),
+        partition_col="cid", bloom_cols=["vec_id"],
+    )
+
+    # delete ids that all live in cell 1 (vec_id % 4 == 1)
+    doomed = [1, 5, 9, 13]
+    v2 = delete_vectors(
+        spark, root,
+        spark.createDataFrame([(i,) for i in doomed], "vec_id BIGINT"),
+    )
+    assert v2 == v1 + 1
+
+    # (1) exclusion is exact
+    left = {r["vec_id"] for r in lake_read(spark, root).collect()}
+    assert left == set(range(40)) - set(doomed)
+    top = ivf_lookup(spark, root, [10.0, 0.0], k=40, nprobe=1).collect()
+    assert top, "cell 1 still has survivors"
+    assert not set(doomed) & {r["vec_id"] for r in top}
+
+    # (2) only cell 1 was rewritten: every other cell's entries are
+    # the SAME file paths as v1 (carried by reference, not copied)
+    f1 = {e["path"]: e["partition"] for e in _load_manifest(root, v1)["files"]}
+    f2 = {e["path"]: e["partition"] for e in _load_manifest(root, v2)["files"]}
+    for path, part in f1.items():
+        if part != "1":
+            assert path in f2, f"untouched cell {part} file was rewritten"
+    for path, part in f2.items():
+        if part == "1":
+            assert path not in f1, "touched cell must get NEW files"
+
+    # (3) the audit window: pre-delete version readable with the
+    # doomed ids...
+    v1_ids = {r["vec_id"] for r in lake_read(spark, root, version=v1).collect()}
+    assert set(doomed) <= v1_ids
+    # ...until vacuum forgets it
+    lake_vacuum(root, keep_versions=1, retention_seconds=0.0)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        lake_read(spark, root, version=v1).collect()
+
+
 def test_vacuum_indexes_retention_and_reader_race(spark, tmp_path):
     """Index-lifecycle GC (r9): superseded roots beyond keep are
     reclaimed, the CURRENT root never is, unpublished in-flight roots
