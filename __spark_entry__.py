@@ -62,6 +62,7 @@ _FRESH: list[str] = [
     "q_train_order",       # r10: scalable seeded global shuffle + shards (L45)
     "q_data_contract",     # r10: Deequ-style data-quality contract (V1)
     "q_vector_delete",     # r10: CoW vector-index deletion (ST11c)
+    "q_batch_retrieval",   # r10: batch multi-query retrieval (L40i)
 ]
 # r10 rotation rework (VERDICT r9 task 4): cumulative driver coverage
 # is COMPLETE (195/195 oracle queries have a hard green row across

@@ -1325,7 +1325,12 @@ def test_topk_serving_is_corpus_scan_free(spark):
     documents.parquet appears and that norms + bucket dirs do."""
     from pyspec_spark.queries import text_ranking as tr
 
-    for q in (tr.q_index_topk_and, tr.q_index_topk_or, tr.q_proximity_rerank):
+    for q in (
+        tr.q_index_topk_and,
+        tr.q_index_topk_or,
+        tr.q_proximity_rerank,
+        tr.q_batch_retrieval,
+    ):
         df = q.__wrapped__(spark, SF)
         files = df.inputFiles()
         assert files, q.__query_name__

@@ -471,6 +471,7 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_csv_roundtrip",  # CSV stage + landed parse (r10, S9)
         "q_proximity_rerank",  # positional index + norms write (r10, L40h)
         "q_vector_delete",  # index build + CoW delete (r10, ST11c)
+        "q_batch_retrieval",  # index build + batch scoring (r10, L40i)
     }
     from pyspec_spark.tables import load
 
@@ -977,3 +978,24 @@ def test_train_order_positions_are_a_permutation(spark):
         hashlib.md5(f"r10s{r.doc_id}".encode()).hexdigest() for r in rows
     ]
     assert keys == sorted(keys)  # the order really is the seeded key order
+
+
+def test_batch_retrieval_fanout_is_broadcast(spark):
+    """L40i batch retrieval: the (query_id, term) workload fan-out and
+    the idf/stats joins must all be BROADCAST — the decoded posting
+    stream (the corpus-proportional side) may shuffle only for the
+    (query_id, doc_id) aggregation and the per-query top-k window,
+    never for the fan-out itself.  One decode shared across queries is
+    the whole point of the batch plan; a shuffle fan-out would re-pay
+    it per query at 100 TB."""
+    p = _plan(spark, "q_batch_retrieval")
+    assert has_broadcast_join(p)
+    # exchange inventory (all of them, so a regression is visible):
+    # decode cumsum window (1) + three BOUNDED metadata aggs riding
+    # broadcast arms — per-term df sum, the 1-row norm stats, idf
+    # (3) + the (query_id, doc_id) aggregation (1) + the per-query
+    # top-k window (1) = 6.  A 7th exchange means the workload fan-out
+    # or the idf/stats join regressed from broadcast to shuffle.
+    assert count_exchanges(p) <= 6, p
+    # the workload table itself must ride a broadcast arm
+    assert "BroadcastExchange" in p and "ExistingRDD" in p
