@@ -63,6 +63,7 @@ _FRESH: list[str] = [
     "q_data_contract",     # r10: Deequ-style data-quality contract (V1)
     "q_vector_delete",     # r10: CoW vector-index deletion (ST11c)
     "q_batch_retrieval",   # r10: batch multi-query retrieval (L40i)
+    "q_rollup_incremental",  # r10: continuous-aggregate maintenance (ST8b)
 ]
 # r10 rotation rework (VERDICT r9 task 4): cumulative driver coverage
 # is COMPLETE (195/195 oracle queries have a hard green row across

@@ -110,3 +110,131 @@ def finalize(level_df: DataFrame, keys: list[str]) -> DataFrame:
         "min_v",
         "max_v",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental rollup maintenance (r10, ST8b) — the CONTINUOUS-AGGREGATE
+# lifecycle for the cascade above: a maintained rollup table that new
+# event deltas merge into without ever rescanning history (the
+# TimescaleDB continuous-aggregate / materialized-view-maintenance
+# shape, and the aggregate twin of append_term_index's index story).
+# Correctness rests on the same mergeability contract the cascade
+# uses: only (n, sum_micro, min_v, max_v) are stored, all exact and
+# order-free, so base ⊕ delta must equal a from-scratch rebuild to the
+# last bit — which is exactly what q_rollup_incremental's oracle pins.
+# ---------------------------------------------------------------------------
+_RK_SEP = "\x1f"
+_PB_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _rollup_partial(delta: DataFrame, ts_col: str, keys: list[str],
+                    value_col: str, level: str) -> DataFrame:
+    """Aggregate a delta to mergeable partials + the lake's key/partition
+    columns: rk (opaque composite of bucket+keys) and pb (bucket string,
+    the partition value — one lake partition per bucket, so maintenance
+    rewrites only the buckets the delta touches)."""
+    b = F.date_trunc(level, F.col(ts_col))
+    return (
+        delta.groupBy(b.alias("bucket"), *keys)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_fixed6(F.col(value_col))).alias("sum_micro"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+        .withColumn("pb", F.date_format("bucket", _PB_FMT))
+        .withColumn(
+            "rk",
+            F.concat_ws(_RK_SEP, F.col("pb"), *[F.col(k) for k in keys]),
+        )
+    )
+
+
+def upsert_rollup(
+    spark,
+    root: str,
+    delta: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    level: str = "day",
+    max_pruned_parts: int = 64,
+) -> int:
+    """Merge a raw-event delta into the maintained rollup at ``root``
+    (self-initializing: the first call on an empty root IS the build).
+
+    Cost model at 100 TB: one bounded shuffle over the DELTA (its
+    partial aggregation), a manifest-pruned read of ONLY the buckets
+    the delta touches (late data touches old buckets — only those are
+    read and rewritten; lake_upsert carries every other bucket's files
+    by reference), and a |delta buckets × keys|-sized merge join.
+    History is never rescanned.  The touched-bucket list is collected
+    driver-side (bounded by the delta's calendar span, the
+    probe_term_index literal-list pattern); a delta spanning more than
+    ``max_pruned_parts`` buckets falls back to one full read of the
+    AGGREGATE table — still |buckets × keys| rows, never the raw log.
+
+    Returns the committed lake version."""
+    from pyspec_spark.lake import lake_read, lake_scan, latest_version
+
+    if level not in LEVELS:
+        raise ValueError(f"unknown level {level!r}; expected one of {LEVELS}")
+    dp = _rollup_partial(delta, ts_col, keys, value_col, level).persist()
+    try:
+        if latest_version(root) is None:
+            from pyspec_spark.lake import lake_append
+
+            return lake_append(
+                spark, root, dp, partition_col="pb", bloom_cols=["rk"]
+            )
+        touched = sorted(
+            r["pb"] for r in dp.select("pb").distinct().collect()
+        )
+        if not touched:
+            return latest_version(root)
+        if len(touched) <= max_pruned_parts:
+            parts = [lake_scan(spark, root, [("pb", "=", p)]) for p in touched]
+            ex = parts[0]
+            for p in parts[1:]:
+                ex = ex.unionByName(p)
+        else:
+            ex = lake_read(spark, root)
+        ex = ex.select(
+            F.col("rk").alias("_rk"),
+            F.col("n").alias("_n"),
+            F.col("sum_micro").alias("_sm"),
+            F.col("min_v").alias("_mn"),
+            F.col("max_v").alias("_mx"),
+        )
+        combined = (
+            dp.join(ex, dp["rk"] == ex["_rk"], "left")
+            .select(
+                "bucket",
+                *[dp[k] for k in keys],
+                (F.col("n") + F.coalesce(F.col("_n"), F.lit(0))).alias("n"),
+                (
+                    F.col("sum_micro")
+                    + F.coalesce(F.col("_sm"), F.lit(0).cast("bigint"))
+                ).alias("sum_micro"),
+                F.least("min_v", "_mn").alias("min_v"),
+                F.greatest("max_v", "_mx").alias("max_v"),
+                "pb",
+                "rk",
+            )
+        )
+        from pyspec_spark.lake import lake_upsert
+
+        return lake_upsert(
+            spark, root, combined, key="rk", partition_col="pb",
+            bloom_cols=["rk"],
+        )
+    finally:
+        dp.unpersist()
+
+
+def read_rollup(spark, root: str, keys: list[str]) -> DataFrame:
+    """Present the maintained rollup (drops the lake plumbing columns
+    and finalizes the micro-unit accumulator)."""
+    from pyspec_spark.lake import lake_read
+
+    return finalize(lake_read(spark, root).drop("rk", "pb"), keys)

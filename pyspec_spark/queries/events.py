@@ -240,6 +240,62 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ST8b — INCREMENTAL rollup maintenance under the oracle gate (r10):
+# the continuous-aggregate lifecycle.  q_events_rollup proves the
+# cascade MATH; this proves the MAINTENANCE: a rollup lake table built
+# from 80% of events, then brought current by merging two raw deltas
+# (each spread across ALL ~30 day buckets — the late-data stress: every
+# touched bucket is an old bucket) via upsert_rollup, which aggregates
+# only the delta, reads only the touched buckets (manifest-pruned),
+# and merge-upserts the combined partials.  The oracle is the SAME
+# from-scratch day rollup over the FULL events table (q_events_rollup's
+# oracle verbatim) — the spliced no-drift trick: base ⊕ delta1 ⊕ delta2
+# must equal a rebuild exactly, bit-for-bit, because the maintained
+# state carries only exact mergeable statistics (count, micro-unit
+# long sum, min, max).  A maintenance path that dropped a bucket,
+# double-merged a delta, or lost an existing key to the upsert's
+# replace semantics flips the hash.
+#
+# 100 TB posture: maintenance cost is O(delta) + O(touched buckets of
+# the AGGREGATE table); history is never rescanned (pinned in
+# test_streaming.py: untouched-bucket files carry across versions by
+# manifest reference).  Bounded side effect (fresh tmp root); exempt
+# from the zero-jobs gate as a materializing round-trip.
+# ---------------------------------------------------------------------------
+@query(
+    "q_rollup_incremental",
+    oracle="""
+SELECT date_trunc('day', ts)::TIMESTAMP AS bucket, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_v,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6)
+         AS mean_v,
+       MIN(value) AS min_v, MAX(value) AS max_v
+FROM events
+GROUP BY 1, 2
+""",
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.rollup import read_rollup, upsert_rollup
+    from pyspec_spark.queries.lake_queries import _tmp_root
+
+    e = table(spark, sf_dir, "events")
+    root = _tmp_root("pyspec_rollup_inc_")
+    base = e.where(F.col("event_id") % 5 != 0)
+    delta1 = e.where(
+        (F.col("event_id") % 5 == 0) & (F.col("user_id") % 2 == 0)
+    )
+    delta2 = e.where(
+        (F.col("event_id") % 5 == 0) & (F.col("user_id") % 2 != 0)
+    )
+    for chunk in (base, delta1, delta2):
+        upsert_rollup(
+            spark, root, chunk, "ts", ["event_type"], "value", level="day"
+        )
+    return read_rollup(spark, root, ["event_type"])
+
+
+# ---------------------------------------------------------------------------
 # ST12 batch face — view->purchase interval join (r7): every purchase
 # paired with each of the same user's views in the preceding hour (the
 # attribution-join shape; last-touch is one argmax on top).  This is

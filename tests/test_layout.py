@@ -1446,3 +1446,70 @@ def test_topk_and_norms_read_is_bucket_pruned(spark, tmp_path):
         if d.startswith("nb=")
     }
     assert len(on_disk) == 4 and "nb=0" in on_disk
+
+
+def test_upsert_rollup_touched_buckets_only_and_idempotent_state(spark, tmp_path):
+    """ST8b incremental rollup maintenance: (1) merging deltas into the
+    maintained table equals a from-scratch rebuild exactly (the
+    mergeability contract — exact n/sum_micro/min/max); (2) a delta
+    touching ONE bucket rewrites only that bucket's files — every other
+    bucket's manifest entries carry across versions by reference; (3)
+    an upsert whose delta hits existing keys REPLACES (combines), never
+    duplicates rows."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.lake import _load_manifest, latest_version
+    from pyspec_spark.operators.rollup import (
+        _rollup_partial,
+        read_rollup,
+        upsert_rollup,
+    )
+    from pyspec_spark.tables import table as t
+
+    e = t(spark, SF, "events")
+    root = str(tmp_path / "roll")
+    upsert_rollup(
+        spark, root, e.where(F.col("event_id") % 3 != 0),
+        "ts", ["event_type"], "value", level="day",
+    )
+    v1 = latest_version(root)
+
+    # (2) a single-bucket late delta: pick the earliest day
+    day0 = e.agg(F.min(F.date_trunc("day", "ts"))).collect()[0][0]
+    delta = e.where(
+        (F.col("event_id") % 3 == 0)
+        & (F.date_trunc("day", "ts") == F.lit(day0))
+    )
+    assert delta.count() > 0
+    v2 = upsert_rollup(
+        spark, root, delta, "ts", ["event_type"], "value", level="day"
+    )
+    f1 = {x["path"]: x["partition"] for x in _load_manifest(root, v1)["files"]}
+    f2 = {x["path"]: x["partition"] for x in _load_manifest(root, v2)["files"]}
+    pb0 = day0.strftime("%Y-%m-%d %H:%M:%S")
+    for path, part in f1.items():
+        if part != pb0:
+            assert path in f2, f"untouched bucket {part} was rewritten"
+    assert any(part == pb0 for part in f2.values())
+    for path, part in f2.items():
+        if part == pb0:
+            assert path not in f1, "touched bucket must get NEW files"
+
+    # finish maintenance with the remaining late rows, all buckets
+    rest = e.where(
+        (F.col("event_id") % 3 == 0)
+        & (F.date_trunc("day", "ts") != F.lit(day0))
+    )
+    upsert_rollup(spark, root, rest, "ts", ["event_type"], "value", level="day")
+
+    # (1) + (3): maintained state equals the from-scratch partials —
+    # same rows, no duplicates, exact values
+    got = read_rollup(spark, root, ["event_type"])
+    want = _rollup_partial(e, "ts", ["event_type"], "value", "day")
+    from pyspec_spark.operators.rollup import finalize
+
+    want_f = finalize(want.drop("rk", "pb"), ["event_type"])
+    assert (
+        got.orderBy("bucket", "event_type").collect()
+        == want_f.orderBy("bucket", "event_type").collect()
+    )

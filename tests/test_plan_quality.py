@@ -472,6 +472,7 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_proximity_rerank",  # positional index + norms write (r10, L40h)
         "q_vector_delete",  # index build + CoW delete (r10, ST11c)
         "q_batch_retrieval",  # index build + batch scoring (r10, L40i)
+        "q_rollup_incremental",  # rollup build + two merges (r10, ST8b)
     }
     from pyspec_spark.tables import load
 
