@@ -64,6 +64,7 @@ _FRESH: list[str] = [
     "q_vector_delete",     # r10: CoW vector-index deletion (ST11c)
     "q_batch_retrieval",   # r10: batch multi-query retrieval (L40i)
     "q_rollup_incremental",  # r10: continuous-aggregate maintenance (ST8b)
+    "q_contract_enforce",  # r10: row-level contract enforcement (V1b)
 ]
 # r10 rotation rework (VERDICT r9 task 4): cumulative driver coverage
 # is COMPLETE (195/195 oracle queries have a hard green row across

@@ -104,3 +104,41 @@ def run_contract(
         .select("r.check", "r.metric", "r.threshold")
         .withColumn("ok", F.col("metric") >= F.col("threshold"))
     )
+
+
+def enforce_contract(
+    df: DataFrame,
+    row_checks: list[tuple[str, Column]],
+) -> tuple[DataFrame, DataFrame]:
+    """Row-level contract ENFORCEMENT (r10 — the DLT-expectations /
+    dbt-store-failures shape, the routing complement to
+    :func:`run_contract`'s aggregate scorecard): returns
+    ``(passed, quarantine)`` where quarantine rows carry a
+    ``violations`` array naming every failed check in declaration
+    order.
+
+    Null semantics are the strict side, deliberately: a predicate that
+    evaluates to NULL (a comparison against a NULL field) IS a
+    violation — a check that cannot evaluate must never pass the row.
+    (``run_contract`` counts the same way: SUM(CASE WHEN p THEN 1)
+    treats NULL as fail.)
+
+    Scale shape: ONE map-only projection computes every flag; both
+    returned frames filter the same flagged plan (no shuffle, no
+    second scan of a materialized upstream; adding a check adds an
+    expression).  Route quarantine to a lake/stream sink and the
+    landing stays a single pass — the q_jsonl_roundtrip quarantine
+    discipline applied to SEMANTIC violations instead of parse
+    failures."""
+    flags = F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
+                for name, pred in row_checks
+            ]
+        )
+    ).alias("violations")
+    flagged = df.select("*", flags)
+    passed = flagged.where(F.size("violations") == 0).drop("violations")
+    quarantine = flagged.where(F.size("violations") > 0)
+    return passed, quarantine

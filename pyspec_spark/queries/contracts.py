@@ -93,3 +93,70 @@ def q_data_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return report.select(
         F.col("check").alias("chk"), "metric", "threshold", "ok"
     ).orderBy("chk")
+
+
+# ---------------------------------------------------------------------------
+# V1b — row-level contract ENFORCEMENT under the oracle gate (r10):
+# run_contract reports fractions; enforce_contract ROUTES — every row
+# either passes all checks or lands in quarantine carrying the exact
+# list of checks it failed (the DLT expect_or_drop / dbt
+# store-failures shape).  The query reduces the routed corpus to the
+# failure-mode scorecard: one row per violation COMBINATION (comma-
+# joined in declaration order) with its row count, plus the passed
+# rows under the empty-string combination — bounded by 2^|checks|
+# regardless of corpus size (all 16 combinations genuinely occur on
+# the testdata — the thresholds are picked to exercise every routing
+# path), so the full routing decision of every
+# row is hash-pinned without shipping the corpus.
+#
+# Null discipline (the semantics worth pinning cross-engine): a check
+# predicate that evaluates to NULL is a VIOLATION.  The oracle spells
+# that as COALESCE(pred, FALSE) per check; Spark's side is the same
+# coalesce inside enforce_contract.
+# ---------------------------------------------------------------------------
+_ENFORCE_ORACLE = """
+WITH flagged AS (
+  SELECT CONCAT_WS(',',
+    CASE WHEN NOT COALESCE(l_tax <= 0.05, FALSE) THEN 'tax_le_5pct' END,
+    CASE WHEN NOT COALESCE(l_discount BETWEEN 0.0 AND 0.05, FALSE)
+         THEN 'discount_le_5pct' END,
+    CASE WHEN NOT COALESCE(l_quantity BETWEEN 1 AND 30, FALSE)
+         THEN 'quantity_in_1_30' END,
+    CASE WHEN NOT COALESCE(l_extendedprice >= l_quantity * 1000, FALSE)
+         THEN 'unit_price_ge_1000' END
+  ) AS violations
+  FROM lineitem
+)
+SELECT violations, CAST(COUNT(*) AS BIGINT) AS n
+FROM flagged
+GROUP BY violations
+ORDER BY violations
+"""
+
+
+@query("q_contract_enforce", oracle=_ENFORCE_ORACLE)
+def q_contract_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.expectations import enforce_contract
+
+    li = table(spark, sf_dir, "lineitem")
+    passed, quarantine = enforce_contract(
+        li,
+        row_checks=[
+            ("tax_le_5pct", F.col("l_tax") <= 0.05),
+            ("discount_le_5pct", F.col("l_discount").between(0.0, 0.05)),
+            ("quantity_in_1_30", F.col("l_quantity").between(1, 30)),
+            (
+                "unit_price_ge_1000",
+                F.col("l_extendedprice") >= F.col("l_quantity") * 1000,
+            ),
+        ],
+    )
+    combos = quarantine.select(
+        F.concat_ws(",", "violations").alias("violations")
+    )
+    return (
+        combos.unionByName(passed.select(F.lit("").alias("violations")))
+        .groupBy("violations")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("violations")
+    )

@@ -73,3 +73,61 @@ def test_row_checks_share_one_aggregation_pass(spark):
     p1, p6 = plan_for(1), plan_for(6)
     assert count_exchanges(p1) == count_exchanges(p6)
     assert p6.count("Scan") == p1.count("Scan")
+
+
+def test_enforce_contract_routes_rows_exactly(spark):
+    """V1b enforcement: every row lands on exactly one side; quarantine
+    names EVERY failed check in declaration order; a NULL predicate is
+    a violation (a check that cannot evaluate must never pass the
+    row); and the routing plan is map-only (no exchange — enforcement
+    must not cost a shuffle at any scale)."""
+    from pyspec_spark.operators.expectations import enforce_contract
+    from pyspec_spark.plans import count_exchanges, physical_plan
+
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "a"),     # clean
+            (2, -1.0, "a"),     # fails v_nonneg
+            (3, -2.0, "zz"),    # fails v_nonneg AND tag_known
+            (4, None, "a"),     # NULL v -> v_nonneg is a violation
+            (None, 5.0, "a"),   # fails k_complete
+        ],
+        "k BIGINT, v DOUBLE, tag STRING",
+    )
+    checks = [
+        ("k_complete", F.col("k").isNotNull()),
+        ("v_nonneg", F.col("v") >= 0),
+        ("tag_known", F.col("tag").isin("a", "b")),
+    ]
+    passed, quar = enforce_contract(df, checks)
+
+    assert {r["k"] for r in passed.collect()} == {1}
+    got = {r["k"]: list(r["violations"]) for r in quar.collect()}
+    assert got == {
+        2: ["v_nonneg"],
+        3: ["v_nonneg", "tag_known"],  # declaration order
+        4: ["v_nonneg"],
+        None: ["k_complete"],
+    }
+    # both sides partition the input: no row lost, none duplicated
+    assert passed.count() + quar.count() == df.count()
+    # map-only: enforcement adds expressions, never a shuffle
+    assert count_exchanges(physical_plan(quar)) == 0
+    assert count_exchanges(physical_plan(passed)) == 0
+
+
+def test_enforce_contract_empty_and_all_pass(spark):
+    """Empty input routes to two empty frames; an all-clean corpus
+    quarantines nothing and preserves the input schema on the passed
+    side (the violations column must not leak through)."""
+    from pyspec_spark.operators.expectations import enforce_contract
+
+    empty = spark.createDataFrame([], "k BIGINT, v DOUBLE")
+    p, q = enforce_contract(empty, [("v_nonneg", F.col("v") >= 0)])
+    assert p.count() == 0 and q.count() == 0
+
+    clean = spark.createDataFrame([(1, 1.0), (2, 2.0)], "k BIGINT, v DOUBLE")
+    p, q = enforce_contract(clean, [("v_nonneg", F.col("v") >= 0)])
+    assert q.count() == 0
+    assert p.columns == clean.columns
+    assert p.count() == 2
