@@ -340,18 +340,22 @@ def lake_append(
     df: DataFrame,
     partition_col: str | None = None,
     bloom_cols: list[str] | None = None,
+    stream_commit: tuple[str, int] | None = None,
 ) -> int:
     """Append df as a new snapshot (previous files + new files).
     Add-column schema evolution allowed; drops/retypes refused.
     ``bloom_cols`` opts the new files into per-file Bloom filters for
-    equality skipping (int/string columns)."""
+    equality skipping (int/string columns).  ``stream_commit`` records
+    a (query_name, batch_id) exactly-once watermark atomically with
+    the data (callers must check lake_last_batch themselves — this is
+    the low-level write; lake_append_stream is the checked wrapper)."""
     _check_schema_evolution(root, df)
     prev = latest_version(root)
     old = _load_manifest(root, prev)["files"] if prev is not None else []
     new = _stage_files(spark, root, df, partition_col, bloom_cols=bloom_cols)
     return _commit(
         root, "append", old + new, partition_col, prev,
-        schema=_schema_fields(df),
+        schema=_schema_fields(df), stream_commit=stream_commit,
     )
 
 
@@ -454,6 +458,7 @@ def lake_upsert(
     key: str,
     partition_col: str,
     bloom_cols: list[str] | None = None,
+    stream_commit: tuple[str, int] | None = None,
 ) -> int:
     """MERGE (upsert) as a snapshot commit: rows in `updates` replace
     same-key rows; new keys append.  Only files whose partition value
@@ -496,6 +501,7 @@ def lake_upsert(
             root, "upsert", kept_entries + new, partition_col, prev,
             schema=_schema_fields(merged),
             retains_parent=bool(kept_entries),
+            stream_commit=stream_commit,
         )
     finally:
         updates.unpersist()

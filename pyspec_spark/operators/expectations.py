@@ -142,3 +142,46 @@ def enforce_contract(
     passed = flagged.where(F.size("violations") == 0).drop("violations")
     quarantine = flagged.where(F.size("violations") > 0)
     return passed, quarantine
+
+
+def contract_sink(
+    pass_root: str,
+    quarantine_root: str,
+    row_checks: list[tuple[str, Column]],
+    partition_col: str | None = None,
+    query_name: str = "contract_enforce",
+):
+    """The STREAMING face of enforce_contract — validate-on-ingest:
+    build the function for ``writeStream.foreachBatch`` so every
+    micro-batch routes exactly-once into TWO lakes — clean rows to
+    ``pass_root``, violating rows (with their ``violations`` array) to
+    ``quarantine_root`` — the q_jsonl_roundtrip quarantine discipline
+    applied to SEMANTIC violations instead of parse failures.
+
+    Each lake carries its own (query_name, batch_id) watermark, so a
+    redelivered batch after a kill-and-restart is skipped per lake
+    independently: if the crash landed between the two commits, the
+    redelivery completes exactly the missing one (both sinks are
+    append-only, so per-lake idempotence composes).  The batch is
+    persisted across the two writes — the flag projection runs once,
+    not once per sink."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspec_spark.lake import lake_append_stream
+
+        spark = batch_df.sparkSession
+        batch_df = batch_df.persist()
+        try:
+            passed, quar = enforce_contract(batch_df, row_checks)
+            lake_append_stream(
+                spark, pass_root, passed, partition_col, query_name,
+                int(batch_id),
+            )
+            lake_append_stream(
+                spark, quarantine_root, quar, partition_col, query_name,
+                int(batch_id),
+            )
+        finally:
+            batch_df.unpersist()
+
+    return _sink

@@ -159,6 +159,7 @@ def upsert_rollup(
     value_col: str,
     level: str = "day",
     max_pruned_parts: int = 64,
+    stream_commit: tuple[str, int] | None = None,
 ) -> int:
     """Merge a raw-event delta into the maintained rollup at ``root``
     (self-initializing: the first call on an empty root IS the build).
@@ -185,7 +186,8 @@ def upsert_rollup(
             from pyspec_spark.lake import lake_append
 
             return lake_append(
-                spark, root, dp, partition_col="pb", bloom_cols=["rk"]
+                spark, root, dp, partition_col="pb", bloom_cols=["rk"],
+                stream_commit=stream_commit,
             )
         touched = sorted(
             r["pb"] for r in dp.select("pb").distinct().collect()
@@ -226,7 +228,7 @@ def upsert_rollup(
 
         return lake_upsert(
             spark, root, combined, key="rk", partition_col="pb",
-            bloom_cols=["rk"],
+            bloom_cols=["rk"], stream_commit=stream_commit,
         )
     finally:
         dp.unpersist()
@@ -238,3 +240,43 @@ def read_rollup(spark, root: str, keys: list[str]) -> DataFrame:
     from pyspec_spark.lake import lake_read
 
     return finalize(lake_read(spark, root).drop("rk", "pb"), keys)
+
+
+def rollup_sink(
+    root: str,
+    ts_col: str,
+    keys: list[str],
+    value_col: str,
+    level: str = "day",
+    query_name: str = "rollup_maintenance",
+):
+    """The STREAMING face of upsert_rollup (the continuous aggregate
+    proper): build the function for ``writeStream.foreachBatch`` so
+    every micro-batch of raw events merges into the maintained rollup
+    exactly-once — the (query_name, batch_id) watermark commits
+    ATOMICALLY with the merged data (the lake_append_stream
+    discipline), so a redelivered batch after a kill-and-restart is
+    skipped instead of double-counted.  Double-counting is the failure
+    mode that makes naive streaming aggregation tables silently wrong:
+    unlike an append sink, a re-merged SUM is not idempotent, so the
+    watermark-in-the-same-commit property is load-bearing here, not
+    belt-and-braces."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspec_spark.lake import lake_last_batch
+
+        last = lake_last_batch(root, query_name)
+        if last is not None and int(batch_id) <= last:
+            return
+        upsert_rollup(
+            batch_df.sparkSession,
+            root,
+            batch_df,
+            ts_col,
+            keys,
+            value_col,
+            level=level,
+            stream_commit=(query_name, int(batch_id)),
+        )
+
+    return _sink

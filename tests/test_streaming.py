@@ -1566,3 +1566,122 @@ def test_stream_index_to_buckets_equals_batch_and_restart(spark, tmp_path):
         ).collect()
     }
     assert got_c == truth(4)
+
+
+def test_stream_rollup_maintenance_exactly_once_and_equals_batch(
+    spark, event_chunks, tmp_path
+):
+    """ST8b streaming face (rollup_sink): driving the maintained rollup
+    from a micro-batch stream must equal the one-shot batch rollup at
+    stream end, and a REDELIVERED batch (the kill-and-restart case)
+    must be skipped, not double-merged — unlike an append sink, a
+    re-merged SUM is not idempotent, so the watermark-in-the-same-
+    commit property is load-bearing."""
+    from pyspec_spark.lake import lake_last_batch, latest_version
+    from pyspec_spark.operators.rollup import (
+        _rollup_partial,
+        finalize,
+        read_rollup,
+        rollup_sink,
+    )
+    from pyspec_spark.tables import table
+
+    base, _ = event_chunks
+    root = str(tmp_path / "roll_stream")
+    ev_schema = spark.read.parquet(base).schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(base)
+    )
+    sink = rollup_sink(root, "ts", ["event_type"], "value", level="day")
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    cols = ["bucket", "event_type", "n", "sum_v", "mean_v", "min_v", "max_v"]
+    got = read_rollup(spark, root, ["event_type"])
+    want = finalize(
+        _rollup_partial(
+            table(spark, SF, "events"), "ts", ["event_type"], "value", "day"
+        ).drop("rk", "pb"),
+        ["event_type"],
+    )
+    assert _collect_sorted(got, cols) == _collect_sorted(want, cols)
+
+    # redelivery: re-invoke the sink with an already-committed batch id
+    # and arbitrary rows — the watermark must make it a no-op
+    last = lake_last_batch(root, "rollup_maintenance")
+    assert last is not None and last >= 0
+    v_before = latest_version(root)
+    sink(table(spark, SF, "events").limit(50), last)
+    assert latest_version(root) == v_before
+    assert _collect_sorted(
+        read_rollup(spark, root, ["event_type"]), cols
+    ) == _collect_sorted(want, cols)
+
+
+def test_stream_contract_enforcement_routes_and_redelivery_safe(
+    spark, event_chunks, tmp_path
+):
+    """V1b streaming face (contract_sink): validate-on-ingest over a
+    micro-batch stream must partition the corpus exactly (pass lake +
+    quarantine lake == batch enforce_contract on the full table, row
+    for row), and a redelivered batch is skipped on BOTH lakes (each
+    carries its own watermark; a crash between the two commits heals
+    on redelivery because appends are per-lake idempotent)."""
+    from pyspec_spark.lake import lake_last_batch, lake_read, latest_version
+    from pyspec_spark.operators.expectations import (
+        contract_sink,
+        enforce_contract,
+    )
+    from pyspec_spark.tables import table
+
+    base, n = event_chunks
+    proot = str(tmp_path / "pass_lake")
+    qroot = str(tmp_path / "quar_lake")
+    # both checks genuinely bite on the fixture (389 rows over the
+    # value bound, 400 rows of 'error'/'signup' types; overlaps exist,
+    # so multi-violation rows exercise the array routing too)
+    checks = [
+        ("value_le_50", F.col("value") <= 50),
+        ("type_known", F.col("event_type").isin("view", "click", "purchase")),
+    ]
+    ev_schema = spark.read.parquet(base).schema
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("maxFilesPerTrigger", "3")
+        .parquet(base)
+    )
+    sink = contract_sink(proot, qroot, checks)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got_pass = lake_read(spark, proot)
+    got_quar = lake_read(spark, qroot)
+    ev = table(spark, SF, "events")
+    want_pass, want_quar = enforce_contract(ev, checks)
+    assert got_pass.count() + got_quar.count() == n
+    assert _collect_sorted(got_pass, ["event_id"]) == _collect_sorted(
+        want_pass, ["event_id"]
+    )
+    wq = {
+        r["event_id"]: list(r["violations"]) for r in want_quar.collect()
+    }
+    gq = {r["event_id"]: list(r["violations"]) for r in got_quar.collect()}
+    assert gq == wq
+
+    # redelivery is a no-op on both lakes
+    last = lake_last_batch(proot, "contract_enforce")
+    vp, vq = latest_version(proot), latest_version(qroot)
+    sink(ev.limit(25), last)
+    assert latest_version(proot) == vp and latest_version(qroot) == vq
