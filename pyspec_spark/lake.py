@@ -507,6 +507,50 @@ def lake_upsert(
         updates.unpersist()
 
 
+def lake_replace_partitions(
+    spark: SparkSession,
+    root: str,
+    parts: set[str],
+    df: DataFrame,
+    partition_col: str,
+    bloom_cols: list[str] | None = None,
+    stream_commit: tuple[str, int] | None = None,
+) -> int:
+    """Replace the full contents of the named partitions with ``df``
+    (whose rows must all belong to those partitions), carrying every
+    other partition's files by reference — the primitive for callers
+    that have ALREADY read the affected partitions and computed their
+    replacement (upsert_rollup's merge): lake_upsert would re-read the
+    touched files a second time for its survivors anti-join, which is
+    pure waste when the caller's df is the complete new content."""
+    _check_schema_evolution(root, df)
+    prev = latest_version(root)
+    if prev is None:
+        new = _stage_files(spark, root, df, partition_col, bloom_cols=bloom_cols)
+        return _commit(
+            root, "replace_partitions", new, partition_col, prev,
+            schema=_schema_fields(df), stream_commit=stream_commit,
+        )
+    m = _load_manifest(root, prev)
+    touched, kept_entries = _split_touched(m["files"], parts, m, partition_col)
+    if any(e["partition"] is None for e in touched):
+        # a partition-less file (z-order compaction output) can hold
+        # rows of ANY partition; dropping it here would lose the rows
+        # the caller's df did not read.  Compaction-aware callers must
+        # go through lake_upsert's read-and-anti-join path instead.
+        raise ValueError(
+            "lake_replace_partitions on a table with partition-less "
+            "files — use lake_upsert (its survivors re-read covers them)"
+        )
+    new = _stage_files(spark, root, df, partition_col, bloom_cols=bloom_cols)
+    return _commit(
+        root, "replace_partitions", kept_entries + new, partition_col, prev,
+        schema=m.get("schema") or _schema_fields(df),
+        retains_parent=bool(kept_entries),
+        stream_commit=stream_commit,
+    )
+
+
 def lake_delete(
     spark: SparkSession,
     root: str,

@@ -106,6 +106,23 @@ def run_contract(
     )
 
 
+def violation_flags(row_checks: list[tuple[str, Column]]) -> Column:
+    """The single definition of the routing expression: an array of the
+    names of every FAILED check, declaration order, NULL-predicate-is-
+    a-violation (COALESCE(pred, FALSE) — a check that cannot evaluate
+    must never pass the row).  enforce_contract routes on it; callers
+    that only need the combination (the q_contract_enforce scorecard)
+    use it directly in one map-only pass."""
+    return F.array_compact(
+        F.array(
+            *[
+                F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
+                for name, pred in row_checks
+            ]
+        )
+    )
+
+
 def enforce_contract(
     df: DataFrame,
     row_checks: list[tuple[str, Column]],
@@ -130,15 +147,14 @@ def enforce_contract(
     landing stays a single pass — the q_jsonl_roundtrip quarantine
     discipline applied to SEMANTIC violations instead of parse
     failures."""
-    flags = F.array_compact(
-        F.array(
-            *[
-                F.when(~F.coalesce(pred, F.lit(False)), F.lit(name))
-                for name, pred in row_checks
-            ]
+    if "violations" in df.columns:
+        raise ValueError(
+            "enforce_contract: input already has a 'violations' column "
+            "— re-validating quarantined rows requires dropping or "
+            "renaming it first (silently shadowing it would lose the "
+            "original routing record)"
         )
-    ).alias("violations")
-    flagged = df.select("*", flags)
+    flagged = df.select("*", violation_flags(row_checks).alias("violations"))
     passed = flagged.where(F.size("violations") == 0).drop("violations")
     quarantine = flagged.where(F.size("violations") > 0)
     return passed, quarantine

@@ -127,13 +127,30 @@ _RK_SEP = "\x1f"
 _PB_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+_NULL_MARK = "\x00"  # null-component sentinel inside rk (a data column)
+# the null-bucket PARTITION value must be filesystem-safe (it becomes a
+# hive directory name; a NUL byte breaks mkdir) and unreachable by
+# date_format, which never emits the literal string "null"
+_NULL_BUCKET = "null"
+
+
 def _rollup_partial(delta: DataFrame, ts_col: str, keys: list[str],
                     value_col: str, level: str) -> DataFrame:
     """Aggregate a delta to mergeable partials + the lake's key/partition
     columns: rk (opaque composite of bucket+keys) and pb (bucket string,
     the partition value — one lake partition per bucket, so maintenance
-    rewrites only the buckets the delta touches)."""
+    rewrites only the buckets the delta touches).
+
+    Both pb and every rk component are NULL-SAFE via the \\x00 sentinel:
+    concat_ws silently SKIPS nulls, which would collide distinct key
+    tuples like (NULL, 'x') and ('x', NULL) into one rk (a double-
+    counting merge bug), and a NULL pb would defeat the partition
+    equality scan (NULL = NULL is never true).  Residual assumption,
+    deliberate and documented: key VALUES containing the \\x1f
+    separator or a leading \\x00 can still collide — control bytes in
+    group keys are outside this operator's contract."""
     b = F.date_trunc(level, F.col(ts_col))
+    nn = lambda c: F.coalesce(c.cast("string"), F.lit(_NULL_MARK))  # noqa: E731
     return (
         delta.groupBy(b.alias("bucket"), *keys)
         .agg(
@@ -142,10 +159,15 @@ def _rollup_partial(delta: DataFrame, ts_col: str, keys: list[str],
             F.min(value_col).alias("min_v"),
             F.max(value_col).alias("max_v"),
         )
-        .withColumn("pb", F.date_format("bucket", _PB_FMT))
+        .withColumn(
+            "pb",
+            F.coalesce(F.date_format("bucket", _PB_FMT), F.lit(_NULL_BUCKET)),
+        )
         .withColumn(
             "rk",
-            F.concat_ws(_RK_SEP, F.col("pb"), *[F.col(k) for k in keys]),
+            F.concat_ws(
+                _RK_SEP, F.col("pb"), *[nn(F.col(k)) for k in keys]
+            ),
         )
     )
 
@@ -165,15 +187,20 @@ def upsert_rollup(
     (self-initializing: the first call on an empty root IS the build).
 
     Cost model at 100 TB: one bounded shuffle over the DELTA (its
-    partial aggregation), a manifest-pruned read of ONLY the buckets
-    the delta touches (late data touches old buckets — only those are
-    read and rewritten; lake_upsert carries every other bucket's files
-    by reference), and a |delta buckets × keys|-sized merge join.
-    History is never rescanned.  The touched-bucket list is collected
-    driver-side (bounded by the delta's calendar span, the
-    probe_term_index literal-list pattern); a delta spanning more than
-    ``max_pruned_parts`` buckets falls back to one full read of the
-    AGGREGATE table — still |buckets × keys| rows, never the raw log.
+    partial aggregation), then ONE manifest-pruned read of ONLY the
+    buckets the delta touches (late data touches old buckets — only
+    those are read and rewritten), a full-outer merge of delta partials
+    onto the touched buckets' rows, and a partition REPLACE commit
+    (lake_replace_partitions — every untouched bucket's files carry by
+    reference; lake_upsert's survivors re-read would pay the touched-
+    partition I/O twice).  History is never rescanned.  The touched-
+    bucket list is collected driver-side (bounded by the delta's
+    calendar span, the probe_term_index literal-list pattern); a delta
+    spanning more than ``max_pruned_parts`` buckets falls back to one
+    full read of the AGGREGATE table — still |buckets × keys| rows,
+    never the raw log.  An empty delta still commits the
+    ``stream_commit`` watermark (a data-less manifest), so the
+    exactly-once ledger never shows a hole for a quiet micro-batch.
 
     Returns the committed lake version."""
     from pyspec_spark.lake import lake_read, lake_scan, latest_version
@@ -193,43 +220,86 @@ def upsert_rollup(
             r["pb"] for r in dp.select("pb").distinct().collect()
         )
         if not touched:
-            return latest_version(root)
+            if stream_commit is None:
+                return latest_version(root)
+            from pyspec_spark.lake import _commit, _load_manifest
+
+            prev = latest_version(root)
+            m = _load_manifest(root, prev)
+            return _commit(
+                root, "upsert", m["files"], "pb", prev,
+                stream_commit=stream_commit, schema=m.get("schema"),
+            )
         if len(touched) <= max_pruned_parts:
-            parts = [lake_scan(spark, root, [("pb", "=", p)]) for p in touched]
-            ex = parts[0]
-            for p in parts[1:]:
+            scans = [
+                lake_scan(spark, root, [("pb", "=", p)]) for p in touched
+            ]
+            ex = scans[0]
+            for p in scans[1:]:
                 ex = ex.unionByName(p)
+            replace_parts = set(touched)
         else:
             ex = lake_read(spark, root)
+            # full-read fallback: the merge output covers EVERY bucket,
+            # so the replace set is every live partition plus the new
+            from pyspec_spark.lake import _load_manifest
+
+            m = _load_manifest(root, latest_version(root))
+            replace_parts = {
+                e["partition"] for e in m["files"] if e["partition"]
+            } | set(touched)
         ex = ex.select(
             F.col("rk").alias("_rk"),
+            F.col("bucket").alias("_bucket"),
+            *[F.col(k).alias(f"_k_{k}") for k in keys],
+            F.col("pb").alias("_pb"),
             F.col("n").alias("_n"),
             F.col("sum_micro").alias("_sm"),
             F.col("min_v").alias("_mn"),
             F.col("max_v").alias("_mx"),
         )
-        combined = (
-            dp.join(ex, dp["rk"] == ex["_rk"], "left")
+        # FULL OUTER on rk: delta-only keys insert, existing-only keys
+        # (other groups in the touched buckets) pass through unchanged,
+        # both-sides keys combine — the frame IS the touched buckets'
+        # complete new content, so the commit never re-reads them
+        merged = (
+            dp.join(ex, dp["rk"] == ex["_rk"], "full_outer")
             .select(
-                "bucket",
-                *[dp[k] for k in keys],
-                (F.col("n") + F.coalesce(F.col("_n"), F.lit(0))).alias("n"),
+                F.coalesce(dp["bucket"], F.col("_bucket")).alias("bucket"),
+                *[
+                    F.coalesce(dp[k], F.col(f"_k_{k}")).alias(k)
+                    for k in keys
+                ],
                 (
-                    F.col("sum_micro")
+                    F.coalesce(F.col("n"), F.lit(0))
+                    + F.coalesce(F.col("_n"), F.lit(0))
+                ).alias("n"),
+                (
+                    F.coalesce(F.col("sum_micro"), F.lit(0).cast("bigint"))
                     + F.coalesce(F.col("_sm"), F.lit(0).cast("bigint"))
                 ).alias("sum_micro"),
                 F.least("min_v", "_mn").alias("min_v"),
                 F.greatest("max_v", "_mx").alias("max_v"),
-                "pb",
-                "rk",
+                F.coalesce(dp["pb"], F.col("_pb")).alias("pb"),
+                F.coalesce(dp["rk"], F.col("_rk")).alias("rk"),
             )
         )
-        from pyspec_spark.lake import lake_upsert
+        from pyspec_spark.lake import lake_replace_partitions, lake_upsert
 
-        return lake_upsert(
-            spark, root, combined, key="rk", partition_col="pb",
-            bloom_cols=["rk"], stream_commit=stream_commit,
-        )
+        try:
+            return lake_replace_partitions(
+                spark, root, replace_parts, merged, partition_col="pb",
+                bloom_cols=["rk"], stream_commit=stream_commit,
+            )
+        except ValueError:
+            # partition-less files present (an external z-order
+            # compaction): fall back to the survivors-re-reading upsert
+            # — merged rows replace themselves plus combine, correct
+            # either way, just 2x the touched I/O
+            return lake_upsert(
+                spark, root, merged, key="rk", partition_col="pb",
+                bloom_cols=["rk"], stream_commit=stream_commit,
+            )
     finally:
         dp.unpersist()
 
@@ -260,23 +330,39 @@ def rollup_sink(
     mode that makes naive streaming aggregation tables silently wrong:
     unlike an append sink, a re-merged SUM is not idempotent, so the
     watermark-in-the-same-commit property is load-bearing here, not
-    belt-and-braces."""
+    belt-and-braces.
+
+    LakeConflict (a maintenance commit — compact, vacuum-side rewrite —
+    or a racing replica landing between the base read and the merge
+    commit) RETRIES the whole merge against the fresh base, re-checking
+    the watermark each attempt (the lake_append_stream discipline): a
+    read-modify-write cannot simply re-link like an append, it must
+    recompute."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspec_spark.lake import lake_last_batch
+        from pyspec_spark.lake import LakeConflict, lake_last_batch
 
-        last = lake_last_batch(root, query_name)
-        if last is not None and int(batch_id) <= last:
-            return
-        upsert_rollup(
-            batch_df.sparkSession,
-            root,
-            batch_df,
-            ts_col,
-            keys,
-            value_col,
-            level=level,
-            stream_commit=(query_name, int(batch_id)),
+        for attempt in range(5):
+            last = lake_last_batch(root, query_name)
+            if last is not None and int(batch_id) <= last:
+                return
+            try:
+                upsert_rollup(
+                    batch_df.sparkSession,
+                    root,
+                    batch_df,
+                    ts_col,
+                    keys,
+                    value_col,
+                    level=level,
+                    stream_commit=(query_name, int(batch_id)),
+                )
+                return
+            except LakeConflict:
+                continue
+        raise LakeConflict(
+            f"rollup_sink: batch {batch_id} of {query_name} lost 5 "
+            "commit races; a concurrent writer is pinning the root"
         )
 
     return _sink

@@ -136,26 +136,27 @@ ORDER BY violations
 
 @query("q_contract_enforce", oracle=_ENFORCE_ORACLE)
 def q_contract_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspec_spark.operators.expectations import enforce_contract
+    from pyspec_spark.operators.expectations import violation_flags
 
     li = table(spark, sf_dir, "lineitem")
-    passed, quarantine = enforce_contract(
-        li,
-        row_checks=[
-            ("tax_le_5pct", F.col("l_tax") <= 0.05),
-            ("discount_le_5pct", F.col("l_discount").between(0.0, 0.05)),
-            ("quantity_in_1_30", F.col("l_quantity").between(1, 30)),
-            (
-                "unit_price_ge_1000",
-                F.col("l_extendedprice") >= F.col("l_quantity") * 1000,
-            ),
-        ],
-    )
-    combos = quarantine.select(
-        F.concat_ws(",", "violations").alias("violations")
-    )
+    checks = [
+        ("tax_le_5pct", F.col("l_tax") <= 0.05),
+        ("discount_le_5pct", F.col("l_discount").between(0.0, 0.05)),
+        ("quantity_in_1_30", F.col("l_quantity").between(1, 30)),
+        (
+            "unit_price_ge_1000",
+            F.col("l_extendedprice") >= F.col("l_quantity") * 1000,
+        ),
+    ]
+    # ONE scan: concat_ws of an EMPTY violations array is already ''
+    # — exactly the passed-rows encoding — so the scorecard groups the
+    # shared routing expression (violation_flags, the same definition
+    # enforce_contract routes on) directly, instead of unioning the
+    # passed and quarantine frames and scanning lineitem twice
     return (
-        combos.unionByName(passed.select(F.lit("").alias("violations")))
+        li.select(
+            F.concat_ws(",", violation_flags(checks)).alias("violations")
+        )
         .groupBy("violations")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("violations")

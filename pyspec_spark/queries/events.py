@@ -281,13 +281,15 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "events")
     root = _tmp_root("pyspec_rollup_inc_")
-    base = e.where(F.col("event_id") % 5 != 0)
-    delta1 = e.where(
-        (F.col("event_id") % 5 == 0) & (F.col("user_id") % 2 == 0)
-    )
-    delta2 = e.where(
-        (F.col("event_id") % 5 == 0) & (F.col("user_id") % 2 != 0)
-    )
+    # the split must PARTITION the table even under NULL user_ids
+    # (predicate + its negation both evaluate NULL and drop the row):
+    # delta2 is the null-safe complement of delta1, not a re-derived
+    # predicate
+    is_delta = F.col("event_id") % 5 == 0
+    d1_pred = F.coalesce(F.col("user_id") % 2 == 0, F.lit(False))
+    base = e.where(~is_delta)
+    delta1 = e.where(is_delta & d1_pred)
+    delta2 = e.where(is_delta & ~d1_pred)
     for chunk in (base, delta1, delta2):
         upsert_rollup(
             spark, root, chunk, "ts", ["event_type"], "value", level="day"

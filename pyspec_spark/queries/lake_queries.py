@@ -316,18 +316,61 @@ LIMIT {_VIX_TOPK}
 """
 
 
-@query("q_vector_index_roundtrip", oracle=_VIX_ORACLE)
-def q_vector_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
+def _vix_probe_score(spark: SparkSession, root: str, qv) -> DataFrame:
+    """Shared probe + integer-scoring tail of the _VIX family
+    (q_vector_index_roundtrip and q_vector_delete): rank centroids
+    driver-side off the PERSISTED codebook (integer micro-unit
+    distances == the oracle's chain), manifest-pruned lake_scan of the
+    _VIX_NPROBE winning cells under ONE snapshot, exact micro-unit dot
+    ranking with the n_cand witness column.  ONE definition so the
+    tie-breaks and rounding discipline cannot drift between the two
+    oracles."""
     from pyspark.sql.window import Window
 
     from pyspec_spark.functions.determinism import _fixed6
     from pyspec_spark.lake import lake_scan
-    from pyspec_spark.streaming.vectors import (
-        index_to_lake,
-        load_centroids,
+    from pyspec_spark.streaming.vectors import load_centroids
+
+    cids, C = load_centroids(root)
+
+    def dist_micro(cvec) -> int:
+        tot = 0
+        for a, b in zip(cvec, qv):
+            t = (a - b) * (a - b) * 1e6
+            tot += int(t + 0.5) if t >= 0 else -int(0.5 - t)
+        return tot
+
+    probed = sorted(
+        (dist_micro(C[i]), int(cids[i])) for i in range(len(cids))
+    )[:_VIX_NPROBE]
+    parts = [lake_scan(spark, root, [("cid", "=", cid)]) for _, cid in probed]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+
+    qlit = F.array(*[F.lit(x) for x in qv])
+    dot_micro = F.aggregate(
+        F.zip_with("embedding", qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + _fixed6(x),
     )
+    return (
+        cand.select(
+            "vec_id",
+            "cid",
+            dot_micro.alias("dot_micro"),
+            F.count("*").over(Window.partitionBy()).alias("n_cand"),
+        )
+        .orderBy(F.desc("dot_micro"), "vec_id")
+        .limit(_VIX_TOPK)
+    )
+
+
+@query("q_vector_index_roundtrip", oracle=_VIX_ORACLE)
+def q_vector_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pyspec_spark.streaming.vectors import index_to_lake
 
     e = table(spark, sf_dir, "embeddings")
     cb_rows = sorted(
@@ -362,47 +405,8 @@ def q_vector_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         checkpoint=os.path.join(root, "_chk"),
     )
 
-    # probe choice from the PERSISTED codebook (the lookup path's own
-    # metadata), integer micro-unit distances == the oracle's chain
-    cids, C = load_centroids(root)
-    qv = cb_rows[0][1]
-
-    def dist_micro(cvec) -> int:
-        tot = 0
-        for a, b in zip(cvec, qv):
-            t = (a - b) * (a - b) * 1e6
-            tot += int(t + 0.5) if t >= 0 else -int(0.5 - t)
-        return tot
-
-    probed = sorted(
-        (dist_micro(C[i]), int(cids[i])) for i in range(len(cids))
-    )[:_VIX_NPROBE]
-
-    # manifest-pruned candidate scan (the subsystem under test), one
-    # snapshot for all probes
-    parts = [lake_scan(spark, root, [("cid", "=", cid)]) for _, cid in probed]
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
-
-    qlit = F.array(*[F.lit(x) for x in qv])
-    dot_micro = F.aggregate(
-        F.zip_with(
-            "embedding", qlit, lambda a, b: a.cast("double") * b
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + _fixed6(x),
-    )
-    return (
-        cand.select(
-            "vec_id",
-            "cid",
-            dot_micro.alias("dot_micro"),
-            F.count("*").over(Window.partitionBy()).alias("n_cand"),
-        )
-        .orderBy(F.desc("dot_micro"), "vec_id")
-        .limit(_VIX_TOPK)
-    )
+    # probe + score off the persisted codebook (shared _VIX tail)
+    return _vix_probe_score(spark, root, cb_rows[0][1])
 
 
 # ---------------------------------------------------------------------------
@@ -467,14 +471,10 @@ LIMIT {_VIX_TOPK}
 
 @query("q_vector_delete", oracle=_VDEL_ORACLE)
 def q_vector_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    from pyspec_spark.functions.determinism import _fixed6
-    from pyspec_spark.lake import lake_append, lake_scan
+    from pyspec_spark.lake import lake_append
     from pyspec_spark.streaming.vectors import (
         assign_cells,
         delete_vectors,
-        load_centroids,
         save_centroids,
     )
 
@@ -508,42 +508,9 @@ def q_vector_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("vec_id") % _VDEL_MOD == _VDEL_RESID).select("vec_id"),
     )
 
-    # probe + score over the post-delete snapshot — identical
-    # arithmetic to q_vector_index_roundtrip (shared _vix chains)
-    cids, C = load_centroids(root)
-    qv = cb_rows[0][1]
-
-    def dist_micro(cvec) -> int:
-        tot = 0
-        for a, b in zip(cvec, qv):
-            t = (a - b) * (a - b) * 1e6
-            tot += int(t + 0.5) if t >= 0 else -int(0.5 - t)
-        return tot
-
-    probed = sorted(
-        (dist_micro(C[i]), int(cids[i])) for i in range(len(cids))
-    )[:_VIX_NPROBE]
-    parts = [lake_scan(spark, root, [("cid", "=", cid)]) for _, cid in probed]
-    cand = parts[0]
-    for p in parts[1:]:
-        cand = cand.unionByName(p)
-
-    qlit = F.array(*[F.lit(x) for x in qv])
-    dot_micro = F.aggregate(
-        F.zip_with("embedding", qlit, lambda a, b: a.cast("double") * b),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + _fixed6(x),
-    )
-    return (
-        cand.select(
-            "vec_id",
-            "cid",
-            dot_micro.alias("dot_micro"),
-            F.count("*").over(Window.partitionBy()).alias("n_cand"),
-        )
-        .orderBy(F.desc("dot_micro"), "vec_id")
-        .limit(_VIX_TOPK)
-    )
+    # probe + score over the post-delete snapshot (shared _VIX tail —
+    # one definition of the tie-breaks and micro-unit rounding)
+    return _vix_probe_score(spark, root, cb_rows[0][1])
 
 
 # ---------------------------------------------------------------------------

@@ -1180,15 +1180,25 @@ def _bm25_part() -> Column:
     )
 
 
-def _score_decoded(decoded: DataFrame, idf: DataFrame, dl: DataFrame, stats: DataFrame) -> DataFrame:
-    """(term, doc_id, tf) -> (doc_id, n_terms, bm25): round-6 parts
-    (idf broadcast, dl join, 1-row stats broadcast), summed per doc."""
+def _score_decoded(
+    decoded: DataFrame,
+    idf: DataFrame,
+    dl: DataFrame,
+    stats: DataFrame,
+    group_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """(term, [extra group cols,] doc_id, tf) -> (*group_cols, n_terms,
+    bm25): round-6 parts (idf broadcast, dl join, 1-row stats
+    broadcast), summed per group.  The single-query retrieval family
+    groups per doc; batch retrieval (L40i) passes
+    ("query_id", "doc_id") so the SAME scoring definition serves the
+    whole workload — the arithmetic cannot drift between the faces."""
     return (
         decoded.join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", _bm25_part().alias("part"))
-        .groupBy("doc_id")
+        .select(*group_cols, _bm25_part().alias("part"))
+        .groupBy(*group_cols)
         .agg(
             F.count("*").alias("n_terms"),
             F.round(F.sum("part"), 6).alias("bm25"),
@@ -1627,18 +1637,15 @@ def q_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fan-out to queries is a BROADCAST join: the workload table is
     # the small side by construction (queries fit one executor; the
-    # corpus-proportional decoded stream never shuffles here)
-    scored = (
-        decoded.join(F.broadcast(qmap), "term")
-        .join(F.broadcast(idf), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("query_id", "doc_id", _bm25_part().alias("part"))
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.count("*").alias("n_terms"),
-            F.round(F.sum("part"), 6).alias("bm25"),
-        )
+    # corpus-proportional decoded stream never shuffles here).  Scoring
+    # is the retrieval family's ONE definition, grouped per (query,
+    # doc) instead of per doc.
+    scored = _score_decoded(
+        decoded.join(F.broadcast(qmap), "term"),
+        idf,
+        dl,
+        stats,
+        group_cols=("query_id", "doc_id"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), "doc_id")
     return (

@@ -131,3 +131,19 @@ def test_enforce_contract_empty_and_all_pass(spark):
     assert q.count() == 0
     assert p.columns == clean.columns
     assert p.count() == 2
+
+
+def test_enforce_contract_rejects_violations_column_loudly(spark):
+    """Re-validating rows read back from a quarantine lake is a natural
+    remediation flow — the operator must fail with a CLEAR error (drop
+    or rename first), never an ambiguous-reference crash or a silent
+    shadow of the original routing record."""
+    import pytest
+
+    from pyspec_spark.operators.expectations import enforce_contract
+
+    df = spark.createDataFrame(
+        [(1, ["old"])], "k BIGINT, violations ARRAY<STRING>"
+    )
+    with pytest.raises(ValueError, match="violations"):
+        enforce_contract(df, [("k_pos", F.col("k") > 0)])

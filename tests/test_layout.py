@@ -1513,3 +1513,45 @@ def test_upsert_rollup_touched_buckets_only_and_idempotent_state(spark, tmp_path
         got.orderBy("bucket", "event_type").collect()
         == want_f.orderBy("bucket", "event_type").collect()
     )
+
+
+def test_upsert_rollup_null_keys_and_null_ts_do_not_collide(spark, tmp_path):
+    """Review-pass regression (r10): concat_ws silently SKIPS null
+    components, so without the \\x00 sentinel the distinct key tuples
+    (NULL, 'x') and ('x', NULL) would collide into one rk and double-
+    merge, and a NULL-ts bucket would defeat the pb equality scan
+    (NULL = NULL is never true) — a second NULL-bucket delta would
+    REPLACE the first's partials instead of merging.  Pins: distinct
+    null-bearing groups stay distinct, the null bucket MERGES across
+    two deltas, and mixed null/non-null buckets in one delta don't
+    crash the driver-side sort."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.lake import lake_read
+    from pyspec_spark.operators.rollup import upsert_rollup
+
+    root = str(tmp_path / "roll_null")
+    rows = [
+        ("2024-01-01 10:00:00", "x", None, 1.0),
+        ("2024-01-01 11:00:00", None, "x", 2.0),
+        (None, "x", None, 4.0),   # null ts -> the null bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "ts_s STRING, a STRING, b STRING, v DOUBLE"
+    ).select(F.to_timestamp("ts_s").alias("ts"), "a", "b", "v")
+    upsert_rollup(spark, root, df, "ts", ["a", "b"], "v", level="day")
+    # second delta: same groups again, including the null bucket and a
+    # non-null bucket in the SAME delta (the mixed-sort crash case)
+    upsert_rollup(spark, root, df, "ts", ["a", "b"], "v", level="day")
+
+    got = {
+        (r["a"], r["b"], r["bucket"] is None): (r["n"], r["sum_micro"])
+        for r in lake_read(spark, root).collect()
+    }
+    # three DISTINCT groups, each merged to n=2 (never collided, never
+    # replaced)
+    assert got == {
+        ("x", None, False): (2, 2_000_000),
+        (None, "x", False): (2, 4_000_000),
+        ("x", None, True): (2, 8_000_000),
+    }

@@ -30,7 +30,6 @@ from pyspec_spark.session import get_spark  # noqa: E402
 
 UNITS = 2
 LOOP_SAMPLE = 16
-K1, B = 1.2, 0.75
 
 _SHARDED_SCHEMA = (
     "term STRING, shard BIGINT, df_shard BIGINT, "
@@ -53,6 +52,8 @@ def _score(spark, root, decoded, qmap, k: int = 10):
     from pyspark.sql.window import Window
 
     from pyspec_spark.operators.text import read_norm_stats, read_norms
+    from pyspec_spark.queries.text_ranking import _BM25_B as B
+    from pyspec_spark.queries.text_ranking import _BM25_K1 as K1
 
     dl = read_norms(spark, root)
     stats = read_norm_stats(spark, root)
