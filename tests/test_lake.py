@@ -989,3 +989,58 @@ def test_lake_random_op_sequences_match_model(spark, tmp_path):
         v = latest_version(root)
         for e in _load_manifest(root, v)["files"]:
             assert _os.path.exists(_os.path.join(root, e["path"]))
+
+
+def test_replace_partitions_carries_by_reference_and_refuses_partitionless(
+    spark, tmp_path
+):
+    """lake_replace_partitions (r10): replaces exactly the named
+    partitions' contents, carries every other partition's files by
+    reference (same paths across versions), records a stream watermark
+    atomically when given one — and REFUSES a table holding
+    partition-less files (z-order compaction output can contain any
+    partition's rows; dropping it would lose the rows the caller's
+    replacement frame never read)."""
+    import pytest
+
+    from pyspec_spark.lake import (
+        _load_manifest,
+        lake_append,
+        lake_compact_zorder,
+        lake_last_batch,
+        lake_read,
+        lake_replace_partitions,
+        latest_version,
+    )
+
+    root = str(tmp_path / "rp")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}", i * 10) for i in range(30)],
+        "k BIGINT, part STRING, v BIGINT",
+    )
+    v1 = lake_append(spark, root, df, partition_col="part")
+
+    repl = spark.createDataFrame(
+        [(100, "p1", 1), (101, "p1", 2)], "k BIGINT, part STRING, v BIGINT"
+    )
+    v2 = lake_replace_partitions(
+        spark, root, {"p1"}, repl, partition_col="part",
+        stream_commit=("rp_stream", 7),
+    )
+    assert v2 == v1 + 1
+    assert lake_last_batch(root, "rp_stream") == 7
+    got = {(r["k"], r["part"]) for r in lake_read(spark, root).collect()}
+    assert {k for k, p in got if p == "p1"} == {100, 101}
+    assert len([1 for _, p in got if p == "p0"]) == 10  # untouched
+    f1 = {e["path"] for e in _load_manifest(root, v1)["files"]
+          if e["partition"] != "p1"}
+    f2 = {e["path"] for e in _load_manifest(root, v2)["files"]
+          if e["partition"] != "p1"}
+    assert f1 == f2  # carried by reference, not rewritten
+
+    # a z-order compaction writes partition-less files -> refuse loudly
+    lake_compact_zorder(spark, root, "k", "v")
+    with pytest.raises(ValueError, match="partition-less"):
+        lake_replace_partitions(
+            spark, root, {"p1"}, repl, partition_col="part"
+        )
