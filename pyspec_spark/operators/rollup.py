@@ -96,9 +96,12 @@ def merge_level(finer: DataFrame, level: str, keys: list[str]) -> DataFrame:
     )
 
 
-def finalize(level_df: DataFrame, keys: list[str]) -> DataFrame:
+def finalize(
+    level_df: DataFrame, keys: list[str], extra: tuple[str, ...] = ()
+) -> DataFrame:
     """Present a cascade level: exact sum and 6-dp mean from the merged
-    micro-unit accumulator."""
+    micro-unit accumulator.  ``extra`` names already-derived columns to
+    carry through (read_rollup's n_distinct)."""
     return level_df.select(
         "bucket",
         *keys,
@@ -109,6 +112,7 @@ def finalize(level_df: DataFrame, keys: list[str]) -> DataFrame:
         ),
         "min_v",
         "max_v",
+        *extra,
     )
 
 
@@ -135,7 +139,8 @@ _NULL_BUCKET = "null"
 
 
 def _rollup_partial(delta: DataFrame, ts_col: str, keys: list[str],
-                    value_col: str, level: str) -> DataFrame:
+                    value_col: str, level: str,
+                    distinct_col: str | None = None) -> DataFrame:
     """Aggregate a delta to mergeable partials + the lake's key/partition
     columns: rk (opaque composite of bucket+keys) and pb (bucket string,
     the partition value — one lake partition per bucket, so maintenance
@@ -151,14 +156,21 @@ def _rollup_partial(delta: DataFrame, ts_col: str, keys: list[str],
     group keys are outside this operator's contract."""
     b = F.date_trunc(level, F.col(ts_col))
     nn = lambda c: F.coalesce(c.cast("string"), F.lit(_NULL_MARK))  # noqa: E731
+    aggs = [
+        F.count("*").alias("n"),
+        F.sum(_fixed6(F.col(value_col))).alias("sum_micro"),
+        F.min(value_col).alias("min_v"),
+        F.max(value_col).alias("max_v"),
+    ]
+    if distinct_col is not None:
+        # mergeable distinct sketch (Datasketches HLL): registers are
+        # MAX-merged, so base ⊕ delta estimates equal a from-scratch
+        # sketch — the incremental-DAU statistic a naive COUNT(DISTINCT)
+        # rollup cannot maintain (distinct is not sum-mergeable)
+        aggs.append(F.hll_sketch_agg(distinct_col).alias("dsk"))
     return (
         delta.groupBy(b.alias("bucket"), *keys)
-        .agg(
-            F.count("*").alias("n"),
-            F.sum(_fixed6(F.col(value_col))).alias("sum_micro"),
-            F.min(value_col).alias("min_v"),
-            F.max(value_col).alias("max_v"),
-        )
+        .agg(*aggs)
         .withColumn(
             "pb",
             F.coalesce(F.date_format("bucket", _PB_FMT), F.lit(_NULL_BUCKET)),
@@ -182,9 +194,18 @@ def upsert_rollup(
     level: str = "day",
     max_pruned_parts: int = 64,
     stream_commit: tuple[str, int] | None = None,
+    distinct_col: str | None = None,
 ) -> int:
     """Merge a raw-event delta into the maintained rollup at ``root``
     (self-initializing: the first call on an empty root IS the build).
+
+    ``distinct_col`` additionally maintains a MERGEABLE distinct sketch
+    per group (Datasketches HLL, column ``dsk``) — the incremental-DAU
+    statistic: COUNT(DISTINCT) is not sum-mergeable, but HLL registers
+    max-merge, so maintained estimates equal a from-scratch rollup's
+    (pinned in tests).  A root built with ``distinct_col`` must always
+    be maintained with it (and vice versa) — the merge join needs the
+    column on both sides.
 
     Cost model at 100 TB: one bounded shuffle over the DELTA (its
     partial aggregation), then ONE manifest-pruned read of ONLY the
@@ -207,7 +228,9 @@ def upsert_rollup(
 
     if level not in LEVELS:
         raise ValueError(f"unknown level {level!r}; expected one of {LEVELS}")
-    dp = _rollup_partial(delta, ts_col, keys, value_col, level).persist()
+    dp = _rollup_partial(
+        delta, ts_col, keys, value_col, level, distinct_col=distinct_col
+    ).persist()
     try:
         if latest_version(root) is None:
             from pyspec_spark.lake import lake_append
@@ -257,6 +280,11 @@ def upsert_rollup(
             F.col("sum_micro").alias("_sm"),
             F.col("min_v").alias("_mn"),
             F.col("max_v").alias("_mx"),
+            *(
+                [F.col("dsk").alias("_dsk")]
+                if distinct_col is not None
+                else []
+            ),
         )
         # FULL OUTER on rk: delta-only keys insert, existing-only keys
         # (other groups in the touched buckets) pass through unchanged,
@@ -280,6 +308,20 @@ def upsert_rollup(
                 ).alias("sum_micro"),
                 F.least("min_v", "_mn").alias("min_v"),
                 F.greatest("max_v", "_mx").alias("max_v"),
+                *(
+                    [
+                        # one-sided rows pass their sketch through;
+                        # both-sides rows max-merge registers (hll_union
+                        # on a NULL side would be an error, hence the
+                        # explicit branch, not coalesce-into-union)
+                        F.when(dp["dsk"].isNull(), F.col("_dsk"))
+                        .when(F.col("_dsk").isNull(), dp["dsk"])
+                        .otherwise(F.hll_union(dp["dsk"], F.col("_dsk")))
+                        .alias("dsk")
+                    ]
+                    if distinct_col is not None
+                    else []
+                ),
                 F.coalesce(dp["pb"], F.col("_pb")).alias("pb"),
                 F.coalesce(dp["rk"], F.col("_rk")).alias("rk"),
             )
@@ -306,10 +348,17 @@ def upsert_rollup(
 
 def read_rollup(spark, root: str, keys: list[str]) -> DataFrame:
     """Present the maintained rollup (drops the lake plumbing columns
-    and finalizes the micro-unit accumulator)."""
+    and finalizes the micro-unit accumulator).  A root maintained with
+    ``distinct_col`` additionally presents ``n_distinct`` — the HLL
+    estimate of distinct values per group."""
     from pyspec_spark.lake import lake_read
 
-    return finalize(lake_read(spark, root).drop("rk", "pb"), keys)
+    t = lake_read(spark, root)
+    extra: tuple[str, ...] = ()
+    if "dsk" in t.columns:
+        t = t.withColumn("n_distinct", F.hll_sketch_estimate("dsk"))
+        extra = ("n_distinct",)
+    return finalize(t.drop("rk", "pb", "dsk"), keys, extra=extra)
 
 
 def rollup_sink(
@@ -319,6 +368,7 @@ def rollup_sink(
     value_col: str,
     level: str = "day",
     query_name: str = "rollup_maintenance",
+    distinct_col: str | None = None,
 ):
     """The STREAMING face of upsert_rollup (the continuous aggregate
     proper): build the function for ``writeStream.foreachBatch`` so
@@ -356,6 +406,7 @@ def rollup_sink(
                     value_col,
                     level=level,
                     stream_commit=(query_name, int(batch_id)),
+                    distinct_col=distinct_col,
                 )
                 return
             except LakeConflict:

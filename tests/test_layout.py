@@ -1555,3 +1555,64 @@ def test_upsert_rollup_null_keys_and_null_ts_do_not_collide(spark, tmp_path):
         (None, "x", False): (2, 4_000_000),
         ("x", None, True): (2, 8_000_000),
     }
+
+
+def test_upsert_rollup_distinct_sketch_merges_exactly(spark, tmp_path):
+    """ST8b + HLL: a rollup maintained with distinct_col carries a
+    mergeable distinct sketch per group (the incremental-DAU statistic
+    a COUNT(DISTINCT) rollup cannot maintain — distinct is not
+    sum-mergeable).  Maintained ESTIMATES must equal a from-scratch
+    rollup's (HLL registers max-merge), including when deltas overlap
+    in users (the case naive per-delta distinct-count addition gets
+    wrong), and equal the EXACT distinct count at this cardinality."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.rollup import read_rollup, upsert_rollup
+    from pyspec_spark.tables import table as t
+
+    e = t(spark, SF, "events")
+    inc = str(tmp_path / "inc")
+    one = str(tmp_path / "one")
+    # overlapping thirds: users appear in multiple deltas, so a
+    # sum-of-per-delta-distincts would overcount
+    for pred in ("event_id % 3 != 0", "event_id % 3 != 1", "event_id % 3 != 2"):
+        upsert_rollup(
+            spark, inc, e.where(pred), "ts", ["event_type"], "value",
+            level="day", distinct_col="user_id",
+        )
+    upsert_rollup(
+        spark, one, e, "ts", ["event_type"], "value",
+        level="day", distinct_col="user_id",
+    )
+    cols = ["bucket", "event_type", "n_distinct"]
+    got = {
+        (r["bucket"], r["event_type"]): r["n_distinct"]
+        for r in read_rollup(spark, inc, ["event_type"]).collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): r["n_distinct"]
+        for r in read_rollup(spark, one, ["event_type"]).collect()
+    }
+    assert got == want and got
+    # at fixture cardinality the estimate is the exact distinct count
+    exact = {
+        (r["bucket"], r["event_type"]): r["d"]
+        for r in e.groupBy(
+            F.date_trunc("day", "ts").alias("bucket"), "event_type"
+        )
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert got == exact
+    # the n/sum path is unaffected: overlapping deltas triple-count by
+    # construction there (each row lands in exactly two deltas), so n
+    # per group must be exactly 2x the true count
+    n_inc = {
+        (r["bucket"], r["event_type"]): r["n"]
+        for r in read_rollup(spark, inc, ["event_type"]).collect()
+    }
+    n_one = {
+        (r["bucket"], r["event_type"]): r["n"]
+        for r in read_rollup(spark, one, ["event_type"]).collect()
+    }
+    assert n_inc == {k: 2 * v for k, v in n_one.items()}
