@@ -294,7 +294,17 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         upsert_rollup(
             spark, root, chunk, "ts", ["event_type"], "value", level="day"
         )
-    return read_rollup(spark, root, ["event_type"])
+    try:
+        return read_rollup(spark, root, ["event_type"])
+    except ValueError:
+        # a zero-row corpus commits zero data files (the lake's empty-
+        # version signal) — the rollup of nothing is nothing, typed to
+        # match the oracle
+        return spark.createDataFrame(
+            [],
+            "bucket TIMESTAMP, event_type STRING, n BIGINT, "
+            "sum_v DOUBLE, mean_v DOUBLE, min_v DOUBLE, max_v DOUBLE",
+        )
 
 
 # ---------------------------------------------------------------------------
