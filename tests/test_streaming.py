@@ -1685,3 +1685,38 @@ def test_stream_contract_enforcement_routes_and_redelivery_safe(
     vp, vq = latest_version(proot), latest_version(qroot)
     sink(ev.limit(25), last)
     assert latest_version(proot) == vp and latest_version(qroot) == vq
+
+
+def test_rollup_sink_retries_lost_commit_race(spark, tmp_path, monkeypatch):
+    """rollup_sink's LakeConflict contract: a lost commit race (a
+    maintenance commit or racing replica landing between the base read
+    and the merge commit) retries the WHOLE merge against the fresh
+    base — a read-modify-write cannot re-link like an append — and the
+    batch still lands exactly once.  Simulated by failing the first
+    upsert attempt with LakeConflict."""
+    import pyspec_spark.operators.rollup as ro
+    from pyspec_spark.lake import LakeConflict, lake_last_batch
+    from pyspec_spark.operators.rollup import read_rollup, rollup_sink
+    from pyspec_spark.tables import table as t
+
+    e = t(spark, SF, "events")
+    root = str(tmp_path / "race")
+    calls = {"n": 0}
+    real = ro.upsert_rollup
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise LakeConflict("simulated lost race")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(ro, "upsert_rollup", flaky)
+    sink = rollup_sink(root, "ts", ["event_type"], "value", level="day")
+    sink(e, 0)
+    assert calls["n"] == 2  # one loss, one successful retry
+    assert lake_last_batch(root, "rollup_maintenance") == 0
+    got = read_rollup(spark, root, ["event_type"])
+    assert got.count() > 0
+    # and the landed totals are the single-merge totals (no double
+    # commit from the retry)
+    assert got.agg({"n": "sum"}).collect()[0][0] == e.count()
