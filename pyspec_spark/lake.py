@@ -57,6 +57,14 @@ class LakeConflict(RuntimeError):
     """Another writer committed this version first — retry on latest."""
 
 
+# "base_version not supplied" sentinel for the writers below — distinct
+# from an explicit None, which means "I read an EMPTY table at
+# transaction start" (so the commit must be version 1, and any
+# interleaved first commit trips LakeConflict instead of silently
+# serializing on top of data the caller never saw).
+_UNSET = object()
+
+
 def _manifest_path(root: str, version: int) -> str:
     return os.path.join(root, _MANIFEST_DIR, f"v{version:08d}.json")
 
@@ -341,6 +349,7 @@ def lake_append(
     partition_col: str | None = None,
     bloom_cols: list[str] | None = None,
     stream_commit: tuple[str, int] | None = None,
+    base_version=_UNSET,
 ) -> int:
     """Append df as a new snapshot (previous files + new files).
     Add-column schema evolution allowed; drops/retypes refused.
@@ -348,9 +357,14 @@ def lake_append(
     equality skipping (int/string columns).  ``stream_commit`` records
     a (query_name, batch_id) exactly-once watermark atomically with
     the data (callers must check lake_last_batch themselves — this is
-    the low-level write; lake_append_stream is the checked wrapper)."""
+    the low-level write; lake_append_stream is the checked wrapper).
+    ``base_version`` (optional) pins the transaction's base: pass the
+    version you captured at transaction start (None = table was empty)
+    and the commit links parent=base, so an interleaved commit raises
+    LakeConflict instead of silently serializing on a base you never
+    read."""
     _check_schema_evolution(root, df)
-    prev = latest_version(root)
+    prev = latest_version(root) if base_version is _UNSET else base_version
     old = _load_manifest(root, prev)["files"] if prev is not None else []
     new = _stage_files(spark, root, df, partition_col, bloom_cols=bloom_cols)
     return _commit(
@@ -459,6 +473,7 @@ def lake_upsert(
     partition_col: str,
     bloom_cols: list[str] | None = None,
     stream_commit: tuple[str, int] | None = None,
+    base_version=_UNSET,
 ) -> int:
     """MERGE (upsert) as a snapshot commit: rows in `updates` replace
     same-key rows; new keys append.  Only files whose partition value
@@ -466,12 +481,17 @@ def lake_upsert(
     partition — e.g. after z-order compaction — are always rewritten) —
     every other file is carried into the new manifest BY REFERENCE
     (zero data movement), and the previous version remains readable.
-    Schema evolution follows the add-column-only commit contract."""
+    Schema evolution follows the add-column-only commit contract.
+    ``base_version`` pins the transaction base (see lake_append): an
+    interleaved commit then raises LakeConflict at publish time rather
+    than silently merging against state the caller never read."""
     _check_schema_evolution(root, updates)
     updates = updates.persist()
     try:
         parts = _spark_part_strings(updates, partition_col)
-        prev = latest_version(root)
+        prev = (
+            latest_version(root) if base_version is _UNSET else base_version
+        )
         if prev is not None:
             m = _load_manifest(root, prev)
             old = m["files"]
@@ -515,6 +535,7 @@ def lake_replace_partitions(
     partition_col: str,
     bloom_cols: list[str] | None = None,
     stream_commit: tuple[str, int] | None = None,
+    base_version=_UNSET,
 ) -> int:
     """Replace the full contents of the named partitions with ``df``
     (whose rows must all belong to those partitions), carrying every
@@ -522,9 +543,14 @@ def lake_replace_partitions(
     that have ALREADY read the affected partitions and computed their
     replacement (upsert_rollup's merge): lake_upsert would re-read the
     touched files a second time for its survivors anti-join, which is
-    pure waste when the caller's df is the complete new content."""
+    pure waste when the caller's df is the complete new content.
+    Read-modify-write callers MUST pass ``base_version`` (the version
+    their read pinned): the commit then links parent=base, so a commit
+    landing inside the read→replace window raises LakeConflict instead
+    of silently publishing a merge computed against a stale base (the
+    lost-update race)."""
     _check_schema_evolution(root, df)
-    prev = latest_version(root)
+    prev = latest_version(root) if base_version is _UNSET else base_version
     if prev is None:
         new = _stage_files(spark, root, df, partition_col, bloom_cols=bloom_cols)
         return _commit(

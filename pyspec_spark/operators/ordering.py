@@ -43,9 +43,10 @@ def global_order_index(
     global pseudo-random order — without a corpus-wide
     single-partition window.  ``n_buckets`` must be a power of 16
     divisor of the md5 prefix space (16, 256, 4096, 65536)."""
-    import math
-
-    hex_digits = int(math.log(n_buckets, 16))
+    # Integral derivation — float log(4096, 16) can land at 2.999…
+    # on some libms and a truncation would spuriously reject a
+    # legitimate power of 16.
+    hex_digits = max((n_buckets.bit_length() - 1) // 4, 1)
     if 16 ** hex_digits != n_buckets:
         raise ValueError("n_buckets must be a power of 16")
     key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
@@ -96,3 +97,117 @@ def write_train_shards(
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def global_rank_index(
+    df: DataFrame,
+    order_by: list,
+    n_buckets: int = 256,
+    pos_col: str = "pos",
+) -> tuple[DataFrame, int]:
+    """Exact 0-based global rank under an ARBITRARY ``ORDER BY`` —
+    the general-order sibling of :func:`global_order_index` (which is
+    specialized to the seeded-md5 order where the bucket is readable
+    off the key prefix).  Returns ``(df + pos_col, total_rows)``.
+
+    Same two-level shape, never a single-partition window:
+
+    1. range-exchange into ``n_buckets`` ORDERED buckets
+       (``repartitionByRange`` — the partitioner is monotone in the
+       sort key, and equal full keys never straddle a boundary);
+    2. per-bucket ``row_number`` windows, each over ~n/n_buckets rows;
+    3. bucket offsets prefix-summed DRIVER-side from the per-bucket
+       counts (bounded collect: ≤ n_buckets rows) and joined back as a
+       literal map — no second exchange for the offsets.
+
+    The bucket id is ``spark_partition_id()`` over the range exchange,
+    and the frame is persisted before its two consumers (counts, then
+    the window) read it: the cache pins ONE materialization, so both
+    consumers see identical bucket assignments even if the range
+    sampler or AQE coalescing could re-plan between jobs.  (Both are
+    deterministic given identical input — the persist is
+    belt-and-braces, and it also keeps the rank pass at one exchange.)
+
+    Rank is EXACT for any order whose full key is unique (callers pass
+    a tiebreak column, exactly as they would under a window): bucket
+    assignment is monotone in the key order, so offset + within-bucket
+    row_number reproduces the global row_number.  Skew note: range
+    buckets split between distinct keys only, so a single key carrying
+    a macroscopic row fraction bounds that bucket's size — uniqueness
+    of the full key keeps buckets balanced.
+    """
+    from pyspark.sql import Column
+
+    exprs = [e if isinstance(e, Column) else F.col(e) for e in order_by]
+    k = (
+        df.repartitionByRange(n_buckets, *exprs)
+        .withColumn("_bucket", F.spark_partition_id())
+        .persist()
+    )
+    # bounded driver-side collect: ≤ n_buckets rows (the probe_term_index
+    # literal-list pattern) — also yields total N for closed-form ntile
+    counts = {
+        r["_bucket"]: r["n"]
+        for r in k.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
+    }
+    offsets: dict[int, int] = {}
+    total = 0
+    for b in sorted(counts):
+        offsets[b] = total
+        total += counts[b]
+    if not counts:
+        return df.withColumn(pos_col, F.lit(None).cast("long")), 0
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w_in = Window.partitionBy("_bucket").orderBy(*exprs)
+    out = (
+        k.withColumn("_r", F.row_number().over(w_in))
+        .withColumn(
+            pos_col,
+            (
+                F.element_at(off_map, F.col("_bucket"))
+                + F.col("_r")
+                - 1
+            ).cast("long"),
+        )
+        .drop("_bucket", "_r")
+    )
+    return out, total
+
+
+def ntile_from_pos(pos, n: int, k: int):
+    """SQL ``NTILE(k)`` as closed-form arithmetic on an exact 0-based
+    global position and the total row count — the remainder-
+    distribution semantics exactly: with q, r = divmod(n, k), the
+    first r buckets hold q+1 rows and the rest hold q.  Deterministic,
+    engine-agnostic, and (unlike ``F.ntile``) never requires the
+    single-partition global window Spark warns about."""
+    if n <= 0:
+        return F.lit(None).cast("int")
+    q, r = divmod(n, k)
+    pos = F.col(pos) if isinstance(pos, str) else pos
+    cut = r * (q + 1)
+    first = (pos / F.lit(q + 1)).cast("long") + 1
+    if q == 0:
+        return first.cast("int")
+    rest = F.lit(r) + ((pos - F.lit(cut)) / F.lit(q)).cast("long") + 1
+    return F.when(pos < cut, first).otherwise(rest).cast("int")
+
+
+def ntile_exact(
+    df: DataFrame,
+    order_by: list,
+    k: int,
+    out_col: str,
+    n_buckets: int = 256,
+) -> DataFrame:
+    """``NTILE(k) OVER (ORDER BY ...)`` without the single-partition
+    window: exact two-level global rank (:func:`global_rank_index`)
+    plus the closed-form bucket arithmetic (:func:`ntile_from_pos`)."""
+    ranked, n = global_rank_index(
+        df, order_by, n_buckets=n_buckets, pos_col="_ntile_pos"
+    )
+    return ranked.withColumn(
+        out_col, ntile_from_pos("_ntile_pos", n, k)
+    ).drop("_ntile_pos")

@@ -231,43 +231,51 @@ def upsert_rollup(
     dp = _rollup_partial(
         delta, ts_col, keys, value_col, level, distinct_col=distinct_col
     ).persist()
+    # The transaction base is captured ONCE, here, and every read and
+    # the final commit below pin it: lake writers re-resolving
+    # latest_version at commit time would silently serialize this merge
+    # against a base it never read (a lost update — e.g. a racing
+    # replica or maintenance commit landing inside the read→merge
+    # window would be double-merged instead of raising LakeConflict,
+    # breaking rollup_sink's documented conflict-retry contract).
+    base_version = latest_version(root)
     try:
-        if latest_version(root) is None:
+        if base_version is None:
             from pyspec_spark.lake import lake_append
 
             return lake_append(
                 spark, root, dp, partition_col="pb", bloom_cols=["rk"],
-                stream_commit=stream_commit,
+                stream_commit=stream_commit, base_version=None,
             )
         touched = sorted(
             r["pb"] for r in dp.select("pb").distinct().collect()
         )
         if not touched:
             if stream_commit is None:
-                return latest_version(root)
+                return base_version
             from pyspec_spark.lake import _commit, _load_manifest
 
-            prev = latest_version(root)
-            m = _load_manifest(root, prev)
+            m = _load_manifest(root, base_version)
             return _commit(
-                root, "upsert", m["files"], "pb", prev,
+                root, "upsert", m["files"], "pb", base_version,
                 stream_commit=stream_commit, schema=m.get("schema"),
             )
         if len(touched) <= max_pruned_parts:
             scans = [
-                lake_scan(spark, root, [("pb", "=", p)]) for p in touched
+                lake_scan(spark, root, [("pb", "=", p)], version=base_version)
+                for p in touched
             ]
             ex = scans[0]
             for p in scans[1:]:
                 ex = ex.unionByName(p)
             replace_parts = set(touched)
         else:
-            ex = lake_read(spark, root)
+            ex = lake_read(spark, root, version=base_version)
             # full-read fallback: the merge output covers EVERY bucket,
             # so the replace set is every live partition plus the new
             from pyspec_spark.lake import _load_manifest
 
-            m = _load_manifest(root, latest_version(root))
+            m = _load_manifest(root, base_version)
             replace_parts = {
                 e["partition"] for e in m["files"] if e["partition"]
             } | set(touched)
@@ -332,15 +340,20 @@ def upsert_rollup(
             return lake_replace_partitions(
                 spark, root, replace_parts, merged, partition_col="pb",
                 bloom_cols=["rk"], stream_commit=stream_commit,
+                base_version=base_version,
             )
         except ValueError:
             # partition-less files present (an external z-order
             # compaction): fall back to the survivors-re-reading upsert
             # — merged rows replace themselves plus combine, correct
-            # either way, just 2x the touched I/O
+            # either way, just 2x the touched I/O.  Still pinned to
+            # base_version: the anti-join must read the SAME base the
+            # merge was computed from, and the commit must conflict if
+            # anything landed since.
             return lake_upsert(
                 spark, root, merged, key="rk", partition_col="pb",
                 bloom_cols=["rk"], stream_commit=stream_commit,
+                base_version=base_version,
             )
     finally:
         dp.unpersist()

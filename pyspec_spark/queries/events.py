@@ -285,7 +285,7 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (predicate + its negation both evaluate NULL and drop the row):
     # delta2 is the null-safe complement of delta1, not a re-derived
     # predicate
-    is_delta = F.col("event_id") % 5 == 0
+    is_delta = F.coalesce(F.col("event_id") % 5 == 0, F.lit(False))
     d1_pred = F.coalesce(F.col("user_id") % 2 == 0, F.lit(False))
     base = e.where(~is_delta)
     delta1 = e.where(is_delta & d1_pred)

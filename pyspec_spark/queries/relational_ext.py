@@ -881,18 +881,21 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary",
         F.datediff("maxd", "last_order").alias("recency_days"),
     )
-    b = rfm.select(
-        "monetary",
-        F.ntile(5)
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .alias("r_bucket"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("freq"), "o_custkey"))
-        .alias("f_bucket"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), "o_custkey"))
-        .alias("m_bucket"),
-    )
+    # three exact NTILE(5) passes WITHOUT global windows: each F.ntile
+    # over an unpartitioned Window was an Exchange SinglePartition
+    # funnel (three of them — the exact shape SCALING r10d measured as
+    # one-core-bound); ntile_exact ranks two-level per dimension, so
+    # every corpus-sized stage stays hash/range-partitioned
+    from pyspec_spark.operators.ordering import ntile_exact
+
+    b = rfm
+    for out, order in (
+        ("r_bucket", [F.col("recency_days"), F.col("o_custkey")]),
+        ("f_bucket", [F.desc("freq"), F.col("o_custkey")]),
+        ("m_bucket", [F.desc("monetary"), F.col("o_custkey")]),
+    ):
+        b = ntile_exact(b, order, 5, out)
+    b = b.select("monetary", "r_bucket", "f_bucket", "m_bucket")
     return b.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
         F.count("*").alias("n_customers"),
         dsum("monetary", "total_monetary"),

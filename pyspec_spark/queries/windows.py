@@ -230,9 +230,21 @@ GROUP BY quartile
 """,
 )
 def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT F.ntile over a global window — that is an Exchange
+    # SinglePartition funnel (Spark warns "No Partition Defined for
+    # Window operation") whose unscalability SCALING r10d measured.
+    # ntile_exact = two-level exact global rank (range exchange +
+    # per-bucket windows + driver prefix-sum) + closed-form bucket
+    # arithmetic reproducing SQL NTILE's remainder distribution.
+    from pyspec_spark.operators.ordering import ntile_exact
+
     c = table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
-    t = c.select("c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile"))
+    t = ntile_exact(
+        c.select("c_custkey", "c_acctbal"),
+        [F.desc("c_acctbal"), F.col("c_custkey")],
+        4,
+        "quartile",
+    )
     return t.groupBy("quartile").agg(
         F.count("*").alias("n"),
         dsum("c_acctbal", "sum_bal"),

@@ -393,11 +393,14 @@ def test_event_transitions_bounded_exchanges(spark):
 
 
 def test_rfm_windows_over_customer_table_only(spark):
-    """The three ntile windows must run over the |customers|-sized
-    stats table (4 exchanges: cust agg + 3 global sorts), never over
-    the order stream."""
+    """The three ntile dimensions rank the |customers|-sized stats
+    table via ntile_exact's range-bucketed two-level windows — every
+    window is PARTITIONED by the range bucket (never a global sort
+    funnel), and no cartesian appears.  (Exchange counts are not
+    pinned here: the per-dimension persisted rank frames reprint their
+    cached subtrees in explain text, which would double-count.)"""
     p = _plan(spark, "q_rfm")
-    assert count_exchanges(p) <= 6
+    assert "hashpartitioning(_bucket" in p, p[:3000]
     assert "CartesianProduct" not in p
 
 
@@ -1000,3 +1003,55 @@ def test_batch_retrieval_fanout_is_broadcast(spark):
     assert count_exchanges(p) <= 6, p
     # the workload table itself must ride a broadcast arm
     assert "BroadcastExchange" in p and "ExistingRDD" in p
+
+
+def test_ntile_no_single_partition_window(spark):
+    """W6: NTILE must never be the global-window Exchange
+    SinglePartition funnel (the shape SCALING r10d measured as
+    one-core-bound) — ntile_exact ranks per range-bucket and derives
+    the quartile closed-form, so the plan carries NO SinglePartition
+    exchange at all (offsets are a driver prefix-sum literal, not a
+    prefix-sum window)."""
+    p = _plan(spark, "q_ntile")
+    assert "SinglePartition" not in p, p[:3000]
+    assert "rangepartitioning" in p.lower(), p[:3000]
+
+
+def test_rfm_no_single_partition_window(spark):
+    """R15/E5: all three NTILE(5) dimensions run through ntile_exact —
+    previously THREE global windows funneled every customer through one
+    reducer.  The only SinglePartition exchanges allowed are the 1-row
+    partial->final global max(last_order) aggregate (one row per
+    upstream partition — bounded); every SinglePartition occurrence
+    must be that shape, never a Window's required distribution."""
+    p = _plan(spark, "q_rfm")
+    lines = p.splitlines()
+    hits = [i for i, ln in enumerate(lines) if "SinglePartition" in ln]
+    assert hits, "expected the bounded global-max aggregate exchange"
+    for i in hits:
+        ctx = "\n".join(lines[max(0, i - 8) : i + 1])
+        assert "partial_max" in ctx, ctx
+
+
+def test_ntile_exact_matches_sql_ntile_semantics(spark):
+    """Closed-form remainder distribution == F.ntile for every (n, k)
+    shape class: n % k == 0, n % k != 0, n < k, n == 1 — pinned
+    against Spark's own NTILE on a single-partition toy frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.ordering import ntile_exact
+
+    for n, k in [(12, 4), (13, 4), (3, 5), (1, 3), (100, 7)]:
+        df = spark.range(n).select(F.col("id"))
+        want = {
+            r["id"]: r["b"]
+            for r in df.select(
+                "id", F.ntile(k).over(Window.orderBy("id")).alias("b")
+            ).collect()
+        }
+        got = {
+            r["id"]: r["b"]
+            for r in ntile_exact(df, [F.col("id")], k, "b").collect()
+        }
+        assert got == want, (n, k)

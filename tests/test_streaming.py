@@ -1720,3 +1720,108 @@ def test_rollup_sink_retries_lost_commit_race(spark, tmp_path, monkeypatch):
     # and the landed totals are the single-merge totals (no double
     # commit from the retry)
     assert got.agg({"n": "sum"}).collect()[0][0] == e.count()
+
+
+def test_upsert_rollup_detects_real_lost_update_window(
+    spark, tmp_path, monkeypatch
+):
+    """The REAL lost-update window (not a simulated conflict): a racing
+    replica commits between upsert_rollup's base-version capture and
+    its replace commit.  Because upsert_rollup pins base_version through
+    to the commit parent, the interleaved commit must trip the lake's
+    os.link optimistic check with a genuine LakeConflict — and
+    rollup_sink's retry must then recompute against the fresh base, so
+    the final table equals a from-scratch rollup of ALL three chunks
+    (base + racer + batch), never a double-merge."""
+    import pyspec_spark.lake as lk
+    import pyspec_spark.operators.rollup as ro
+    from pyspec_spark.operators.rollup import (
+        read_rollup,
+        rollup_cascade,
+        rollup_sink,
+        upsert_rollup,
+    )
+    from pyspec_spark.tables import table as t
+
+    e = t(spark, SF, "events")
+    is_c = F.coalesce(F.col("event_id") % 3 == 0, F.lit(False))
+    is_b = F.coalesce(F.col("event_id") % 3 == 1, F.lit(False))
+    chunk_a = e.where(~is_c & ~is_b)
+    chunk_b = e.where(is_b)
+    chunk_c = e.where(is_c)
+
+    root = str(tmp_path / "race_window")
+    upsert_rollup(spark, root, chunk_a, "ts", ["event_type"], "value",
+                  level="day")
+
+    real_replace = lk.lake_replace_partitions
+    state = {"racing": False, "raced": False, "conflicts": 0}
+
+    def racing_replace(*a, **kw):
+        # first entry: inject a REAL racing commit (another replica's
+        # merge) inside the window, then run the original — whose
+        # parent=base_version link must now genuinely conflict
+        if not state["raced"] and not state["racing"]:
+            state["raced"] = True
+            state["racing"] = True
+            try:
+                upsert_rollup(spark, root, chunk_c, "ts", ["event_type"],
+                              "value", level="day")
+            finally:
+                state["racing"] = False
+        try:
+            return real_replace(*a, **kw)
+        except lk.LakeConflict:
+            state["conflicts"] += 1
+            raise
+
+    monkeypatch.setattr(lk, "lake_replace_partitions", racing_replace)
+    sink = rollup_sink(root, "ts", ["event_type"], "value", level="day")
+    sink(chunk_b, 7)
+
+    assert state["raced"]
+    assert state["conflicts"] >= 1  # the window tripped a REAL conflict
+    assert lk.lake_last_batch(root, "rollup_maintenance") == 7
+
+    got = _collect_sorted(
+        read_rollup(spark, root, ["event_type"]),
+        ["bucket", "event_type", "n", "sum_v", "min_v", "max_v"],
+    )
+    scratch = rollup_cascade(e, "ts", ["event_type"], "value",
+                             levels=("day",))["day"]
+    want = _collect_sorted(
+        ro.finalize(scratch, ["event_type"]),
+        ["bucket", "event_type", "n", "sum_v", "min_v", "max_v"],
+    )
+    assert got == want
+
+
+def test_lake_writers_pin_base_version(spark, tmp_path):
+    """base_version semantics on the lake writers themselves: a commit
+    computed against a stale base must raise LakeConflict at publish
+    time, and an explicit base_version=None (empty-at-start) must
+    conflict if any first commit landed in between."""
+    import pyspec_spark.lake as lk
+
+    root = str(tmp_path / "pin")
+    df = spark.range(5).select(
+        F.col("id"), (F.col("id") % 2).cast("string").alias("p")
+    )
+    v1 = lk.lake_append(spark, root, df, partition_col="p")
+    assert v1 == 1
+    # racing append bumps to v2
+    lk.lake_append(spark, root, df, partition_col="p")
+    with pytest.raises(lk.LakeConflict):
+        lk.lake_replace_partitions(
+            spark, root, {"0"}, df.where("p = '0'"), partition_col="p",
+            base_version=1,
+        )
+    with pytest.raises(lk.LakeConflict):
+        lk.lake_upsert(
+            spark, root, df, key="id", partition_col="p", base_version=1
+        )
+    root2 = str(tmp_path / "pin_empty")
+    lk.lake_append(spark, root2, df, partition_col="p")
+    with pytest.raises(lk.LakeConflict):
+        lk.lake_append(spark, root2, df, partition_col="p",
+                       base_version=None)
