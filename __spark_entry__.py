@@ -27,19 +27,18 @@ from pyspec_spark import registry
 # a few rounds.  Rows-only queries are excluded from the window (the
 # driver records only a weak count for them); everything else follows
 # in registration order — nothing is dropped.
-# r8 rebalance: the window budget is ~50 and the r8 round added eight
-# NEW oracle-gated subsystem queries that must earn same-round driver
-# rows, while the back-catalog target (cumulative coverage >= 173 of
-# the r7-era 193) needs the FULL 35 least-checked rotation.  Permanents
-# trimmed to 7 — every dropped flagship (q_dedup_docs, q_kmeans2,
-# q_knn_join, q_tfidf_topk, q_lang_id, q_funnel, q_video_metadata,
-# q_events_session) has 6-7 green driver rows already and re-enters via
-# the rotation when it becomes least-checked again.
+# r8 rebalance: the window budget is ~50 and each round's NEW
+# oracle-gated subsystem queries must earn same-round driver rows,
+# while regression detection needs the full staleness rotation.
+# Permanents trimmed to 7 — every dropped flagship (q_dedup_docs,
+# q_kmeans2, q_knn_join, q_tfidf_topk, q_lang_id, q_funnel,
+# q_video_metadata, q_events_session, and as of r11 q_spec_roundtrip,
+# whose r8 keep-until-green reason expired after two green rounds) has
+# many green driver rows already and re-enters via the rotation when
+# it becomes stalest.
 _PERMANENT = [
     "q_pricing_summary",   # flagship multi-metric agg (A1)
     "q_embed_cov",         # L11 — r6/r7 driver red; green r8 (integer fix)
-    "q_spec_roundtrip",    # S1b — r8 driver red (pushdown conf); keep
-                           # until green (the q_embed_cov precedent)
     "q_minhash_neardup",   # L2 MinHash-LSH
     "q_curation_pipeline", # L21 composed pipeline
     "q_pagerank",          # L18 graph
@@ -51,20 +50,12 @@ _PERMANENT = [
 # row in the same round.  They drop out of this list next round and
 # join the normal staleness rotation.
 _FRESH: list[str] = [
-    "q_index_delete",      # r10: tombstone deletes + merge-on-compact (L40e)
-    "q_phrase_lookup",     # r10: positional postings + phrase query (L40f)
-    "q_proximity_lookup",  # r10: proximity retrieval over positions (L40f+)
-    "q_index_topk_and",    # r10: rarest-term conjunctive top-k (L40g)
-    "q_index_topk_or",     # r10: block-max disjunctive top-k (L40g)
-    "q_jsonl_roundtrip",   # r10: JSONL ingest + quarantine policy (S8)
-    "q_csv_roundtrip",     # r10: CSV ingest + quarantine policy (S9)
-    "q_proximity_rerank",  # r10: retrieve-then-rerank off one positional index (L40h)
-    "q_train_order",       # r10: scalable seeded global shuffle + shards (L45)
-    "q_data_contract",     # r10: Deequ-style data-quality contract (V1)
-    "q_vector_delete",     # r10: CoW vector-index deletion (ST11c)
-    "q_batch_retrieval",   # r10: batch multi-query retrieval (L40i)
-    "q_rollup_incremental",  # r10: continuous-aggregate maintenance (ST8b)
-    "q_contract_enforce",  # r10: row-level contract enforcement (V1b)
+    "q_index_maintained_topk",  # r11: maintained-index serving (L40j)
+    # reworked this round — force same-round driver rows for the new
+    # plans even if the rotation would not pick them:
+    "q_ntile",               # r11: ntile_exact two-level rank (W6)
+    "q_rfm",                 # r11: three ntile_exact dimensions (R15/E5)
+    "q_rollup_incremental",  # r11: base_version-pinned merge (ST8b)
 ]
 # r10 rotation rework (VERDICT r9 task 4): cumulative driver coverage
 # is COMPLETE (195/195 oracle queries have a hard green row across

@@ -140,7 +140,8 @@ _NULL_BUCKET = "null"
 
 def _rollup_partial(delta: DataFrame, ts_col: str, keys: list[str],
                     value_col: str, level: str,
-                    distinct_col: str | None = None) -> DataFrame:
+                    distinct_col: str | None = None,
+                    quantile_col: str | None = None) -> DataFrame:
     """Aggregate a delta to mergeable partials + the lake's key/partition
     columns: rk (opaque composite of bucket+keys) and pb (bucket string,
     the partition value — one lake partition per bucket, so maintenance
@@ -168,6 +169,19 @@ def _rollup_partial(delta: DataFrame, ts_col: str, keys: list[str],
         # sketch — the incremental-DAU statistic a naive COUNT(DISTINCT)
         # rollup cannot maintain (distinct is not sum-mergeable)
         aggs.append(F.hll_sketch_agg(distinct_col).alias("dsk"))
+    if quantile_col is not None:
+        # mergeable quantile sketch (Datasketches KLL, ST8c r11): the
+        # OTHER statistic every telemetry rollup serves (p50/p95/p99)
+        # that a sum-mergeable table cannot maintain — exact
+        # percentiles are not mergeable, KLL sketches are.  Same
+        # column pattern the HLL distinct sketch proved: a binary
+        # column merged per group on upsert, estimates read off at
+        # presentation time (read_rollup).
+        aggs.append(
+            F.kll_sketch_agg_double(
+                F.col(quantile_col).cast("double")
+            ).alias("qsk")
+        )
     return (
         delta.groupBy(b.alias("bucket"), *keys)
         .agg(*aggs)
@@ -195,6 +209,7 @@ def upsert_rollup(
     max_pruned_parts: int = 64,
     stream_commit: tuple[str, int] | None = None,
     distinct_col: str | None = None,
+    quantile_col: str | None = None,
 ) -> int:
     """Merge a raw-event delta into the maintained rollup at ``root``
     (self-initializing: the first call on an empty root IS the build).
@@ -229,7 +244,8 @@ def upsert_rollup(
     if level not in LEVELS:
         raise ValueError(f"unknown level {level!r}; expected one of {LEVELS}")
     dp = _rollup_partial(
-        delta, ts_col, keys, value_col, level, distinct_col=distinct_col
+        delta, ts_col, keys, value_col, level,
+        distinct_col=distinct_col, quantile_col=quantile_col,
     ).persist()
     # The transaction base is captured ONCE, here, and every read and
     # the final commit below pin it: lake writers re-resolving
@@ -293,6 +309,11 @@ def upsert_rollup(
                 if distinct_col is not None
                 else []
             ),
+            *(
+                [F.col("qsk").alias("_qsk")]
+                if quantile_col is not None
+                else []
+            ),
         )
         # FULL OUTER on rk: delta-only keys insert, existing-only keys
         # (other groups in the touched buckets) pass through unchanged,
@@ -330,6 +351,22 @@ def upsert_rollup(
                     if distinct_col is not None
                     else []
                 ),
+                *(
+                    [
+                        # same null-branch discipline for the KLL
+                        # quantile sketch (ST8c)
+                        F.when(dp["qsk"].isNull(), F.col("_qsk"))
+                        .when(F.col("_qsk").isNull(), dp["qsk"])
+                        .otherwise(
+                            F.kll_sketch_merge_double(
+                                dp["qsk"], F.col("_qsk")
+                            )
+                        )
+                        .alias("qsk")
+                    ]
+                    if quantile_col is not None
+                    else []
+                ),
                 F.coalesce(dp["pb"], F.col("_pb")).alias("pb"),
                 F.coalesce(dp["rk"], F.col("_rk")).alias("rk"),
             )
@@ -362,16 +399,26 @@ def upsert_rollup(
 def read_rollup(spark, root: str, keys: list[str]) -> DataFrame:
     """Present the maintained rollup (drops the lake plumbing columns
     and finalizes the micro-unit accumulator).  A root maintained with
-    ``distinct_col`` additionally presents ``n_distinct`` — the HLL
-    estimate of distinct values per group."""
+    ``distinct_col`` additionally presents ``n_distinct`` (HLL distinct
+    estimate); one maintained with ``quantile_col`` presents ``p50``
+    and ``p95`` read off the merged KLL sketch."""
     from pyspec_spark.lake import lake_read
 
     t = lake_read(spark, root)
-    extra: tuple[str, ...] = ()
+    extra: list[str] = []
     if "dsk" in t.columns:
         t = t.withColumn("n_distinct", F.hll_sketch_estimate("dsk"))
-        extra = ("n_distinct",)
-    return finalize(t.drop("rk", "pb", "dsk"), keys, extra=extra)
+        extra.append("n_distinct")
+    if "qsk" in t.columns:
+        t = t.withColumn(
+            "p50", F.kll_sketch_get_quantile_double("qsk", F.lit(0.5))
+        ).withColumn(
+            "p95", F.kll_sketch_get_quantile_double("qsk", F.lit(0.95))
+        )
+        extra += ["p50", "p95"]
+    return finalize(
+        t.drop("rk", "pb", "dsk", "qsk"), keys, extra=tuple(extra)
+    )
 
 
 def rollup_sink(
@@ -382,6 +429,7 @@ def rollup_sink(
     level: str = "day",
     query_name: str = "rollup_maintenance",
     distinct_col: str | None = None,
+    quantile_col: str | None = None,
 ):
     """The STREAMING face of upsert_rollup (the continuous aggregate
     proper): build the function for ``writeStream.foreachBatch`` so
@@ -420,6 +468,7 @@ def rollup_sink(
                     level=level,
                     stream_commit=(query_name, int(batch_id)),
                     distinct_col=distinct_col,
+                    quantile_col=quantile_col,
                 )
                 return
             except LakeConflict:

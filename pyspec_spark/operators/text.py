@@ -703,11 +703,20 @@ def append_term_index(
     rows are therefore legal; verify_term_shards surfaces them for
     readers doing per-shard df/cf accounting (sum across rows).
     Cost: one groupBy over the DELTA (not the corpus) + a
-    vocabulary-sized bucketed append."""
+    vocabulary-sized bucketed append.
+
+    Every append also bumps the ``_maint`` postings sequence marker
+    (r11, L40j): an index that SERVES BM25 carries a ``_norms``
+    sidecar, and a postings append without a matching norms append
+    would silently exclude the new documents from top-k at the dl
+    inner join — the marker makes assert_norms_current fail loudly
+    instead.  Indexes that never serve (the pure lookup family)
+    carry the marker harmlessly; nothing reads it."""
     write_term_index(
         sharded_postings(tf_delta, shard_size), path,
         n_buckets=n_buckets, mode="append",
     )
+    bump_postings_seq(path)
 
 
 def verify_term_shards(idx: DataFrame) -> DataFrame:
@@ -971,6 +980,10 @@ def write_norms(dl: DataFrame, path: str, shard_size: int | None = None) -> None
         )
     finally:
         dl.unpersist()
+    # norms land AFTER postings by contract: recording "norms cover
+    # every postings batch so far" here makes the lockstep automatic
+    # for every caller (r11, L40j — see assert_norms_current)
+    mark_norms_current(path)
 
 
 def read_norms(spark, path: str) -> DataFrame:
@@ -1009,6 +1022,18 @@ def read_norms(spark, path: str) -> DataFrame:
             f"stats sidecar records n_docs={n!r} — partial/corrupt norms "
             "write"
         ) from e
+
+
+def read_norm_stats_raw(spark, path: str) -> DataFrame:
+    """The exact 1-row (n_docs, sum_dl) bigint totals off the
+    ``_norms_stats`` sidecar — for callers doing EXACT arithmetic on
+    them (maintained serving subtracts the tombstoned contribution
+    before dividing; reconstructing sum_dl from the divided avgdl
+    would round-trip through a double and drift off the rebuild)."""
+    return spark.read.parquet(f"{path}/{_NORMS_STATS_DIR}").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_dl").cast("long").alias("sum_dl"),
+    )
 
 
 def read_norm_stats(spark, path: str) -> DataFrame:
@@ -1603,3 +1628,220 @@ def compact_term_index(
             )
             idx = sharded_postings(live, shard_size)
     write_term_index(idx, dest, n_buckets=n_buckets)
+
+
+# ---------------------------------------------------------------------------
+# Maintained-index lifecycle (r11, L40j) — the integration seam between
+# index MAINTENANCE (append_term_index / delete_term_index /
+# compact_term_index, r9-r10) and retrieval SERVING (the _norms /
+# _blockmax sidecars + BM25 top-k, r10).  Before this, the sidecars'
+# refresh was a comment-level convention, and the failure mode was
+# silent and wrong: _score_decoded inner-joins doc lengths from
+# _norms, so serving an index whose postings were appended WITHOUT a
+# matching norms append quietly EXCLUDES every new document from
+# top-k (the dl join drops them) — no error, no hint.
+#
+# The mechanism is a pair of monotone sequence markers under
+# ``root/_maint`` (hidden dir, the _tombstones/_blockmax precedent):
+#
+# - ``postings.json``  {"seq": k} — bumped by EVERY postings append
+#   (append_term_index does it unconditionally, so even callers that
+#   bypass the facade advance it);
+# - ``norms.json``     {"seq": k} — set to the postings seq by
+#   write_norms (norms are appended AFTER postings by contract).
+#
+# Serving gates on norms.seq == postings.seq (assert_norms_current,
+# called by the shared retrieval plumbing): a postings append whose
+# norms never landed makes every subsequent serve FAIL LOUDLY with
+# the repair instruction, never silently drop documents.  Indexes
+# that predate the markers (or never carry norms — the pure lookup
+# family) have no postings.json and pass the gate unchanged.
+#
+# Marker writes are write-tmp + os.replace (the publish_term_index
+# pointer discipline: readers resolve either the old or the new
+# marker, never a partial file).  Single-writer maintenance is the
+# assumed regime, exactly as for append_term_index itself (disjoint
+# doc-id ranges = one ingestion pipeline).
+#
+# The facade functions keep the three artifacts in lockstep:
+# build_maintained_index / append_maintained_index land postings +
+# _blockmax + _norms(+stats) + markers in one call;
+# compact_maintained_index purges tombstones into a NEW root
+# (compact_term_index), purges the norms the same way, rewrites the
+# stats row from the surviving norms, re-derives _blockmax, and
+# writes fresh matched markers — after it, the root is
+# indistinguishable from a from-scratch build over the live corpus.
+# ---------------------------------------------------------------------------
+_MAINT_DIR = "_maint"
+
+
+def _maint_marker_path(path: str, name: str) -> str:
+    import os
+
+    return os.path.join(path, _MAINT_DIR, f"{name}.json")
+
+
+def read_maint_seq(path: str, name: str) -> int | None:
+    """The named maintenance sequence marker (None = never written —
+    a legacy or sidecar-less index)."""
+    import json
+    import os
+
+    p = _maint_marker_path(path, name)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["seq"])
+
+
+def _write_maint_seq(path: str, name: str, seq: int) -> None:
+    import json
+    import os
+    import uuid
+
+    os.makedirs(os.path.join(path, _MAINT_DIR), exist_ok=True)
+    tmp = os.path.join(path, _MAINT_DIR, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump({"seq": seq}, f)
+    os.replace(tmp, _maint_marker_path(path, name))
+
+
+def bump_postings_seq(path: str) -> int:
+    seq = (read_maint_seq(path, "postings") or 0) + 1
+    _write_maint_seq(path, "postings", seq)
+    return seq
+
+
+def mark_norms_current(path: str) -> None:
+    """Record that the norms sidecar covers every postings batch
+    landed so far (norms append AFTER postings by contract)."""
+    _write_maint_seq(path, "norms", read_maint_seq(path, "postings") or 0)
+
+
+def assert_norms_current(path: str) -> None:
+    """The loud-failure gate on the stale-norms wrong-answer class:
+    refuse to serve when postings batches landed after the last norms
+    append — the dl inner join would silently exclude every document
+    of those batches from top-k.  No postings marker (an index built
+    before the markers existed, or one that never serves BM25) passes
+    unchanged."""
+    p = read_maint_seq(path, "postings")
+    if p is None:
+        return
+    n = read_maint_seq(path, "norms")
+    if n is None or n < p:
+        raise RuntimeError(
+            f"stale norms sidecar under {path}: postings seq {p} > norms "
+            f"seq {n!r} — an append landed postings without doc lengths, "
+            "so BM25 serving would silently drop the appended documents. "
+            "Append the delta's norms (write_norms / "
+            "append_maintained_index) or rebuild via "
+            "compact_maintained_index."
+        )
+
+
+def build_maintained_index(
+    spark,
+    tf: DataFrame,
+    dl: DataFrame,
+    path: str,
+    shard_size: int,
+    n_buckets: int = TERM_INDEX_BUCKETS,
+) -> None:
+    """Base build of a SERVABLE index: sharded postings + _blockmax +
+    _norms(+stats), markers in lockstep.  ``tf`` is (doc_id, term,
+    tf); ``dl`` is (doc_id, dl) for the same documents.  The sharded
+    frame is persisted across its two consumers (index write, then
+    block-max derivation) so the corpus groupBy runs once."""
+    sharded = sharded_postings(tf, shard_size).persist()
+    try:
+        write_term_index(sharded, path, n_buckets=n_buckets)
+        bump_postings_seq(path)
+        write_block_max(sharded, path, n_buckets=n_buckets)
+    finally:
+        sharded.unpersist()
+    # write_norms records the lockstep marker itself
+    write_norms(dl, path, shard_size=shard_size)
+
+
+def append_maintained_index(
+    spark,
+    tf_delta: DataFrame,
+    dl_delta: DataFrame,
+    path: str,
+    shard_size: int,
+    n_buckets: int = TERM_INDEX_BUCKETS,
+) -> None:
+    """Incremental maintenance that keeps the index SERVABLE: the
+    postings append (append_term_index's disjoint-doc-id contract),
+    the delta's block-max rows, the delta's norms + stats row, and
+    the markers — one call, nothing left stale.  Cost: two bounded
+    passes over the DELTA (the sharded groupBy feeding postings +
+    blockmax, and the norms write), never the corpus."""
+    sharded = sharded_postings(tf_delta, shard_size).persist()
+    try:
+        write_term_index(sharded, path, n_buckets=n_buckets, mode="append")
+        bump_postings_seq(path)
+        write_block_max(sharded, path, n_buckets=n_buckets)
+    finally:
+        sharded.unpersist()
+    # write_norms records the lockstep marker itself
+    write_norms(dl_delta, path, shard_size=shard_size)
+
+
+def deleted_corpus_stats(spark, path: str, shard_size: int) -> DataFrame:
+    """1-row (n_deleted, dl_deleted) — the tombstoned documents'
+    contribution to the collection statistics, so maintained serving
+    can correct (n_docs, avgdl) to the LIVE corpus exactly (exact
+    bigint subtraction; a from-scratch rebuild over the survivors
+    computes the same numbers to the last bit).  Bounded: tombstone
+    ids resolve to ≤ |tombstones| norm buckets, read via the
+    probe_norms directory math, inner-joined to the (bounded,
+    broadcast) tombstone set."""
+    tombs = read_tombstones(spark, path)
+    shard_ids = sorted(
+        r[0]
+        for r in tombs.select(
+            (F.col("doc_id") / F.lit(shard_size)).cast("long")
+        )
+        .distinct()
+        .collect()
+    )
+    dead = probe_norms(spark, path, shard_ids).join(
+        F.broadcast(tombs.select("doc_id").distinct()), "doc_id"
+    )
+    return dead.agg(
+        F.count("*").alias("n_deleted"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("dl_deleted"),
+    )
+
+
+def compact_maintained_index(
+    spark,
+    path: str,
+    dest: str,
+    shard_size: int,
+    n_buckets: int = TERM_INDEX_BUCKETS,
+    positional: bool = False,
+) -> None:
+    """Compaction that refreshes EVERY serving artifact, not just the
+    postings: purge tombstones into ``dest`` (compact_term_index),
+    re-derive _blockmax from the compacted rows, rewrite _norms with
+    the tombstoned docs anti-joined out and the stats row re-counted
+    from the survivors, and write fresh matched markers.  ``dest``
+    equals a from-scratch maintained build over the live corpus —
+    the same no-drift contract compact_term_index already pins for
+    the postings alone."""
+    compact_term_index(
+        spark, path, dest,
+        n_buckets=n_buckets, shard_size=shard_size, positional=positional,
+    )
+    write_block_max(
+        spark.read.parquet(dest).drop("tb"), dest, n_buckets=n_buckets
+    )
+    _write_maint_seq(dest, "postings", 1)
+    live_dl = apply_tombstones(
+        read_norms(spark, path), read_tombstones(spark, path)
+    )
+    # write_norms records the matching norms marker itself
+    write_norms(live_dl, dest, shard_size=shard_size)

@@ -1139,11 +1139,16 @@ def _topk_index_parts(
     stats arithmetic for every retrieval family (L40g and the L40h
     reranker), so the rounding discipline cannot drift between them."""
     from pyspec_spark.operators.text import (
+        assert_norms_current,
         probe_term_index,
         read_norm_stats,
         read_norms,
     )
 
+    # the stale-norms gate (r11, L40j): refuse to serve if a postings
+    # append landed without its norms — the dl inner join below would
+    # otherwise silently drop every appended document from top-k
+    assert_norms_current(root)
     dl = read_norms(spark, root)
     # (n_docs, avgdl) from the build-time stats sidecar: sum_dl is an
     # exact bigint, so sum/count equals the corpus aggregate to the
@@ -1653,3 +1658,133 @@ def q_batch_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _BATCH_K)
         .select("query_id", "doc_id", "n_terms", "bm25")
     )
+
+
+# ---------------------------------------------------------------------------
+# L40j (r11) — MAINTAINED-index retrieval: the integration of the
+# maintenance family (L40d append / L40e delete) with BM25 serving
+# (L40g), closing round-10's declared gap: append_term_index left the
+# _norms/_blockmax sidecars stale, and _score_decoded's dl INNER join
+# silently excluded every appended document from top-k — a
+# wrong-answer trap, not a slowdown.  This query runs the full
+# production lifecycle on one root — base build (3/4 of the corpus)
+# via build_maintained_index, append of the remaining 1/4 via
+# append_maintained_index (postings + blockmax + norms + lockstep
+# markers in one call), tombstone deletion of doc_id % 7 == 2 across
+# BOTH generations — and then SERVES top-k from index artifacts only:
+#
+# - candidates: probe + decode the query terms' shards, tombstones
+#   anti-joined out (broadcast, bounded by deletes-since-compact);
+# - df per term: counted off the decoded LIVE rows (the disjunctive
+#   serve decodes the probed terms fully anyway, so live df is free —
+#   the block-max skip variants stay for compacted roots);
+# - collection stats: the _norms_stats row MINUS the tombstoned docs'
+#   contribution (deleted_corpus_stats — exact bigint subtraction over
+#   ≤|tombstones| norm buckets), so n_docs/avgdl/idf equal a
+#   from-scratch rebuild over the live corpus to the last bit;
+# - doc lengths: probe_norms over the probed shards' id list (bucket-
+#   pruned; appended docs present because the facade appended their
+#   norms — the exact rows the round-10 gap lost).
+#
+# Oracle: the disjunctive BM25 SQL spliced onto the LIVE corpus
+# (base ∪ appended = all documents, minus the deletes) — the L40d/e
+# no-drift trick: maintained serving must equal a clean rebuild
+# exactly.  Bounded-side-effect round-trip (fresh tmp root,
+# zero-jobs exempt).  100 TB posture: build/append costs are the
+# delta-sized maintenance passes; serving reads only probed buckets,
+# probed-shard norm buckets, tombstones, and two 1-row stats frames.
+# ---------------------------------------------------------------------------
+_MAINT_DEL_SQL = "doc_id % 7 <> 2"  # survivors
+
+
+def _maintained_topk_oracle() -> str:
+    base = _topk_oracle(conjunctive=False)
+    assert base.count("FROM documents") == 2  # dl + tf CTEs — splice both
+    return base.replace(
+        "FROM documents",
+        f"FROM (SELECT * FROM documents WHERE {_MAINT_DEL_SQL})",
+    )
+
+
+@query("q_index_maintained_topk", oracle=_maintained_topk_oracle())
+def q_index_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import (
+        append_maintained_index,
+        apply_tombstones,
+        assert_norms_current,
+        build_maintained_index,
+        decode_postings,
+        delete_term_index,
+        deleted_corpus_stats,
+        probe_norms,
+        probe_term_index,
+        read_norm_stats_raw,
+        read_tombstones,
+    )
+    from pyspec_spark.queries.lake_queries import _tmp_root
+
+    docs = table(spark, sf_dir, "documents")
+    tf = _tf(spark, sf_dir)
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    root = _tmp_root("pyspec_maint_idx_")
+    gen = F.col("doc_id") % 4 == 3  # the appended generation
+    build_maintained_index(
+        spark, tf.where(~gen), dl.where(~gen), root, _TOPK_SHARD
+    )
+    append_maintained_index(
+        spark, tf.where(gen), dl.where(gen), root, _TOPK_SHARD
+    )
+    delete_term_index(docs.where("doc_id % 7 = 2").select("doc_id"), root)
+
+    # ---- serve (index artifacts only — corpus-scan-free) ----
+    assert_norms_current(root)
+    probed = probe_term_index(
+        spark, root, list(_TOPK_TERMS), empty_schema=_SHARDED_SCHEMA
+    )
+    decoded = decode_postings(
+        probed.select("term", "shard", "postings"), shard_size=_TOPK_SHARD
+    )
+    live = apply_tombstones(
+        decoded, read_tombstones(spark, root)
+    ).persist()
+    # live collection stats: build-time totals minus the tombstoned
+    # contribution — both exact bigints, so the division reproduces
+    # the post-delete corpus aggregate bit-for-bit
+    stats = (
+        read_norm_stats_raw(spark, root)
+        .crossJoin(F.broadcast(deleted_corpus_stats(spark, root, _TOPK_SHARD)))
+        .select(
+            (F.col("n_docs") - F.col("n_deleted")).alias("n_docs"),
+            (
+                (F.col("sum_dl") - F.col("dl_deleted")).cast("double")
+                / (F.col("n_docs") - F.col("n_deleted"))
+            ).alias("avgdl"),
+        )
+    )
+    idf = (
+        live.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+    shard_ids = sorted(
+        r["shard"] for r in probed.select("shard").distinct().collect()
+    )
+    dl_pruned = probe_norms(spark, root, shard_ids)
+    out = (
+        _score_decoded(live, idf, dl_pruned, stats)
+        .select("doc_id", "bm25")
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_TOPK_K)
+    )
+    return out

@@ -8,6 +8,8 @@ import pytest
 
 from pyspec_spark.operators.joins import salted_join
 from pyspec_spark.plans import count_exchanges, physical_plan
+from pyspark.sql import functions as F
+
 from pyspec_spark.sinks import write_bucketed
 from pyspec_spark.tables import table
 
@@ -1616,3 +1618,257 @@ def test_upsert_rollup_distinct_sketch_merges_exactly(spark, tmp_path):
         for r in read_rollup(spark, one, ["event_type"]).collect()
     }
     assert n_inc == {k: 2 * v for k, v in n_one.items()}
+
+
+# ---------------------------------------------------------------------------
+# Maintained-index lifecycle (r11, L40j): the lockstep markers, the
+# stale-norms loud-failure gate, and compaction refreshing every
+# serving artifact.
+# ---------------------------------------------------------------------------
+def _maint_tf_dl(spark):
+    from pyspec_spark.tables import table
+
+    docs = table(spark, SF, "documents")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    return tf, dl
+
+
+def test_stale_norms_serve_fails_loudly(spark, tmp_path):
+    """THE wrong-answer trap this round closes: postings appended
+    without norms must make serving RAISE (the dl inner join would
+    silently exclude every appended doc from top-k).  Appending the
+    delta's norms afterwards repairs the gate."""
+    from pyspec_spark.operators.text import (
+        append_term_index,
+        assert_norms_current,
+        build_maintained_index,
+        read_maint_seq,
+        write_norms,
+    )
+
+    tf, dl = _maint_tf_dl(spark)
+    gen = F.col("doc_id") % 4 == 3
+    root = str(tmp_path / "maint")
+    build_maintained_index(
+        spark, tf.where(~gen), dl.where(~gen), root, 64
+    )
+    assert_norms_current(root)  # fresh build serves
+    assert read_maint_seq(root, "postings") == 1
+    # the bypass: postings-only append (the raw r9 API)
+    append_term_index(tf.where(gen), root, 64)
+    assert read_maint_seq(root, "postings") == 2
+    with pytest.raises(RuntimeError, match="stale norms"):
+        assert_norms_current(root)
+    # and the serving queries' shared plumbing gates on it too
+    from pyspec_spark.queries.text_ranking import _topk_index_parts
+
+    with pytest.raises(RuntimeError, match="stale norms"):
+        _topk_index_parts(spark, root, terms=("dup",))
+    # repair: land the delta's norms — lockstep restored
+    write_norms(dl.where(gen), root, shard_size=64)
+    assert_norms_current(root)
+
+
+def test_legacy_index_without_markers_passes_gate(spark, tmp_path):
+    """Back-compat: an index built through the raw writers before the
+    markers existed (no _maint dir) must serve unchanged."""
+    from pyspec_spark.operators.text import (
+        assert_norms_current,
+        sharded_postings,
+        write_norms,
+        write_term_index,
+    )
+
+    tf, dl = _maint_tf_dl(spark)
+    root = str(tmp_path / "legacy")
+    write_term_index(sharded_postings(tf, 64), root)
+    write_norms(dl, root, shard_size=64)
+    import shutil
+
+    shutil.rmtree(f"{root}/_maint")  # simulate a pre-marker index
+    assert_norms_current(root)
+
+
+def test_maintained_append_serves_appended_docs(spark, tmp_path):
+    """End-to-end: after append_maintained_index, serving must SEE the
+    appended generation — scored results equal a from-scratch
+    maintained build over the full corpus (the no-drift contract)."""
+    from pyspec_spark.operators.text import (
+        append_maintained_index,
+        build_maintained_index,
+        decode_postings,
+        probe_norms,
+        probe_term_index,
+        read_norm_stats,
+    )
+    from pyspec_spark.queries.text_ranking import (
+        _SHARDED_SCHEMA,
+        _score_decoded,
+        _topk_index_parts,
+    )
+
+    tf, dl = _maint_tf_dl(spark)
+    gen = F.col("doc_id") % 4 == 3
+
+    def serve(root):
+        probed, _d, _r, idf, _dl, stats = _topk_index_parts(
+            spark, root, terms=("dup", "filter"),
+            empty_schema=_SHARDED_SCHEMA,
+        )
+        decoded = decode_postings(
+            probed.select("term", "shard", "postings"), shard_size=64
+        )
+        shard_ids = sorted(
+            r["shard"] for r in probed.select("shard").distinct().collect()
+        )
+        dlp = probe_norms(spark, root, shard_ids)
+        return sorted(
+            tuple(r)
+            for r in _score_decoded(decoded, idf, dlp, stats).collect()
+        )
+
+    r_maint = str(tmp_path / "maint")
+    build_maintained_index(
+        spark, tf.where(~gen), dl.where(~gen), r_maint, 64
+    )
+    append_maintained_index(
+        spark, tf.where(gen), dl.where(gen), r_maint, 64
+    )
+    r_scratch = str(tmp_path / "scratch")
+    build_maintained_index(spark, tf, dl, r_scratch, 64)
+    got, want = serve(r_maint), serve(r_scratch)
+    assert got == want and len(got) > 0
+    # stats sidecar composes exactly across the append
+    sm = read_norm_stats(spark, r_maint).collect()[0]
+    ss = read_norm_stats(spark, r_scratch).collect()[0]
+    assert (sm["n_docs"], sm["avgdl"]) == (ss["n_docs"], ss["avgdl"])
+
+
+def test_compact_maintained_refreshes_all_serving_artifacts(
+    spark, tmp_path
+):
+    """compact_maintained_index purges tombstones from postings AND
+    norms, rewrites the stats row from survivors, re-derives blockmax,
+    and resets matched markers — the compacted root must be
+    indistinguishable (stats, norms rows, served scores) from a
+    from-scratch maintained build over the live corpus."""
+    from pyspec_spark.operators.text import (
+        build_maintained_index,
+        compact_maintained_index,
+        delete_term_index,
+        probe_block_max,
+        read_maint_seq,
+        read_norm_stats_raw,
+        read_norms,
+        read_tombstones,
+    )
+
+    tf, dl = _maint_tf_dl(spark)
+    root = str(tmp_path / "maint")
+    build_maintained_index(spark, tf, dl, root, 64)
+    dead = dl.where("doc_id % 5 = 2").select("doc_id")
+    delete_term_index(dead, root)
+    dest = str(tmp_path / "compacted")
+    compact_maintained_index(spark, root, dest, 64)
+
+    live = F.col("doc_id") % 5 != 2
+    scratch = str(tmp_path / "scratch")
+    build_maintained_index(
+        spark, tf.where(live), dl.where(live), scratch, 64
+    )
+    # tombstones gone, markers matched
+    assert read_tombstones(spark, dest).isEmpty()
+    assert read_maint_seq(dest, "postings") == read_maint_seq(
+        dest, "norms"
+    )
+    # norms rows == survivors' rows exactly
+    a = sorted(tuple(r) for r in read_norms(spark, dest).collect())
+    b = sorted(tuple(r) for r in read_norms(spark, scratch).collect())
+    assert a == b and len(a) > 0
+    # exact stats equality
+    assert (
+        read_norm_stats_raw(spark, dest).collect()
+        == read_norm_stats_raw(spark, scratch).collect()
+    )
+    # blockmax sidecar re-derived over the purged rows: bounds for a
+    # probed term agree with the from-scratch sidecar
+    bm_d = {
+        (r["term"], r["shard"]): r["max_tf"]
+        for r in probe_block_max(spark, dest, ["dup"]).collect()
+    }
+    bm_s = {
+        (r["term"], r["shard"]): r["max_tf"]
+        for r in probe_block_max(spark, scratch, ["dup"]).collect()
+    }
+    assert bm_d == bm_s and len(bm_d) > 0
+
+
+def test_upsert_rollup_quantile_sketch_merges_exactly(spark, tmp_path):
+    """ST8c + KLL (r11): a rollup maintained with quantile_col carries
+    a mergeable quantile sketch per group, so the continuous aggregate
+    serves incremental p50/p95 — the other telemetry statistic a
+    sum-mergeable table cannot maintain (exact percentiles are not
+    mergeable; KLL sketches are).  Maintained estimates must equal a
+    from-scratch rollup's (merge determinism at this scale: per-group
+    counts sit below the sketch's k=200 buffer, so the sketch holds
+    every value and compaction never randomizes), and both must honor
+    the KLL rank-error contract against EXACT percentiles."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.rollup import read_rollup, upsert_rollup
+    from pyspec_spark.tables import table as t
+
+    e = t(spark, SF, "events")
+    inc = str(tmp_path / "inc")
+    one = str(tmp_path / "one")
+    # disjoint thirds — the deltas PARTITION the table, so the rollup
+    # totals equal one-shot totals and sketches merge across commits
+    preds = [
+        "event_id % 3 = 0", "event_id % 3 = 1", "event_id % 3 = 2",
+    ]
+    for pred in preds:
+        upsert_rollup(
+            spark, inc, e.where(pred), "ts", ["event_type"], "value",
+            level="day", quantile_col="value",
+        )
+    upsert_rollup(
+        spark, one, e, "ts", ["event_type"], "value",
+        level="day", quantile_col="value",
+    )
+    got = {
+        (r["bucket"], r["event_type"]): (r["p50"], r["p95"])
+        for r in read_rollup(spark, inc, ["event_type"]).collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): (r["p50"], r["p95"])
+        for r in read_rollup(spark, one, ["event_type"]).collect()
+    }
+    assert got == want and got
+    # rank-error contract vs EXACT percentiles: KLL k=200 guarantees
+    # ~1.65% normalized rank error w.h.p.; assert each estimate's true
+    # rank is within 5% of its target rank (slack over the bound)
+    vals = {
+        (r["bucket"], r["event_type"]): sorted(r["vs"])
+        for r in e.groupBy(
+            F.date_trunc("day", "ts").alias("bucket"), "event_type"
+        )
+        .agg(F.collect_list("value").alias("vs"))
+        .collect()
+    }
+    for key, (p50, p95) in got.items():
+        vs = vals[key]
+        n = len(vs)
+        for q, est in ((0.5, p50), (0.95, p95)):
+            rank = sum(1 for v in vs if v <= est) / n
+            assert abs(rank - q) <= max(0.05, 1.5 / n), (key, q, rank)
+    # groups small enough to stay uncompacted: the estimate must be an
+    # ACTUAL member value (the sketch stores values, never interpolates)
+    for key, (p50, _) in got.items():
+        assert p50 in vals[key], key
