@@ -51,6 +51,7 @@ _PERMANENT = [
 # join the normal staleness rotation.
 _FRESH: list[str] = [
     "q_index_maintained_topk",  # r11: maintained-index serving (L40j)
+    "q_lake_evolution",         # r11: rename/widen-retype column mapping
     # reworked this round — force same-round driver rows for the new
     # plans even if the rotation would not pick them:
     "q_ntile",               # r11: ntile_exact two-level rank (W6)

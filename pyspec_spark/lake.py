@@ -109,6 +109,8 @@ def _commit(
     stream_commit: tuple[str, int] | None = None,
     schema: dict | None = None,
     retains_parent: bool = True,
+    columns=_UNSET,
+    schemas=_UNSET,
 ) -> int:
     """Publish the manifest for version parent+1.  ``parent`` is the
     version the caller READ ITS BASE STATE from (captured at
@@ -144,6 +146,20 @@ def _commit(
             and pm.get("schema") is not None
             and pm["schema"] != schema
         )
+        # the column-id mapping (rename/retype, r11) rides every commit
+        # that carries parent files forward — a writer unaware of the
+        # mapping must not silently revert logical names.  Full-rewrite
+        # commits (retains_parent=False) stage from the MAPPED logical
+        # view, so dropping the mapping there is the materialization,
+        # not a loss.
+        if columns is _UNSET:
+            columns = pm.get("columns")
+        if schemas is _UNSET:
+            schemas = pm.get("schemas")
+    if columns is _UNSET:
+        columns = None
+    if schemas is _UNSET:
+        schemas = None
     manifest = {
         "version": version,
         "parent": parent,
@@ -155,6 +171,9 @@ def _commit(
         "schema_mixed": mixed,
         "files": files,
     }
+    if columns:
+        manifest["columns"] = columns
+        manifest["schemas"] = schemas or {}
     tmp = os.path.join(
         root, _MANIFEST_DIR, f".tmp-{uuid.uuid4().hex}.json"
     )
@@ -365,7 +384,17 @@ def lake_append(
     read."""
     _check_schema_evolution(root, df)
     prev = latest_version(root) if base_version is _UNSET else base_version
-    old = _load_manifest(root, prev)["files"] if prev is not None else []
+    m = _load_manifest(root, prev) if prev is not None else None
+    old = m["files"] if m is not None else []
+    if m is not None and m.get("columns"):
+        df_phys, new_entries, columns, schemas = _stage_mapped_append(
+            spark, root, m, df, partition_col, bloom_cols
+        )
+        return _commit(
+            root, "append", old + new_entries, partition_col, prev,
+            schema={c["name"]: c["type"] for c in columns},
+            stream_commit=stream_commit, columns=columns, schemas=schemas,
+        )
     new = _stage_files(spark, root, df, partition_col, bloom_cols=bloom_cols)
     return _commit(
         root, "append", old + new, partition_col, prev,
@@ -407,6 +436,11 @@ def lake_read(
         raise FileNotFoundError(
             f"version {v} references vacuumed files, e.g. {missing[0]}"
         )
+    if m.get("columns"):
+        # column-mapped table (rename/retype, r11): project each
+        # schema era physical -> logical; this version's manifest holds
+        # THIS version's mapping, so time travel is era-correct
+        return _read_mapped(spark, root, m, m["files"])
     reader = spark.read
     if m.get("schema_mixed"):
         # live files span an add-column evolution: merge footers so the
@@ -492,6 +526,7 @@ def lake_upsert(
         prev = (
             latest_version(root) if base_version is _UNSET else base_version
         )
+        _refuse_row_ops_on_mapped(root, prev, "lake_upsert")
         if prev is not None:
             m = _load_manifest(root, prev)
             old = m["files"]
@@ -551,6 +586,7 @@ def lake_replace_partitions(
     lost-update race)."""
     _check_schema_evolution(root, df)
     prev = latest_version(root) if base_version is _UNSET else base_version
+    _refuse_row_ops_on_mapped(root, prev, "lake_replace_partitions")
     if prev is None:
         new = _stage_files(spark, root, df, partition_col, bloom_cols=bloom_cols)
         return _commit(
@@ -595,6 +631,7 @@ def lake_delete(
     delete_keys = delete_keys.persist()
     try:
         prev = latest_version(root)
+        _refuse_row_ops_on_mapped(root, prev, "lake_delete")
         if prev is None:
             return 0
         m = _load_manifest(root, prev)
@@ -879,12 +916,24 @@ def lake_scan(
     if v is None:
         raise FileNotFoundError(f"no committed version under {root}")
     m = _load_manifest(root, v)
-    kept = [e for e in m["files"] if _file_may_match(e, where)]
+    # mapped tables: footer stats and blooms are recorded under
+    # PHYSICAL names — translate the predicate columns for file-level
+    # matching, then apply the LOGICAL predicates on the mapped read
+    phys_where = where
+    if m.get("columns"):
+        l2p = {c["name"]: c["physical"] for c in m["columns"]}
+        phys_where = [(l2p.get(c, c), op, val) for (c, op, val) in where]
+    kept = [e for e in m["files"] if _file_may_match(e, phys_where)]
     if not kept:
         full = lake_read(spark, root, version=v)
         cond = _pred_column(full, where)
         return full.where(cond).limit(0)
-    df = spark.read.parquet(*[os.path.join(root, e["path"]) for e in kept])
+    if m.get("columns"):
+        df = _read_mapped(spark, root, m, kept)
+    else:
+        df = spark.read.parquet(
+            *[os.path.join(root, e["path"]) for e in kept]
+        )
     return df.where(_pred_column(df, where))
 
 
@@ -895,6 +944,9 @@ def lake_scan_file_counts(
     skipping tests and any cost estimator want."""
     v = latest_version(root) if version is None else version
     m = _load_manifest(root, v)
+    if m.get("columns"):
+        l2p = {c["name"]: c["physical"] for c in m["columns"]}
+        where = [(l2p.get(c, c), op, val) for (c, op, val) in where]
     kept = sum(1 for e in m["files"] if _file_may_match(e, where))
     return kept, len(m["files"])
 
@@ -1024,6 +1076,34 @@ def lake_diff(
 
     a = read_or_empty(v_from)
     b = read_or_empty(v_to)
+    # column-mapped versions (rename/retype, r11): align the FROM side
+    # to the TO side's logical names and types BY COLUMN ID, so a pure
+    # rename or a widen retype shows zero spurious changes — the whole
+    # point of id indirection.  Only when both manifests carry
+    # mappings; name-based comparison (below) is otherwise correct.
+    ca = _load_manifest(root, v_from).get("columns")
+    cb = _load_manifest(root, v_to).get("columns")
+    if a is not None and cb:
+        if ca:
+            by_id = {c["id"]: c for c in ca}
+            sel = [
+                F.col(by_id[c["id"]]["name"])
+                .cast(c["type"])
+                .alias(c["name"])
+                for c in cb
+                if c["id"] in by_id
+            ]
+        else:
+            # the FROM version predates the mapping: its column names
+            # ARE the physical names (renames never change physical),
+            # so physical-name matching is the id lookup
+            sel = [
+                F.col(c["physical"]).cast(c["type"]).alias(c["name"])
+                for c in cb
+                if c["physical"] in a.columns
+            ]
+        if sel:
+            a = a.select(*sel)
     if a is None and b is None:
         # derive the key's type from the recorded manifest schema (a
         # hardcoded BIGINT would return a wrong-schema frame for string
@@ -1069,3 +1149,243 @@ def lake_diff(
         .where(F.col("change").isNotNull())
         .select(key, "change")
     )
+
+
+# ---------------------------------------------------------------------------
+# Column-id mapping: RENAME and widen-RETYPE as metadata-only commits
+# (r11) — the Iceberg-style id indirection the add-column-only contract
+# lacked.  Every logical column gets a stable id and a FIXED physical
+# name (the name it was first written under — renames never rewrite
+# data); the manifest records the mapping plus a per-file schema ERA
+# (``sid`` → the physical types the file was written with), so a widen
+# retype is a read-time cast of older eras, never a table rewrite.
+#
+# Rules of the road:
+# - the mapping initializes lazily on the first rename/retype (ids =
+#   current ordinals, physical = current names, every live file
+#   stamped era 0); unmapped tables behave exactly as before;
+# - mapped READS project each era physical→logical with casts and
+#   union the eras — one narrow select per era, no mergeSchema;
+# - appends translate logical→physical before staging and stamp the
+#   current era (allocating a new era after a retype);
+# - the mapping rides every retains_parent commit (_commit carries it
+#   like stream_commits); every FULL-REWRITE op (compact / overwrite /
+#   z-order / change_layout) stages from the mapped logical view, so
+#   it MATERIALIZES the mapping and clears it — lake_compact is the
+#   sanctioned "make it physical" pass;
+# - row-level rewrites (upsert/delete/replace_partitions) refuse on a
+#   mapped table (they splice raw physical reads with logical updates)
+#   — compact first; the refusal is loud, never a wrong answer;
+# - the partition column can be neither renamed nor retyped (its
+#   string rendering is baked into directory names and manifests).
+#
+# Time travel is era-correct by construction: version v reads with
+# MANIFEST v's mapping, so historical logical names stay historical.
+# CDC (lake_diff) aligns the two versions BY COLUMN ID, so a pure
+# rename or widen shows zero spurious changes.
+# ---------------------------------------------------------------------------
+_WIDEN_OK = {
+    ("tinyint", "smallint"), ("tinyint", "int"), ("tinyint", "bigint"),
+    ("smallint", "int"), ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def _ensure_mapping(root: str, prev: int) -> dict:
+    """Manifest ``prev`` with an initialized column mapping (lazy init:
+    ids = ordinals, physical = current names, all live files era 0).
+    Mixed-schema tables (an un-compacted add-column evolution) refuse:
+    era 0 must describe every live file's physical schema."""
+    m = _load_manifest(root, prev)
+    if m.get("columns"):
+        return m
+    if m.get("schema_mixed"):
+        raise ValueError(
+            "column mapping on a mixed-schema table: live files span an "
+            "add-column evolution, so one era cannot describe them — "
+            "lake_compact first"
+        )
+    if not m.get("schema"):
+        raise ValueError(
+            "column mapping needs a recorded schema (this table predates "
+            "schema tracking) — lake_compact first"
+        )
+    cols = [
+        {"id": i, "name": n, "physical": n, "type": t}
+        for i, (n, t) in enumerate(m["schema"].items())
+    ]
+    m = dict(m)
+    m["columns"] = cols
+    m["schemas"] = {"0": {c["physical"]: c["type"] for c in cols}}
+    m["files"] = [dict(e, sid=0) for e in m["files"]]
+    return m
+
+
+def lake_rename_column(root: str, old: str, new: str) -> int:
+    """Rename a column as a METADATA-ONLY commit: every data file is
+    carried by reference, the logical name changes in the mapping, the
+    physical name in the files never does.  Old versions still read
+    under their historical names (time travel is era-correct)."""
+    prev = latest_version(root)
+    if prev is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    m = _ensure_mapping(root, prev)
+    names = [c["name"] for c in m["columns"]]
+    if old not in names:
+        raise ValueError(f"no column {old!r} (have {names})")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists")
+    if old == m.get("partition_col"):
+        raise ValueError(
+            "the partition column cannot be renamed: its value strings "
+            "are baked into directory names and manifest partitions — "
+            "lake_change_layout to a different column first"
+        )
+    cols = [
+        dict(c, name=new) if c["name"] == old else c for c in m["columns"]
+    ]
+    return _commit(
+        root, "rename_column", m["files"], m.get("partition_col"), prev,
+        schema={c["name"]: c["type"] for c in cols},
+        columns=cols, schemas=m.get("schemas"),
+    )
+
+
+def lake_retype_column(root: str, name: str, new_type: str) -> int:
+    """Widen a column's type as a METADATA-ONLY commit: existing files
+    keep their physical type (their era records it; reads cast), new
+    appends must write the new type and land in a fresh era.  Only
+    lossless widenings are allowed (int→bigint, float→double, ...) —
+    anything else genuinely needs a rewrite, and refusing here beats a
+    silently lossy cast."""
+    prev = latest_version(root)
+    if prev is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    m = _ensure_mapping(root, prev)
+    target = next((c for c in m["columns"] if c["name"] == name), None)
+    if target is None:
+        raise ValueError(
+            f"no column {name!r} (have {[c['name'] for c in m['columns']]})"
+        )
+    if name == m.get("partition_col"):
+        raise ValueError("the partition column cannot be retyped")
+    if target["type"] == new_type:
+        return prev
+    if (target["type"], new_type) not in _WIDEN_OK:
+        raise ValueError(
+            f"retype {target['type']} -> {new_type} is not a lossless "
+            f"widening {sorted(_WIDEN_OK)}; rewrite the table "
+            "(lake_overwrite) for anything lossy"
+        )
+    cols = [
+        dict(c, type=new_type) if c["name"] == name else c
+        for c in m["columns"]
+    ]
+    return _commit(
+        root, "retype_column", m["files"], m.get("partition_col"), prev,
+        schema={c["name"]: c["type"] for c in cols},
+        columns=cols, schemas=m.get("schemas"),
+    )
+
+
+def _read_mapped(
+    spark: SparkSession, root: str, m: dict, entries: list[dict]
+) -> DataFrame:
+    """Project file entries through the manifest's column mapping:
+    group by schema era, read each era plainly, select physical →
+    logical (cast to the CURRENT logical type; columns a file's era
+    predates read as typed NULLs), union the eras."""
+    mapping = m["columns"]
+    schemas = m.get("schemas") or {}
+    by_sid: dict[int, list[dict]] = {}
+    for e in entries:
+        if "sid" not in e:
+            raise ValueError(
+                f"mapped table {root} has a file without a schema era: "
+                f"{e['path']} — manifest corruption"
+            )
+        by_sid.setdefault(e["sid"], []).append(e)
+    out = None
+    for sid, es in sorted(by_sid.items()):
+        phys = schemas.get(str(sid))
+        if phys is None:
+            raise ValueError(f"unknown schema era {sid} under {root}")
+        df = spark.read.parquet(*[os.path.join(root, e["path"]) for e in es])
+        proj = [
+            (
+                F.col(c["physical"]).cast(c["type"])
+                if c["physical"] in phys
+                else F.lit(None).cast(c["type"])
+            ).alias(c["name"])
+            for c in mapping
+        ]
+        part = df.select(*proj)
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError(f"no entries to read under {root}")
+    return out
+
+
+def _refuse_row_ops_on_mapped(root: str, prev: int | None, op: str) -> None:
+    if prev is None:
+        return
+    if _load_manifest(root, prev).get("columns"):
+        raise ValueError(
+            f"{op} on a column-mapped table (rename/retype applied): "
+            "row-level rewrites splice raw physical reads with logical "
+            "updates — run lake_compact first to materialize the mapping"
+        )
+
+
+def _stage_mapped_append(
+    spark: SparkSession,
+    root: str,
+    m: dict,
+    df: DataFrame,
+    partition_col: str | None,
+    bloom_cols: list[str] | None,
+):
+    """Stage an append against a column-mapped table: translate the
+    caller's LOGICAL column names to the fixed physical names, extend
+    the mapping for genuinely new columns (add-column evolution keeps
+    working: a new column's physical name IS its logical name at
+    birth), allocate/reuse the schema era matching the write's physical
+    types, and stamp the new entries with it."""
+    columns = [dict(c) for c in m["columns"]]
+    known = {c["name"] for c in columns}
+    next_id = max((c["id"] for c in columns), default=-1) + 1
+    for f in df.schema.fields:
+        if f.name not in known:
+            columns.append(
+                {
+                    "id": next_id,
+                    "name": f.name,
+                    "physical": f.name,
+                    "type": f.dataType.simpleString(),
+                }
+            )
+            next_id += 1
+    renames = {
+        c["name"]: c["physical"] for c in columns if c["name"] != c["physical"]
+    }
+    df_phys = df.withColumnsRenamed(renames) if renames else df
+    phys_schema = {
+        c["physical"]: c["type"]
+        for c in columns
+        if c["name"] in {f.name for f in df.schema.fields}
+    }
+    schemas = dict(m.get("schemas") or {})
+    sid = next(
+        (int(k) for k, v in schemas.items() if v == phys_schema), None
+    )
+    if sid is None:
+        sid = max((int(k) for k in schemas), default=-1) + 1
+        schemas[str(sid)] = phys_schema
+    entries = [
+        dict(e, sid=sid)
+        for e in _stage_files(
+            spark, root, df_phys, partition_col, bloom_cols=bloom_cols
+        )
+    ]
+    return df_phys, entries, columns, schemas

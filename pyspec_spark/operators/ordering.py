@@ -99,42 +99,51 @@ def write_train_shards(
     )
 
 
+def _idiv(a, b):
+    """Exact integer division for non-negative longs: the numerator is
+    reduced to a multiple of b first, and a double division of an exact
+    multiple is exact below 2^53 — no float-rounding boundary cases."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
 def global_rank_index(
     df: DataFrame,
     order_by: list,
     n_buckets: int = 256,
     pos_col: str = "pos",
-) -> tuple[DataFrame, int]:
+    total_col: str | None = None,
+) -> DataFrame:
     """Exact 0-based global rank under an ARBITRARY ``ORDER BY`` —
     the general-order sibling of :func:`global_order_index` (which is
     specialized to the seeded-md5 order where the bucket is readable
-    off the key prefix).  Returns ``(df + pos_col, total_rows)``.
+    off the key prefix).  With ``total_col``, the total row count also
+    rides along (a broadcast 1-row aggregate — what closed-form NTILE
+    needs).
 
-    Same two-level shape, never a single-partition window:
+    Same two-level shape, never a corpus-sized single-partition
+    window, and fully LAZY (no driver-side jobs at plan build):
 
     1. range-exchange into ``n_buckets`` ORDERED buckets
        (``repartitionByRange`` — the partitioner is monotone in the
        sort key, and equal full keys never straddle a boundary);
     2. per-bucket ``row_number`` windows, each over ~n/n_buckets rows;
-    3. bucket offsets prefix-summed DRIVER-side from the per-bucket
-       counts (bounded collect: ≤ n_buckets rows) and joined back as a
-       literal map — no second exchange for the offsets.
+    3. bucket offsets via a prefix-sum window over the ≤ n_buckets-row
+       bucket-count table (single-partition over a CONSTANT row count
+       — the global_order_index precedent), broadcast-joined back.
 
     The bucket id is ``spark_partition_id()`` over the range exchange,
     and the frame is persisted before its two consumers (counts, then
-    the window) read it: the cache pins ONE materialization, so both
-    consumers see identical bucket assignments even if the range
-    sampler or AQE coalescing could re-plan between jobs.  (Both are
-    deterministic given identical input — the persist is
-    belt-and-braces, and it also keeps the rank pass at one exchange.)
+    the window) read it, pinning ONE materialization so both see
+    identical bucket assignments (range sampling and AQE coalescing
+    are deterministic given identical input — the persist is
+    belt-and-braces, and it keeps the rank pass at one exchange; the
+    cache is |df|-sized, the per-entity aggregate scale this operator
+    targets).
 
     Rank is EXACT for any order whose full key is unique (callers pass
     a tiebreak column, exactly as they would under a window): bucket
     assignment is monotone in the key order, so offset + within-bucket
-    row_number reproduces the global row_number.  Skew note: range
-    buckets split between distinct keys only, so a single key carrying
-    a macroscopic row fraction bounds that bucket's size — uniqueness
-    of the full key keeps buckets balanced.
+    row_number reproduces the global row_number.
     """
     from pyspark.sql import Column
 
@@ -144,54 +153,49 @@ def global_rank_index(
         .withColumn("_bucket", F.spark_partition_id())
         .persist()
     )
-    # bounded driver-side collect: ≤ n_buckets rows (the probe_term_index
-    # literal-list pattern) — also yields total N for closed-form ntile
-    counts = {
-        r["_bucket"]: r["n"]
-        for r in k.groupBy("_bucket").agg(F.count("*").alias("n")).collect()
-    }
-    offsets: dict[int, int] = {}
-    total = 0
-    for b in sorted(counts):
-        offsets[b] = total
-        total += counts[b]
-    if not counts:
-        return df.withColumn(pos_col, F.lit(None).cast("long")), 0
-    off_map = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
+    counts = k.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    w_off = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_bucket",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
     )
     w_in = Window.partitionBy("_bucket").orderBy(*exprs)
     out = (
         k.withColumn("_r", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_bucket")
         .withColumn(
-            pos_col,
-            (
-                F.element_at(off_map, F.col("_bucket"))
-                + F.col("_r")
-                - 1
-            ).cast("long"),
+            pos_col, (F.col("_off") + F.col("_r") - 1).cast("long")
         )
-        .drop("_bucket", "_r")
+        .drop("_bucket", "_r", "_off")
     )
-    return out, total
+    if total_col is not None:
+        totals = counts.agg(
+            F.coalesce(F.sum("_n"), F.lit(0)).alias(total_col)
+        )
+        out = out.crossJoin(F.broadcast(totals))
+    return out
 
 
-def ntile_from_pos(pos, n: int, k: int):
+def ntile_from_pos(pos, n, k: int):
     """SQL ``NTILE(k)`` as closed-form arithmetic on an exact 0-based
-    global position and the total row count — the remainder-
-    distribution semantics exactly: with q, r = divmod(n, k), the
-    first r buckets hold q+1 rows and the rest hold q.  Deterministic,
-    engine-agnostic, and (unlike ``F.ntile``) never requires the
-    single-partition global window Spark warns about."""
-    if n <= 0:
-        return F.lit(None).cast("int")
-    q, r = divmod(n, k)
+    global position and the total row count (int or 1-row-broadcast
+    Column) — the remainder-distribution semantics exactly: with
+    q, r = divmod(n, k), the first r buckets hold q+1 rows and the
+    rest hold q.  Deterministic, engine-agnostic, and (unlike
+    ``F.ntile``) never requires the corpus-sized single-partition
+    window Spark warns about.  Exact for n below 2^53 (_idiv)."""
     pos = F.col(pos) if isinstance(pos, str) else pos
+    n = (F.lit(n) if isinstance(n, int) else n).cast("long")
+    kl = F.lit(k).cast("long")
+    q = _idiv(n, kl)
+    r = F.pmod(n, kl)
     cut = r * (q + 1)
-    first = (pos / F.lit(q + 1)).cast("long") + 1
-    if q == 0:
-        return first.cast("int")
-    rest = F.lit(r) + ((pos - F.lit(cut)) / F.lit(q)).cast("long") + 1
+    first = _idiv(pos, q + 1) + 1
+    # CaseWhen evaluates branches lazily per row, so the q=0 division
+    # (n < k: every pos falls in the first branch) never executes
+    rest = F.when(q > 0, r + _idiv(pos - cut, q) + 1)
     return F.when(pos < cut, first).otherwise(rest).cast("int")
 
 
@@ -202,12 +206,14 @@ def ntile_exact(
     out_col: str,
     n_buckets: int = 256,
 ) -> DataFrame:
-    """``NTILE(k) OVER (ORDER BY ...)`` without the single-partition
-    window: exact two-level global rank (:func:`global_rank_index`)
-    plus the closed-form bucket arithmetic (:func:`ntile_from_pos`)."""
-    ranked, n = global_rank_index(
-        df, order_by, n_buckets=n_buckets, pos_col="_ntile_pos"
+    """``NTILE(k) OVER (ORDER BY ...)`` without the corpus-sized
+    single-partition window: exact two-level global rank
+    (:func:`global_rank_index`) plus the closed-form bucket arithmetic
+    (:func:`ntile_from_pos`).  Fully lazy — no driver jobs at build."""
+    ranked = global_rank_index(
+        df, order_by, n_buckets=n_buckets,
+        pos_col="_ntile_pos", total_col="_ntile_n",
     )
     return ranked.withColumn(
-        out_col, ntile_from_pos("_ntile_pos", n, k)
-    ).drop("_ntile_pos")
+        out_col, ntile_from_pos("_ntile_pos", F.col("_ntile_n"), k)
+    ).drop("_ntile_pos", "_ntile_n")

@@ -762,3 +762,78 @@ def q_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         se.tumbling(stream, watermark="89 minutes"), name, "append"
     )
     return spark.table(name).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# Lake schema evolution under the oracle gate (r11): the column-id
+# mapping lifecycle — build a lake table from orders (int cents
+# column), RENAME cents -> amount_cents (metadata-only: zero data files
+# rewritten, pinned in test_lake.py), widen-RETYPE int -> bigint
+# (read-time cast of the old era), append a NEW-era delta under the
+# new logical name and type, and read the final table back.  The
+# oracle computes the same per-priority aggregate straight from
+# orders: any era projection bug (wrong cast, wrong physical->logical
+# aliasing, dropped era, double-read) flips counts or sums.  Rounding
+# before the int cast is deliberate — double*100 of a 2-dp price is
+# not integral, and Spark truncates where DuckDB rounds; ROUND makes
+# both engines land on the same integer.  CDC-across-rename and
+# time-travel-era-correctness are pytest-pinned (test_lake.py) — a
+# single-result oracle cannot show two versions at once.  Bounded
+# side effect (fresh tmp root); zero-jobs-gate exempt (the lake
+# commits ARE execution).
+# ---------------------------------------------------------------------------
+@query(
+    "q_lake_evolution",
+    oracle="""
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS min_cents,
+       CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q_lake_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.lake import (
+        lake_append,
+        lake_read,
+        lake_rename_column,
+        lake_retype_column,
+    )
+
+    o = table(spark, sf_dir, "orders")
+    base = o.where("o_orderkey % 4 <> 3").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("int")
+        .alias("cents"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    root = _tmp_root("pyspec_lake_evo_")
+    lake_append(spark, root, base, partition_col="priority")
+    lake_rename_column(root, "cents", "amount_cents")
+    lake_retype_column(root, "amount_cents", "bigint")
+    delta = o.where("o_orderkey % 4 = 3").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("amount_cents"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    lake_append(spark, root, delta, partition_col="priority")
+    back = lake_read(spark, root)
+    return (
+        back.groupBy("priority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("amount_cents").alias("sum_cents"),
+            F.min("amount_cents").alias("min_cents"),
+            F.max("amount_cents").alias("max_cents"),
+        )
+        .orderBy("priority")
+    )

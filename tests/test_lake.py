@@ -1044,3 +1044,172 @@ def test_replace_partitions_carries_by_reference_and_refuses_partitionless(
         lake_replace_partitions(
             spark, root, {"p1"}, repl, partition_col="part"
         )
+
+
+# ---------------------------------------------------------------------------
+# Column-id mapping: rename / widen-retype evolution (r11)
+# ---------------------------------------------------------------------------
+def _evo_df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 10).cast("int").alias("val"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+
+
+def test_rename_is_metadata_only_and_time_travel_correct(spark, tmp_path):
+    import pyspec_spark.lake as lk
+
+    root = str(tmp_path / "evo")
+    lk.lake_append(spark, root, _evo_df(spark, 0, 10), partition_col="p")
+    files_v1 = {e["path"] for e in lk._load_manifest(root, 1)["files"]}
+    v2 = lk.lake_rename_column(root, "val", "amount")
+    m2 = lk._load_manifest(root, v2)
+    # metadata-only: every data file carried by reference
+    assert {e["path"] for e in m2["files"]} == files_v1
+    got = lk.lake_read(spark, root)
+    assert "amount" in got.columns and "val" not in got.columns
+    assert got.agg(F.sum("amount")).collect()[0][0] == sum(
+        i * 10 for i in range(10)
+    )
+    # time travel: version 1 still reads under its historical name
+    old = lk.lake_read(spark, root, version=1)
+    assert "val" in old.columns and "amount" not in old.columns
+
+
+def test_retype_widens_at_read_time_and_appends_new_era(spark, tmp_path):
+    import pyspec_spark.lake as lk
+
+    root = str(tmp_path / "evo")
+    lk.lake_append(spark, root, _evo_df(spark, 0, 10), partition_col="p")
+    lk.lake_rename_column(root, "val", "amount")
+    lk.lake_retype_column(root, "amount", "bigint")
+    got = lk.lake_read(spark, root)
+    assert dict(got.dtypes)["amount"] == "bigint"
+    # append the new era (logical names, widened type)
+    delta = _evo_df(spark, 10, 15).withColumnsRenamed(
+        {"val": "amount"}
+    ).withColumn("amount", F.col("amount").cast("bigint"))
+    lk.lake_append(spark, root, delta, partition_col="p")
+    got = lk.lake_read(spark, root)
+    assert got.count() == 15
+    assert got.agg(F.sum("amount")).collect()[0][0] == sum(
+        i * 10 for i in range(15)
+    )
+    # both eras present in the manifest, each self-describing
+    m = lk._load_manifest(root, lk.latest_version(root))
+    sids = {e["sid"] for e in m["files"]}
+    assert len(sids) == 2
+    eras = m["schemas"]
+    assert {eras[str(s)]["val"] for s in sids} == {"int", "bigint"}
+    # an append still writing the OLD type is refused, not coerced
+    stale = _evo_df(spark, 15, 16).withColumnsRenamed({"val": "amount"})
+    with pytest.raises(ValueError, match="type change refused"):
+        lk.lake_append(spark, root, stale, partition_col="p")
+
+
+def test_mapped_scan_prunes_and_filters_on_logical_names(spark, tmp_path):
+    import pyspec_spark.lake as lk
+
+    root = str(tmp_path / "evo")
+    lk.lake_append(spark, root, _evo_df(spark, 0, 10), partition_col="p")
+    lk.lake_rename_column(root, "val", "amount")
+    lk.lake_retype_column(root, "amount", "bigint")
+    lk.lake_append(
+        spark, root,
+        _evo_df(spark, 100, 110)
+        .withColumnsRenamed({"val": "amount"})
+        .withColumn("amount", F.col("amount").cast("bigint")),
+        partition_col="p",
+    )
+    # footer stats live under the PHYSICAL name; the logical predicate
+    # must still skip the old era's files entirely
+    kept, total = lk.lake_scan_file_counts(root, [("amount", ">=", 1000)])
+    assert kept < total
+    rows = lk.lake_scan(spark, root, [("amount", ">=", 1000)]).collect()
+    assert sorted(r["k"] for r in rows) == list(range(100, 110))
+    assert all(r["amount"] >= 1000 for r in rows)
+
+
+def test_cdc_across_rename_and_retype_shows_no_spurious_changes(
+    spark, tmp_path
+):
+    import pyspec_spark.lake as lk
+
+    root = str(tmp_path / "evo")
+    lk.lake_append(spark, root, _evo_df(spark, 0, 10), partition_col="p")
+    lk.lake_rename_column(root, "val", "amount")
+    lk.lake_retype_column(root, "amount", "bigint")
+    v_new = lk.lake_append(
+        spark, root,
+        _evo_df(spark, 10, 12)
+        .withColumnsRenamed({"val": "amount"})
+        .withColumn("amount", F.col("amount").cast("bigint")),
+        partition_col="p",
+    )
+    diff = {
+        r["k"]: r["change"]
+        for r in lk.lake_diff(spark, root, 1, v_new, "k").collect()
+    }
+    # the rename + widen alone change NOTHING; only the appended keys
+    assert diff == {10: "insert", 11: "insert"}
+
+
+def test_mapped_row_ops_refuse_and_compact_materializes(spark, tmp_path):
+    import pyspec_spark.lake as lk
+
+    root = str(tmp_path / "evo")
+    lk.lake_append(spark, root, _evo_df(spark, 0, 10), partition_col="p")
+    lk.lake_rename_column(root, "val", "amount")
+    upd = _evo_df(spark, 0, 1).withColumnsRenamed({"val": "amount"})
+    with pytest.raises(ValueError, match="column-mapped"):
+        lk.lake_upsert(spark, root, upd, key="k", partition_col="p")
+    with pytest.raises(ValueError, match="column-mapped"):
+        lk.lake_delete(
+            spark, root, upd.select("k"), key="k", partition_col="p"
+        )
+    with pytest.raises(ValueError, match="column-mapped"):
+        lk.lake_replace_partitions(
+            spark, root, {"0"}, upd, partition_col="p"
+        )
+    # guard rails on the evolution ops themselves
+    with pytest.raises(ValueError, match="partition column"):
+        lk.lake_rename_column(root, "p", "part")
+    with pytest.raises(ValueError, match="lossless"):
+        lk.lake_retype_column(root, "amount", "string")
+    with pytest.raises(ValueError, match="already exists"):
+        lk.lake_rename_column(root, "amount", "s")
+    # compact = the sanctioned materialization: mapping gone, logical
+    # names now physical, reads identical, row ops legal again
+    before = sorted(
+        tuple(r) for r in lk.lake_read(spark, root).collect()
+    )
+    lk.lake_compact(spark, root, partition_col="p")
+    m = lk._load_manifest(root, lk.latest_version(root))
+    assert "columns" not in m
+    after = sorted(tuple(r) for r in lk.lake_read(spark, root).collect())
+    assert after == before
+    lk.lake_upsert(spark, root, upd, key="k", partition_col="p")
+
+
+def test_mapped_add_column_append_composes(spark, tmp_path):
+    import pyspec_spark.lake as lk
+
+    root = str(tmp_path / "evo")
+    lk.lake_append(spark, root, _evo_df(spark, 0, 5), partition_col="p")
+    lk.lake_rename_column(root, "val", "amount")
+    plus = (
+        _evo_df(spark, 5, 8)
+        .withColumnsRenamed({"val": "amount"})
+        .withColumn("extra", F.lit("x"))
+    )
+    lk.lake_append(spark, root, plus, partition_col="p")
+    got = lk.lake_read(spark, root)
+    assert "extra" in got.columns
+    assert got.where(F.col("extra").isNull()).count() == 5
+    assert got.where(F.col("extra") == "x").count() == 3
+    # the new column's id extends the mapping
+    m = lk._load_manifest(root, lk.latest_version(root))
+    ids = [c["id"] for c in m["columns"]]
+    assert len(ids) == len(set(ids)) == 5

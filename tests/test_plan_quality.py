@@ -476,6 +476,8 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_vector_delete",  # index build + CoW delete (r10, ST11c)
         "q_batch_retrieval",  # index build + batch scoring (r10, L40i)
         "q_rollup_incremental",  # rollup build + two merges (r10, ST8b)
+        "q_index_maintained_topk",  # build+append+delete+serve (r11, L40j)
+        "q_lake_evolution",  # rename/retype lifecycle commits (r11)
     }
     from pyspec_spark.tables import load
 
@@ -1007,14 +1009,20 @@ def test_batch_retrieval_fanout_is_broadcast(spark):
 
 def test_ntile_no_single_partition_window(spark):
     """W6: NTILE must never be the global-window Exchange
-    SinglePartition funnel (the shape SCALING r10d measured as
-    one-core-bound) — ntile_exact ranks per range-bucket and derives
-    the quartile closed-form, so the plan carries NO SinglePartition
-    exchange at all (offsets are a driver prefix-sum literal, not a
-    prefix-sum window)."""
+    SinglePartition funnel over the CORPUS (the shape SCALING r10d
+    measured as one-core-bound) — ntile_exact ranks per range-bucket
+    and derives the quartile closed-form.  The only SinglePartition
+    allowed: the ≤256-row bucket-count prefix sum and 1-row total
+    (the global_order_index precedent) — every such exchange's input
+    must be the bucket metadata, never customer rows."""
     p = _plan(spark, "q_ntile")
-    assert "SinglePartition" not in p, p[:3000]
     assert "rangepartitioning" in p.lower(), p[:3000]
+    assert "hashpartitioning(_bucket" in p, p[:3000]
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "SinglePartition" in ln:
+            ctx = "\n".join(lines[max(0, i - 8) : i + 1])
+            assert "_bucket" in ctx or "partial_sum(_n" in ctx, ctx
 
 
 def test_rfm_no_single_partition_window(spark):
@@ -1027,10 +1035,16 @@ def test_rfm_no_single_partition_window(spark):
     p = _plan(spark, "q_rfm")
     lines = p.splitlines()
     hits = [i for i, ln in enumerate(lines) if "SinglePartition" in ln]
-    assert hits, "expected the bounded global-max aggregate exchange"
+    assert hits, "expected the bounded metadata exchanges"
     for i in hits:
         ctx = "\n".join(lines[max(0, i - 8) : i + 1])
-        assert "partial_max" in ctx, ctx
+        # bounded shapes only: the 1-row global max(last_order), the
+        # ≤256-row bucket prefix sums, or the 1-row bucket totals
+        assert (
+            "partial_max" in ctx
+            or "_bucket" in ctx
+            or "partial_sum(_n" in ctx
+        ), ctx
 
 
 def test_ntile_exact_matches_sql_ntile_semantics(spark):
