@@ -100,6 +100,24 @@ HEADLINE = [
     "q_view_purchase_join",
 ]
 
+# Retrieval-serving tracker (r11, VERDICT r10 item 7): the serving
+# family's builds are bounded round-trips one-off-timed in BASELINE
+# §10b and deliberately kept OUT of the headline set (the §8b rule) —
+# but their warm serve paths would drift invisibly without a
+# round-over-round number.  Tracked warm-repeat only (the build runs
+# once in the untimed warmup; warm = best-of-3 repeat collects of the
+# prepared plan, the same discipline as the headliners), emitted as
+# the `serving` block so BENCH_r{N}.json diffs across rounds.
+SERVING = [
+    "q_index_topk_and",
+    "q_index_topk_or",
+    "q_proximity_rerank",
+    "q_batch_retrieval",
+    "q_phrase_lookup",
+    "q_proximity_lookup",
+    "q_index_maintained_topk",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -137,6 +155,21 @@ def main() -> None:
             fn(spark, sf_dir).collect()
             best = min(best, time.time() - t)
         times[name] = round(best, 3)
+
+    # Serving tracker: warm-repeat only.  The first (untimed) call
+    # builds the index/tmp-root fixture and caches the prepared plan;
+    # the timed repeats re-execute the SERVE path over the built
+    # artifacts — the number that must not drift round-over-round.
+    serving: dict[str, float] = {}
+    for name in [n for n in SERVING if n in registry.QUERIES]:
+        fn = registry.QUERIES[name]
+        fn(spark, sf_dir).collect()  # build + plan-cache, untimed
+        best = float("inf")
+        for _ in range(3):
+            t = time.time()
+            fn(spark, sf_dir).collect()
+            best = min(best, time.time() - t)
+        serving[name] = round(best, 3)
 
     # Cold full re-execution: rebuild the plan (bypassing the registry's
     # prepared-plan cache, so RDD/shuffle ids are fresh and no completed
@@ -190,6 +223,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "queries_cold_reexec": cold,
+        "serving": serving,
         "queries_oracle_ms": oracle_ms,
         "cold_reexec_total": round(sum(cold.values()), 3),
         "sf": sf,
@@ -247,6 +281,7 @@ def main() -> None:
         "median_warm_ratio": (
             round(sorted(ratios.values())[len(ratios) // 2], 3) if ratios else None
         ),
+        "serving": serving,
         "sf": sf,
         "n_queries": len(times),
         "full": "BENCH_full_r{N}.json in-repo has per-query detail",
