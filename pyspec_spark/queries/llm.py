@@ -119,6 +119,73 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L1++/L2 — source-overlap via THETA SKETCHES (r11): the sketch-family
+# completion — CMS (frequency), HLL (distinct), KLL (quantiles), Bloom
+# (membership) were already in; Theta (Datasketches) adds mergeable SET
+# OPERATIONS: |A ∩ B| / |A \ B| estimates between distinct-gram sets,
+# which HLL cannot serve (union-only registers).  Same question as
+# q_source_overlap (which sources share 8-gram content) at the scale
+# where the exact answer's corpus-keyed shuffle is the bottleneck:
+#
+#   exact form:  ONE corpus shuffle on gram hash (collect_set sources)
+#   sketch form: ZERO corpus-keyed shuffles — theta_sketch_agg folds
+#     map-side per partition, the only exchange carries |sources| ×
+#     |partitions| sketch blobs (KBs each), and the pairwise
+#     intersections run over |sources|² rows.
+#
+# Rows-only by SURVEY §2 policy (theta estimates are randomized);
+# correctness pinned in pytest: pairwise estimates within the sketch's
+# relative-error bound of the exact n_shared_grams, and the per-source
+# distinct-gram estimates within bound of exact counts.  Also the
+# maintained story: theta sketches merge (theta_union), so per-source
+# sketches maintained incrementally serve any FUTURE pair's overlap
+# without re-reading either corpus — the rollup-sketch argument
+# applied to set algebra.
+# ---------------------------------------------------------------------------
+@query("q_source_overlap_sketch")
+def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _OVL_N
+    d = table(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("w")
+    )
+    grams = d.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size("w") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - n + 1),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("w", i, n)).cast("binary")
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("h"),
+    )
+    sk = grams.groupBy("source").agg(F.theta_sketch_agg("h").alias("sk"))
+    a = sk.select(
+        F.col("source").alias("src_a"), F.col("sk").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("source").alias("src_b"), F.col("sk").alias("sk_b")
+    )
+    # |sources|² pair table — bounded metadata, broadcast by size
+    return (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.theta_sketch_estimate(
+                F.theta_intersection("sk_a", "sk_b")
+            ).cast("long").alias("est_shared_grams"),
+            F.theta_sketch_estimate("sk_a").cast("long").alias("est_a"),
+            F.theta_sketch_estimate("sk_b").cast("long").alias("est_b"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L3 — per-document text statistics (token counting via single-space
 # split, verified identical semantics cross-engine on this corpus).
 # ---------------------------------------------------------------------------

@@ -87,6 +87,78 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L5c — FILTERED vector search (r11): exact top-k cosine among vectors
+# passing a metadata predicate — the production pattern every RAG /
+# retrieval deployment runs ("nearest neighbors WHERE tenant = X /
+# lang = en / date > cutoff").  Semantics matter here: this is
+# PRE-filtering (the predicate restricts the candidate set BEFORE the
+# top-k), which is exact at any selectivity — the tempting alternative,
+# post-filtering a top-k' of the unfiltered corpus, silently returns
+# FEWER than k rows (or misses true neighbors entirely) whenever the
+# filter is selective, the classic filtered-ANN wrong-answer class the
+# vector-db literature warns about (e.g. the Qdrant/Weaviate filtered
+# search docs; public knowledge).
+#
+# Plan shape / 100 TB posture: the label predicate PUSHES INTO the
+# parquet scan (plan-gated: PushedFilters carries label), so the
+# distance arithmetic runs over the filtered fraction only; the query
+# vector broadcasts; top-k compiles to TakeOrdered (no global sort).
+# At rest, partitioning the vector table by the filter key turns the
+# scan into partition pruning — the same layout story as IVF cells.
+# ---------------------------------------------------------------------------
+_FANN_LABEL = 7
+_FANN_PROBE = 3
+
+
+@query(
+    "q_ann_filtered",
+    oracle=f"""
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.embedding AS DOUBLE[])), 6) AS score
+FROM embeddings e
+CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = {_FANN_PROBE}) q
+WHERE e.label = {_FANN_LABEL} AND e.vec_id <> {_FANN_PROBE}
+ORDER BY score DESC, e.vec_id
+LIMIT 10
+""",
+)
+def q_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == _FANN_PROBE).select(
+        F.col("embedding").alias("qv")
+    )
+    cand = e.where(
+        (F.col("label") == _FANN_LABEL) & (F.col("vec_id") != _FANN_PROBE)
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            "embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 6
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # L5 scale path — random-hyperplane LSH ANN top-k (rows-only: candidate
 # set is approximate by construction).  The probe vector is IN-PLAN
 # (vec_id 0 broadcast with its signature computed by the same plane

@@ -1421,3 +1421,64 @@ def test_sharded_postings_decode_equals_flat_index(spark):
         .first()
     )
     assert worst["count"] > 1
+
+
+def test_source_overlap_sketch_matches_exact_at_fixture_scale(spark):
+    """Theta-sketch source overlap (r11): below the sketch's k=4096
+    retained-hash capacity a theta sketch is in EXACT mode, so at
+    fixture scale every per-source distinct-gram estimate and every
+    pairwise intersection estimate must EQUAL the exact answer — and
+    the pair table must cover all unordered source pairs (the exact
+    query emits only pairs with >=1 shared gram; the sketch face emits
+    the full matrix, overlap 0 included)."""
+    from pyspec_spark.queries.llm import (
+        _OVL_N,
+        q_source_overlap,
+        q_source_overlap_sketch,
+    )
+    from pyspec_spark.tables import table as t
+
+    sk = {
+        (r["src_a"], r["src_b"]): (
+            r["est_shared_grams"], r["est_a"], r["est_b"]
+        )
+        for r in q_source_overlap_sketch.__wrapped__(spark, SF).collect()
+    }
+    exact_pairs = {
+        (r["src_a"], r["src_b"]): r["n_shared_grams"]
+        for r in q_source_overlap.__wrapped__(spark, SF).collect()
+    }
+    # exact distinct grams per source, straight from the corpus
+    n = _OVL_N
+    d = t(spark, SF, "documents").select(
+        "source", F.split("text", " ").alias("w")
+    )
+    grams = d.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size("w") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - n + 1),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("w", i, n)).cast("binary")
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("h"),
+    )
+    exact_d = {
+        r["source"]: r["d"]
+        for r in grams.groupBy("source")
+        .agg(F.countDistinct("h").alias("d"))
+        .collect()
+    }
+    srcs = sorted(exact_d)
+    assert set(sk) == {
+        (a, b) for i, a in enumerate(srcs) for b in srcs[i + 1 :]
+    }
+    for (a, b), (shared, ea, eb) in sk.items():
+        capacity_exact = exact_d[a] < 4096 and exact_d[b] < 4096
+        assert capacity_exact  # the fixture premise this test relies on
+        assert (ea, eb) == (exact_d[a], exact_d[b]), (a, b)
+        assert shared == exact_pairs.get((a, b), 0), (a, b)

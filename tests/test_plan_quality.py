@@ -1069,3 +1069,15 @@ def test_ntile_exact_matches_sql_ntile_semantics(spark):
             for r in ntile_exact(df, [F.col("id")], k, "b").collect()
         }
         assert got == want, (n, k)
+
+
+def test_ann_filtered_pushes_predicate_and_takeordered(spark):
+    """L5c filtered vector search: the metadata predicate must reach
+    the parquet scan (pre-filtering — distance arithmetic runs over
+    the filtered fraction only, and post-filtering a top-k' would be
+    the classic filtered-ANN wrong answer), the probe vector must
+    broadcast, and top-k must compile to TakeOrdered."""
+    p = _plan(spark, "q_ann_filtered")
+    assert any("label" in f for f in pushed_filters(p)), p[:2000]
+    assert has_broadcast_join(p)
+    assert has_take_ordered(p)
