@@ -1149,6 +1149,22 @@ def _topk_index_parts(
     # append landed without its norms — the dl inner join below would
     # otherwise silently drop every appended document from top-k
     assert_norms_current(root)
+    # and the tombstone gate: this fast path does NOT tombstone-filter
+    # or live-correct df/idf/avgdl, so serving a deleted-from index
+    # here would silently return deleted documents with stale stats —
+    # q_index_maintained_topk's serve path handles tombstones exactly;
+    # compaction retires them
+    import os as _os
+
+    from pyspec_spark.operators.text import _TOMBSTONE_DIR
+
+    if _os.path.isdir(_os.path.join(root, _TOMBSTONE_DIR)):
+        raise RuntimeError(
+            f"tombstones present under {root}: this serving path does "
+            "not filter deletes — serve via the maintained-index path "
+            "(tombstone-corrected stats) or compact_maintained_index "
+            "first"
+        )
     dl = read_norms(spark, root)
     # (n_docs, avgdl) from the build-time stats sidecar: sum_dl is an
     # exact bigint, so sum/count equals the corpus aggregate to the

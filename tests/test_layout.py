@@ -1872,3 +1872,26 @@ def test_upsert_rollup_quantile_sketch_merges_exactly(spark, tmp_path):
     # ACTUAL member value (the sketch stores values, never interpolates)
     for key, (p50, _) in got.items():
         assert p50 in vals[key], key
+
+
+def test_deleted_index_fast_serve_fails_loudly(spark, tmp_path):
+    """The OTHER silent-wrong class in serving (r11): the fast top-k
+    path (_topk_index_parts) does not tombstone-filter, so serving an
+    index with pending deletes must RAISE — deleted documents would
+    otherwise reappear in top-k with stale collection stats.  The
+    maintained serve path and compaction are the sanctioned routes."""
+    from pyspec_spark.operators.text import (
+        build_maintained_index,
+        delete_term_index,
+    )
+    from pyspec_spark.queries.text_ranking import _topk_index_parts
+
+    tf, dl = _maint_tf_dl(spark)
+    root = str(tmp_path / "maint")
+    build_maintained_index(spark, tf, dl, root, 64)
+    _topk_index_parts(spark, root, terms=("dup",))  # clean root serves
+    delete_term_index(
+        dl.where("doc_id % 5 = 2").select("doc_id"), root
+    )
+    with pytest.raises(RuntimeError, match="tombstones present"):
+        _topk_index_parts(spark, root, terms=("dup",))
