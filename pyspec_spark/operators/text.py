@@ -1845,3 +1845,61 @@ def compact_maintained_index(
     )
     # write_norms records the matching norms marker itself
     write_norms(live_dl, dest, shard_size=shard_size)
+
+
+def read_streamed_norms(spark, inc_path: str, base_path: str | None = None):
+    """Union view of a streamed MAINTAINED index's norms: the optional
+    batch-built base's ``_norms`` plus every committed increment's
+    batch-scoped ``batch=N/_norms`` (streaming/corpus.py
+    maintained_index_stream).  Underscore dirs are hidden from the
+    postings readers' recursive listing, so the two views never bleed
+    into each other; here they are pathed explicitly."""
+    import glob as _glob
+
+    parts = []
+    if base_path is not None and _has_parquet(f"{base_path}/{_NORMS_DIR}"):
+        parts.append(read_norms(spark, base_path))
+    inc = sorted(_glob.glob(f"{inc_path}/batch=*/{_NORMS_DIR}"))
+    # one read per batch root (bounded by batches-since-compaction):
+    # a single multi-path read trips Spark's partition discovery —
+    # each root's nb= dirs hang off a DIFFERENT base path
+    # (CONFLICTING_DIRECTORY_STRUCTURES)
+    for p in inc:
+        if _has_parquet(p):
+            parts.append(spark.read.parquet(p).select("doc_id", "dl"))
+    if not parts:
+        return spark.createDataFrame([], "doc_id BIGINT, dl BIGINT")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_streamed_maintained(
+    spark,
+    inc_path: str,
+    dest: str,
+    shard_size: int,
+    base_path: str | None = None,
+    n_buckets: int = TERM_INDEX_BUCKETS,
+) -> None:
+    """Fold a streamed MAINTAINED index (base + batch increments, each
+    carrying batch-scoped norms) into ONE fresh SERVABLE root: postings
+    compacted (compact_streamed_index), the norms union rewritten
+    bucketed with a fresh stats row, lockstep markers set — the fast
+    serving path (assert_norms_current + read_norms) accepts ``dest``
+    exactly as it accepts a batch build_maintained_index root."""
+    compact_streamed_index(
+        spark, inc_path, dest, base_path=base_path, n_buckets=n_buckets
+    )
+    write_block_max(
+        spark.read.parquet(dest).drop("tb"), dest, n_buckets=n_buckets
+    )
+    _write_maint_seq(dest, "postings", 1)
+    # write_norms recounts (n_docs, sum_dl) from the union and records
+    # the matching norms marker itself
+    write_norms(
+        read_streamed_norms(spark, inc_path, base_path),
+        dest,
+        shard_size=shard_size,
+    )

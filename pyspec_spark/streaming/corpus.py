@@ -494,3 +494,112 @@ def ingest_jsonl_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def maintained_index_stream(
+    stream: DataFrame,
+    spark: SparkSession,
+    inc_path: str,
+    shard_size: int,
+    checkpoint: str | None = None,
+    n_buckets: int | None = None,
+) -> None:
+    """SERVABLE streaming face of the maintained index (r11, L40j tied
+    to the r10 index_stream_to_buckets pattern): each micro-batch lands
+    postings AND its documents' length norms + 1-row stats — all
+    batch-scoped under ``{inc_path}/batch={batch_id}`` with
+    mode=overwrite, so a batch replayed after a crash between the write
+    and the checkpoint commit overwrites ITSELF (idempotent, the same
+    reason the postings are batch-scoped rather than appended into
+    shared dirs; write_norms' append mode is the BATCH facade's
+    discipline and would double-count on replay here).
+
+    Readers: read_streamed_index (postings — underscore norm dirs are
+    invisible to its recursive listing) + read_streamed_norms (the
+    batch=*/ _norms union).  compact_streamed_maintained folds
+    everything into one fresh root the FAST serving path accepts
+    (markers, block-max, re-counted stats) — at which point the
+    increments retire, same as compact_streamed_index."""
+    from pyspec_spark.operators.text import (
+        TERM_INDEX_BUCKETS,
+        _term_bucket_col,
+        sharded_postings,
+    )
+
+    nb = n_buckets or TERM_INDEX_BUCKETS
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        maintained_index_batch(
+            batch_df, batch_id, inc_path, shard_size, n_buckets=nb
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def maintained_index_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    inc_path: str,
+    shard_size: int,
+    n_buckets: int | None = None,
+) -> None:
+    """ONE micro-batch landing of the maintained stream index —
+    postings + batch-scoped norms + stats under
+    ``{inc_path}/batch={batch_id}``, all mode=overwrite so a crash
+    REPLAY of the same batch overwrites itself (idempotence is pinned
+    in test_streaming.py against this exact function — the stream face
+    above routes through it, so the tested path IS the served path)."""
+    from pyspec_spark.operators.text import (
+        TERM_INDEX_BUCKETS,
+        _term_bucket_col,
+        sharded_postings,
+    )
+
+    nb = n_buckets or TERM_INDEX_BUCKETS
+    root = f"{inc_path}/batch={batch_id}"
+    tf = (
+        batch_df.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    (
+        sharded_postings(tf, shard_size)
+        .withColumn("tb", _term_bucket_col(F.col("term"), nb))
+        .repartition(F.col("tb"))
+        .write.partitionBy("tb")
+        .mode("overwrite")
+        .parquet(root)
+    )
+    dl = batch_df.select(
+        F.col("doc_id").cast("long"),
+        F.size(F.split("text", " ")).cast("long").alias("dl"),
+    ).persist()
+    try:
+        (
+            dl.withColumn(
+                "nb", (F.col("doc_id") / F.lit(shard_size)).cast("long")
+            )
+            .repartition(F.col("nb"))
+            .write.partitionBy("nb")
+            .mode("overwrite")
+            .parquet(f"{root}/_norms")
+        )
+        (
+            dl.agg(
+                F.count("*").alias("n_docs"),
+                F.coalesce(F.sum("dl"), F.lit(0))
+                .cast("long")
+                .alias("sum_dl"),
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{root}/_norms_stats")
+        )
+    finally:
+        dl.unpersist()

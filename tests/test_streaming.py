@@ -1825,3 +1825,100 @@ def test_lake_writers_pin_base_version(spark, tmp_path):
     with pytest.raises(lk.LakeConflict):
         lk.lake_append(spark, root2, df, partition_col="p",
                        base_version=None)
+
+
+def test_maintained_index_stream_serves_equal_to_batch(
+    spark, doc_chunks, tmp_path
+):
+    """L40j streaming face (r11): documents streamed in micro-batches
+    through maintained_index_stream (postings + batch-scoped norms),
+    folded by compact_streamed_maintained, must serve BM25 IDENTICALLY
+    to a one-shot build_maintained_index over the same corpus — and
+    the compacted root must pass the fast path's stale-norms gate."""
+    import pyspec_spark.streaming.corpus as sc
+    from pyspec_spark.operators.text import (
+        build_maintained_index,
+        compact_streamed_maintained,
+        decode_postings,
+        read_norm_stats,
+        read_streamed_norms,
+    )
+    from pyspec_spark.queries.text_ranking import (
+        _score_decoded,
+        _topk_index_parts,
+    )
+    from pyspec_spark.tables import table
+
+    base, n = doc_chunks
+    inc = str(tmp_path / "inc")
+    ckpt = str(tmp_path / "ckpt")
+    stream = sc.read_document_stream(spark, base, max_files_per_trigger=1)
+    sc.maintained_index_stream(stream, spark, inc, 64, checkpoint=ckpt)
+
+    # norms union covers every streamed doc exactly once
+    got_n = read_streamed_norms(spark, inc).count()
+    assert got_n == n
+
+    dest = str(tmp_path / "compacted")
+    compact_streamed_maintained(spark, inc, dest, 64)
+
+    docs = table(spark, SF, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    scratch = str(tmp_path / "scratch")
+    build_maintained_index(spark, tf, dl, scratch, 64)
+
+    def serve(root):
+        probed, _d, _r, idf, dlr, stats = _topk_index_parts(
+            spark, root, terms=("dup", "filter")
+        )
+        decoded = decode_postings(
+            probed.select("term", "shard", "postings"), shard_size=64
+        )
+        return sorted(
+            tuple(r)
+            for r in _score_decoded(decoded, idf, dlr, stats).collect()
+        )
+
+    got, want = serve(dest), serve(scratch)
+    assert got == want and len(got) > 0
+    s1 = read_norm_stats(spark, dest).collect()
+    s2 = read_norm_stats(spark, scratch).collect()
+    assert s1 == s2
+
+
+def test_maintained_index_stream_batch_replay_is_idempotent(
+    spark, doc_chunks, tmp_path
+):
+    """Crash-replay contract: re-running one micro-batch's sink (the
+    redelivery a crash between write and checkpoint commit causes)
+    overwrites its OWN batch root — postings rows, norms rows, and the
+    stats row all equal the single-landing state, never doubled.
+    Drives the SAME function the stream face routes through
+    (maintained_index_batch), so the tested path is the served path."""
+    import pyspec_spark.streaming.corpus as sc
+    from pyspec_spark.operators.text import read_streamed_norms
+    from pyspec_spark.tables import table
+
+    docs = table(spark, SF, "documents").where("doc_id % 4 = 1")
+    inc = str(tmp_path / "inc")
+
+    sc.maintained_index_batch(docs, 2, inc, 64)
+    once_norms = sorted(
+        tuple(r) for r in read_streamed_norms(spark, inc).collect()
+    )
+    once_post = spark.read.parquet(inc).count()
+    once_stats = spark.read.parquet(f"{inc}/batch=2/_norms_stats").collect()
+    sc.maintained_index_batch(docs, 2, inc, 64)  # the replay
+    again_norms = sorted(
+        tuple(r) for r in read_streamed_norms(spark, inc).collect()
+    )
+    again_post = spark.read.parquet(inc).count()
+    again_stats = spark.read.parquet(f"{inc}/batch=2/_norms_stats").collect()
+    assert again_norms == once_norms
+    assert again_post == once_post
+    assert again_stats == once_stats
