@@ -1355,16 +1355,27 @@ def _stage_mapped_append(
     columns = [dict(c) for c in m["columns"]]
     known = {c["name"] for c in columns}
     next_id = max((c["id"] for c in columns), default=-1) + 1
+    # zombie guard: a NEW column's physical name must not collide with
+    # any physical name recorded in ANY era (e.g. a column dropped and
+    # re-added under the same name) — otherwise _read_mapped would
+    # project the OLD era's bytes into the new column
+    taken = {c["physical"] for c in columns}
+    for era in (m.get("schemas") or {}).values():
+        taken |= set(era)
     for f in df.schema.fields:
         if f.name not in known:
+            phys = f.name
+            if phys in taken:
+                phys = f"{f.name}__c{next_id}"
             columns.append(
                 {
                     "id": next_id,
                     "name": f.name,
-                    "physical": f.name,
+                    "physical": phys,
                     "type": f.dataType.simpleString(),
                 }
             )
+            taken.add(phys)
             next_id += 1
     renames = {
         c["name"]: c["physical"] for c in columns if c["name"] != c["physical"]
@@ -1389,3 +1400,33 @@ def _stage_mapped_append(
         )
     ]
     return df_phys, entries, columns, schemas
+
+
+def lake_drop_column(root: str, name: str) -> int:
+    """Drop a column as a METADATA-ONLY commit: the mapping entry goes
+    away, every data file is carried by reference (the physical bytes
+    stay — old versions still read the column via time travel; vacuum
+    of superseded versions is the actual forget step, same story as
+    lake_delete).  Re-adding a column with the SAME name later is safe:
+    the new column gets a fresh id and — because the old physical name
+    may still exist inside old-era files — a DISAMBIGUATED physical
+    name (_stage_mapped_append's zombie guard), so old bytes can never
+    leak into the new column."""
+    prev = latest_version(root)
+    if prev is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    m = _ensure_mapping(root, prev)
+    if name == m.get("partition_col"):
+        raise ValueError("the partition column cannot be dropped")
+    cols = [c for c in m["columns"] if c["name"] != name]
+    if len(cols) == len(m["columns"]):
+        raise ValueError(
+            f"no column {name!r} (have {[c['name'] for c in m['columns']]})"
+        )
+    if not cols:
+        raise ValueError("cannot drop the last column")
+    return _commit(
+        root, "drop_column", m["files"], m.get("partition_col"), prev,
+        schema={c["name"]: c["type"] for c in cols},
+        columns=cols, schemas=m.get("schemas"),
+    )

@@ -1213,3 +1213,49 @@ def test_mapped_add_column_append_composes(spark, tmp_path):
     m = lk._load_manifest(root, lk.latest_version(root))
     ids = [c["id"] for c in m["columns"]]
     assert len(ids) == len(set(ids)) == 5
+
+
+def test_drop_column_metadata_only_and_readd_never_leaks_old_bytes(
+    spark, tmp_path
+):
+    """lake_drop_column completes the evolution triple: metadata-only
+    (files carried by reference; old versions still show the column via
+    time travel), and RE-ADDING a column under the dropped name gets a
+    fresh id + disambiguated physical name, so old-era bytes can never
+    leak into the new column (the zombie-column class)."""
+    import pyspec_spark.lake as lk
+
+    root = str(tmp_path / "evo")
+    lk.lake_append(spark, root, _evo_df(spark, 0, 6), partition_col="p")
+    files_v1 = {e["path"] for e in lk._load_manifest(root, 1)["files"]}
+    v2 = lk.lake_drop_column(root, "val")
+    m2 = lk._load_manifest(root, v2)
+    assert {e["path"] for e in m2["files"]} == files_v1  # metadata-only
+    got = lk.lake_read(spark, root)
+    assert "val" not in got.columns and got.count() == 6
+    # time travel: v1 still reads the dropped column's bytes
+    assert lk.lake_read(spark, root, version=1).agg(
+        F.sum("val")
+    ).collect()[0][0] == sum(i * 10 for i in range(6))
+    # drop alone = zero CDC changes (values by key are untouched)
+    assert lk.lake_diff(spark, root, 1, v2, "k").count() == 0
+    # re-add "val" with DIFFERENT values: must read only the new rows'
+    # values, NULL for pre-re-add rows — never the old era's bytes
+    plus = spark.range(6, 9).select(
+        F.col("id").alias("k"),
+        F.lit(-1).cast("int").alias("val"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        (F.col("id") % 2).cast("string").alias("p"),
+    )
+    lk.lake_append(spark, root, plus, partition_col="p")
+    got = lk.lake_read(spark, root)
+    assert got.where("val = -1").count() == 3
+    assert got.where("val IS NULL").count() == 6  # old rows: no zombie
+    m = lk._load_manifest(root, lk.latest_version(root))
+    readd = next(c for c in m["columns"] if c["name"] == "val")
+    assert readd["physical"] != "val"  # disambiguated physical name
+    # guard rails
+    with pytest.raises(ValueError, match="partition column"):
+        lk.lake_drop_column(root, "p")
+    with pytest.raises(ValueError, match="no column"):
+        lk.lake_drop_column(root, "nope")
