@@ -1726,16 +1726,8 @@ def _maintained_topk_oracle() -> str:
 def q_index_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspec_spark.operators.text import (
         append_maintained_index,
-        apply_tombstones,
-        assert_norms_current,
         build_maintained_index,
-        decode_postings,
         delete_term_index,
-        deleted_corpus_stats,
-        probe_norms,
-        probe_term_index,
-        read_norm_stats_raw,
-        read_tombstones,
     )
     from pyspec_spark.queries.lake_queries import _tmp_root
 
@@ -1751,14 +1743,53 @@ def q_index_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, tf.where(gen), dl.where(gen), root, _TOPK_SHARD
     )
     delete_term_index(docs.where("doc_id % 7 = 2").select("doc_id"), root)
+    return serve_maintained_topk(
+        spark, root, list(_TOPK_TERMS), _TOPK_K, _TOPK_SHARD
+    )
 
-    # ---- serve (index artifacts only — corpus-scan-free) ----
+
+def serve_maintained_topk(
+    spark: SparkSession,
+    root: str,
+    terms: list[str],
+    k: int,
+    shard_size: int,
+) -> DataFrame:
+    """Disjunctive BM25 top-k over a MAINTAINED index root (appends +
+    pending tombstones) — index artifacts only, corpus-scan-free, and
+    EXACTLY equal to a from-scratch rebuild over the live corpus:
+
+    - candidates: probe + decode the query terms' shards, tombstones
+      anti-joined out (broadcast, bounded by deletes-since-compact);
+    - per-term df counted off the decoded LIVE rows (the disjunctive
+      serve decodes the probed terms fully anyway, so live df is free
+      — the block-max skip variants remain for compacted roots);
+    - collection stats: the exact bigint `_norms_stats` totals MINUS
+      the tombstoned docs' contribution (`deleted_corpus_stats`), so
+      n_docs/avgdl/idf match the post-delete corpus bit-for-bit;
+    - doc lengths: probe_norms over the probed shards' id list
+      (bucket-pruned; the driver-side shard list is bounded by the
+      probed terms' shard metadata, the probe_term_index pattern).
+
+    This is the operator behind q_index_maintained_topk; bench.py's
+    `serving` block tracks its warm path round-over-round."""
+    from pyspec_spark.operators.text import (
+        apply_tombstones,
+        assert_norms_current,
+        decode_postings,
+        deleted_corpus_stats,
+        probe_norms,
+        probe_term_index,
+        read_norm_stats_raw,
+        read_tombstones,
+    )
+
     assert_norms_current(root)
     probed = probe_term_index(
-        spark, root, list(_TOPK_TERMS), empty_schema=_SHARDED_SCHEMA
+        spark, root, terms, empty_schema=_SHARDED_SCHEMA
     )
     decoded = decode_postings(
-        probed.select("term", "shard", "postings"), shard_size=_TOPK_SHARD
+        probed.select("term", "shard", "postings"), shard_size=shard_size
     )
     live = apply_tombstones(
         decoded, read_tombstones(spark, root)
@@ -1768,7 +1799,9 @@ def q_index_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the post-delete corpus aggregate bit-for-bit
     stats = (
         read_norm_stats_raw(spark, root)
-        .crossJoin(F.broadcast(deleted_corpus_stats(spark, root, _TOPK_SHARD)))
+        .crossJoin(
+            F.broadcast(deleted_corpus_stats(spark, root, shard_size))
+        )
         .select(
             (F.col("n_docs") - F.col("n_deleted")).alias("n_docs"),
             (
@@ -1793,14 +1826,14 @@ def q_index_maintained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("idf"),
         )
     )
+    # bounded driver-side collect: |probed (term, shard) metadata rows|
     shard_ids = sorted(
         r["shard"] for r in probed.select("shard").distinct().collect()
     )
     dl_pruned = probe_norms(spark, root, shard_ids)
-    out = (
+    return (
         _score_decoded(live, idf, dl_pruned, stats)
         .select("doc_id", "bm25")
         .orderBy(F.desc("bm25"), "doc_id")
-        .limit(_TOPK_K)
+        .limit(k)
     )
-    return out
