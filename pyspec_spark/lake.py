@@ -1381,6 +1381,11 @@ def _stage_mapped_append(
         c["name"]: c["physical"] for c in columns if c["name"] != c["physical"]
     }
     df_phys = df.withColumnsRenamed(renames) if renames else df
+    # blooms are built from the PHYSICAL frame: translate the caller's
+    # logical bloom_cols or the per-column harvest silently skips a
+    # renamed column and equality skipping quietly stops pruning
+    if bloom_cols:
+        bloom_cols = [renames.get(c, c) for c in bloom_cols]
     phys_schema = {
         c["physical"]: c["type"]
         for c in columns

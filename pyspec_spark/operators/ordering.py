@@ -131,14 +131,14 @@ def global_rank_index(
        bucket-count table (single-partition over a CONSTANT row count
        — the global_order_index precedent), broadcast-joined back.
 
-    The bucket id is ``spark_partition_id()`` over the range exchange,
-    and the frame is persisted before its two consumers (counts, then
-    the window) read it, pinning ONE materialization so both see
-    identical bucket assignments (range sampling and AQE coalescing
-    are deterministic given identical input — the persist is
-    belt-and-braces, and it keeps the rank pass at one exchange; the
-    cache is |df|-sized, the per-entity aggregate scale this operator
-    targets).
+    The bucket id is ``spark_partition_id()`` over the range exchange.
+    No persist, no leak: bucket COUNTS derive from the WINDOWED frame
+    itself (max row_number per bucket), so every consumer shares one
+    subtree — Spark reuses the exchange, and even a recompute is
+    deterministic (RangePartitioner samples with fixed per-partition
+    seeds over a deterministic scan, and AQE decisions repeat given
+    identical stats), so offsets can never desynchronize from bucket
+    assignments.
 
     Rank is EXACT for any order whose full key is unique (callers pass
     a tiebreak column, exactly as they would under a window): bucket
@@ -148,12 +148,14 @@ def global_rank_index(
     from pyspark.sql import Column
 
     exprs = [e if isinstance(e, Column) else F.col(e) for e in order_by]
-    k = (
-        df.repartitionByRange(n_buckets, *exprs)
-        .withColumn("_bucket", F.spark_partition_id())
-        .persist()
+    k = df.repartitionByRange(n_buckets, *exprs).withColumn(
+        "_bucket", F.spark_partition_id()
     )
-    counts = k.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    w_in = Window.partitionBy("_bucket").orderBy(*exprs)
+    r = k.withColumn("_r", F.row_number().over(w_in))
+    # bucket count == max row_number: derived from the SAME windowed
+    # subtree the output reads, never a second evaluation of the input
+    counts = r.groupBy("_bucket").agg(F.max("_r").alias("_n"))
     w_off = Window.orderBy("_bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -161,10 +163,8 @@ def global_rank_index(
         "_bucket",
         F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
     )
-    w_in = Window.partitionBy("_bucket").orderBy(*exprs)
     out = (
-        k.withColumn("_r", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), "_bucket")
+        r.join(F.broadcast(offsets), "_bucket")
         .withColumn(
             pos_col, (F.col("_off") + F.col("_r") - 1).cast("long")
         )

@@ -1807,7 +1807,20 @@ def deleted_corpus_stats(spark, path: str, shard_size: int) -> DataFrame:
         .distinct()
         .collect()
     )
-    dead = probe_norms(spark, path, shard_ids).join(
+    # GHOST tombstones (a doc_id never ingested — re-deletes, stale
+    # worklists) map to norm buckets that legitimately don't exist;
+    # delete_term_index documents deletes as harmless anti-join
+    # inputs, so a ghost must contribute zero here, not crash
+    # probe_norms' partial-write guard.  Real tombstoned docs always
+    # have their bucket (assert_norms_current holds upstream), so
+    # filtering to existing dirs drops only ghosts.
+    existing = _existing_paths(
+        spark, [f"{path}/{_NORMS_DIR}/nb={sh}" for sh in shard_ids]
+    )
+    have = {int(p.rsplit("nb=", 1)[1]) for p in existing}
+    dead = probe_norms(
+        spark, path, [sh for sh in shard_ids if sh in have]
+    ).join(
         F.broadcast(tombs.select("doc_id").distinct()), "doc_id"
     )
     return dead.agg(

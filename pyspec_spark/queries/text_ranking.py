@@ -1154,11 +1154,9 @@ def _topk_index_parts(
     # here would silently return deleted documents with stale stats —
     # q_index_maintained_topk's serve path handles tombstones exactly;
     # compaction retires them
-    import os as _os
+    from pyspec_spark.operators.text import _TOMBSTONE_DIR, _existing_paths
 
-    from pyspec_spark.operators.text import _TOMBSTONE_DIR
-
-    if _os.path.isdir(_os.path.join(root, _TOMBSTONE_DIR)):
+    if _existing_paths(spark, [f"{root}/{_TOMBSTONE_DIR}"]):
         raise RuntimeError(
             f"tombstones present under {root}: this serving path does "
             "not filter deletes — serve via the maintained-index path "
@@ -1791,9 +1789,13 @@ def serve_maintained_topk(
     decoded = decode_postings(
         probed.select("term", "shard", "postings"), shard_size=shard_size
     )
-    live = apply_tombstones(
-        decoded, read_tombstones(spark, root)
-    ).persist()
+    # NOT persisted: the two consumers (live df below, scoring) each
+    # re-decode the probed shards — bounded work (SCALING r10b) —
+    # whereas a persist here would leak one cached candidate frame per
+    # serve call in a long-lived session (no post-action unpersist
+    # hook exists on a returned plan); callers wanting single-decode
+    # latency can persist/unpersist around the call
+    live = apply_tombstones(decoded, read_tombstones(spark, root))
     # live collection stats: build-time totals minus the tombstoned
     # contribution — both exact bigints, so the division reproduces
     # the post-delete corpus aggregate bit-for-bit

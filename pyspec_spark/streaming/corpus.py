@@ -520,11 +520,7 @@ def maintained_index_stream(
     everything into one fresh root the FAST serving path accepts
     (markers, block-max, re-counted stats) — at which point the
     increments retire, same as compact_streamed_index."""
-    from pyspec_spark.operators.text import (
-        TERM_INDEX_BUCKETS,
-        _term_bucket_col,
-        sharded_postings,
-    )
+    from pyspec_spark.operators.text import TERM_INDEX_BUCKETS
 
     nb = n_buckets or TERM_INDEX_BUCKETS
 

@@ -1022,7 +1022,13 @@ def test_ntile_no_single_partition_window(spark):
     for i, ln in enumerate(lines):
         if "SinglePartition" in ln:
             ctx = "\n".join(lines[max(0, i - 8) : i + 1])
-            assert "_bucket" in ctx or "partial_sum(_n" in ctx, ctx
+            # "Keys: []" = a GLOBAL aggregate's final exchange (one row
+            # per upstream partition — bounded by construction)
+            assert (
+                "_bucket" in ctx
+                or "partial_sum(_n" in ctx
+                or "Keys: []" in ctx
+            ), ctx
 
 
 def test_rfm_no_single_partition_window(spark):
@@ -1040,10 +1046,13 @@ def test_rfm_no_single_partition_window(spark):
         ctx = "\n".join(lines[max(0, i - 8) : i + 1])
         # bounded shapes only: the 1-row global max(last_order), the
         # ≤256-row bucket prefix sums, or the 1-row bucket totals
+        # ("Keys: []" = a global aggregate's final exchange — one row
+        # per upstream partition, bounded by construction)
         assert (
             "partial_max" in ctx
             or "_bucket" in ctx
             or "partial_sum(_n" in ctx
+            or "Keys: []" in ctx
         ), ctx
 
 
