@@ -1259,3 +1259,105 @@ def test_drop_column_metadata_only_and_readd_never_leaks_old_bytes(
         lk.lake_drop_column(root, "p")
     with pytest.raises(ValueError, match="no column"):
         lk.lake_drop_column(root, "nope")
+
+
+def test_column_mapping_model_based_random_lifecycle(spark, tmp_path):
+    """Model-based check of the evolution lifecycle: a seeded random
+    sequence of {append, rename, drop, widen-retype} against a plain
+    Python dict model — after every step the mapped read must equal
+    the model exactly (values by key, NULLs for pre-add rows, dropped
+    columns absent, historical bytes never leaking into re-added
+    names).  Ten seeds x ~8 ops each; deterministic (seeded RNG, no
+    wall-clock)."""
+    import random
+
+    import pyspec_spark.lake as lk
+
+    for seed in range(10):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"model_{seed}")
+        # model: {k: {col: value}}; logical schema: {col: type}
+        model: dict[int, dict] = {}
+        schema = {"k": "bigint", "v": "int", "p": "string"}
+        pending_adds: dict[str, str] = {}  # land with the next append
+        next_k = 0
+        next_col = 0
+
+        def append(n):
+            nonlocal next_k
+            schema.update(pending_adds)
+            pending_adds.clear()
+            rows = []
+            for _ in range(n):
+                row = {"k": next_k, "p": str(next_k % 2)}
+                for c, t in schema.items():
+                    if c in ("k", "p"):
+                        continue
+                    row[c] = (
+                        next_k * 7 if t in ("int", "bigint") else f"x{next_k}"
+                    )
+                rows.append(row)
+                model[next_k] = dict(row)
+                next_k += 1
+            ddl = ", ".join(f"{c} {t}" for c, t in schema.items())
+            df = spark.createDataFrame(
+                [tuple(r.get(c) for c in schema) for r in rows], ddl
+            )
+            lk.lake_append(spark, root, df, partition_col="p")
+            # model: existing rows lack any newly-added column → None
+            for k in model:
+                for c in schema:
+                    model[k].setdefault(c, None)
+
+        def evolve(fn, *args):
+            # the documented lifecycle: mapping init refuses on a
+            # mixed-schema table (an un-compacted add-column
+            # evolution) — compact, then retry
+            try:
+                fn(root, *args)
+            except ValueError as e:
+                if "mixed-schema" not in str(e):
+                    raise
+                lk.lake_compact(spark, root, partition_col="p")
+                fn(root, *args)
+
+        append(rng.randint(1, 4))
+        for _ in range(8):
+            op = rng.choice(["append", "rename", "drop", "add", "retype"])
+            mutable = [c for c in schema if c not in ("k", "p")]
+            if op == "append":
+                append(rng.randint(1, 3))
+            elif op == "rename" and mutable:
+                old = rng.choice(mutable)
+                new = f"r{next_col}"
+                next_col += 1
+                evolve(lk.lake_rename_column, old, new)
+                schema[new] = schema.pop(old)
+                for r in model.values():
+                    r[new] = r.pop(old)
+            elif op == "drop" and len(mutable) >= 1 and len(schema) > 2:
+                c = rng.choice(mutable)
+                evolve(lk.lake_drop_column, c)
+                del schema[c]
+                for r in model.values():
+                    r.pop(c, None)
+            elif op == "add":
+                c = f"a{next_col}"
+                next_col += 1
+                pending_adds[c] = "int"  # lands with the NEXT append
+            elif op == "retype" and mutable:
+                ints = [c for c in mutable if schema[c] == "int"]
+                if ints:
+                    c = rng.choice(ints)
+                    evolve(lk.lake_retype_column, c, "bigint")
+                    schema[c] = "bigint"
+
+            got = {
+                r["k"]: {c: r[c] for c in schema if c != "k"}
+                for r in lk.lake_read(spark, root).collect()
+            }
+            want = {
+                k: {c: r.get(c) for c in schema if c != "k"}
+                for k, r in model.items()
+            }
+            assert got == want, (seed, op)

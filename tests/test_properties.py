@@ -723,3 +723,66 @@ def test_degree_orientation_bounds_planted_hub_wedges(spark):
     # only one chord->hub chain per chord survives
     assert deg_wedges.where(f"j = {hub}").count() == 0
     assert deg_wedges.count() <= 2 * len(chords)
+
+
+@given(
+    n=st.integers(min_value=0, max_value=4000),
+    k=st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=150, deadline=None)
+def test_ntile_closed_form_matches_reference(n, k):
+    """ntile_from_pos's remainder distribution vs a pure-Python
+    reference of SQL NTILE semantics, exhaustively over random (n, k):
+    with q, r = divmod(n, k) the first r buckets hold q+1 rows, the
+    rest q — checked WITHOUT Spark by evaluating the same arithmetic
+    the Column expression encodes."""
+
+    def ref(pos):
+        q, r = divmod(n, k)
+        cut = r * (q + 1)
+        if pos < cut:
+            return pos // (q + 1) + 1
+        return r + (pos - cut) // q + 1  # q>0 whenever pos >= cut < n
+
+    def closed(pos):
+        # mirror of the Column arithmetic (idiv via subtract-mod)
+        q, r = divmod(n, k)
+        cut = r * (q + 1)
+        if pos < cut:
+            return (pos - pos % (q + 1)) // (q + 1) + 1
+        return r + ((pos - cut) - (pos - cut) % q) // q + 1
+
+    # and a straight SQL-semantics oracle: bucket sizes
+    sizes = [(n // k) + (1 if i < n % k else 0) for i in range(k)]
+    bucket_of = []
+    for b, sz in enumerate(sizes, start=1):
+        bucket_of += [b] * sz
+    for pos in range(n):
+        assert ref(pos) == closed(pos) == bucket_of[pos], (n, k, pos)
+
+
+def test_global_rank_index_is_exact_permutation(spark):
+    """global_rank_index: pos must be exactly 0..n-1 under an arbitrary
+    composite asc/desc order, equal to the single-window row_number on
+    the same order — including duplicate leading keys straddling range
+    buckets (unique tiebreak carries exactness)."""
+    from pyspark.sql import Window
+
+    from pyspec_spark.operators.ordering import global_rank_index
+
+    df = spark.range(5000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("dup_key"),  # heavy ties on the leader
+    )
+    ranked = global_rank_index(
+        df, [F.desc("dup_key"), F.col("id")], n_buckets=16
+    )
+    w = Window.orderBy(F.desc("dup_key"), "id")
+    want = {
+        r["id"]: r["pos"]
+        for r in df.select(
+            "id", (F.row_number().over(w) - 1).alias("pos")
+        ).collect()
+    }
+    got = {r["id"]: r["pos"] for r in ranked.collect()}
+    assert got == want
