@@ -53,6 +53,7 @@ _FRESH: list[str] = [
     "q_index_maintained_topk",  # r11: maintained-index serving (L40j)
     "q_lake_evolution",         # r11: rename/widen-retype column mapping
     "q_ann_filtered",           # r11: metadata-filtered vector search (L5c)
+    "q_ann_ivf_filtered",       # r11: filtered IVF ANN (L5c scale path)
     # reworked this round — force same-round driver rows for the new
     # plans even if the rotation would not pick them:
     "q_ntile",               # r11: ntile_exact two-level rank (W6)

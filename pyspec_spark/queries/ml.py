@@ -202,7 +202,12 @@ def q_kmeans2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # map-side argmin, one keyed groupBy); the probe prunes the re-rank to
 # n_probe/n_cells of the corpus, and at rest `cid` is the partition key.
 # ---------------------------------------------------------------------------
-def _ivf_oracle() -> str:
+def _ivf_oracle(label: int | None = None) -> str:
+    lbl = (
+        f"JOIN embeddings lb ON lb.vec_id = e.vec_id AND lb.label = {label}"
+        if label is not None
+        else ""
+    )
     return _kmeans_cte_prefix() + f""",
 qv AS (
   SELECT embedding FROM emb WHERE vec_id = 0
@@ -220,6 +225,7 @@ SELECT e.vec_id,
                                     CAST(q.embedding AS DOUBLE[])), 6) AS score
 FROM emb e
 JOIN cand USING (vec_id)
+{lbl}
 CROSS JOIN qv q
 ORDER BY score DESC, e.vec_id
 LIMIT 10
@@ -228,6 +234,35 @@ LIMIT 10
 
 @query("q_ann_ivf_det", oracle=_ivf_oracle())
 def q_ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk_df(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# L5c scale path (r11) — FILTERED IVF ANN: the metadata predicate
+# composed with the cell-probed index, not just the brute-force
+# baseline (q_ann_filtered).  Semantics: cells are probed on the
+# UNFILTERED quantizer (the index is built once, filters vary per
+# query — rebuilding per filter is the anti-pattern), and the
+# predicate restricts the RE-RANK candidate set inside the probed
+# cells — exact pre-filtering within the index's candidate recall,
+# the standard filtered-HNSW/IVF design (public vector-db
+# literature).  At rest the cells are partition dirs and the label
+# can ride as a second partition key, turning the filter into pure
+# file pruning.  Deterministic end-to-end (the q_ann_ivf_det trained
+# quantizer), so oracle-checked — the production numpy-trained
+# variants stay rows-only.
+# ---------------------------------------------------------------------------
+_FIVF_LABEL = 7
+
+
+@query("q_ann_ivf_filtered", oracle=_ivf_oracle(label=_FIVF_LABEL))
+def q_ann_ivf_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _ivf_topk_df(spark, sf_dir, label=_FIVF_LABEL)
+
+
+def _ivf_topk_df(
+    spark: SparkSession, sf_dir: str, label: int | None = None
+) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     c0 = emb.where(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("cid"),
@@ -260,6 +295,11 @@ def q_ann_ivf_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid")
     )
     cand = asg2.join(F.broadcast(probe), "cid").select("vec_id")
+    if label is not None:
+        lbl = table(spark, sf_dir, "embeddings").where(
+            F.col("label") == label
+        ).select("vec_id")
+        cand = cand.join(lbl, "vec_id", "left_semi")
 
     qv = q.select(F.col("embedding").alias("qv"))
     dot = F.aggregate(
