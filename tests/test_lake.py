@@ -1361,3 +1361,61 @@ def test_column_mapping_model_based_random_lifecycle(spark, tmp_path):
                 for k, r in model.items()
             }
             assert got == want, (seed, op)
+
+
+def test_mapped_append_blooms_renamed_column_still_prunes(spark, tmp_path):
+    """Review fix r11: bloom_cols arrive in LOGICAL names; after a
+    rename the physical frame carries the old name, so without the
+    logical->physical translation the bloom harvest silently skipped
+    the column and equality skipping quietly stopped pruning new
+    files.  Pin: blooms recorded under the physical name, and a
+    logical-name lake_scan equality predicate prunes below the
+    min/max-only control."""
+    import pyspec_spark.lake as lk
+
+    root = str(tmp_path / "evo")
+    # hash-distributed key so min/max stats cannot prune (the bloom
+    # test's precondition): every file spans the full md5 range
+    base = spark.range(0, 4000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("val"),
+        (F.col("id") % 8).cast("string").alias("p"),
+    )
+    lk.lake_append(spark, root, base, partition_col="p")
+    lk.lake_rename_column(root, "val", "h")
+    delta = spark.range(4000, 8000).select(
+        F.col("id").alias("k"),
+        F.md5(F.col("id").cast("string")).alias("h"),
+        (F.col("id") % 8).cast("string").alias("p"),
+    )
+    lk.lake_append(spark, root, delta, partition_col="p", bloom_cols=["h"])
+    m = lk._load_manifest(root, lk.latest_version(root))
+    new_entries = [e for e in m["files"] if "bloom" in e]
+    assert new_entries, "delta files must carry blooms"
+    assert all("val" in e["bloom"] for e in new_entries)  # physical name
+    # a value known to live in exactly one delta file: logical-name
+    # scan must keep fewer files than the manifest total
+    import hashlib
+
+    probe = hashlib.md5(b"5123").hexdigest()
+    kept, total = lk.lake_scan_file_counts(root, [("h", "=", probe)])
+    assert kept < total
+    rows = lk.lake_scan(spark, root, [("h", "=", probe)]).collect()
+    assert [r["k"] for r in rows] == [5123]
+
+
+def test_mapped_zorder_materializes_mapping(spark, tmp_path):
+    """Full-rewrite layout ops stage from the MAPPED logical view, so
+    z-order compaction on a renamed table materializes the mapping
+    (cleared from the manifest) with content intact."""
+    import pyspec_spark.lake as lk
+
+    root = str(tmp_path / "evo")
+    lk.lake_append(spark, root, _evo_df(spark, 0, 50), partition_col="p")
+    lk.lake_rename_column(root, "val", "amount")
+    before = sorted(tuple(r) for r in lk.lake_read(spark, root).collect())
+    lk.lake_compact_zorder(spark, root, "k", "amount")
+    m = lk._load_manifest(root, lk.latest_version(root))
+    assert "columns" not in m
+    after = sorted(tuple(r) for r in lk.lake_read(spark, root).collect())
+    assert after == before
