@@ -526,7 +526,11 @@ def lake_upsert(
         prev = (
             latest_version(root) if base_version is _UNSET else base_version
         )
-        _refuse_row_ops_on_mapped(root, prev, "lake_upsert")
+        mapped = (
+            _load_manifest(root, prev).get("columns")
+            if prev is not None
+            else None
+        )
         if prev is not None:
             m = _load_manifest(root, prev)
             old = m["files"]
@@ -536,8 +540,16 @@ def lake_upsert(
         else:
             m, touched, kept_entries = None, [], []
         if touched:
-            tgt = _read_entries(
-                spark, root, touched, bool(m.get("schema_mixed"))
+            # mapped tables (rename/retype eras, r11): the touched
+            # files are read THROUGH the mapping (logical view) so the
+            # survivors splice with logical updates; the rewrite then
+            # stages back under physical names in the current era
+            tgt = (
+                _read_mapped(spark, root, m, touched)
+                if mapped
+                else _read_entries(
+                    spark, root, touched, bool(m.get("schema_mixed"))
+                )
             )
             survivors = tgt.join(
                 updates.select(key).distinct(), key, "left_anti"
@@ -549,6 +561,17 @@ def lake_upsert(
             )
         else:
             merged = updates
+        if mapped:
+            _p, new, columns, schemas = _stage_mapped_append(
+                spark, root, m, merged, partition_col, bloom_cols
+            )
+            return _commit(
+                root, "upsert", kept_entries + new, partition_col, prev,
+                schema={c["name"]: c["type"] for c in columns},
+                retains_parent=bool(kept_entries),
+                stream_commit=stream_commit,
+                columns=columns, schemas=schemas,
+            )
         new = _stage_files(
             spark, root, merged, partition_col, bloom_cols=bloom_cols
         )
@@ -586,7 +609,6 @@ def lake_replace_partitions(
     lost-update race)."""
     _check_schema_evolution(root, df)
     prev = latest_version(root) if base_version is _UNSET else base_version
-    _refuse_row_ops_on_mapped(root, prev, "lake_replace_partitions")
     if prev is None:
         new = _stage_files(spark, root, df, partition_col, bloom_cols=bloom_cols)
         return _commit(
@@ -603,6 +625,20 @@ def lake_replace_partitions(
         raise ValueError(
             "lake_replace_partitions on a table with partition-less "
             "files — use lake_upsert (its survivors re-read covers them)"
+        )
+    if m.get("columns"):
+        # mapped table (r11): the caller's df is LOGICAL complete
+        # content — translate to physical names and stamp the era
+        _p, new, columns, schemas = _stage_mapped_append(
+            spark, root, m, df, partition_col, bloom_cols
+        )
+        return _commit(
+            root, "replace_partitions", kept_entries + new,
+            partition_col, prev,
+            schema={c["name"]: c["type"] for c in columns},
+            retains_parent=bool(kept_entries),
+            stream_commit=stream_commit,
+            columns=columns, schemas=schemas,
         )
     new = _stage_files(spark, root, df, partition_col, bloom_cols=bloom_cols)
     return _commit(
@@ -631,7 +667,6 @@ def lake_delete(
     delete_keys = delete_keys.persist()
     try:
         prev = latest_version(root)
-        _refuse_row_ops_on_mapped(root, prev, "lake_delete")
         if prev is None:
             return 0
         m = _load_manifest(root, prev)
@@ -649,10 +684,28 @@ def lake_delete(
         touched, kept_entries = _split_touched(old, parts, m, partition_col)
         if not touched:
             return prev
-        tgt = _read_entries(spark, root, touched, bool(m.get("schema_mixed")))
+        # mapped tables (r11): survivors splice in the LOGICAL view and
+        # the rewrite stages back under physical names, current era
+        tgt = (
+            _read_mapped(spark, root, m, touched)
+            if m.get("columns")
+            else _read_entries(
+                spark, root, touched, bool(m.get("schema_mixed"))
+            )
+        )
         survivors = tgt.join(
             delete_keys.select(key).distinct(), key, "left_anti"
         )
+        if m.get("columns"):
+            _p, new, columns, schemas = _stage_mapped_append(
+                spark, root, m, survivors, partition_col, bloom_cols
+            )
+            return _commit(
+                root, "delete", kept_entries + new, partition_col, prev,
+                schema={c["name"]: c["type"] for c in columns},
+                retains_parent=bool(kept_entries),
+                columns=columns, schemas=schemas,
+            )
         new = _stage_files(
             spark, root, survivors, partition_col, bloom_cols=bloom_cols
         )
@@ -1173,9 +1226,10 @@ def lake_diff(
 #   z-order / change_layout) stages from the mapped logical view, so
 #   it MATERIALIZES the mapping and clears it — lake_compact is the
 #   sanctioned "make it physical" pass;
-# - row-level rewrites (upsert/delete/replace_partitions) refuse on a
-#   mapped table (they splice raw physical reads with logical updates)
-#   — compact first; the refusal is loud, never a wrong answer;
+# - row-level rewrites (upsert/delete/replace_partitions) work on a
+#   mapped table: touched files are read THROUGH the mapping (logical
+#   view), survivors splice with the caller's logical rows, and the
+#   rewrite stages back under physical names in the current era;
 # - the partition column can be neither renamed nor retyped (its
 #   string rendering is baked into directory names and manifests).
 #
@@ -1327,15 +1381,7 @@ def _read_mapped(
     return out
 
 
-def _refuse_row_ops_on_mapped(root: str, prev: int | None, op: str) -> None:
-    if prev is None:
-        return
-    if _load_manifest(root, prev).get("columns"):
-        raise ValueError(
-            f"{op} on a column-mapped table (rename/retype applied): "
-            "row-level rewrites splice raw physical reads with logical "
-            "updates — run lake_compact first to materialize the mapping"
-        )
+
 
 
 def _stage_mapped_append(

@@ -1156,23 +1156,45 @@ def test_cdc_across_rename_and_retype_shows_no_spurious_changes(
     assert diff == {10: "insert", 11: "insert"}
 
 
-def test_mapped_row_ops_refuse_and_compact_materializes(spark, tmp_path):
+def test_mapped_row_ops_splice_logical_and_compact_materializes(
+    spark, tmp_path
+):
+    """Row-level ops on a MAPPED table (r11): touched files read
+    through the mapping, survivors splice with logical rows, rewrites
+    land physical in the current era — upsert replaces by key, delete
+    removes by key, and the mapping survives every commit."""
     import pyspec_spark.lake as lk
 
     root = str(tmp_path / "evo")
     lk.lake_append(spark, root, _evo_df(spark, 0, 10), partition_col="p")
     lk.lake_rename_column(root, "val", "amount")
-    upd = _evo_df(spark, 0, 1).withColumnsRenamed({"val": "amount"})
-    with pytest.raises(ValueError, match="column-mapped"):
-        lk.lake_upsert(spark, root, upd, key="k", partition_col="p")
-    with pytest.raises(ValueError, match="column-mapped"):
-        lk.lake_delete(
-            spark, root, upd.select("k"), key="k", partition_col="p"
-        )
-    with pytest.raises(ValueError, match="column-mapped"):
-        lk.lake_replace_partitions(
-            spark, root, {"0"}, upd, partition_col="p"
-        )
+    upd = (
+        _evo_df(spark, 0, 1)
+        .withColumnsRenamed({"val": "amount"})
+        .withColumn("amount", F.lit(-5).cast("int"))
+    )
+    lk.lake_upsert(spark, root, upd, key="k", partition_col="p")
+    got = lk.lake_read(spark, root)
+    assert got.where("k = 0").collect()[0]["amount"] == -5
+    assert got.count() == 10
+    lk.lake_delete(
+        spark, root, upd.select("k"), key="k", partition_col="p"
+    )
+    got = lk.lake_read(spark, root)
+    assert got.count() == 9 and got.where("k = 0").count() == 0
+    repl = (
+        _evo_df(spark, 100, 102)
+        .withColumnsRenamed({"val": "amount"})
+        .where("p = '0'")
+    )
+    lk.lake_replace_partitions(spark, root, {"0"}, repl, partition_col="p")
+    got = lk.lake_read(spark, root)
+    assert sorted(
+        r["k"] for r in got.where("p = '0'").collect()
+    ) == [100]
+    # mapping intact through all three commits
+    m = lk._load_manifest(root, lk.latest_version(root))
+    assert any(c["name"] == "amount" for c in m["columns"])
     # guard rails on the evolution ops themselves
     with pytest.raises(ValueError, match="partition column"):
         lk.lake_rename_column(root, "p", "part")
@@ -1263,8 +1285,9 @@ def test_drop_column_metadata_only_and_readd_never_leaks_old_bytes(
 
 def test_column_mapping_model_based_random_lifecycle(spark, tmp_path):
     """Model-based check of the evolution lifecycle: a seeded random
-    sequence of {append, rename, drop, widen-retype} against a plain
-    Python dict model — after every step the mapped read must equal
+    sequence of {append, rename, drop, widen-retype, upsert, delete}
+    against a plain Python dict model — after every step the mapped
+    read must equal
     the model exactly (values by key, NULLs for pre-add rows, dropped
     columns absent, historical bytes never leaking into re-added
     names).  Ten seeds x ~8 ops each; deterministic (seeded RNG, no
@@ -1323,7 +1346,10 @@ def test_column_mapping_model_based_random_lifecycle(spark, tmp_path):
 
         append(rng.randint(1, 4))
         for _ in range(8):
-            op = rng.choice(["append", "rename", "drop", "add", "retype"])
+            op = rng.choice(
+                ["append", "rename", "drop", "add", "retype",
+                 "upsert", "delete"]
+            )
             mutable = [c for c in schema if c not in ("k", "p")]
             if op == "append":
                 append(rng.randint(1, 3))
@@ -1351,6 +1377,30 @@ def test_column_mapping_model_based_random_lifecycle(spark, tmp_path):
                     c = rng.choice(ints)
                     evolve(lk.lake_retype_column, c, "bigint")
                     schema[c] = "bigint"
+            elif op == "upsert" and model:
+                kk = rng.choice(sorted(model))
+                row = {"k": kk, "p": str(kk % 2)}
+                for c, t in schema.items():
+                    if c in ("k", "p"):
+                        continue
+                    row[c] = (
+                        -kk - 1 if t in ("int", "bigint") else f"u{kk}"
+                    )
+                ddl = ", ".join(f"{c} {t}" for c, t in schema.items())
+                df = spark.createDataFrame(
+                    [tuple(row.get(c) for c in schema)], ddl
+                )
+                lk.lake_upsert(
+                    spark, root, df, key="k", partition_col="p"
+                )
+                model[kk] = dict(row)
+            elif op == "delete" and len(model) > 1:
+                kk = rng.choice(sorted(model))
+                df = spark.createDataFrame([(kk,)], "k bigint")
+                lk.lake_delete(
+                    spark, root, df, key="k", partition_col="p"
+                )
+                del model[kk]
 
             got = {
                 r["k"]: {c: r[c] for c in schema if c != "k"}
