@@ -324,9 +324,14 @@ def _vix_probe_score(spark: SparkSession, root: str, qv) -> DataFrame:
     _VIX_NPROBE winning cells under ONE snapshot, exact micro-unit dot
     ranking with the n_cand witness column.  ONE definition so the
     tie-breaks and rounding discipline cannot drift between the two
-    oracles."""
-    from pyspark.sql.window import Window
+    oracles.
 
+    n_cand is a 1-row count aggregate broadcast-cross-joined onto the
+    candidates (the n_docs pattern from text_ranking) — never a
+    `count(*) over ()` window: with nprobe cells probed the candidate
+    set is corpus-fraction-sized (~nprobe·n/k rows), and a global
+    window would funnel all of it through one Exchange SinglePartition
+    BEFORE the top-k."""
     from pyspec_spark.functions.determinism import _fixed6
     from pyspec_spark.lake import lake_scan
     from pyspec_spark.streaming.vectors import load_centroids
@@ -354,13 +359,10 @@ def _vix_probe_score(spark: SparkSession, root: str, qv) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + _fixed6(x),
     )
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
     return (
-        cand.select(
-            "vec_id",
-            "cid",
-            dot_micro.alias("dot_micro"),
-            F.count("*").over(Window.partitionBy()).alias("n_cand"),
-        )
+        cand.select("vec_id", "cid", dot_micro.alias("dot_micro"))
+        .crossJoin(F.broadcast(n_cand))
         .orderBy(F.desc("dot_micro"), "vec_id")
         .limit(_VIX_TOPK)
     )

@@ -1056,6 +1056,42 @@ def test_rfm_no_single_partition_window(spark):
         ), ctx
 
 
+def test_vix_probe_no_single_partition_window(spark, tmp_path):
+    """ST11 (r12): the _VIX lookup leg must attach n_cand as a
+    broadcast 1-row count aggregate, never `count(*) over ()` — with
+    nprobe of k cells probed the candidate set is corpus-fraction-sized
+    (~nprobe*n/k rows), and a global window would funnel all of it
+    through one Exchange SinglePartition BEFORE the TakeOrdered top-k.
+    Allowed SinglePartition shapes: only the 1-row aggregate's final
+    exchange ("Keys: []" — one row per upstream partition, bounded by
+    construction)."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.lake import lake_append
+    from pyspec_spark.queries.lake_queries import _vix_probe_score
+    from pyspec_spark.streaming.vectors import assign_cells, save_centroids
+    from pyspec_spark.tables import table
+
+    root = str(tmp_path / "vix_gate_lake")
+    emb = table(spark, SF, "embeddings").select("vec_id", "embedding")
+    cents = emb.where("vec_id < 4").select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    save_centroids(root, cents)
+    lake_append(spark, root, assign_cells(emb, cents), "cid")
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+
+    p = physical_plan(_vix_probe_score(spark, root, qv))
+    assert has_take_ordered(p), p[:3000]
+    assert "Window" not in p, p[:3000]
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "SinglePartition" in ln:
+            ctx = "\n".join(lines[max(0, i - 8) : i + 1])
+            assert "Keys: []" in ctx, ctx
+
+
 def test_ntile_exact_matches_sql_ntile_semantics(spark):
     """Closed-form remainder distribution == F.ntile for every (n, k)
     shape class: n % k == 0, n % k != 0, n < k, n == 1 — pinned
