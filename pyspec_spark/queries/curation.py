@@ -1475,3 +1475,147 @@ def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L46 — the training mix MATERIALIZED end-to-end (r12): the artifact a
+# training run actually consumes, composed from the declared halves
+# that existed since r7/r10 but never met — per-source epoch counts
+# (q_epoch_alloc, L16c) -> deterministic per-document replication
+# including the FRACTIONAL last epoch -> seeded global shuffle over the
+# REPLICATED stream (L45's two-level rank, replica in the shuffle key
+# so copies scatter) -> fixed-size dataloader shards.
+#
+# Fractional-epoch semantics (where repeat-handling bugs live): a
+# source allocated e epochs replicates each of its documents
+# floor(e) times plus ONE more with probability frac(e), the draw
+# content-keyed (md5(doc_id || '#epoch')) so every engine, run, and
+# partition layout draws identically and DuckDB replays it exactly.
+# All threshold arithmetic is INTEGER in micro-epochs: epochs is
+# 6-dp-pinned upstream, so round(epochs*1e6) is exact in both engines
+# (the operand sits within 1e-9 of an integer — no tie-mode exposure),
+# and the draw compares bigint % 1e6 against bigint, never
+# double < double.
+#
+# 100 TB posture: the allocation table is |sources| rows (broadcast);
+# replication is a map-side explode (each row carries its own copy
+# count — no join back, no skew: a doc at 8 epochs emits 8 rows from
+# one task); the global order is global_order_index's 256-bucket
+# two-level rank over the replicated stream — the replica index is
+# INSIDE the md5 order key, so the copies of a hot document land in
+# different buckets and different shards (the property epoch-level
+# interleaving needs); shards are a map-side pos//shard_size.  No
+# corpus-sized single-partition window anywhere (plan-gated, the L45
+# gate family).
+# ---------------------------------------------------------------------------
+_TMIX_SEED = "r12mix"
+_TMIX_SHARD = 256
+_TMIX_MICRO = 1_000_000
+
+
+def _train_mix_oracle() -> str:
+    return f"""
+WITH alloc AS ({_epoch_alloc_oracle()}),
+rep AS (
+  SELECT d.doc_id, d.source,
+         CAST(ROUND(a.epochs * {_TMIX_MICRO}) AS BIGINT) // {_TMIX_MICRO}
+         + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#epoch'), 1, 8))::BIGINT
+                     % {_TMIX_MICRO}
+                  < CAST(ROUND(a.epochs * {_TMIX_MICRO}) AS BIGINT) % {_TMIX_MICRO}
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN alloc a USING (source)
+),
+copies AS (
+  SELECT doc_id, source,
+         CAST(unnest(range(1, n_copies + 1)) AS INT) AS replica
+  FROM rep
+),
+k AS (
+  SELECT doc_id, source, replica,
+         CAST(doc_id AS VARCHAR) || '#' || CAST(replica AS VARCHAR) AS rid
+  FROM copies
+),
+o AS (
+  SELECT doc_id, source, replica,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5('{_TMIX_SEED}' || rid), rid) - 1
+              AS BIGINT) AS pos
+  FROM k
+)
+SELECT doc_id, replica, source, pos,
+       CAST(pos // {_TMIX_SHARD} AS BIGINT) AS shard,
+       CAST(pos % {_TMIX_SHARD} AS BIGINT) AS pos_in_shard
+FROM o
+ORDER BY pos
+"""
+
+
+@query("q_train_mix", oracle=_train_mix_oracle())
+def q_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.ordering import (
+        assign_train_shards,
+        global_order_index,
+    )
+
+    alloc = q_epoch_alloc.__wrapped__(spark, sf_dir).select(
+        "source",
+        (F.round(F.col("epochs") * _TMIX_MICRO, 0).cast("bigint")).alias(
+            "_epochs_micro"
+        ),
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("#epoch")
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _TMIX_MICRO
+    )
+    n_full = (
+        (F.col("_epochs_micro") - F.pmod("_epochs_micro", F.lit(_TMIX_MICRO)))
+        / _TMIX_MICRO
+    ).cast("long")
+    frac_micro = F.pmod("_epochs_micro", F.lit(_TMIX_MICRO))
+    n_copies = (n_full + (draw < frac_micro).cast("long")).cast("int")
+    rep = d.join(F.broadcast(alloc), "source").select(
+        "doc_id", "source", n_copies.alias("n_copies")
+    )
+    copies = rep.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.col("n_copies") >= 1,
+                F.sequence(F.lit(1), F.col("n_copies")),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("replica"),
+    )
+    keyed = copies.withColumn(
+        "_rid",
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("#"),
+            F.col("replica").cast("string"),
+        ),
+    )
+    ordered = global_order_index(keyed, "_rid", seed=_TMIX_SEED)
+    return (
+        assign_train_shards(ordered, _TMIX_SHARD)
+        .select(
+            "doc_id",
+            "replica",
+            "source",
+            "pos",
+            F.col("shard").cast("long").alias("shard"),
+            F.col("pos_in_shard").cast("long").alias("pos_in_shard"),
+        )
+        .orderBy("pos")
+    )

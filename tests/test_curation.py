@@ -228,3 +228,145 @@ def test_drop_audit_agrees_with_pipeline_totals(spark):
             kept[r["source"]][1] += r["n_tokens"]
     assert {s: tuple(v) for s, v in kept.items()} == pipe
     assert "kept" in seen and len(seen) >= 3  # the stages actually fire
+
+
+def test_train_mix_replication_counts_follow_epochs(spark):
+    """L46: every document appears exactly floor(epochs) or
+    floor(epochs)+1 times in the materialized mix (the fractional last
+    epoch is a per-doc Bernoulli), and the realized fraction of
+    extra-copy docs per source tracks frac(epochs) within the binomial
+    envelope."""
+    import math
+
+    from pyspec_spark.queries.curation import q_epoch_alloc, q_train_mix
+
+    alloc = {
+        r["source"]: r["epochs"]
+        for r in q_epoch_alloc.__wrapped__(spark, SF_SMALL).collect()
+    }
+    mix = q_train_mix.__wrapped__(spark, SF_SMALL)
+    per_doc = (
+        mix.groupBy("doc_id", "source")
+        .agg(F.count("*").alias("n_copies"))
+        .collect()
+    )
+    assert per_doc
+    extra = {}
+    tot = {}
+    for r in per_doc:
+        e = alloc[r["source"]]
+        n_full = math.floor(round(e * 1e6) / 1e6)
+        assert r["n_copies"] in (n_full, n_full + 1), (
+            r["doc_id"], r["source"], e, r["n_copies"],
+        )
+        tot[r["source"]] = tot.get(r["source"], 0) + 1
+        if r["n_copies"] == n_full + 1:
+            extra[r["source"]] = extra.get(r["source"], 0) + 1
+    for s, n in tot.items():
+        frac = (round(alloc[s] * 1e6) % 1_000_000) / 1e6
+        got = extra.get(s, 0) / n
+        # 4-sigma binomial envelope + the 1e-6 draw resolution
+        sigma = math.sqrt(max(frac * (1 - frac), 1e-12) / n)
+        assert abs(got - frac) <= 4 * sigma + 1e-6, (s, frac, got, n)
+
+
+def test_train_mix_token_mass_matches_eff_tokens(spark):
+    """L46 done-criterion: per-source token mass of the materialized
+    mix equals q_epoch_alloc's eff_tokens up to the fractional-draw
+    binomial tolerance (the realized Bernoulli replaces the expected
+    frac mass)."""
+    import math
+
+    from pyspec_spark.queries.curation import q_epoch_alloc, q_train_mix
+    from pyspec_spark.queries.curation import _toks
+    from pyspec_spark.tables import table
+
+    alloc = {
+        r["source"]: r
+        for r in q_epoch_alloc.__wrapped__(spark, SF_SMALL).collect()
+    }
+    toks = table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.size(_toks()).alias("n_tok")
+    )
+    mass = {
+        r["source"]: (r["mass"], r["n_docs"])
+        for r in q_train_mix.__wrapped__(spark, SF_SMALL)
+        .join(toks, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tok").alias("mass"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .collect()
+    }
+    for s, a in alloc.items():
+        got, n_docs = mass[s]
+        # binomial draw variance: each doc contributes its token count
+        # with prob frac(e); bound by 4*sqrt(n)*max_doc_tokens plus the
+        # rounding slack of eff_tokens itself
+        avg_doc = a["n_tokens"] / n_docs
+        tol = 4 * math.sqrt(n_docs) * 3 * avg_doc + avg_doc + 1
+        assert abs(got - a["eff_tokens"]) <= tol, (
+            s, got, a["eff_tokens"], tol,
+        )
+
+
+def test_train_mix_positions_permutation_and_replica_scatter(spark):
+    """pos is exactly 0..n-1 over the REPLICATED stream, and the
+    copies of one document scatter: for multi-copy docs, replicas are
+    NOT adjacent in the global order (the replica index is inside the
+    md5 shuffle key)."""
+    from pyspec_spark.queries.curation import q_train_mix
+
+    df = q_train_mix.__wrapped__(spark, SF_SMALL)
+    n, mn, mx, d = df.agg(
+        F.count("*"), F.min("pos"), F.max("pos"), F.countDistinct("pos")
+    ).collect()[0]
+    assert (mn, mx, d) == (0, n - 1, n)
+    # adjacency probe: the mean |pos gap| between consecutive replicas
+    # of the same doc must be corpus-scale, not O(1)
+    gaps = (
+        df.groupBy("doc_id")
+        .agg(
+            (F.max("pos") - F.min("pos")).alias("span"),
+            F.count("*").alias("k"),
+        )
+        .where("k >= 2")
+        .agg(F.avg(F.col("span") / (F.col("k") - 1)).alias("g"))
+        .collect()[0]["g"]
+    )
+    assert gaps > n / 100, (gaps, n)
+
+
+def test_train_mix_shard_layout_replays_order(spark, tmp_path):
+    """L46 shard-layout gate: write_train_shards over the mix gives
+    shard=K dirs whose partition-pruned, pos_in_shard-ordered
+    concatenation replays the global order of (doc_id, replica) pairs
+    exactly."""
+    import os
+
+    from pyspec_spark.operators.ordering import write_train_shards
+    from pyspec_spark.queries.curation import (
+        _TMIX_SHARD,
+        q_train_mix,
+    )
+
+    mix = q_train_mix.__wrapped__(spark, SF_SMALL).drop(
+        "shard", "pos_in_shard"
+    )
+    base = str(tmp_path / "mix_shards")
+    write_train_shards(mix, base, shard_size=_TMIX_SHARD)
+    n = mix.count()
+    dirs = sorted(d for d in os.listdir(base) if d.startswith("shard="))
+    assert len(dirs) == (n + _TMIX_SHARD - 1) // _TMIX_SHARD
+
+    at_rest = spark.read.parquet(base)
+    got = [
+        (r["doc_id"], r["replica"])
+        for r in at_rest.orderBy("shard", "pos_in_shard").collect()
+    ]
+    want = [
+        (r["doc_id"], r["replica"])
+        for r in mix.orderBy("pos").collect()
+    ]
+    assert got == want and len(got) == n

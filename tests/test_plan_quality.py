@@ -965,6 +965,25 @@ def test_train_order_window_is_bucket_partitioned(spark):
     assert "hashpartitioning(_bucket" in plan, plan[:2000]
 
 
+def test_train_mix_window_is_bucket_partitioned(spark):
+    """L46: the replicated-stream ranking window must be partitioned
+    by the 256 md5-prefix buckets exactly like L45 — replication must
+    not smuggle the naive single-funnel ROW_NUMBER back in.  The only
+    SinglePartition exchanges allowed are the bounded bucket-offset
+    prefix sum and 1-row aggregate shapes."""
+    plan = _plan(spark, "q_train_mix")
+    assert "hashpartitioning(_bucket" in plan, plan[:2000]
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "SinglePartition" in ln:
+            ctx = "\n".join(lines[max(0, i - 8) : i + 1])
+            assert (
+                "_bucket" in ctx
+                or "partial_sum(_n" in ctx
+                or "Keys: []" in ctx
+            ), ctx
+
+
 def test_train_order_positions_are_a_permutation(spark):
     """pos must be exactly 0..n-1 (no gaps/dupes across the
     bucket-offset splice) and follow the seeded md5 order."""
