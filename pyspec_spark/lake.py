@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 _PC = "_pc"  # hive layout column (duplicate of the partition column)
+_CC = "_cc"  # hive layout column (duplicate of the cluster column)
 
 
 class LakeConflict(RuntimeError):
@@ -111,6 +112,7 @@ def _commit(
     retains_parent: bool = True,
     columns=_UNSET,
     schemas=_UNSET,
+    cluster_col=_UNSET,
 ) -> int:
     """Publish the manifest for version parent+1.  ``parent`` is the
     version the caller READ ITS BASE STATE from (captured at
@@ -156,6 +158,16 @@ def _commit(
             columns = pm.get("columns")
         if schemas is _UNSET:
             schemas = pm.get("schemas")
+    # the cluster col (r12) is a LAYOUT property like partition_col:
+    # inherit from the parent unless the caller explicitly changes it,
+    # so row-level ops and plain appends preserve the clustered layout
+    # without every call site repeating it
+    if cluster_col is _UNSET:
+        cluster_col = (
+            _load_manifest(root, parent).get("cluster_col")
+            if parent is not None
+            else None
+        )
     if columns is _UNSET:
         columns = None
     if schemas is _UNSET:
@@ -166,6 +178,7 @@ def _commit(
         "op": op,
         "ts": datetime.now(timezone.utc).isoformat(),
         "partition_col": partition_col,
+        "cluster_col": cluster_col,
         "stream_commits": carried,
         "schema": schema,
         "schema_mixed": mixed,
@@ -196,22 +209,37 @@ def _stage_files(
     df: DataFrame,
     partition_col: str | None,
     bloom_cols: list[str] | None = None,
+    cluster_col: str | None = None,
 ) -> list[dict]:
     """Write df as immutable files under a fresh commit dir; return the
-    manifest file entries (relative path + partition value string)."""
+    manifest file entries (relative path + partition value string).
+
+    ``cluster_col`` (r12) is the SECOND at-rest key: the write splits
+    each partition's files one-per-cluster-value (a second hive level
+    the manifest does NOT treat as the partition), so every data file
+    holds exactly one cluster value and its footer [min, max] on that
+    column is a point — lake_scan's stats pruning on the cluster
+    column becomes EXACT file skipping, the "second partition key"
+    a filtered index probe wants.  Only sensible for bounded-
+    cardinality columns (labels, languages, shard classes): file count
+    is |partitions| x |cluster values|."""
     stage_rel = os.path.join(_DATA_DIR, f"c-{uuid.uuid4().hex[:12]}")
     stage = os.path.join(root, stage_rel)
+    dirs, parts = [], []
     if partition_col is not None:
         # duplicate the partition column into the hive dir so the
         # original column SURVIVES in the data files (reads never need
         # path inference; the dir exists purely to split files cleanly
         # per partition value for manifest-level pruning)
-        (
-            df.withColumn(_PC, F.col(partition_col).cast("string"))
-            .repartition(F.col(_PC))
-            .write.partitionBy(_PC)
-            .parquet(stage)
-        )
+        df = df.withColumn(_PC, F.col(partition_col).cast("string"))
+        dirs.append(_PC)
+        parts.append(F.col(_PC))
+    if cluster_col is not None:
+        df = df.withColumn(_CC, F.col(cluster_col).cast("string"))
+        dirs.append(_CC)
+        parts.append(F.col(_CC))
+    if dirs:
+        df.repartition(*parts).write.partitionBy(*dirs).parquet(stage)
     else:
         df.write.parquet(stage)
     entries = []
@@ -369,6 +397,7 @@ def lake_append(
     bloom_cols: list[str] | None = None,
     stream_commit: tuple[str, int] | None = None,
     base_version=_UNSET,
+    cluster_col: str | None = None,
 ) -> int:
     """Append df as a new snapshot (previous files + new files).
     Add-column schema evolution allowed; drops/retypes refused.
@@ -381,24 +410,34 @@ def lake_append(
     version you captured at transaction start (None = table was empty)
     and the commit links parent=base, so an interleaved commit raises
     LakeConflict instead of silently serializing on a base you never
-    read."""
+    read.  ``cluster_col`` (r12) opts the new files into the second
+    at-rest key (one file per (partition, cluster) value — see
+    _stage_files); once set it is a TABLE layout property: later
+    appends and row-level rewrites preserve it without repeating it."""
     _check_schema_evolution(root, df)
     prev = latest_version(root) if base_version is _UNSET else base_version
     m = _load_manifest(root, prev) if prev is not None else None
     old = m["files"] if m is not None else []
+    cl = cluster_col if cluster_col is not None else (
+        m.get("cluster_col") if m is not None else None
+    )
     if m is not None and m.get("columns"):
         df_phys, new_entries, columns, schemas = _stage_mapped_append(
-            spark, root, m, df, partition_col, bloom_cols
+            spark, root, m, df, partition_col, bloom_cols, cluster_col=cl
         )
         return _commit(
             root, "append", old + new_entries, partition_col, prev,
             schema={c["name"]: c["type"] for c in columns},
             stream_commit=stream_commit, columns=columns, schemas=schemas,
+            cluster_col=cl,
         )
-    new = _stage_files(spark, root, df, partition_col, bloom_cols=bloom_cols)
+    new = _stage_files(
+        spark, root, df, partition_col, bloom_cols=bloom_cols, cluster_col=cl
+    )
     return _commit(
         root, "append", old + new, partition_col, prev,
         schema=_schema_fields(df), stream_commit=stream_commit,
+        cluster_col=cl,
     )
 
 
@@ -408,14 +447,21 @@ def lake_overwrite(
     df: DataFrame,
     partition_col: str | None = None,
     bloom_cols: list[str] | None = None,
+    cluster_col: str | None = None,
 ) -> int:
     """Replace the table contents (old files stay readable via time
-    travel until vacuumed)."""
+    travel until vacuumed).  The layout is the caller's to define —
+    ``cluster_col`` is NOT inherited (an overwrite without it ends a
+    clustered layout)."""
     prev = latest_version(root)
-    new = _stage_files(spark, root, df, partition_col, bloom_cols=bloom_cols)
+    new = _stage_files(
+        spark, root, df, partition_col, bloom_cols=bloom_cols,
+        cluster_col=cluster_col,
+    )
     return _commit(
         root, "overwrite", new, partition_col, prev,
         schema=_schema_fields(df), retains_parent=False,
+        cluster_col=cluster_col,
     )
 
 
@@ -563,7 +609,8 @@ def lake_upsert(
             merged = updates
         if mapped:
             _p, new, columns, schemas = _stage_mapped_append(
-                spark, root, m, merged, partition_col, bloom_cols
+                spark, root, m, merged, partition_col, bloom_cols,
+                cluster_col=m.get("cluster_col"),
             )
             return _commit(
                 root, "upsert", kept_entries + new, partition_col, prev,
@@ -573,7 +620,8 @@ def lake_upsert(
                 columns=columns, schemas=schemas,
             )
         new = _stage_files(
-            spark, root, merged, partition_col, bloom_cols=bloom_cols
+            spark, root, merged, partition_col, bloom_cols=bloom_cols,
+            cluster_col=m.get("cluster_col") if m is not None else None,
         )
         return _commit(
             root, "upsert", kept_entries + new, partition_col, prev,
@@ -630,7 +678,8 @@ def lake_replace_partitions(
         # mapped table (r11): the caller's df is LOGICAL complete
         # content — translate to physical names and stamp the era
         _p, new, columns, schemas = _stage_mapped_append(
-            spark, root, m, df, partition_col, bloom_cols
+            spark, root, m, df, partition_col, bloom_cols,
+            cluster_col=m.get("cluster_col"),
         )
         return _commit(
             root, "replace_partitions", kept_entries + new,
@@ -640,7 +689,10 @@ def lake_replace_partitions(
             stream_commit=stream_commit,
             columns=columns, schemas=schemas,
         )
-    new = _stage_files(spark, root, df, partition_col, bloom_cols=bloom_cols)
+    new = _stage_files(
+        spark, root, df, partition_col, bloom_cols=bloom_cols,
+        cluster_col=m.get("cluster_col"),
+    )
     return _commit(
         root, "replace_partitions", kept_entries + new, partition_col, prev,
         schema=m.get("schema") or _schema_fields(df),
@@ -698,7 +750,8 @@ def lake_delete(
         )
         if m.get("columns"):
             _p, new, columns, schemas = _stage_mapped_append(
-                spark, root, m, survivors, partition_col, bloom_cols
+                spark, root, m, survivors, partition_col, bloom_cols,
+                cluster_col=m.get("cluster_col"),
             )
             return _commit(
                 root, "delete", kept_entries + new, partition_col, prev,
@@ -707,7 +760,8 @@ def lake_delete(
                 columns=columns, schemas=schemas,
             )
         new = _stage_files(
-            spark, root, survivors, partition_col, bloom_cols=bloom_cols
+            spark, root, survivors, partition_col, bloom_cols=bloom_cols,
+            cluster_col=m.get("cluster_col"),
         )
         # a delete never changes the TABLE schema: commit the parent's
         # recorded schema (survivors of old pre-evolution files may lack
@@ -734,12 +788,16 @@ def lake_compact(
     files — compaction is the natural time to refresh them, since the
     small pre-compaction files' blooms die with their entries."""
     prev = latest_version(root)
+    cl = _load_manifest(root, prev).get("cluster_col") if prev else None
     cur = lake_read(spark, root, version=prev)
     if partition_col is not None:
         new = _stage_files(
             spark, root, cur.repartition(F.col(partition_col)),
-            partition_col, bloom_cols=bloom_cols,
+            partition_col, bloom_cols=bloom_cols, cluster_col=cl,
         )
+    elif cl is not None:
+        new = _stage_files(spark, root, cur, None,
+                           bloom_cols=bloom_cols, cluster_col=cl)
     else:
         new = _stage_files(spark, root, cur.coalesce(1), None,
                            bloom_cols=bloom_cols)
@@ -763,9 +821,13 @@ def lake_change_layout(
     if partition_col is not None:
         cur = cur.repartition(F.col(partition_col))
     new = _stage_files(spark, root, cur, partition_col)
+    # a layout migration REDEFINES the at-rest keys: the new files are
+    # not cluster-split, so the inherited cluster_col must not survive
+    # to claim a layout the files don't have
     return _commit(
         root, "change_layout", new, partition_col, prev,
         schema=_schema_fields(cur), retains_parent=False,
+        cluster_col=None,
     )
 
 
@@ -1055,6 +1117,7 @@ def lake_compact_zorder(
     return _commit(
         root, "compact_zorder", new, None, prev,
         schema=_schema_fields(clustered), retains_parent=False,
+        cluster_col=None,  # the z-sort replaces per-value clustering
     )
 
 
@@ -1299,10 +1362,15 @@ def lake_rename_column(root: str, old: str, new: str) -> int:
     cols = [
         dict(c, name=new) if c["name"] == old else c for c in m["columns"]
     ]
+    # the cluster col is recorded by LOGICAL name: follow the rename or
+    # later clustered rewrites would look up a name that no longer exists
+    kw = {}
+    if old == m.get("cluster_col"):
+        kw["cluster_col"] = new
     return _commit(
         root, "rename_column", m["files"], m.get("partition_col"), prev,
         schema={c["name"]: c["type"] for c in cols},
-        columns=cols, schemas=m.get("schemas"),
+        columns=cols, schemas=m.get("schemas"), **kw,
     )
 
 
@@ -1391,6 +1459,7 @@ def _stage_mapped_append(
     df: DataFrame,
     partition_col: str | None,
     bloom_cols: list[str] | None,
+    cluster_col: str | None = None,
 ):
     """Stage an append against a column-mapped table: translate the
     caller's LOGICAL column names to the fixed physical names, extend
@@ -1444,10 +1513,14 @@ def _stage_mapped_append(
     if sid is None:
         sid = max((int(k) for k in schemas), default=-1) + 1
         schemas[str(sid)] = phys_schema
+    # the cluster col is recorded under its LOGICAL name; the physical
+    # frame needs the physical name or the split silently stops
+    cl_phys = renames.get(cluster_col, cluster_col) if cluster_col else None
     entries = [
         dict(e, sid=sid)
         for e in _stage_files(
-            spark, root, df_phys, partition_col, bloom_cols=bloom_cols
+            spark, root, df_phys, partition_col, bloom_cols=bloom_cols,
+            cluster_col=cl_phys,
         )
     ]
     return df_phys, entries, columns, schemas
@@ -1476,8 +1549,13 @@ def lake_drop_column(root: str, name: str) -> int:
         )
     if not cols:
         raise ValueError("cannot drop the last column")
+    # dropping the cluster col ends the clustered layout (files stay
+    # split by the old physical values; new writes stop splitting)
+    kw = {}
+    if name == m.get("cluster_col"):
+        kw["cluster_col"] = None
     return _commit(
         root, "drop_column", m["files"], m.get("partition_col"), prev,
         schema={c["name"]: c["type"] for c in cols},
-        columns=cols, schemas=m.get("schemas"),
+        columns=cols, schemas=m.get("schemas"), **kw,
     )

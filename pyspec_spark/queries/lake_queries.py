@@ -316,7 +316,13 @@ LIMIT {_VIX_TOPK}
 """
 
 
-def _vix_probe_score(spark: SparkSession, root: str, qv) -> DataFrame:
+def _vix_probe_score(
+    spark: SparkSession,
+    root: str,
+    qv,
+    where: list | None = None,
+    extra_cols: tuple = (),
+) -> DataFrame:
     """Shared probe + integer-scoring tail of the _VIX family
     (q_vector_index_roundtrip and q_vector_delete): rank centroids
     driver-side off the PERSISTED codebook (integer micro-unit
@@ -331,7 +337,13 @@ def _vix_probe_score(spark: SparkSession, root: str, qv) -> DataFrame:
     `count(*) over ()` window: with nprobe cells probed the candidate
     set is corpus-fraction-sized (~nprobe·n/k rows), and a global
     window would funnel all of it through one Exchange SinglePartition
-    BEFORE the top-k."""
+    BEFORE the top-k.
+
+    ``where`` (r12, L5d) composes extra lake_scan predicates with the
+    cell probe — PRE-filtering: candidates are restricted BEFORE the
+    top-k (n_cand witnesses it), and on a cluster_col lake the
+    predicate prunes files inside each probed cell.  ``extra_cols``
+    ride through to the output."""
     from pyspec_spark.functions.determinism import _fixed6
     from pyspec_spark.lake import lake_scan
     from pyspec_spark.streaming.vectors import load_centroids
@@ -348,7 +360,10 @@ def _vix_probe_score(spark: SparkSession, root: str, qv) -> DataFrame:
     probed = sorted(
         (dist_micro(C[i]), int(cids[i])) for i in range(len(cids))
     )[:_VIX_NPROBE]
-    parts = [lake_scan(spark, root, [("cid", "=", cid)]) for _, cid in probed]
+    parts = [
+        lake_scan(spark, root, [("cid", "=", cid)] + list(where or []))
+        for _, cid in probed
+    ]
     cand = parts[0]
     for p in parts[1:]:
         cand = cand.unionByName(p)
@@ -361,7 +376,9 @@ def _vix_probe_score(spark: SparkSession, root: str, qv) -> DataFrame:
     )
     n_cand = cand.agg(F.count("*").alias("n_cand"))
     return (
-        cand.select("vec_id", "cid", dot_micro.alias("dot_micro"))
+        cand.select(
+            "vec_id", "cid", *extra_cols, dot_micro.alias("dot_micro")
+        )
         .crossJoin(F.broadcast(n_cand))
         .orderBy(F.desc("dot_micro"), "vec_id")
         .limit(_VIX_TOPK)
@@ -513,6 +530,125 @@ def q_vector_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe + score over the post-delete snapshot (shared _VIX tail —
     # one definition of the tie-breaks and micro-unit rounding)
     return _vix_probe_score(spark, root, cb_rows[0][1])
+
+
+# ---------------------------------------------------------------------------
+# L5d — filtered vector search through the MAINTAINED vector lake
+# (r12): composes L5c's pre-filtering semantics with ST11/ST11c's
+# index lifecycle — the query a production vector store actually
+# answers: "top-k where label=X" against the index AFTER deletes, not
+# against a pristine in-plan corpus.  The r11 pieces were one seam
+# apart (q_ann_ivf_filtered probes an in-plan quantizer; the lake
+# index served unfiltered lookups only) — exactly the shape of the
+# r10 L40g/L40d gap that became L40j.
+#
+# Flow: embeddings + a content-derived label ingest into the IVF lake
+# with cluster_col="label" (the r12 second at-rest key: one file per
+# (cid, label), so the label predicate prunes FILES inside each probed
+# cell — footer min==max), then delete_vectors drops the curation
+# losers (vec_id % 7 == 3, the ST11c set; lake_delete PRESERVES the
+# clustered layout on rewrite), then the serve probes _VIX_NPROBE
+# cells with the label predicate composed into each cell scan.
+# PRE-filtering semantics: the predicate restricts candidates BEFORE
+# the top-k (n_cand shrinks to the label's share — the witness
+# column), so a selective filter still returns k true matches.
+#
+# The oracle replays codebook/assignment/probe/scoring off the
+# embeddings table, excluding deleted ids AND non-matching labels from
+# candidates only.  100 TB: probed-cells × matching-label files only
+# are opened (inputFiles-gated in test_streaming.py); everything else
+# is the ST11c posture.
+# ---------------------------------------------------------------------------
+_VLF_LABELS, _VLF_TARGET = 4, 1
+
+_VLF_ORACLE = f"""
+WITH cb AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding
+  FROM embeddings WHERE vec_id < {_VIX_K}
+),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+assigned AS (
+  SELECT e.vec_id,
+         (MIN(struct_pack(d := {_vix_sq_chain('e', 'c')}, cid := c.cid))).cid AS cid
+  FROM embeddings e, cb c
+  GROUP BY e.vec_id
+),
+probes AS (
+  SELECT c.cid, {_vix_probe_chain('c', 'q')} AS dist_micro
+  FROM cb c, qv q
+),
+probed AS (SELECT cid FROM probes ORDER BY dist_micro, cid LIMIT {_VIX_NPROBE}),
+cand AS (
+  SELECT a.vec_id, a.cid, e.embedding
+  FROM assigned a JOIN embeddings e USING (vec_id)
+  WHERE a.cid IN (SELECT cid FROM probed)
+    AND a.vec_id % {_VDEL_MOD} <> {_VDEL_RESID}
+    AND a.vec_id % {_VLF_LABELS} = {_VLF_TARGET}
+)
+SELECT c.vec_id, c.cid,
+       CAST(c.vec_id % {_VLF_LABELS} AS INT) AS label,
+       {_vix_dot_chain('c', 'q')} AS dot_micro,
+       COUNT(*) OVER () AS n_cand
+FROM cand c, qv q
+ORDER BY dot_micro DESC, c.vec_id
+LIMIT {_VIX_TOPK}
+"""
+
+
+@query("q_ann_lake_filtered", oracle=_VLF_ORACLE)
+def q_ann_lake_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.lake import lake_append
+    from pyspec_spark.streaming.vectors import (
+        assign_cells,
+        delete_vectors,
+        save_centroids,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    cb_rows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.where(F.col("vec_id") < _VIX_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    if not cb_rows or cb_rows[0][0] != 0:
+        return spark.createDataFrame(
+            [],
+            "vec_id BIGINT, cid INT, label INT, "
+            "dot_micro BIGINT, n_cand BIGINT",
+        )
+
+    # build: map-side assignment, label derived content-side, ONE
+    # cid-partitioned label-clustered commit
+    root = _tmp_root("pyspec_vlf_idx_")
+    save_centroids(root, cb_rows)
+    labeled = assign_cells(e.select("vec_id", "embedding"), cb_rows).withColumn(
+        "label", F.pmod("vec_id", F.lit(_VLF_LABELS)).cast("int")
+    )
+    lake_append(
+        spark,
+        root,
+        labeled,
+        partition_col="cid",
+        bloom_cols=["vec_id"],
+        cluster_col="label",
+    )
+
+    # maintenance: the ST11c deletion (clustered layout preserved)
+    delete_vectors(
+        spark,
+        root,
+        e.where(F.col("vec_id") % _VDEL_MOD == _VDEL_RESID).select("vec_id"),
+    )
+
+    # filtered serve over the post-delete snapshot (shared _VIX tail)
+    return _vix_probe_score(
+        spark,
+        root,
+        cb_rows[0][1],
+        where=[("label", "=", _VLF_TARGET)],
+        extra_cols=("label",),
+    )
 
 
 # ---------------------------------------------------------------------------

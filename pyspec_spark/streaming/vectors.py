@@ -201,11 +201,22 @@ def ivf_lookup(
     query_vec,
     k: int = 5,
     nprobe: int = 2,
+    where: list | None = None,
 ) -> DataFrame:
     """Top-k by exact cosine over the nprobe cells nearest the query.
     Centroid ranking runs driver-side on index metadata (k x d — not a
     Spark job); only the probed cells' files are opened (manifest
-    stats pruning on cid)."""
+    stats pruning on cid).
+
+    ``where`` (r12, L5d) is a list of lake_scan predicates composed
+    with the cell probe — PRE-filtering semantics: the predicate
+    restricts the candidate set BEFORE the top-k, so a selective
+    filter still returns k true matches (post-filtering a vector top-k
+    under-returns, the classic filtered-ANN wrong answer).  When the
+    lake was built with ``cluster_col`` on the filter column, the
+    predicate prunes at the FILE level inside each probed cell (one
+    file per (cid, value) — footer stats are points), so a filtered
+    lookup opens only the matching slice of the probed cells."""
     from pyspec_spark.lake import lake_scan, latest_version
 
     cids, C = load_centroids(root)
@@ -221,7 +232,11 @@ def ivf_lookup(
     # v, cell B at v+1 — a mixed-snapshot top-k)
     v = latest_version(root)
     parts = [
-        lake_scan(spark, root, [("cid", "=", cid)], version=v)
+        lake_scan(
+            spark, root,
+            [("cid", "=", cid)] + list(where or []),
+            version=v,
+        )
         for cid in probe
     ]
     cand = parts[0]

@@ -1469,3 +1469,140 @@ def test_mapped_zorder_materializes_mapping(spark, tmp_path):
     assert "columns" not in m
     after = sorted(tuple(r) for r in lk.lake_read(spark, root).collect())
     assert after == before
+
+
+# ---------------------------------------------------------------------------
+# cluster_col (r12): the second at-rest key — one file per
+# (partition, cluster) value, exact file pruning on the cluster column
+# ---------------------------------------------------------------------------
+def _labeled(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("int").alias("part"),
+        (F.col("id") % 4).cast("int").alias("label"),
+        F.concat(F.lit("t"), F.col("id")).alias("text"),
+    )
+
+
+def test_clustered_append_splits_files_and_prunes_exactly(spark, tmp_path):
+    """A cluster_col append writes one file per (partition, cluster)
+    value — every file's footer [min, max] on the cluster column is a
+    point — and lake_scan with a cluster predicate keeps exactly the
+    matching files (1/|labels| of each partition)."""
+    from pyspec_spark.lake import lake_scan, lake_scan_file_counts
+
+    root = str(tmp_path / "clake")
+    lake_append(spark, root, _labeled(spark, 0, 240), "part",
+                cluster_col="label")
+    import json as _json
+    import glob as _glob
+
+    mf = sorted(_glob.glob(os.path.join(root, "_manifests", "*.json")))[-1]
+    man = _json.load(open(mf))
+    assert man["cluster_col"] == "label"
+    assert len(man["files"]) == 12  # 3 parts x 4 labels
+    for e in man["files"]:
+        lo, hi = e["stats"]["label"]
+        assert lo == hi  # point stats: the file holds ONE label
+
+    kept, total = lake_scan_file_counts(root, [("label", "=", 2)])
+    assert (kept, total) == (3, 12)  # one file per partition
+    got = sorted(
+        r["doc_id"]
+        for r in lake_scan(spark, root, [("label", "=", 2)]).collect()
+    )
+    assert got == [i for i in range(240) if i % 4 == 2]
+
+
+def test_clustered_layout_survives_append_delete_compact(spark, tmp_path):
+    """The clustered layout is a TABLE property: a later append WITHOUT
+    cluster_col, a row-level delete's rewrite, and a compact all keep
+    one-label-per-file stats; lake_scan pruning stays exact after each."""
+    import glob as _glob
+    import json as _json
+
+    from pyspec_spark.lake import lake_scan_file_counts
+
+    def point_stats():
+        mf = sorted(
+            _glob.glob(os.path.join(root, "_manifests", "*.json"))
+        )[-1]
+        man = _json.load(open(mf))
+        return all(
+            e["stats"]["label"][0] == e["stats"]["label"][1]
+            for e in man["files"]
+        )
+
+    root = str(tmp_path / "clake2")
+    lake_append(spark, root, _labeled(spark, 0, 120), "part",
+                cluster_col="label")
+    # plain append inherits the clustering
+    lake_append(spark, root, _labeled(spark, 120, 240), "part")
+    assert point_stats()
+    # row-level delete rewrites touched partitions WITH the clustering
+    lake_delete(
+        spark, root,
+        spark.range(0, 240, 7).select(F.col("id").alias("doc_id")),
+        key="doc_id", partition_col="part",
+    )
+    assert point_stats()
+    survivors = [i for i in range(240) if i % 7 != 0]
+    want_l2 = sorted(i for i in survivors if i % 4 == 2)
+    from pyspec_spark.lake import lake_scan
+
+    got = sorted(
+        r["doc_id"]
+        for r in lake_scan(spark, root, [("label", "=", 2)]).collect()
+    )
+    assert got == want_l2
+    # compact keeps the clustering
+    lake_compact(spark, root, "part")
+    assert point_stats()
+    kept, total = lake_scan_file_counts(root, [("label", "=", 2)])
+    assert kept * 4 == total
+    got = sorted(
+        r["doc_id"]
+        for r in lake_scan(spark, root, [("label", "=", 2)]).collect()
+    )
+    assert got == want_l2
+
+
+def test_clustered_layout_composes_with_column_mapping(spark, tmp_path):
+    """Renaming the cluster column (r11 column mapping) keeps the
+    clustered layout: the manifest's cluster_col follows the rename,
+    later appends still split one-file-per-value under the PHYSICAL
+    name, and lake_scan prunes on the NEW logical name."""
+    import glob as _glob
+    import json as _json
+
+    from pyspec_spark.lake import (
+        lake_rename_column,
+        lake_scan,
+        lake_scan_file_counts,
+    )
+
+    root = str(tmp_path / "clake3")
+    lake_append(spark, root, _labeled(spark, 0, 120), "part",
+                cluster_col="label")
+    lake_rename_column(root, "label", "category")
+    mf = sorted(_glob.glob(os.path.join(root, "_manifests", "*.json")))[-1]
+    assert _json.load(open(mf))["cluster_col"] == "category"
+
+    # append through the mapping: logical 'category', physical 'label'
+    lake_append(
+        spark, root,
+        _labeled(spark, 120, 240).withColumnRenamed("label", "category"),
+        "part",
+    )
+    mf = sorted(_glob.glob(os.path.join(root, "_manifests", "*.json")))[-1]
+    man = _json.load(open(mf))
+    for e in man["files"]:
+        lo, hi = e["stats"]["label"]  # physical name in footers
+        assert lo == hi
+    kept, total = lake_scan_file_counts(root, [("category", "=", 1)])
+    assert kept * 4 == total
+    got = sorted(
+        r["doc_id"]
+        for r in lake_scan(spark, root, [("category", "=", 1)]).collect()
+    )
+    assert got == [i for i in range(240) if i % 4 == 1]

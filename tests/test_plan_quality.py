@@ -474,6 +474,7 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_csv_roundtrip",  # CSV stage + landed parse (r10, S9)
         "q_proximity_rerank",  # positional index + norms write (r10, L40h)
         "q_vector_delete",  # index build + CoW delete (r10, ST11c)
+        "q_ann_lake_filtered",  # build + delete + filtered serve (r12, L5d)
         "q_batch_retrieval",  # index build + batch scoring (r10, L40i)
         "q_rollup_incremental",  # rollup build + two merges (r10, ST8b)
         "q_index_maintained_topk",  # build+append+delete+serve (r11, L40j)

@@ -1922,3 +1922,85 @@ def test_maintained_index_stream_batch_replay_is_idempotent(
     assert again_norms == once_norms
     assert again_post == once_post
     assert again_stats == once_stats
+
+
+def test_filtered_lookup_opens_only_probed_cells_matching_labels(
+    spark, tmp_path_factory
+):
+    """L5d serve-path pruning gate: a filtered lookup against a
+    label-clustered IVF lake opens ONLY files under the probed cells
+    AND the matching label (inputFiles ⊆ probed × label), survives a
+    CoW delete (clustering preserved on rewrite), and PRE-filters:
+    every returned row matches, k true matches return even when the
+    unfiltered top-k would be dominated by other labels."""
+    import numpy as np
+
+    from pyspec_spark.lake import lake_append
+    from pyspec_spark.streaming.vectors import (
+        assign_cells,
+        delete_vectors,
+        ivf_lookup,
+        save_centroids,
+    )
+    from pyspec_spark.tables import table
+
+    root = str(tmp_path_factory.mktemp("vlf_lake"))
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    save_centroids(root, cents)
+    labeled = assign_cells(emb, cents).withColumn(
+        "label", F.pmod("vec_id", F.lit(4)).cast("int")
+    )
+    lake_append(spark, root, labeled, "cid", cluster_col="label")
+    delete_vectors(
+        spark, root,
+        emb.where(F.col("vec_id") % 7 == 3).select("vec_id"),
+    )
+
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    got = ivf_lookup(
+        spark, root, qv, k=5, nprobe=2, where=[("label", "=", 1)]
+    )
+    files = got.inputFiles()
+    assert files, "expected a pruned file scan, not an empty plan"
+    # every opened file is a probed-cell file of the matching label
+    import re
+
+    for f in files:
+        assert re.search(r"_cc=1(/|$)", f), f
+    probed_cids = {
+        re.search(r"_pc=(\d+)", f).group(1) for f in files
+    }
+    assert len(probed_cids) <= 2, probed_cids
+
+    rows = got.collect()
+    assert rows and all(int(r["vec_id"]) % 4 == 1 for r in rows)
+    # pre-filtering: exactly the exact filtered top-k over live rows
+    qa = np.asarray(qv)
+    live = {
+        int(r["vec_id"]): [float(x) for x in r["embedding"]]
+        for r in labeled.collect()
+        if int(r["vec_id"]) % 7 != 3 and int(r["vec_id"]) % 4 == 1
+    }
+    # restrict brute force to the SAME probed cells the serve reads
+    cid_of = {
+        int(r["vec_id"]): int(r["cid"]) for r in labeled.collect()
+    }
+    cand = {
+        v: e for v, e in live.items()
+        if str(cid_of[v]) in probed_cids
+    }
+    brute = sorted(
+        (
+            -float(np.asarray(e) @ qa
+                   / (np.linalg.norm(e) * np.linalg.norm(qa))),
+            v,
+        )
+        for v, e in cand.items()
+    )[:5]
+    assert [v for _, v in brute] == [int(r["vec_id"]) for r in rows]
