@@ -711,12 +711,19 @@ def append_term_index(
     would silently exclude the new documents from top-k at the dl
     inner join — the marker makes assert_norms_current fail loudly
     instead.  Indexes that never serve (the pure lookup family)
-    carry the marker harmlessly; nothing reads it."""
+    carry the marker harmlessly; nothing reads it.
+
+    Concurrency (r12): the append runs INSIDE a maintenance
+    transaction — an os.link CAS on the target postings seq taken
+    BEFORE any file lands (_begin_maint_txn), so two appends racing
+    from the same base can never interleave postings files: the loser
+    raises IndexConflict having written nothing, re-reads, retries."""
+    base = _begin_maint_txn(path)
     write_term_index(
         sharded_postings(tf_delta, shard_size), path,
         n_buckets=n_buckets, mode="append",
     )
-    bump_postings_seq(path)
+    _commit_maint_txn(path, base)
 
 
 def verify_term_shards(idx: DataFrame) -> DataFrame:
@@ -1706,10 +1713,65 @@ def _write_maint_seq(path: str, name: str, seq: int) -> None:
     os.replace(tmp, _maint_marker_path(path, name))
 
 
+class IndexConflict(RuntimeError):
+    """Another maintenance transaction owns (or already published) the
+    postings sequence this writer tried to advance to.  Retryable: the
+    loser re-reads the index state and re-derives its delta against
+    the new base — exactly the lake's LakeConflict / the rollup's
+    base_version discipline (r11), brought to index maintenance."""
+
+
+def _begin_maint_txn(path: str) -> int:
+    """Open the maintenance transaction targeting seq base+1 via an
+    os.link CAS on ``_maint/txn-<base+1>.lock`` (the lake's manifest
+    hard-link discipline).  Two writers reading the same base race for
+    one link; the loser raises IndexConflict BEFORE writing anything —
+    index data files are directory-visible the moment they land, so
+    conflicts must be detected at transaction START, not publish time.
+    The lock file persists as the transaction record (the manifest
+    precedent; the next writer targets the next seq).  A writer that
+    CRASHES mid-transaction leaves its lock in place and the index
+    potentially carrying a partial append — the repair for both is
+    compact_maintained_index into a fresh root, which this lock forces
+    loudly instead of letting a second writer interleave with the
+    wreckage."""
+    import os
+    import uuid
+
+    base = read_maint_seq(path, "postings") or 0
+    os.makedirs(os.path.join(path, _MAINT_DIR), exist_ok=True)
+    lock = os.path.join(path, _MAINT_DIR, f"txn-{base + 1}.lock")
+    tmp = os.path.join(path, _MAINT_DIR, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(uuid.uuid4().hex)
+    try:
+        os.link(tmp, lock)
+    except FileExistsError:
+        raise IndexConflict(
+            f"postings seq {base + 1} under {path} is owned by another "
+            "maintenance transaction (or a crashed one — see "
+            f"{lock}); re-read the index state and retry against the "
+            "new base"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    return base
+
+
+def _commit_maint_txn(path: str, base: int) -> int:
+    """Publish the transaction opened by _begin_maint_txn: advance the
+    postings marker to exactly base+1 (the txn lock guarantees no
+    other writer advanced it in between)."""
+    _write_maint_seq(path, "postings", base + 1)
+    return base + 1
+
+
 def bump_postings_seq(path: str) -> int:
-    seq = (read_maint_seq(path, "postings") or 0) + 1
-    _write_maint_seq(path, "postings", seq)
-    return seq
+    """Advance the postings marker as a one-shot CAS transaction
+    (begin + commit): concurrent bumpers from the same base conflict
+    instead of both publishing the same seq (the lost-update race)."""
+    base = _begin_maint_txn(path)
+    return _commit_maint_txn(path, base)
 
 
 def mark_norms_current(path: str) -> None:
@@ -1752,11 +1814,14 @@ def build_maintained_index(
     _norms(+stats), markers in lockstep.  ``tf`` is (doc_id, term,
     tf); ``dl`` is (doc_id, dl) for the same documents.  The sharded
     frame is persisted across its two consumers (index write, then
-    block-max derivation) so the corpus groupBy runs once."""
+    block-max derivation) so the corpus groupBy runs once.  Runs as a
+    maintenance transaction (r12): a racing builder/appender raises
+    IndexConflict before writing anything."""
+    base = _begin_maint_txn(path)
     sharded = sharded_postings(tf, shard_size).persist()
     try:
         write_term_index(sharded, path, n_buckets=n_buckets)
-        bump_postings_seq(path)
+        _commit_maint_txn(path, base)
         write_block_max(sharded, path, n_buckets=n_buckets)
     finally:
         sharded.unpersist()
@@ -1777,11 +1842,17 @@ def append_maintained_index(
     the delta's block-max rows, the delta's norms + stats row, and
     the markers — one call, nothing left stale.  Cost: two bounded
     passes over the DELTA (the sharded groupBy feeding postings +
-    blockmax, and the norms write), never the corpus."""
+    blockmax, and the norms write), never the corpus.  Runs as a
+    maintenance transaction (r12): an append racing another append or
+    compaction of the same root raises IndexConflict before writing
+    anything and retries against the new base — two concurrent
+    maintainers (one ingestion pipeline plus one compactor) can no
+    longer interleave postings and markers silently."""
+    base = _begin_maint_txn(path)
     sharded = sharded_postings(tf_delta, shard_size).persist()
     try:
         write_term_index(sharded, path, n_buckets=n_buckets, mode="append")
-        bump_postings_seq(path)
+        _commit_maint_txn(path, base)
         write_block_max(sharded, path, n_buckets=n_buckets)
     finally:
         sharded.unpersist()
@@ -1844,7 +1915,21 @@ def compact_maintained_index(
     from the survivors, and write fresh matched markers.  ``dest``
     equals a from-scratch maintained build over the live corpus —
     the same no-drift contract compact_term_index already pins for
-    the postings alone."""
+    the postings alone.
+
+    Concurrency (r12): ``dest`` is a private fresh root, so the race
+    here is on the READ side — an append or delete landing on ``path``
+    mid-compaction would leave ``dest`` silently missing it.  The
+    source's postings seq and tombstone file listing are captured at
+    start and re-checked after the last source read; a move raises
+    IndexConflict (commit-time CAS semantics: the caller discards the
+    half-built dest and retries — nothing under ``path`` was
+    touched)."""
+    import glob as _glob
+
+    base_seq = read_maint_seq(path, "postings")
+    base_tombs = sorted(_glob.glob(f"{path}/{_TOMBSTONE_DIR}/*.parquet"))
+
     compact_term_index(
         spark, path, dest,
         n_buckets=n_buckets, shard_size=shard_size, positional=positional,
@@ -1852,12 +1937,25 @@ def compact_maintained_index(
     write_block_max(
         spark.read.parquet(dest).drop("tb"), dest, n_buckets=n_buckets
     )
-    _write_maint_seq(dest, "postings", 1)
     live_dl = apply_tombstones(
         read_norms(spark, path), read_tombstones(spark, path)
     )
-    # write_norms records the matching norms marker itself
+    # stage the norms BEFORE publishing dest's markers: write_norms is
+    # the last SOURCE read, so the conflict check must follow it
     write_norms(live_dl, dest, shard_size=shard_size)
+    if (
+        read_maint_seq(path, "postings") != base_seq
+        or sorted(_glob.glob(f"{path}/{_TOMBSTONE_DIR}/*.parquet"))
+        != base_tombs
+    ):
+        raise IndexConflict(
+            f"source index {path} changed during compaction into "
+            f"{dest} (postings seq or tombstones moved) — discard "
+            f"{dest} and retry against the new state"
+        )
+    _write_maint_seq(dest, "postings", 1)
+    # re-pin the norms marker to the published postings seq
+    mark_norms_current(dest)
 
 
 def read_streamed_norms(spark, inc_path: str, base_path: str | None = None):

@@ -1895,3 +1895,159 @@ def test_deleted_index_fast_serve_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="tombstones present"):
         _topk_index_parts(spark, root, terms=("dup",))
+
+
+def test_index_maintenance_race_loser_conflicts_and_retries(
+    spark, tmp_path, monkeypatch
+):
+    """The r12 optimistic-concurrency contract for index maintenance
+    (the lake-CAS/rollup-base_version discipline brought to the term
+    index): while one maintenance transaction is mid-flight, a second
+    writer targeting the same base must raise IndexConflict BEFORE
+    writing any file (index data files are directory-visible the
+    moment they land, so the CAS is taken at transaction START); its
+    retry after the winner publishes must land cleanly, and the final
+    index must serve exactly like a from-scratch build over all three
+    generations — never an interleave."""
+    import pyspec_spark.operators.text as tx
+    from pyspec_spark.operators.text import (
+        IndexConflict,
+        append_maintained_index,
+        build_maintained_index,
+        read_maint_seq,
+    )
+
+    tf, dl = _maint_tf_dl(spark)
+    g = F.col("doc_id") % 3
+
+    root = str(tmp_path / "maint_race")
+    build_maintained_index(spark, tf.where(g == 0), dl.where(g == 0),
+                           root, 64)
+
+    real_write = tx.write_term_index
+    state = {"armed": True, "conflicts": 0}
+
+    def racing_write(sharded, path, n_buckets=tx.TERM_INDEX_BUCKETS,
+                     mode="overwrite"):
+        # first append-mode write (writer A, gen1, already holding the
+        # txn lock): writer B attempts gen2 inside the window — it must
+        # conflict at BEGIN, leaving zero files behind
+        if state["armed"] and mode == "append":
+            state["armed"] = False
+            seq_before = read_maint_seq(root, "postings")
+            try:
+                append_maintained_index(
+                    spark, tf.where(g == 2), dl.where(g == 2), root, 64
+                )
+            except IndexConflict:
+                state["conflicts"] += 1
+            assert read_maint_seq(root, "postings") == seq_before
+        return real_write(sharded, path, n_buckets=n_buckets, mode=mode)
+
+    monkeypatch.setattr(tx, "write_term_index", racing_write)
+    append_maintained_index(spark, tf.where(g == 1), dl.where(g == 1),
+                            root, 64)
+    monkeypatch.setattr(tx, "write_term_index", real_write)
+    assert state["conflicts"] == 1
+
+    # the loser retries against the published base and lands
+    append_maintained_index(spark, tf.where(g == 2), dl.where(g == 2),
+                            root, 64)
+    assert read_maint_seq(root, "postings") == 3
+    assert read_maint_seq(root, "norms") == 3
+
+    # final state == from-scratch over the full corpus
+    from pyspec_spark.operators.text import (
+        decode_postings,
+        probe_norms,
+    )
+    from pyspec_spark.queries.text_ranking import (
+        _SHARDED_SCHEMA,
+        _score_decoded,
+        _topk_index_parts,
+    )
+
+    def serve(r):
+        probed, _d, _r, idf, _dl, stats = _topk_index_parts(
+            spark, r, terms=("dup", "filter"),
+            empty_schema=_SHARDED_SCHEMA,
+        )
+        decoded = decode_postings(
+            probed.select("term", "shard", "postings"), shard_size=64
+        )
+        shard_ids = sorted(
+            x["shard"] for x in probed.select("shard").distinct().collect()
+        )
+        return sorted(
+            tuple(r_)
+            for r_ in _score_decoded(
+                decoded, idf, probe_norms(spark, r, shard_ids), stats
+            ).collect()
+        )
+
+    scratch = str(tmp_path / "maint_scratch")
+    build_maintained_index(spark, tf, dl, scratch, 64)
+    got, want = serve(root), serve(scratch)
+    assert got == want and len(got) > 0
+
+
+def test_compaction_conflicts_when_source_moves_midway(
+    spark, tmp_path, monkeypatch
+):
+    """compact_maintained_index's read-side race: an append landing on
+    the SOURCE mid-compaction must raise IndexConflict (the half-built
+    dest would silently miss the appended docs); the retry against the
+    settled source equals a from-scratch build over the live corpus."""
+    import shutil
+
+    import pyspec_spark.operators.text as tx
+    from pyspec_spark.operators.text import (
+        IndexConflict,
+        append_maintained_index,
+        build_maintained_index,
+        compact_maintained_index,
+        delete_term_index,
+        read_norm_stats,
+    )
+
+    tf, dl = _maint_tf_dl(spark)
+    gen = F.col("doc_id") % 4 == 3
+
+    root = str(tmp_path / "cmp_src")
+    build_maintained_index(spark, tf.where(~gen), dl.where(~gen), root, 64)
+    delete_term_index(
+        spark.range(0, 1000, 13).select(F.col("id").alias("doc_id")), root
+    )
+
+    real_bm = tx.write_block_max
+    state = {"armed": True}
+
+    def racing_bm(*a, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            append_maintained_index(
+                spark, tf.where(gen), dl.where(gen), root, 64
+            )
+        return real_bm(*a, **kw)
+
+    monkeypatch.setattr(tx, "write_block_max", racing_bm)
+    dest = str(tmp_path / "cmp_dest")
+    import pytest as _pytest
+
+    with _pytest.raises(IndexConflict):
+        compact_maintained_index(spark, root, dest, 64)
+    monkeypatch.setattr(tx, "write_block_max", real_bm)
+    shutil.rmtree(dest, ignore_errors=True)
+
+    # retry against the settled source: compacted == scratch over live
+    dest2 = str(tmp_path / "cmp_dest2")
+    compact_maintained_index(spark, root, dest2, 64)
+    live = F.col("doc_id") % 13 != 0
+    scratch = str(tmp_path / "cmp_scratch")
+    build_maintained_index(
+        spark, tf.where(live), dl.where(live), scratch, 64
+    )
+    sc, sd = (
+        read_norm_stats(spark, p).collect()[0] for p in (scratch, dest2)
+    )
+    assert (sc["n_docs"], sc["avgdl"]) == (sd["n_docs"], sd["avgdl"])
