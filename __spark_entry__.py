@@ -50,15 +50,12 @@ _PERMANENT = [
 # row in the same round.  They drop out of this list next round and
 # join the normal staleness rotation.
 _FRESH: list[str] = [
-    "q_index_maintained_topk",  # r11: maintained-index serving (L40j)
-    "q_lake_evolution",         # r11: rename/widen-retype column mapping
-    "q_ann_filtered",           # r11: metadata-filtered vector search (L5c)
-    "q_ann_ivf_filtered",       # r11: filtered IVF ANN (L5c scale path)
+    "q_train_mix",          # r12: end-to-end training mix (L46)
+    "q_ann_lake_filtered",  # r12: filtered serve via maintained lake (L5d)
     # reworked this round — force same-round driver rows for the new
     # plans even if the rotation would not pick them:
-    "q_ntile",               # r11: ntile_exact two-level rank (W6)
-    "q_rfm",                 # r11: three ntile_exact dimensions (R15/E5)
-    "q_rollup_incremental",  # r11: base_version-pinned merge (ST8b)
+    "q_vector_index_roundtrip",  # r12: n_cand broadcast (SinglePartition fix)
+    "q_vector_delete",           # r12: shares the reworked _vix tail
 ]
 # r10 rotation rework (VERDICT r9 task 4): cumulative driver coverage
 # is COMPLETE (195/195 oracle queries have a hard green row across

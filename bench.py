@@ -98,6 +98,10 @@ HEADLINE = [
     "q_dedup_tau_sweep",
     "q_triangles",
     "q_view_purchase_join",
+    # round 12: the materialized training mix (L46) — replication +
+    # seeded global shuffle + shard coordinates; the oracle pays a
+    # corpus-sized single-funnel ROW_NUMBER
+    "q_train_mix",
 ]
 
 # Retrieval-serving tracker (r11, VERDICT r10 item 7): the serving
@@ -116,6 +120,7 @@ SERVING = [
     "q_phrase_lookup",
     "q_proximity_lookup",
     "q_index_maintained_topk",
+    "q_ann_lake_filtered",  # r12: filtered serve via the maintained lake
 ]
 
 

@@ -910,6 +910,58 @@ def lake_last_batch(root: str, query_name: str) -> int | None:
     return _load_manifest(root, v).get("stream_commits", {}).get(query_name)
 
 
+def _translate_stream_batch(m: dict, df: DataFrame) -> DataFrame:
+    """Re-aim a micro-batch written against a STALE logical schema at
+    the CURRENT column mapping (r12): a rename/retype commit landing
+    between micro-batches must not silently fork the stream's data.
+
+    - A batch column that is no longer a logical name but IS the
+      physical name of a mapped column is the pre-rename name of that
+      column (physical names never move): rename it to the current
+      logical name.  Without this, _stage_mapped_append would treat it
+      as a NEW column — the zombie guard would disambiguate its
+      physical name and the renamed column would read NULL for every
+      streamed row (a silent fork).
+    - A batch column narrower than the current recorded type (the
+      pre-retype width) casts up when the widening is lossless (the
+      lake_retype_column contract), so the new files land in the
+      CURRENT era; anything lossy raises loudly — stop the stream and
+      restart it against the current schema.
+    """
+    cols = m["columns"]
+    logical = {c["name"] for c in cols}
+    by_phys = {c["physical"]: c for c in cols}
+    renames = {}
+    for f in df.schema.fields:
+        if f.name in logical:
+            continue
+        hit = by_phys.get(f.name)
+        if hit is not None:
+            if hit["name"] in df.columns:
+                raise ValueError(
+                    f"ambiguous stream batch for {m.get('version')}: both "
+                    f"the stale name {f.name!r} and the current name "
+                    f"{hit['name']!r} are present"
+                )
+            renames[f.name] = hit["name"]
+    if renames:
+        df = df.withColumnsRenamed(renames)
+    cur_type = {c["name"]: c["type"] for c in cols}
+    for f in df.schema.fields:
+        want = cur_type.get(f.name)
+        have = f.dataType.simpleString()
+        if want and want != have:
+            if (have, want) not in _WIDEN_OK:
+                raise ValueError(
+                    f"stream batch column {f.name!r} is {have} but the "
+                    f"table now records {want} — not a lossless widening. "
+                    "Stop the stream and restart it against the current "
+                    "schema."
+                )
+            df = df.withColumn(f.name, F.col(f.name).cast(want))
+    return df
+
+
 def lake_append_stream(
     spark: SparkSession,
     root: str,
@@ -926,20 +978,54 @@ def lake_append_stream(
     CONCURRENT writer retries on the fresh base — safe for appends,
     whose manifest delta is independent of the base contents — and
     re-checks the watermark each attempt so a racing replica of the
-    same stream can't double-commit the batch either."""
+    same stream can't double-commit the batch either.
+
+    Mapped tables (r12): a schema-evolution commit (rename / widen-
+    retype, r11) landing between micro-batches is handled per batch —
+    the batch translates onto the CURRENT mapping
+    (_translate_stream_batch), stages under physical names, and stamps
+    the current era; a mapping that moves between staging and the
+    commit retry re-stages against the new mapping."""
     staged: list[dict] | None = None
+    staged_cols = None
+    columns = schemas = None
+    schema: dict | None = None
     for _ in range(max_retries):
         last = lake_last_batch(root, query_name)
         if last is not None and batch_id <= last:
             return None
         prev = latest_version(root)
-        old = _load_manifest(root, prev)["files"] if prev is not None else []
+        m = _load_manifest(root, prev) if prev is not None else None
+        old = m["files"] if m is not None else []
+        cols_now = m.get("columns") if m is not None else None
+        if staged is not None and staged_cols != cols_now:
+            # the mapping moved between staging and this retry: the
+            # staged files carry the wrong era/physical layout
+            staged = None
         if staged is None:
-            _check_schema_evolution(root, df)
-            staged = _stage_files(
-                spark, root, df, partition_col, bloom_cols=bloom_cols
-            )
+            staged_cols = cols_now
+            if cols_now:
+                out = _translate_stream_batch(m, df)
+                _check_schema_evolution(root, out)
+                _p, staged, columns, schemas = _stage_mapped_append(
+                    spark, root, m, out, partition_col, bloom_cols,
+                    cluster_col=m.get("cluster_col"),
+                )
+                schema = {c["name"]: c["type"] for c in columns}
+            else:
+                _check_schema_evolution(root, df)
+                staged = _stage_files(
+                    spark, root, df, partition_col, bloom_cols=bloom_cols,
+                    cluster_col=m.get("cluster_col") if m else None,
+                )
+                columns = schemas = None
+                schema = _schema_fields(df)
         try:
+            kw = (
+                {"columns": columns, "schemas": schemas}
+                if staged_cols
+                else {}
+            )
             return _commit(
                 root,
                 "stream_append",
@@ -947,7 +1033,8 @@ def lake_append_stream(
                 partition_col,
                 prev,
                 stream_commit=(query_name, batch_id),
-                schema=_schema_fields(df),
+                schema=schema,
+                **kw,
             )
         except LakeConflict:
             continue

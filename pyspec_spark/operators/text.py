@@ -1999,18 +1999,36 @@ def compact_streamed_maintained(
     compacted (compact_streamed_index), the norms union rewritten
     bucketed with a fresh stats row, lockstep markers set — the fast
     serving path (assert_norms_current + read_norms) accepts ``dest``
-    exactly as it accepts a batch build_maintained_index root."""
+    exactly as it accepts a batch build_maintained_index root.
+
+    Concurrency (r12): same read-side check as
+    compact_maintained_index — a micro-batch landing under
+    ``inc_path`` mid-fold would be silently missing from ``dest``, so
+    the batch=* listing is captured at start and re-verified after the
+    last source read; a move raises IndexConflict (discard the private
+    dest, retry after the stream quiesces)."""
+    import glob as _glob
+
+    base_batches = sorted(_glob.glob(f"{inc_path}/batch=*"))
+
     compact_streamed_index(
         spark, inc_path, dest, base_path=base_path, n_buckets=n_buckets
     )
     write_block_max(
         spark.read.parquet(dest).drop("tb"), dest, n_buckets=n_buckets
     )
-    _write_maint_seq(dest, "postings", 1)
-    # write_norms recounts (n_docs, sum_dl) from the union and records
-    # the matching norms marker itself
+    # write_norms recounts (n_docs, sum_dl) from the union; it is the
+    # last SOURCE read, so the conflict check must follow it
     write_norms(
         read_streamed_norms(spark, inc_path, base_path),
         dest,
         shard_size=shard_size,
     )
+    if sorted(_glob.glob(f"{inc_path}/batch=*")) != base_batches:
+        raise IndexConflict(
+            f"streamed index {inc_path} gained batches during the fold "
+            f"into {dest} — discard {dest} and retry after the stream "
+            "quiesces"
+        )
+    _write_maint_seq(dest, "postings", 1)
+    mark_norms_current(dest)

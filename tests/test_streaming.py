@@ -2004,3 +2004,96 @@ def test_filtered_lookup_opens_only_probed_cells_matching_labels(
         for v, e in cand.items()
     )[:5]
     assert [v for _, v in brute] == [int(r["vec_id"]) for r in rows]
+
+
+def test_stream_append_across_schema_evolution_commit(spark, tmp_path):
+    """r12 (VERDICT #6): a rename + widen-retype commit landing BETWEEN
+    micro-batches must not fork the stream — later batches still carry
+    the stale source schema, and lake_append_stream must translate them
+    onto the CURRENT mapping (stale name -> renamed logical, narrow
+    type -> cast into the current era), ending byte-equal to a batch
+    read of all the data under the new schema.  Plus the refusals: the
+    partition column cannot be renamed, and a lossy mid-stream type
+    mismatch raises instead of silently casting."""
+    import glob as _glob
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from pyspec_spark.lake import (
+        lake_append_stream,
+        lake_read,
+        lake_rename_column,
+        lake_retype_column,
+        lake_scan,
+    )
+
+    # 3 single-file chunks -> 3 micro-batches
+    base = str(tmp_path / "evo_src_stage")
+    src = str(tmp_path / "evo_src")
+    import os
+
+    os.makedirs(src)
+    rows = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("int").alias("part"),
+        (F.col("id") * 7 % 100).cast("int").alias("val"),
+    )
+    for i in range(3):
+        rows.where(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(
+            f"{base}/c{i}"
+        )
+        f = _glob.glob(f"{base}/c{i}/*.parquet")[0]
+        _shutil.copy(f, f"{src}/c{i}.parquet")
+
+    root = str(tmp_path / "evo_lake")
+    state = {"evolved": False}
+
+    def sink(batch_df, bid):
+        lake_append_stream(
+            spark, root, batch_df, "part", "evostream", int(bid)
+        )
+        if not state["evolved"]:
+            state["evolved"] = True
+            lake_rename_column(root, "val", "score")
+            lake_retype_column(root, "score", "bigint")
+
+    (
+        spark.readStream.schema("doc_id BIGINT, part INT, val INT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "evo_chk"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    assert state["evolved"]
+
+    got = lake_read(spark, root)
+    assert set(got.columns) == {"doc_id", "part", "score"}
+    assert dict(got.dtypes)["score"] == "bigint"
+    want = sorted(
+        (i, i % 3, i * 7 % 100) for i in range(300)
+    )
+    assert sorted(
+        (r["doc_id"], r["part"], r["score"]) for r in got.collect()
+    ) == want
+    # predicate pushdown on the renamed column still works post-stream
+    hits = lake_scan(spark, root, [("score", "=", 7)]).collect()
+    assert sorted(r["doc_id"] for r in hits) == sorted(
+        i for i in range(300) if i * 7 % 100 == 7
+    )
+
+    # refusal 1: the partition column cannot be renamed mid-stream
+    with _pytest.raises(ValueError, match="partition column"):
+        lake_rename_column(root, "part", "p2")
+
+    # refusal 2: a lossy type mismatch in a stale batch raises loudly
+    lossy = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("int").alias("part"),
+        (F.col("id") * 1.5).cast("double").alias("val"),
+    )
+    with _pytest.raises(ValueError, match="lossless"):
+        lake_append_stream(spark, root, lossy, "part", "evostream", 99)
