@@ -61,6 +61,12 @@ _ROUNDTRIP_FAMILY = [
     "q_csv_roundtrip",        # r10: CSV ingest + quarantine (S9)
     "q_proximity_rerank",     # r10: positional retrieve-then-rerank (L40h)
     "q_flac_roundtrip",       # r9: FLAC decode through Rice/CRC path
+    "q_vector_delete",        # r10: IVF lake build + CoW delete (ST11c)
+    "q_batch_retrieval",      # r10: index build + batch scoring (L40i)
+    "q_rollup_incremental",   # r11: rollup lake + two merges (ST8b/c)
+    "q_index_maintained_topk",  # r11: maintained lifecycle serve (L40j)
+    "q_lake_evolution",       # r11: rename/retype era lifecycle (S6d)
+    "q_ann_lake_filtered",    # r12: clustered lake + filtered serve (L5d)
 ]
 
 
