@@ -1606,3 +1606,25 @@ def test_clustered_layout_composes_with_column_mapping(spark, tmp_path):
         for r in lake_scan(spark, root, [("category", "=", 1)]).collect()
     )
     assert got == [i for i in range(240) if i % 4 == 1]
+
+
+def test_cdc_on_clustered_table_shows_only_real_changes(spark, tmp_path):
+    """S6e x S6c: a row-level delete on a clustered table rewrites the
+    touched partitions' files (one per (part, label)), but lake_diff
+    must report exactly the deleted keys — file-layout churn from the
+    cluster split is not a row change."""
+    from pyspec_spark.lake import lake_diff
+
+    root = str(tmp_path / "clake_cdc")
+    lake_append(spark, root, _labeled(spark, 0, 120), "part",
+                cluster_col="label")
+    v1 = latest_version(root)
+    lake_delete(
+        spark, root,
+        spark.range(0, 120, 11).select(F.col("id").alias("doc_id")),
+        key="doc_id", partition_col="part",
+    )
+    v2 = latest_version(root)
+    diff = lake_diff(spark, root, v1, v2, "doc_id").collect()
+    assert sorted(r["doc_id"] for r in diff) == list(range(0, 120, 11))
+    assert {r["change"] for r in diff} == {"delete"}

@@ -79,8 +79,11 @@ def main() -> None:
     ks = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
     qv = [((7 * 31 + j * 17) % 1000) / 1000.0 for j in range(DIM)]
 
-    print("| rows | layout | files opened | lookup wall |")
-    print("|---|---|---|---|")
+    print(
+        "| rows | layout | files opened | MB opened | lookup wall "
+        "(best of 3) |"
+    )
+    print("|---|---|---|---|---|")
     for k in ks:
         n = k * ROWS_PER_UNIT
         df = _vectors(spark, n)
@@ -88,22 +91,27 @@ def main() -> None:
             root = f"{WORK}/vlf_{'c' if clustered else 'p'}_{k}"
             shutil.rmtree(root, ignore_errors=True)
             _build(spark, df, root, clustered)
-            spark.catalog.clearCache()
-            t0 = time.time()
-            got = ivf_lookup(
-                spark, root, qv, k=10, nprobe=NPROBE,
-                where=[("label", "=", TARGET)],
-            )
-            rows = got.collect()
-            wall = time.time() - t0
-            nf = len(got.inputFiles())
+            walls = []
+            for _ in range(3):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                got = ivf_lookup(
+                    spark, root, qv, k=10, nprobe=NPROBE,
+                    where=[("label", "=", TARGET)],
+                )
+                rows = got.collect()
+                walls.append(time.time() - t0)
+            files = got.inputFiles()
+            mb = sum(
+                os.path.getsize(f.replace("file:", "")) for f in files
+            ) / 1e6
             assert rows and all(
                 int(r["vec_id"]) % LABELS == TARGET for r in rows
             )
             print(
                 f"| {k} ({n // 1000}k) | "
                 f"{'clustered' if clustered else 'plain'} | "
-                f"{nf} | {wall:.2f} s |",
+                f"{len(files)} | {mb:.1f} MB | {min(walls):.2f} s |",
                 flush=True,
             )
             shutil.rmtree(root, ignore_errors=True)
