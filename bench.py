@@ -100,8 +100,11 @@ HEADLINE = [
     "q_view_purchase_join",
     # round 12: the materialized training mix (L46) — replication +
     # seeded global shuffle + shard coordinates; the oracle pays a
-    # corpus-sized single-funnel ROW_NUMBER
+    # corpus-sized single-funnel ROW_NUMBER — and its curated
+    # composition (L46b: drop-audit survivors -> kept-mass allocation
+    # -> replication -> order)
     "q_train_mix",
+    "q_train_mix_curated",
 ]
 
 # Retrieval-serving tracker (r11, VERDICT r10 item 7): the serving

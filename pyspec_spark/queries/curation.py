@@ -1619,3 +1619,187 @@ def q_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# L46b — the CURATED training mix (r12): the composition a real run
+# executes end-to-end — curation verdicts (L44 drop audit: dedup loser
+# / quality fail / contamination / token budget) -> temperature mixing
+# (L16b arithmetic) and epoch allocation (L16c) computed over the KEPT
+# token masses, not the raw corpus -> fractional-epoch replication ->
+# seeded global shuffle -> shard coordinates.  q_train_mix (L46)
+# proves the mix machinery; this query proves it COMPOSES with the
+# curation front-end: every constant and rounding step is shared
+# module-level with the L44/L16 declarations, so the two cannot drift,
+# and the oracle splices the full audit CTE so DuckDB replays
+# curation -> allocation -> replication -> order in one statement.
+#
+# The draw salt and order seed differ from L46 deliberately: the two
+# declared mixes must not share randomness (a bug canceling between
+# them would hash-match both).
+#
+# 100 TB posture: the audit stages keep their L44 postures; everything
+# downstream of `kept` is the L46 shape (broadcast |sources| alloc,
+# map-side explode, 256-bucket two-level rank — plan-gated).
+# ---------------------------------------------------------------------------
+_TMIXC_SEED = "r12mixc"
+_TMIXC_SALT = "#epochk"
+
+
+def _train_mix_curated_oracle() -> str:
+    return f"""
+WITH kept AS (
+  SELECT doc_id, source, n_tokens
+  FROM ({_DROP_AUDIT_ORACLE}) WHERE verdict = 'kept'
+),
+s AS (
+  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM kept GROUP BY source
+),
+w AS (
+  SELECT source, n_tokens,
+         ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6) AS weight
+  FROM s
+),
+twt AS (
+  SELECT CAST(SUM(CAST(weight AS DECIMAL(18,6))) AS DOUBLE) AS tw FROM w
+),
+mix AS (
+  SELECT source, n_tokens, ROUND(weight / tw, 6) AS mix_p FROM w, twt
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM mix),
+alloc AS (
+  SELECT source,
+         CAST(ROUND(ROUND(LEAST(CAST(4 * t AS DOUBLE) * mix_p / n_tokens,
+                                CAST({_EPOCH_RMAX} AS DOUBLE)), 6)
+                    * {_TMIX_MICRO}) AS BIGINT) AS em
+  FROM mix, tot
+),
+rep AS (
+  SELECT k.doc_id, k.source,
+         a.em // {_TMIX_MICRO}
+         + CASE WHEN ('0x' || substr(md5(CAST(k.doc_id AS VARCHAR)
+                                         || '{_TMIXC_SALT}'), 1, 8))::BIGINT
+                     % {_TMIX_MICRO} < a.em % {_TMIX_MICRO}
+                THEN 1 ELSE 0 END AS n_copies
+  FROM kept k JOIN alloc a USING (source)
+),
+copies AS (
+  SELECT doc_id, source,
+         CAST(unnest(range(1, n_copies + 1)) AS INT) AS replica
+  FROM rep
+),
+k2 AS (
+  SELECT doc_id, source, replica,
+         CAST(doc_id AS VARCHAR) || '#' || CAST(replica AS VARCHAR) AS rid
+  FROM copies
+),
+o AS (
+  SELECT doc_id, source, replica,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5('{_TMIXC_SEED}' || rid), rid)
+              - 1 AS BIGINT) AS pos
+  FROM k2
+)
+SELECT doc_id, replica, source, pos,
+       CAST(pos // {_TMIX_SHARD} AS BIGINT) AS shard,
+       CAST(pos % {_TMIX_SHARD} AS BIGINT) AS pos_in_shard
+FROM o
+ORDER BY pos
+"""
+
+
+@query("q_train_mix_curated", oracle=_train_mix_curated_oracle())
+def q_train_mix_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.ordering import (
+        assign_train_shards,
+        global_order_index,
+    )
+
+    audit = q_drop_audit.__wrapped__(spark, sf_dir)
+    kept = audit.where(F.col("verdict") == "kept").select(
+        "doc_id", "source", "n_tokens"
+    )
+    s = kept.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    w = s.withColumn(
+        "weight", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+    )
+    twt = w.agg(
+        F.sum(F.col("weight").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("tw")
+    )
+    mix = w.crossJoin(F.broadcast(twt)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("weight") / F.col("tw"), 6).alias("mix_p"),
+    )
+    tot = mix.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    b = (F.lit(4) * F.col("t")).cast("double")
+    epochs = F.round(
+        F.least(
+            b * F.col("mix_p") / F.col("n_tokens"),
+            F.lit(float(_EPOCH_RMAX)),
+        ),
+        6,
+    )
+    alloc = mix.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(epochs * _TMIX_MICRO, 0).cast("bigint").alias("_em"),
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit(_TMIXC_SALT)
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _TMIX_MICRO
+    )
+    n_full = (
+        (F.col("_em") - F.pmod("_em", F.lit(_TMIX_MICRO))) / _TMIX_MICRO
+    ).cast("long")
+    frac_micro = F.pmod("_em", F.lit(_TMIX_MICRO))
+    n_copies = (n_full + (draw < frac_micro).cast("long")).cast("int")
+    rep = kept.join(F.broadcast(alloc), "source").select(
+        "doc_id", "source", n_copies.alias("n_copies")
+    )
+    copies = rep.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.col("n_copies") >= 1,
+                F.sequence(F.lit(1), F.col("n_copies")),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("replica"),
+    )
+    keyed = copies.withColumn(
+        "_rid",
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit("#"),
+            F.col("replica").cast("string"),
+        ),
+    )
+    ordered = global_order_index(keyed, "_rid", seed=_TMIXC_SEED)
+    return (
+        assign_train_shards(ordered, _TMIX_SHARD)
+        .select(
+            "doc_id",
+            "replica",
+            "source",
+            "pos",
+            F.col("shard").cast("long").alias("shard"),
+            F.col("pos_in_shard").cast("long").alias("pos_in_shard"),
+        )
+        .orderBy("pos")
+    )

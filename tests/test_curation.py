@@ -370,3 +370,78 @@ def test_train_mix_shard_layout_replays_order(spark, tmp_path):
         for r in mix.orderBy("pos").collect()
     ]
     assert got == want and len(got) == n
+
+
+def test_train_mix_curated_draws_only_kept_docs(spark):
+    """L46b: the curated mix must contain exactly the audit's 'kept'
+    documents (no dup/quality/contaminated/budget doc replicated), and
+    its per-source token mass must track the kept-token allocation —
+    eff = min(4*T_kept*mix_p, 8*tokens_s) computed over KEPT masses —
+    within the fractional-draw binomial envelope."""
+    import math
+
+    from pyspec_spark.queries.curation import (
+        _EPOCH_RMAX,
+        q_drop_audit,
+        q_train_mix_curated,
+    )
+
+    audit = {
+        r["doc_id"]: (r["verdict"], r["source"], r["n_tokens"])
+        for r in q_drop_audit.__wrapped__(spark, SF_SMALL).collect()
+    }
+    kept = {d for d, (v, _s, _n) in audit.items() if v == "kept"}
+    mix = q_train_mix_curated.__wrapped__(spark, SF_SMALL).collect()
+    assert mix
+    docs_in_mix = {r["doc_id"] for r in mix}
+    assert docs_in_mix <= kept
+    # every kept doc appears (epochs ~4 per source => n_copies >= 1)
+    assert docs_in_mix == kept
+
+    # closed-form allocation over kept masses
+    tokens = {}
+    for d in kept:
+        _v, s, n = audit[d]
+        tokens[s] = tokens.get(s, 0) + n
+    tw = sum(round(math.sqrt(n), 6) for n in tokens.values())
+    total = sum(tokens.values())
+    mass = {}
+    for r in mix:
+        _v, s, n = audit[r["doc_id"]]
+        mass[s] = mass.get(s, 0) + n
+    for s, n_tok in tokens.items():
+        mix_p = round(round(math.sqrt(n_tok), 6) / tw, 6)
+        eff = min(4 * total * mix_p, _EPOCH_RMAX * n_tok)
+        n_docs = sum(
+            1 for d in kept if audit[d][1] == s
+        )
+        avg_doc = n_tok / n_docs
+        tol = 4 * math.sqrt(n_docs) * 3 * avg_doc + avg_doc + 1
+        assert abs(mass[s] - eff) <= tol, (s, mass[s], eff, tol)
+
+
+def test_train_mix_and_curated_mix_use_independent_randomness(spark):
+    """The two declared mixes must not share draw salt or order seed —
+    a canceling bug would hash-match both.  Cheap structural pin: for
+    the doc_ids present in both, the position ORDER of (doc, replica=1)
+    differs between the two mixes."""
+    from pyspec_spark.queries.curation import (
+        q_train_mix,
+        q_train_mix_curated,
+    )
+
+    a = {
+        r["doc_id"]: r["pos"]
+        for r in q_train_mix.__wrapped__(spark, SF_SMALL).collect()
+        if r["replica"] == 1
+    }
+    b = {
+        r["doc_id"]: r["pos"]
+        for r in q_train_mix_curated.__wrapped__(spark, SF_SMALL).collect()
+        if r["replica"] == 1
+    }
+    shared = sorted(set(a) & set(b))
+    assert len(shared) >= 20
+    order_a = sorted(shared, key=lambda d: a[d])
+    order_b = sorted(shared, key=lambda d: b[d])
+    assert order_a != order_b
