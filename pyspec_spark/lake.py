@@ -1006,20 +1006,37 @@ def lake_append_stream(
             staged_cols = cols_now
             if cols_now:
                 out = _translate_stream_batch(m, df)
-                _check_schema_evolution(root, out)
+                # validate against the PINNED base manifest m — a
+                # commit racing in between would make a latest-read
+                # check reject a batch that stages cleanly here and
+                # resolves through the LakeConflict retry
+                _check_schema_fields(m.get("schema"), out)
                 _p, staged, columns, schemas = _stage_mapped_append(
                     spark, root, m, out, partition_col, bloom_cols,
                     cluster_col=m.get("cluster_col"),
                 )
                 schema = {c["name"]: c["type"] for c in columns}
             else:
-                _check_schema_evolution(root, df)
+                _check_schema_fields(
+                    m.get("schema") if m is not None else None, df
+                )
                 staged = _stage_files(
                     spark, root, df, partition_col, bloom_cols=bloom_cols,
                     cluster_col=m.get("cluster_col") if m else None,
                 )
                 columns = schemas = None
                 schema = _schema_fields(df)
+        else:
+            # a retry whose base moved but whose mapping did not: the
+            # staged files are still valid, but the batch must STILL
+            # satisfy the add-column contract against the NEW base —
+            # without this, a concurrent add-column append would be
+            # silently narrowed back out of the recorded schema by
+            # this commit's schema=_schema_fields(df)
+            _check_schema_fields(
+                m.get("schema") if m is not None else None,
+                df if not staged_cols else _translate_stream_batch(m, df),
+            )
         try:
             kw = (
                 {"columns": columns, "schemas": schemas}
@@ -1222,11 +1239,11 @@ def _schema_fields(df: DataFrame) -> dict:
     return {f.name: f.dataType.simpleString() for f in df.schema.fields}
 
 
-def _check_schema_evolution(root: str, df: DataFrame) -> None:
-    prev = latest_version(root)
-    if prev is None:
-        return
-    old = _load_manifest(root, prev).get("schema")
+def _check_schema_fields(old: dict | None, df: DataFrame) -> None:
+    """The add-column-only contract against an explicit base schema —
+    callers with a PINNED base manifest (lake_append_stream's retry
+    loop) check against the base they actually staged for, not
+    whatever is latest at call time."""
     if old is None:
         return
     new = _schema_fields(df)
@@ -1242,6 +1259,13 @@ def _check_schema_evolution(root: str, df: DataFrame) -> None:
             f"column type change refused: "
             f"{[(c, old[c], new[c]) for c in changed]}"
         )
+
+
+def _check_schema_evolution(root: str, df: DataFrame) -> None:
+    prev = latest_version(root)
+    if prev is None:
+        return
+    _check_schema_fields(_load_manifest(root, prev).get("schema"), df)
 
 
 def lake_diff(

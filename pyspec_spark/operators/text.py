@@ -1766,6 +1766,34 @@ def _commit_maint_txn(path: str, base: int) -> int:
     return base + 1
 
 
+def assert_no_open_maint_txn(path: str) -> None:
+    """Refuse when a maintenance transaction is OPEN on ``path``: the
+    lock for seq+1 exists but the marker has not advanced — either a
+    writer is mid-flight (its postings files are landing file-by-file
+    and any read now is torn) or a writer CRASHED mid-transaction (the
+    root may carry a partial append).  Readers that snapshot the whole
+    index (compaction) must check this BEFORE and AFTER their reads:
+    the seq-unchanged check alone cannot see a writer that began before
+    the reader and commits after it.  A crashed transaction is repaired
+    by REBUILDING from the corpus (build_maintained_index into a fresh
+    root) — never by compacting the wreckage, which would bake the
+    partial append in."""
+    import os
+
+    seq = read_maint_seq(path, "postings")
+    if seq is None:
+        return
+    lock = os.path.join(path, _MAINT_DIR, f"txn-{seq + 1}.lock")
+    if os.path.exists(lock):
+        raise IndexConflict(
+            f"a maintenance transaction is open on {path} (txn seq "
+            f"{seq + 1} locked, marker at {seq}) — a writer is "
+            "mid-flight, or crashed leaving a partial append; wait for "
+            "it to publish, or if crashed, rebuild from the corpus "
+            "(build_maintained_index into a fresh root)"
+        )
+
+
 def bump_postings_seq(path: str) -> int:
     """Advance the postings marker as a one-shot CAS transaction
     (begin + commit): concurrent bumpers from the same base conflict
@@ -1924,9 +1952,14 @@ def compact_maintained_index(
     start and re-checked after the last source read; a move raises
     IndexConflict (commit-time CAS semantics: the caller discards the
     half-built dest and retries — nothing under ``path`` was
-    touched)."""
+    touched).  An OPEN transaction (lock held, marker not advanced —
+    a mid-flight or crashed appender whose files are partially
+    visible) is refused at BOTH ends: the seq-unchanged check alone
+    cannot see a writer that began before this compaction and commits
+    after it."""
     import glob as _glob
 
+    assert_no_open_maint_txn(path)
     base_seq = read_maint_seq(path, "postings")
     base_tombs = sorted(_glob.glob(f"{path}/{_TOMBSTONE_DIR}/*.parquet"))
 
@@ -1943,6 +1976,7 @@ def compact_maintained_index(
     # stage the norms BEFORE publishing dest's markers: write_norms is
     # the last SOURCE read, so the conflict check must follow it
     write_norms(live_dl, dest, shard_size=shard_size)
+    assert_no_open_maint_txn(path)
     if (
         read_maint_seq(path, "postings") != base_seq
         or sorted(_glob.glob(f"{path}/{_TOMBSTONE_DIR}/*.parquet"))
@@ -2004,12 +2038,19 @@ def compact_streamed_maintained(
     Concurrency (r12): same read-side check as
     compact_maintained_index — a micro-batch landing under
     ``inc_path`` mid-fold would be silently missing from ``dest``, so
-    the batch=* listing is captured at start and re-verified after the
+    the RECURSIVE FILE listing under batch=* (not just the dir names —
+    an in-flight batch's directory exists at both ends while its files
+    land in between) is captured at start and re-verified after the
     last source read; a move raises IndexConflict (discard the private
     dest, retry after the stream quiesces)."""
     import glob as _glob
 
-    base_batches = sorted(_glob.glob(f"{inc_path}/batch=*"))
+    def _batch_files():
+        return sorted(
+            _glob.glob(f"{inc_path}/batch=*/**/*", recursive=True)
+        )
+
+    base_batches = _batch_files()
 
     compact_streamed_index(
         spark, inc_path, dest, base_path=base_path, n_buckets=n_buckets
@@ -2024,11 +2065,11 @@ def compact_streamed_maintained(
         dest,
         shard_size=shard_size,
     )
-    if sorted(_glob.glob(f"{inc_path}/batch=*")) != base_batches:
+    if _batch_files() != base_batches:
         raise IndexConflict(
-            f"streamed index {inc_path} gained batches during the fold "
-            f"into {dest} — discard {dest} and retry after the stream "
-            "quiesces"
+            f"streamed index {inc_path} gained batch files during the "
+            f"fold into {dest} — discard {dest} and retry after the "
+            "stream quiesces"
         )
     _write_maint_seq(dest, "postings", 1)
     mark_norms_current(dest)

@@ -1549,26 +1549,30 @@ ORDER BY pos
 """
 
 
-@query("q_train_mix", oracle=_train_mix_oracle())
-def q_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _replicate_order_shard(
+    docs: DataFrame, alloc_micro: DataFrame, salt: str, seed: str
+) -> DataFrame:
+    """The shared L46 tail — ONE definition so the draw, tie-break,
+    and shard discipline cannot drift between the two declared mixes
+    (q_train_mix and q_train_mix_curated differ only in input frame
+    and salt+seed): fractional-epoch replication off a broadcast
+    (source, _em) micro-epoch allocation (each doc emits
+    _em//1e6 copies plus one more when its content-keyed md5 draw
+    lands under _em%1e6 — integer compares only), then the seeded
+    two-level global order over the REPLICATED stream (replica index
+    inside the md5 order key so copies scatter), then fixed-size shard
+    coordinates."""
     from pyspec_spark.operators.ordering import (
         assign_train_shards,
         global_order_index,
     )
 
-    alloc = q_epoch_alloc.__wrapped__(spark, sf_dir).select(
-        "source",
-        (F.round(F.col("epochs") * _TMIX_MICRO, 0).cast("bigint")).alias(
-            "_epochs_micro"
-        ),
-    )
-    d = table(spark, sf_dir, "documents").select("doc_id", "source")
     draw = (
         F.conv(
             F.substring(
                 F.md5(
                     F.concat(
-                        F.col("doc_id").cast("string"), F.lit("#epoch")
+                        F.col("doc_id").cast("string"), F.lit(salt)
                     ).cast("binary")
                 ),
                 1,
@@ -1580,12 +1584,11 @@ def q_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _TMIX_MICRO
     )
     n_full = (
-        (F.col("_epochs_micro") - F.pmod("_epochs_micro", F.lit(_TMIX_MICRO)))
-        / _TMIX_MICRO
+        (F.col("_em") - F.pmod("_em", F.lit(_TMIX_MICRO))) / _TMIX_MICRO
     ).cast("long")
-    frac_micro = F.pmod("_epochs_micro", F.lit(_TMIX_MICRO))
+    frac_micro = F.pmod("_em", F.lit(_TMIX_MICRO))
     n_copies = (n_full + (draw < frac_micro).cast("long")).cast("int")
-    rep = d.join(F.broadcast(alloc), "source").select(
+    rep = docs.join(F.broadcast(alloc_micro), "source").select(
         "doc_id", "source", n_copies.alias("n_copies")
     )
     copies = rep.select(
@@ -1606,7 +1609,7 @@ def q_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("replica").cast("string"),
         ),
     )
-    ordered = global_order_index(keyed, "_rid", seed=_TMIX_SEED)
+    ordered = global_order_index(keyed, "_rid", seed=seed)
     return (
         assign_train_shards(ordered, _TMIX_SHARD)
         .select(
@@ -1619,6 +1622,18 @@ def q_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+@query("q_train_mix", oracle=_train_mix_oracle())
+def q_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alloc = q_epoch_alloc.__wrapped__(spark, sf_dir).select(
+        "source",
+        (F.round(F.col("epochs") * _TMIX_MICRO, 0).cast("bigint")).alias(
+            "_em"
+        ),
+    )
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    return _replicate_order_shard(d, alloc, "#epoch", _TMIX_SEED)
 
 
 # ---------------------------------------------------------------------------
@@ -1710,14 +1725,15 @@ ORDER BY pos
 
 @query("q_train_mix_curated", oracle=_train_mix_curated_oracle())
 def q_train_mix_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspec_spark.operators.ordering import (
-        assign_train_shards,
-        global_order_index,
-    )
-
     audit = q_drop_audit.__wrapped__(spark, sf_dir)
-    kept = audit.where(F.col("verdict") == "kept").select(
-        "doc_id", "source", "n_tokens"
+    # kept feeds TWO plan branches (the kept-mass allocation aggregate
+    # and the replication join) — persist, or the entire multi-stage
+    # audit lineage (dedup window, quality gate, contamination join,
+    # budget cumsum) executes twice per run (lazy: no job at build)
+    kept = (
+        audit.where(F.col("verdict") == "kept")
+        .select("doc_id", "source", "n_tokens")
+        .persist()
     )
     s = kept.groupBy("source").agg(
         F.sum("n_tokens").cast("bigint").alias("n_tokens")
@@ -1748,58 +1764,4 @@ def q_train_mix_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.round(epochs * _TMIX_MICRO, 0).cast("bigint").alias("_em"),
     )
-    draw = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("doc_id").cast("string"), F.lit(_TMIXC_SALT)
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _TMIX_MICRO
-    )
-    n_full = (
-        (F.col("_em") - F.pmod("_em", F.lit(_TMIX_MICRO))) / _TMIX_MICRO
-    ).cast("long")
-    frac_micro = F.pmod("_em", F.lit(_TMIX_MICRO))
-    n_copies = (n_full + (draw < frac_micro).cast("long")).cast("int")
-    rep = kept.join(F.broadcast(alloc), "source").select(
-        "doc_id", "source", n_copies.alias("n_copies")
-    )
-    copies = rep.select(
-        "doc_id",
-        "source",
-        F.explode(
-            F.when(
-                F.col("n_copies") >= 1,
-                F.sequence(F.lit(1), F.col("n_copies")),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("replica"),
-    )
-    keyed = copies.withColumn(
-        "_rid",
-        F.concat(
-            F.col("doc_id").cast("string"),
-            F.lit("#"),
-            F.col("replica").cast("string"),
-        ),
-    )
-    ordered = global_order_index(keyed, "_rid", seed=_TMIXC_SEED)
-    return (
-        assign_train_shards(ordered, _TMIX_SHARD)
-        .select(
-            "doc_id",
-            "replica",
-            "source",
-            "pos",
-            F.col("shard").cast("long").alias("shard"),
-            F.col("pos_in_shard").cast("long").alias("pos_in_shard"),
-        )
-        .orderBy("pos")
-    )
+    return _replicate_order_shard(kept, alloc, _TMIXC_SALT, _TMIXC_SEED)

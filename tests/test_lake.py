@@ -1628,3 +1628,46 @@ def test_cdc_on_clustered_table_shows_only_real_changes(spark, tmp_path):
     diff = lake_diff(spark, root, v1, v2, "doc_id").collect()
     assert sorted(r["doc_id"] for r in diff) == list(range(0, 120, 11))
     assert {r["change"] for r in diff} == {"delete"}
+
+
+def test_stream_retry_refuses_schema_narrowing(spark, tmp_path, monkeypatch):
+    """r12 review: a concurrent ADD-COLUMN append landing between a
+    stream batch's staging and its LakeConflict retry must make the
+    retry raise the add-column-only error — never silently commit the
+    batch's narrower schema over the widened one (which would let a
+    later column-less append pass the evolution check)."""
+    import pytest as _pytest
+
+    import pyspec_spark.lake as lk
+
+    root = str(tmp_path / "narrow_lake")
+    base = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("int").alias("part"),
+    )
+    lk.lake_append(spark, root, base, "part")
+    lk.lake_append_stream(spark, root, base, "part", "nstream", 0)
+
+    wide = base.withColumn("extra", F.lit(1))
+    real_commit = lk._commit
+    state = {"raced": False}
+
+    def racing_commit(*a, **kw):
+        # first stream_append commit: inject the widening append inside
+        # the window, then run the original -> genuine LakeConflict
+        if a[1] == "stream_append" and not state["raced"]:
+            state["raced"] = True
+            lk.lake_append(spark, root, wide, "part")
+        return real_commit(*a, **kw)
+
+    monkeypatch.setattr(lk, "_commit", racing_commit)
+    with _pytest.raises(ValueError, match="missing"):
+        lk.lake_append_stream(spark, root, base, "part", "nstream", 1)
+    monkeypatch.setattr(lk, "_commit", real_commit)
+    assert state["raced"]
+    # the recorded schema kept the widened column
+    m = lk._load_manifest(root, lk.latest_version(root))
+    assert "extra" in m["schema"]
+    # a batch CARRYING the new column commits cleanly
+    lk.lake_append_stream(spark, root, wide, "part", "nstream", 1)
+    assert lk.lake_last_batch(root, "nstream") == 1

@@ -2051,3 +2051,41 @@ def test_compaction_conflicts_when_source_moves_midway(
         read_norm_stats(spark, p).collect()[0] for p in (scratch, dest2)
     )
     assert (sc["n_docs"], sc["avgdl"]) == (sd["n_docs"], sd["avgdl"])
+
+
+def test_compaction_refuses_open_maintenance_transaction(
+    spark, tmp_path
+):
+    """The in-flight-writer window (r12 review): an appender that has
+    TAKEN the txn lock but not yet published is mid-write — its
+    postings files are landing one task at a time, so any compaction
+    snapshot now is torn, and the seq-unchanged check alone cannot see
+    a writer that began before the compaction and commits after it.
+    compact_maintained_index must refuse at start AND at end while the
+    lock is open, and proceed once the writer publishes."""
+    import pytest as _pytest
+
+    import pyspec_spark.operators.text as tx
+    from pyspec_spark.operators.text import (
+        IndexConflict,
+        build_maintained_index,
+        compact_maintained_index,
+    )
+
+    tf, dl = _maint_tf_dl(spark)
+    root = str(tmp_path / "open_txn_src")
+    build_maintained_index(spark, tf, dl, root, 64)
+
+    # simulate the mid-flight appender: lock taken, marker not advanced
+    base = tx._begin_maint_txn(root)
+    dest = str(tmp_path / "open_txn_dest")
+    with _pytest.raises(IndexConflict, match="open"):
+        compact_maintained_index(spark, root, dest, 64)
+
+    # writer publishes -> compaction proceeds
+    tx._commit_maint_txn(root, base)
+    tx.mark_norms_current(root)
+    import shutil
+
+    shutil.rmtree(dest, ignore_errors=True)
+    compact_maintained_index(spark, root, str(tmp_path / "ok_dest"), 64)
