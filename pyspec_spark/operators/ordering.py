@@ -99,6 +99,24 @@ def write_train_shards(
     )
 
 
+def read_train_shards(
+    spark, path: str, shards: list[int] | None = None
+) -> DataFrame:
+    """The dataloader face of :func:`write_train_shards`: read the
+    materialized training order back IN ORDER — all shards, or only
+    the requested ones (each worker passes its own shard list and the
+    scan opens only those shard=K/ directories: partition-pruned, the
+    layout's whole point).  Rows come back sorted (shard,
+    pos_in_shard), i.e. exactly the seeded global order restricted to
+    the requested shards.  The sort is a no-op-cheap range exchange
+    over already-sorted runs; a single-shard read (the per-worker
+    case) sorts one partition's rows."""
+    df = spark.read.parquet(path)
+    if shards is not None:
+        df = df.where(F.col("shard").isin([int(s) for s in shards]))
+    return df.orderBy("shard", "pos_in_shard")
+
+
 def _idiv(a, b):
     """Exact integer division for non-negative longs: the numerator is
     reduced to a multiple of b first, and a double division of an exact

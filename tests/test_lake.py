@@ -1671,3 +1671,118 @@ def test_stream_retry_refuses_schema_narrowing(spark, tmp_path, monkeypatch):
     # a batch CARRYING the new column commits cleanly
     lk.lake_append_stream(spark, root, wide, "part", "nstream", 1)
     assert lk.lake_last_batch(root, "nstream") == 1
+
+
+def test_cluster_col_model_based_random_lifecycle(spark, tmp_path):
+    """Model-based check of the clustered layout (S6e): a seeded
+    random sequence of {append, delete, upsert, compact, rename} on a
+    cluster_col table against a plain dict model — after every step
+    (1) the read equals the model, (2) every live data file's footer
+    stats on the (possibly renamed) cluster column are a POINT, and
+    (3) a cluster-predicate scan returns exactly the model's matching
+    rows while keeping only matching files.  Five seeds x ~7 ops;
+    deterministic."""
+    import glob as _glob
+    import json as _json
+    import random
+
+    import pyspec_spark.lake as lk
+
+    for seed in range(5):
+        rng = random.Random(100 + seed)
+        root = str(tmp_path / f"cmodel_{seed}")
+        model: dict[int, tuple] = {}  # k -> (part, label)
+        next_k = 0
+        cluster_name = "label"
+
+        def df_of(rows):
+            return spark.createDataFrame(
+                [(k, p, lb) for k, (p, lb) in rows],
+                "doc_id BIGINT, part INT, " + cluster_name + " INT",
+            )
+
+        def append(n):
+            nonlocal next_k
+            rows = []
+            for _ in range(n):
+                v = (next_k % 3, next_k % 4)
+                model[next_k] = v
+                rows.append((next_k, v))
+                next_k += 1
+            lk.lake_append(
+                spark, root, df_of(rows), "part",
+                cluster_col=cluster_name if lk.latest_version(root) is None
+                else None,  # inherit after the first commit
+            )
+
+        def check():
+            got = sorted(
+                (r["doc_id"], (r["part"], r[cluster_name]))
+                for r in lk.lake_read(spark, root).collect()
+            )
+            assert got == sorted(model.items()), (seed, cluster_name)
+            mf = sorted(
+                _glob.glob(os.path.join(root, "_manifests", "*.json"))
+            )[-1]
+            man = _json.load(open(mf))
+            assert man["cluster_col"] == cluster_name
+            phys = "label"  # physical never moves
+            for e in man["files"]:
+                st = e["stats"].get(phys)
+                assert st is not None and st[0] == st[1], (seed, e)
+            want = sorted(
+                k for k, (_p, lb) in model.items() if lb == 2
+            )
+            hits = sorted(
+                r["doc_id"]
+                for r in lk.lake_scan(
+                    spark, root, [(cluster_name, "=", 2)]
+                ).collect()
+            )
+            assert hits == want, (seed, cluster_name)
+
+        append(rng.randint(4, 8))
+        check()
+        for _ in range(7):
+            op = rng.choice(
+                ["append", "delete", "upsert", "compact", "rename"]
+            )
+            if op == "append":
+                append(rng.randint(2, 5))
+            elif op == "delete" and len(model) > 3:
+                # never empty the table (an empty version refuses read
+                # by documented contract — not what this model checks)
+                ks = rng.sample(sorted(model), 3)
+                lk.lake_delete(
+                    spark, root,
+                    spark.createDataFrame(
+                        [(k,) for k in ks], "doc_id BIGINT"
+                    ),
+                    key="doc_id", partition_col="part",
+                )
+                for k in ks:
+                    model.pop(k)
+            elif op == "upsert" and model:
+                ks = rng.sample(sorted(model), min(2, len(model)))
+                rows = []
+                for k in ks:
+                    v = (model[k][0], (model[k][1] + 1) % 4)
+                    model[k] = v
+                    rows.append((k, v))
+                lk.lake_upsert(
+                    spark, root, df_of(rows), key="doc_id",
+                    partition_col="part",
+                )
+            elif op == "compact":
+                lk.lake_compact(spark, root, "part")
+            elif op == "rename":
+                new = f"label_{rng.randint(0, 999)}"
+                try:
+                    lk.lake_rename_column(root, cluster_name, new)
+                except ValueError as e:
+                    if "mixed-schema" not in str(e):
+                        raise
+                    lk.lake_compact(spark, root, "part")
+                    lk.lake_rename_column(root, cluster_name, new)
+                cluster_name = new
+            check()

@@ -2089,3 +2089,36 @@ def test_compaction_refuses_open_maintenance_transaction(
 
     shutil.rmtree(dest, ignore_errors=True)
     compact_maintained_index(spark, root, str(tmp_path / "ok_dest"), 64)
+
+
+def test_read_train_shards_replays_order_partition_pruned(
+    spark, tmp_path
+):
+    """The dataloader face (r12): read_train_shards returns the exact
+    seeded order — full read == the ordered permutation; a worker's
+    shard-list read opens ONLY its shard=K dirs (PartitionFilters) and
+    returns exactly its contiguous slice."""
+    from pyspec_spark.operators.ordering import (
+        global_order_index,
+        read_train_shards,
+        write_train_shards,
+    )
+    from pyspec_spark.plans import physical_plan
+
+    docs = spark.range(1000).select(F.col("id").alias("doc_id"))
+    ordered = global_order_index(docs, "doc_id", seed="rt")
+    base = str(tmp_path / "rt_shards")
+    write_train_shards(ordered, base, shard_size=128)
+    want = [r.doc_id for r in ordered.orderBy("pos").collect()]
+
+    got_all = [r.doc_id for r in read_train_shards(spark, base).collect()]
+    assert got_all == want
+
+    one = read_train_shards(spark, base, shards=[2, 5])
+    plan = physical_plan(one)
+    assert any(
+        "PartitionFilters" in ln and "shard" in ln
+        for ln in plan.splitlines()
+    ), plan[:1500]
+    got = [r.doc_id for r in one.collect()]
+    assert got == want[2 * 128 : 3 * 128] + want[5 * 128 : 6 * 128]
