@@ -971,6 +971,7 @@ def lake_append_stream(
     batch_id: int,
     max_retries: int = 5,
     bloom_cols: list[str] | None = None,
+    cluster_col: str | None = None,
 ) -> int | None:
     """Idempotent append: commits df together with the watermark
     ``stream_commits[query_name] = batch_id``; a batch at or below the
@@ -985,9 +986,15 @@ def lake_append_stream(
     the batch translates onto the CURRENT mapping
     (_translate_stream_batch), stages under physical names, and stamps
     the current era; a mapping that moves between staging and the
-    commit retry re-stages against the new mapping."""
+    commit retry re-stages against the new mapping.
+
+    ``cluster_col`` (r12): explicit value sets the clustered layout on
+    the table's FIRST commit (a streaming-built lake has no earlier
+    manifest to inherit from); thereafter the manifest's recorded
+    layout wins, exactly like lake_append."""
     staged: list[dict] | None = None
     staged_cols = None
+    commit_cl = None
     columns = schemas = None
     schema: dict | None = None
     for _ in range(max_retries):
@@ -998,12 +1005,19 @@ def lake_append_stream(
         m = _load_manifest(root, prev) if prev is not None else None
         old = m["files"] if m is not None else []
         cols_now = m.get("columns") if m is not None else None
-        if staged is not None and staged_cols != cols_now:
-            # the mapping moved between staging and this retry: the
-            # staged files carry the wrong era/physical layout
+        cl_now = (
+            m.get("cluster_col") if m is not None else cluster_col
+        )
+        if staged is not None and (
+            staged_cols != cols_now or commit_cl != cl_now
+        ):
+            # the mapping or the clustered layout moved between staging
+            # and this retry: the staged files carry the wrong
+            # era/physical layout (or would re-record a stale layout)
             staged = None
         if staged is None:
             staged_cols = cols_now
+            commit_cl = cl_now
             if cols_now:
                 out = _translate_stream_batch(m, df)
                 # validate against the PINNED base manifest m — a
@@ -1022,7 +1036,7 @@ def lake_append_stream(
                 )
                 staged = _stage_files(
                     spark, root, df, partition_col, bloom_cols=bloom_cols,
-                    cluster_col=m.get("cluster_col") if m else None,
+                    cluster_col=commit_cl,
                 )
                 columns = schemas = None
                 schema = _schema_fields(df)
@@ -1051,6 +1065,7 @@ def lake_append_stream(
                 prev,
                 stream_commit=(query_name, batch_id),
                 schema=schema,
+                cluster_col=commit_cl,
                 **kw,
             )
         except LakeConflict:

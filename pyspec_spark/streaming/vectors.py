@@ -83,7 +83,12 @@ def _codebook_rows(cents) -> list[tuple[int, list[float]]]:
 _INLINE_MAX_K = 8
 
 
-def assign_cells(batch: DataFrame, cents, inline_max_k: int | None = None) -> DataFrame:
+def assign_cells(
+    batch: DataFrame,
+    cents,
+    inline_max_k: int | None = None,
+    keep_cols: tuple = (),
+) -> DataFrame:
     """Nearest-centroid assignment, fully MAP-SIDE, two plan shapes:
 
     - k <= inline_max_k (default 8): the codebook folds into the plan
@@ -100,8 +105,12 @@ def assign_cells(batch: DataFrame, cents, inline_max_k: int | None = None) -> Da
     Both shapes use the identical (dist, cid) lexicographic argmin
     (deterministic lowest-cid tiebreak) and are equality-tested against
     each other.  ``cents`` is a (cid, c) DataFrame or a pre-collected
-    [(cid, vector)] list.  Returns (vec_id, embedding, cid)."""
+    [(cid, vector)] list.  Returns (vec_id, embedding, cid[, *keep]) —
+    ``keep_cols`` (r12) rides metadata columns (labels, timestamps)
+    through the assignment so a labeled ingest can cluster its cells
+    at rest (the L5d second key)."""
     rows = _codebook_rows(cents)
+    keep = list(keep_cols)
     limit = _INLINE_MAX_K if inline_max_k is None else inline_max_k
     if len(rows) <= limit:
         structs = []
@@ -115,7 +124,7 @@ def assign_cells(batch: DataFrame, cents, inline_max_k: int | None = None) -> Da
             )
         best = F.array_min(F.array(*structs))
         return batch.select(
-            "vec_id", "embedding", best.getField("cid").alias("cid")
+            "vec_id", "embedding", best.getField("cid").alias("cid"), *keep
         )
     spark = batch.sparkSession
     cb = spark.createDataFrame(
@@ -131,7 +140,7 @@ def assign_cells(batch: DataFrame, cents, inline_max_k: int | None = None) -> Da
         )
     )
     return batch.crossJoin(F.broadcast(cb)).select(
-        "vec_id", "embedding", best.getField("cid").alias("cid")
+        "vec_id", "embedding", best.getField("cid").alias("cid"), *keep
     )
 
 
@@ -173,19 +182,30 @@ def index_to_lake(
     cents: DataFrame,
     checkpoint: str | None = None,
     query_name: str = "vec_index",
+    cluster_col: str | None = None,
 ) -> None:
     """Ingest an embedding stream into a cid-partitioned snapshot lake,
     exactly once per batch (manifest watermark).  Blocks until the
-    availableNow trigger drains."""
+    availableNow trigger drains.
+
+    ``cluster_col`` (r12, the L5d streaming face): a metadata column
+    of the stream (labels, languages) rides through the assignment
+    (assign_cells keep_cols) and the lake splits each cell's files one
+    per value, so filtered lookups against the STREAMED index prune at
+    the file level exactly like the batch-built one."""
     from pyspec_spark.lake import lake_append_stream
 
     codebook = _codebook_rows(cents)  # ONE collect, reused every batch
     save_centroids(root, codebook)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        assigned = assign_cells(batch_df, codebook)
+        assigned = assign_cells(
+            batch_df, codebook,
+            keep_cols=(cluster_col,) if cluster_col else (),
+        )
         lake_append_stream(
-            spark, root, assigned, "cid", query_name, batch_id
+            spark, root, assigned, "cid", query_name, batch_id,
+            cluster_col=cluster_col,
         )
 
     writer = stream.writeStream.foreachBatch(sink).outputMode("update")

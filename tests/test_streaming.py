@@ -2097,3 +2097,97 @@ def test_stream_append_across_schema_evolution_commit(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="lossless"):
         lake_append_stream(spark, root, lossy, "part", "evostream", 99)
+
+
+def test_streamed_labeled_ingest_clusters_cells_for_filtered_lookup(
+    spark, tmp_path_factory
+):
+    """L5d streaming face (r12): a labeled embedding stream ingested
+    via index_to_lake(cluster_col=...) lands one file per (cid, label)
+    from the FIRST commit on (lake_append_stream sets the layout when
+    there is no manifest to inherit), later batches inherit it, and a
+    filtered lookup against the streamed index opens only
+    matching-label files of the probed cells and equals the exact
+    filtered top-k."""
+    import glob as _glob
+    import json as _json
+    import re
+    import shutil as _shutil
+
+    import numpy as np
+
+    from pyspec_spark.streaming.vectors import index_to_lake, ivf_lookup
+    from pyspec_spark.tables import table
+
+    src = str(tmp_path_factory.mktemp("vlfs_src"))
+    root = str(tmp_path_factory.mktemp("vlfs_lake"))
+    ckpt = str(tmp_path_factory.mktemp("vlfs_ckpt"))
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.pmod("vec_id", F.lit(4)).cast("int").alias("label"),
+    )
+    stage = str(tmp_path_factory.mktemp("vlfs_stage"))
+    for i in range(3):
+        emb.where(F.col("vec_id") % 3 == i).coalesce(1).write.parquet(
+            f"{stage}/c{i}"
+        )
+        _shutil.copy(
+            _glob.glob(f"{stage}/c{i}/*.parquet")[0], f"{src}/c{i}.parquet"
+        )
+
+    cents = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c"),
+    )
+    stream = (
+        spark.readStream.schema(
+            "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    index_to_lake(
+        stream, spark, root, cents, checkpoint=ckpt, cluster_col="label"
+    )
+
+    # every committed file is single-label (point stats) from batch 0
+    mf = sorted(_glob.glob(f"{root}/_manifests/*.json"))[-1]
+    man = _json.load(open(mf))
+    assert man["cluster_col"] == "label"
+    assert all(
+        e["stats"]["label"][0] == e["stats"]["label"][1]
+        for e in man["files"]
+    )
+
+    qv = [float(x) for x in emb.where("vec_id = 0").first()["embedding"]]
+    got = ivf_lookup(
+        spark, root, qv, k=5, nprobe=2, where=[("label", "=", 1)]
+    )
+    files = got.inputFiles()
+    assert files and all(re.search(r"_cc=1(/|$)", f) for f in files)
+    rows = got.collect()
+    assert rows and all(int(r["vec_id"]) % 4 == 1 for r in rows)
+
+    # equals the exact filtered top-k over the probed cells
+    probed_cids = {
+        int(re.search(r"_pc=(\d+)", f).group(1)) for f in files
+    }
+    qa = np.asarray(qv)
+    from pyspec_spark.lake import lake_read
+
+    cand = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in lake_read(spark, root).collect()
+        if int(r["cid"]) in probed_cids and int(r["vec_id"]) % 4 == 1
+    ]
+    brute = sorted(
+        (
+            -float(np.asarray(e) @ qa
+                   / (np.linalg.norm(e) * np.linalg.norm(qa))),
+            v,
+        )
+        for v, e in cand
+    )[:5]
+    assert [v for _, v in brute] == [int(r["vec_id"]) for r in rows]
