@@ -52,6 +52,7 @@ _PERMANENT = [
 _FRESH: list[str] = [
     "q_train_mix",          # r12: end-to-end training mix (L46)
     "q_train_mix_curated",  # r12: the curated composition (L46b)
+    "q_mix_shard_stats",    # r12: per-shard mix accounting (L46c)
     "q_ann_lake_filtered",  # r12: filtered serve via maintained lake (L5d)
     # reworked this round — force same-round driver rows for the new
     # plans even if the rotation would not pick them:

@@ -1765,3 +1765,77 @@ def q_train_mix_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(epochs * _TMIX_MICRO, 0).cast("bigint").alias("_em"),
     )
     return _replicate_order_shard(kept, alloc, _TMIXC_SALT, _TMIXC_SEED)
+
+
+# ---------------------------------------------------------------------------
+# L46c — per-shard mix accounting (r12): the sanity table a training
+# run logs before consuming the shards — per shard: document count,
+# distinct sources, and the source-distribution entropy.  This is the
+# CHECK on the global shuffle's actual job: if the seeded order mixes
+# well, every shard's source distribution approximates the global mix
+# and the entropy column is flat near ln(|sources|); a broken shuffle
+# (copies clumping, bucket-major leakage) shows up as low-entropy
+# shards long before a loss curve does.
+#
+# Determinism: entropy terms are ROUND(p*LN(p), 6) per (shard, source)
+# FIRST, then summed under DECIMAL(18,6) (exact, order-independent),
+# then negated/rounded — the mix_p discipline; p itself is one double
+# division of exact bigints.  Plan: the mix's shard coordinates are
+# map-side on the two-level rank, the stats are two shard-keyed
+# aggregations + a shard-keyed join — no global window, nothing
+# corpus-funneled.
+# ---------------------------------------------------------------------------
+def _mix_shard_stats_oracle() -> str:
+    return f"""
+WITH mix AS ({_train_mix_oracle()}),
+per AS (
+  SELECT shard, source, CAST(COUNT(*) AS BIGINT) AS n_src
+  FROM mix GROUP BY shard, source
+),
+tot AS (
+  SELECT shard, CAST(SUM(n_src) AS BIGINT) AS n_docs,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM per GROUP BY shard
+),
+terms AS (
+  SELECT p.shard,
+         ROUND((CAST(p.n_src AS DOUBLE) / t.n_docs)
+               * LN(CAST(p.n_src AS DOUBLE) / t.n_docs), 6) AS term
+  FROM per p JOIN tot t USING (shard)
+)
+SELECT t.shard, t.n_docs, t.n_sources,
+       ROUND(-CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6)
+         AS entropy
+FROM tot t JOIN terms USING (shard)
+GROUP BY t.shard, t.n_docs, t.n_sources
+ORDER BY t.shard
+"""
+
+
+@query("q_mix_shard_stats", oracle=_mix_shard_stats_oracle())
+def q_mix_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mix = q_train_mix.__wrapped__(spark, sf_dir)
+    per = mix.groupBy("shard", "source").agg(
+        F.count("*").cast("bigint").alias("n_src")
+    )
+    tot = per.groupBy("shard").agg(
+        F.sum("n_src").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_sources"),
+    )
+    p = F.col("n_src").cast("double") / F.col("n_docs")
+    terms = per.join(tot, "shard").select(
+        "shard",
+        "n_docs",
+        "n_sources",
+        F.round(p * F.log(p), 6).alias("term"),
+    )
+    return (
+        terms.groupBy("shard", "n_docs", "n_sources")
+        .agg(
+            F.round(
+                -F.sum(F.col("term").cast("decimal(18,6)")).cast("double"),
+                6,
+            ).alias("entropy")
+        )
+        .orderBy("shard")
+    )

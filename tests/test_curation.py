@@ -445,3 +445,39 @@ def test_train_mix_and_curated_mix_use_independent_randomness(spark):
     order_a = sorted(shared, key=lambda d: a[d])
     order_b = sorted(shared, key=lambda d: b[d])
     assert order_a != order_b
+
+
+def test_mix_shard_entropy_is_flat_near_global(spark):
+    """L46c: the seeded shuffle must actually MIX — every FULL shard's
+    source-distribution entropy sits near the global mix's entropy
+    (clumped copies / bucket-major leakage would crater it), and every
+    full shard sees most sources."""
+    import math
+
+    from pyspec_spark.queries.curation import (
+        _TMIX_SHARD,
+        q_mix_shard_stats,
+        q_train_mix,
+    )
+
+    rows = q_mix_shard_stats.__wrapped__(spark, SF_SMALL).collect()
+    assert rows
+    full = [r for r in rows if r["n_docs"] == _TMIX_SHARD]
+    assert len(full) >= len(rows) - 1  # only the tail shard is partial
+
+    # global source distribution entropy
+    mix = (
+        q_train_mix.__wrapped__(spark, SF_SMALL)
+        .groupBy("source")
+        .count()
+        .collect()
+    )
+    n = sum(r["count"] for r in mix)
+    h_global = -sum(
+        (r["count"] / n) * math.log(r["count"] / n) for r in mix
+    )
+    for r in full:
+        assert r["n_sources"] >= 0.75 * len(mix), r
+        # a 256-doc sample of a ~uniform 20-source mix loses ~0.04 nats
+        # to sampling; 0.25 nats of slack flags real clumping only
+        assert abs(r["entropy"] - h_global) <= 0.25, (r, h_global)
