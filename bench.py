@@ -201,6 +201,11 @@ def main() -> None:
             best = min(best, time.time() - t)
         cold[name] = round(best, 3)
 
+    # Drain tracked persisted inputs (r13): builders that persist an
+    # intermediate register it with the registry; measurements are done,
+    # so release the executor memory before the oracle pass.
+    registry.release_persisted()
+
     # DuckDB oracle rerun (BASELINE.md protocol): same parquet views,
     # default threads, warm = second run; None for rows-only queries.
     oracle_ms: dict[str, float | None] = {}

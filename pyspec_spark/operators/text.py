@@ -1956,10 +1956,26 @@ def compact_maintained_index(
     a mid-flight or crashed appender whose files are partially
     visible) is refused at BOTH ends: the seq-unchanged check alone
     cannot see a writer that began before this compaction and commits
-    after it."""
+    after it.
+
+    The norms TAIL window (r13): build/append commit the postings seq
+    BEFORE write_norms lands the doc lengths, so an appender can be
+    between its postings commit and its last norms file when this
+    compaction starts — assert_no_open_maint_txn passes (its marker
+    already advanced past its lock's seq, so no transaction is OPEN)
+    and the final seq recheck passes once the appender finishes, yet
+    the norms read here would be torn: the half-built dest silently
+    bakes in partial doc lengths.  assert_norms_current at START
+    closes it:
+    mark_norms_current is the LAST step of write_norms, so
+    norms==postings at start proves every committed batch's norms are
+    fully on disk, and any writer committing after this point moves
+    the postings seq and is caught by the existing end recheck."""
     import glob as _glob
+    import shutil as _shutil
 
     assert_no_open_maint_txn(path)
+    assert_norms_current(path)
     base_seq = read_maint_seq(path, "postings")
     base_tombs = sorted(_glob.glob(f"{path}/{_TOMBSTONE_DIR}/*.parquet"))
 
@@ -1982,10 +1998,16 @@ def compact_maintained_index(
         or sorted(_glob.glob(f"{path}/{_TOMBSTONE_DIR}/*.parquet"))
         != base_tombs
     ):
+        # delete the half-built dest BEFORE raising (r13): it carries
+        # postings + blockmax + norms but no postings marker, and the
+        # serving gates pass a marker-less root unchanged (the legacy
+        # pre-marker pass-through) — an abandoned dest must never be
+        # servable by accident
+        _shutil.rmtree(dest, ignore_errors=True)
         raise IndexConflict(
             f"source index {path} changed during compaction into "
-            f"{dest} (postings seq or tombstones moved) — discard "
-            f"{dest} and retry against the new state"
+            f"{dest} (postings seq or tombstones moved) — {dest} has "
+            "been deleted; retry against the new state"
         )
     _write_maint_seq(dest, "postings", 1)
     # re-pin the norms marker to the published postings seq
@@ -2041,16 +2063,35 @@ def compact_streamed_maintained(
     the RECURSIVE FILE listing under batch=* (not just the dir names —
     an in-flight batch's directory exists at both ends while its files
     land in between) is captured at start and re-verified after the
-    last source read; a move raises IndexConflict (discard the private
-    dest, retry after the stream quiesces)."""
+    last source read; a move raises IndexConflict (the private dest is
+    deleted, retry after the stream quiesces).  When ``base_path`` is
+    given it is a source too (compact_streamed_index reads its
+    postings + tombstones, read_streamed_norms its norms), so its
+    postings/norms seqs and recursive file listing are captured and
+    re-verified the same way (r13) — maintenance landing on the BASE
+    index mid-fold was previously undetected."""
     import glob as _glob
+    import shutil as _shutil
 
     def _batch_files():
         return sorted(
             _glob.glob(f"{inc_path}/batch=*/**/*", recursive=True)
         )
 
+    def _base_state():
+        if base_path is None:
+            return None
+        # seqs by VALUE (os.replace keeps the marker's name stable, so
+        # a file listing alone cannot see a seq bump) + the recursive
+        # listing (tombstones/norms/postings land as NEW files)
+        return (
+            read_maint_seq(base_path, "postings"),
+            read_maint_seq(base_path, "norms"),
+            sorted(_glob.glob(f"{base_path}/**/*", recursive=True)),
+        )
+
     base_batches = _batch_files()
+    base_base = _base_state()
 
     compact_streamed_index(
         spark, inc_path, dest, base_path=base_path, n_buckets=n_buckets
@@ -2065,11 +2106,16 @@ def compact_streamed_maintained(
         dest,
         shard_size=shard_size,
     )
-    if _batch_files() != base_batches:
+    if _batch_files() != base_batches or _base_state() != base_base:
+        # same poison discipline as compact_maintained_index: a dest
+        # without its postings marker would pass the legacy serving
+        # gates, so it must not survive the conflict
+        _shutil.rmtree(dest, ignore_errors=True)
         raise IndexConflict(
-            f"streamed index {inc_path} gained batch files during the "
-            f"fold into {dest} — discard {dest} and retry after the "
-            "stream quiesces"
+            f"streamed index {inc_path} (or its base {base_path}) "
+            f"changed during the fold into {dest} — {dest} has been "
+            "deleted; retry after the stream and base maintenance "
+            "quiesce"
         )
     _write_maint_seq(dest, "postings", 1)
     mark_norms_current(dest)

@@ -1725,15 +1725,22 @@ ORDER BY pos
 
 @query("q_train_mix_curated", oracle=_train_mix_curated_oracle())
 def q_train_mix_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.registry import track_persist
+
     audit = q_drop_audit.__wrapped__(spark, sf_dir)
     # kept feeds TWO plan branches (the kept-mass allocation aggregate
     # and the replication join) — persist, or the entire multi-stage
     # audit lineage (dedup window, quality gate, contamination join,
-    # budget cumsum) executes twice per run (lazy: no job at build)
-    kept = (
-        audit.where(F.col("verdict") == "kept")
-        .select("doc_id", "source", "n_tokens")
-        .persist()
+    # budget cumsum) executes twice per run (lazy: no job at build).
+    # TRACKED (r13, ADVICE): no post-action unpersist hook exists on a
+    # returned plan, so the registry bounds the cache to one frame per
+    # query name and harnesses drain it via release_persisted().
+    kept = track_persist(
+        spark,
+        "q_train_mix_curated",
+        audit.where(F.col("verdict") == "kept").select(
+            "doc_id", "source", "n_tokens"
+        ),
     )
     s = kept.groupBy("source").agg(
         F.sum("n_tokens").cast("bigint").alias("n_tokens")

@@ -22,6 +22,42 @@ from typing import Any
 QUERIES: dict[str, Callable[[Any, str], Any]] = {}
 ORACLES: dict[str, str] = {}
 
+# Tracked persisted INPUTS (r13, ADVICE): a builder that persists an
+# intermediate (q_train_mix_curated's kept frame) has no post-action
+# unpersist hook on the returned plan, so the cache would live for the
+# session.  track_persist bounds the leak to ONE frame per query name
+# (a rebuild for a new sf_dir releases the previous one) and
+# release_persisted() gives harnesses (bench.py, sweeps) an explicit
+# drain between queries.
+_PERSISTED: dict[tuple[str, str], Any] = {}
+
+
+def track_persist(spark: Any, name: str, df: Any) -> Any:
+    """Persist ``df`` as query ``name``'s tracked input; unpersists the
+    frame previously tracked under the same name (different sf_dir)."""
+    key = (spark.sparkContext.applicationId, name)
+    old = _PERSISTED.pop(key, None)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _PERSISTED[key] = df.persist()
+    return _PERSISTED[key]
+
+
+def release_persisted() -> int:
+    """Unpersist every tracked input (harness drain); returns count."""
+    n = 0
+    for key in list(_PERSISTED):
+        df = _PERSISTED.pop(key)
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+        n += 1
+    return n
+
 # Built-DataFrame cache (a prepared-statement cache): builders are pure
 # functions of (spark, sf_dir) and DataFrames are immutable, so the
 # analyzed plan can be reused across calls.  Building a complex declared

@@ -2122,3 +2122,152 @@ def test_read_train_shards_replays_order_partition_pruned(
     ), plan[:1500]
     got = [r.doc_id for r in one.collect()]
     assert got == want[2 * 128 : 3 * 128] + want[5 * 128 : 6 * 128]
+
+
+def test_compaction_refuses_norms_tail_window(spark, tmp_path):
+    """The r13 ADVICE window: build/append commit the postings seq
+    BEFORE write_norms, so an appender can be between its postings
+    commit and its last norms file when a compaction starts — no open
+    transaction (its marker already advanced), and the end seq-recheck
+    passes once it finishes, yet the norms read mid-fold is torn.
+    compact_maintained_index must refuse at START whenever norms lag
+    postings (mark_norms_current is write_norms' LAST step, so
+    norms==postings proves completeness), and proceed once the
+    appender's norms land."""
+    import os
+
+    import pytest as _pytest
+
+    import pyspec_spark.operators.text as tx
+    from pyspec_spark.operators.text import (
+        build_maintained_index,
+        compact_maintained_index,
+    )
+
+    tf, dl = _maint_tf_dl(spark)
+    root = str(tmp_path / "tail_src")
+    build_maintained_index(spark, tf, dl, root, 64)
+
+    # simulate the appender's committed-postings / in-flight-norms
+    # state: seq advances (begin+commit), norms marker stays behind
+    base = tx._begin_maint_txn(root)
+    tx._commit_maint_txn(root, base)
+
+    dest = str(tmp_path / "tail_dest")
+    with _pytest.raises(RuntimeError, match="stale norms"):
+        compact_maintained_index(spark, root, dest, 64)
+    # refused at START: nothing was staged under dest
+    assert not os.path.exists(dest)
+
+    # the appender's write_norms completes (marker re-pinned) ->
+    # compaction proceeds cleanly
+    tx.mark_norms_current(root)
+    compact_maintained_index(spark, root, dest, 64)
+    tx.assert_norms_current(dest)
+
+
+def test_compaction_conflict_deletes_half_built_dest(
+    spark, tmp_path, monkeypatch
+):
+    """The r13 ADVICE poison rule: a dest abandoned by IndexConflict
+    carries postings+blockmax+norms but no postings marker, and
+    assert_norms_current passes marker-less roots (the legacy
+    pass-through) — so compact_maintained_index must DELETE dest
+    before raising, leaving nothing a reader could serve."""
+    import os
+
+    import pytest as _pytest
+
+    import pyspec_spark.operators.text as tx
+    from pyspec_spark.operators.text import (
+        IndexConflict,
+        append_maintained_index,
+        build_maintained_index,
+        compact_maintained_index,
+    )
+
+    tf, dl = _maint_tf_dl(spark)
+    gen = F.col("doc_id") % 4 == 3
+    root = str(tmp_path / "poison_src")
+    build_maintained_index(spark, tf.where(~gen), dl.where(~gen), root, 64)
+
+    real_bm = tx.write_block_max
+    state = {"armed": True}
+
+    def racing_bm(*a, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            append_maintained_index(
+                spark, tf.where(gen), dl.where(gen), root, 64
+            )
+        return real_bm(*a, **kw)
+
+    monkeypatch.setattr(tx, "write_block_max", racing_bm)
+    dest = str(tmp_path / "poison_dest")
+    with _pytest.raises(IndexConflict):
+        compact_maintained_index(spark, root, dest, 64)
+    assert not os.path.exists(dest)
+
+
+def test_streamed_fold_conflicts_when_base_moves(
+    spark, tmp_path, monkeypatch
+):
+    """The r13 ADVICE gap: compact_streamed_maintained's conflict
+    check listed only inc_path batch files, but the optional BASE root
+    is a source too (postings via compact_streamed_index, norms via
+    read_streamed_norms) — maintenance landing on the base mid-fold
+    was silently missed.  Now the base's seqs + file listing are
+    captured and re-verified; a mid-fold append raises IndexConflict
+    and the half-built dest is deleted."""
+    import os
+
+    import pytest as _pytest
+
+    import pyspec_spark.operators.text as tx
+    from pyspec_spark.operators.text import (
+        IndexConflict,
+        append_maintained_index,
+        build_maintained_index,
+        compact_streamed_maintained,
+    )
+
+    tf, dl = _maint_tf_dl(spark)
+    gen = F.col("doc_id") % 4 == 3
+    base_root = str(tmp_path / "fold_base")
+    build_maintained_index(
+        spark, tf.where(~gen), dl.where(~gen), base_root, 64
+    )
+    inc = str(tmp_path / "fold_inc")  # no batches yet — base-only fold
+    os.makedirs(inc, exist_ok=True)
+
+    real_bm = tx.write_block_max
+    state = {"armed": True}
+
+    def racing_bm(*a, **kw):
+        if state["armed"]:
+            state["armed"] = False
+            append_maintained_index(
+                spark, tf.where(gen), dl.where(gen), base_root, 64
+            )
+        return real_bm(*a, **kw)
+
+    monkeypatch.setattr(tx, "write_block_max", racing_bm)
+    dest = str(tmp_path / "fold_dest")
+    with _pytest.raises(IndexConflict):
+        compact_streamed_maintained(
+            spark, inc, dest, 64, base_path=base_root
+        )
+    assert not os.path.exists(dest)
+    monkeypatch.setattr(tx, "write_block_max", real_bm)
+
+    # retry against the settled base lands and serves the full corpus
+    dest2 = str(tmp_path / "fold_dest2")
+    compact_streamed_maintained(spark, inc, dest2, 64, base_path=base_root)
+    tx.assert_norms_current(dest2)
+    from pyspec_spark.operators.text import read_norm_stats
+
+    scratch = str(tmp_path / "fold_scratch")
+    build_maintained_index(spark, tf, dl, scratch, 64)
+    s1 = read_norm_stats(spark, dest2).collect()[0]
+    s2 = read_norm_stats(spark, scratch).collect()[0]
+    assert (s1["n_docs"], s1["avgdl"]) == (s2["n_docs"], s2["avgdl"])

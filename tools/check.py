@@ -112,6 +112,9 @@ def main() -> int:
             "err": None if res.ok else "; ".join(res.issues)[:500],
             **({"rows_only": True} if rows_only else {}),
         }
+    # drain tracked persisted inputs (r13) — a 229-query sweep would
+    # otherwise carry every builder-persisted frame to session end
+    registry.release_persisted()
     print(f"\n{len(names) - failures}/{len(names)} ok")
     if json_out:
         with open(json_out, "w") as f:
