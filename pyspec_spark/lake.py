@@ -1171,6 +1171,60 @@ def lake_scan(
     return df.where(_pred_column(df, where))
 
 
+def lake_scan_in(
+    spark: SparkSession,
+    root: str,
+    where_in: list[tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Batched point-lookup scan (r13, the PQ re-rank fetch): read a
+    snapshot keeping only files that may hold ANY of each predicate's
+    values.  ``where_in`` is a list of (column, values) pairs, ANDed
+    across pairs, OR-semantics within a pair's value list — a file
+    survives when, for EVERY pair, at least one value passes that
+    file's bloom + footer [min, max] check.  The IN predicates are
+    then applied as normal row filters.
+
+    This is the lake's fetch-by-id face: with bloom_cols on the key
+    and a bounded value list (an ANN shortlist, a worklist of doc
+    ids), files opened are bounded by the values' bloom matches —
+    never the partition's full file set.  An empty value list in any
+    pair selects nothing (vacuous IN)."""
+    v = latest_version(root) if version is None else version
+    if v is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    m = _load_manifest(root, v)
+    phys = {}
+    if m.get("columns"):
+        phys = {c["name"]: c["physical"] for c in m["columns"]}
+
+    def may_match(entry: dict) -> bool:
+        for col, values in where_in:
+            pc = phys.get(col, col)
+            if not any(
+                _file_may_match(entry, [(pc, "=", val)]) for val in values
+            ):
+                return False
+        return True
+
+    empty_in = any(not list(vals) for _, vals in where_in)
+    kept = [] if empty_in else [e for e in m["files"] if may_match(e)]
+
+    def row_filter(df: DataFrame):
+        cond = F.lit(True)
+        for col, values in where_in:
+            cond = cond & F.col(col).isin(list(values))
+        return df.where(cond)
+
+    if not kept:
+        return row_filter(lake_read(spark, root, version=v)).limit(0)
+    if m.get("columns"):
+        return row_filter(_read_mapped(spark, root, m, kept))
+    return row_filter(
+        spark.read.parquet(*[os.path.join(root, e["path"]) for e in kept])
+    )
+
+
 def lake_scan_file_counts(
     root: str, where: list[tuple], version: int | None = None
 ) -> tuple[int, int]:

@@ -652,6 +652,172 @@ def q_ann_lake_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L5e — PQ-coded maintained vector lake (r13): the production IVFADC
+# at-rest layout composed with the index lifecycle — VERDICT r12's #1
+# residue: the maintained lake stored raw float vectors, so every
+# probed cell's FULL vectors were read per lookup even though the repo
+# owned both halves (in-plan IVFADC: q_ann_ivfpq_topk; lake index:
+# ST11).  Now the lake pair is codes (hot, cid-partitioned,
+# vec_id-bloomed) + raw vectors (cold, vb-clustered for point fetch),
+# and the serve is: driver-side probe -> ADC over the probed cells'
+# CODE files only -> shortlist -> exact micro-unit re-rank reading raw
+# vectors for the SHORTLIST only (lake_scan_in bloom fetch).
+#
+# Determinism splice: IVF codebook/probe from the _VIX family
+# (centroids = vec_id < 8, integer micro-unit probe), PQ codebooks/
+# encode/ADC from q_ann_pq_det (per-subspace subvectors of vec_id <
+# 16, left-associated chains, MIN(struct) argmin, ROUND(adc, 6)),
+# deletes = the ST11c set (vec_id % 7 == 3, removed from BOTH
+# tables), final ranking = the _vix_dot_chain micro-unit dot.  The
+# oracle replays every stage off the embeddings table; a wrong code,
+# torn delete, shortlist off-by-one, or fetch that missed a bloom
+# match flips membership, n_cand, or the value hash.
+#
+# 100 TB: ADC bytes ∝ codes (d*4/M shrink at rest), raw-vector bytes
+# ∝ shortlist bloom matches (inputFiles/bytes gates in
+# tests/test_pq_lake.py; SCALING r13a measures the growth law).
+# Bounded side effect per invocation (fresh tmp root, atexit-
+# reclaimed); exempt from the zero-jobs build gate as a materializing
+# round-trip.
+# ---------------------------------------------------------------------------
+_PQL_SHORT = 32
+
+
+def _pql_oracle() -> str:
+    from pyspec_spark.queries.ml import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBD,
+        _pq_dist_sql,
+    )
+
+    ctes = [
+        f"""cb AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding
+  FROM embeddings WHERE vec_id < {_VIX_K}
+)""",
+        "qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0)",
+        f"""assigned AS (
+  SELECT e.vec_id,
+         (MIN(struct_pack(d := {_vix_sq_chain('e', 'c')}, cid := c.cid))).cid AS cid
+  FROM embeddings e, cb c
+  GROUP BY e.vec_id
+)""",
+        f"""probes AS (
+  SELECT c.cid, {_vix_probe_chain('c', 'q')} AS dist_micro
+  FROM cb c, qv q
+)""",
+        f"probed AS (SELECT cid FROM probes ORDER BY dist_micro, cid "
+        f"LIMIT {_VIX_NPROBE})",
+    ]
+    for mi in range(_PQ_M):
+        lo = mi * _PQ_SUBD
+        ctes.append(
+            f"""pcb{mi} AS (
+  SELECT vec_id AS code,
+         CAST(embedding[{lo + 1}:{lo + _PQ_SUBD}] AS DOUBLE[]) AS sub
+  FROM embeddings WHERE vec_id < {_PQ_K}
+)"""
+        )
+        ctes.append(
+            f"""enc{mi} AS (
+  SELECT e.vec_id,
+         MIN(struct_pack(d := {_pq_dist_sql('e', 'c.sub', lo)},
+                         code := c.code)) AS best
+  FROM embeddings e, pcb{mi} c
+  GROUP BY e.vec_id
+)"""
+        )
+        ctes.append(
+            f"""lut{mi} AS (
+  SELECT c.code, {_pq_dist_sql('q', 'c.sub', lo)} AS ld
+  FROM pcb{mi} c, qv q
+)"""
+        )
+    ctes.append(
+        f"""cand AS (
+  SELECT a.vec_id, a.cid
+  FROM assigned a
+  WHERE a.cid IN (SELECT cid FROM probed)
+    AND a.vec_id % {_VDEL_MOD} <> {_VDEL_RESID}
+)"""
+    )
+    adc = " + ".join(f"l{mi}.ld" for mi in range(_PQ_M))
+    joins = "\n".join(
+        f"JOIN enc{mi} e{mi} ON e{mi}.vec_id = c.vec_id\n"
+        f"JOIN lut{mi} l{mi} ON l{mi}.code = (e{mi}.best).code"
+        for mi in range(_PQ_M)
+    )
+    ctes.append(
+        f"""adc AS (
+  SELECT c.vec_id, c.cid, ROUND({adc}, 6) AS adc_dist
+  FROM cand c
+  {joins}
+)"""
+    )
+    ctes.append(
+        f"short AS (SELECT vec_id, cid FROM adc "
+        f"ORDER BY adc_dist, vec_id LIMIT {_PQL_SHORT})"
+    )
+    return f"""
+WITH {','.join(ctes)}
+SELECT s.vec_id, s.cid,
+       {_vix_dot_chain('e', 'q')} AS dot_micro,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_cand
+FROM short s JOIN embeddings e USING (vec_id), qv q
+ORDER BY dot_micro DESC, s.vec_id
+LIMIT {_VIX_TOPK}
+"""
+
+
+@query("q_ann_lake_pq", oracle=_pql_oracle())
+def q_ann_lake_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.similarity import pq_codebooks_firstk_df
+    from pyspec_spark.queries.ml import _PQ_K, _PQ_M, _PQ_SUBD
+    from pyspec_spark.streaming.vectors import (
+        build_pq_lake,
+        delete_vectors_pq,
+        pq_lookup,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cb_rows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.where(F.col("vec_id") < _VIX_K).collect()
+    )
+    if not cb_rows or cb_rows[0][0] != 0:
+        return spark.createDataFrame(
+            [], "vec_id BIGINT, cid INT, dot_micro BIGINT, n_cand BIGINT"
+        )
+
+    # PQ codebooks: deterministic first-K subvectors (one bounded
+    # collect — m * K * subd doubles of index metadata)
+    pq_rows = pq_codebooks_firstk_df(
+        e, m=_PQ_M, subd=_PQ_SUBD, k=_PQ_K
+    ).collect()
+    cb = [pq_rows[0][f"cb{mi}"] for mi in range(_PQ_M)]
+
+    # build both tables, then the ST11c maintenance delete on the pair
+    root = _tmp_root("pyspec_pql_idx_")
+    build_pq_lake(spark, root, e, cb_rows, cb, m=_PQ_M, subd=_PQ_SUBD)
+    delete_vectors_pq(
+        spark,
+        root,
+        e.where(F.col("vec_id") % _VDEL_MOD == _VDEL_RESID).select("vec_id"),
+    )
+
+    # IVFADC serve: codes-only ADC shortlist, shortlist-only raw fetch
+    return pq_lookup(
+        spark,
+        root,
+        cb_rows[0][1],
+        k=_VIX_TOPK,
+        nprobe=_VIX_NPROBE,
+        shortlist=_PQL_SHORT,
+    )
+
+
+# ---------------------------------------------------------------------------
 # S3 — SPE binary source under the oracle gate (r8): the WinView frame
 # decoder (sources/spe.py), previously unit-only, made driver-checkable
 # with the q_avc_ipcm_frames closed-form trick: synthesize a 3-frame

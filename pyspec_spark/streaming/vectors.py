@@ -470,3 +470,334 @@ def vacuum_indexes(
     with open(os.path.join(base, _HISTORY_FILE), "w") as f:
         f.writelines(r + "\n" for r in kept)
     return removed
+
+
+# ---------------------------------------------------------------------------
+# L5e (r13) — PQ-coded maintained vector lake: the production IVFADC
+# layout (Jégou et al. 2011 §IV) composed with the snapshot-lake index
+# lifecycle above.  SCALING r12a proved bytes-opened is the bill at
+# scale; until now the maintained lake stored RAW float vectors and
+# every probed cell's full vectors were read per lookup.  The PQ lake
+# splits the at-rest layout in two sibling tables under one root:
+#
+# - ``root/codes``  — cid-partitioned (vec_id, cid, code0..code{m-1});
+#   the HOT path.  An ADC lookup scans only the probed cells' code
+#   files: d*4/m-times smaller than the vectors (64 floats -> 4 bytes
+#   of codes at the default geometry).
+# - ``root/vecs``   — cid-partitioned raw vectors, CLUSTERED by a
+#   fetch bucket (vb = vec_id % fetch_buckets) with vec_id blooms; the
+#   COLD path, read only to exact-re-rank the ADC shortlist.  The
+#   shortlist fetch goes through lake_scan_in (bloom + point-stats
+#   pruning per id), so raw-vector bytes are bounded by the
+#   SHORTLIST's bloom matches, never the probed cells' population.
+#
+# Both models (IVF centroids, PQ codebooks) are frozen write-once
+# index metadata persisted next to the manifests — the same contract
+# as save_centroids; re-training is a new root + publish_index.
+# Deletes (ST11c) apply copy-on-write to BOTH tables in lockstep;
+# cluster_col (S6e) composes on the codes table so a filtered lookup
+# prunes code files inside each probed cell.
+# ---------------------------------------------------------------------------
+_PQ_FILE = "pq_codebooks.json"
+_CODES_DIR = "codes"
+_VECS_DIR = "vecs"
+_VB_COL = "vb"
+
+
+def save_pq_codebooks(root: str, m: int, subd: int, cb) -> None:
+    """Persist the frozen per-subspace PQ codebooks (m lists of K
+    codewords, each ``subd`` doubles) next to the centroids.  WRITE-
+    ONCE like save_centroids: codes at rest are only decodable against
+    the codebooks that produced them, so a restart with different
+    codebooks must raise, never silently strand the cells."""
+    payload = {
+        "m": int(m),
+        "subd": int(subd),
+        "cb": [[[float(x) for x in w] for w in sub] for sub in cb],
+    }
+    path = os.path.join(root, _PQ_FILE)
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        if existing != payload:
+            raise ValueError(
+                f"index root {root} was built with different PQ "
+                "codebooks; re-training requires a NEW index root "
+                "(frozen-codebook contract)"
+            )
+        return
+    os.makedirs(root, exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(payload, f)
+
+
+def load_pq_codebooks(root: str) -> tuple[int, int, list]:
+    with open(os.path.join(root, _PQ_FILE)) as f:
+        d = json.load(f)
+    return d["m"], d["subd"], d["cb"]
+
+
+def _pq_cb_df(spark: SparkSession, cb) -> DataFrame:
+    """Reconstruct the 1-row codebook frame pq_encode_df/ADC expect
+    from the persisted nested lists (JSON round-trips doubles exactly,
+    so the rebuilt plan is bit-identical to the build-time one)."""
+    schema = ", ".join(
+        f"cb{mi} ARRAY<ARRAY<DOUBLE>>" for mi in range(len(cb))
+    )
+    return spark.createDataFrame([tuple(cb)], schema)
+
+
+def _micro_sqdist(a, b) -> int:
+    """Integer micro-unit squared distance (per-element ROUND(t*1e6)
+    then an order-free integer sum) — the exact driver-side replay of
+    the oracle's probe chain; squares are non-negative so HALF_UP is
+    the simple +0.5 floor."""
+    tot = 0
+    for x, y in zip(a, b):
+        t = (float(x) - float(y)) * (float(x) - float(y)) * 1e6
+        tot += int(t + 0.5)
+    return tot
+
+
+def probe_cells(root: str, query_vec, nprobe: int) -> list[int]:
+    """Rank the frozen centroids against the query driver-side (index
+    metadata, not a Spark job) in integer micro-units with the
+    lowest-cid tiebreak; return the nprobe winning cids."""
+    cids, C = load_centroids(root)
+    q = [float(x) for x in query_vec]
+    scored = sorted(
+        (_micro_sqdist([float(v) for v in C[i]], q), int(cids[i]))
+        for i in range(len(cids))
+    )
+    return [cid for _, cid in scored[: max(1, nprobe)]]
+
+
+def build_pq_lake(
+    spark: SparkSession,
+    root: str,
+    emb: DataFrame,
+    cents,
+    cb,
+    m: int = 4,
+    subd: int = 16,
+    fetch_buckets: int = 8,
+    cluster_col: str | None = None,
+) -> tuple[int, int]:
+    """Batch build of the PQ index pair: assign cells map-side, encode
+    map-side (broadcast codebook argmin — no shuffle), commit codes
+    and raw vectors as two lockstep snapshots.  ``cluster_col`` (a
+    metadata column of ``emb``) clusters the CODES files inside each
+    cell so filtered lookups prune at the file level (S6e).  Returns
+    (codes_version, vecs_version)."""
+    from pyspec_spark.lake import lake_append
+    from pyspec_spark.operators.similarity import pq_encode_df
+
+    codebook = _codebook_rows(cents)
+    save_centroids(root, codebook)
+    save_pq_codebooks(root, m, subd, cb)
+    cb_df = _pq_cb_df(spark, cb)
+    keep = (cluster_col,) if cluster_col else ()
+    assigned = assign_cells(emb, codebook, keep_cols=keep)
+    codes = pq_encode_df(
+        assigned, cb_df, m=m, subd=subd, keep_cols=("cid",) + keep
+    )
+    v1 = lake_append(
+        spark, os.path.join(root, _CODES_DIR), codes,
+        partition_col="cid", bloom_cols=["vec_id"], cluster_col=cluster_col,
+    )
+    vecs = assigned.select("vec_id", "embedding", "cid").withColumn(
+        _VB_COL, F.pmod("vec_id", F.lit(int(fetch_buckets))).cast("int")
+    )
+    v2 = lake_append(
+        spark, os.path.join(root, _VECS_DIR), vecs,
+        partition_col="cid", bloom_cols=["vec_id"], cluster_col=_VB_COL,
+    )
+    return v1, v2
+
+
+def index_to_lake_pq(
+    stream: DataFrame,
+    spark: SparkSession,
+    root: str,
+    cents,
+    cb,
+    m: int = 4,
+    subd: int = 16,
+    checkpoint: str | None = None,
+    query_name: str = "vec_index_pq",
+    fetch_buckets: int = 8,
+    cluster_col: str | None = None,
+) -> None:
+    """Streaming twin of build_pq_lake: each micro-batch is assigned,
+    encoded, and appended to BOTH tables exactly once (per-table
+    manifest watermark — a crash between the two appends replays the
+    batch, the codes table skips at its watermark, the vecs table
+    commits; the pair re-converges without double rows).  Blocks until
+    the availableNow trigger drains."""
+    from pyspec_spark.lake import lake_append_stream
+    from pyspec_spark.operators.similarity import pq_encode_df
+
+    codebook = _codebook_rows(cents)
+    save_centroids(root, codebook)
+    save_pq_codebooks(root, m, subd, cb)
+    cb_df = _pq_cb_df(spark, cb)
+    codes_root = os.path.join(root, _CODES_DIR)
+    vecs_root = os.path.join(root, _VECS_DIR)
+    keep = (cluster_col,) if cluster_col else ()
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = assign_cells(batch_df, codebook, keep_cols=keep)
+        codes = pq_encode_df(
+            assigned, cb_df, m=m, subd=subd, keep_cols=("cid",) + keep
+        )
+        lake_append_stream(
+            spark, codes_root, codes, "cid", query_name, batch_id,
+            bloom_cols=["vec_id"], cluster_col=cluster_col,
+        )
+        vecs = assigned.select("vec_id", "embedding", "cid").withColumn(
+            _VB_COL, F.pmod("vec_id", F.lit(int(fetch_buckets))).cast("int")
+        )
+        lake_append_stream(
+            spark, vecs_root, vecs, "cid", query_name, batch_id,
+            bloom_cols=["vec_id"], cluster_col=_VB_COL,
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+
+
+def delete_vectors_pq(
+    spark: SparkSession, root: str, vec_ids: DataFrame
+) -> tuple[int, int]:
+    """ST11c over the PQ pair: copy-on-write delete from BOTH tables
+    (codes first — a reader between the two commits can shortlist a
+    just-deleted id, but the fetch re-applies the id filter against
+    the vecs snapshot it reads, so the row vanishes from results as
+    soon as the second commit lands; no torn state survives).  The
+    clustered layouts (cluster_col on codes, the vb fetch bucket on
+    vecs) are preserved by lake_delete's rewrite.  Returns the two new
+    versions."""
+    from pyspec_spark.lake import lake_delete
+
+    ids = vec_ids.select("vec_id")
+    v1 = lake_delete(
+        spark, os.path.join(root, _CODES_DIR), ids, key="vec_id",
+        partition_col="cid", bloom_cols=["vec_id"],
+    )
+    v2 = lake_delete(
+        spark, os.path.join(root, _VECS_DIR), ids, key="vec_id",
+        partition_col="cid", bloom_cols=["vec_id"],
+    )
+    return v1, v2
+
+
+def pq_lookup(
+    spark: SparkSession,
+    root: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 64,
+    where: list | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVFADC serve over the maintained PQ lake: probe nprobe cells
+    driver-side, ADC-score ONLY the probed cells' code files (LUT =
+    one broadcast row built from the persisted codebooks — the scan
+    never touches a float vector), take the ``shortlist`` best by
+    (rounded ADC, vec_id), then exact-re-rank in integer micro-unit
+    dot products reading raw vectors for the SHORTLIST ONLY
+    (lake_scan_in: vec_id blooms + vb point stats bound the files
+    opened by the shortlist, not the cells).
+
+    ``where`` composes extra codes-table predicates with the cell
+    probe — PRE-filtering semantics (L5d): candidates are restricted
+    BEFORE the shortlist, so a selective filter still returns k true
+    matches; on a cluster_col codes table the predicate prunes files
+    inside each probed cell.
+
+    n_cand (the pre-filter witness) is a 1-row count aggregate
+    broadcast-cross-joined (never a global window).  The shortlist
+    collect is bounded by ``shortlist`` by construction — the k-row
+    codebook-bootstrap class, not a corpus read.  Returns
+    (vec_id, cid, dot_micro, n_cand) — deterministic under the _VIX
+    micro-unit discipline, replayable in SQL."""
+    from pyspec_spark.functions.determinism import _fixed6
+    from pyspec_spark.lake import lake_scan, lake_scan_in, latest_version
+    from pyspec_spark.operators.similarity import _pq_subdist
+
+    m, subd, cb = load_pq_codebooks(root)
+    q = [float(x) for x in query_vec]
+    probe = probe_cells(root, q, nprobe)
+    codes_root = os.path.join(root, _CODES_DIR)
+    vecs_root = os.path.join(root, _VECS_DIR)
+
+    vc = latest_version(codes_root)
+    parts = [
+        lake_scan(
+            spark, codes_root, [("cid", "=", cid)] + list(where or []),
+            version=vc,
+        )
+        for cid in probe
+    ]
+    cand = parts[0]
+    for p in parts[1:]:
+        cand = cand.unionByName(p)
+
+    qlit = F.array(*[F.lit(x) for x in q])
+    cb_df = _pq_cb_df(spark, cb)
+
+    def lut_fn(off):
+        def fn(c):
+            return _pq_subdist(qlit, c, off, subd)
+
+        return fn
+
+    lut_row = cb_df.select(
+        *[
+            F.transform(F.col(f"cb{mi}"), lut_fn(mi * subd)).alias(
+                f"lut{mi}"
+            )
+            for mi in range(m)
+        ]
+    )
+    adc = None
+    for mi in range(m):
+        t = F.element_at(F.col(f"lut{mi}"), F.col(f"code{mi}") + 1)
+        adc = t if adc is None else adc + t
+    adc = F.round(adc, round_digits)
+
+    n_cand = cand.agg(F.count("*").alias("n_cand"))
+    short = (
+        cand.crossJoin(F.broadcast(lut_row))
+        .select("vec_id", "cid", adc.alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(shortlist)
+    )
+    rows = short.collect()  # bounded by `shortlist` by construction
+    if not rows:
+        return spark.createDataFrame(
+            [], "vec_id BIGINT, cid INT, dot_micro BIGINT, n_cand BIGINT"
+        )
+    ids = [int(r["vec_id"]) for r in rows]
+
+    fetched = lake_scan_in(
+        spark, vecs_root, [("vec_id", ids), ("cid", probe)]
+    )
+    dot_micro = F.aggregate(
+        F.zip_with("embedding", qlit, lambda a, b: a.cast("double") * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + _fixed6(x),
+    )
+    return (
+        fetched.select(
+            "vec_id", F.col("cid").cast("int").alias("cid"),
+            dot_micro.alias("dot_micro"),
+        )
+        .crossJoin(F.broadcast(n_cand))
+        .orderBy(F.desc("dot_micro"), "vec_id")
+        .limit(k)
+    )

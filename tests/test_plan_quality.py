@@ -1116,6 +1116,40 @@ def test_vix_probe_no_single_partition_window(spark, tmp_path):
             assert "Keys: []" in ctx, ctx
 
 
+def test_pq_lookup_serve_plan_gate(spark, tmp_path):
+    """L5e (r13): the PQ-lake serve's returned plan must be a
+    TakeOrdered over the bloom-pruned fetch with n_cand as the 1-row
+    broadcast aggregate — no Window, no SinglePartition exchange
+    except the bounded "Keys: []" aggregate shape (the _VIX gate,
+    applied to the IVFADC tail)."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.similarity import pq_codebooks_firstk_df
+    from pyspec_spark.streaming.vectors import build_pq_lake, pq_lookup
+    from pyspec_spark.tables import table
+
+    emb = table(spark, SF, "embeddings").select("vec_id", "embedding")
+    cb_rows = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.where(F.col("vec_id") < 8).collect()
+    )
+    pq = pq_codebooks_firstk_df(emb, m=4, subd=16, k=16).collect()[0]
+    cb = [pq[f"cb{mi}"] for mi in range(4)]
+    root = str(tmp_path / "pq_gate_lake")
+    build_pq_lake(spark, root, emb, cb_rows, cb, m=4, subd=16)
+
+    p = physical_plan(
+        pq_lookup(spark, root, cb_rows[0][1], k=5, nprobe=2, shortlist=16)
+    )
+    assert has_take_ordered(p), p[:3000]
+    assert "Window" not in p, p[:3000]
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "SinglePartition" in ln:
+            ctx = "\n".join(lines[max(0, i - 8) : i + 1])
+            assert "Keys: []" in ctx, ctx
+
+
 def test_ntile_exact_matches_sql_ntile_semantics(spark):
     """Closed-form remainder distribution == F.ntile for every (n, k)
     shape class: n % k == 0, n % k != 0, n < k, n == 1 — pinned
