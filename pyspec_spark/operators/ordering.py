@@ -99,6 +99,45 @@ def write_train_shards(
     )
 
 
+def extend_train_shards(
+    ordered: DataFrame, path: str, shard_size: int
+) -> None:
+    """Append a mix VERSION's extension rows (L46d) — ``pos`` already
+    offset past the consumed history — without touching any existing
+    file: new files land only under the shard dirs the extension
+    reaches (the boundary shard gains a second file whose rows sort
+    after the existing ones by pos_in_shard; every earlier shard stays
+    byte-identical — the consumed-prefix invariance a resumable
+    training run needs).  Same one-repartition write as
+    write_train_shards."""
+    cols = [c for c in ("shard", "pos_in_shard") if c in ordered.columns]
+    (
+        assign_train_shards(ordered.drop(*cols), shard_size)
+        .repartition(F.col("shard"))
+        .sortWithinPartitions("pos_in_shard")
+        .write.partitionBy("shard")
+        .mode("append")
+        .parquet(path)
+    )
+
+
+def resume_train_shards(
+    spark, path: str, shard: int, pos_in_shard: int
+) -> DataFrame:
+    """Resume-from-(shard, pos): the exact unconsumed suffix of a
+    materialized training order — every row strictly after the given
+    coordinate, in order.  The shard predicate prunes partitions, so a
+    resume deep into the run opens only the remaining shard dirs."""
+    df = spark.read.parquet(path).where(
+        (F.col("shard") > int(shard))
+        | (
+            (F.col("shard") == int(shard))
+            & (F.col("pos_in_shard") > int(pos_in_shard))
+        )
+    )
+    return df.orderBy("shard", "pos_in_shard")
+
+
 def read_train_shards(
     spark, path: str, shards: list[int] | None = None
 ) -> DataFrame:

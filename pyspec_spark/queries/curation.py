@@ -1549,24 +1549,55 @@ ORDER BY pos
 """
 
 
-def _replicate_order_shard(
-    docs: DataFrame, alloc_micro: DataFrame, salt: str, seed: str
-) -> DataFrame:
-    """The shared L46 tail — ONE definition so the draw, tie-break,
-    and shard discipline cannot drift between the two declared mixes
-    (q_train_mix and q_train_mix_curated differ only in input frame
-    and salt+seed): fractional-epoch replication off a broadcast
-    (source, _em) micro-epoch allocation (each doc emits
-    _em//1e6 copies plus one more when its content-keyed md5 draw
-    lands under _em%1e6 — integer compares only), then the seeded
-    two-level global order over the REPLICATED stream (replica index
-    inside the md5 order key so copies scatter), then fixed-size shard
-    coordinates."""
-    from pyspec_spark.operators.ordering import (
-        assign_train_shards,
-        global_order_index,
+def _alloc_micro_over(docs_tok: DataFrame) -> DataFrame:
+    """(source, _em) micro-epoch allocation over an arbitrary per-doc
+    (source, n_tokens) corpus slice — the L16b/L16c arithmetic (sqrt
+    temperature weight, exact decimal weight total, 4x-token budget,
+    RMAX cap, 6-dp pins) parameterized by the input frame, so the
+    versioned mix (L46d) computes its base and full allocations, and
+    the curated mix its kept-mass allocation, from ONE definition.
+    Broadcast-sized output (|sources| rows)."""
+    s = docs_tok.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    w = s.withColumn(
+        "weight", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+    )
+    twt = w.agg(
+        F.sum(F.col("weight").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("tw")
+    )
+    mix = w.crossJoin(F.broadcast(twt)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("weight") / F.col("tw"), 6).alias("mix_p"),
+    )
+    tot = mix.agg(F.sum("n_tokens").cast("bigint").alias("t"))
+    b = (F.lit(4) * F.col("t")).cast("double")
+    epochs = F.round(
+        F.least(
+            b * F.col("mix_p") / F.col("n_tokens"),
+            F.lit(float(_EPOCH_RMAX)),
+        ),
+        6,
+    )
+    return mix.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.round(epochs * _TMIX_MICRO, 0).cast("bigint").alias("_em"),
     )
 
+
+def _replicate_copies(
+    docs: DataFrame, alloc_micro: DataFrame, salt: str
+) -> DataFrame:
+    """Fractional-epoch replication off a broadcast (source, _em)
+    micro-epoch allocation: each doc emits _em//1e6 copies plus one
+    more when its content-keyed md5 draw lands under _em%1e6 (integer
+    compares only — no double threshold).  Map-side explode: each row
+    carries its own copy count, no join-back, no skew.  Returns
+    (doc_id, source, replica, _rid) with _rid = 'doc_id#replica', the
+    order key the seeded shuffle hashes so copies scatter."""
     draw = (
         F.conv(
             F.substring(
@@ -1601,7 +1632,7 @@ def _replicate_order_shard(
             ).otherwise(F.array().cast("array<int>"))
         ).alias("replica"),
     )
-    keyed = copies.withColumn(
+    return copies.withColumn(
         "_rid",
         F.concat(
             F.col("doc_id").cast("string"),
@@ -1609,6 +1640,25 @@ def _replicate_order_shard(
             F.col("replica").cast("string"),
         ),
     )
+
+
+def _replicate_order_shard(
+    docs: DataFrame, alloc_micro: DataFrame, salt: str, seed: str
+) -> DataFrame:
+    """The shared L46 tail — ONE definition so the draw, tie-break,
+    and shard discipline cannot drift between the declared mixes
+    (q_train_mix / q_train_mix_curated / the L46d delta extension
+    differ only in input frame, salt+seed, and position offset):
+    fractional-epoch replication (_replicate_copies), the seeded
+    two-level global order over the REPLICATED stream (replica index
+    inside the md5 order key so copies scatter), then fixed-size shard
+    coordinates."""
+    from pyspec_spark.operators.ordering import (
+        assign_train_shards,
+        global_order_index,
+    )
+
+    keyed = _replicate_copies(docs, alloc_micro, salt)
     ordered = global_order_index(keyed, "_rid", seed=seed)
     return (
         assign_train_shards(ordered, _TMIX_SHARD)
@@ -1742,35 +1792,7 @@ def q_train_mix_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "n_tokens"
         ),
     )
-    s = kept.groupBy("source").agg(
-        F.sum("n_tokens").cast("bigint").alias("n_tokens")
-    )
-    w = s.withColumn(
-        "weight", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
-    )
-    twt = w.agg(
-        F.sum(F.col("weight").cast("decimal(18,6)"))
-        .cast("double")
-        .alias("tw")
-    )
-    mix = w.crossJoin(F.broadcast(twt)).select(
-        "source",
-        "n_tokens",
-        F.round(F.col("weight") / F.col("tw"), 6).alias("mix_p"),
-    )
-    tot = mix.agg(F.sum("n_tokens").cast("bigint").alias("t"))
-    b = (F.lit(4) * F.col("t")).cast("double")
-    epochs = F.round(
-        F.least(
-            b * F.col("mix_p") / F.col("n_tokens"),
-            F.lit(float(_EPOCH_RMAX)),
-        ),
-        6,
-    )
-    alloc = mix.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.round(epochs * _TMIX_MICRO, 0).cast("bigint").alias("_em"),
-    )
+    alloc = _alloc_micro_over(kept)
     return _replicate_order_shard(kept, alloc, _TMIXC_SALT, _TMIXC_SEED)
 
 
@@ -1846,3 +1868,231 @@ def q_mix_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# L46d — VERSIONED / INCREMENTAL training mix (r13): every other
+# maintained artifact has a delta path (rollup ST8b, term index
+# L40d/e, vector lake ST11/ST11c) — the mix was rebuild-only, so a
+# corpus delta reshuffled the shard set wholesale and a resumable
+# training run lost its dataset version.  The versioned contract:
+#
+# - mix VERSION v+1 = version v's rows UNCHANGED (byte-identical
+#   shard files — pinned in tests/test_mix_delta.py) + an EXTENSION:
+#   the delta docs replicated under the NEW allocation (computed over
+#   the full post-delta corpus — "the same allocation discipline"),
+#   ordered among THEMSELVES by the two-level rank under a seed that
+#   carries the version, positioned AFTER the consumed history
+#   (pos = |version v| + delta-rank), filling the tail of the last
+#   partial shard and then new shards.
+# - history is never re-replicated: sources whose epoch counts moved
+#   between the two allocations are REPORTED (q_mix_alloc_drift), not
+#   silently reshuffled — the operator decides when drift warrants a
+#   full mix rebuild (a new mix lineage), exactly like index retrain.
+#
+# q_train_mix_delta returns the EXTENSION rows; the oracle replays
+# both allocations (base corpus for the offset, full corpus for the
+# delta's epochs), the base replication COUNT (the offset needs no
+# base ordering — position count is order-free), the delta
+# replication, and the version-seeded rank in one statement.  The
+# delta split is doc_id % 4 == 3 (a late-landing crawl slice).
+#
+# 100 TB posture: both allocations are |sources|-row broadcasts; the
+# base pass is a map-side replicate + count (no ordering, no
+# shuffle beyond one agg); the extension pays the L46 machinery over
+# the DELTA only — incremental cost ∝ delta, never corpus.
+# ---------------------------------------------------------------------------
+_TMIXD_MOD, _TMIXD_RESID = 4, 3
+_TMIXD_SEED = "r13mixd#v2"  # the order seed CARRIES the version
+
+
+def _alloc_micro_sql(docs_cte: str, tag: str) -> str:
+    """The L16b/L16c allocation as CTE text over an arbitrary per-doc
+    (doc_id, source, n_tok) CTE — the SQL face of _alloc_micro_over,
+    emitted twice (base + full) by the L46d oracles."""
+    return f"""s{tag} AS (
+  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM {docs_cte} GROUP BY source
+),
+w{tag} AS (
+  SELECT source, n_tokens,
+         ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6) AS weight
+  FROM s{tag}
+),
+x{tag} AS (
+  SELECT CAST(SUM(CAST(weight AS DECIMAL(18,6))) AS DOUBLE) AS tw
+  FROM w{tag}
+),
+m{tag} AS (
+  SELECT source, n_tokens, ROUND(weight / tw, 6) AS mix_p
+  FROM w{tag}, x{tag}
+),
+t{tag} AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS t FROM m{tag}),
+a{tag} AS (
+  SELECT source,
+         CAST(ROUND(ROUND(LEAST(CAST(4 * t AS DOUBLE) * mix_p / n_tokens,
+                                CAST({_EPOCH_RMAX} AS DOUBLE)), 6)
+                    * {_TMIX_MICRO}) AS BIGINT) AS _em
+  FROM m{tag}, t{tag}
+)"""
+
+
+_TMIXD_DRAW = (
+    "('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#epoch'), 1, 8))"
+    f"::BIGINT % {_TMIX_MICRO}"
+)
+
+
+def _train_mix_delta_oracle() -> str:
+    return f"""
+WITH dall AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+dbase AS (SELECT * FROM dall WHERE doc_id % {_TMIXD_MOD} <> {_TMIXD_RESID}),
+ddelta AS (SELECT * FROM dall WHERE doc_id % {_TMIXD_MOD} = {_TMIXD_RESID}),
+{_alloc_micro_sql('dbase', '1')},
+{_alloc_micro_sql('dall', '2')},
+nbase AS (
+  SELECT CAST(COALESCE(SUM(
+           a._em // {_TMIX_MICRO}
+           + CASE WHEN {_TMIXD_DRAW} < a._em % {_TMIX_MICRO}
+                  THEN 1 ELSE 0 END), 0) AS BIGINT) AS nb
+  FROM dbase d JOIN a1 a USING (source)
+),
+rep AS (
+  SELECT d.doc_id, d.source,
+         a._em // {_TMIX_MICRO}
+         + CASE WHEN {_TMIXD_DRAW} < a._em % {_TMIX_MICRO}
+                THEN 1 ELSE 0 END AS n_copies
+  FROM ddelta d JOIN a2 a USING (source)
+),
+copies AS (
+  SELECT doc_id, source,
+         CAST(unnest(range(1, n_copies + 1)) AS INT) AS replica
+  FROM rep
+),
+k2 AS (
+  SELECT doc_id, source, replica,
+         CAST(doc_id AS VARCHAR) || '#' || CAST(replica AS VARCHAR) AS rid
+  FROM copies
+),
+o AS (
+  SELECT doc_id, source, replica,
+         CAST(ROW_NUMBER() OVER (ORDER BY md5('{_TMIXD_SEED}' || rid), rid)
+              - 1 AS BIGINT) AS dpos
+  FROM k2
+)
+SELECT doc_id, replica, source,
+       CAST(dpos + nb AS BIGINT) AS pos,
+       CAST((dpos + nb) // {_TMIX_SHARD} AS BIGINT) AS shard,
+       CAST((dpos + nb) % {_TMIX_SHARD} AS BIGINT) AS pos_in_shard
+FROM o, nbase
+ORDER BY pos
+"""
+
+
+@query("q_train_mix_delta", oracle=_train_mix_delta_oracle())
+def q_train_mix_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.ordering import _idiv, global_order_index
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_toks()).alias("n_tokens")
+    )
+    split = F.pmod("doc_id", F.lit(_TMIXD_MOD))
+    base = d.where(split != _TMIXD_RESID)
+    delta = d.where(split == _TMIXD_RESID)
+
+    # the offset: |version v| = the base corpus's replicated row count
+    # under ITS OWN allocation — order-free (one map-side explode +
+    # 1-row count; no base ordering work is ever redone)
+    nb = _replicate_copies(base, _alloc_micro_over(base), "#epoch").agg(
+        F.count("*").cast("bigint").alias("_nb")
+    )
+
+    # the extension: delta docs under the FULL-corpus allocation,
+    # version-seeded two-level rank among themselves
+    keyed = _replicate_copies(delta, _alloc_micro_over(d), "#epoch")
+    ordered = global_order_index(keyed, "_rid", seed=_TMIXD_SEED)
+    gpos = (F.col("pos") + F.col("_nb")).cast("long")
+    return (
+        ordered.crossJoin(F.broadcast(nb))
+        .select(
+            "doc_id",
+            "replica",
+            "source",
+            gpos.alias("pos"),
+            _idiv(gpos, F.lit(_TMIX_SHARD)).alias("shard"),
+            F.pmod(gpos, F.lit(_TMIX_SHARD)).cast("long").alias(
+                "pos_in_shard"
+            ),
+        )
+        .orderBy("pos")
+    )
+
+
+def _mix_alloc_drift_oracle() -> str:
+    return f"""
+WITH dall AS (
+  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+  FROM documents
+),
+dbase AS (SELECT * FROM dall WHERE doc_id % {_TMIXD_MOD} <> {_TMIXD_RESID}),
+{_alloc_micro_sql('dbase', '1')},
+{_alloc_micro_sql('dall', '2')}
+SELECT COALESCE(b.source, f.source) AS source,
+       CAST(COALESCE(b._em, 0) AS BIGINT) AS em_base,
+       CAST(COALESCE(f._em, 0) AS BIGINT) AS em_full,
+       CAST(COALESCE(f._em, 0) - COALESCE(b._em, 0) AS BIGINT)
+         AS drift_micro,
+       b.source IS NULL AS is_new
+FROM a1 b FULL OUTER JOIN a2 f ON b.source = f.source
+ORDER BY source
+"""
+
+
+@query("q_mix_alloc_drift", oracle=_mix_alloc_drift_oracle())
+def q_mix_alloc_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The L46d drift report: per source, the micro-epoch allocation
+    before and after the delta landed, the signed drift, and whether
+    the source is NEW in the delta — what the operator reads to decide
+    between extending the mix (history under the old epochs is close
+    enough) and cutting a fresh mix lineage.  Two broadcast-sized
+    allocations full-outer-joined; no corpus-sized work."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(_toks()).alias("n_tokens")
+    )
+    base = d.where(F.pmod("doc_id", F.lit(_TMIXD_MOD)) != _TMIXD_RESID)
+    a1 = _alloc_micro_over(base).withColumnRenamed("_em", "em_base")
+    a2 = _alloc_micro_over(d).withColumnRenamed("_em", "em_full")
+    j = a1.join(a2, "source", "full_outer")
+    eb = F.coalesce("em_base", F.lit(0)).cast("bigint")
+    ef = F.coalesce("em_full", F.lit(0)).cast("bigint")
+    return j.select(
+        "source",
+        eb.alias("em_base"),
+        ef.alias("em_full"),
+        (ef - eb).alias("drift_micro"),
+        F.col("em_base").isNull().alias("is_new"),
+    ).orderBy("source")
+
+
+def train_mix_epoch(
+    docs: DataFrame,
+    alloc_micro: DataFrame,
+    salt: str,
+    seed: str,
+    epoch: int,
+) -> DataFrame:
+    """The per-epoch re-shuffle face (L46 consumption, r13): epoch e
+    of a training run is the SAME replicated multiset (identical
+    allocation, identical salt -> identical fractional draws — the
+    replication is never re-drawn) re-ordered under seed‖e.  Epoch 0
+    IS the declared mix order (seed unchanged, so epoch-0 ==
+    q_train_mix exactly — pinned in tests/test_mix_delta.py); later
+    epochs are distinct permutations of the same multiset with the
+    same shard-size layout.  Cost per epoch = one two-level rank +
+    shard write; the replication explode re-runs map-side (cheaper
+    than storing an extra copy of the multiset)."""
+    eseed = seed if epoch == 0 else f"{seed}#e{int(epoch)}"
+    return _replicate_order_shard(docs, alloc_micro, salt, eseed)

@@ -966,16 +966,18 @@ def test_train_order_window_is_bucket_partitioned(spark):
     assert "hashpartitioning(_bucket" in plan, plan[:2000]
 
 
-@pytest.mark.parametrize("name", ["q_train_mix", "q_train_mix_curated"])
+@pytest.mark.parametrize(
+    "name", ["q_train_mix", "q_train_mix_curated", "q_train_mix_delta"]
+)
 def test_train_mix_window_is_bucket_partitioned(spark, name):
-    """L46/L46b: the replicated-stream ranking window must be
+    """L46/L46b/L46d: the replicated-stream ranking window must be
     partitioned by the 256 md5-prefix buckets exactly like L45 —
-    neither replication nor the curation front-end may smuggle the
-    naive single-funnel ROW_NUMBER back in.  The only SinglePartition
-    exchanges allowed are the bounded bucket-offset prefix sum, 1-row
-    aggregate shapes, and (curated only) the L44 audit's per-source
-    budget-cumsum window, which is source-keyed (hashpartitioning),
-    never SinglePartition."""
+    neither replication, the curation front-end, nor the delta
+    extension may smuggle the naive single-funnel ROW_NUMBER back in.
+    The only SinglePartition exchanges allowed are the bounded
+    bucket-offset prefix sum, 1-row aggregate shapes, and (curated
+    only) the L44 audit's per-source budget-cumsum window, which is
+    source-keyed (hashpartitioning), never SinglePartition."""
     plan = _plan(spark, name)
     assert "hashpartitioning(_bucket" in plan, plan[:2000]
     lines = plan.splitlines()
