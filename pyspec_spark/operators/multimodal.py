@@ -692,6 +692,96 @@ def image_phash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, PHASH_SCHEMA)
 
 
+def make_video_phash_media(
+    spark: SparkSession,
+    n_base: int = 6,
+    frames: int = 8,
+    width: int = 64,
+    height: int = 48,
+) -> DataFrame:
+    """Video near-dup media (L37b): n_base deterministic synth CLIPS,
+    each present TWICE — media 2i a quality-92 4:4:4 MJPEG-MP4, media
+    2i+1 a quality-30 4:2:0 re-encode of the SAME frames (two uploads
+    of one video through different encoders: the payloads share no
+    bytes, text/byte dedup sees nothing).  Planted truth = exactly the
+    (2i, 2i+1) pairs; distinct clips inherit the image fixture's
+    >= 10-bit per-frame margins (same synth_image family at the same
+    geometry — pinned in tests/test_video_phash.py)."""
+    from pyspec_spark.operators.jpeg import encode_jpeg
+    from pyspec_spark.operators.mp4 import make_mjpeg_mp4
+
+    rows = []
+    for i in range(n_base):
+        for j, (q, sub) in enumerate(((92, "444"), (30, "420"))):
+            jpegs = [
+                encode_jpeg(
+                    synth_image(i, f, width, height),
+                    quality=q,
+                    subsampling=sub,
+                )
+                for f in range(frames)
+            ]
+            payload = make_mjpeg_mp4(jpegs, width, height, fps=24.0)
+            rows.append(
+                (
+                    2 * i + j, "video", "mp4", width, height, frames,
+                    bytearray(payload),
+                )
+            )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+VIDEO_PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def video_phash(media: DataFrame, sample_every: int = 4) -> DataFrame:
+    """Frame-sampled perceptual signature of a video column (L37b):
+    demux ONLY frames 0, s, 2s, … through the real stsz/stco sample
+    tables (extract_mp4_samples seeks by offset arithmetic — the
+    skipped samples are never sliced out of the payload, the frame-
+    sample analog of column pruning), decode each sampled JPEG
+    executor-side, pHash the pixels.  Only (media_id, frame_idx,
+    8-byte hash) rows leave the batch — a clip's signature is
+    ceil(n_frames/s) longs regardless of payload size, so the dedup
+    join downstream shuffles signatures, never video bytes."""
+    from pyspec_spark.operators.jpeg import decode_jpeg_one
+    from pyspec_spark.operators.mp4 import extract_mp4_samples
+    from pyspec_spark.operators.phash import phash64
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                if r["codec"] != "mp4":
+                    continue
+                idxs = list(
+                    range(0, int(r["n_frames"]), max(1, sample_every))
+                )
+                _, samples = extract_mp4_samples(
+                    bytes(r["payload"]), idxs
+                )
+                for fi, sm in zip(idxs, samples):
+                    img, _ = decode_jpeg_one(sm, 0)
+                    out.append(
+                        {
+                            "media_id": int(r["media_id"]),
+                            "frame_idx": int(fi),
+                            "phash": phash64(img),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in VIDEO_PHASH_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(run, VIDEO_PHASH_SCHEMA)
+
+
 def synth_melody(media_id: int, n_notes: int = 8, note_len: int = 2000,
                  rate: int = 16000) -> np.ndarray:
     """Deterministic int16 test melody: n_notes segments, each a

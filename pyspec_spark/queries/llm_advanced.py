@@ -1602,6 +1602,113 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L37b VIDEO perceptual near-dup (r13) — the last uncovered media type
+# of the L2 dedup family: two re-encodes of the same CLIP share no
+# bytes (different quality + subsampling through different encoders),
+# so byte/minhash dedup sees nothing; a frame-sampled pHash signature
+# does.  Composition of two oracle-green pieces: the mp4 demuxer's
+# seek-by-sample-table (operators/mp4.py — only frames 0,2,4,6 are
+# ever sliced out of the payload) and the L37 image pHash
+# (operators/phash.py), emitted as (media_id, frame_idx, phash) rows —
+# a clip's signature is 4 longs regardless of payload size.
+#
+# Distance = TOTAL Hamming over the aligned sampled frames.  The media
+# table plants the truth (make_video_phash_media: 6 synth clips, each
+# a q92 4:4:4 and a q30 4:2:0 MJPEG-MP4): re-encode pairs total <= 14,
+# distinct clips >= 28 (margins pinned in tests/test_video_phash.py),
+# so tau = 20 recovers exactly the (2i, 2i+1) pairs.
+#
+# Banding recall is GUARANTEED, not probabilistic: total <= 20 over 4
+# frames means SOME frame is <= 5 < 8 bits, and by pigeonhole a
+# <= 7-bit frame pair agrees on one of its 8 8-bit bands — so banding
+# per (frame_idx, band) finds every pair under the threshold.  The
+# exact total-Hamming check runs only on band collisions; no all-pairs
+# path exists (plan-gated: no cartesian).  Oracle = the equivalent
+# exact form over the committed golden signature table, reproduced
+# from the live mux+demux+decode+hash chain by the pytest.
+# ---------------------------------------------------------------------------
+_VPHASH_GOLDEN = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "fixtures", "video_phash_golden.parquet",
+)
+_VPHASH_TAU_SUM = 20
+_VPHASH_BANDS = 8
+
+_VPHASH_ORACLE = f"""
+WITH g AS (
+  SELECT media_id, frame_idx, phash
+  FROM read_parquet('{_VPHASH_GOLDEN}')
+)
+SELECT a.media_id AS media_a, c.media_id AS media_b,
+       CAST(SUM(bit_count(xor(a.phash, c.phash))) AS BIGINT) AS ham_total
+FROM g a
+JOIN g c ON a.media_id < c.media_id AND a.frame_idx = c.frame_idx
+GROUP BY 1, 2
+HAVING SUM(bit_count(xor(a.phash, c.phash))) <= {_VPHASH_TAU_SUM}
+ORDER BY media_a, media_b
+"""
+
+
+@query("q_video_phash_dedup", oracle=_VPHASH_ORACLE)
+def q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.multimodal import (
+        make_video_phash_media,
+        video_phash,
+    )
+
+    sig = video_phash(
+        make_video_phash_media(spark, n_base=6), sample_every=2
+    )
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("phash"), 8 * b).bitwiseAND(F.lit(255))
+            for b in range(_VPHASH_BANDS)
+        ]
+    )
+    e = sig.select(
+        "media_id", "frame_idx", "phash",
+        F.posexplode(band_vals).alias("b", "v"),
+    )
+    cand = (
+        e.alias("a")
+        .join(
+            e.alias("c"),
+            (F.col("a.frame_idx") == F.col("c.frame_idx"))
+            & (F.col("a.b") == F.col("c.b"))
+            & (F.col("a.v") == F.col("c.v"))
+            & (F.col("a.media_id") < F.col("c.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("c.media_id").alias("media_b"),
+        )
+        .distinct()
+    )
+    # exact total-Hamming over the aligned signatures, candidates only
+    pair = (
+        cand.join(sig.alias("sa"), F.col("media_a") == F.col("sa.media_id"))
+        .join(
+            sig.alias("sc"),
+            (F.col("media_b") == F.col("sc.media_id"))
+            & (F.col("sa.frame_idx") == F.col("sc.frame_idx")),
+        )
+        .select(
+            "media_a",
+            "media_b",
+            F.bit_count(
+                F.col("sa.phash").bitwiseXOR(F.col("sc.phash"))
+            ).alias("d"),
+        )
+    )
+    return (
+        pair.groupBy("media_a", "media_b")
+        .agg(F.sum("d").cast("bigint").alias("ham_total"))
+        .where(F.col("ham_total") <= _VPHASH_TAU_SUM)
+        .orderBy("media_a", "media_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L38 audio landmark-fingerprint near-dup (r7) — the audio face of the
 # L2 dedup family: two WAVs of the SAME recording at a different level
 # with added noise share no bytes (the planted degrade is
