@@ -50,14 +50,13 @@ _PERMANENT = [
 # row in the same round.  They drop out of this list next round and
 # join the normal staleness rotation.
 _FRESH: list[str] = [
-    "q_train_mix",          # r12: end-to-end training mix (L46)
-    "q_train_mix_curated",  # r12: the curated composition (L46b)
-    "q_mix_shard_stats",    # r12: per-shard mix accounting (L46c)
-    "q_ann_lake_filtered",  # r12: filtered serve via maintained lake (L5d)
-    # reworked this round — force same-round driver rows for the new
-    # plans even if the rotation would not pick them:
-    "q_vector_index_roundtrip",  # r12: n_cand broadcast (SinglePartition fix)
-    "q_vector_delete",           # r12: shares the reworked _vix tail
+    "q_ann_lake_pq",        # r13: PQ-coded maintained vector lake (L5e)
+    "q_train_mix_delta",    # r13: versioned/incremental mix (L46d)
+    "q_mix_alloc_drift",    # r13: the L46d allocation-drift report
+    "q_video_phash_dedup",  # r13: video perceptual near-dup (L37b)
+    # reworked this round — force same-round driver rows for the
+    # refactored allocation path even if the rotation skips them:
+    "q_train_mix_curated",  # r13: rewired onto _alloc_micro_over
 ]
 # r10 rotation rework (VERDICT r9 task 4): cumulative driver coverage
 # is COMPLETE (195/195 oracle queries have a hard green row across

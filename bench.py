@@ -105,6 +105,11 @@ HEADLINE = [
     # -> replication -> order)
     "q_train_mix",
     "q_train_mix_curated",
+    # round 13: the versioned-mix delta extension (L46d) — two
+    # broadcast allocations + order-free base count + version-seeded
+    # rank over the delta; the oracle pays both allocation CTE chains
+    # plus the single-funnel ROW_NUMBER
+    "q_train_mix_delta",
 ]
 
 # Retrieval-serving tracker (r11, VERDICT r10 item 7): the serving

@@ -694,6 +694,37 @@ def delete_vectors_pq(
     return v1, v2
 
 
+def reindex_pq(
+    spark: SparkSession,
+    old_root: str,
+    new_root: str,
+    new_cents,
+    new_cb,
+    m: int = 4,
+    subd: int = 16,
+    fetch_buckets: int = 8,
+    cluster_col: str | None = None,
+) -> tuple[int, int]:
+    """Re-train the PQ pair under NEW frozen models (centroids and/or
+    codebooks): batch-read the old pair's CURRENT raw vectors (the
+    codes are derived data — never read for a retrain), re-assign and
+    re-encode map-side, commit a fresh pair under ``new_root``.  The
+    caller publishes with publish_index; readers of the old root are
+    never disturbed, and vacuum_indexes reclaims it once superseded —
+    the same lifecycle as the raw IVF index (reindex).  Cost: ONE scan
+    of the stored vectors + the two partitioned writes — the same as
+    the original ingest."""
+    from pyspec_spark.lake import lake_read
+
+    vecs = lake_read(spark, os.path.join(old_root, _VECS_DIR)).select(
+        "vec_id", "embedding"
+    )
+    return build_pq_lake(
+        spark, new_root, vecs, new_cents, new_cb, m=m, subd=subd,
+        fetch_buckets=fetch_buckets, cluster_col=cluster_col,
+    )
+
+
 def pq_lookup(
     spark: SparkSession,
     root: str,

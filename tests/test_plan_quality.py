@@ -479,6 +479,11 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         "q_rollup_incremental",  # rollup build + two merges (r10, ST8b)
         "q_index_maintained_topk",  # build+append+delete+serve (r11, L40j)
         "q_lake_evolution",  # rename/retype lifecycle commits (r11)
+        # r13: the PQ pair builds both tables, deletes, and the ADC
+        # shortlist is a bounded collect by design (L5e).  NOT exempt:
+        # q_video_phash_dedup (driver-side mux fixture + lazy
+        # mapInPandas — builds with zero jobs) and the L46d mix pair.
+        "q_ann_lake_pq",
     }
     from pyspec_spark.tables import load
 

@@ -300,3 +300,102 @@ def test_pq_codebooks_write_once(spark, tmp_path):
     assert load_pq_codebooks(root) == (2, 2, cb)
     with pytest.raises(ValueError, match="different PQ codebooks"):
         save_pq_codebooks(root, 2, 2, [[[9.0, 9.0], [3.0, 4.0]], cb[1]])
+
+
+def test_pq_root_composes_with_publish_lifecycle(spark, tmp_path):
+    """The PQ pair root is a first-class index root: publish_index /
+    current_index / index_history / vacuum_indexes treat it exactly
+    like a raw IVF root (it carries the centroids file the lifecycle
+    keys on), so re-training a PQ index is the same build-new-root +
+    atomic-swap + GC story as ST11."""
+    from pyspec_spark.streaming.vectors import (
+        build_pq_lake,
+        current_index,
+        index_history,
+        pq_lookup,
+        publish_index,
+        vacuum_indexes,
+    )
+
+    e, ids, X, labels = _emb_rows(spark)
+    cb_rows, cb = _models(spark, e)
+    base = str(tmp_path / "pq_base")
+    r1 = os.path.join(base, "gen1")
+    r2 = os.path.join(base, "gen2")
+    for r in (r1, r2):
+        build_pq_lake(
+            spark, r, e.select("vec_id", "embedding"), cb_rows, cb,
+            m=_M, subd=_SUBD,
+        )
+    publish_index(base, r1)
+    assert os.path.realpath(current_index(base)) == os.path.realpath(r1)
+    publish_index(base, r2)
+    assert os.path.realpath(current_index(base)) == os.path.realpath(r2)
+    assert [os.path.basename(p) for p in index_history(base)] == [
+        "gen1", "gen2",
+    ]
+
+    # GC the superseded generation; the current root keeps serving
+    removed = vacuum_indexes(base, keep=1, retention_seconds=0.0)
+    assert [os.path.basename(p) for p in removed] == ["gen1"]
+    assert not os.path.exists(r1)
+    qv = cb_rows[0][1]
+    got = pq_lookup(
+        spark, current_index(base), qv, k=5, nprobe=2, shortlist=16
+    ).collect()
+    assert len(got) == 5
+
+
+def test_reindex_pq_under_new_codebook_equals_scratch(spark, tmp_path):
+    """Retrain symmetry with the raw index (reindex): re-encoding the
+    stored vectors under NEW frozen models into a fresh root serves
+    exactly like a from-scratch build over the same corpus — codes are
+    derived data, only raw vectors are read for the retrain."""
+    from pyspec_spark.streaming.vectors import (
+        build_pq_lake,
+        pq_lookup,
+        reindex_pq,
+    )
+
+    e, ids, X, labels = _emb_rows(spark)
+    cb_rows, cb = _models(spark, e)
+    old = str(tmp_path / "pq_old")
+    build_pq_lake(
+        spark, old, e.select("vec_id", "embedding"), cb_rows, cb,
+        m=_M, subd=_SUBD,
+    )
+
+    # new models: centroids from vec_ids 8..15, codebooks from a
+    # shifted first-K window — both differ from the originals
+    from pyspec_spark.operators.similarity import pq_codebooks_firstk_df
+
+    cents2 = sorted(
+        (int(r["vec_id"]) - 8, [float(x) for x in r["embedding"]])
+        for r in e.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    pq2 = pq_codebooks_firstk_df(
+        e.where(F.col("vec_id") >= 4), m=_M, subd=_SUBD, k=_K + 4
+    ).collect()[0]
+    cb2 = [pq2[f"cb{mi}"] for mi in range(_M)]
+
+    new = str(tmp_path / "pq_new")
+    reindex_pq(spark, old, new, cents2, cb2, m=_M, subd=_SUBD)
+    scratch = str(tmp_path / "pq_scratch")
+    build_pq_lake(
+        spark, scratch, e.select("vec_id", "embedding"), cents2, cb2,
+        m=_M, subd=_SUBD,
+    )
+    qv = cb_rows[0][1]
+
+    def serve(root):
+        return [
+            tuple(r)
+            for r in pq_lookup(
+                spark, root, qv, k=10, nprobe=2, shortlist=32
+            ).collect()
+        ]
+
+    got, want = serve(new), serve(scratch)
+    assert got == want and len(got) == 10
