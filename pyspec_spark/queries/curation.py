@@ -2096,3 +2096,171 @@ def train_mix_epoch(
     than storing an extra copy of the multiset)."""
     eseed = seed if epoch == 0 else f"{seed}#e{int(epoch)}"
     return _replicate_order_shard(docs, alloc_micro, salt, eseed)
+
+
+# ---------------------------------------------------------------------------
+# L46d lake composition (r13): the mix as a MAINTAINED ARTIFACT of the
+# corpus lake.  q_train_mix_delta proves the delta semantics against a
+# modulo split; in production the delta is whatever COMMITS landed on
+# the snapshot lake, detected by the lake's own CDC (S6c lake_diff) —
+# these two faces wire them together, with a version marker making the
+# mix a resumable artifact: _mix_version.json records which lake
+# version the materialized order covers, extend advances it
+# exactly-once (os.replace), and anything but pure inserts refuses
+# LOUDLY (a mutated or deleted history doc cannot be patched into an
+# already-consumed order — that is a new mix lineage, the same
+# rebuild-vs-extend decision q_mix_alloc_drift informs).
+# ---------------------------------------------------------------------------
+_MIX_MARKER = "_mix_version.json"
+
+
+def _read_mix_marker(path: str) -> dict | None:
+    import json as _json
+    import os as _os
+
+    p = _os.path.join(path, _MIX_MARKER)
+    if not _os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _json.load(f)
+
+
+def _write_mix_marker(path: str, payload: dict) -> None:
+    import json as _json
+    import os as _os
+    import uuid as _uuid
+
+    _os.makedirs(path, exist_ok=True)
+    tmp = _os.path.join(path, f".tmp-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        _json.dump(payload, f)
+    _os.replace(tmp, _os.path.join(path, _MIX_MARKER))
+
+
+def _lake_corpus(spark: SparkSession, root: str, version: int) -> DataFrame:
+    """(doc_id, source, n_tokens) off a lake snapshot of a documents-
+    shaped table — the allocation/replication input."""
+    from pyspec_spark.lake import lake_read
+
+    return lake_read(spark, root, version=version).select(
+        "doc_id", "source", F.size(_toks()).alias("n_tokens")
+    )
+
+
+def materialize_mix_from_lake(
+    spark: SparkSession,
+    root: str,
+    path: str,
+    version: int | None = None,
+    salt: str = "#epoch",
+    seed_base: str = "lakemix",
+    shard_size: int = _TMIX_SHARD,
+) -> int:
+    """Mix version 0: the full L46 pipeline over the lake snapshot,
+    sharded to ``path``, marker recording (lake root, covered lake
+    version, salt, seed_base, row count).  Returns the mix row count."""
+    from pyspec_spark.lake import latest_version
+    from pyspec_spark.operators.ordering import write_train_shards
+
+    if _read_mix_marker(path) is not None:
+        raise ValueError(
+            f"{path} already holds a materialized mix — extend it "
+            "(extend_mix_from_lake) or choose a new path"
+        )
+    v = latest_version(root) if version is None else version
+    corpus = _lake_corpus(spark, root, v)
+    mix = _replicate_order_shard(
+        corpus, _alloc_micro_over(corpus), salt, f"{seed_base}#v{v}"
+    )
+    write_train_shards(
+        mix.drop("shard", "pos_in_shard"), path, shard_size
+    )
+    n = spark.read.parquet(path).count()
+    _write_mix_marker(
+        path,
+        {
+            "root": root, "lake_version": v, "salt": salt,
+            "seed_base": seed_base, "shard_size": shard_size, "rows": n,
+        },
+    )
+    return n
+
+
+def extend_mix_from_lake(
+    spark: SparkSession,
+    root: str,
+    path: str,
+    version: int | None = None,
+) -> int:
+    """Advance the materialized mix to a newer lake version: CDC the
+    covered→target commits (lake_diff on doc_id), REFUSE unless every
+    change is an insert, replicate the inserted docs under the
+    allocation recomputed over the TARGET snapshot (the L46d
+    discipline), rank them under the version-carrying seed, append via
+    extend_train_shards (history files untouched), and advance the
+    marker.  Returns the number of appended rows (0 when the lake has
+    not moved).  The drift report for the operator's rebuild-or-extend
+    call is _alloc_micro_over at the two versions — the
+    q_mix_alloc_drift shape over lake snapshots."""
+    from pyspec_spark.lake import lake_diff, latest_version
+    from pyspec_spark.operators.ordering import (
+        extend_train_shards,
+        global_order_index,
+    )
+
+    m = _read_mix_marker(path)
+    if m is None:
+        raise ValueError(
+            f"{path} holds no materialized mix — materialize_mix_from_lake "
+            "first"
+        )
+    v_from = int(m["lake_version"])
+    v_to = latest_version(root) if version is None else version
+    if v_to == v_from:
+        return 0
+    if v_to < v_from:
+        raise ValueError(
+            f"mix at {path} covers lake version {v_from} > target {v_to}"
+        )
+    changes = lake_diff(spark, root, v_from, v_to, key="doc_id")
+    bad = (
+        changes.where(F.col("change") != "insert")
+        .select("doc_id", "change")
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        raise ValueError(
+            f"lake {root} v{v_from}->v{v_to} carries non-insert changes "
+            f"({[(r['doc_id'], r['change']) for r in bad]}…) — a mutated "
+            "or deleted history doc cannot be patched into an already-"
+            "consumed order; cut a new mix lineage (materialize into a "
+            "fresh path) instead"
+        )
+    inserted = changes.select("doc_id")
+    corpus_to = _lake_corpus(spark, root, v_to)
+    delta = corpus_to.join(inserted, "doc_id")
+
+    # offset = the marker's consumed row count (recorded at
+    # materialize/extend time from the written shards) — NOT a base
+    # recompute: this is what makes extend fully corpus-independent
+    # (SCALING r13b measured the honest-recompute arm growing at
+    # ~0.15 s/M docs; the marker read is O(1))
+    keyed = _replicate_copies(
+        delta, _alloc_micro_over(corpus_to), m["salt"]
+    )
+    ordered = global_order_index(
+        keyed, "_rid", seed=f"{m['seed_base']}#v{v_to}"
+    )
+    gpos = (F.col("pos") + F.lit(int(m["rows"]))).cast("long")
+    ext = ordered.select(
+        "doc_id", "replica", "source", gpos.alias("pos")
+    )
+    n_ext = ext.count()
+    if n_ext:
+        extend_train_shards(ext, path, int(m["shard_size"]))
+    _write_mix_marker(
+        path,
+        {**m, "lake_version": v_to, "rows": int(m["rows"]) + n_ext},
+    )
+    return n_ext

@@ -173,3 +173,75 @@ def test_mix_epoch_zero_equals_declared_and_epochs_permute(spark):
     }
     declared = {(r["source"], r["_em"]) for r in alloc.collect()}
     assert own == declared
+
+
+def test_mix_from_lake_cdc_lifecycle(spark, tmp_path):
+    """The production L46d composition: the corpus lives in the
+    snapshot lake, the delta is whatever COMMITS landed (lake CDC, not
+    a modulo split).  Pins: materialize records the covered lake
+    version; extend appends exactly the inserted docs' replicated
+    order (offset = the marker's consumed count — no base recompute),
+    leaves history files byte-identical, advances the marker, and is a
+    no-op at the same version; an UPDATE commit refuses loudly; a
+    second materialize into the same path refuses."""
+    import pytest as _pytest
+
+    import pyspec_spark.lake as lk
+    from pyspec_spark.operators.ordering import read_train_shards
+    from pyspec_spark.queries.curation import (
+        _read_mix_marker,
+        extend_mix_from_lake,
+        materialize_mix_from_lake,
+    )
+    from pyspec_spark.tables import table
+
+    docs = table(spark, SF, "documents").select("doc_id", "source", "text")
+    split = F.pmod("doc_id", F.lit(4))
+    root = str(tmp_path / "corpus_lake")
+    v1 = lk.lake_append(
+        spark, root, docs.where(split != 3), partition_col="source"
+    )
+
+    path = str(tmp_path / "lake_mix")
+    n1 = materialize_mix_from_lake(spark, root, path, version=v1)
+    assert _read_mix_marker(path)["lake_version"] == v1
+    assert n1 > 0
+    with _pytest.raises(ValueError, match="already holds"):
+        materialize_mix_from_lake(spark, root, path, version=v1)
+    assert extend_mix_from_lake(spark, root, path) == 0  # lake unmoved
+
+    before = _file_md5s(path)
+    lk.lake_append(
+        spark, root, docs.where(split == 3), partition_col="source"
+    )
+    n_ext = extend_mix_from_lake(spark, root, path)
+    assert n_ext > 0
+    m = _read_mix_marker(path)
+    assert m["lake_version"] == lk.latest_version(root)
+    assert m["rows"] == n1 + n_ext
+
+    # history untouched; combined order is contiguous and complete
+    after = _file_md5s(path)
+    assert all(after[p] == h for p, h in before.items())
+    got = read_train_shards(spark, path)
+    total = got.count()
+    assert total == n1 + n_ext
+    poss = [r["shard"] * 256 + r["pos_in_shard"] for r in got.collect()]
+    assert poss == list(range(total))
+    # the extension rows are exactly the delta docs' replicas
+    ext_docs = {
+        r["doc_id"]
+        for r in spark.read.parquet(path).where(F.col("pos") >= n1).collect()
+    }
+    want_docs = {
+        r["doc_id"] for r in docs.where(split == 3).select("doc_id").collect()
+    }
+    assert ext_docs <= want_docs and len(ext_docs) > 0
+
+    # a mutated history doc refuses: upsert changes one doc's text
+    one = docs.where(split != 3).limit(1).select(
+        "doc_id", "source", F.lit("REWRITTEN").alias("text")
+    )
+    lk.lake_upsert(spark, root, one, key="doc_id", partition_col="source")
+    with _pytest.raises(ValueError, match="non-insert"):
+        extend_mix_from_lake(spark, root, path)
