@@ -51,6 +51,7 @@ _PERMANENT = [
 # join the normal staleness rotation.
 _FRESH: list[str] = [
     "q_ann_lake_pq",        # r13: PQ-coded maintained vector lake (L5e)
+    "q_ann_lake_pq_batch",  # r13: batch serving through the PQ lake (L5f)
     "q_train_mix_delta",    # r13: versioned/incremental mix (L46d)
     "q_mix_alloc_drift",    # r13: the L46d allocation-drift report
     "q_video_phash_dedup",  # r13: video perceptual near-dup (L37b)

@@ -130,6 +130,7 @@ SERVING = [
     "q_index_maintained_topk",
     "q_ann_lake_filtered",  # r12: filtered serve via the maintained lake
     "q_ann_lake_pq",  # r13: IVFADC serve via the PQ-coded lake pair
+    "q_ann_lake_pq_batch",  # r13: 3-query batch serve, one cell pass
 ]
 
 

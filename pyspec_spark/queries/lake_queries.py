@@ -770,25 +770,34 @@ LIMIT {_VIX_TOPK}
 """
 
 
-@query("q_ann_lake_pq", oracle=_pql_oracle())
-def q_ann_lake_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+# One built PQ pair per (session, sf_dir), shared by the single-query
+# and batch serves (same fixture by construction — deterministic
+# models, deterministic delete; rebuilding it twice per sweep would
+# double a ~20 s bounded build for no coverage gain).
+_PQL_FIXTURES: dict[tuple[str, str], tuple[str, list]] = {}
+
+
+def _pql_fixture(spark: SparkSession, sf_dir: str):
+    """(root, cb_rows) of the built + ST11c-deleted PQ pair; None root
+    on an empty/vec_id-0-less corpus."""
     from pyspec_spark.operators.similarity import pq_codebooks_firstk_df
     from pyspec_spark.queries.ml import _PQ_K, _PQ_M, _PQ_SUBD
     from pyspec_spark.streaming.vectors import (
         build_pq_lake,
         delete_vectors_pq,
-        pq_lookup,
     )
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _PQL_FIXTURES:
+        return _PQL_FIXTURES[key]
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     cb_rows = sorted(
         (int(r["vec_id"]), [float(x) for x in r["embedding"]])
         for r in e.where(F.col("vec_id") < _VIX_K).collect()
     )
     if not cb_rows or cb_rows[0][0] != 0:
-        return spark.createDataFrame(
-            [], "vec_id BIGINT, cid INT, dot_micro BIGINT, n_cand BIGINT"
-        )
+        _PQL_FIXTURES[key] = (None, cb_rows)
+        return _PQL_FIXTURES[key]
 
     # PQ codebooks: deterministic first-K subvectors (one bounded
     # collect — m * K * subd doubles of index metadata)
@@ -805,6 +814,19 @@ def q_ann_lake_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         root,
         e.where(F.col("vec_id") % _VDEL_MOD == _VDEL_RESID).select("vec_id"),
     )
+    _PQL_FIXTURES[key] = (root, cb_rows)
+    return _PQL_FIXTURES[key]
+
+
+@query("q_ann_lake_pq", oracle=_pql_oracle())
+def q_ann_lake_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.streaming.vectors import pq_lookup
+
+    root, cb_rows = _pql_fixture(spark, sf_dir)
+    if root is None:
+        return spark.createDataFrame(
+            [], "vec_id BIGINT, cid INT, dot_micro BIGINT, n_cand BIGINT"
+        )
 
     # IVFADC serve: codes-only ADC shortlist, shortlist-only raw fetch
     return pq_lookup(
@@ -814,6 +836,165 @@ def q_ann_lake_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_VIX_TOPK,
         nprobe=_VIX_NPROBE,
         shortlist=_PQL_SHORT,
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5f — BATCH serving through the PQ lake (r13): the L40i
+# batch-retrieval shape for vectors — offline retrieval eval and
+# hard-negative mining answer MANY queries against the maintained
+# index, and a per-query loop would re-open the same cell files
+# |queries| times.  pq_batch_lookup scans the UNION of probed cells
+# once, fans candidate rows out via a broadcast (qid, cid) pair
+# table, rides per-query ADC LUTs in one broadcast table, shortlists
+# per query through a qid-PARTITIONED window (hash-partitioned — the
+# banned global funnel has a key here), and fetches the UNION of
+# shortlists in one bloom-pruned pass.
+#
+# The oracle replays every per-query stage grouped by qid — the _PQL
+# splice with qid carried through probe ranking, LUTs, candidates,
+# shortlist, and the final per-query top-k.  Queries = vec_ids 0..2
+# (vec 0 shares the single-query fixture's probe; 1 and 2 probe
+# different cell unions, so the fan-out table is exercised).
+# ---------------------------------------------------------------------------
+_PQLB_NQ, _PQLB_K, _PQLB_SHORT = 3, 5, 16
+
+
+def _pqlb_oracle() -> str:
+    from pyspec_spark.queries.ml import (
+        _PQ_K,
+        _PQ_M,
+        _PQ_SUBD,
+        _pq_dist_sql,
+    )
+
+    ctes = [
+        f"""cb AS (
+  SELECT CAST(vec_id AS INT) AS cid, embedding
+  FROM embeddings WHERE vec_id < {_VIX_K}
+)""",
+        f"qv AS (SELECT vec_id AS qid, embedding FROM embeddings "
+        f"WHERE vec_id < {_PQLB_NQ})",
+        f"""assigned AS (
+  SELECT e.vec_id,
+         (MIN(struct_pack(d := {_vix_sq_chain('e', 'c')}, cid := c.cid))).cid AS cid
+  FROM embeddings e, cb c
+  GROUP BY e.vec_id
+)""",
+        f"""probes AS (
+  SELECT q.qid, c.cid, {_vix_probe_chain('c', 'q')} AS dist_micro
+  FROM cb c, qv q
+)""",
+        f"""probed AS (
+  SELECT qid, cid FROM (
+    SELECT qid, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_micro, cid)
+             AS rn
+    FROM probes
+  ) WHERE rn <= {_VIX_NPROBE}
+)""",
+    ]
+    for mi in range(_PQ_M):
+        lo = mi * _PQ_SUBD
+        ctes.append(
+            f"""pcb{mi} AS (
+  SELECT vec_id AS code,
+         CAST(embedding[{lo + 1}:{lo + _PQ_SUBD}] AS DOUBLE[]) AS sub
+  FROM embeddings WHERE vec_id < {_PQ_K}
+)"""
+        )
+        ctes.append(
+            f"""enc{mi} AS (
+  SELECT e.vec_id,
+         MIN(struct_pack(d := {_pq_dist_sql('e', 'c.sub', lo)},
+                         code := c.code)) AS best
+  FROM embeddings e, pcb{mi} c
+  GROUP BY e.vec_id
+)"""
+        )
+        ctes.append(
+            f"""lut{mi} AS (
+  SELECT q.qid, c.code, {_pq_dist_sql('q', 'c.sub', lo)} AS ld
+  FROM pcb{mi} c, qv q
+)"""
+        )
+    ctes.append(
+        f"""cand AS (
+  SELECT p.qid, a.vec_id, a.cid
+  FROM assigned a JOIN probed p ON a.cid = p.cid
+  WHERE a.vec_id % {_VDEL_MOD} <> {_VDEL_RESID}
+)"""
+    )
+    ctes.append(
+        "nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand "
+        "FROM cand GROUP BY qid)"
+    )
+    adc = " + ".join(f"l{mi}.ld" for mi in range(_PQ_M))
+    joins = "\n".join(
+        f"JOIN enc{mi} e{mi} ON e{mi}.vec_id = c.vec_id\n"
+        f"JOIN lut{mi} l{mi} ON l{mi}.qid = c.qid "
+        f"AND l{mi}.code = (e{mi}.best).code"
+        for mi in range(_PQ_M)
+    )
+    ctes.append(
+        f"""adc AS (
+  SELECT c.qid, c.vec_id, c.cid, ROUND({adc}, 6) AS adc_dist
+  FROM cand c
+  {joins}
+)"""
+    )
+    ctes.append(
+        f"""short AS (
+  SELECT qid, vec_id, cid FROM (
+    SELECT qid, vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id)
+             AS rn
+    FROM adc
+  ) WHERE rn <= {_PQLB_SHORT}
+)""",
+    )
+    ctes.append(
+        f"""scored AS (
+  SELECT s.qid, s.vec_id, s.cid,
+         {_vix_dot_chain('e', 'q')} AS dot_micro
+  FROM short s
+  JOIN embeddings e USING (vec_id)
+  JOIN qv q ON q.qid = s.qid
+)"""
+    )
+    return f"""
+WITH {','.join(ctes)}
+SELECT qid, vec_id, cid, dot_micro, n_cand FROM (
+  SELECT sc.qid, sc.vec_id, sc.cid, sc.dot_micro, nc.n_cand,
+         ROW_NUMBER() OVER (PARTITION BY sc.qid
+                            ORDER BY sc.dot_micro DESC, sc.vec_id) AS rn
+  FROM scored sc JOIN nc USING (qid)
+) WHERE rn <= {_PQLB_K}
+ORDER BY qid, dot_micro DESC, vec_id
+"""
+
+
+@query("q_ann_lake_pq_batch", oracle=_pqlb_oracle())
+def q_ann_lake_pq_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.streaming.vectors import pq_batch_lookup
+
+    root, _cb_rows = _pql_fixture(spark, sf_dir)
+    empty = (
+        "qid BIGINT, vec_id BIGINT, cid INT, dot_micro BIGINT, "
+        "n_cand BIGINT"
+    )
+    if root is None:
+        return spark.createDataFrame([], empty)
+    e = table(spark, sf_dir, "embeddings")
+    qs = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in e.where(F.col("vec_id") < _PQLB_NQ)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return pq_batch_lookup(
+        spark, root, qs, k=_PQLB_K, nprobe=_VIX_NPROBE,
+        shortlist=_PQLB_SHORT,
     )
 
 

@@ -832,3 +832,165 @@ def pq_lookup(
         .orderBy(F.desc("dot_micro"), "vec_id")
         .limit(k)
     )
+
+
+def pq_batch_lookup(
+    spark: SparkSession,
+    root: str,
+    queries: list,
+    k: int = 10,
+    nprobe: int = 2,
+    shortlist: int = 32,
+    where: list | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Batch IVFADC serve (the L40i batch-retrieval shape for vectors):
+    MANY query vectors answered in ONE pass over the lake — the
+    offline-retrieval / hard-negative-mining access pattern, where a
+    per-query loop would re-open the same cell files |queries| times.
+
+    ``queries`` is a bounded [(qid, vector)] list (the input IS the
+    batch — collected by the caller, like every probe vector in the
+    repo).  Plan shape, all qid-keyed and scale-safe:
+
+    - probe per query driver-side (index metadata); the UNION of
+      probed cells is scanned ONCE; a broadcast (qid, cid) pair table
+      fans candidate rows out to the queries probing their cell — a
+      row in a cell probed by q queries is scored q times, never
+      re-read;
+    - per-query LUTs ride ONE broadcast table (qid, lut0..lut{m-1});
+      ADC is the same fixed-order element_at sum;
+    - per-query shortlist via a qid-PARTITIONED row_number window
+      (hash-partitioned — the global-funnel window this module bans
+      has a partition key here);
+    - one bloom-pruned fetch of the UNION of shortlists
+      (lake_scan_in), then the exact micro-unit re-rank and a
+      qid-partitioned top-k.
+
+    Returns (qid, vec_id, cid, dot_micro, n_cand) with n_cand the
+    per-qid candidate count (the pre-filter witness, computed as a
+    qid-keyed aggregate — bounded by |queries| rows)."""
+    from pyspark.sql import Window
+    from pyspec_spark.functions.determinism import _fixed6
+    from pyspec_spark.lake import lake_scan, lake_scan_in, latest_version
+    from pyspec_spark.operators.similarity import _pq_subdist
+
+    m, subd, cb = load_pq_codebooks(root)
+    qlist = [(int(qid), [float(x) for x in vec]) for qid, vec in queries]
+    if not qlist:
+        return spark.createDataFrame(
+            [],
+            "qid BIGINT, vec_id BIGINT, cid INT, dot_micro BIGINT, "
+            "n_cand BIGINT",
+        )
+    codes_root = os.path.join(root, _CODES_DIR)
+    vecs_root = os.path.join(root, _VECS_DIR)
+
+    probe_of = {
+        qid: probe_cells(root, vec, nprobe) for qid, vec in qlist
+    }
+    union_cells = sorted({c for p in probe_of.values() for c in p})
+    vc = latest_version(codes_root)
+    parts = [
+        lake_scan(
+            spark, codes_root, [("cid", "=", cid)] + list(where or []),
+            version=vc,
+        )
+        for cid in union_cells
+    ]
+    cells = parts[0]
+    for p in parts[1:]:
+        cells = cells.unionByName(p)
+
+    # fan candidate rows out to the queries probing their cell
+    pairs = spark.createDataFrame(
+        [(qid, cid) for qid, cs in probe_of.items() for cid in cs],
+        "qid BIGINT, cid INT",
+    )
+    cand = cells.join(F.broadcast(pairs), "cid")
+
+    # one LUT row per query
+    cb_df = _pq_cb_df(spark, cb)
+
+    def lut_fn(qvec, off):
+        qlit = F.array(*[F.lit(x) for x in qvec])
+
+        def fn(c):
+            return _pq_subdist(qlit, c, off, subd)
+
+        return fn
+
+    lut_rows = None
+    for qid, vec in qlist:
+        row = cb_df.select(
+            F.lit(qid).alias("qid"),
+            *[
+                F.transform(
+                    F.col(f"cb{mi}"), lut_fn(vec, mi * subd)
+                ).alias(f"lut{mi}")
+                for mi in range(m)
+            ],
+        )
+        lut_rows = row if lut_rows is None else lut_rows.unionByName(row)
+
+    adc = None
+    for mi in range(m):
+        t = F.element_at(F.col(f"lut{mi}"), F.col(f"code{mi}") + 1)
+        adc = t if adc is None else adc + t
+    adc = F.round(adc, round_digits)
+
+    n_cand = cand.groupBy("qid").agg(F.count("*").alias("n_cand"))
+    w = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    short = (
+        cand.join(F.broadcast(lut_rows), "qid")
+        .select("qid", "vec_id", "cid", adc.alias("adc_dist"))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= shortlist)
+        .drop("_rn", "adc_dist")
+    )
+    srows = short.collect()  # bounded: |queries| * shortlist
+    if not srows:
+        return spark.createDataFrame(
+            [],
+            "qid BIGINT, vec_id BIGINT, cid INT, dot_micro BIGINT, "
+            "n_cand BIGINT",
+        )
+    ids = sorted({int(r["vec_id"]) for r in srows})
+    fetched = lake_scan_in(
+        spark, vecs_root, [("vec_id", ids), ("cid", union_cells)]
+    ).select("vec_id", "embedding")
+
+    pick = spark.createDataFrame(
+        [(int(r["qid"]), int(r["vec_id"]), int(r["cid"])) for r in srows],
+        "qid BIGINT, vec_id BIGINT, cid INT",
+    )
+    qv_rows = None
+    for qid, vec in qlist:
+        row = spark.range(1).select(
+            F.lit(qid).alias("qid"),
+            F.array(*[F.lit(x) for x in vec]).alias("qv"),
+        )
+        qv_rows = row if qv_rows is None else qv_rows.unionByName(row)
+
+    dot_micro = F.aggregate(
+        F.zip_with("embedding", F.col("qv"), lambda a, b: a.cast("double") * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + _fixed6(x),
+    )
+    wk = Window.partitionBy("qid").orderBy(
+        F.desc("dot_micro"), "vec_id"
+    )
+    return (
+        fetched.join(F.broadcast(pick), "vec_id")
+        .join(F.broadcast(qv_rows), "qid")
+        .select(
+            "qid", "vec_id", F.col("cid").cast("int").alias("cid"),
+            dot_micro.alias("dot_micro"),
+        )
+        .withColumn("_rn", F.row_number().over(wk))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+        .join(F.broadcast(n_cand), "qid")
+        .select("qid", "vec_id", "cid", "dot_micro", "n_cand")
+        .orderBy("qid", F.desc("dot_micro"), "vec_id")
+    )

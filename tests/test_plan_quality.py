@@ -484,6 +484,7 @@ def test_building_declared_queries_runs_zero_jobs(spark):
         # q_video_phash_dedup (driver-side mux fixture + lazy
         # mapInPandas — builds with zero jobs) and the L46d mix pair.
         "q_ann_lake_pq",
+        "q_ann_lake_pq_batch",  # shares the L5e fixture + batch probes
     }
     from pyspec_spark.tables import load
 

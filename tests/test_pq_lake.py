@@ -399,3 +399,55 @@ def test_reindex_pq_under_new_codebook_equals_scratch(spark, tmp_path):
 
     got, want = serve(new), serve(scratch)
     assert got == want and len(got) == 10
+
+
+def test_pq_batch_lookup_equals_per_query_serves(spark, tmp_path):
+    """L5f: the batch serve must return, per qid, EXACTLY what the
+    single-query serve returns for that vector — same shortlist
+    boundary, same micro-unit ranking, same n_cand witness — while
+    scanning the union of probed cells once.  Plan gates: the only
+    windows are qid-partitioned (no global funnel), no cartesian."""
+    from pyspec_spark.plans import physical_plan
+    from pyspec_spark.streaming.vectors import (
+        build_pq_lake,
+        delete_vectors_pq,
+        pq_batch_lookup,
+        pq_lookup,
+    )
+
+    e, ids, X, labels = _emb_rows(spark)
+    cb_rows, cb = _models(spark, e)
+    root = str(tmp_path / "pq_batch")
+    build_pq_lake(
+        spark, root, e.select("vec_id", "embedding"), cb_rows, cb,
+        m=_M, subd=_SUBD,
+    )
+    delete_vectors_pq(
+        spark, root, e.where(F.col("vec_id") % 7 == 3).select("vec_id")
+    )
+    qs = [(int(i), [float(v) for v in X[list(ids).index(i)]]) for i in (0, 1, 5)]
+
+    batch = pq_batch_lookup(spark, root, qs, k=7, nprobe=2, shortlist=16)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(int(r["qid"]), []).append(
+            (int(r["vec_id"]), int(r["cid"]), int(r["dot_micro"]),
+             int(r["n_cand"]))
+        )
+    for qid, vec in qs:
+        want = [
+            (int(r["vec_id"]), int(r["cid"]), int(r["dot_micro"]),
+             int(r["n_cand"]))
+            for r in pq_lookup(
+                spark, root, vec, k=7, nprobe=2, shortlist=16
+            ).collect()
+        ]
+        assert got[qid] == want and len(want) == 7, qid
+
+    p = physical_plan(batch)
+    assert "CartesianProduct" not in p
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if "SinglePartition" in ln:
+            ctx = "\n".join(lines[max(0, i - 8) : i + 1])
+            assert "Keys: []" in ctx, ctx
