@@ -2222,6 +2222,52 @@ def extend_mix_from_lake(
         raise ValueError(
             f"mix at {path} covers lake version {v_from} > target {v_to}"
         )
+
+    # one extension per target version, CAS-guarded (the index/lake
+    # maintenance discipline): two concurrent extenders would BOTH
+    # append the delta's rows — the loser must fail BEFORE writing.
+    # The lock releases on successful publish; a crashed extender
+    # leaves it in place and blocks LOUDLY (repair: inspect the shard
+    # dirs against the marker, then remove the lock).
+    import os as _os
+    import uuid as _uuid
+
+    lock = _os.path.join(path, f".mix-txn-v{v_to}.lock")
+    tmp = _os.path.join(path, f".tmp-{_uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(_uuid.uuid4().hex)
+    try:
+        _os.link(tmp, lock)
+    except FileExistsError:
+        raise ValueError(
+            f"mix extension to lake version {v_to} under {path} is "
+            f"owned by another extender (or a crashed one — see "
+            f"{lock}); retry after it publishes or repair"
+        ) from None
+    finally:
+        _os.unlink(tmp)
+
+    try:
+        return _extend_mix_locked(spark, root, path, m, v_from, v_to)
+    finally:
+        # released on publish AND on refusal/error — only a process
+        # CRASH leaves the lock (the loud-block semantics above)
+        try:
+            _os.unlink(lock)
+        except FileNotFoundError:
+            pass
+
+
+def _extend_mix_locked(
+    spark: SparkSession, root: str, path: str, m: dict,
+    v_from: int, v_to: int,
+) -> int:
+    from pyspec_spark.lake import lake_diff
+    from pyspec_spark.operators.ordering import (
+        extend_train_shards,
+        global_order_index,
+    )
+
     changes = lake_diff(spark, root, v_from, v_to, key="doc_id")
     bad = (
         changes.where(F.col("change") != "insert")
@@ -2255,10 +2301,13 @@ def extend_mix_from_lake(
     gpos = (F.col("pos") + F.lit(int(m["rows"]))).cast("long")
     ext = ordered.select(
         "doc_id", "replica", "source", gpos.alias("pos")
-    )
-    n_ext = ext.count()
-    if n_ext:
-        extend_train_shards(ext, path, int(m["shard_size"]))
+    ).persist()  # two consumers: the count and the shard write
+    try:
+        n_ext = ext.count()
+        if n_ext:
+            extend_train_shards(ext, path, int(m["shard_size"]))
+    finally:
+        ext.unpersist()
     _write_mix_marker(
         path,
         {**m, "lake_version": v_to, "rows": int(m["rows"]) + n_ext},

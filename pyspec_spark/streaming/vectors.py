@@ -909,29 +909,31 @@ def pq_batch_lookup(
     )
     cand = cells.join(F.broadcast(pairs), "cid")
 
-    # one LUT row per query
+    # one LUT row per query, computed in ONE plan node: the (qid, qv)
+    # table crossJoins the broadcast codebook and the per-subspace
+    # chains run over the qv COLUMN — a per-query union loop would
+    # build O(|queries|) plan nodes for the same values
     cb_df = _pq_cb_df(spark, cb)
+    qv_df = spark.createDataFrame(
+        [(qid, vec) for qid, vec in qlist],
+        "qid BIGINT, qv ARRAY<DOUBLE>",
+    )
 
-    def lut_fn(qvec, off):
-        qlit = F.array(*[F.lit(x) for x in qvec])
-
+    def lut_fn(off):
         def fn(c):
-            return _pq_subdist(qlit, c, off, subd)
+            return _pq_subdist(F.col("qv"), c, off, subd)
 
         return fn
 
-    lut_rows = None
-    for qid, vec in qlist:
-        row = cb_df.select(
-            F.lit(qid).alias("qid"),
-            *[
-                F.transform(
-                    F.col(f"cb{mi}"), lut_fn(vec, mi * subd)
-                ).alias(f"lut{mi}")
-                for mi in range(m)
-            ],
-        )
-        lut_rows = row if lut_rows is None else lut_rows.unionByName(row)
+    lut_rows = qv_df.crossJoin(F.broadcast(cb_df)).select(
+        "qid",
+        *[
+            F.transform(F.col(f"cb{mi}"), lut_fn(mi * subd)).alias(
+                f"lut{mi}"
+            )
+            for mi in range(m)
+        ],
+    )
 
     adc = None
     for mi in range(m):
@@ -964,13 +966,7 @@ def pq_batch_lookup(
         [(int(r["qid"]), int(r["vec_id"]), int(r["cid"])) for r in srows],
         "qid BIGINT, vec_id BIGINT, cid INT",
     )
-    qv_rows = None
-    for qid, vec in qlist:
-        row = spark.range(1).select(
-            F.lit(qid).alias("qid"),
-            F.array(*[F.lit(x) for x in vec]).alias("qv"),
-        )
-        qv_rows = row if qv_rows is None else qv_rows.unionByName(row)
+    qv_rows = qv_df
 
     dot_micro = F.aggregate(
         F.zip_with("embedding", F.col("qv"), lambda a, b: a.cast("double") * b),

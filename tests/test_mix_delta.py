@@ -245,3 +245,50 @@ def test_mix_from_lake_cdc_lifecycle(spark, tmp_path):
     lk.lake_upsert(spark, root, one, key="doc_id", partition_col="source")
     with _pytest.raises(ValueError, match="non-insert"):
         extend_mix_from_lake(spark, root, path)
+
+
+def test_mix_extend_version_lock(spark, tmp_path):
+    """The L46d concurrency seam: two extenders racing to the same
+    target version would BOTH append the delta's rows — the loser must
+    refuse BEFORE writing (os.link CAS, the index/lake maintenance
+    discipline).  A held lock (a mid-flight or crashed extender)
+    blocks loudly; a failed/refused extension releases it."""
+    import os
+
+    import pytest as _pytest
+
+    import pyspec_spark.lake as lk
+    from pyspec_spark.queries.curation import (
+        _read_mix_marker,
+        extend_mix_from_lake,
+        materialize_mix_from_lake,
+    )
+    from pyspec_spark.tables import table
+
+    docs = table(spark, SF, "documents").select("doc_id", "source", "text")
+    split = F.pmod("doc_id", F.lit(4))
+    root = str(tmp_path / "lock_lake")
+    v1 = lk.lake_append(
+        spark, root, docs.where(split != 3), partition_col="source"
+    )
+    path = str(tmp_path / "lock_mix")
+    n1 = materialize_mix_from_lake(spark, root, path, version=v1)
+    lk.lake_append(
+        spark, root, docs.where(split == 3), partition_col="source"
+    )
+    v2 = lk.latest_version(root)
+
+    # simulate the mid-flight extender: lock held, marker not advanced
+    lock = os.path.join(path, f".mix-txn-v{v2}.lock")
+    with open(lock, "w") as f:
+        f.write("held")
+    before = _file_md5s(path)
+    with _pytest.raises(ValueError, match="owned by another extender"):
+        extend_mix_from_lake(spark, root, path)
+    assert _file_md5s(path) == before  # loser wrote NOTHING
+    assert _read_mix_marker(path)["rows"] == n1
+
+    # the crashed extender is repaired (lock removed) -> extend lands
+    os.unlink(lock)
+    assert extend_mix_from_lake(spark, root, path) > 0
+    assert not os.path.exists(lock)  # released on publish
