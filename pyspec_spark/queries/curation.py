@@ -2313,3 +2313,38 @@ def _extend_mix_locked(
         {**m, "lake_version": v_to, "rows": int(m["rows"]) + n_ext},
     )
     return n_ext
+
+
+def mix_drift_from_lake(
+    spark: SparkSession, root: str, path: str, version: int | None = None
+) -> DataFrame:
+    """The q_mix_alloc_drift shape over the REAL lake artifact: per
+    source, the micro-epoch allocation at the mix's covered lake
+    version vs the target version, the signed drift, and is_new — what
+    the operator reads before choosing extend_mix_from_lake (drift
+    small) or a fresh materialize_mix_from_lake lineage (drift large).
+    Two broadcast-sized allocations full-outer-joined; no corpus-sized
+    work beyond the two token-mass aggregations."""
+    from pyspec_spark.lake import latest_version
+
+    m = _read_mix_marker(path)
+    if m is None:
+        raise ValueError(f"{path} holds no materialized mix")
+    v_from = int(m["lake_version"])
+    v_to = latest_version(root) if version is None else version
+    a1 = _alloc_micro_over(
+        _lake_corpus(spark, root, v_from)
+    ).withColumnRenamed("_em", "em_base")
+    a2 = _alloc_micro_over(
+        _lake_corpus(spark, root, v_to)
+    ).withColumnRenamed("_em", "em_full")
+    j = a1.join(a2, "source", "full_outer")
+    eb = F.coalesce("em_base", F.lit(0)).cast("bigint")
+    ef = F.coalesce("em_full", F.lit(0)).cast("bigint")
+    return j.select(
+        "source",
+        eb.alias("em_base"),
+        ef.alias("em_full"),
+        (ef - eb).alias("drift_micro"),
+        F.col("em_base").isNull().alias("is_new"),
+    ).orderBy("source")

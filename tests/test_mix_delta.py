@@ -292,3 +292,47 @@ def test_mix_extend_version_lock(spark, tmp_path):
     os.unlink(lock)
     assert extend_mix_from_lake(spark, root, path) > 0
     assert not os.path.exists(lock)  # released on publish
+
+
+def test_mix_drift_from_lake_matches_declared_shape(spark, tmp_path):
+    """mix_drift_from_lake over the real artifact agrees with the
+    declared q_mix_alloc_drift arithmetic computed on the same two
+    corpora — one definition of the allocation, two faces."""
+    import pyspec_spark.lake as lk
+    from pyspec_spark.queries.curation import (
+        _alloc_micro_over,
+        _toks,
+        materialize_mix_from_lake,
+        mix_drift_from_lake,
+    )
+    from pyspec_spark.tables import table
+
+    docs = table(spark, SF, "documents").select("doc_id", "source", "text")
+    split = F.pmod("doc_id", F.lit(4))
+    root = str(tmp_path / "drift_lake")
+    v1 = lk.lake_append(
+        spark, root, docs.where(split != 3), partition_col="source"
+    )
+    path = str(tmp_path / "drift_mix")
+    materialize_mix_from_lake(spark, root, path, version=v1)
+    lk.lake_append(
+        spark, root, docs.where(split == 3), partition_col="source"
+    )
+
+    got = {
+        r["source"]: (r["em_base"], r["em_full"], r["drift_micro"],
+                      r["is_new"])
+        for r in mix_drift_from_lake(spark, root, path).collect()
+    }
+    tok = docs.select("doc_id", "source", F.size(_toks()).alias("n_tokens"))
+    a1 = {
+        r["source"]: r["_em"]
+        for r in _alloc_micro_over(tok.where(split != 3)).collect()
+    }
+    a2 = {r["source"]: r["_em"] for r in _alloc_micro_over(tok).collect()}
+    want = {
+        s: (a1.get(s, 0), a2.get(s, 0), a2.get(s, 0) - a1.get(s, 0),
+            s not in a1)
+        for s in set(a1) | set(a2)
+    }
+    assert got == want and len(got) > 0
