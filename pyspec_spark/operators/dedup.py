@@ -571,3 +571,100 @@ def connected_components_star(
         "node", F.col("node").alias("component")
     )
     return comp.unionByName(roots).distinct()
+
+
+# ---------------------------------------------------------------------------
+# L2g — exact fuzzy (edit-distance) token join via deletion
+# neighborhoods (SymSpell banding; Garbe's public symmetric-delete
+# algorithm).  The banding theorem: if lev(a, b) <= t then the
+# deletion neighborhoods D_<=t(a) and D_<=t(b) intersect — every
+# single edit (insert / delete / substitute) on one side is absorbed
+# by deleting at most one character from each side, so an equi-join on
+# shared deletion variants has GUARANTEED recall at threshold t.
+# Candidates are then verified with the exact levenshtein (JVM-side
+# built-in), making the whole operator EXACT — unlike MinHash/SimHash
+# above, which trade recall for speed.
+#
+# Scale posture (100 TB): the neighborhood explode is map-only and
+# bounded (<= 1 + L variants per token at t=1, O(L^2) at t=2, L <= 20
+# after the length filter); the only shuffle is the equi-join on the
+# variant string — an inverted-index join keyed by variant, never an
+# all-pairs product (plan-gated in tests).  Short variants are the
+# skew risk (deleting from length-3 tokens pools many sources onto one
+# bucket); the |len(a)-len(b)| <= t predicate prunes candidates before
+# the levenshtein verify, and vocabulary tokens are distinct-ed before
+# the explode so bucket size is bounded by vocabulary density, not
+# corpus frequency.
+# ---------------------------------------------------------------------------
+def _delete_one_arr(col):
+    """Array of every single-character deletion of a string column."""
+    return F.when(
+        F.length(col) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.length(col) - 1),
+            lambda i: F.concat(
+                F.substring(col, F.lit(1), i),
+                F.substring(col, i + F.lit(2), F.length(col)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def deletion_neighborhood(
+    df: DataFrame, token_col: str = "token", max_deletes: int = 1
+) -> DataFrame:
+    """Distinct ``(variant, token)`` pairs where ``variant`` is the token
+    itself or any string reachable by deleting up to ``max_deletes``
+    characters (SymSpell index rows).  Map-only explode; distinct-ed so
+    the downstream join is keyed on unique (variant, token)."""
+    if max_deletes not in (1, 2):
+        raise ValueError("max_deletes must be 1 or 2")
+    base = df.select(F.col(token_col).alias("token"))
+    w = F.col("token")
+    d1 = _delete_one_arr(w)
+    variants = F.concat(F.array(w), d1)
+    if max_deletes == 2:
+        d2 = F.flatten(F.transform(d1, lambda v: _delete_one_arr(v)))
+        variants = F.concat(variants, d2)
+    return (
+        base.withColumn("_variants", variants)
+        .select(F.explode("_variants").alias("variant"), "token")
+        .distinct()
+    )
+
+
+def fuzzy_token_matches(
+    left: DataFrame,
+    right: DataFrame,
+    tau: int = 1,
+    left_col: str = "token",
+    right_col: str = "token",
+) -> DataFrame:
+    """Exact edit-distance join: all ``(tok_a, tok_b, dist)`` with
+    ``tok_a`` from ``left``, ``tok_b`` from ``right`` and
+    ``levenshtein(tok_a, tok_b) <= tau`` (tau in {1, 2}).
+
+    Recall is guaranteed by the deletion-neighborhood banding theorem;
+    precision by the exact verify.  The join is an inverted-index
+    equi-join on the variant string — no cartesian product at any
+    vocabulary size.
+    """
+    lv = deletion_neighborhood(
+        left.select(F.col(left_col).alias("token")), max_deletes=tau
+    ).withColumnRenamed("token", "tok_a")
+    rv = deletion_neighborhood(
+        right.select(F.col(right_col).alias("token")), max_deletes=tau
+    ).withColumnRenamed("token", "tok_b")
+    cand = (
+        lv.join(rv, "variant")
+        .select("tok_a", "tok_b")
+        .where(
+            F.abs(F.length("tok_a") - F.length("tok_b")) <= F.lit(tau)
+        )
+        .distinct()
+    )
+    return cand.select(
+        "tok_a",
+        "tok_b",
+        F.levenshtein("tok_a", "tok_b").alias("dist"),
+    ).where(F.col("dist") <= F.lit(tau))

@@ -2283,3 +2283,128 @@ def q_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id BIGINT, window_id INT, n BIGINT, sum_s BIGINT, "
         "sum_abs BIGINT",
     ).orderBy("media_id", "window_id")
+
+
+# ---------------------------------------------------------------------------
+# L2g — typo canonicalization via the EXACT fuzzy (edit-distance) join
+# (r13).  The vocabulary-repair pipeline every OCR / user-generated /
+# crawl corpus runs before token statistics: map noisy token variants
+# back to their canonical vocabulary forms.  The noisy set is PLANTED
+# deterministically from the corpus itself (the L37b planted-truth
+# pattern): each clean vocabulary word spawns _TYPO_DRAWS corrupted
+# variants via a content-keyed md5 draw choosing the edit mode
+# (substitute / delete / insert), position, and replacement letter —
+# bit-identical in DuckDB, so the ENTIRE pipeline (corruption, the
+# deletion-neighborhood banded join, the exact levenshtein verify, the
+# per-noisy canonical pick) is oracle-checked end to end.
+#
+# Matching is SymSpell deletion-neighborhood banding
+# (operators/dedup.py fuzzy_token_matches): recall at tau=1 is
+# GUARANTEED by the banding theorem, precision by the exact
+# levenshtein — no all-pairs product at any vocabulary size
+# (plan-gated).  Scale: vocabulary is distinct-ed before the explode
+# (bounded by vocabulary density, not corpus frequency); the only
+# shuffles are token-keyed distincts and the variant-keyed equi-join.
+# ---------------------------------------------------------------------------
+_TYPO_DRAWS = 8
+_TYPO_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+_TYPO_ORACLE = f"""
+WITH clean AS (
+  SELECT DISTINCT w
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]{{3,20}}$')
+),
+draw AS (
+  SELECT w, d,
+         (('0x' || substr(md5(w || ':' || d), 1, 2))::BIGINT % 3) AS mode,
+         CAST(('0x' || substr(md5(w || ':' || d), 3, 4))::BIGINT
+              % length(w) AS INT) AS p,
+         substr('{_TYPO_ALPHA}',
+                CAST(('0x' || substr(md5(w || ':' || d), 7, 2))::BIGINT
+                     % 26 AS INT) + 1, 1) AS letter
+  FROM clean, (SELECT unnest(range({_TYPO_DRAWS})) AS d)
+),
+noisy0 AS (
+  SELECT DISTINCT
+         CASE mode
+           WHEN 0 THEN substr(w, 1, p) || letter || substr(w, p + 2)
+           WHEN 1 THEN substr(w, 1, p) || substr(w, p + 2)
+           ELSE substr(w, 1, p) || letter || substr(w, p + 1)
+         END AS noisy
+  FROM draw
+),
+noisy AS (
+  SELECT noisy FROM noisy0
+  WHERE noisy NOT IN (SELECT w FROM clean)
+),
+m AS (
+  SELECT n.noisy, c.w AS canon
+  FROM noisy n
+  JOIN clean c
+    ON abs(length(n.noisy) - length(c.w)) <= 1
+   AND levenshtein(n.noisy, c.w) <= 1
+)
+SELECT noisy, MIN(canon) AS canon, CAST(COUNT(*) AS INT) AS n_cands
+FROM m
+GROUP BY noisy
+ORDER BY noisy
+"""
+
+
+def _typo_noisy_vocab(clean: DataFrame) -> DataFrame:
+    """Deterministic planted corruptions of the clean vocabulary:
+    (w, d) -> one of substitute/delete/insert keyed by md5(w || ':' || d),
+    minus any corruption that lands back ON a vocabulary word."""
+    w = F.col("w")
+    h = F.md5(
+        F.concat(w, F.lit(":"), F.col("d").cast("string")).cast("binary")
+    )
+    mode = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") % 3
+    p = (F.conv(F.substring(h, 3, 4), 16, 10).cast("long") % F.length(w)).cast(
+        "int"
+    )
+    letter = F.substring(
+        F.lit(_TYPO_ALPHA),
+        (F.conv(F.substring(h, 7, 2), 16, 10).cast("long") % 26).cast("int")
+        + F.lit(1),
+        F.lit(1),
+    )
+    head = F.substring(w, F.lit(1), p)
+    tail_sub = F.substring(w, p + F.lit(2), F.length(w))
+    tail_ins = F.substring(w, p + F.lit(1), F.length(w))
+    corrupted = (
+        F.when(mode == 0, F.concat(head, letter, tail_sub))
+        .when(mode == 1, F.concat(head, tail_sub))
+        .otherwise(F.concat(head, letter, tail_ins))
+    )
+    return (
+        clean.select("w", F.explode(F.sequence(F.lit(0), F.lit(_TYPO_DRAWS - 1))).alias("d"))
+        .select(corrupted.alias("noisy"))
+        .distinct()
+        .join(clean.withColumnRenamed("w", "noisy"), "noisy", "left_anti")
+    )
+
+
+@query("q_typo_canon", oracle=_TYPO_ORACLE)
+def q_typo_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.dedup import fuzzy_token_matches
+
+    docs = table(spark, sf_dir, "documents")
+    clean = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w").rlike("^[a-z]{3,20}$"))
+        .distinct()
+    )
+    noisy = _typo_noisy_vocab(clean)
+    matches = fuzzy_token_matches(
+        noisy, clean, tau=1, left_col="noisy", right_col="w"
+    )
+    return (
+        matches.groupBy(F.col("tok_a").alias("noisy"))
+        .agg(
+            F.min("tok_b").alias("canon"),
+            F.count("*").cast("int").alias("n_cands"),
+        )
+        .orderBy("noisy")
+    )
