@@ -869,3 +869,198 @@ def q_proto_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.ceil(F.lit(_PROTO_FRAC) * F.col("n_cluster")).cast("int")
         ).alias("pruned"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# L5g — ANN recall evaluation harness (r13), ORACLE-CHECKED end to end.
+# The eval face every retrieval deployment runs before trusting an
+# index: recall@k of the index against exact brute-force ground truth
+# over a panel of probe queries.  Both sides are deterministic here —
+# ground truth is the verified q_cosine_topk arithmetic per query, the
+# index side is the q_ann_ivf_det trained coarse quantizer (shared
+# q_kmeans2 CTE prefix in the oracle) probed per query — so recall@10
+# per query is a REPLAYABLE number, not a rows-only claim.  A qid with
+# zero hits survives via the left join (coalesce 0), though the
+# assigned-cell argument guarantees >= 1 (the query vector's own cell
+# IS its nearest centroid, so the query itself is always a candidate).
+#
+# Scale posture: ground truth is the deliberate brute-force arm — the
+# offline eval cost, |Q| x N map-side scores (|Q| bounded, broadcast);
+# every ranking window is qid-PARTITIONED (hash exchange, never a
+# SinglePartition funnel — plan-gated); the index arm reuses the IVF
+# probe pruning, so its cost is |Q| x (2/k of the corpus).
+# ---------------------------------------------------------------------------
+_NQ_EVAL = 8
+
+
+_ANN_RECALL_ORACLE = _kmeans_cte_prefix() + f""",
+qs AS (
+  SELECT vec_id AS qid, embedding AS qemb FROM emb WHERE vec_id < {_NQ_EVAL}
+),
+gt AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY ROUND(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]),
+                        CAST(q.qemb AS DOUBLE[])), 6) DESC, e.vec_id
+           ) AS rk
+    FROM emb e CROSS JOIN qs q
+  ) WHERE rk <= 10
+),
+probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.qid
+             ORDER BY {_dist_sql('q', 'c')}, c.cid
+           ) AS rk
+    FROM (SELECT qid, qemb AS embedding FROM qs) q CROSS JOIN c2 c
+  ) WHERE rk <= 2
+),
+cand AS (
+  SELECT p.qid, a.vec_id FROM asg2 a JOIN probe p ON a.cid = p.cid
+),
+ncand AS (
+  SELECT qid, COUNT(*) AS n_cand FROM cand GROUP BY qid
+),
+ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT cd.qid, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY cd.qid
+             ORDER BY ROUND(list_cosine_similarity(
+                        CAST(e.embedding AS DOUBLE[]),
+                        CAST(q.qemb AS DOUBLE[])), 6) DESC, e.vec_id
+           ) AS rk
+    FROM cand cd
+    JOIN emb e USING (vec_id)
+    JOIN qs q ON q.qid = cd.qid
+  ) WHERE rk <= 10
+),
+hits AS (
+  SELECT g.qid, COUNT(i.vec_id) AS n_match
+  FROM gt g LEFT JOIN ivf i ON i.qid = g.qid AND i.vec_id = g.vec_id
+  GROUP BY g.qid
+)
+SELECT h.qid,
+       CAST(n.n_cand AS INT) AS n_cand,
+       CAST(h.n_match AS INT) AS n_match,
+       ROUND(CAST(h.n_match AS DOUBLE) / 10, 6) AS recall
+FROM hits h JOIN ncand n USING (qid)
+ORDER BY h.qid
+"""
+
+
+@query("q_ann_recall_eval", oracle=_ANN_RECALL_ORACLE)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    c0 = emb.where(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"),
+        F.transform(
+            F.slice("embedding", 1, _D), lambda x: x.cast("double")
+        ).alias("c"),
+    )
+    asg1 = _assign(emb, c0)
+    c1 = _update(emb, asg1)
+    asg2 = _assign(emb, c1)
+    c2 = _update(emb, asg2)
+
+    qs = emb.where(F.col("vec_id") < _NQ_EVAL).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qemb")
+    )
+
+    def _cos(ecol: str, qcol: str) -> Column:
+        dot = F.aggregate(
+            F.zip_with(
+                ecol, qcol, lambda a, b: a.cast("double") * b.cast("double")
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+        def norm(col):
+            return F.sqrt(
+                F.aggregate(
+                    F.transform(
+                        col, lambda a: a.cast("double") * a.cast("double")
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+
+        return F.round(dot / (norm(F.col(ecol)) * norm(F.col(qcol))), 6)
+
+    wq = Window.partitionBy("qid")
+
+    gt = (
+        emb.crossJoin(F.broadcast(qs))
+        .select("qid", "vec_id", _cos("embedding", "qemb").alias("score"))
+        .withColumn(
+            "rk",
+            F.row_number().over(wq.orderBy(F.desc("score"), "vec_id")),
+        )
+        .where(F.col("rk") <= 10)
+        .select("qid", "vec_id")
+    )
+
+    q8 = qs.select(
+        "qid",
+        F.transform(F.slice("qemb", 1, _D), lambda x: x.cast("double")).alias(
+            "qe"
+        ),
+    )
+    dist: Column = None
+    for d in range(1, _D + 1):
+        t = (F.element_at(F.col("qe"), d) - F.element_at(F.col("c"), d)) * (
+            F.element_at(F.col("qe"), d) - F.element_at(F.col("c"), d)
+        )
+        dist = t if dist is None else dist + t
+    probe = (
+        c2.crossJoin(F.broadcast(q8))
+        .select("qid", "cid", dist.alias("dist"))
+        .withColumn(
+            "rk", F.row_number().over(wq.orderBy("dist", "cid"))
+        )
+        .where(F.col("rk") <= 2)
+        .select("qid", "cid")
+    )
+    cand = asg2.join(F.broadcast(probe), "cid").select("qid", "vec_id")
+    ncand = cand.groupBy("qid").agg(F.count("*").cast("int").alias("n_cand"))
+
+    ivf = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(qs), "qid")
+        .select("qid", "vec_id", _cos("embedding", "qemb").alias("score"))
+        .withColumn(
+            "rk",
+            F.row_number().over(wq.orderBy(F.desc("score"), "vec_id")),
+        )
+        .where(F.col("rk") <= 10)
+        .select("qid", F.col("vec_id").alias("ivf_vec_id"))
+    )
+
+    hits = (
+        gt.join(
+            ivf,
+            (gt["qid"] == ivf["qid"]) & (gt["vec_id"] == ivf["ivf_vec_id"]),
+            "left",
+        )
+        .groupBy(gt["qid"].alias("qid"))
+        .agg(F.count("ivf_vec_id").cast("int").alias("n_match"))
+    )
+
+    return (
+        hits.join(ncand, "qid")
+        .select(
+            "qid",
+            "n_cand",
+            "n_match",
+            F.round(F.col("n_match").cast("double") / 10, 6).alias("recall"),
+        )
+        .orderBy("qid")
+    )
