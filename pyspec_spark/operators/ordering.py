@@ -38,11 +38,23 @@ def global_order_index(
     id_col: str = "doc_id",
     seed: str = "seed0",
     n_buckets: int = 256,
+    tier_col: str | None = None,
 ) -> DataFrame:
     """Append ``pos`` — each row's 0-based position in the seeded
     global pseudo-random order — without a corpus-wide
     single-partition window.  ``n_buckets`` must be a power of 16
-    divisor of the md5 prefix space (16, 256, 4096, 65536)."""
+    divisor of the md5 prefix space (16, 256, 4096, 65536).
+
+    ``tier_col`` (curriculum ordering, L46f): when given, the global
+    order is (tier ASC, seeded key) — ascending-difficulty curriculum
+    blocks, each internally a seeded pseudo-random permutation.  The
+    two-level rank generalizes verbatim: buckets become (tier, bucket)
+    pairs, the offsets prefix-sum runs over |tiers| x n_buckets rows
+    (still constant-bounded), and per-(tier, bucket) windows stay
+    hash-partitioned — the exact equivalence to
+    ROW_NUMBER() OVER (ORDER BY tier, key, id) holds because lexical
+    (tier, bucket, key) order IS (tier, key) order (md5-hex bucket
+    monotonicity, as in the untiered case)."""
     # Integral derivation — float log(4096, 16) can land at 2.999…
     # on some libms and a truncation would spuriously reject a
     # legitimate power of 16.
@@ -54,19 +66,20 @@ def global_order_index(
         "_bucket",
         F.conv(F.substring("_key", 1, hex_digits), 16, 10).cast("int"),
     )
-    counts = k.groupBy("_bucket").agg(F.count("*").alias("_n"))
+    grp = ([tier_col] if tier_col is not None else []) + ["_bucket"]
+    counts = k.groupBy(*grp).agg(F.count("*").alias("_n"))
     w_off = (
-        Window.orderBy("_bucket")
+        Window.orderBy(*grp)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offsets = counts.select(
-        "_bucket",
+        *grp,
         F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
     )
-    w_in = Window.partitionBy("_bucket").orderBy("_key", id_col)
+    w_in = Window.partitionBy(*grp).orderBy("_key", id_col)
     return (
         k.withColumn("_r", F.row_number().over(w_in))
-        .join(F.broadcast(offsets), "_bucket")
+        .join(F.broadcast(offsets), grp)
         .withColumn("pos", (F.col("_off") + F.col("_r") - 1).cast("long"))
         .drop("_key", "_bucket", "_n", "_r", "_off")
     )

@@ -1589,7 +1589,10 @@ def _alloc_micro_over(docs_tok: DataFrame) -> DataFrame:
 
 
 def _replicate_copies(
-    docs: DataFrame, alloc_micro: DataFrame, salt: str
+    docs: DataFrame,
+    alloc_micro: DataFrame,
+    salt: str,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Fractional-epoch replication off a broadcast (source, _em)
     micro-epoch allocation: each doc emits _em//1e6 copies plus one
@@ -1620,11 +1623,12 @@ def _replicate_copies(
     frac_micro = F.pmod("_em", F.lit(_TMIX_MICRO))
     n_copies = (n_full + (draw < frac_micro).cast("long")).cast("int")
     rep = docs.join(F.broadcast(alloc_micro), "source").select(
-        "doc_id", "source", n_copies.alias("n_copies")
+        "doc_id", "source", *extra_cols, n_copies.alias("n_copies")
     )
     copies = rep.select(
         "doc_id",
         "source",
+        *extra_cols,
         F.explode(
             F.when(
                 F.col("n_copies") >= 1,
@@ -2348,3 +2352,114 @@ def mix_drift_from_lake(
         (ef - eb).alias("drift_micro"),
         F.col("em_base").isNull().alias("is_new"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# L46f — CURRICULUM-ordered training mix (r13): ascending-difficulty
+# blocks, each internally a seeded pseudo-random permutation — the
+# ordering face of curriculum learning (Bengio et al. 2009, public
+# knowledge) over the SAME replicated multiset as q_train_mix.  The
+# difficulty proxy here is document length (n_chars quartile tiers via
+# an exact integer division against the corpus max — a 1-row broadcast
+# aggregate); any per-doc difficulty column plugs into the same
+# tier_col machinery.
+#
+# Deliberate sharing vs deliberate independence: the replication salt
+# IS q_train_mix's ("#epoch") — the curriculum is BY DESIGN a
+# reordering of the standard mix, and the multiset-equality pytest
+# pins exactly that; the ORDER seed is independent (r13cur), so the
+# two declared orders share no randomness.
+#
+# Scale posture: tiering is map-side after a 1-row max broadcast;
+# ordering is the L46 two-level rank with buckets generalized to
+# (tier, bucket) pairs — offsets prefix-sum over <= 4x256 rows, every
+# corpus-sized window hash-partitioned (the shared plan gate covers
+# this query too).
+# ---------------------------------------------------------------------------
+_TMIXCUR_SEED = "r13cur"
+_TMIXCUR_TIERS = 4
+
+
+def _train_mix_curriculum_oracle() -> str:
+    return f"""
+WITH alloc AS ({_epoch_alloc_oracle()}),
+mx AS (SELECT MAX(n_chars) AS mx FROM documents),
+rep AS (
+  SELECT d.doc_id, d.source,
+         (d.n_chars * {_TMIXCUR_TIERS}) // (mx.mx + 1) AS tier,
+         CAST(ROUND(a.epochs * {_TMIX_MICRO}) AS BIGINT) // {_TMIX_MICRO}
+         + CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#epoch'), 1, 8))::BIGINT
+                     % {_TMIX_MICRO}
+                  < CAST(ROUND(a.epochs * {_TMIX_MICRO}) AS BIGINT) % {_TMIX_MICRO}
+                THEN 1 ELSE 0 END AS n_copies
+  FROM documents d JOIN alloc a USING (source) CROSS JOIN mx
+),
+copies AS (
+  SELECT doc_id, source, tier,
+         CAST(unnest(range(1, n_copies + 1)) AS INT) AS replica
+  FROM rep
+),
+k AS (
+  SELECT doc_id, source, tier, replica,
+         CAST(doc_id AS VARCHAR) || '#' || CAST(replica AS VARCHAR) AS rid
+  FROM copies
+),
+o AS (
+  SELECT doc_id, source, tier, replica,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY tier, md5('{_TMIXCUR_SEED}' || rid), rid) - 1
+              AS BIGINT) AS pos
+  FROM k
+)
+SELECT doc_id, replica, source, CAST(tier AS INT) AS tier, pos,
+       CAST(pos // {_TMIX_SHARD} AS BIGINT) AS shard,
+       CAST(pos % {_TMIX_SHARD} AS BIGINT) AS pos_in_shard
+FROM o
+ORDER BY pos
+"""
+
+
+@query("q_train_mix_curriculum", oracle=_train_mix_curriculum_oracle())
+def q_train_mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.ordering import (
+        assign_train_shards,
+        global_order_index,
+    )
+
+    alloc = q_epoch_alloc.__wrapped__(spark, sf_dir).select(
+        "source",
+        (F.round(F.col("epochs") * _TMIX_MICRO, 0).cast("bigint")).alias(
+            "_em"
+        ),
+    )
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    mx = d.agg(F.max("n_chars").alias("_mx"))
+    scaled = F.col("n_chars") * _TMIXCUR_TIERS
+    denom = F.col("_mx") + 1
+    tiered = (
+        d.crossJoin(F.broadcast(mx))
+        .withColumn(
+            "tier",
+            ((scaled - F.pmod(scaled, denom)) / denom).cast("int"),
+        )
+        .select("doc_id", "source", "tier")
+    )
+    keyed = _replicate_copies(tiered, alloc, "#epoch", extra_cols=("tier",))
+    ordered = global_order_index(
+        keyed, "_rid", seed=_TMIXCUR_SEED, tier_col="tier"
+    )
+    return (
+        assign_train_shards(ordered, _TMIX_SHARD)
+        .select(
+            "doc_id",
+            "replica",
+            "source",
+            F.col("tier").cast("int").alias("tier"),
+            "pos",
+            F.col("shard").cast("long").alias("shard"),
+            F.col("pos_in_shard").cast("long").alias("pos_in_shard"),
+        )
+        .orderBy("pos")
+    )

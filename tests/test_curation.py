@@ -481,3 +481,39 @@ def test_mix_shard_entropy_is_flat_near_global(spark):
         # a 256-doc sample of a ~uniform 20-source mix loses ~0.04 nats
         # to sampling; 0.25 nats of slack flags real clumping only
         assert abs(r["entropy"] - h_global) <= 0.25, (r, h_global)
+
+
+def test_curriculum_mix_is_reorder_of_standard_mix(spark):
+    """L46f pin: the curriculum shares q_train_mix's replication salt
+    BY DESIGN — same (doc_id, replica) multiset, different order."""
+    from pyspec_spark.queries.curation import (
+        q_train_mix,
+        q_train_mix_curriculum,
+    )
+
+    base = q_train_mix.__wrapped__(spark, SF_SMALL)
+    cur = q_train_mix_curriculum.__wrapped__(spark, SF_SMALL)
+    b = {(r.doc_id, r.replica) for r in base.select("doc_id", "replica").collect()}
+    c = {(r.doc_id, r.replica) for r in cur.select("doc_id", "replica").collect()}
+    assert b == c
+    # ... but the ORDER differs (independent seed): the permutations
+    # disagree somewhere
+    bp = {(r.doc_id, r.replica): r.pos for r in base.collect()}
+    cp = {(r.doc_id, r.replica): r.pos for r in cur.collect()}
+    assert any(bp[k] != cp[k] for k in bp)
+
+
+def test_curriculum_mix_tiers_monotone_in_pos(spark):
+    """Ascending-difficulty contract: tier is non-decreasing along the
+    global order, positions are exactly 0..n-1, and every tier block's
+    internal order is non-trivially shuffled (copies of one doc do not
+    sit adjacent)."""
+    from pyspec_spark.queries.curation import q_train_mix_curriculum
+
+    df = q_train_mix_curriculum.__wrapped__(spark, SF_SMALL)
+    rows = df.select("pos", "tier", "doc_id").orderBy("pos").collect()
+    n = len(rows)
+    assert [r.pos for r in rows] == list(range(n))
+    tiers = [r.tier for r in rows]
+    assert tiers == sorted(tiers)
+    assert len(set(tiers)) >= 2  # the length proxy genuinely stratifies

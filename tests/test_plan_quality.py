@@ -5,6 +5,8 @@ de-optimizes a plan fails here even while results stay correct."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from pyspec_spark import registry
@@ -973,19 +975,29 @@ def test_train_order_window_is_bucket_partitioned(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["q_train_mix", "q_train_mix_curated", "q_train_mix_delta"]
+    "name",
+    [
+        "q_train_mix",
+        "q_train_mix_curated",
+        "q_train_mix_delta",
+        "q_train_mix_curriculum",
+    ],
 )
 def test_train_mix_window_is_bucket_partitioned(spark, name):
-    """L46/L46b/L46d: the replicated-stream ranking window must be
+    """L46/L46b/L46d/L46f: the replicated-stream ranking window must be
     partitioned by the 256 md5-prefix buckets exactly like L45 —
-    neither replication, the curation front-end, nor the delta
-    extension may smuggle the naive single-funnel ROW_NUMBER back in.
-    The only SinglePartition exchanges allowed are the bounded
-    bucket-offset prefix sum, 1-row aggregate shapes, and (curated
-    only) the L44 audit's per-source budget-cumsum window, which is
-    source-keyed (hashpartitioning), never SinglePartition."""
+    neither replication, the curation front-end, the delta extension,
+    nor the curriculum tiering may smuggle the naive single-funnel
+    ROW_NUMBER back in (the curriculum generalizes the bucket key to
+    (tier, _bucket) — still a hash exchange).  The only SinglePartition
+    exchanges allowed are the bounded bucket-offset prefix sum, 1-row
+    aggregate shapes, and (curated only) the L44 audit's per-source
+    budget-cumsum window, which is source-keyed (hashpartitioning),
+    never SinglePartition."""
     plan = _plan(spark, name)
-    assert "hashpartitioning(_bucket" in plan, plan[:2000]
+    assert re.search(r"hashpartitioning\((tier#\d+L?, )?_bucket", plan), (
+        plan[:2000]
+    )
     lines = plan.splitlines()
     for i, ln in enumerate(lines):
         if "SinglePartition" in ln:
