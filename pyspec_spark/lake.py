@@ -466,10 +466,19 @@ def lake_overwrite(
 
 
 def lake_read(
-    spark: SparkSession, root: str, version: int | None = None
+    spark: SparkSession,
+    root: str,
+    version: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read a snapshot (default: latest).  Plans from the manifest's
-    explicit file list — no directory walk, no partition inference."""
+    explicit file list — no directory walk, no partition inference.
+    ``tag`` resolves a named ref (lake_tag) — mutually exclusive with
+    ``version``."""
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version OR tag, not both")
+        version = resolve_tag(root, tag)
     v = latest_version(root) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no committed version under {root}")
@@ -831,6 +840,72 @@ def lake_change_layout(
     )
 
 
+_TAGS_DIR = "_tags"
+
+
+def _tag_path(root: str, name: str) -> str:
+    if not name or "/" in name or "\\" in name or name.startswith("."):
+        raise ValueError(f"invalid tag name: {name!r}")
+    return os.path.join(root, _TAGS_DIR, f"{name}.json")
+
+
+def lake_tag(
+    root: str, name: str, version: int | None = None, replace: bool = False
+) -> int:
+    """Pin a named, immutable ref to a snapshot version (the Iceberg
+    tag concept, public knowledge) — ``lake_read(tag=...)`` resolves
+    it, and ``lake_vacuum`` treats every tagged version as live, so a
+    tag is the governance handle for "the snapshot this model was
+    trained on" surviving retention.  Refuses to move an existing tag
+    unless ``replace=True`` (tags are refs a consumer relies on;
+    silent re-pointing is the lost-update of governance).  Returns the
+    pinned version."""
+    v = latest_version(root) if version is None else int(version)
+    if v is None or v not in set(_versions(root)):
+        raise ValueError(f"version {version!r} not committed under {root}")
+    p = _tag_path(root, name)
+    if os.path.exists(p) and not replace:
+        raise FileExistsError(
+            f"tag {name!r} exists (-> v{json.load(open(p))['version']}); "
+            "pass replace=True to move it"
+        )
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = f"{p}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(
+            {
+                "version": v,
+                "created": datetime.now(timezone.utc).isoformat(),
+            },
+            f,
+        )
+    os.replace(tmp, p)
+    return v
+
+
+def lake_tags(root: str) -> dict[str, int]:
+    """All tags as {name: version}."""
+    out: dict[str, int] = {}
+    for p in glob.glob(os.path.join(root, _TAGS_DIR, "*.json")):
+        out[os.path.splitext(os.path.basename(p))[0]] = json.load(
+            open(p)
+        )["version"]
+    return out
+
+
+def lake_drop_tag(root: str, name: str) -> None:
+    """Remove a tag (its version becomes vacuumable again if outside
+    the keep window)."""
+    os.unlink(_tag_path(root, name))
+
+
+def resolve_tag(root: str, name: str) -> int:
+    p = _tag_path(root, name)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no tag {name!r} under {root}")
+    return int(json.load(open(p))["version"])
+
+
 def lake_vacuum(
     root: str, keep_versions: int = 1, retention_seconds: float = 3600.0
 ) -> int:
@@ -844,13 +919,20 @@ def lake_vacuum(
     at vanished data (the table formats' vacuum-retention rule).
     Files that WERE referenced by a now-expired manifest are committed
     history, not possibly-in-flight staging, so they are reclaimed
-    regardless of age."""
+    regardless of age.
+
+    TAGGED versions (lake_tag) are live regardless of age: their
+    manifests stay and their files are never reclaimed — retention
+    answers "how much history", tags answer "which snapshots are
+    load-bearing", and the second must win or a routine vacuum
+    silently breaks the ref a training run recorded."""
     import time
 
     vs = _versions(root)
     if not vs:
         return 0
     keep = set(vs[-max(keep_versions, 1):])
+    keep |= {v for v in lake_tags(root).values() if v in set(vs)}
     live: set[str] = set()
     expired_refs: set[str] = set()
     for v in vs:

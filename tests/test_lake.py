@@ -1786,3 +1786,58 @@ def test_cluster_col_model_based_random_lifecycle(spark, tmp_path):
                     lk.lake_rename_column(root, cluster_name, new)
                 cluster_name = new
             check()
+
+
+# ---------------------------------------------------------------------------
+# Named tags (r13): immutable refs that pin snapshots against vacuum —
+# the governance handle for "the snapshot this model trained on".
+# ---------------------------------------------------------------------------
+def test_tag_read_and_vacuum_safety(spark, tmp_path):
+    from pyspec_spark.lake import (
+        lake_drop_tag,
+        lake_tag,
+        lake_tags,
+        lake_vacuum,
+    )
+
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 10), "part")
+    lake_tag(root, "train-v1")  # pins v1
+    lake_append(spark, root, _docs(spark, 10, 20), "part")
+    lake_append(spark, root, _docs(spark, 20, 30), "part")
+    assert lake_tags(root) == {"train-v1": 1}
+    assert _rows(lake_read(spark, root, tag="train-v1")) == _rows(
+        _docs(spark, 0, 10)
+    )
+    # vacuum keeps ONLY the newest version... plus the tagged one
+    lake_vacuum(root, keep_versions=1, retention_seconds=0.0)
+    assert lake_read(spark, root).count() == 30
+    assert lake_read(spark, root, tag="train-v1").count() == 10
+    # the untagged middle version is gone
+    with pytest.raises(FileNotFoundError):
+        lake_read(spark, root, version=2)
+    # dropping the tag releases the pin: the next vacuum reclaims v1
+    lake_drop_tag(root, "train-v1")
+    lake_vacuum(root, keep_versions=1, retention_seconds=0.0)
+    with pytest.raises(FileNotFoundError):
+        lake_read(spark, root, tag="train-v1")
+    assert lake_read(spark, root).count() == 30
+
+
+def test_tag_refuses_silent_move_and_bad_targets(spark, tmp_path):
+    from pyspec_spark.lake import lake_tag, resolve_tag
+
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 5), "part")
+    lake_append(spark, root, _docs(spark, 5, 9), "part")
+    lake_tag(root, "rel", version=1)
+    with pytest.raises(FileExistsError):
+        lake_tag(root, "rel", version=2)
+    lake_tag(root, "rel", version=2, replace=True)
+    assert resolve_tag(root, "rel") == 2
+    with pytest.raises(ValueError):
+        lake_tag(root, "nope", version=99)
+    with pytest.raises(ValueError):
+        lake_tag(root, "../escape", version=1)
+    with pytest.raises(ValueError):
+        lake_read(spark, root, version=1, tag="rel")
