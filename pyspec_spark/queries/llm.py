@@ -865,3 +865,85 @@ def q_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L13b — overlapping document chunking (r13): the RAG/embedding
+# ingestion front-end — every retrieval deployment splits documents
+# into fixed-size token windows with overlap before embedding, and the
+# chunk boundary arithmetic must be EXACT (an off-by-one here silently
+# drops the tail of every document from the index).  Chunk i of a doc
+# covers tokens [i*STRIDE+1 .. i*STRIDE+CHUNK] (1-based, clamped);
+# n_chunks = 1 + ceil(max(n - CHUNK, 0) / STRIDE) so every token
+# lands in >= 1 chunk, short docs produce exactly one chunk, and the
+# last window is allowed to be short rather than re-reading earlier
+# tokens (deterministic — no "snap back" heuristic).
+#
+# Scale posture: map-only — split, a bounded sequence explode
+# (~n/STRIDE chunks per doc), and slices of the already-materialized
+# token array; no shuffle at all until a consumer aggregates.  The
+# ceil is integer arithmetic (pmod), not float division.
+# ---------------------------------------------------------------------------
+_CHUNK = 32
+_STRIDE = 24
+
+_DOC_CHUNKS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks, n,
+         CAST(unnest(range(
+           1 + greatest(0, (greatest(n - {_CHUNK}, 0) + {_STRIDE} - 1)
+                           // {_STRIDE})
+         )) AS INT) AS chunk_id
+  FROM t
+)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * {_STRIDE} AS INT) AS chunk_start,
+       CAST(len(list_slice(toks, chunk_id * {_STRIDE} + 1,
+                           chunk_id * {_STRIDE} + {_CHUNK})) AS INT)
+         AS n_tokens,
+       array_to_string(list_slice(toks, chunk_id * {_STRIDE} + 1,
+                                  chunk_id * {_STRIDE} + {_CHUNK}), ' ')
+         AS chunk_text
+FROM c
+ORDER BY doc_id, chunk_id
+"""
+
+
+@query("q_doc_chunks", oracle=_DOC_CHUNKS_ORACLE)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    num = F.greatest(F.col("n") - _CHUNK, F.lit(0))
+    # integer ceil(num / STRIDE) via pmod — no float division
+    nc = (
+        F.lit(1)
+        + (
+            (num + _STRIDE - 1 - F.pmod(num + _STRIDE - 1, F.lit(_STRIDE)))
+            / _STRIDE
+        ).cast("int")
+    )
+    c = t.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), nc - 1))
+    ).withColumn("chunk_id", F.col("chunk_id").cast("int"))
+    sl = F.slice(
+        F.col("toks"), F.col("chunk_id") * _STRIDE + 1, F.lit(_CHUNK)
+    )
+    return (
+        c.select(
+            "doc_id",
+            "chunk_id",
+            (F.col("chunk_id") * _STRIDE).cast("int").alias("chunk_start"),
+            F.size(sl).cast("int").alias("n_tokens"),
+            F.array_join(sl, " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

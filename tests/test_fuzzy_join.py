@@ -157,3 +157,40 @@ def test_typo_canon_every_planted_noisy_recovered(spark, sf_dir):
         assert r.canon in clean
         assert _lev(n, r.canon) == 1  # noisy is never a vocab word
         assert r.n_cands >= 1
+
+
+# --- L13b chunking boundary pins (colocated: small text-ops tests) ----
+def test_doc_chunks_cover_every_token_exactly(spark, sf_dir):
+    """Every token index of every doc lands in >= 1 chunk; consecutive
+    chunks overlap by exactly CHUNK-STRIDE except the (allowed-short)
+    last; short docs produce exactly one chunk."""
+    from pyspec_spark.queries.llm import _CHUNK, _STRIDE, q_doc_chunks
+    from pyspec_spark.tables import table
+    import pyspark.sql.functions as F
+
+    rows = q_doc_chunks.__wrapped__(spark, sf_dir).collect()
+    n_by_doc = {
+        r.doc_id: r.n
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_by_doc)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = n_by_doc[doc_id]
+        covered = set()
+        for r in chunks:
+            assert r.chunk_start == r.chunk_id * _STRIDE
+            assert 1 <= r.n_tokens <= _CHUNK
+            assert len(r.chunk_text.split(" ")) == r.n_tokens
+            covered |= set(range(r.chunk_start, r.chunk_start + r.n_tokens))
+        assert covered == set(range(n)), doc_id
+        # the last chunk reaches the end of the doc
+        last = chunks[-1]
+        assert last.chunk_start + last.n_tokens == n
+        if n <= _CHUNK:
+            assert len(chunks) == 1
