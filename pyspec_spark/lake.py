@@ -113,6 +113,7 @@ def _commit(
     columns=_UNSET,
     schemas=_UNSET,
     cluster_col=_UNSET,
+    schema_mixed=_UNSET,
 ) -> int:
     """Publish the manifest for version parent+1.  ``parent`` is the
     version the caller READ ITS BASE STATE from (captured at
@@ -140,8 +141,8 @@ def _commit(
     # evolution; a full rewrite (overwrite/compact) resets it.  Gates
     # lake_read's mergeSchema so the homogeneous path never pays the
     # every-footer merge.
-    mixed = False
-    if retains_parent and parent is not None:
+    mixed = False if schema_mixed is _UNSET else bool(schema_mixed)
+    if schema_mixed is _UNSET and retains_parent and parent is not None:
         pm = _load_manifest(root, parent)
         mixed = bool(pm.get("schema_mixed")) or (
             schema is not None
@@ -837,6 +838,57 @@ def lake_change_layout(
         root, "change_layout", new, partition_col, prev,
         schema=_schema_fields(cur), retains_parent=False,
         cluster_col=None,
+    )
+
+
+def lake_restore(
+    root: str, version: int | None = None, tag: str | None = None
+) -> int:
+    """RESTORE (Delta-style, public knowledge): make a historical
+    snapshot current again by committing a NEW version whose manifest
+    is the target's file list verbatim — history stays linear and
+    append-only (the bad commits remain inspectable between the two),
+    no data is copied (files are shared by reference, exactly like an
+    unaffected-partition carry-over), and the restore itself is an
+    optimistic commit (a concurrent writer landing first raises
+    LakeConflict instead of silently resurrecting on a moved base).
+    The target's schema era (column mapping), layout properties
+    (partition/cluster col) and schema_mixed flag travel with it —
+    restoring across an evolution restores the OLD era correctly.
+    The restored-FROM version must still be readable (not vacuumed).
+    Returns the new version."""
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version OR tag, not both")
+        version = resolve_tag(root, tag)
+    prev = latest_version(root)
+    if prev is None:
+        raise FileNotFoundError(f"no committed version under {root}")
+    if version is None or version not in set(_versions(root)):
+        raise ValueError(f"version {version!r} not committed under {root}")
+    t = _load_manifest(root, version)
+    missing = [
+        e["path"]
+        for e in t["files"]
+        if not os.path.exists(os.path.join(root, e["path"]))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"version {version} references vacuumed files, "
+            f"e.g. {missing[0]}"
+        )
+    return _commit(
+        root,
+        f"restore({version})",
+        t["files"],
+        t.get("partition_col"),
+        prev,
+        schema=t.get("schema"),
+        retains_parent=False,
+        columns=t.get("columns") or None,
+        schemas=t.get("schemas") or None,
+        cluster_col=t.get("cluster_col"),
+        schema_mixed=t.get("schema_mixed", False),
     )
 
 

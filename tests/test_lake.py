@@ -1841,3 +1841,51 @@ def test_tag_refuses_silent_move_and_bad_targets(spark, tmp_path):
         lake_tag(root, "../escape", version=1)
     with pytest.raises(ValueError):
         lake_read(spark, root, version=1, tag="rel")
+
+
+def test_restore_makes_history_current_again(spark, tmp_path):
+    """RESTORE commits a NEW version pointing at the target's files —
+    linear history, no data copied, bad commits still inspectable."""
+    from pyspec_spark.lake import lake_history, lake_restore, lake_tag
+
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 10), "part")
+    lake_tag(root, "good")
+    lake_append(spark, root, _docs(spark, 10, 40, tag="bad"), "part")
+    assert lake_read(spark, root).count() == 40
+    v = lake_restore(root, tag="good")
+    assert v == 3
+    assert _rows(lake_read(spark, root)) == _rows(_docs(spark, 0, 10))
+    # the bad commit is still inspectable between the two
+    assert lake_read(spark, root, version=2).count() == 40
+    ops = [h["op"] for h in lake_history(root)]
+    assert ops == ["append", "append", "restore(1)"]
+    # and life continues on top of the restore
+    lake_append(spark, root, _docs(spark, 50, 55), "part")
+    assert lake_read(spark, root).count() == 15
+
+
+def test_restore_refuses_vacuumed_target(spark, tmp_path):
+    from pyspec_spark.lake import lake_restore, lake_vacuum
+
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 10), "part")
+    lake_append(spark, root, _docs(spark, 10, 20), "part")
+    lake_vacuum(root, keep_versions=1, retention_seconds=0.0)
+    with pytest.raises((FileNotFoundError, ValueError)):
+        lake_restore(root, version=1)
+
+
+def test_restore_preserves_schema_era(spark, tmp_path):
+    """Restoring across a rename evolution restores the OLD era's
+    logical names correctly (the column mapping travels with the
+    target manifest, not the parent's)."""
+    from pyspec_spark.lake import lake_rename_column, lake_restore
+
+    root = str(tmp_path / "t")
+    lake_append(spark, root, _docs(spark, 0, 6), "part")
+    lake_rename_column(root, "text", "body")
+    assert "body" in lake_read(spark, root).columns
+    lake_restore(root, version=1)
+    cols = lake_read(spark, root).columns
+    assert "text" in cols and "body" not in cols
