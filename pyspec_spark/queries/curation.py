@@ -2463,3 +2463,77 @@ def q_train_mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# L13c — length-grouped batching (r13): the padding-efficiency face of
+# training-data loading (public knowledge: length-grouped / bucketed
+# batching as in fairseq & HF Trainer's LengthGroupedSampler) — docs
+# sorted by token length descending, cut into fixed-size batches, so
+# each batch pads to its own max instead of the corpus max; the
+# per-batch padding table is what the efficiency review reads.
+#
+# The exact global rank by (n_tokens DESC, doc_id) is the histogram
+# two-level rank (the ntile_exact/L45 discipline, with the LENGTH
+# HISTOGRAM as the bucket table): per-length counts (one groupBy,
+# |distinct lengths| rows), a prefix-sum window over that bounded
+# table (single partition over |lengths| rows — constant), within-
+# length ROW_NUMBER hash-partitioned by the length key, position =
+# offset + rank.  No corpus-wide window funnel anywhere.
+# ---------------------------------------------------------------------------
+_LB_BATCH = 16
+
+_LENGTH_BATCHES_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+),
+o AS (
+  SELECT doc_id, n,
+         (ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) - 1)
+           // {_LB_BATCH} AS batch_id
+  FROM d
+)
+SELECT CAST(batch_id AS BIGINT) AS batch_id,
+       CAST(COUNT(*) AS INT) AS n_docs,
+       CAST(MAX(n) AS INT) AS max_tokens,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(*) * MAX(n) - SUM(n) AS BIGINT) AS padding
+FROM o
+GROUP BY batch_id
+ORDER BY batch_id
+"""
+
+
+@query("q_length_batches", oracle=_LENGTH_BATCHES_ORACLE)
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(_toks()).alias("n")
+    )
+    counts = d.groupBy("n").agg(F.count("*").alias("_c"))
+    w_off = Window.orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "n", F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_in = Window.partitionBy("n").orderBy("doc_id")
+    pos = F.col("_off") + F.row_number().over(w_in) - 1
+    batched = (
+        d.join(F.broadcast(offsets), "n")
+        .withColumn("batch_id", (pos - F.pmod(pos, F.lit(_LB_BATCH))) / _LB_BATCH)
+        .withColumn("batch_id", F.col("batch_id").cast("long"))
+    )
+    return (
+        batched.groupBy("batch_id")
+        .agg(
+            F.count("*").cast("int").alias("n_docs"),
+            F.max("n").cast("int").alias("max_tokens"),
+            F.sum("n").cast("bigint").alias("sum_tokens"),
+            (F.count("*") * F.max("n") - F.sum("n"))
+            .cast("bigint")
+            .alias("padding"),
+        )
+        .orderBy("batch_id")
+    )
