@@ -2119,3 +2119,45 @@ def compact_streamed_maintained(
         )
     _write_maint_seq(dest, "postings", 1)
     mark_norms_current(dest)
+
+
+def chunk_tokens(
+    df: DataFrame,
+    chunk: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking (L13b) — the RAG/embedding
+    ingestion front-end.  Chunk i of a doc covers tokens
+    [i*stride+1 .. i*stride+chunk] (1-based, clamped);
+    n_chunks = 1 + ceil(max(n - chunk, 0) / stride), so every token
+    lands in >= 1 chunk, short docs produce exactly one chunk, and the
+    last window is allowed short (no snap-back heuristic — the
+    boundary arithmetic is exact integer math, oracle-checked by
+    q_doc_chunks).  Map-only: split + bounded sequence explode +
+    slices; zero shuffle."""
+    t = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), " ").alias("toks"),
+        F.size(F.split(F.col(text_col), " ")).alias("n"),
+    )
+    num = F.greatest(F.col("n") - chunk, F.lit(0))
+    nc = (
+        F.lit(1)
+        + (
+            (num + stride - 1 - F.pmod(num + stride - 1, F.lit(stride)))
+            / stride
+        ).cast("int")
+    )
+    c = t.withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), nc - 1))
+    ).withColumn("chunk_id", F.col("chunk_id").cast("int"))
+    sl = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, F.lit(chunk))
+    return c.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * stride).cast("int").alias("chunk_start"),
+        F.size(sl).cast("int").alias("n_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )

@@ -916,34 +916,9 @@ ORDER BY doc_id, chunk_id
 
 @query("q_doc_chunks", oracle=_DOC_CHUNKS_ORACLE)
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import chunk_tokens
+
     docs = table(spark, sf_dir, "documents")
-    t = docs.select(
-        "doc_id",
-        F.split("text", " ").alias("toks"),
-        F.size(F.split("text", " ")).alias("n"),
-    )
-    num = F.greatest(F.col("n") - _CHUNK, F.lit(0))
-    # integer ceil(num / STRIDE) via pmod — no float division
-    nc = (
-        F.lit(1)
-        + (
-            (num + _STRIDE - 1 - F.pmod(num + _STRIDE - 1, F.lit(_STRIDE)))
-            / _STRIDE
-        ).cast("int")
-    )
-    c = t.withColumn(
-        "chunk_id", F.explode(F.sequence(F.lit(0), nc - 1))
-    ).withColumn("chunk_id", F.col("chunk_id").cast("int"))
-    sl = F.slice(
-        F.col("toks"), F.col("chunk_id") * _STRIDE + 1, F.lit(_CHUNK)
-    )
-    return (
-        c.select(
-            "doc_id",
-            "chunk_id",
-            (F.col("chunk_id") * _STRIDE).cast("int").alias("chunk_start"),
-            F.size(sl).cast("int").alias("n_tokens"),
-            F.array_join(sl, " ").alias("chunk_text"),
-        )
-        .orderBy("doc_id", "chunk_id")
+    return chunk_tokens(docs, chunk=_CHUNK, stride=_STRIDE).orderBy(
+        "doc_id", "chunk_id"
     )
