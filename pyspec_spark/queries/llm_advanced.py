@@ -2408,3 +2408,149 @@ def q_typo_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("noisy")
     )
+
+
+# ---------------------------------------------------------------------------
+# L5h query face (r13) — exact chunk retrieval, ORACLE-CHECKED end to
+# end: the correctness baseline of the maintained RAG lifecycle
+# (operators/rag.py) in ONE declared statement — overlapping chunking
+# (the L13b boundary arithmetic), feature-hash chunk embeddings (the
+# L6+ md5 basis), and exact cosine top-10 against an in-corpus probe
+# (the first chunk of doc 0), all spliced into a single DuckDB replay.
+# The cosine runs on the INTEGER bucket sums (dot and norms over exact
+# BIGINTs, one IEEE division + round at the end — no float-order
+# dependence), and chunks sharing no hashed dimension with the query
+# still rank (dot coalesces to 0), so the top-10 boundary is exact.
+#
+# Scale posture: chunking + hashing are map-only; the bucket sums are
+# one (chunk, dim)-keyed aggregation; the query vector is a 16-row
+# broadcast + a 1-row norm broadcast; the ranking is TakeOrdered.
+# The PQ-served production path over the same semantics is
+# operators/rag.py (build/extend/audit — pinned by tests); THIS query
+# is its exact-arithmetic twin, the same relationship q_ann_ivf_det
+# has to the maintained vector lake.
+# ---------------------------------------------------------------------------
+_RAG_CHUNK = 32
+_RAG_STRIDE = 24
+_RAG_DIM = 16
+
+_RAG_TOPK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         CAST(unnest(range(
+           1 + greatest(0, (greatest(n - {_RAG_CHUNK}, 0) + {_RAG_STRIDE} - 1)
+                           // {_RAG_STRIDE})
+         )) AS INT) AS chunk_id
+  FROM t
+),
+ex AS (
+  SELECT doc_id, chunk_id,
+         unnest(list_slice(toks, chunk_id * {_RAG_STRIDE} + 1,
+                           chunk_id * {_RAG_STRIDE} + {_RAG_CHUNK})) AS tok
+  FROM c
+),
+h AS (
+  SELECT doc_id, chunk_id,
+         CAST(('0x' || substr(md5(tok || '#fh'), 1, 8))::BIGINT % {_RAG_DIM}
+              AS INT) AS dim,
+         CASE WHEN ('0x' || substr(md5(tok || '#sg'), 1, 8))::BIGINT % 2 = 0
+              THEN 1 ELSE -1 END AS s
+  FROM ex
+),
+per AS (
+  SELECT doc_id, chunk_id, dim, SUM(s) AS raw
+  FROM h GROUP BY doc_id, chunk_id, dim
+),
+nrm AS (
+  SELECT doc_id, chunk_id, sqrt(CAST(SUM(raw * raw) AS DOUBLE)) AS n2
+  FROM per GROUP BY doc_id, chunk_id
+),
+qv AS (
+  SELECT dim, raw FROM per WHERE doc_id = 0 AND chunk_id = 0
+),
+qn AS (
+  SELECT n2 AS qn2 FROM nrm WHERE doc_id = 0 AND chunk_id = 0
+),
+dots AS (
+  SELECT p.doc_id, p.chunk_id, SUM(p.raw * q.raw) AS dot
+  FROM per p JOIN qv q USING (dim)
+  GROUP BY p.doc_id, p.chunk_id
+)
+SELECT n.doc_id, n.chunk_id,
+       ROUND(CASE WHEN n.n2 > 0 AND q.qn2 > 0
+                  THEN CAST(COALESCE(d.dot, 0) AS DOUBLE) / (n.n2 * q.qn2)
+                  ELSE 0 END, 6) AS score
+FROM nrm n
+LEFT JOIN dots d USING (doc_id, chunk_id)
+CROSS JOIN qn q
+ORDER BY score DESC, n.doc_id, n.chunk_id
+LIMIT 10
+"""
+
+
+@query("q_rag_chunk_topk", oracle=_RAG_TOPK_ORACLE)
+def q_rag_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.operators.text import chunk_tokens
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_tokens(docs, chunk=_RAG_CHUNK, stride=_RAG_STRIDE)
+    ex = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.explode(F.split("chunk_text", " ")).alias("tok"),
+    )
+    fh = F.md5(F.concat(F.col("tok"), F.lit("#fh")).cast("binary"))
+    sg = F.md5(F.concat(F.col("tok"), F.lit("#sg")).cast("binary"))
+    h = ex.select(
+        "doc_id",
+        "chunk_id",
+        (F.conv(F.substring(fh, 1, 8), 16, 10).cast("long") % _RAG_DIM)
+        .cast("int")
+        .alias("dim"),
+        F.when(
+            F.conv(F.substring(sg, 1, 8), 16, 10).cast("long") % 2 == 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(-1))
+        .alias("s"),
+    )
+    per = h.groupBy("doc_id", "chunk_id", "dim").agg(
+        F.sum("s").alias("raw")
+    )
+    nrm = per.groupBy("doc_id", "chunk_id").agg(
+        F.sqrt(F.sum(F.col("raw") * F.col("raw")).cast("double")).alias("n2")
+    )
+    qv = per.where(
+        (F.col("doc_id") == 0) & (F.col("chunk_id") == 0)
+    ).select("dim", F.col("raw").alias("qraw"))
+    qn = nrm.where(
+        (F.col("doc_id") == 0) & (F.col("chunk_id") == 0)
+    ).select(F.col("n2").alias("qn2"))
+    dots = (
+        per.join(F.broadcast(qv), "dim")
+        .groupBy("doc_id", "chunk_id")
+        .agg(F.sum(F.col("raw") * F.col("qraw")).alias("dot"))
+    )
+    return (
+        nrm.join(dots, ["doc_id", "chunk_id"], "left")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.round(
+                F.when(
+                    (F.col("n2") > 0) & (F.col("qn2") > 0),
+                    F.coalesce(F.col("dot"), F.lit(0)).cast("double")
+                    / (F.col("n2") * F.col("qn2")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id", "chunk_id")
+        .limit(10)
+    )
