@@ -118,8 +118,15 @@ def test_odr_linear_matches_deming_closed_form():
         2 * sxy
     )
     intercept = my - slope * mx
-    np.testing.assert_allclose(r["p"][0], slope, rtol=1e-6)
-    np.testing.assert_allclose(r["p"][1], intercept, rtol=1e-5, atol=1e-8)
+    # Tolerance derives from the solver's stop rule, not from "high
+    # precision" wishes: leastsq_lm stops when |dp|^2 < 1e-10*(1+|p|^2),
+    # i.e. the last accepted step can leave p up to ~1e-5*sqrt(1+|p|^2)
+    # (~3e-5 here) from the minimizer, and the exact stop point shifts
+    # with the BLAS build (J.T@J / solve round-off perturbs the LM
+    # trajectory).  rtol=1e-6 passed by luck on one box and failed on
+    # another at 1.5e-6; assert what the algorithm guarantees.
+    np.testing.assert_allclose(r["p"][0], slope, rtol=2e-5)
+    np.testing.assert_allclose(r["p"][1], intercept, rtol=1e-4, atol=1e-7)
     # and it must differ from the ordinary (y-error-only) fit, which is
     # biased toward zero slope under x-noise
     from pyspec_spark.functions.fitfuncs import fit_series
