@@ -30,7 +30,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType
 
 from pyspec_spark.functions.determinism import _fixed6
 from pyspec_spark.registry import query
@@ -573,30 +572,6 @@ def q_ann_pq_det(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.35
 
 
-@F.pandas_udf(DoubleType())
-def _pair_cosine(va, vb):
-    """Vectorized pairwise cosine with LEFT-TO-RIGHT dimension
-    accumulation in float64 — the same addition order as the
-    sequential fold / DuckDB's list_cosine_similarity, so the result
-    is bit-identical to the declarative forms (why-UDF rationale in
-    q_semdedup).  One numpy pass per Arrow batch; no per-row Python."""
-    import numpy as np
-    import pandas as pd
-
-    if len(va) == 0:  # empty Arrow batch — np.vstack would raise
-        return pd.Series([], dtype="float64")
-    A = np.vstack(va.to_numpy()).astype(np.float64)
-    B = np.vstack(vb.to_numpy()).astype(np.float64)
-    dot = A[:, 0] * B[:, 0]
-    na = A[:, 0] * A[:, 0]
-    nb = B[:, 0] * B[:, 0]
-    for i in range(1, A.shape[1]):
-        dot = dot + A[:, i] * B[:, i]
-        na = na + A[:, i] * A[:, i]
-        nb = nb + B[:, i] * B[:, i]
-    return pd.Series(dot / (np.sqrt(na) * np.sqrt(nb)))
-
-
 def _semdedup_oracle() -> str:
     return _kmeans_cte_prefix() + f""",
 m AS (
@@ -630,46 +605,88 @@ def semdedup_pairs(
     )
     asg2 = _assign(emb, _update(emb, _assign(emb, c0)))
 
-    # cache(): the member table (id, cluster, embedding) is the shared
-    # input of BOTH self-join sides — without it the whole k-means
-    # training chain re-plans and re-executes once per side (measured:
-    # 20 scan nodes at sf0.1).  Rows x (64 floats + 2 scalars) —
-    # trivially cacheable at any k; lazy, zero build jobs.
-    m = emb.join(asg2, "vec_id").select("cid", "vec_id", "embedding").cache()
-    a = m.select(
-        F.col("cid"),
-        F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"),
+    # cache(), REPARTITIONED BY cid: the member table (cluster, id,
+    # embedding) is the single input of the pair scan; caching it
+    # already hash-partitioned on cid lets the groupBy below reuse the
+    # cached partitioning (EnsureRequirements adds no exchange), so
+    # the kmeans training chain executes exactly once per run.
+    m = (
+        emb.join(asg2, "vec_id")
+        .select("cid", "vec_id", "embedding")
+        .repartition(F.col("cid"))
+        .cache()
     )
-    b = m.select(
-        F.col("cid").alias("cid_b"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"),
-    )
-    # broadcast(b): a cid-keyed shuffle join would bound parallelism
-    # by the number of clusters (k=4 keys -> 4 busy tasks of 32);
-    # broadcasting the compact member table keeps the probe side at
-    # full partition parallelism.  At corpus scale, where members no
-    # longer broadcast, the scale path is the cid-keyed join with
-    # id-range bucket salting so each cluster's quadratic splits
-    # across tasks.
-    # Cosine via Arrow-vectorized pandas UDF (_pair_cosine below), NOT
-    # a JVM expression: the 64-dim dot as an unrolled element_at chain
-    # crosses the generated-method JIT cliff (measured on the 500 k
-    # sf0.1 pairs: 0.4 s at 16 chained terms, 4.7 s at 32, 9.3 s at
-    # 64 — the method stops JIT-compiling), and the HOF fold is
-    # interpreted per element (13.4 s).  The UDF accumulates dims
-    # LEFT-TO-RIGHT in float64 — bit-identical to the sequential fold
-    # and to DuckDB's list_cosine_similarity — at numpy speed
-    # (measured ~1.4 s end-to-end warm).
-    return (
-        a.repartition(F.col("id_a"))
-        .join(
-            F.broadcast(b),
-            (F.col("cid") == F.col("cid_b"))
-            & (F.col("id_a") < F.col("id_b")),
+
+    # r13 optimization (guide §4.1/§2.3): the previous shape was a
+    # broadcast pair JOIN followed by a pandas-UDF cosine — every PAIR
+    # shipped both 64-dim vectors across the Arrow boundary (~500 k
+    # pairs x 128 doubles ~ 0.5 GB at sf0.1), and the optimizer's
+    # filter pushdown duplicated the UDF into TWO ArrowEvalPython
+    # nodes (the guide §4.4 trap), doubling that.  This form ships
+    # each MEMBER once (n x 64 floats) into one applyInPandas per
+    # cluster and builds the pair scan inside numpy: measured 830 ms
+    # -> 213 ms warm at sf0.1, plan 2 ArrowEvalPython -> 1
+    # FlatMapGroupsInPandas.  Exactness is preserved in two steps: a
+    # BLAS Gram shortlist whose reordered sum differs from the exact
+    # sequential fold by <= (d-1)*eps (~1.4e-14 after normalization,
+    # dwarfed by the 1e-9 margin on top of the 1e-6 rounding guard),
+    # then the authoritative cosine recomputed ONLY for shortlisted
+    # pairs with LEFT-TO-RIGHT float64 dimension accumulation — the
+    # same addition order as the sequential fold and DuckDB's
+    # list_cosine_similarity — with Spark's round/threshold applied
+    # last, unchanged.  Scale posture unchanged: SemDeDup's published
+    # knob is that k grows with the corpus so a cluster fits one task
+    # (the n^2 shortlist matrix here is the same quadratic the pair
+    # join materialized as rows, minus the per-pair vector payload).
+    guard = tau - 1e-6  # rounding to 6 dp moves a double by <= 5e-7
+
+    def _cluster_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "cid": pd.Series([], dtype="int64"),
+                    "id_a": pd.Series([], dtype="int64"),
+                    "id_b": pd.Series([], dtype="int64"),
+                    "cos_raw": pd.Series([], dtype="float64"),
+                }
+            )
+        pdf = pdf.sort_values("vec_id")  # triu => id_a < id_b
+        ids = pdf["vec_id"].to_numpy()
+        G = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+        n, d = G.shape
+        # exact left-to-right norms (the sequential fold's order)
+        nrm = G[:, 0] * G[:, 0]
+        for i in range(1, d):
+            nrm += G[:, i] * G[:, i]
+        rt = np.sqrt(nrm)
+        fast = (G @ G.T) / np.outer(rt, rt)  # shortlist only
+        iu, ju = np.triu_indices(n, 1)
+        cand = fast[iu, ju] >= guard - 1e-9
+        ia, jb = iu[cand], ju[cand]
+        A, B = G[ia], G[jb]
+        dot = A[:, 0] * B[:, 0]  # exact fold over the shortlist
+        for i in range(1, d):
+            dot += A[:, i] * B[:, i]
+        c = dot / (rt[ia] * rt[jb])
+        keep = c >= guard
+        cid = np.int64(pdf["cid"].iloc[0])
+        return pd.DataFrame(
+            {
+                "cid": np.full(int(keep.sum()), cid, dtype="int64"),
+                "id_a": ids[ia[keep]],
+                "id_b": ids[jb[keep]],
+                "cos_raw": c[keep],
+            }
         )
-        .withColumn("cos_sim", F.round(_pair_cosine("va", "vb"), 6))
+
+    pairs = m.groupBy("cid").applyInPandas(
+        _cluster_pairs, "cid long, id_a long, id_b long, cos_raw double"
+    )
+    return (
+        pairs.withColumn("cos_sim", F.round("cos_raw", 6))
         .where(F.col("cos_sim") >= tau)
         .select("cid", "id_a", "id_b", "cos_sim")
     )
