@@ -48,6 +48,7 @@ from pyspec_spark.operators.bloom import (
     bloom_probe,
     bloom_to_array,
 )
+from pyspec_spark.registry import PERSIST_SEQ as _PERSIST_SEQ
 from pyspec_spark.registry import query
 from pyspec_spark.tables import table
 
@@ -278,7 +279,18 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     test = d.where(F.col("b") >= _NB_TRAIN_PCT)
 
     tr_tok = train.select("lang", F.explode(_toks()).alias("tok"))
-    tc = tr_tok.groupBy("lang", "tok").agg(F.count("*").alias("c"))
+    # r13 optimization (guide §1.2/§5): the model grid references this
+    # (lang, tok) count table four ways (cls, voc, v, the left join) —
+    # unpersisted, the train-split tokenize + explode + groupBy ran
+    # once per reference (16 document scans in the as-built plan).
+    # Vocabulary-sized; one persist = one train pass per build.
+    from pyspec_spark.registry import track_persist
+
+    tc = track_persist(
+        spark,
+        f"q_nb_classify#tc#{next(_PERSIST_SEQ)}",
+        tr_tok.groupBy("lang", "tok").agg(F.count("*").alias("c")),
+    )
     cls = tc.groupBy("lang").agg(F.sum("c").alias("n_tok"))
     voc = tc.select("tok").distinct()
     v = voc.agg(F.count("*").alias("v"))
@@ -487,11 +499,19 @@ FROM w, tot
 
 @query("q_mix_temperature", oracle=_MIX_ORACLE)
 def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.registry import track_persist
+
     d = table(spark, sf_dir, "documents")
     s = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(_toks())).alias("n_tokens"),
     )
+    # r13 optimization (guide §1.2/§5): `w`/`tot` and the final select
+    # all re-derive this |sources|-row aggregate — unpersisted, the
+    # corpus tokenize+groupBy executes once per reference (and twice
+    # more per q_epoch_alloc layer: q_train_mix's plan showed 10
+    # document scans).  One tiny persist = one corpus pass per build.
+    s = track_persist(spark, f"q_mix_temperature#{next(_PERSIST_SEQ)}", s)
     w = s.withColumn(
         "weight", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
     )
@@ -1335,7 +1355,18 @@ def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.size(F.array_distinct(_toks())).cast("double") / n_tokens
     )
     cpt = F.length("text").cast("double") / n_tokens
-    base = (
+    from pyspec_spark.registry import track_persist
+
+    # r13 optimization (guide §1.2/§5): `base` feeds the budget window
+    # (via d4) AND the final three-way join — unpersisted, the keeper
+    # aggregation + join + quality expressions executed once per
+    # branch (the as-built plan carried 10 document scans).  The frame
+    # is corpus-narrow metadata (id, source, token count, two flags);
+    # persisted MEMORY_AND_DISK-style by Spark's default for exactly
+    # one corpus pass per build.
+    base = track_persist(
+        spark,
+        f"q_drop_audit#base#{next(_PERSIST_SEQ)}",
         d.withColumn("h", F.md5(F.col("text").cast("binary")))
         .join(keeper, "h")
         .select(
@@ -1350,7 +1381,7 @@ def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & cpt.between(_GATE_CPT_MIN, _GATE_CPT_MAX)
                 )
             ).alias("quality_fail"),
-        )
+        ),
     )
     sh = _shingled(spark, sf_dir)
     bench = (
@@ -1361,22 +1392,30 @@ def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sh.where(
         (F.col("doc_id") >= _BENCH_MAX_ID) & (F.size("shingles") > 0)
     ).select("doc_id", F.explode("shingles").alias("shingle"))
-    hits = (
-        corpus.join(F.broadcast(bench), "shingle")
+    # r13 optimization (guide §2.3 "aggregate before you shuffle",
+    # §1.2): hit and size counts in ONE pass over the exploded shingle
+    # stream — a left join against the broadcast bench set with a hit
+    # flag replaces the former inner-join-count + separate size count,
+    # which each re-ran the corpus shingle explode.  COUNT(*) of the
+    # inner join == SUM(hit flag) of the left join, so `flagged` is
+    # row-identical; the tiny result is persisted because both d4 and
+    # the final join consume it.
+    flagged = track_persist(
+        spark,
+        f"q_drop_audit#flagged#{next(_PERSIST_SEQ)}",
+        corpus.join(
+            F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left"
+        )
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hit"))
-    )
-    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    flagged = (
-        sizes.join(hits, "doc_id", "left")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        )
         .where(
-            F.round(
-                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_sh"),
-                6,
-            )
+            F.round(F.col("n_hit").cast("double") / F.col("n_sh"), 6)
             >= _CONTAM_MIN
         )
-        .select("doc_id", F.lit(True).alias("contaminated"))
+        .select("doc_id", F.lit(True).alias("contaminated")),
     )
     d4 = (
         base.join(flagged, "doc_id", "left_anti")
@@ -1557,8 +1596,22 @@ def _alloc_micro_over(docs_tok: DataFrame) -> DataFrame:
     versioned mix (L46d) computes its base and full allocations, and
     the curated mix its kept-mass allocation, from ONE definition.
     Broadcast-sized output (|sources| rows)."""
+    from pyspec_spark.registry import track_persist
+
     s = docs_tok.groupBy("source").agg(
         F.sum("n_tokens").cast("bigint").alias("n_tokens")
+    )
+    # r13 optimization (guide §1.2/§5): the chain below references this
+    # |sources|-row aggregate four times (twt, mix, tot, alloc) and
+    # without a persist EACH reference re-executes the corpus-sized
+    # groupBy + tokenize beneath it (measured: q_train_mix's as-built
+    # plan carried 10 parquet scans of documents).  Persisting the
+    # tiny aggregate makes the corpus pass run once per build; the
+    # sequence tag keeps simultaneous allocations (the L46d delta
+    # builds base + full in one plan) from evicting each other, and
+    # the registry drains every tracked frame via release_persisted().
+    s = track_persist(
+        docs_tok.sparkSession, f"_alloc_micro#{next(_PERSIST_SEQ)}", s
     )
     w = s.withColumn(
         "weight", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)

@@ -804,15 +804,29 @@ def _bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         _bigrams(_toks()).alias("bigrams"),
     )
     train = d.where(F.col("bkt") < _BB_TRAIN_PCT)
-    bc = (
+    # r13 optimization (guide §1.2/§5): the unigram table is consumed
+    # four ways (n_tot, v_tot, and both join aliases ua/ub) and the
+    # bigram table twice (q_ppl_gate layers more consumers on top) —
+    # unpersisted, each reference re-ran the train-split tokenize +
+    # explode + groupBy (12-14 document scans in the as-built plans).
+    # Both are vocabulary-sized model tables; persisting them makes
+    # the train pass run once per build.
+    from pyspec_spark.registry import PERSIST_SEQ as _PERSIST_SEQ
+    from pyspec_spark.registry import track_persist
+
+    bc = track_persist(
+        spark,
+        f"_bigram_xent#bc#{next(_PERSIST_SEQ)}",
         train.select(F.explode("bigrams").alias("bg"))
         .groupBy("bg")
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c")),
     )
-    uni = (
+    uni = track_persist(
+        spark,
+        f"_bigram_xent#uni#{next(_PERSIST_SEQ)}",
         train.select(F.explode(_toks()).alias("tok"))
         .groupBy("tok")
-        .agg(F.count("*").alias("c"))
+        .agg(F.count("*").alias("c")),
     )
     n_tot = uni.agg(F.sum("c").alias("n"))
     v_tot = uni.agg(F.count("*").alias("v"))

@@ -32,6 +32,15 @@ ORACLES: dict[str, str] = {}
 _PERSISTED: dict[tuple[str, str], Any] = {}
 
 
+# Monotone tag source for track_persist calls that may coexist within
+# one plan (r13): unique tags mean a later persist can never evict an
+# earlier one the same plan still reads; release_persisted() drains
+# them all, and bench/sweep harnesses call it between phases.
+import itertools as _itertools
+
+PERSIST_SEQ = _itertools.count()
+
+
 def track_persist(spark: Any, name: str, df: Any) -> Any:
     """Persist ``df`` as query ``name``'s tracked input; unpersists the
     frame previously tracked under the same name (different sf_dir)."""
