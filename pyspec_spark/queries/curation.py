@@ -149,8 +149,16 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact path, the Bloom path, and the streaming screen can never
     drift onto different shingle definitions."""
     from pyspec_spark.queries.quality import _bigrams
+    from pyspec_spark.tables import fanout
 
-    return table(spark, sf_dir, "documents").select(
+    # r13 (guide §2): fanout BELOW the shingle projection — the single
+    # test parquet file is one scan split, so the zip_with shingle
+    # build (the expensive part of every consumer's first stage) ran
+    # on one core.  All four consumers aggregate order-insensitively
+    # (counts, integer sums, bit_or, broadcast-join probes), so the
+    # partitioning cannot change any value; at real scale fanout
+    # no-ops (see tables.fanout).
+    return fanout(table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id", F.array_distinct(_bigrams(_toks())).alias("shingles")
     )
 
@@ -766,21 +774,35 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _DSIR_M
     )
     b = grams.select("doc_id", bucket.alias("bucket"))
-    tc = (
-        b.where(F.col("doc_id") < _DSIR_TARGET_MAX)
-        .groupBy("bucket").agg(F.count("*").alias("tc"))
+    # r13 optimization (guide §2.3 "aggregate before you shuffle",
+    # §1.2): target and rest counts in ONE grouped pass — the as-built
+    # plan computed tc, rc, tot's two branches, and both broadcast
+    # model sides as SEPARATE aggregations, re-running the corpus
+    # tokenize + bigram explode + md5 beneath each (10 document scans
+    # in plans/r13/q_dsir_weights_before.txt).  COUNT(*) of each
+    # filtered branch == SUM of its membership flag, so every
+    # downstream value (including the +1.0 smoothing over coalesced
+    # zeros) is unchanged.  The |buckets|-row result is persisted:
+    # tot, lr, and the final join all read it, leaving exactly TWO
+    # corpus passes per build (model count + the scoring join).
+    from pyspec_spark.registry import PERSIST_SEQ, track_persist
+
+    tgt = F.col("doc_id") < _DSIR_TARGET_MAX
+    bc = track_persist(
+        spark,
+        f"q_dsir_weights#bc#{next(PERSIST_SEQ)}",
+        b.groupBy("bucket").agg(
+            F.sum(F.when(tgt, 1).otherwise(0)).cast("long").alias("tc"),
+            F.sum(F.when(~tgt, 1).otherwise(0)).cast("long").alias("rc"),
+        ),
     )
-    rc = (
-        b.where(F.col("doc_id") >= _DSIR_TARGET_MAX)
-        .groupBy("bucket").agg(F.count("*").alias("rc"))
-    )
-    tot = tc.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("t")).crossJoin(
-        rc.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("r"))
+    tot = bc.agg(
+        F.coalesce(F.sum("tc"), F.lit(0)).alias("t"),
+        F.coalesce(F.sum("rc"), F.lit(0)).alias("r"),
     )
     buckets = spark.range(_DSIR_M).select(F.col("id").alias("bucket"))
     lr = (
-        buckets.join(F.broadcast(tc), "bucket", "left")
-        .join(F.broadcast(rc), "bucket", "left")
+        buckets.join(F.broadcast(bc), "bucket", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "bucket",

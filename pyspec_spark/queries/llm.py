@@ -78,8 +78,13 @@ ORDER BY 1, 2
 """,
 )
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.tables import fanout
+
     n = _OVL_N
-    d = table(spark, sf_dir, "documents").select(
+    # r13 (guide §2): the per-position slice+concat+md5 gram build ran
+    # single-core below the one-split scan; fanout first (downstream:
+    # counts + array_sort(collect_set) — order-safe; no-op at scale).
+    d = fanout(table(spark, sf_dir, "documents"), "doc_id").select(
         "source", F.split("text", " ").alias("w")
     )
     grams = d.select(
@@ -290,7 +295,14 @@ SELECT doc_id, cand_lang AS lang_pred, score FROM (
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    d = table(spark, sf_dir, "documents")
+    from pyspec_spark.tables import fanout
+
+    # r13 (guide §2): the character-trigram explode (~300 rows/doc,
+    # run twice: train + test) sat single-core below the one-split
+    # scan; fanout first.  Downstream: integer counts + row_number
+    # over fully-keyed deterministic orders — order-safe; no-op at
+    # scale.
+    d = fanout(table(spark, sf_dir, "documents"), "doc_id")
     tri_rows = d.select(
         "doc_id",
         "lang",

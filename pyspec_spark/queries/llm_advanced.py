@@ -1032,9 +1032,13 @@ GROUP BY p.term, p.exact_cnt
 @query("q_heavy_hitters_cms", oracle=_CMS_ORACLE)
 def q_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspec_spark.operators.text import cms_estimate, count_min_sketch
+    from pyspec_spark.tables import fanout
 
+    # r13 (guide §2): the term explode feeds BOTH the d x w sketch
+    # hashes and the exact probe counts from a one-split scan; fanout
+    # first (integer counts everywhere — order-safe; no-op at scale).
     ex = (
-        table(spark, sf_dir, "documents")
+        fanout(table(spark, sf_dir, "documents"), "doc_id")
         .select(F.explode(F.split("text", " ")).alias("term"))
     )
     sketch = count_min_sketch(ex, d=_CMS_D, w=_CMS_W)
@@ -1180,8 +1184,16 @@ ORDER BY b.doc_id
 @query("q_substr_dup_spans", oracle=_SUBSTR_DUP_ORACLE)
 def q_substr_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspec_spark.operators.text import duplicated_span_stats
+    from pyspec_spark.tables import fanout
 
-    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    # r13 (guide §2): the positional n-gram build (slice+concat per
+    # token position, materialized twice: df-count + coverage) ran
+    # single-core below the one-split scan; fanout first (counts,
+    # countDistinct, sort_array(collect_list) — order-safe; no-op at
+    # scale).
+    d = fanout(table(spark, sf_dir, "documents"), "doc_id").select(
+        "doc_id", "text"
+    )
     return duplicated_span_stats(d, n=_SDS_N).orderBy("doc_id")
 
 

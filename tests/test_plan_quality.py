@@ -334,7 +334,10 @@ def test_bloom_decontam_probe_is_map_side(spark):
     vs 122 ms at sf0.1 (note in queries/curation.py).  This gate pins
     the single-build + one-corpus-shuffle shape."""
     p = _plan(spark, "q_bloom_decontam")
-    assert count_exchanges(p) <= 4
+    # +1 exchange r13: the conditional tables.fanout spread of the
+    # sub-split local scan (no-op at real scale) sits under the
+    # shingle build
+    assert count_exchanges(p) <= 5
     assert "CartesianProduct" not in p
     # bench pass + corpus pass only (each scan node appears twice in
     # formatted explain output: tree line + detail section)
@@ -414,7 +417,9 @@ def test_curation_pipeline_composed_shape(spark):
     p = _plan(spark, "q_curation_pipeline")
     assert has_broadcast_join(p)
     assert "CartesianProduct" not in p
-    assert count_exchanges(p) <= 5
+    # <=6 r13: +1 for the conditional tables.fanout spread of the
+    # sub-split local scan (no-op at real scale)
+    assert count_exchanges(p) <= 6
 
 
 def test_copurchase_topk_before_model_joins(spark):
@@ -645,7 +650,10 @@ def test_source_overlap_single_corpus_shuffle(spark):
     and the pair aggregation + presentation sort shuffle only
     |sources|²-bounded rows."""
     p = _plan(spark, "q_source_overlap")
-    assert count_exchanges(p) == 3  # gram agg + pair agg + sort
+    # gram agg + pair agg + sort, +1 r13: the conditional
+    # tables.fanout spread of the sub-split local scan (no-op at real
+    # scale) under the gram build
+    assert count_exchanges(p) == 4
     assert "CartesianProduct" not in p
     assert "Join" not in p  # set-expansion form, never a self-join
 
