@@ -277,6 +277,8 @@ GROUP BY d.lang, p.pred_lang
 
 @query("q_nb_classify", oracle=_NB_ORACLE)
 def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspec_spark.tables import fanout
+
     d = table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -286,7 +288,14 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = d.where(F.col("b") < _NB_TRAIN_PCT)
     test = d.where(F.col("b") >= _NB_TRAIN_PCT)
 
-    tr_tok = train.select("lang", F.explode(_toks()).alias("tok"))
+    # r13 (guide §2): ONLY the two tokenize/explode branches ran
+    # single-core below the one-split scan; fanout those (integer
+    # counts — order-safe; no-op at scale).  The doc-count branches
+    # (pri/n_tr/final join) stay on the raw scan so the tiny input is
+    # not re-exchanged where there is no expensive map stage above it.
+    tr_tok = fanout(train, "doc_id").select(
+        "lang", F.explode(_toks()).alias("tok")
+    )
     # r13 optimization (guide §1.2/§5): the model grid references this
     # (lang, tok) count table four ways (cls, voc, v, the left join) —
     # unpersisted, the train-split tokenize + explode + groupBy ran
@@ -328,7 +337,8 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     te_tok = (
-        test.select("doc_id", F.explode(_toks()).alias("tok"))
+        fanout(test, "doc_id")
+        .select("doc_id", F.explode(_toks()).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tcnt"))
     )
@@ -508,8 +518,13 @@ FROM w, tot
 @query("q_mix_temperature", oracle=_MIX_ORACLE)
 def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspec_spark.registry import track_persist
+    from pyspec_spark.tables import fanout
 
-    d = table(spark, sf_dir, "documents")
+    # r13 (guide §2): the corpus tokenize under this aggregate — the
+    # mix family's one corpus pass after the persist below — ran
+    # single-core below the one-split scan; fanout first (integer
+    # count/sum — order-safe; no-op at scale).
+    d = fanout(table(spark, sf_dir, "documents"), "doc_id")
     s = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
         F.sum(F.size(_toks())).alias("n_tokens"),

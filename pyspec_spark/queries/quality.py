@@ -796,8 +796,15 @@ def _bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding) without re-registering it."""
     from pyspec_spark.functions.determinism import _fixed6
     from pyspec_spark.queries.curation import _hash_mod100
+    from pyspec_spark.tables import fanout
 
-    d = table(spark, sf_dir, "documents").select(
+    # r13 (guide §2): the bigram build + both model-table explodes and
+    # the held-out scoring explode all ran single-core below the
+    # one-split scan; fanout first.  Everything downstream is integer
+    # counts / _fixed6 micro-unit sums / min-max (q_ppl_gate's ntile
+    # orders by the full (xent, doc_id) key) — order-safe; no-op at
+    # scale.
+    d = fanout(table(spark, sf_dir, "documents"), "doc_id").select(
         "doc_id",
         "text",
         _hash_mod100(F.col("doc_id"), "#nb").alias("bkt"),
