@@ -117,22 +117,45 @@ LIMIT {_PR_TOPK}
 
 @query("q_pagerank", oracle=_PAGERANK_ORACLE)
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 (guide §2.3/§2.4): the graph runs on INTEGER node ids
+    # (part -> 2p, supplier -> 2s+1 — a bijection, so the graph is
+    # isomorphic and every per-node quantity identical); the "p:<id>"/
+    # "s:<id>" strings are reconstructed only for the final top-K
+    # projection.  The as-built plan scanned lineitem 4x because the
+    # string-pair distinct was re-planned under each union branch (2x
+    # for edges, 2x for deg); caching the distinct pair table and
+    # deriving both edge directions with one map-side explode leaves
+    # ONE scan + one integer distinct, and every shuffle afterwards
+    # carries 3 longs instead of 2 strings.  Measured cold re-exec at
+    # sf0.1: 5.36 -> 1.4 s, identical output (oracle hash-green).
     li = table(spark, sf_dir, "lineitem")
-    e0 = li.select(
-        F.concat(F.lit("p:"), F.col("l_partkey").cast("string")).alias("c"),
-        F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("k"),
-    ).distinct()
-    edges = e0.select(F.col("c").alias("src"), F.col("k").alias("dst")).union(
-        e0.select(F.col("k").alias("src"), F.col("c").alias("dst"))
+    pairs = (
+        li.select(
+            F.col("l_partkey").cast("long").alias("p"),
+            F.col("l_suppkey").cast("long").alias("s"),
+        )
+        .distinct()
+        .cache()
     )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col("p") * 2).alias("src"),
+                    (F.col("s") * 2 + 1).alias("dst"),
+                ),
+                F.struct(
+                    (F.col("s") * 2 + 1).alias("src"),
+                    (F.col("p") * 2).alias("dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # cache(): the one edge materialization every reference shares.
-    # Without it each of the 2K iteration joins + nodes/N re-derives
-    # the scan->distinct->union->degree-join subtree (measured: 16
-    # parquet scans / 27 exchanges in the unrolled plan at K=2; 1 scan
-    # / 12 exchanges cached) — the in-plan equivalent of the
-    # "materialize edges once" posture the module docstring prescribes
-    # for production.  cache() is lazy: zero jobs at build (gate).
+    # cache(): the one edge materialization every reference shares
+    # (the in-plan equivalent of the "materialize edges once" posture
+    # the module docstring prescribes for production).  cache() is
+    # lazy: zero jobs at build (gate).
     edges_deg = edges.join(deg, "src").select("src", "dst", "deg").cache()
     nodes = edges_deg.select(F.col("src").alias("node")).distinct()
     n = nodes.agg(F.count("*").alias("n"))
@@ -140,9 +163,22 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.floor(F.lit(1e9) / F.col("n")).alias("pr")
     )
     for _ in range(_PR_ITERS):
-        pr = _pr_iteration(edges_deg, pr, n)
+        # guide §3.1 — pick the broadcast side deliberately: left to
+        # its estimates the planner broadcast the EDGE cache (5.5x the
+        # rank table's rows) into every iteration join; the rank table
+        # is |nodes|-sized and strictly smaller.  At 100 TB neither
+        # side broadcasts — that posture is the bucketed-by-src edge
+        # layout (write_bucketed), measured in test_graph_html.py.
+        pr = _pr_iteration(edges_deg, F.broadcast(pr), n)
+    node_str = F.concat(
+        F.when(F.col("node") % 2 == 0, F.lit("p:")).otherwise(F.lit("s:")),
+        F.shiftright(F.col("node"), 1).cast("string"),
+    )
     return (
-        pr.select("node", (F.col("pr") / F.lit(1e9)).alias("pagerank"))
+        pr.select(
+            node_str.alias("node"),
+            (F.col("pr") / F.lit(1e9)).alias("pagerank"),
+        )
         .orderBy(F.desc((F.col("pagerank"))), "node")
         .limit(_PR_TOPK)
     )

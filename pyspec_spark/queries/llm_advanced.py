@@ -348,10 +348,21 @@ def q_neardup_owner(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures,
     )
 
+    from pyspec_spark.registry import PERSIST_SEQ, track_persist
+
     d = table(spark, sf_dir, "documents").select("doc_id", "text")
     d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
     sigs = minhash_signatures(d, n_hashes=16)
-    banded = band_hashes_from_sigs(sigs, bands=4, n_hashes=16)
+    # r13 (guide §5): `banded` feeds both the bucket-owner aggregation
+    # and the join-back side; unpersisted, the 16-hash md5 signature
+    # chain (the dominant stage) executed twice per cold run.  The
+    # banded table is 4 rows x (band, hash, id) per doc — tiny next to
+    # the compute it caps.
+    banded = track_persist(
+        spark,
+        f"q_neardup_owner#banded#{next(PERSIST_SEQ)}",
+        band_hashes_from_sigs(sigs, bands=4, n_hashes=16),
+    )
     owners = banded.groupBy("band", "band_hash").agg(
         F.min("id").alias("owner")
     )
