@@ -92,6 +92,22 @@ def minhash_signatures(
     document: ~1 s for the same work.  The groupBy(id) shuffle carries
     only map-side partial signatures (n_docs x n_hashes x 32 hex chars
     per partition), far below corpus bytes — scale-safe.
+
+    r13 (optimization guide §1.2 "don't compute things you throw
+    away"): the salted digests are a function of the SHINGLE alone, yet
+    the round-4 shape recomputed them once per (doc, shingle) pair —
+    at sf0.1 that is 256 477 pairs over only 931 distinct shingles, so
+    >99.6% of the 16.4M md5 evaluations were repeats.  The hashes are
+    now computed once per DISTINCT shingle and attached back to the
+    pairs by an equi-join on the shingle before the per-doc min
+    aggregation.  Every md5 input is unchanged, so the signatures are
+    bit-identical.  The hash table costs one aggregation exchange of
+    the (shingle) partials; the join is left to the planner — AQE
+    converts it to a runtime broadcast when the table is actually
+    small (the local case), and at corpus scale, where the distinct-
+    shingle table outgrows any broadcast budget, it stays a shingle-
+    keyed equi-join whose skew AQE splits (a hot shingle is bounded by
+    its document frequency, the same quantity the Jaccard path caps).
     """
     with_sh = shingles(df, text_col, shingle_k)
     # Sub-k-token docs have no shingles and therefore no signature: the
@@ -100,12 +116,19 @@ def minhash_signatures(
     ex = with_sh.select(
         F.col(id_col).alias("id"), F.explode("_shingles").alias("_sh")
     )
-    mins = [
-        F.min(F.md5(F.concat(F.col("_sh"), F.lit(f"#{i}")))).alias(f"_m{i}")
-        for i in range(n_hashes)
-    ]
+    hashed = ex.select("_sh").distinct().select(
+        "_sh",
+        F.array(
+            *[
+                F.md5(F.concat(F.col("_sh"), F.lit(f"#{i}")))
+                for i in range(n_hashes)
+            ]
+        ).alias("_hs"),
+    )
+    mins = [F.min(F.col("_hs")[i]).alias(f"_m{i}") for i in range(n_hashes)]
     return (
-        ex.groupBy("id")
+        ex.join(hashed, "_sh")
+        .groupBy("id")
         .agg(*mins)
         .select(
             "id",

@@ -435,19 +435,26 @@ def jaccard_pairs(
     UNCAPPED composition over replicated corpora — the df<=50 hot-
     shingle cutoff, not the slice, is what bounds join fan-out at
     scale."""
+    from pyspec_spark.operators.dedup import shingles as _zip_shingles
+
     d = table(spark, sf_dir, "documents")
     if max_doc_id is not None:
         d = d.where(F.col("doc_id") < max_doc_id)
-    toks = F.split("text", " ")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat(
-            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-        ),
-    )
-    sh = (
-        d.select("doc_id", F.explode(F.array_distinct(shingles)).alias("shingle"))
-        .distinct()
+    # r13 (optimization guide §1.2, the dedup.shingles rationale): the
+    # former transform(sequence(...), i -> element_at(toks, i) ...)
+    # build inlined the split() into every element_at reference — the
+    # text re-parsed once per shingle position, per lambda, interpreted.
+    # The shared zip_with builder references the split a constant
+    # number of times and stays in codegen; bigram values are identical
+    # (concat_ws(' ', a, b) == element_at(i) || ' ' || element_at(i+1)
+    # for the same non-null tokens), so the pair set cannot move.
+    # No .distinct() after the explode (guide §2.4 "a distinct on data
+    # that is already unique"): array_distinct makes each doc's shingle
+    # array duplicate-free, so the exploded (doc_id, shingle) pairs are
+    # globally unique by construction — the former distinct() was a
+    # full extra exchange that could never remove a row.
+    sh = _zip_shingles(d, "text", 2).select(
+        "doc_id", F.explode("_shingles").alias("shingle")
     )
     # document-frequency cutoff: drop hot shingles (bounds join fan-out)
     df_ok = (
