@@ -127,7 +127,7 @@ def minhash_signatures(
     )
     mins = [F.min(F.col("_hs")[i]).alias(f"_m{i}") for i in range(n_hashes)]
     return (
-        ex.join(hashed, "_sh")
+        ex.join(F.broadcast(hashed), "_sh")
         .groupBy("id")
         .agg(*mins)
         .select(

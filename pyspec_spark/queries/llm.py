@@ -62,6 +62,37 @@ def q_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _OVL_N = 8
 
+
+def _grams8_md5(d: DataFrame) -> DataFrame:
+    """(source, h) — md5 of every position's 8-token gram, exploded.
+
+    r13 (optimization guide §1.2, the dedup.shingles rationale): the
+    former per-position ``transform(sequence(1, size-n+1), i ->
+    md5(concat_ws(' ', slice(w, i, n))))`` referenced ``w`` once per
+    position, and CollapseProject inlines the split() into every
+    reference — the text re-split O(len) times per doc, interpreted.
+    The zip_with chain concatenates n aligned slices (a constant
+    2(n-1)+1 references to the split), and the md5 moves AFTER the
+    explode, where it runs in whole-stage codegen.  When size(w) >= n
+    every slice has exactly size-n+1 elements, so zip_with never pads
+    and the gram strings (hence their digests) are identical to the
+    per-position form; sub-n docs keep the empty-array guard."""
+    n = _OVL_N
+    w = F.col("w")
+    n_g = F.greatest(F.size(w) - (n - 1), F.lit(1))
+    g = F.slice(w, 1, n_g)
+    for j in range(1, n):
+        g = F.zip_with(
+            g, F.slice(w, j + 1, n_g), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    guarded = F.when(F.size(w) >= n, g).otherwise(
+        F.array().cast("array<string>")
+    )
+    return d.select("source", F.explode(guarded).alias("g")).select(
+        "source", F.md5(F.col("g").cast("binary")).alias("h")
+    )
+
+
 @query(
     "q_source_overlap",
     oracle=f"""
@@ -80,27 +111,14 @@ ORDER BY 1, 2
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspec_spark.tables import fanout
 
-    n = _OVL_N
-    # r13 (guide §2): the per-position slice+concat+md5 gram build ran
-    # single-core below the one-split scan; fanout first (downstream:
-    # counts + array_sort(collect_set) — order-safe; no-op at scale).
+    # r13 (guide §2): fanout first — the gram build ran single-core
+    # below the one-split scan (downstream: counts + array_sort(
+    # collect_set) — order-safe; no-op at scale).  Gram build via the
+    # shared linear zip_with chain (_grams8_md5).
     d = fanout(table(spark, sf_dir, "documents"), "doc_id").select(
         "source", F.split("text", " ").alias("w")
     )
-    grams = d.select(
-        "source",
-        F.explode(
-            F.when(
-                F.size("w") >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - n + 1),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice("w", i, n)).cast("binary")
-                    ),
-                ),
-            ).otherwise(F.array())
-        ).alias("h"),
-    )
+    grams = _grams8_md5(d)
     ss = (
         grams.groupBy("h")
         .agg(F.array_sort(F.collect_set("source")).alias("ss"))
@@ -149,24 +167,10 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q_source_overlap_sketch")
 def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    n = _OVL_N
     d = table(spark, sf_dir, "documents").select(
         "source", F.split("text", " ").alias("w")
     )
-    grams = d.select(
-        "source",
-        F.explode(
-            F.when(
-                F.size("w") >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("w") - n + 1),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice("w", i, n)).cast("binary")
-                    ),
-                ),
-            ).otherwise(F.array())
-        ).alias("h"),
-    )
+    grams = _grams8_md5(d)  # r13: shared linear gram build (see helper)
     sk = grams.groupBy("source").agg(F.theta_sketch_agg("h").alias("sk"))
     a = sk.select(
         F.col("source").alias("src_a"), F.col("sk").alias("sk_a")
