@@ -179,7 +179,7 @@ def _idiv(a, b):
 def global_rank_index(
     df: DataFrame,
     order_by: list,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
     pos_col: str = "pos",
     total_col: str | None = None,
 ) -> DataFrame:
@@ -217,6 +217,18 @@ def global_rank_index(
     """
     from pyspark.sql import Column
 
+    # r13 (optimization guide §2: derive partitioning from the input /
+    # cluster, never a constant): the former fixed 256-bucket range
+    # exchange meant every ntile/rank pass ran 256 tiny tasks per
+    # stage regardless of scale — q_rfm's three passes scheduled ~4000
+    # sub-MB tasks on a 32-core box (measured 49 stages x 256 tasks).
+    # The default now follows the session's parallelism (buckets grow
+    # with the cluster, so per-bucket window size stays ~n/cores at
+    # every scale); positions are exact for ANY bucket count (offset +
+    # within-bucket row_number), so results cannot move.  Callers with
+    # a measured fan-out need still pass n_buckets explicitly.
+    if n_buckets is None:
+        n_buckets = max(df.sparkSession.sparkContext.defaultParallelism, 1)
     exprs = [e if isinstance(e, Column) else F.col(e) for e in order_by]
     k = df.repartitionByRange(n_buckets, *exprs).withColumn(
         "_bucket", F.spark_partition_id()
@@ -274,7 +286,7 @@ def ntile_exact(
     order_by: list,
     k: int,
     out_col: str,
-    n_buckets: int = 256,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """``NTILE(k) OVER (ORDER BY ...)`` without the corpus-sized
     single-partition window: exact two-level global rank
