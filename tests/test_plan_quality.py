@@ -1066,10 +1066,31 @@ def test_ntile_no_single_partition_window(spark):
     and derives the quartile closed-form.  The only SinglePartition
     allowed: the ≤256-row bucket-count prefix sum and 1-row total
     (the global_order_index precedent) — every such exchange's input
-    must be the bucket metadata, never customer rows."""
+    must be the bucket metadata, never customer rows.
+
+    r13: global_rank_index freezes the ranked frame with a lazy
+    localCheckpoint (range-boundary sampling is row-order-dependent,
+    so the offsets and output subtrees must read ONE evaluation), and
+    the checkpoint truncates lineage in explain output — the range
+    exchange + per-bucket window shape is therefore asserted on the
+    operator's unfrozen twin (checkpoint=False, introspection-only),
+    while the SinglePartition scan below runs on the PRODUCTION
+    plan."""
+    from pyspark.sql import functions as F
+
+    from pyspec_spark.operators.ordering import global_rank_index
+
+    twin = global_rank_index(
+        spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("v")),
+        [F.col("v"), F.col("id")],
+        checkpoint=False,
+    )
+    tp = twin._sc._jvm.PythonSQLUtils.explainString(
+        twin._jdf.queryExecution(), "formatted"
+    )
+    assert "rangepartitioning" in tp.lower(), tp[:3000]
+    assert "hashpartitioning(_bucket" in tp, tp[:3000]
     p = _plan(spark, "q_ntile")
-    assert "rangepartitioning" in p.lower(), p[:3000]
-    assert "hashpartitioning(_bucket" in p, p[:3000]
     lines = p.splitlines()
     for i, ln in enumerate(lines):
         if "SinglePartition" in ln:

@@ -786,3 +786,47 @@ def test_global_rank_index_is_exact_permutation(spark):
     }
     got = {r["id"]: r["pos"] for r in ranked.collect()}
     assert got == want
+
+
+def test_ntile_exact_stacked_passes_match_window_truth(spark):
+    """Three stacked ntile_exact passes must equal the single-window
+    NTILE chain at a bucket count small enough that RangePartitioner's
+    per-partition reservoir sample cannot cover whole partitions (the
+    r13 q_rfm regression: without the in-operator localCheckpoint, the
+    offsets and output subtrees re-evaluated the range exchange, whose
+    order-dependent sampling could draw different boundaries per
+    evaluation and desynchronize bucket ids from offsets)."""
+    from pyspark.sql import Window
+
+    from pyspec_spark.operators.ordering import ntile_exact
+
+    df = (
+        spark.range(20000)
+        .repartition(8)
+        .select(
+            "id",
+            (F.col("id") % 97).alias("a"),
+            ((F.col("id") * 31) % 89).alias("b"),
+            ((F.col("id") * 17) % 83).alias("c"),
+        )
+    )
+    orders = (
+        ("na", [F.col("a"), F.col("id")]),
+        ("nb", [F.desc("b"), F.col("id")]),
+        ("nc", [F.desc("c"), F.col("id")]),
+    )
+    got = df
+    for out, order in orders:
+        got = ntile_exact(got, order, 5, out, n_buckets=4)
+    want = df
+    for out, order in orders:
+        want = want.withColumn(out, F.ntile(5).over(Window.orderBy(*order)))
+    g = {
+        r["id"]: (r["na"], r["nb"], r["nc"])
+        for r in got.select("id", "na", "nb", "nc").collect()
+    }
+    w = {
+        r["id"]: (r["na"], r["nb"], r["nc"])
+        for r in want.select("id", "na", "nb", "nc").collect()
+    }
+    assert g == w
