@@ -182,7 +182,7 @@ def global_rank_index(
     n_buckets: int | None = None,
     pos_col: str = "pos",
     total_col: str | None = None,
-    checkpoint: bool = True,
+    freeze: bool = True,
 ) -> DataFrame:
     """Exact 0-based global rank under an ARBITRARY ``ORDER BY`` —
     the general-order sibling of :func:`global_order_index` (which is
@@ -235,29 +235,35 @@ def global_rank_index(
         "_bucket", F.spark_partition_id()
     )
     w_in = Window.partitionBy("_bucket").orderBy(*exprs)
-    # localCheckpoint(eager=False): bucket ids and within-bucket ranks
-    # are FROZEN after one evaluation.  Without it, the offsets
-    # subtree and the output subtree each re-evaluate the range
-    # exchange — and RangePartitioner's reservoir sample depends on
-    # row ORDER within input partitions (shuffle-fetch arrival order,
-    # nondeterministic across evaluations), so two evaluations can
-    # draw different boundaries and desynchronize offsets from bucket
-    # assignments.  The old docstring's reuse argument was unsound:
-    # stacked ntile passes (q_rfm) measured 39 independent
-    # rangepartitioning exchanges and ZERO ReusedExchange, and went
-    # value-wrong exactly when the per-partition sample stopped
-    # covering whole partitions — which at the former fixed 256
-    # buckets merely required a bigger input (a latent at-scale bug,
-    # exposed locally by the parallelism-derived width).  eager=False
-    # keeps plan construction job-free; each rebuilt plan checkpoints
-    # afresh, so no state crosses bench/oracle runs.
-    # ``checkpoint=False`` exists for plan introspection only (the
-    # checkpoint truncates lineage in explain output, so the
-    # plan-quality gates build the unfrozen twin to assert the
-    # two-level shape) — production callers MUST keep the default.
+    # Tracked persist: bucket ids and within-bucket ranks are FROZEN
+    # after one materialization.  Without it, the offsets subtree and
+    # the output subtree each re-evaluate the range exchange — and
+    # RangePartitioner's reservoir sample depends on row ORDER within
+    # input partitions (shuffle-fetch arrival order, nondeterministic
+    # across evaluations), so two evaluations can draw different
+    # boundaries and desynchronize offsets from bucket assignments.
+    # The old docstring's reuse argument was unsound: stacked ntile
+    # passes (q_rfm) measured 39 independent rangepartitioning
+    # exchanges and ZERO ReusedExchange, and went value-wrong exactly
+    # when the per-partition sample stopped covering whole partitions
+    # — which at the former fixed 256 buckets merely required a bigger
+    # input (a latent at-scale bug, exposed locally by the
+    # parallelism-derived width).  persist() is lazy (the zero-jobs-at-
+    # build gate holds; a lazy localCheckpoint would NOT — under AQE,
+    # .toRdd executes the query stages at build), registry-tracked so
+    # bench/check drain it, and MEMORY_AND_DISK spills rather than
+    # evicts, so within one run both subtrees always read the one
+    # materialization.  ``freeze=False`` exists for plan introspection
+    # only — production callers MUST keep the default.
     r = k.withColumn("_r", F.row_number().over(w_in))
-    if checkpoint:
-        r = r.localCheckpoint(eager=False)
+    if freeze:
+        from pyspec_spark.registry import PERSIST_SEQ, track_persist
+
+        r = track_persist(
+            df.sparkSession,
+            f"global_rank_index#{next(PERSIST_SEQ)}",
+            r,
+        )
     # bucket count == max row_number: derived from the SAME windowed
     # subtree the output reads, never a second evaluation of the input
     counts = r.groupBy("_bucket").agg(F.max("_r").alias("_n"))

@@ -1068,12 +1068,11 @@ def test_ntile_no_single_partition_window(spark):
     (the global_order_index precedent) — every such exchange's input
     must be the bucket metadata, never customer rows.
 
-    r13: global_rank_index freezes the ranked frame with a lazy
-    localCheckpoint (range-boundary sampling is row-order-dependent,
-    so the offsets and output subtrees must read ONE evaluation), and
-    the checkpoint truncates lineage in explain output — the range
-    exchange + per-bucket window shape is therefore asserted on the
-    operator's unfrozen twin (checkpoint=False, introspection-only),
+    r13: global_rank_index freezes the ranked frame with a tracked
+    persist (range-boundary sampling is row-order-dependent, so the
+    offsets and output subtrees must read ONE materialization); the
+    range exchange + per-bucket window shape is asserted on the
+    operator's unfrozen twin (freeze=False, introspection-only),
     while the SinglePartition scan below runs on the PRODUCTION
     plan."""
     from pyspark.sql import functions as F
@@ -1083,7 +1082,7 @@ def test_ntile_no_single_partition_window(spark):
     twin = global_rank_index(
         spark.range(100).select(F.col("id"), (F.col("id") % 5).alias("v")),
         [F.col("v"), F.col("id")],
-        checkpoint=False,
+        freeze=False,
     )
     tp = twin._sc._jvm.PythonSQLUtils.explainString(
         twin._jdf.queryExecution(), "formatted"
