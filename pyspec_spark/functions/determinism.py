@@ -48,6 +48,17 @@ def _fixed6(c: Column) -> Column:
     )
 
 
+def _fixed6_sql(expr: str) -> str:
+    """The parsed-SQL face of :func:`_fixed6` — same operators, same
+    values, one py4j round-trip however wide the operand (r13
+    plan-construction note in queries/curation._replicate_copies)."""
+    s = f"(({expr}) * 1E6)"
+    return (
+        f"CAST(CASE WHEN {s} >= 0 THEN floor({s} + 0.5D)"
+        f" ELSE -floor(0.5D - {s}) END AS BIGINT)"
+    )
+
+
 def dsum(c: Column | str, alias: str | None = None) -> Column:
     """Order-independent sum, value-identical to
     SUM(CAST(x AS DECIMAL(18,6))) :: DOUBLE (the oracle-side form)."""

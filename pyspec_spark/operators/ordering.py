@@ -61,10 +61,15 @@ def global_order_index(
     hex_digits = max((n_buckets.bit_length() - 1) // 4, 1)
     if 16 ** hex_digits != n_buckets:
         raise ValueError("n_buckets must be a power of 16")
-    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
-    k = df.withColumn("_key", key).withColumn(
-        "_bucket",
-        F.conv(F.substring("_key", 1, hex_digits), 16, 10).cast("int"),
+    # r13: key+bucket as ONE parsed-SQL projection (plan-construction
+    # cost — see _replicate_copies' note; same operators, same values)
+    k = df.selectExpr(
+        "*",
+        f"md5(concat('{seed}', CAST({id_col} AS STRING))) AS _key",
+    ).selectExpr(
+        "*",
+        f"CAST(conv(substring(_key, 1, {hex_digits}), 16, 10) AS INT)"
+        " AS _bucket",
     )
     grp = ([tier_col] if tier_col is not None else []) + ["_bucket"]
     counts = k.groupBy(*grp).agg(F.count("*").alias("_n"))

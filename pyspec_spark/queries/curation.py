@@ -1386,12 +1386,18 @@ def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
         .agg(F.min("doc_id").alias("keeper"))
     )
-    n_tokens = F.size(_toks())
-    dup_frac = (
-        F.lit(1.0)
-        - F.size(F.array_distinct(_toks())).cast("double") / n_tokens
+    # r13: quality expressions as ONE parsed-SQL projection (see
+    # _replicate_copies' plan-construction note; 'D' suffixes pin the
+    # former lit(float) operands to DoubleType — same operators, same
+    # values, oracle hash-green at both SFs)
+    _nt = "size(split(text, ' '))"
+    quality_fail = (
+        f"NOT(({_nt} BETWEEN {_GATE_TOK_MIN} AND {_GATE_TOK_MAX})"
+        f" AND ((1.0D - CAST(size(array_distinct(split(text, ' ')))"
+        f" AS DOUBLE) / {_nt}) <= {_GATE_DUP_MAX!r}D)"
+        f" AND ((CAST(length(text) AS DOUBLE) / {_nt})"
+        f" BETWEEN {_GATE_CPT_MIN!r}D AND {_GATE_CPT_MAX!r}D))"
     )
-    cpt = F.length("text").cast("double") / n_tokens
     from pyspec_spark.registry import track_persist
 
     # r13 optimization (guide §1.2/§5): `base` feeds the budget window
@@ -1406,18 +1412,12 @@ def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_drop_audit#base#{next(_PERSIST_SEQ)}",
         d.withColumn("h", F.md5(F.col("text").cast("binary")))
         .join(keeper, "h")
-        .select(
+        .selectExpr(
             "doc_id",
             "source",
-            n_tokens.alias("n_tokens"),
-            (F.col("doc_id") != F.col("keeper")).alias("is_dup"),
-            (
-                ~(
-                    n_tokens.between(_GATE_TOK_MIN, _GATE_TOK_MAX)
-                    & (dup_frac <= _GATE_DUP_MAX)
-                    & cpt.between(_GATE_CPT_MIN, _GATE_CPT_MAX)
-                )
-            ).alias("quality_fail"),
+            f"{_nt} AS n_tokens",
+            "(doc_id != keeper) AS is_dup",
+            f"{quality_fail} AS quality_fail",
         ),
     )
     sh = _shingled(spark, sf_dir)
@@ -1473,24 +1473,24 @@ def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         base.join(flagged, "doc_id", "left")
         .join(ob, "doc_id", "left")
-        .select(
+        .selectExpr(
             "doc_id",
             "source",
             "n_tokens",
             "is_dup",
             "quality_fail",
-            F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
-            F.coalesce("over_budget", F.lit(False)).alias("over_budget"),
+            "COALESCE(contaminated, false) AS contaminated",
+            "COALESCE(over_budget, false) AS over_budget",
         )
     )
-    verdict = (
-        F.when(F.col("is_dup"), "dup")
-        .when(F.col("quality_fail"), "quality")
-        .when(F.col("contaminated"), "contaminated")
-        .when(F.col("over_budget"), "budget")
-        .otherwise("kept")
-    )
-    return out.withColumn("verdict", verdict).orderBy("doc_id")
+    return out.selectExpr(
+        "*",
+        "CASE WHEN is_dup THEN 'dup'"
+        " WHEN quality_fail THEN 'quality'"
+        " WHEN contaminated THEN 'contaminated'"
+        " WHEN over_budget THEN 'budget'"
+        " ELSE 'kept' END AS verdict",
+    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1650,31 +1650,24 @@ def _alloc_micro_over(docs_tok: DataFrame) -> DataFrame:
     s = track_persist(
         docs_tok.sparkSession, f"_alloc_micro#{next(_PERSIST_SEQ)}", s
     )
-    w = s.withColumn(
-        "weight", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+    # r13: expression trees as parsed SQL strings (one py4j round-trip
+    # per statement — see _replicate_copies); same operators, same
+    # results (oracle hash-green at both SFs).
+    w = s.selectExpr(
+        "*", "round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS weight"
     )
-    twt = w.agg(
-        F.sum(F.col("weight").cast("decimal(18,6)"))
-        .cast("double")
-        .alias("tw")
+    twt = w.selectExpr(
+        "CAST(SUM(CAST(weight AS DECIMAL(18,6))) AS DOUBLE) AS tw"
     )
-    mix = w.crossJoin(F.broadcast(twt)).select(
+    mix = w.crossJoin(F.broadcast(twt)).selectExpr(
+        "source", "n_tokens", "round(weight / tw, 6) AS mix_p"
+    )
+    tot = mix.selectExpr("CAST(SUM(n_tokens) AS BIGINT) AS t")
+    return mix.crossJoin(F.broadcast(tot)).selectExpr(
         "source",
-        "n_tokens",
-        F.round(F.col("weight") / F.col("tw"), 6).alias("mix_p"),
-    )
-    tot = mix.agg(F.sum("n_tokens").cast("bigint").alias("t"))
-    b = (F.lit(4) * F.col("t")).cast("double")
-    epochs = F.round(
-        F.least(
-            b * F.col("mix_p") / F.col("n_tokens"),
-            F.lit(float(_EPOCH_RMAX)),
-        ),
-        6,
-    )
-    return mix.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.round(epochs * _TMIX_MICRO, 0).cast("bigint").alias("_em"),
+        "CAST(round(round(least(CAST(4 * t AS DOUBLE) * mix_p / n_tokens,"
+        f" CAST({_EPOCH_RMAX} AS DOUBLE)), 6) * {_TMIX_MICRO}, 0)"
+        " AS BIGINT) AS _em",
     )
 
 
@@ -1690,49 +1683,40 @@ def _replicate_copies(
     compares only — no double threshold).  Map-side explode: each row
     carries its own copy count, no join-back, no skew.  Returns
     (doc_id, source, replica, _rid) with _rid = 'doc_id#replica', the
-    order key the seeded shuffle hashes so copies scatter."""
+    order key the seeded shuffle hashes so copies scatter.
+
+    r13 (guide §7.3 analog — plan-construction cost): the expression
+    trees are built as parsed SQL strings (the minhash-family
+    precedent, commit e8a2dde).  Per-Column py4j round-trips cost
+    ~0.4-0.65 ms EACH on this box and the three mix builders pay this
+    helper twice per cold re-exec; one selectExpr per statement is one
+    round-trip however wide the expression.  The SQL forms are the
+    function-by-function transliteration of the former Column chain
+    (conv/substring/md5/pmod/sequence/CASE — same Catalyst operators,
+    bit-identical results; oracle hash-green at both SFs)."""
+    m = _TMIX_MICRO
     draw = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("doc_id").cast("string"), F.lit(salt)
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % _TMIX_MICRO
+        f"CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) || "
+        f"'{salt}' AS BINARY)), 1, 8), 16, 10) AS BIGINT) % {m}"
     )
-    n_full = (
-        (F.col("_em") - F.pmod("_em", F.lit(_TMIX_MICRO))) / _TMIX_MICRO
-    ).cast("long")
-    frac_micro = F.pmod("_em", F.lit(_TMIX_MICRO))
-    n_copies = (n_full + (draw < frac_micro).cast("long")).cast("int")
-    rep = docs.join(F.broadcast(alloc_micro), "source").select(
-        "doc_id", "source", *extra_cols, n_copies.alias("n_copies")
+    n_copies = (
+        f"CAST(CAST((_em - pmod(_em, {m})) / {m} AS BIGINT)"
+        f" + CAST({draw} < pmod(_em, {m}) AS BIGINT) AS INT)"
     )
-    copies = rep.select(
+    rep = docs.join(F.broadcast(alloc_micro), "source").selectExpr(
+        "doc_id", "source", *extra_cols, f"{n_copies} AS n_copies"
+    )
+    copies = rep.selectExpr(
         "doc_id",
         "source",
         *extra_cols,
-        F.explode(
-            F.when(
-                F.col("n_copies") >= 1,
-                F.sequence(F.lit(1), F.col("n_copies")),
-            ).otherwise(F.array().cast("array<int>"))
-        ).alias("replica"),
+        "explode(CASE WHEN n_copies >= 1 THEN sequence(1, n_copies)"
+        " ELSE CAST(array() AS ARRAY<INT>) END) AS replica",
     )
-    return copies.withColumn(
-        "_rid",
-        F.concat(
-            F.col("doc_id").cast("string"),
-            F.lit("#"),
-            F.col("replica").cast("string"),
-        ),
+    return copies.selectExpr(
+        "*",
+        "concat(CAST(doc_id AS STRING), '#', CAST(replica AS STRING))"
+        " AS _rid",
     )
 
 

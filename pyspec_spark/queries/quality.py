@@ -61,6 +61,21 @@ def _bigrams(toks):
     )
 
 
+def _bigrams_sql(toks: str = "split(text, ' ')") -> str:
+    """The parsed-SQL face of :func:`_bigrams` — same operators, same
+    values, ONE py4j round-trip however wide (r13 plan-construction
+    note in curation._replicate_copies)."""
+    zipped = (
+        f"zip_with({toks}, slice({toks}, 2, greatest(size({toks}) - 1, 1)),"
+        " (a, b) -> CASE WHEN b IS NOT NULL THEN concat(a, ' ', b) END)"
+    )
+    return (
+        f"CASE WHEN size({toks}) >= 2 THEN"
+        f" filter({zipped}, x -> x IS NOT NULL)"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Per-doc repetition signals (Gopher-style): one doc_id repartition,
 # then codegen aggregation — no interpreted HOF lambdas in the plan.
@@ -804,11 +819,15 @@ def _bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts / _fixed6 micro-unit sums / min-max (q_ppl_gate's ntile
     # orders by the full (xent, doc_id) key) — order-safe; no-op at
     # scale.
-    d = fanout(table(spark, sf_dir, "documents"), "doc_id").select(
+    # r13: bucket + bigram build as ONE parsed-SQL projection (see
+    # curation._replicate_copies' plan-construction note) — the exact
+    # SQL faces of _hash_mod100 and _bigrams; oracle hash-green.
+    d = fanout(table(spark, sf_dir, "documents"), "doc_id").selectExpr(
         "doc_id",
         "text",
-        _hash_mod100(F.col("doc_id"), "#nb").alias("bkt"),
-        _bigrams(_toks()).alias("bigrams"),
+        "CAST(conv(substring(md5(CAST(CAST(doc_id AS STRING) || '#nb'"
+        " AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100 AS bkt",
+        f"{_bigrams_sql()} AS bigrams",
     )
     train = d.where(F.col("bkt") < _BB_TRAIN_PCT)
     # r13 optimization (guide §1.2/§5): the unigram table is consumed
@@ -843,13 +862,16 @@ def _bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = F.split("bg", " ")
     ua = uni.select(F.col("tok").alias("_ta"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("tok").alias("_tb"), F.col("c").alias("c_b"))
-    lp = F.when(
-        F.col("c_ab").isNotNull(),
-        F.log(F.col("c_ab").cast("double") / F.col("c_a")),
-    ).when(
-        F.col("c_b").isNotNull(),
-        F.log(F.lit(0.4) * F.col("c_b") / F.col("n")),
-    ).otherwise(F.log(F.lit(0.16) / F.col("v")))
+    # r13: the backoff CASE + micro-unit snap as one parsed-SQL
+    # projection (the exact SQL face of the former Column chain;
+    # F.log == ln, _fixed6 == _fixed6_sql)
+    from pyspec_spark.functions.determinism import _fixed6_sql
+
+    lp = (
+        "CASE WHEN c_ab IS NOT NULL THEN ln(CAST(c_ab AS DOUBLE) / c_a)"
+        " WHEN c_b IS NOT NULL THEN ln(0.4D * c_b / n)"
+        " ELSE ln(0.16D / v) END"
+    )
     scored = (
         te.join(
             F.broadcast(bc.select(F.col("bg"), F.col("c").alias("c_ab"))),
@@ -860,7 +882,7 @@ def _bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ub), parts.getItem(1) == F.col("_tb"), "left")
         .crossJoin(F.broadcast(n_tot))
         .crossJoin(F.broadcast(v_tot))
-        .select("doc_id", _fixed6(lp).alias("lp_micro"))
+        .selectExpr("doc_id", f"{_fixed6_sql(lp)} AS lp_micro")
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
@@ -946,58 +968,57 @@ def _gopher_metrics(
     sort — the composable form (q_filter_attribution and
     q_source_scorecard build on it; a global doc_id sort before a
     downstream aggregation would be a wasted corpus shuffle).  `extra`
-    passes through additional document columns (e.g. source) so
-    composers never need a doc_id join back to the corpus."""
+    passes through additional document columns as SQL expression
+    strings (e.g. "source") so composers never need a doc_id join back
+    to the corpus."""
     d = table(spark, sf_dir, "documents")
-    w = _toks()
-    lines = F.split("text", "\n")
-    n_words = F.size(w)
-    n_lines = F.size(lines)
-    # total word chars = length of all words concatenated (exact int)
-    word_chars = F.length(F.array_join(w, ""))
-    mwl = word_chars.cast("double") / n_words
-    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
-    n_ell = (
-        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
-    ) / 3
-    sym_ratio = (n_hash + F.floor(n_ell)).cast("double") / n_words
-    bullet = F.size(
-        F.filter(
-            lines,
-            lambda x: F.trim(x).startswith("-")
-            | F.trim(x).startswith("*")
-            | F.trim(x).startswith("•"),
-        )
-    ).cast("double") / n_lines
-    ellipsis = F.size(
-        F.filter(lines, lambda x: x.endswith("..."))
-    ).cast("double") / n_lines
-    alpha = F.size(
-        F.filter(w, lambda x: x.rlike("[A-Za-z]"))
-    ).cast("double") / n_words
-    n_stops = sum(
-        F.array_contains(w, t).cast("int") for t in _GOPHER_STOPS
+    # r13: the whole metric block as ONE parsed-SQL projection — the
+    # former per-Column py4j construction cost ~150 round-trips per
+    # build across this helper's three consumers (plan-construction
+    # note in curation._replicate_copies).  Function-by-function
+    # transliteration of the old Column chain ('D' suffixes pin the
+    # former lit(float) operands to DoubleType); oracle hash-green.
+    w = "split(text, ' ')"
+    lines = "split(text, '\\n')"
+    n_words = f"size({w})"
+    mwl = f"CAST(length(array_join({w}, '')) AS DOUBLE) / {n_words}"
+    n_hash = "(length(text) - length(replace(text, '#', '')))"
+    n_ell = "((length(text) - length(replace(text, '...', ''))) / 3)"
+    sym_ratio = f"CAST({n_hash} + floor({n_ell}) AS DOUBLE) / {n_words}"
+    bullet = (
+        f"CAST(size(filter({lines}, x -> startswith(trim(x), '-')"
+        " OR startswith(trim(x), '*') OR startswith(trim(x), '•')))"
+        f" AS DOUBLE) / size({lines})"
+    )
+    ellipsis = (
+        f"CAST(size(filter({lines}, x -> endswith(x, '...')))"
+        f" AS DOUBLE) / size({lines})"
+    )
+    alpha = (
+        f"CAST(size(filter({w}, x -> x RLIKE '[A-Za-z]'))"
+        f" AS DOUBLE) / {n_words}"
+    )
+    n_stops = " + ".join(
+        f"CAST(array_contains({w}, '{t}') AS INT)" for t in _GOPHER_STOPS
     )
     passes = (
-        n_words.between(50, 100_000)
-        & mwl.between(3.0, 10.0)
-        & (bullet <= 0.9)
-        & (ellipsis <= 0.3)
-        & (alpha >= 0.8)
-        & (n_stops >= 2)
-        & (sym_ratio <= 0.1)
-    ).cast("int")
-    return d.select(
+        f"CAST(({n_words} BETWEEN 50 AND 100000)"
+        f" AND ({mwl} BETWEEN 3.0D AND 10.0D)"
+        f" AND ({bullet} <= 0.9D) AND ({ellipsis} <= 0.3D)"
+        f" AND ({alpha} >= 0.8D) AND ({n_stops} >= 2)"
+        f" AND ({sym_ratio} <= 0.1D) AS INT)"
+    )
+    return d.selectExpr(
         "doc_id",
         *extra,
-        n_words.cast("long").alias("n_words"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
-        F.round(alpha, 6).alias("frac_alpha_words"),
-        n_stops.cast("int").alias("n_stopwords_present"),
-        F.round(bullet, 6).alias("bullet_ratio"),
-        F.round(ellipsis, 6).alias("ellipsis_ratio"),
-        passes.alias("passes"),
+        f"CAST({n_words} AS BIGINT) AS n_words",
+        f"round({mwl}, 6) AS mean_word_len",
+        f"round({sym_ratio}, 6) AS symbol_word_ratio",
+        f"round({alpha}, 6) AS frac_alpha_words",
+        f"CAST({n_stops} AS INT) AS n_stopwords_present",
+        f"round({bullet}, 6) AS bullet_ratio",
+        f"round({ellipsis}, 6) AS ellipsis_ratio",
+        f"{passes} AS passes",
     )
 
 
@@ -1133,8 +1154,8 @@ def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         extra=(
-            F.col("source"),
-            F.md5(F.col("text").cast("binary")).alias("text_h"),
+            "source",
+            "md5(CAST(text AS BINARY)) AS text_h",
         ),
     )
     return (
