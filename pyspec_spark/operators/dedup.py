@@ -53,18 +53,25 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
     single change plus the aggregation-side signature rewrite took the
     full minhash cold re-execution from ~150 s to seconds at sf0.1).
     When size(toks) >= k every slice has exactly size-k+1 elements, so
-    zip_with never pads; the guard covers the rest."""
-    toks = F.split(F.col(text_col), " ")
-    n_sh = F.greatest(F.size(toks) - (k - 1), F.lit(1))
-    sh = F.slice(toks, 1, n_sh)
+    zip_with never pads; the guard covers the rest.
+
+    r13: the chain is emitted as ONE parsed-SQL expression (the
+    queries/curation._replicate_copies plan-construction note) — the
+    former per-Column construction was ~30 py4j round-trips per
+    consumer at ~0.4-0.65 ms each; same operators, same values."""
+    toks = f"split({text_col}, ' ')"
+    n_sh = f"greatest(size({toks}) - {k - 1}, 1)"
+    sh = f"slice({toks}, 1, {n_sh})"
     for j in range(1, k):
-        sh = F.zip_with(
-            sh, F.slice(toks, j + 1, n_sh), lambda a, b: F.concat_ws(" ", a, b)
+        sh = (
+            f"zip_with({sh}, slice({toks}, {j + 1}, {n_sh}),"
+            " (a, b) -> concat_ws(' ', a, b))"
         )
-    guarded = F.when(F.size(toks) >= k, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
+    guarded = (
+        f"CASE WHEN size({toks}) >= {k} THEN array_distinct({sh})"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
     )
-    return df.withColumn("_shingles", guarded)
+    return df.withColumn("_shingles", F.expr(guarded))
 
 
 def minhash_signatures(
@@ -152,14 +159,13 @@ def band_hashes_from_sigs(
     value-equality target of its twin test) the streaming
     band_hashes_stateless — one spelling, no drift (r6 review)."""
     r = n_hashes // bands
-    return sigs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(F.concat_ws(",", F.slice("sig", b * r + 1, r))),
-            )
-        ).alias("band", "band_hash"),
+    # r13: one parsed-SQL generator expression (same plan, fewer py4j
+    # round-trips — see minhash_signatures' note)
+    return sigs.selectExpr(
+        f"{id_col} AS id",
+        f"posexplode(transform(sequence(0, {bands - 1}),"
+        f" b -> md5(concat_ws(',', slice(sig, b * {r} + 1, {r})))))"
+        " AS (band, band_hash)",
     )
 
 
@@ -237,15 +243,14 @@ def minhash_neardup(
     cand = lsh_candidates(sigs, bands, n_hashes=n_hashes)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    est = F.size(
-        F.filter(
-            F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m
-        )
-    ) / F.lit(n_hashes)
+    est = (
+        "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))"
+        f" / {n_hashes}"
+    )
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", F.round(est, 6).alias("est_jaccard"))
+        .selectExpr("id_a", "id_b", f"round({est}, 6) AS est_jaccard")
         .where(F.col("est_jaccard") >= threshold)
     )
 
