@@ -61,17 +61,31 @@ def _fixed6_sql(expr: str) -> str:
 
 def dsum(c: Column | str, alias: str | None = None) -> Column:
     """Order-independent sum, value-identical to
-    SUM(CAST(x AS DECIMAL(18,6))) :: DOUBLE (the oracle-side form)."""
-    out = F.sum(_fixed6(_col(c))).cast("double") / 1e6
+    SUM(CAST(x AS DECIMAL(18,6))) :: DOUBLE (the oracle-side form).
+
+    r13: a str argument is treated as a SQL EXPRESSION (a bare column
+    name is one) and the whole aggregate is emitted as parsed SQL —
+    the Column construction of the _fixed6 chain cost ~140 py4j round
+    trips per aggregate (measured), the expr string costs one.  Same
+    operators, same values; Column arguments keep the Column path."""
+    if isinstance(c, str):
+        out = F.expr(f"CAST(SUM({_fixed6_sql(c)}) AS DOUBLE) / 1E6")
+    else:
+        out = F.sum(_fixed6(c)).cast("double") / 1e6
     return out.alias(alias) if alias else out
 
 
 def davg(c: Column | str, alias: str | None = None) -> Column:
     """Order-independent mean: round(exact_sum / count, 6) :: DOUBLE."""
-    col = _col(c)
-    out = F.round(
-        (F.sum(_fixed6(col)).cast("double") / 1e6) / F.count(col), 6
-    )
+    if isinstance(c, str):
+        out = F.expr(
+            f"round((CAST(SUM({_fixed6_sql(c)}) AS DOUBLE) / 1E6)"
+            f" / COUNT({c}), 6)"
+        )
+    else:
+        out = F.round(
+            (F.sum(_fixed6(c)).cast("double") / 1e6) / F.count(c), 6
+        )
     return out.alias(alias) if alias else out
 
 
@@ -96,6 +110,13 @@ def dsum_split(c: Column | str, alias: str | None = None) -> Column:
     Exact while per-group SUM(floor(x)) < 2^53 and deterministic until
     long overflow (~9e18).  SQL twin: :func:`sql_dsum_split`.
     """
+    if isinstance(c, str):  # r13: parsed-SQL face, see dsum
+        out = F.expr(
+            f"CAST(SUM(CAST(floor({c}) AS BIGINT)) AS DOUBLE)"
+            f" + CAST(SUM(CAST(floor(({c} - floor({c})) * 1E6 + 0.5D)"
+            " AS BIGINT)) AS DOUBLE) / 1E6"
+        )
+        return out.alias(alias) if alias else out
     col = _col(c)
     hi = F.sum(F.floor(col).cast("bigint")).cast("double")
     # fractional part is always in [0, 1) -> unconditional floor(x+0.5)

@@ -47,6 +47,16 @@ def bloom_position(col: Column, i: int, bits: int) -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % bits
 
 
+def _bloom_position_sql(expr: str, i: int, bits: int) -> str:
+    """The parsed-SQL face of :func:`bloom_position` — same operators,
+    same values, one py4j round-trip however many positions (r13
+    plan-construction note in queries/curation._replicate_copies)."""
+    return (
+        f"CAST(conv(substring(md5(CAST({expr} || '#b{i}' AS BINARY)),"
+        f" 1, 8), 16, 10) AS BIGINT) % {bits}"
+    )
+
+
 def bloom_build(
     values: DataFrame,
     col: str = "shingle",
@@ -55,14 +65,14 @@ def bloom_build(
 ) -> DataFrame:
     """Aggregate a value column into sparse Bloom words
     ``(word_idx long, bits long)`` — at most ``bits/32`` rows."""
-    pos = F.explode(
-        F.array(*[bloom_position(F.col(col), i, bits) for i in range(k)])
-    ).alias("pos")
+    positions = ", ".join(
+        _bloom_position_sql(col, i, bits) for i in range(k)
+    )
     return (
-        values.select(pos)
-        .select(
-            (F.col("pos") / 32).cast("long").alias("word_idx"),
-            F.expr("shiftleft(1L, CAST(pos % 32 AS INT))").alias("mask"),
+        values.selectExpr(f"explode(array({positions})) AS pos")
+        .selectExpr(
+            "CAST(pos / 32 AS BIGINT) AS word_idx",
+            "shiftleft(1L, CAST(pos % 32 AS INT)) AS mask",
         )
         .groupBy("word_idx")
         .agg(F.bit_or("mask").alias("bits"))
@@ -133,8 +143,18 @@ def bloom_probe(
     """Add boolean ``out``: all k positions of ``col`` set in the
     densified filter (``bloom_to_array`` output).  One broadcast cross
     join of the single filter row; everything else is map-side."""
+    # r13: the k-position containment test as one parsed-SQL expression
+    # (the Column face above stays for HOF-lambda callers).  true AND
+    # (...) mirrors the Column fold's F.lit(True) seed exactly; the
+    # pow(2.0, bit) mask matches bloom_contains.
+    terms = []
+    for i in range(k):
+        p = f"({_bloom_position_sql(col, i, bits)})"
+        word = f"element_at(words, CAST(CAST({p} / 32 AS BIGINT) + 1 AS INT))"
+        mask = f"CAST(pow(2.0D, CAST({p} % 32 AS DOUBLE)) AS BIGINT)"
+        terms.append(f"(({word} & {mask}) != 0)")
     probed = df.crossJoin(F.broadcast(bloom_arr))
-    return probed.select(
+    return probed.selectExpr(
         *df.columns,
-        bloom_contains(F.col("words"), F.col(col), bits, k).alias(out),
+        f"(true AND {' AND '.join(terms)}) AS {out}",
     )

@@ -148,7 +148,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens.  REUSES quality._bigrams (the q_decontaminate basis), so
     the exact path, the Bloom path, and the streaming screen can never
     drift onto different shingle definitions."""
-    from pyspec_spark.queries.quality import _bigrams
+    from pyspec_spark.queries.quality import _bigrams_sql
     from pyspec_spark.tables import fanout
 
     # r13 (guide §2): fanout BELOW the shingle projection — the single
@@ -158,8 +158,8 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (counts, integer sums, bit_or, broadcast-join probes), so the
     # partitioning cannot change any value; at real scale fanout
     # no-ops (see tables.fanout).
-    return fanout(table(spark, sf_dir, "documents"), "doc_id").select(
-        "doc_id", F.array_distinct(_bigrams(_toks())).alias("shingles")
+    return fanout(table(spark, sf_dir, "documents"), "doc_id").selectExpr(
+        "doc_id", f"array_distinct({_bigrams_sql()}) AS shingles"
     )
 
 
@@ -314,26 +314,25 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     pri = train.groupBy("lang").agg(F.count("*").alias("n_docs"))
     n_tr = train.agg(F.count("*").alias("n"))
 
+    # r13: log-prob expressions as parsed SQL (the _replicate_copies
+    # plan-construction note; _fixed6 == _fixed6_sql, F.log == ln,
+    # 1.0D/0 literals pin the former lit types)
+    from pyspec_spark.functions.determinism import _fixed6_sql
+
     grid = (
         voc.crossJoin(F.broadcast(cls))
         .crossJoin(F.broadcast(v))
         .join(F.broadcast(tc), ["tok", "lang"], "left")
-        .select(
+        .selectExpr(
             "tok",
             "lang",
-            _fixed6(
-                F.log(
-                    (F.coalesce("c", F.lit(0)) + 1.0)
-                    / (F.col("n_tok") + F.col("v"))
-                )
-            ).alias("logp6"),
+            _fixed6_sql("ln((COALESCE(c, 0) + 1.0D) / (n_tok + v))")
+            + " AS logp6",
         )
     )
-    prior = pri.crossJoin(F.broadcast(n_tr)).select(
+    prior = pri.crossJoin(F.broadcast(n_tr)).selectExpr(
         "lang",
-        _fixed6(F.log(F.col("n_docs").cast("double") / F.col("n"))).alias(
-            "prior6"
-        ),
+        _fixed6_sql("ln(CAST(n_docs AS DOUBLE) / n)") + " AS prior6",
     )
 
     te_tok = (
@@ -637,21 +636,19 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    toks = _toks()
-    n_tokens = F.size(toks)
-    d1 = d.join(keep_exact, "doc_id").select(
-        "doc_id", "source", "text", n_tokens.alias("n_tokens")
+    # r13: gate expressions as parsed SQL (the _replicate_copies
+    # plan-construction note; 'D' suffixes pin the former lit(float)s)
+    d1 = d.join(keep_exact, "doc_id").selectExpr(
+        "doc_id", "source", "text", "size(split(text, ' ')) AS n_tokens"
     )
-    dup_frac = (
-        F.lit(1.0)
-        - F.size(F.array_distinct(_toks())).cast("double")
-        / F.col("n_tokens")
-    )
-    cpt = F.length("text").cast("double") / F.col("n_tokens")
     gated = d1.where(
-        F.col("n_tokens").between(_GATE_TOK_MIN, _GATE_TOK_MAX)
-        & (dup_frac <= _GATE_DUP_MAX)
-        & cpt.between(_GATE_CPT_MIN, _GATE_CPT_MAX)
+        F.expr(
+            f"(n_tokens BETWEEN {_GATE_TOK_MIN} AND {_GATE_TOK_MAX})"
+            " AND ((1.0D - CAST(size(array_distinct(split(text, ' ')))"
+            f" AS DOUBLE) / n_tokens) <= {_GATE_DUP_MAX!r}D)"
+            " AND ((CAST(length(text) AS DOUBLE) / n_tokens)"
+            f" BETWEEN {_GATE_CPT_MIN!r}D AND {_GATE_CPT_MAX!r}D)"
+        )
     )
     sh = _shingled(spark, sf_dir)
     bench = (
@@ -769,26 +766,20 @@ LIMIT {_DSIR_TOPK}
 
 @query("q_dsir_weights", oracle=_DSIR_ORACLE)
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspec_spark.functions.determinism import _fixed6
-    from pyspec_spark.queries.quality import _bigrams, _toks
+    from pyspec_spark.queries.quality import _bigrams_sql
 
     d = table(spark, sf_dir, "documents")
-    toks = _toks()
-    grams = d.select(
+    # r13: gram explode + bucket hash as parsed SQL (the
+    # _replicate_copies plan-construction note; operators unchanged)
+    grams = d.selectExpr(
         "doc_id",
-        F.explode(F.concat(toks, _bigrams(toks))).alias("gram"),
+        f"explode(concat(split(text, ' '), {_bigrams_sql()})) AS gram",
     )
-    bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("gram"), F.lit("#dsir")).cast("binary")),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("long")
-        % _DSIR_M
+    b = grams.selectExpr(
+        "doc_id",
+        "CAST(conv(substring(md5(CAST(gram || '#dsir' AS BINARY)),"
+        f" 1, 8), 16, 10) AS BIGINT) % {_DSIR_M} AS bucket",
     )
-    b = grams.select("doc_id", bucket.alias("bucket"))
     # r13 optimization (guide §2.3 "aggregate before you shuffle",
     # §1.2): target and rest counts in ONE grouped pass — the as-built
     # plan computed tc, rc, tot's two branches, and both broadcast
@@ -815,26 +806,18 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("tc"), F.lit(0)).alias("t"),
         F.coalesce(F.sum("rc"), F.lit(0)).alias("r"),
     )
+    from pyspec_spark.functions.determinism import _fixed6_sql
+
     buckets = spark.range(_DSIR_M).select(F.col("id").alias("bucket"))
     lr = (
         buckets.join(F.broadcast(bc), "bucket", "left")
         .crossJoin(F.broadcast(tot))
-        .select(
+        .selectExpr(
             "bucket",
-            (
-                _fixed6(
-                    F.log(
-                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
-                        / (F.col("t") + F.lit(_DSIR_M))
-                    )
-                )
-                - _fixed6(
-                    F.log(
-                        (F.coalesce(F.col("rc"), F.lit(0)) + 1.0)
-                        / (F.col("r") + F.lit(_DSIR_M))
-                    )
-                )
-            ).alias("lr_micro"),
+            _fixed6_sql(f"ln((COALESCE(tc, 0) + 1.0D) / (t + {_DSIR_M}))")
+            + " - "
+            + _fixed6_sql(f"ln((COALESCE(rc, 0) + 1.0D) / (r + {_DSIR_M}))")
+            + " AS lr_micro",
         )
     )
     w = (

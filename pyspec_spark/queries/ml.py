@@ -118,41 +118,51 @@ CROSS JOIN (SELECT unnest(range(1, {_D} + 1)) AS channel) ch
 
 def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
     """Map-side argmin assignment: broadcast centroids, explicit
-    fixed-order distance, MIN(struct(dist, cid)) per vector."""
-    e = F.col("embedding")
-    c = F.col("c")
-    dist: Column = None
-    for d in range(1, _D + 1):
-        t = (F.element_at(e, d).cast("double") - F.element_at(c, d)) * (
-            F.element_at(e, d).cast("double") - F.element_at(c, d)
-        )
-        dist = t if dist is None else dist + t
+    fixed-order distance, MIN(struct(dist, cid)) per vector.
+
+    r13: the per-dimension distance chain is emitted as one parsed-SQL
+    expression (the queries/curation._replicate_copies
+    plan-construction note) — same operators, left-associated sum in
+    the same fixed order, same values."""
+    t = (
+        "(CAST(element_at(embedding, {d}) AS DOUBLE) - element_at(c, {d}))"
+        " * (CAST(element_at(embedding, {d}) AS DOUBLE)"
+        " - element_at(c, {d}))"
+    )
+    dist = " + ".join(t.format(d=d) for d in range(1, _D + 1))
     return (
         emb.crossJoin(F.broadcast(cents))
         .groupBy("vec_id")
-        .agg(F.min(F.struct(dist.alias("dist"), F.col("cid").alias("cid"))).alias("best"))
+        .agg(F.expr(f"min(struct(({dist}) AS dist, cid AS cid)) AS best"))
         .select("vec_id", F.col("best.cid").alias("cid"))
     )
 
 
 def _update(emb: DataFrame, asg: DataFrame) -> DataFrame:
     """Exact fixed-point channel means -> centroid arrays."""
+    from pyspec_spark.functions.determinism import _fixed6_sql
+
     ch = (
         emb.join(asg, "vec_id")
-        .select("cid", F.posexplode(F.slice("embedding", 1, _D)).alias("channel0", "raw"))
-        .select("cid", (F.col("channel0") + 1).alias("channel"),
-                F.col("raw").cast("double").alias("v"))
+        .selectExpr(
+            "cid",
+            f"posexplode(slice(embedding, 1, {_D})) AS (channel0, raw)",
+        )
+        .selectExpr(
+            "cid", "(channel0 + 1) AS channel", "CAST(raw AS DOUBLE) AS v"
+        )
     )
     per_ch = ch.groupBy("cid", "channel").agg(
-        (
-            F.round(F.sum(_fixed6(F.col("v"))).cast("double") / F.count("*")) / 1e6
-        ).alias("cv")
+        F.expr(
+            f"(round(CAST(SUM({_fixed6_sql('v')}) AS DOUBLE)"
+            " / COUNT(*)) / 1E6) AS cv"
+        )
     )
     return per_ch.groupBy("cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("channel", "cv"))),
-            lambda s: s["cv"],
-        ).alias("c")
+        F.expr(
+            "transform(array_sort(collect_list(struct(channel, cv))),"
+            " s -> s.cv) AS c"
+        )
     )
 
 

@@ -50,8 +50,10 @@ GROUP BY l_returnflag, l_linestatus
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # r13: SQL-string operands ride dsum's parsed-SQL path (one py4j
+    # round trip per aggregate instead of ~140 — see determinism.dsum)
+    disc_price = "(l_extendedprice * (1 - l_discount))"
+    charge = f"({disc_price} * (1 + l_tax))"
     return (
         li.where(F.col("l_shipdate") < F.lit("1998-09-03").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
