@@ -1453,7 +1453,10 @@ def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.sum("n_tokens").over(w) > _PIPE_BUDGET).alias("over_budget"),
     )
-    out = (
+    # verdict references the RAW left-join columns: CASE WHEN NULL is
+    # not-taken, exactly like the former coalesce-to-false — ONE
+    # projection, so CollapseProject keeps the pre-r13 plan shape
+    return (
         base.join(flagged, "doc_id", "left")
         .join(ob, "doc_id", "left")
         .selectExpr(
@@ -1464,16 +1467,14 @@ def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_fail",
             "COALESCE(contaminated, false) AS contaminated",
             "COALESCE(over_budget, false) AS over_budget",
+            "CASE WHEN is_dup THEN 'dup'"
+            " WHEN quality_fail THEN 'quality'"
+            " WHEN contaminated THEN 'contaminated'"
+            " WHEN over_budget THEN 'budget'"
+            " ELSE 'kept' END AS verdict",
         )
+        .orderBy("doc_id")
     )
-    return out.selectExpr(
-        "*",
-        "CASE WHEN is_dup THEN 'dup'"
-        " WHEN quality_fail THEN 'quality'"
-        " WHEN contaminated THEN 'contaminated'"
-        " WHEN over_budget THEN 'budget'"
-        " ELSE 'kept' END AS verdict",
-    ).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
