@@ -120,9 +120,7 @@ def minhash_signatures(
     # Sub-k-token docs have no shingles and therefore no signature: the
     # plain (inner) explode drops them so they can never surface as
     # degenerate near-dup pairs.
-    ex = with_sh.select(
-        F.col(id_col).alias("id"), F.explode("_shingles").alias("_sh")
-    )
+    ex = with_sh.selectExpr(f"{id_col} AS id", "explode(_shingles) AS _sh")
     # The three n_hashes-wide expression groups are built as parsed SQL
     # strings (F.expr), not per-element Column calls: each F.md5/F.min/
     # F.col round-trips the py4j socket (~0.7 ms), so the builder spent
@@ -190,28 +188,26 @@ def lsh_candidates(
             "a remainder would silently drop trailing signature positions"
         )
     r = n_hashes // bands
+    # r13 (second pass): guard as one parsed expression (same CASE/
+    # raise_error tree; see minhash_signatures' note)
     sigs = sigs.withColumn(
         "sig",
-        F.when(F.size("sig") == n_hashes, F.col("sig")).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("lsh_candidates: signature width "),
-                    F.size("sig").cast("string"),
-                    F.lit(f" != n_hashes={n_hashes}"),
-                )
-            )
+        F.expr(
+            f"CASE WHEN size(sig) = {n_hashes} THEN sig"
+            " ELSE raise_error(concat('lsh_candidates: signature width ',"
+            f" CAST(size(sig) AS STRING), ' != n_hashes={n_hashes}')) END"
         ),
     )
     banded = band_hashes_from_sigs(sigs, bands, n_hashes)
     sized = banded.groupBy("band", "band_hash").agg(
-        F.collect_list("id").alias("ids"), F.count("*").alias("n")
+        F.expr("collect_list(id)").alias("ids"), F.count("*").alias("n")
     )
-    ok = sized.where((F.col("n") > 1) & (F.col("n") <= max_bucket))
-    a = ok.select("band", "band_hash", F.explode("ids").alias("id_a"))
-    b = ok.select("band", "band_hash", F.explode("ids").alias("id_b"))
+    ok = sized.where(f"n > 1 AND n <= {max_bucket}")
+    a = ok.selectExpr("band", "band_hash", "explode(ids) AS id_a")
+    b = ok.selectExpr("band", "band_hash", "explode(ids) AS id_b")
     return (
         a.join(b, ["band", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
+        .where("id_a < id_b")
         .select("id_a", "id_b")
         .distinct()
     )
@@ -241,8 +237,8 @@ def minhash_neardup(
         df = df.repartition(pre_partition, id_col)
     sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).cache()
     cand = lsh_candidates(sigs, bands, n_hashes=n_hashes)
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    sa = sigs.selectExpr("id AS id_a", "sig AS sig_a")
+    sb = sigs.selectExpr("id AS id_b", "sig AS sig_b")
     est = (
         "size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m))"
         f" / {n_hashes}"
@@ -251,7 +247,7 @@ def minhash_neardup(
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .selectExpr("id_a", "id_b", f"round({est}, 6) AS est_jaccard")
-        .where(F.col("est_jaccard") >= threshold)
+        .where(f"est_jaccard >= {threshold}D")
     )
 
 

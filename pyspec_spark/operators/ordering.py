@@ -73,19 +73,22 @@ def global_order_index(
     )
     grp = ([tier_col] if tier_col is not None else []) + ["_bucket"]
     counts = k.groupBy(*grp).agg(F.count("*").alias("_n"))
-    w_off = (
-        Window.orderBy(*grp)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
+    # r13 (second pass): windows + pos arithmetic as parsed SQL (1:1
+    # transliteration of the former Column chain; same frames)
+    grp_sql = ", ".join(grp)
+    offsets = counts.selectExpr(
         *grp,
-        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+        f"coalesce(SUM(_n) OVER (ORDER BY {grp_sql}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS _off",
     )
-    w_in = Window.partitionBy(*grp).orderBy("_key", id_col)
     return (
-        k.withColumn("_r", F.row_number().over(w_in))
+        k.selectExpr(
+            "*",
+            f"row_number() OVER (PARTITION BY {grp_sql}"
+            f" ORDER BY _key, {id_col}) AS _r",
+        )
         .join(F.broadcast(offsets), grp)
-        .withColumn("pos", (F.col("_off") + F.col("_r") - 1).cast("long"))
+        .selectExpr("*", "CAST((_off + _r - 1) AS BIGINT) AS pos")
         .drop("_key", "_bucket", "_n", "_r", "_off")
     )
 
@@ -95,9 +98,11 @@ def assign_train_shards(
 ) -> DataFrame:
     """(…, pos) -> (…, shard, pos_in_shard): fixed-size dataloader
     shards in global-order sequence.  Map-only on top of the order."""
-    return ordered.withColumn(
-        "shard", (F.col("pos") / F.lit(shard_size)).cast("long")
-    ).withColumn("pos_in_shard", F.pmod(F.col("pos"), F.lit(shard_size)))
+    return ordered.selectExpr(
+        "*",
+        f"CAST(pos / {shard_size} AS BIGINT) AS shard",
+        f"pmod(pos, {shard_size}) AS pos_in_shard",
+    )
 
 
 def write_train_shards(

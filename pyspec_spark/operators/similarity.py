@@ -68,6 +68,26 @@ def _norm_expr(vec_col):
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """Parsed-SQL face of :func:`_dot_cols` — same expression tree, one
+    py4j round trip however wide (r13 plan-construction note in
+    queries/curation._replicate_copies)."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        " (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(v: str) -> str:
+    """Parsed-SQL face of :func:`_norm_expr`."""
+    return (
+        f"sqrt(aggregate(transform({v},"
+        " a -> CAST(a AS DOUBLE) * CAST(a AS DOUBLE)),"
+        " 0.0D, (acc, x) -> acc + x))"
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     query: list[float] | np.ndarray,
@@ -1081,45 +1101,50 @@ def bitext_margin(pairs: DataFrame, k: int = 4) -> DataFrame:
     margin = 2k*c / (sum of src's top-k c + sum of tgt's top-k c) —
     both denominators are order-independent bigint sums, one double
     division under the terminal ROUND."""
-    from pyspark.sql import Window
-
-    wx = Window.partitionBy("src_id").orderBy(F.desc("c"), "tgt_id")
-    wy = Window.partitionBy("tgt_id").orderBy(F.desc("c"), "src_id")
+    # r13: each window step as ONE parsed-SQL projection — the former
+    # per-Column construction cost ~500 py4j round trips per build
+    # (plan-construction note in queries/curation._replicate_copies).
+    # Step order (src, src, tgt, tgt) is preserved exactly so the
+    # executed exchange layout is unchanged; expressions are the 1:1
+    # transliteration of the former Column chain.
     s = (
-        pairs.withColumn("rk_x", F.row_number().over(wx))
-        .withColumn(
-            "den_x",
-            F.sum(
-                F.when(F.col("rk_x") <= k, F.col("c")).otherwise(F.lit(0))
-            ).over(Window.partitionBy("src_id")),
+        pairs.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY src_id"
+            " ORDER BY c DESC, tgt_id) AS rk_x",
         )
-        .withColumn("rk_y", F.row_number().over(wy))
-        .withColumn(
-            "den_y",
-            F.sum(
-                F.when(F.col("rk_y") <= k, F.col("c")).otherwise(F.lit(0))
-            ).over(Window.partitionBy("tgt_id")),
+        .selectExpr(
+            "*",
+            f"SUM(CASE WHEN rk_x <= {k} THEN c ELSE 0 END)"
+            " OVER (PARTITION BY src_id) AS den_x",
+        )
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY tgt_id"
+            " ORDER BY c DESC, src_id) AS rk_y",
+        )
+        .selectExpr(
+            "*",
+            f"SUM(CASE WHEN rk_y <= {k} THEN c ELSE 0 END)"
+            " OVER (PARTITION BY tgt_id) AS den_y",
         )
     )
-    den = F.col("den_x") + F.col("den_y")
-    m = s.select(
+    m = s.selectExpr(
         "src_id",
         "tgt_id",
-        (F.col("c").cast("double") / F.lit(1e6)).alias("cos_sim"),
-        F.when(
-            den > 0,
-            F.round(
-                (F.lit(2 * k) * F.col("c")).cast("double") / den.cast("double"),
-                6,
-            ),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("margin"),
+        "CAST(c AS DOUBLE) / 1E6 AS cos_sim",
+        "CASE WHEN (den_x + den_y) > 0"
+        f" THEN round(CAST({2 * k} * c AS DOUBLE)"
+        " / CAST(den_x + den_y AS DOUBLE), 6)"
+        " ELSE 0.0D END AS margin",
     )
-    wr = Window.partitionBy("src_id").orderBy(F.desc("margin"), "tgt_id")
     return (
-        m.withColumn("rk", F.row_number().over(wr))
-        .where(F.col("rk") == 1)
+        m.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY src_id"
+            " ORDER BY margin DESC, tgt_id) AS rk",
+        )
+        .where("rk = 1")
         .select("src_id", "tgt_id", "cos_sim", "margin")
         .orderBy("src_id")
     )

@@ -179,6 +179,16 @@ def _cms_bucket(term, j: int, w: int):
     return (h % w).cast("int")
 
 
+def _cms_bucket_sql(term: str, j: int, w: int) -> str:
+    """Parsed-SQL face of :func:`_cms_bucket` — same operators, same
+    values, one py4j round trip however many hash rows (r13
+    plan-construction note in queries/curation._replicate_copies)."""
+    return (
+        f"CAST(CAST(conv(substring(md5(concat({term}, '#cms{j}')),"
+        f" 1, 8), 16, 10) AS BIGINT) % {w} AS INT)"
+    )
+
+
 def count_min_sketch(
     occurrences: DataFrame,
     term_col: str = "term",
@@ -196,13 +206,12 @@ def count_min_sketch(
     shuffle keyspace grow with the vocabulary).  Estimates only
     over-count (collisions add), never under-count.
     """
-    term = F.col(term_col)
+    # r13: the d salted hash expressions as ONE parsed-SQL projection
+    # (1:1 transliteration of the former per-Column chain; see
+    # queries/curation._replicate_copies' plan-construction note).
+    arr = ", ".join(_cms_bucket_sql(term_col, j, w) for j in range(d))
     return (
-        occurrences.select(
-            F.posexplode(
-                F.array(*[_cms_bucket(term, j, w) for j in range(d)])
-            ).alias("j", "bucket")
-        )
+        occurrences.selectExpr(f"posexplode(array({arr})) AS (j, bucket)")
         .groupBy("j", "bucket")
         .count()
         .withColumnRenamed("count", "cnt")
@@ -220,13 +229,8 @@ def cms_estimate(
     rows of that row's bucket counter.  Probes are tiny (heavy-hitter
     candidates) -> broadcast against the (<= d*w)-row sketch; no
     shuffle of anything corpus-sized."""
-    term = F.col(term_col)
-    pb = probes.select(
-        "*",
-        F.posexplode(
-            F.array(*[_cms_bucket(term, j, w) for j in range(d)])
-        ).alias("j", "bucket"),
-    )
+    arr = ", ".join(_cms_bucket_sql(term_col, j, w) for j in range(d))
+    pb = probes.selectExpr("*", f"posexplode(array({arr})) AS (j, bucket)")
     keep = [c for c in probes.columns]
     return (
         F.broadcast(pb)
@@ -373,23 +377,17 @@ def _ngrams_with_pos(toks: DataFrame, n: int) -> DataFrame:
     with its 1-based start.  Docs shorter than n emit nothing (the
     WHEN guard also keeps F.sequence from descending when n_tokens-n+1
     < 1 — sequence's default step is -1 for start > stop)."""
-    return (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.when(
-                    F.col("n_tokens") >= n,
-                    F.transform(
-                        F.sequence(F.lit(1), F.col("n_tokens") - n + 1),
-                        lambda i: F.struct(
-                            i.alias("start"),
-                            F.concat_ws(" ", F.slice("t", i, n)).alias("g"),
-                        ),
-                    ),
-                ).otherwise(F.array())
-            ).alias("sg"),
-        )
-        .select("doc_id", F.col("sg.start").alias("start"), F.col("sg.g").alias("g"))
+    # r13 (second pass): one parsed-SQL generator projection (1:1
+    # transliteration of the former Column chain; see
+    # queries/curation._replicate_copies' plan-construction note)
+    gram_arr = (
+        f"CASE WHEN n_tokens >= {n}"
+        f" THEN transform(sequence(1, n_tokens - {n} + 1),"
+        f" i -> named_struct('start', i, 'g', concat_ws(' ', slice(t, i, {n}))))"
+        " ELSE array() END"
+    )
+    return toks.selectExpr("doc_id", f"explode({gram_arr}) AS sg").selectExpr(
+        "doc_id", "sg.start AS start", "sg.g AS g"
     )
 
 
@@ -413,6 +411,20 @@ def _interval_cover(ss_col, n: int):
     return (F.lit(n).cast("long") + tail_sum)
 
 
+def _interval_cover_sql(ss: str, n: int) -> str:
+    """Parsed-SQL face of :func:`_interval_cover` (same tree, one py4j
+    round trip)."""
+    tail = (
+        f"CASE WHEN size({ss}) >= 2"
+        f" THEN aggregate(transform(sequence(1, size({ss}) - 1),"
+        f" i -> CAST(least({n}, element_at({ss}, i + 1)"
+        f" - element_at({ss}, i)) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        " ELSE CAST(0 AS BIGINT) END"
+    )
+    return f"(CAST({n} AS BIGINT) + {tail})"
+
+
 def duplicated_span_stats(
     df: DataFrame,
     n: int = 5,
@@ -425,14 +437,16 @@ def duplicated_span_stats(
     dup_cover, dup_frac).  dup_cover is the merged-interval token count
     — the fraction every curation stack thresholds on before dropping
     or cleaning a page."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"), F.split(text_col, " ").alias("t")
-    ).withColumn("n_tokens", F.size("t"))
+    # r13 (second pass): projections/filters/coverage as parsed SQL
+    # (1:1 transliteration; same plan, ~700 fewer py4j round trips)
+    toks = df.selectExpr(
+        f"{id_col} AS doc_id", f"split({text_col}, ' ') AS t"
+    ).selectExpr("*", "size(t) AS n_tokens")
     grams = _ngrams_with_pos(toks, n)
     dup = (
         grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= min_docs)
+        .agg(F.expr("COUNT(DISTINCT doc_id)").alias("nd"))
+        .where(f"nd >= {min_docs}")
         .select("g")
     )
     per = (
@@ -440,27 +454,24 @@ def duplicated_span_stats(
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("dup_ngrams"),
-            F.sort_array(F.collect_list("start")).alias("ss"),
+            F.expr("sort_array(collect_list(start))").alias("ss"),
         )
-        .select(
+        .selectExpr(
             "doc_id",
             "dup_ngrams",
-            _interval_cover(F.col("ss"), n).alias("dup_cover"),
+            f"{_interval_cover_sql('ss', n)} AS dup_cover",
         )
     )
     return (
         toks.select("doc_id", "n_tokens")
         .join(per, "doc_id", "left")
-        .select(
+        .selectExpr(
             "doc_id",
             "n_tokens",
-            F.coalesce("dup_ngrams", F.lit(0)).alias("dup_ngrams"),
-            F.coalesce("dup_cover", F.lit(0).cast("long")).alias("dup_cover"),
-            F.round(
-                F.coalesce("dup_cover", F.lit(0).cast("long"))
-                / F.col("n_tokens"),
-                6,
-            ).alias("dup_frac"),
+            "coalesce(dup_ngrams, 0) AS dup_ngrams",
+            "coalesce(dup_cover, CAST(0 AS BIGINT)) AS dup_cover",
+            "round(coalesce(dup_cover, CAST(0 AS BIGINT))"
+            " / n_tokens, 6) AS dup_frac",
         )
     )
 

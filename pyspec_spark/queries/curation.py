@@ -64,6 +64,16 @@ def _hash_mod100(col: Column, salt: str) -> Column:
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 100
 
 
+def _hash_mod100_sql(expr: str, salt: str) -> str:
+    """Parsed-SQL face of :func:`_hash_mod100` — same operators, same
+    values, one py4j round trip (r13 plan-construction note in
+    `_replicate_copies`)."""
+    return (
+        f"CAST(conv(substring(md5(CAST(CAST({expr} AS STRING) || '{salt}'"
+        " AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+
+
 # ---------------------------------------------------------------------------
 # L14 — Bloom-filter decontamination.  Same benchmark definition and
 # shingle basis as q_decontaminate (doc_id < 10, distinct token
@@ -279,11 +289,11 @@ GROUP BY d.lang, p.pred_lang
 def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspec_spark.tables import fanout
 
-    d = table(spark, sf_dir, "documents").select(
+    d = table(spark, sf_dir, "documents").selectExpr(
         "doc_id",
         "lang",
         "text",
-        _hash_mod100(F.col("doc_id"), "#nb").alias("b"),
+        f"{_hash_mod100_sql('doc_id', '#nb')} AS b",
     )
     train = d.where(F.col("b") < _NB_TRAIN_PCT)
     test = d.where(F.col("b") >= _NB_TRAIN_PCT)
@@ -293,8 +303,8 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts — order-safe; no-op at scale).  The doc-count branches
     # (pri/n_tr/final join) stay on the raw scan so the tiny input is
     # not re-exchanged where there is no expensive map stage above it.
-    tr_tok = fanout(train, "doc_id").select(
-        "lang", F.explode(_toks()).alias("tok")
+    tr_tok = fanout(train, "doc_id").selectExpr(
+        "lang", "explode(split(text, ' ')) AS tok"
     )
     # r13 optimization (guide §1.2/§5): the model grid references this
     # (lang, tok) count table four ways (cls, voc, v, the left join) —
@@ -337,21 +347,22 @@ def q_nb_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     te_tok = (
         fanout(test, "doc_id")
-        .select("doc_id", F.explode(_toks()).alias("tok"))
+        .selectExpr("doc_id", "explode(split(text, ' ')) AS tok")
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tcnt"))
     )
     scores = (
         te_tok.join(F.broadcast(grid), "tok")
         .groupBy("doc_id", "lang")
-        .agg(F.sum(F.col("tcnt") * F.col("logp6")).alias("s6"))
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc(F.col("s6") + F.col("prior6")), "lang"
+        .agg(F.expr("SUM(tcnt * logp6)").alias("s6"))
     )
     pred = (
         scores.join(F.broadcast(prior), "lang")
-        .withColumn("rk", F.row_number().over(w))
+        .selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY doc_id"
+            " ORDER BY (s6 + prior6) DESC, lang) AS rk",
+        )
         .where(F.col("rk") == 1)
         .select("doc_id", F.col("lang").alias("pred_lang"))
     )
@@ -652,13 +663,13 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = _shingled(spark, sf_dir)
     bench = (
-        sh.where(F.col("doc_id") < _BENCH_MAX_ID)
-        .select(F.explode("shingles").alias("shingle"))
+        sh.where(f"doc_id < {_BENCH_MAX_ID}")
+        .selectExpr("explode(shingles) AS shingle")
         .distinct()
     )
     corpus = sh.where(
-        (F.col("doc_id") >= _BENCH_MAX_ID) & (F.size("shingles") > 0)
-    ).select("doc_id", F.explode("shingles").alias("shingle"))
+        f"doc_id >= {_BENCH_MAX_ID} AND size(shingles) > 0"
+    ).selectExpr("doc_id", "explode(shingles) AS shingle")
     hits = (
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
@@ -1029,31 +1040,28 @@ ORDER BY vec_id
 
 @query("q_sem_decontam", oracle=_SEMDECON_ORACLE)
 def q_sem_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspec_spark.operators.similarity import _dot_cols, _norm_expr
+    from pyspec_spark.operators.similarity import _dot_sql, _norm_sql
 
     e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = [16 + _SEMDECON_STRIDE * j for j in range(_SEMDECON_B)]
-    bench = e.where(F.col("vec_id").isin(planted)).select(
-        ((F.col("vec_id") - 16) / _SEMDECON_STRIDE)
-        .cast("long")
-        .alias("bench_id"),
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x: F.round(x, 1),
-        ).alias("be"),
+    # r13 (second pass): bench projection + 64-dim cosine as parsed SQL
+    # (the exact SQL faces of _dot_cols/_norm_expr; former Column chain
+    # cost ~500 py4j round trips per build — see the _replicate_copies
+    # plan-construction note).
+    bench = e.where(F.col("vec_id").isin(planted)).selectExpr(
+        f"CAST((vec_id - 16) / {_SEMDECON_STRIDE} AS BIGINT) AS bench_id",
+        "transform(CAST(embedding AS ARRAY<DOUBLE>),"
+        " x -> round(x, 1)) AS be",
     )
-    cos = F.round(
-        _dot_cols(F.col("embedding").cast("array<double>"), F.col("be"))
-        / (
-            _norm_expr(F.col("embedding").cast("array<double>"))
-            * _norm_expr(F.col("be"))
-        ),
-        6,
+    ed = "CAST(embedding AS ARRAY<DOUBLE>)"
+    cos = (
+        f"round(({_dot_sql(ed, 'be')})"
+        f" / (({_norm_sql(ed)}) * ({_norm_sql('be')})), 6)"
     )
     hits = (
         e.join(F.broadcast(bench))
-        .select("vec_id", "bench_id", cos.alias("score"))
-        .where(F.col("score") >= _SEMDECON_TAU)
+        .selectExpr("vec_id", "bench_id", f"{cos} AS score")
+        .where(f"score >= {_SEMDECON_TAU}D")
     )
     return (
         hits.groupBy("vec_id")
@@ -1366,7 +1374,7 @@ ORDER BY doc_id
 def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     keeper = (
-        d.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        d.groupBy(F.expr("md5(CAST(text AS BINARY))").alias("h"))
         .agg(F.min("doc_id").alias("keeper"))
     )
     # r13: quality expressions as ONE parsed-SQL projection (see
@@ -1393,7 +1401,7 @@ def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = track_persist(
         spark,
         f"q_drop_audit#base#{next(_PERSIST_SEQ)}",
-        d.withColumn("h", F.md5(F.col("text").cast("binary")))
+        d.selectExpr("*", "md5(CAST(text AS BINARY)) AS h")
         .join(keeper, "h")
         .selectExpr(
             "doc_id",
@@ -1405,13 +1413,13 @@ def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sh = _shingled(spark, sf_dir)
     bench = (
-        sh.where(F.col("doc_id") < _BENCH_MAX_ID)
-        .select(F.explode("shingles").alias("shingle"))
+        sh.where(f"doc_id < {_BENCH_MAX_ID}")
+        .selectExpr("explode(shingles) AS shingle")
         .distinct()
     )
     corpus = sh.where(
-        (F.col("doc_id") >= _BENCH_MAX_ID) & (F.size("shingles") > 0)
-    ).select("doc_id", F.explode("shingles").alias("shingle"))
+        f"doc_id >= {_BENCH_MAX_ID} AND size(shingles) > 0"
+    ).selectExpr("doc_id", "explode(shingles) AS shingle")
     # r13 optimization (guide §2.3 "aggregate before you shuffle",
     # §1.2): hit and size counts in ONE pass over the exploded shingle
     # stream — a left join against the broadcast bench set with a hit
@@ -1424,34 +1432,29 @@ def q_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         f"q_drop_audit#flagged#{next(_PERSIST_SEQ)}",
         corpus.join(
-            F.broadcast(bench.withColumn("_hit", F.lit(1))), "shingle", "left"
+            F.broadcast(bench.selectExpr("*", "1 AS _hit")), "shingle", "left"
         )
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_sh"),
-            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+            F.expr("SUM(coalesce(_hit, 0))").alias("n_hit"),
         )
         .where(
-            F.round(F.col("n_hit").cast("double") / F.col("n_sh"), 6)
-            >= _CONTAM_MIN
+            f"round(CAST(n_hit AS DOUBLE) / n_sh, 6) >= {_CONTAM_MIN}D"
         )
-        .select("doc_id", F.lit(True).alias("contaminated")),
+        .selectExpr("doc_id", "true AS contaminated"),
     )
     d4 = (
         base.join(flagged, "doc_id", "left_anti")
-        .where(~F.col("is_dup") & ~F.col("quality_fail"))
+        .where("NOT is_dup AND NOT quality_fail")
         .select("doc_id", "source", "n_tokens")
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(
-            F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
-        )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ob = d4.select(
+    ob = d4.selectExpr(
         "doc_id",
-        (F.sum("n_tokens").over(w) > _PIPE_BUDGET).alias("over_budget"),
+        "(SUM(n_tokens) OVER (PARTITION BY source"
+        " ORDER BY md5(CAST(CAST(doc_id AS STRING) AS BINARY)), doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+        f" > {_PIPE_BUDGET}) AS over_budget",
     )
     # verdict references the RAW left-join columns: CASE WHEN NULL is
     # not-taken, exactly like the former coalesce-to-false — ONE
@@ -1527,11 +1530,11 @@ def q_train_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = global_order_index(docs, "doc_id", seed=_TORDER_SEED)
     return (
         assign_train_shards(ordered, _TORDER_SHARD)
-        .select(
+        .selectExpr(
             "doc_id",
             "pos",
-            F.col("shard").cast("long").alias("shard"),
-            F.col("pos_in_shard").cast("long").alias("pos_in_shard"),
+            "CAST(shard AS BIGINT) AS shard",
+            "CAST(pos_in_shard AS BIGINT) AS pos_in_shard",
         )
         .orderBy("doc_id")
     )
@@ -1724,13 +1727,13 @@ def _replicate_order_shard(
     ordered = global_order_index(keyed, "_rid", seed=seed)
     return (
         assign_train_shards(ordered, _TMIX_SHARD)
-        .select(
+        .selectExpr(
             "doc_id",
             "replica",
             "source",
             "pos",
-            F.col("shard").cast("long").alias("shard"),
-            F.col("pos_in_shard").cast("long").alias("pos_in_shard"),
+            "CAST(shard AS BIGINT) AS shard",
+            "CAST(pos_in_shard AS BIGINT) AS pos_in_shard",
         )
         .orderBy("pos")
     )
@@ -1850,7 +1853,7 @@ def q_train_mix_curated(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = track_persist(
         spark,
         "q_train_mix_curated",
-        audit.where(F.col("verdict") == "kept").select(
+        audit.where("verdict = 'kept'").select(
             "doc_id", "source", "n_tokens"
         ),
     )
@@ -2510,14 +2513,14 @@ def q_train_mix_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         assign_train_shards(ordered, _TMIX_SHARD)
-        .select(
+        .selectExpr(
             "doc_id",
             "replica",
             "source",
-            F.col("tier").cast("int").alias("tier"),
+            "CAST(tier AS INT) AS tier",
             "pos",
-            F.col("shard").cast("long").alias("shard"),
-            F.col("pos_in_shard").cast("long").alias("pos_in_shard"),
+            "CAST(shard AS BIGINT) AS shard",
+            "CAST(pos_in_shard AS BIGINT) AS pos_in_shard",
         )
         .orderBy("pos")
     )

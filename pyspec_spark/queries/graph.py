@@ -247,31 +247,26 @@ def oriented_edges(edges: DataFrame, orient: str = "id") -> DataFrame:
     deg^2/2 wedges under id order generates none as a center.  One
     extra degree aggregation + broadcast-join per build; triangle
     counts are identical (equality property-tested)."""
+    # r13 (second pass): projections as parsed SQL (1:1 transliteration
+    # of the former Column chain)
     if orient == "id":
-        return edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        return edges.selectExpr("a AS src", "b AS dst")
     if orient != "degree":
         raise ValueError(f"orient must be 'id' or 'degree', got {orient!r}")
     deg = (
-        edges.select(F.col("a").alias("node"))
-        .unionAll(edges.select(F.col("b").alias("node")))
+        edges.selectExpr("a AS node")
+        .unionAll(edges.selectExpr("b AS node"))
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
     er = (
-        edges.join(
-            deg.select(F.col("node").alias("a"), F.col("deg").alias("dega")),
-            "a",
-        ).join(
-            deg.select(F.col("node").alias("b"), F.col("deg").alias("degb")),
-            "b",
-        )
+        edges.join(deg.selectExpr("node AS a", "deg AS dega"), "a")
+        .join(deg.selectExpr("node AS b", "deg AS degb"), "b")
     )
-    a_first = (F.col("dega") < F.col("degb")) | (
-        (F.col("dega") == F.col("degb")) & (F.col("a") < F.col("b"))
-    )
-    return er.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+    a_first = "(dega < degb) OR (dega = degb AND a < b)"
+    return er.selectExpr(
+        f"CASE WHEN {a_first} THEN a ELSE b END AS src",
+        f"CASE WHEN {a_first} THEN b ELSE a END AS dst",
     )
 
 
@@ -281,10 +276,8 @@ def oriented_wedges(edges: DataFrame, orient: str = "id") -> DataFrame:
     skew tests can assert the degree orientation's bound directly."""
     d = oriented_edges(edges, orient)
     e1, e2 = d.alias("e1"), d.alias("e2")
-    return e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
-        F.col("e1.src").alias("i"),
-        F.col("e1.dst").alias("j"),
-        F.col("e2.dst").alias("k"),
+    return e1.join(e2, F.expr("e1.dst = e2.src")).selectExpr(
+        "e1.src AS i", "e1.dst AS j", "e2.dst AS k"
     )
 
 
@@ -297,7 +290,7 @@ def triangle_memberships(edges: DataFrame, orient: str = "id") -> DataFrame:
     wedges = oriented_wedges(edges, orient)
     e3 = d.alias("e3")
     return wedges.join(
-        e3, (F.col("i") == F.col("e3.src")) & (F.col("k") == F.col("e3.dst"))
+        e3, F.expr("i = e3.src AND k = e3.dst")
     ).select("i", "j", "k")
 
 
@@ -311,18 +304,18 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in-memory reads here
     e = (
         jaccard_pairs(spark, sf_dir)
-        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .selectExpr("doc_a AS a", "doc_b AS b")
         .cache()
     )
     tri = triangle_memberships(e, orient="id")
     m = (
-        tri.select(F.col("i").alias("node"))
-        .unionAll(tri.select(F.col("j").alias("node")))
-        .unionAll(tri.select(F.col("k").alias("node")))
+        tri.selectExpr("i AS node")
+        .unionAll(tri.selectExpr("j AS node"))
+        .unionAll(tri.selectExpr("k AS node"))
     )
     return (
         m.groupBy("node")
         .agg(F.count("*").alias("n_triangles"))
-        .select(F.col("node").alias("doc_id"), "n_triangles")
+        .selectExpr("node AS doc_id", "n_triangles")
         .orderBy("doc_id")
     )

@@ -78,18 +78,23 @@ def _grams8_md5(d: DataFrame) -> DataFrame:
     and the gram strings (hence their digests) are identical to the
     per-position form; sub-n docs keep the empty-array guard."""
     n = _OVL_N
-    w = F.col("w")
-    n_g = F.greatest(F.size(w) - (n - 1), F.lit(1))
-    g = F.slice(w, 1, n_g)
+    # r13 (second pass): the zip_with chain as ONE parsed-SQL
+    # projection — the per-Column construction of the 8-level nest cost
+    # ~400 py4j round trips per build (plan-construction note in
+    # queries/curation._replicate_copies).  Identical expression tree.
+    n_g = f"greatest(size(w) - {n - 1}, 1)"
+    g = f"slice(w, 1, {n_g})"
     for j in range(1, n):
-        g = F.zip_with(
-            g, F.slice(w, j + 1, n_g), lambda a, b: F.concat_ws(" ", a, b)
+        g = (
+            f"zip_with({g}, slice(w, {j + 1}, {n_g}),"
+            " (a, b) -> concat_ws(' ', a, b))"
         )
-    guarded = F.when(F.size(w) >= n, g).otherwise(
-        F.array().cast("array<string>")
+    guarded = (
+        f"CASE WHEN size(w) >= {n} THEN {g}"
+        " ELSE CAST(array() AS ARRAY<STRING>) END"
     )
-    return d.select("source", F.explode(guarded).alias("g")).select(
-        "source", F.md5(F.col("g").cast("binary")).alias("h")
+    return d.selectExpr("source", f"explode({guarded}) AS g").selectExpr(
+        "source", "md5(CAST(g AS BINARY)) AS h"
     )
 
 
@@ -124,17 +129,15 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_set("source")).alias("ss"))
         .where(F.size("ss") >= 2)
     )
-    pairs = F.flatten(
-        F.transform(
-            F.col("ss"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ss"), i + F.lit(2), F.size("ss")),
-                lambda y: F.struct(x.alias("src_a"), y.alias("src_b")),
-            ),
-        )
+    # r13 (second pass): pair expansion as parsed SQL (same tree;
+    # named_struct == struct(x.alias(...), ...)).
+    pairs = (
+        "flatten(transform(ss, (x, i) ->"
+        " transform(slice(ss, i + 2, size(ss)),"
+        " y -> named_struct('src_a', x, 'src_b', y))))"
     )
     return (
-        ss.select(F.explode(pairs).alias("p"))
+        ss.selectExpr(f"explode({pairs}) AS p")
         .groupBy(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .agg(F.count("*").alias("n_shared_grams"))
         .orderBy("src_a", "src_b")
@@ -457,34 +460,36 @@ def jaccard_pairs(
     # array duplicate-free, so the exploded (doc_id, shingle) pairs are
     # globally unique by construction — the former distinct() was a
     # full extra exchange that could never remove a row.
-    sh = _zip_shingles(d, "text", 2).select(
-        "doc_id", F.explode("_shingles").alias("shingle")
+    # r13 (second pass): projections/filters as parsed SQL (1:1
+    # transliteration of the former Column chain)
+    sh = _zip_shingles(d, "text", 2).selectExpr(
+        "doc_id", "explode(_shingles) AS shingle"
     )
     # document-frequency cutoff: drop hot shingles (bounds join fan-out)
     df_ok = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= 50)
+        .where("df <= 50")
         .select("shingle")
     )
     filtered = sh.join(F.broadcast(df_ok), "shingle")
     sizes = filtered.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = filtered.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = filtered.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = filtered.selectExpr("doc_id AS doc_a", "shingle")
+    b = filtered.selectExpr("doc_id AS doc_b", "shingle")
     pairs = (
         a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
+        .where("doc_a < doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
+    sa = sizes.selectExpr("doc_id AS doc_a", "n_sh AS na")
+    sb = sizes.selectExpr("doc_id AS doc_b", "n_sh AS nb")
+    jac = "CAST(inter AS DOUBLE) / (na + nb - inter)"
     return (
         pairs.join(F.broadcast(sa), "doc_a")
         .join(F.broadcast(sb), "doc_b")
-        .where(jac >= 0.2)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(f"{jac} >= 0.2D")
+        .selectExpr("doc_a", "doc_b", f"round({jac}, 6) AS jaccard")
     )
 
 

@@ -1885,10 +1885,10 @@ ORDER BY src_id
 
 @query("q_bitext_mine", oracle=_BITEXT_ORACLE)
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspec_spark.functions.determinism import _fixed6
+    from pyspec_spark.functions.determinism import _fixed6_sql
     from pyspec_spark.operators.similarity import (
-        _dot_cols,
-        _norm_expr,
+        _dot_sql,
+        _norm_sql,
         bitext_margin,
     )
 
@@ -1899,11 +1899,15 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     tgt = e.where(F.col("vec_id") % 2 == 1).select(
         F.col("vec_id").alias("tgt_id"), F.col("embedding").alias("te")
     )
-    cos = _dot_cols(F.col("te"), F.col("se")) / (
-        _norm_expr(F.col("te")) * _norm_expr(F.col("se"))
+    # r13: the 64-dim cosine as ONE parsed-SQL projection (the exact
+    # SQL faces of _dot_cols/_norm_expr/_fixed6; former Column chain
+    # cost ~600 py4j round trips per build).
+    cos = (
+        f"({_dot_sql('te', 'se')})"
+        f" / (({_norm_sql('te')}) * ({_norm_sql('se')}))"
     )
-    s = tgt.crossJoin(F.broadcast(src)).select(
-        "src_id", "tgt_id", _fixed6(cos).alias("c")
+    s = tgt.crossJoin(F.broadcast(src)).selectExpr(
+        "src_id", "tgt_id", f"{_fixed6_sql(cos)} AS c"
     )
     return bitext_margin(s, _BT_K)
 
@@ -1978,23 +1982,26 @@ def q_dedup_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_neardup(
         d, threshold=0.0, pre_partition=spark.sparkContext.defaultParallelism
     )
-    n64 = F.round(F.col("est_jaccard") * 64).cast("int")
-    lvls = F.when(
-        n64 >= _TAU_MIN,
-        F.sequence(F.lit(_TAU_MIN), F.least(n64, F.lit(64))),
-    ).otherwise(F.array())
+    # r13 (second pass): level explode + grid projection as parsed SQL
+    # (1:1 transliteration of the former Column chain)
+    n64 = "CAST(round(est_jaccard * 64) AS INT)"
+    lvls = (
+        f"CASE WHEN {n64} >= {_TAU_MIN}"
+        f" THEN sequence({_TAU_MIN}, least({n64}, 64))"
+        " ELSE array() END"
+    )
     counts = (
-        pairs.select(F.explode(lvls).alias("t"))
+        pairs.selectExpr(f"explode({lvls}) AS t")
         .groupBy("t")
         .agg(F.count("*").alias("n_pairs"))
     )
-    grid = spark.range(_TAU_MIN, 65).select(F.col("id").cast("int").alias("t"))
+    grid = spark.range(_TAU_MIN, 65).selectExpr("CAST(id AS INT) AS t")
     return (
         grid.join(counts, "t", "left")
-        .select(
+        .selectExpr(
             "t",
-            F.round(F.col("t") / 64.0, 6).alias("tau"),
-            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            "round(t / 64.0D, 6) AS tau",
+            "CAST(coalesce(n_pairs, 0) AS BIGINT) AS n_pairs",
         )
         .orderBy("t")
     )

@@ -762,17 +762,15 @@ FROM f
 
 def _probe_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = table(spark, sf_dir, "documents")
-    return t.select(
-        F.octet_length("text").alias("b"),
-        (
-            F.octet_length("text") - F.octet_length(F.replace("text", F.lit(" ")))
-        ).alias("sp"),
-        F.size(F.regexp_extract_all("text", F.lit("[0-9]"), 0)).alias("dg"),
-        F.size(
-            F.regexp_extract_all(
-                "text", F.lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"), 0
-            )
-        ).alias("y"),
+    # r13: one parsed-SQL projection (1:1 transliteration of the former
+    # Column chain; see curation._replicate_copies' plan-construction
+    # note).  2-arg F.replace == replace(..., '').
+    return t.selectExpr(
+        "octet_length(text) AS b",
+        "(octet_length(text) - octet_length(replace(text, ' ', ''))) AS sp",
+        "size(regexp_extract_all(text, '[0-9]', 0)) AS dg",
+        "size(regexp_extract_all(text,"
+        " '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0)) AS y",
     )
 
 
@@ -784,10 +782,12 @@ def q_linreg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("sp", "sp"), ("sp", "dg"), ("sp", "y"),
         ("dg", "dg"), ("dg", "y"), ("y", "y"),
     ]
+    # r13: aggregates as parsed SQL (SUM coercions identical to the
+    # former Column forms: int*int sums to BIGINT in both).
     aggs = [F.count("*").alias("n")]
-    aggs += [F.sum(c).alias(f"s_{c}") for c in ("b", "sp", "dg", "y")]
+    aggs += [F.expr(f"SUM({c})").alias(f"s_{c}") for c in ("b", "sp", "dg", "y")]
     aggs += [
-        F.sum(F.col(a) * F.col(bb)).alias(f"ss_{a}_{bb}") for a, bb in pairs
+        F.expr(f"SUM({a} * {bb})").alias(f"ss_{a}_{bb}") for a, bb in pairs
     ]
     return f.agg(*aggs)
 

@@ -829,7 +829,7 @@ def _bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS BINARY)), 1, 8), 16, 10) AS BIGINT) % 100 AS bkt",
         f"{_bigrams_sql()} AS bigrams",
     )
-    train = d.where(F.col("bkt") < _BB_TRAIN_PCT)
+    train = d.where(f"bkt < {_BB_TRAIN_PCT}")
     # r13 optimization (guide §1.2/§5): the unigram table is consumed
     # four ways (n_tot, v_tot, and both join aliases ua/ub) and the
     # bigram table twice (q_ppl_gate layers more consumers on top) —
@@ -843,25 +843,26 @@ def _bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     bc = track_persist(
         spark,
         f"_bigram_xent#bc#{next(_PERSIST_SEQ)}",
-        train.select(F.explode("bigrams").alias("bg"))
+        train.selectExpr("explode(bigrams) AS bg")
         .groupBy("bg")
         .agg(F.count("*").alias("c")),
     )
     uni = track_persist(
         spark,
         f"_bigram_xent#uni#{next(_PERSIST_SEQ)}",
-        train.select(F.explode(_toks()).alias("tok"))
+        train.selectExpr("explode(split(text, ' ')) AS tok")
         .groupBy("tok")
         .agg(F.count("*").alias("c")),
     )
-    n_tot = uni.agg(F.sum("c").alias("n"))
+    n_tot = uni.agg(F.expr("SUM(c)").alias("n"))
     v_tot = uni.agg(F.count("*").alias("v"))
     te = d.where(
-        (F.col("bkt") >= _BB_TRAIN_PCT) & (F.size("bigrams") > 0)
-    ).select("doc_id", F.explode("bigrams").alias("bg"))
-    parts = F.split("bg", " ")
-    ua = uni.select(F.col("tok").alias("_ta"), F.col("c").alias("c_a"))
-    ub = uni.select(F.col("tok").alias("_tb"), F.col("c").alias("c_b"))
+        f"bkt >= {_BB_TRAIN_PCT} AND size(bigrams) > 0"
+    ).selectExpr("doc_id", "explode(bigrams) AS bg")
+    ua = uni.selectExpr("tok AS _ta", "c AS c_a")
+    ub = uni.selectExpr("tok AS _tb", "c AS c_b")
+    # (join conditions below index split(bg, ' ') directly — the former
+    # shared `parts` Column is now inside the parsed strings)
     # r13: the backoff CASE + micro-unit snap as one parsed-SQL
     # projection (the exact SQL face of the former Column chain;
     # F.log == ln, _fixed6 == _fixed6_sql)
@@ -874,20 +875,20 @@ def _bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         te.join(
-            F.broadcast(bc.select(F.col("bg"), F.col("c").alias("c_ab"))),
+            F.broadcast(bc.selectExpr("bg", "c AS c_ab")),
             "bg",
             "left",
         )
-        .join(F.broadcast(ua), parts.getItem(0) == F.col("_ta"), "left")
-        .join(F.broadcast(ub), parts.getItem(1) == F.col("_tb"), "left")
+        .join(F.broadcast(ua), F.expr("split(bg, ' ')[0] = _ta"), "left")
+        .join(F.broadcast(ub), F.expr("split(bg, ' ')[1] = _tb"), "left")
         .crossJoin(F.broadcast(n_tot))
         .crossJoin(F.broadcast(v_tot))
         .selectExpr("doc_id", f"{_fixed6_sql(lp)} AS lp_micro")
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        F.round(
-            -F.sum("lp_micro").cast("double") / F.count("*") / 1e6, 6
+        F.expr(
+            "round(-CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) / 1E6, 6)"
         ).alias("xent"),
     )
 
@@ -1085,35 +1086,38 @@ ORDER BY rule
 @query("q_filter_attribution", oracle=_ATTR_ORACLE)
 def q_filter_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _gopher_metrics(spark, sf_dir)
+    # r13: flags / struct array / aggregates as parsed SQL — the former
+    # per-Column construction (7 structs + 3 agg chains) cost ~800 py4j
+    # round trips per build (plan-construction note in
+    # curation._replicate_copies).  1:1 transliteration of the former
+    # Column chain ('D' suffixes pin the former lit(float) operands).
     flags = {
-        "words": ~F.col("n_words").between(50, 100_000),
-        "mwl": ~F.col("mean_word_len").between(3.0, 10.0),
-        "bullet": F.col("bullet_ratio") > 0.9,
-        "ellipsis": F.col("ellipsis_ratio") > 0.3,
-        "alpha": F.col("frac_alpha_words") < 0.8,
-        "stops": F.col("n_stopwords_present") < 2,
-        "symbol": F.col("symbol_word_ratio") > 0.1,
+        "words": "NOT (n_words BETWEEN 50 AND 100000)",
+        "mwl": "NOT (mean_word_len BETWEEN 3.0D AND 10.0D)",
+        "bullet": "bullet_ratio > 0.9D",
+        "ellipsis": "ellipsis_ratio > 0.3D",
+        "alpha": "frac_alpha_words < 0.8D",
+        "stops": "n_stopwords_present < 2",
+        "symbol": "symbol_word_ratio > 0.1D",
     }
-    arr = F.array(
-        *[
-            F.struct(
-                F.lit(r).alias("rule"), flags[r].cast("int").alias("failed")
-            )
-            for r in _ATTR_RULES
-        ]
+    arr = ", ".join(
+        f"named_struct('rule', '{r}', 'failed', CAST(({flags[r]}) AS INT))"
+        for r in _ATTR_RULES
     )
-    n_fails = sum(flags[r].cast("int") for r in _ATTR_RULES)
-    ex = g.select(F.explode(arr).alias("r"), n_fails.alias("n_fails"))
+    n_fails = " + ".join(f"CAST(({flags[r]}) AS INT)" for r in _ATTR_RULES)
+    ex = g.selectExpr(
+        f"explode(array({arr})) AS r", f"({n_fails}) AS n_fails"
+    )
     return (
         ex.groupBy(F.col("r.rule").alias("rule"))
         .agg(
-            F.sum("r.failed").alias("n_failed"),
-            F.sum(
-                F.when((F.col("r.failed") == 1) & (F.col("n_fails") == 1), 1)
-                .otherwise(0)
+            F.expr("SUM(r.failed)").alias("n_failed"),
+            F.expr(
+                "SUM(CASE WHEN r.failed = 1 AND n_fails = 1"
+                " THEN 1 ELSE 0 END)"
             ).alias("n_solo_failed"),
-            F.round(
-                F.sum("r.failed").cast("double") / F.count("*"), 6
+            F.expr(
+                "round(CAST(SUM(r.failed) AS DOUBLE) / COUNT(*), 6)"
             ).alias("frac_failed"),
         )
         .orderBy("rule")
@@ -1226,22 +1230,23 @@ ORDER BY lang, bucket
 
 @query("q_ppl_gate", oracle=_PPL_ORACLE)
 def q_ppl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     xent = _bigram_xent(spark, sf_dir).select("doc_id", "xent")
     langs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy("xent", "doc_id")
-    lab = (
-        xent.join(langs, "doc_id")
-        .select("lang", "xent", F.ntile(3).over(w).alias("bucket"))
+    # r13: ntile window + micro-unit mean as parsed SQL (1:1
+    # transliteration of the former Column chain; see
+    # curation._replicate_copies' plan-construction note).
+    lab = xent.join(langs, "doc_id").selectExpr(
+        "lang",
+        "xent",
+        "ntile(3) OVER (PARTITION BY lang ORDER BY xent, doc_id) AS bucket",
     )
-    micro = F.round(F.col("xent") * 1e6).cast("long")
     return (
         lab.groupBy("lang", "bucket")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(
-                F.sum(micro).cast("double") / F.count("*") / 1e6, 6
+            F.expr(
+                "round(CAST(SUM(CAST(round(xent * 1E6) AS BIGINT))"
+                " AS DOUBLE) / COUNT(*) / 1E6, 6)"
             ).alias("avg_xent"),
             F.min("xent").alias("min_xent"),
             F.max("xent").alias("max_xent"),
