@@ -85,20 +85,20 @@ def bloom_to_array(bloom: DataFrame, bits: int = BLOOM_BITS) -> DataFrame:
     broadcast.  The lattice comes from ``sequence()`` — no driver data.
     """
     n_words = bits // 32
+    # r13 (second pass): lattice + densify as parsed SQL (1:1
+    # transliteration of the former Column chain)
     lattice = (
         bloom.sparkSession.range(1)
-        .select(
-            F.explode(F.sequence(F.lit(0), F.lit(n_words - 1))).alias("w")
-        )
-        .select(F.col("w").cast("long").alias("word_idx"))
+        .selectExpr(f"explode(sequence(0, {n_words - 1})) AS w")
+        .selectExpr("CAST(w AS BIGINT) AS word_idx")
     )
     return (
         lattice.join(F.broadcast(bloom), "word_idx", "left")
-        .select("word_idx", F.coalesce("bits", F.lit(0)).alias("bits"))
+        .selectExpr("word_idx", "coalesce(bits, 0) AS bits")
         .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("word_idx", "bits"))),
-                lambda s: s.bits,
+            F.expr(
+                "transform(sort_array(collect_list("
+                "struct(word_idx, bits))), s -> s.bits)"
             ).alias("words")
         )
     )

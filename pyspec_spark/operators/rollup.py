@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pyspec_spark.functions.determinism import _fixed6
+from pyspec_spark.functions.determinism import _fixed6_sql
 
 #: supported resolutions, finest-to-coarsest, as date_trunc units
 LEVELS = ("minute", "hour", "day", "week", "month")
@@ -58,14 +58,17 @@ def rollup_cascade(
 
     out: dict[str, DataFrame] = {}
     finest = levels[0]
+    # r13 (second pass): trunc key + aggregates as parsed SQL (1:1
+    # transliteration; _fixed6 == _fixed6_sql)
     cur = (
         events.groupBy(
-            F.date_trunc(finest, F.col(ts_col)).alias("bucket"), *keys
+            F.expr(f"date_trunc('{finest}', {ts_col})").alias("bucket"),
+            *keys,
         ).agg(
             F.count("*").alias("n"),
-            F.sum(_fixed6(F.col(value_col))).alias("sum_micro"),
-            F.min(value_col).alias("min_v"),
-            F.max(value_col).alias("max_v"),
+            F.expr(f"SUM({_fixed6_sql(value_col)})").alias("sum_micro"),
+            F.expr(f"MIN({value_col})").alias("min_v"),
+            F.expr(f"MAX({value_col})").alias("max_v"),
         )
     )
     out[finest] = cur
@@ -86,12 +89,14 @@ def merge_level(finer: DataFrame, level: str, keys: list[str]) -> DataFrame:
     Works identically over a batch cascade level or the sink of the
     streaming finest level (`streaming/events.py` rollup_minute)."""
     return (
-        finer.groupBy(F.date_trunc(level, F.col("bucket")).alias("bucket"), *keys)
+        finer.groupBy(
+            F.expr(f"date_trunc('{level}', bucket)").alias("bucket"), *keys
+        )
         .agg(
-            F.sum("n").alias("n"),
-            F.sum("sum_micro").alias("sum_micro"),
-            F.min("min_v").alias("min_v"),
-            F.max("max_v").alias("max_v"),
+            F.expr("SUM(n)").alias("n"),
+            F.expr("SUM(sum_micro)").alias("sum_micro"),
+            F.expr("MIN(min_v)").alias("min_v"),
+            F.expr("MAX(max_v)").alias("max_v"),
         )
     )
 
@@ -102,14 +107,12 @@ def finalize(
     """Present a cascade level: exact sum and 6-dp mean from the merged
     micro-unit accumulator.  ``extra`` names already-derived columns to
     carry through (read_rollup's n_distinct)."""
-    return level_df.select(
+    return level_df.selectExpr(
         "bucket",
         *keys,
         "n",
-        (F.col("sum_micro").cast("double") / 1e6).alias("sum_v"),
-        F.round(F.col("sum_micro").cast("double") / 1e6 / F.col("n"), 6).alias(
-            "mean_v"
-        ),
+        "(CAST(sum_micro AS DOUBLE) / 1E6) AS sum_v",
+        "round(CAST(sum_micro AS DOUBLE) / 1E6 / n, 6) AS mean_v",
         "min_v",
         "max_v",
         *extra,
@@ -159,9 +162,9 @@ def _rollup_partial(delta: DataFrame, ts_col: str, keys: list[str],
     nn = lambda c: F.coalesce(c.cast("string"), F.lit(_NULL_MARK))  # noqa: E731
     aggs = [
         F.count("*").alias("n"),
-        F.sum(_fixed6(F.col(value_col))).alias("sum_micro"),
-        F.min(value_col).alias("min_v"),
-        F.max(value_col).alias("max_v"),
+        F.expr(f"SUM({_fixed6_sql(value_col)})").alias("sum_micro"),
+        F.expr(f"MIN({value_col})").alias("min_v"),
+        F.expr(f"MAX({value_col})").alias("max_v"),
     ]
     if distinct_col is not None:
         # mergeable distinct sketch (Datasketches HLL): registers are

@@ -177,14 +177,14 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
     bench = (
-        sh.where(F.col("doc_id") < _BENCH_MAX_ID)
-        .select(F.explode("shingles").alias("shingle"))
+        sh.where(f"doc_id < {_BENCH_MAX_ID}")
+        .selectExpr("explode(shingles) AS shingle")
         .distinct()
     )
     bloom = bloom_to_array(bloom_build(bench))
     corpus = sh.where(
-        (F.col("doc_id") >= _BENCH_MAX_ID) & (F.size("shingles") > 0)
-    ).select("doc_id", F.explode("shingles").alias("shingle"))
+        f"doc_id >= {_BENCH_MAX_ID} AND size(shingles) > 0"
+    ).selectExpr("doc_id", "explode(shingles) AS shingle")
     # Explode + codegen probe + partial-agg counts, NOT the "zero
     # shuffle" filter()-lambda form: higher-order-function lambdas
     # evaluate the md5/conv hash chain on Catalyst's interpreted path,
@@ -200,13 +200,13 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         probed.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_sh"),
-            F.count_if(F.col("is_hit")).alias("n_hit"),
+            F.expr("count_if(is_hit)").alias("n_hit"),
         )
-        .withColumn(
-            "containment",
-            F.round(F.col("n_hit").cast("double") / F.col("n_sh"), 6),
+        .selectExpr(
+            "*",
+            "round(CAST(n_hit AS DOUBLE) / n_sh, 6) AS containment",
         )
-        .where(F.col("containment") >= _BLOOM_MIN)
+        .where(f"containment >= {_BLOOM_MIN}D")
     )
 
 
@@ -545,20 +545,22 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # more per q_epoch_alloc layer: q_train_mix's plan showed 10
     # document scans).  One tiny persist = one corpus pass per build.
     s = track_persist(spark, f"q_mix_temperature#{next(_PERSIST_SEQ)}", s)
-    w = s.withColumn(
-        "weight", F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+    # r13 (second pass): weight/total/mix_p as parsed SQL (1:1
+    # transliteration of the former Column chain)
+    w = s.selectExpr(
+        "*", "round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS weight"
     )
     tot = w.agg(
-        F.sum(F.col("weight").cast("decimal(18,6)"))
-        .cast("double")
-        .alias("tw")
+        F.expr(
+            "CAST(SUM(CAST(weight AS DECIMAL(18,6))) AS DOUBLE)"
+        ).alias("tw")
     )
-    return w.crossJoin(F.broadcast(tot)).select(
+    return w.crossJoin(F.broadcast(tot)).selectExpr(
         "source",
         "n_docs",
         "n_tokens",
         "weight",
-        F.round(F.col("weight") / F.col("tw"), 6).alias("mix_p"),
+        "round(weight / tw, 6) AS mix_p",
     )
 
 
@@ -1263,28 +1265,22 @@ ORDER BY source
 @query("q_epoch_alloc", oracle=_epoch_alloc_oracle())
 def q_epoch_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
     mix = q_mix_temperature.__wrapped__(spark, sf_dir)
-    tot = mix.agg(F.sum("n_tokens").cast("bigint").alias("t"))
-    b = (F.lit(4) * F.col("t")).cast("double")
-    raw = b * F.col("mix_p") / F.col("n_tokens")
+    # r13 (second pass): allocation arithmetic as parsed SQL (1:1
+    # transliteration; int constants stay bare, former float lits 'D')
+    tot = mix.agg(F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("t"))
+    b = "CAST(4 * t AS DOUBLE)"
+    raw = f"{b} * mix_p / n_tokens"
     return (
         mix.crossJoin(F.broadcast(tot))
-        .select(
+        .selectExpr(
             "source",
             "n_tokens",
             "mix_p",
-            F.round(
-                F.least(raw, F.lit(float(_EPOCH_RMAX))), 6
-            ).alias("epochs"),
-            F.round(
-                F.least(
-                    b * F.col("mix_p"),
-                    (F.lit(_EPOCH_RMAX) * F.col("n_tokens")).cast("double"),
-                ),
-                0,
-            )
-            .cast("bigint")
-            .alias("eff_tokens"),
-            (raw > _EPOCH_RMAX).alias("capped"),
+            f"round(least({raw}, {float(_EPOCH_RMAX)!r}D), 6) AS epochs",
+            f"CAST(round(least({b} * mix_p,"
+            f" CAST({_EPOCH_RMAX} * n_tokens AS DOUBLE)), 0)"
+            " AS BIGINT) AS eff_tokens",
+            f"({raw} > {_EPOCH_RMAX}) AS capped",
         )
         .orderBy("source")
     )
@@ -1741,11 +1737,9 @@ def _replicate_order_shard(
 
 @query("q_train_mix", oracle=_train_mix_oracle())
 def q_train_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    alloc = q_epoch_alloc.__wrapped__(spark, sf_dir).select(
+    alloc = q_epoch_alloc.__wrapped__(spark, sf_dir).selectExpr(
         "source",
-        (F.round(F.col("epochs") * _TMIX_MICRO, 0).cast("bigint")).alias(
-            "_em"
-        ),
+        f"CAST(round(epochs * {_TMIX_MICRO}, 0) AS BIGINT) AS _em",
     )
     d = table(spark, sf_dir, "documents").select("doc_id", "source")
     return _replicate_order_shard(d, alloc, "#epoch", _TMIX_SEED)

@@ -341,28 +341,28 @@ ORDER BY view_id, purchase_id
 """,
 )
 def q_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 (second pass): projections / range condition as parsed SQL
+    # (1:1 transliteration of the former Column chain)
     e = table(spark, sf_dir, "events")
-    v = e.where(F.col("event_type") == "view").select(
-        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("v_ts")
+    v = e.where("event_type = 'view'").selectExpr(
+        "user_id", "event_id AS view_id", "ts AS v_ts"
     )
-    p = e.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("event_id").alias("purchase_id"),
-        F.col("ts").alias("p_ts"),
+    p = e.where("event_type = 'purchase'").selectExpr(
+        "user_id AS p_user", "event_id AS purchase_id", "ts AS p_ts"
     )
     joined = v.join(
         p,
-        (F.col("p_user") == F.col("user_id"))
-        & (F.col("p_ts") >= F.col("v_ts"))
-        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        F.expr(
+            "p_user = user_id AND p_ts >= v_ts"
+            " AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
     )
-    return joined.select(
+    return joined.selectExpr(
         "user_id",
         "view_id",
         "purchase_id",
-        (F.col("p_ts").cast("long") - F.col("v_ts").cast("long"))
-        .cast("bigint")
-        .alias("gap_s"),
+        "CAST(CAST(p_ts AS BIGINT) - CAST(v_ts AS BIGINT) AS BIGINT)"
+        " AS gap_s",
     ).orderBy("view_id", "purchase_id")
 
 

@@ -68,38 +68,38 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # after the previous stage" is an unbounded MIN window over the SAME
     # partitionBy(user_id), so the whole funnel is ONE scan of events and
     # ONE user-keyed shuffle, then a per-user reduction + global count.
+    # r13 (second pass): windows + aggregates as parsed SQL (1:1
+    # transliteration of the former Column chain; CASE with no ELSE ==
+    # F.when with no otherwise)
     ev = table(spark, sf_dir, "events").where(
-        F.col("event_type").isin("signup", "view", "click", "purchase")
+        "event_type IN ('signup', 'view', 'click', 'purchase')"
     )
-    w = Window.partitionBy("user_id")
-    df = ev.select("user_id", "event_type", "ts").withColumn(
-        "t1", F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
+    df = ev.select("user_id", "event_type", "ts").selectExpr(
+        "*",
+        "MIN(CASE WHEN event_type = 'signup' THEN ts END)"
+        " OVER (PARTITION BY user_id) AS t1",
     )
     for prev, etype, out in (
         ("t1", "view", "t2"),
         ("t2", "click", "t3"),
         ("t3", "purchase", "t4"),
     ):
-        df = df.withColumn(
-            out,
-            F.min(
-                F.when(
-                    (F.col("event_type") == etype) & (F.col("ts") > F.col(prev)),
-                    F.col("ts"),
-                )
-            ).over(w),
+        df = df.selectExpr(
+            "*",
+            f"MIN(CASE WHEN event_type = '{etype}' AND ts > {prev}"
+            f" THEN ts END) OVER (PARTITION BY user_id) AS {out}",
         )
     per_user = df.groupBy("user_id").agg(
-        F.max("t1").alias("t1"),
-        F.max("t2").alias("t2"),
-        F.max("t3").alias("t3"),
-        F.max("t4").alias("t4"),
+        F.expr("MAX(t1)").alias("t1"),
+        F.expr("MAX(t2)").alias("t2"),
+        F.expr("MAX(t3)").alias("t3"),
+        F.expr("MAX(t4)").alias("t4"),
     )
     return per_user.agg(
-        F.count("t1").alias("n_signup"),
-        F.count("t2").alias("n_view"),
-        F.count("t3").alias("n_click"),
-        F.count("t4").alias("n_purchase"),
+        F.expr("COUNT(t1)").alias("n_signup"),
+        F.expr("COUNT(t2)").alias("n_view"),
+        F.expr("COUNT(t3)").alias("n_click"),
+        F.expr("COUNT(t4)").alias("n_purchase"),
     )
 
 

@@ -55,20 +55,18 @@ _PR_TOPK = 20
 def _pr_iteration(edges_deg: DataFrame, pr: DataFrame, n: DataFrame):
     """One PageRank step: pr'(v) = floor(0.15e9/N) +
     floor(0.85 * sum_{u->v} floor(pr(u)/deg(u))), all integer nano."""
-    msgs = edges_deg.join(pr, edges_deg.src == pr.node).select(
-        edges_deg.dst.alias("node"),
-        F.floor(pr.pr / edges_deg.deg).alias("contrib"),
+    # r13 (second pass): join condition + rank arithmetic as parsed SQL
+    # (1:1 transliteration; column names are disjoint across the sides)
+    msgs = edges_deg.join(pr, F.expr("src = node")).selectExpr(
+        "dst AS node", "floor(pr / deg) AS contrib"
     )
     return (
         msgs.groupBy("node")
-        .agg(F.sum("contrib").alias("s"))
+        .agg(F.expr("SUM(contrib)").alias("s"))
         .crossJoin(F.broadcast(n))
-        .select(
+        .selectExpr(
             "node",
-            (
-                F.floor(F.lit(0.15e9) / F.col("n"))
-                + F.floor(F.lit(_PR_D) * F.col("s"))
-            ).alias("pr"),
+            f"(floor(0.15e9 / n) + floor({_PR_D}D * s)) AS pr",
         )
     )
 
@@ -130,26 +128,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1: 5.36 -> 1.4 s, identical output (oracle hash-green).
     li = table(spark, sf_dir, "lineitem")
     pairs = (
-        li.select(
-            F.col("l_partkey").cast("long").alias("p"),
-            F.col("l_suppkey").cast("long").alias("s"),
+        li.selectExpr(
+            "CAST(l_partkey AS BIGINT) AS p",
+            "CAST(l_suppkey AS BIGINT) AS s",
         )
         .distinct()
         .cache()
     )
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(
-                    (F.col("p") * 2).alias("src"),
-                    (F.col("s") * 2 + 1).alias("dst"),
-                ),
-                F.struct(
-                    (F.col("s") * 2 + 1).alias("src"),
-                    (F.col("p") * 2).alias("dst"),
-                ),
-            )
-        ).alias("e")
+    edges = pairs.selectExpr(
+        "explode(array(named_struct('src', p * 2, 'dst', s * 2 + 1),"
+        " named_struct('src', s * 2 + 1, 'dst', p * 2))) AS e"
     ).select("e.src", "e.dst")
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     # cache(): the one edge materialization every reference shares
@@ -157,10 +145,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the module docstring prescribes for production).  cache() is
     # lazy: zero jobs at build (gate).
     edges_deg = edges.join(deg, "src").select("src", "dst", "deg").cache()
-    nodes = edges_deg.select(F.col("src").alias("node")).distinct()
+    nodes = edges_deg.selectExpr("src AS node").distinct()
     n = nodes.agg(F.count("*").alias("n"))
-    pr = nodes.crossJoin(F.broadcast(n)).select(
-        "node", F.floor(F.lit(1e9) / F.col("n")).alias("pr")
+    pr = nodes.crossJoin(F.broadcast(n)).selectExpr(
+        "node", "floor(1e9 / n) AS pr"
     )
     for _ in range(_PR_ITERS):
         # guide §3.1 — pick the broadcast side deliberately: left to
@@ -170,16 +158,13 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         # side broadcasts — that posture is the bucketed-by-src edge
         # layout (write_bucketed), measured in test_graph_html.py.
         pr = _pr_iteration(edges_deg, F.broadcast(pr), n)
-    node_str = F.concat(
-        F.when(F.col("node") % 2 == 0, F.lit("p:")).otherwise(F.lit("s:")),
-        F.shiftright(F.col("node"), 1).cast("string"),
-    )
     return (
-        pr.select(
-            node_str.alias("node"),
-            (F.col("pr") / F.lit(1e9)).alias("pagerank"),
+        pr.selectExpr(
+            "concat(CASE WHEN node % 2 = 0 THEN 'p:' ELSE 's:' END,"
+            " CAST(shiftright(node, 1) AS STRING)) AS node",
+            "(pr / 1e9) AS pagerank",
         )
-        .orderBy(F.desc((F.col("pagerank"))), "node")
+        .orderBy(F.desc("pagerank"), "node")
         .limit(_PR_TOPK)
     )
 

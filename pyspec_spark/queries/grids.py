@@ -53,11 +53,11 @@ _GZ = "CAST(FLOOR(l_tax * 100 / 2) AS BIGINT)"
 
 
 def _voxels(li: DataFrame) -> DataFrame:
-    return li.select(
-        F.expr(_GX).alias("gx"),
-        F.expr(_GY).alias("gy"),
-        F.expr(_GZ).alias("gz"),
-        F.col("l_extendedprice").alias("intensity"),
+    return li.selectExpr(
+        f"{_GX} AS gx",
+        f"{_GY} AS gy",
+        f"{_GZ} AS gz",
+        "l_extendedprice AS intensity",
     )
 
 
@@ -132,30 +132,29 @@ FROM v
 )
 def q_grid3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    # r13 (second pass): stderr chain as parsed SQL; dsum_split takes
+    # its str face (1:1 transliteration of the former Column chain)
     v = (
         _voxels(li)
         .groupBy("gx", "gy", "gz")
         .agg(
             F.count("*").alias("n"),
             dsum("intensity", "si"),
-            dsum_split(F.col("intensity") * F.col("intensity"), "sii"),
+            dsum_split("intensity * intensity", "sii"),
         )
     )
-    stderr = F.when(
-        F.col("n") > 1,
-        F.sqrt(
-            (F.col("sii") - F.col("si") * F.col("si") / F.col("n"))
-            / (F.col("n") - 1)
-            / F.col("n")
-        ),
-    ).otherwise(F.lit(0.0))
-    return v.select(
+    stderr = (
+        "CASE WHEN n > 1"
+        " THEN sqrt((sii - si * si / n) / (n - 1) / n)"
+        " ELSE 0.0D END"
+    )
+    return v.selectExpr(
         "gx",
         "gy",
         "gz",
         "n",
-        F.round(F.col("si") / F.col("n"), 6).alias("mean_i"),
-        F.round(stderr, 6).alias("stderr_i"),
+        "round(si / n, 6) AS mean_i",
+        f"round({stderr}, 6) AS stderr_i",
     )
 
 

@@ -300,8 +300,6 @@ SELECT doc_id, cand_lang AS lang_pred, score FROM (
 
 @query("q_lang_id", oracle=_LANG_ID_ORACLE)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from pyspec_spark.tables import fanout
 
     # r13 (guide §2): the character-trigram explode (~300 rows/doc,
@@ -309,41 +307,45 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan; fanout first.  Downstream: integer counts + row_number
     # over fully-keyed deterministic orders — order-safe; no-op at
     # scale.
+    # r13 (second pass): trigram build / rank windows as parsed SQL
+    # (1:1 transliteration of the former Column chain)
     d = fanout(table(spark, sf_dir, "documents"), "doc_id")
-    tri_rows = d.select(
+    tri_rows = d.selectExpr(
         "doc_id",
         "lang",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.length("text") - 2, F.lit(1))),
-                lambda i: F.col("text").substr(i, F.lit(3)),
-            )
-        ).alias("tri"),
+        "explode(transform(sequence(1, greatest(length(text) - 2, 1)),"
+        " i -> substr(text, i, 3))) AS tri",
     )
     counts = (
-        tri_rows.where(F.col("doc_id") % 5 != 0)
+        tri_rows.where("doc_id % 5 != 0")
         .groupBy("lang", "tri")
         .agg(F.count("*").alias("n"))
     )
-    w_prof = Window.partitionBy("lang").orderBy(F.desc("n"), "tri")
     prof = (
-        counts.withColumn("rk", F.row_number().over(w_prof))
-        .where(F.col("rk") <= 50)
-        .select(F.col("lang").alias("cand_lang"), "tri")
+        counts.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY lang"
+            " ORDER BY n DESC, tri) AS rk",
+        )
+        .where("rk <= 50")
+        .selectExpr("lang AS cand_lang", "tri")
     )
     test = (
-        tri_rows.where(F.col("doc_id") % 5 == 0).select("doc_id", "tri").distinct()
+        tri_rows.where("doc_id % 5 = 0").select("doc_id", "tri").distinct()
     )
     scores = (
         test.join(F.broadcast(prof), "tri")
         .groupBy("doc_id", "cand_lang")
         .agg(F.count("*").alias("score"))
     )
-    w_pred = Window.partitionBy("doc_id").orderBy(F.desc("score"), "cand_lang")
     return (
-        scores.withColumn("rk", F.row_number().over(w_pred))
-        .where(F.col("rk") == 1)
-        .select("doc_id", F.col("cand_lang").alias("lang_pred"), "score")
+        scores.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY doc_id"
+            " ORDER BY score DESC, cand_lang) AS rk",
+        )
+        .where("rk = 1")
+        .selectExpr("doc_id", "cand_lang AS lang_pred", "score")
     )
 
 

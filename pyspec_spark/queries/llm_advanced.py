@@ -1376,29 +1376,28 @@ ORDER BY anchor_id, rk
 
 @query("q_hard_negatives", oracle=_HARD_NEG_ORACLE)
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from pyspec_spark.operators.similarity import _dot_cols, _norm_expr
+    from pyspec_spark.operators.similarity import _dot_sql, _norm_sql
 
     e = table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") < _HN_Q).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("embedding").alias("qe"),
-        F.col("label").alias("q_label"),
+    # r13 (second pass): cosine + rank as parsed SQL (the exact SQL
+    # faces of _dot_cols/_norm_expr; 1:1 transliteration)
+    q = e.where(f"vec_id < {_HN_Q}").selectExpr(
+        "vec_id AS anchor_id", "embedding AS qe", "label AS q_label"
     )
-    cos = F.round(
-        _dot_cols(F.col("embedding"), F.col("qe"))
-        / (_norm_expr(F.col("embedding")) * _norm_expr(F.col("qe"))),
-        6,
+    cos = (
+        f"round(({_dot_sql('embedding', 'qe')})"
+        f" / (({_norm_sql('embedding')}) * ({_norm_sql('qe')})), 6)"
     )
-    scored = (
-        e.join(F.broadcast(q), F.col("label") != F.col("q_label"))
-        .select("anchor_id", F.col("vec_id").alias("neg_id"), cos.alias("score"))
+    scored = e.join(F.broadcast(q), F.expr("label != q_label")).selectExpr(
+        "anchor_id", "vec_id AS neg_id", f"{cos} AS score"
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.desc("score"), "neg_id")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= _HN_K)
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY anchor_id"
+            " ORDER BY score DESC, neg_id) AS rk",
+        )
+        .where(f"rk <= {_HN_K}")
         .select("anchor_id", "neg_id", "score", "rk")
         .orderBy("anchor_id", "rk")
     )
@@ -1500,21 +1499,15 @@ SELECT rnk AS rank, vec_id, rel, mmr FROM sel ORDER BY rnk
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspec_spark.operators.similarity import mmr_rerank
 
+    from pyspec_spark.operators.similarity import _dot_sql, _norm_sql
+
     e = table(spark, sf_dir, "embeddings")
-    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
-    dot = F.aggregate(
-        F.zip_with(
-            "embedding", "qv", lambda a, b: a.cast("double") * b.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(  # noqa: E731
-        F.aggregate(
-            F.transform(c, lambda a: a.cast("double") * a.cast("double")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+    # r13 (second pass): cosine as parsed SQL (the exact SQL faces of
+    # the former zip_with/transform Column chains)
+    q = e.where("vec_id = 0").selectExpr("embedding AS qv")
+    cos = (
+        f"round(({_dot_sql('embedding', 'qv')})"
+        f" / (({_norm_sql('embedding')}) * ({_norm_sql('qv')})), 6)"
     )
     # The corpus-sized scan computes ONLY (vec_id, rel): attaching the
     # double-cast embedding inside the scan would run the cast HOF on
@@ -1522,24 +1515,19 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1).  The 20-row top-k is broadcast back onto the table so
     # the cast touches exactly the shortlist.
     rel_top = (
-        e.where(F.col("vec_id") != 0)
+        e.where("vec_id != 0")
         .crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(
-                dot / (norm(F.col("embedding")) * norm(F.col("qv"))), 6
-            ).alias("rel"),
-        )
+        .selectExpr("vec_id", f"{cos} AS rel")
         .orderBy(F.desc("rel"), "vec_id")
         .limit(_MMR_N)
     )
     shortlist = (
         e.select("vec_id", "embedding")
         .join(F.broadcast(rel_top), "vec_id")
-        .select(
+        .selectExpr(
             "vec_id",
             "rel",
-            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS emb",
         )
     )
     return mmr_rerank(shortlist, k=_MMR_K, lam=_MMR_LAM)

@@ -134,45 +134,43 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_grams is recovered as sum(cnt) in the final aggregation rather
     # than carried as a group key; explode_outer keeps sub-2-token docs
     # (gram NULL → both aggregates NULL → guarded 0.0).
+    # r13 (second pass): the two projections + aggregates as parsed SQL
+    # (1:1 transliteration of the former Column chain; the two-step
+    # select structure around Generate is preserved — see note 1 above)
     d = table(spark, sf_dir, "documents")
-    toks = _toks()
-    grams = _bigrams(toks)
+    toks = "split(text, ' ')"
     docs = d.repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
-    ).select(
+    ).selectExpr(
         "doc_id",
-        F.size(toks).alias("n_tokens"),
-        F.round(
-            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks),
-            6,
-        ).alias("dup_token_frac"),
-        grams.alias("grams"),
+        f"size({toks}) AS n_tokens",
+        f"round(1.0D - CAST(size(array_distinct({toks})) AS DOUBLE)"
+        f" / size({toks}), 6) AS dup_token_frac",
+        f"{_bigrams_sql(toks)} AS grams",
     )
-    exploded = docs.select(
+    exploded = docs.selectExpr(
         "doc_id",
         "n_tokens",
         "dup_token_frac",
-        F.explode_outer("grams").alias("gram"),
+        "explode_outer(grams) AS gram",
     )
     per_gram = exploded.groupBy(
         "doc_id", "n_tokens", "dup_token_frac", "gram"
     ).agg(F.count("*").alias("cnt"))
-    nn_cnt = F.when(F.col("gram").isNotNull(), F.col("cnt"))
+    nn_cnt = "CASE WHEN gram IS NOT NULL THEN cnt END"
     return (
         per_gram.groupBy("doc_id", "n_tokens", "dup_token_frac")
         .agg(
-            F.max(nn_cnt).alias("top_cnt"),
-            F.sum(nn_cnt).alias("n_grams"),
+            F.expr(f"MAX({nn_cnt})").alias("top_cnt"),
+            F.expr(f"SUM({nn_cnt})").alias("n_grams"),
         )
-        .select(
+        .selectExpr(
             "doc_id",
             "n_tokens",
             "dup_token_frac",
-            F.when(F.col("n_grams").isNull(), F.lit(0.0))
-            .otherwise(
-                F.round(F.col("top_cnt").cast("double") / F.col("n_grams"), 6)
-            )
-            .alias("top_bigram_frac"),
+            "CASE WHEN n_grams IS NULL THEN 0.0D"
+            " ELSE round(CAST(top_cnt AS DOUBLE) / n_grams, 6)"
+            " END AS top_bigram_frac",
         )
     )
 
@@ -294,32 +292,34 @@ WHERE ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n_sh, 6) >= {_CONTAM_MIN}
 """,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 (second pass): shingle build + containment as parsed SQL
+    # (1:1 transliteration of the former Column chain)
     d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(F.array_distinct(_bigrams(_toks()))).alias("shingle")
+    sh = d.selectExpr(
+        "doc_id", f"explode(array_distinct({_bigrams_sql()})) AS shingle"
     )
     bench = (
-        sh.where(F.col("doc_id") < _BENCH_MAX_ID).select("shingle").distinct()
+        sh.where(f"doc_id < {_BENCH_MAX_ID}").select("shingle").distinct()
     )
-    corpus = sh.where(F.col("doc_id") >= _BENCH_MAX_ID)
+    corpus = sh.where(f"doc_id >= {_BENCH_MAX_ID}")
     hits = (
         corpus.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hit"))
     )
     sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    containment = F.round(
-        F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_sh"), 6
+    containment = (
+        "round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_sh, 6)"
     )
     return (
         sizes.join(hits, "doc_id", "left")
-        .select(
+        .selectExpr(
             "doc_id",
             "n_sh",
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            containment.alias("containment"),
+            "coalesce(n_hit, 0) AS n_hit",
+            f"{containment} AS containment",
         )
-        .where(F.col("containment") >= _CONTAM_MIN)
+        .where(f"containment >= {_CONTAM_MIN}D")
     )
 
 
@@ -1499,39 +1499,34 @@ ORDER BY t100
 
 @query("q_gate_sweep", oracle=_GATE_SWEEP_ORACLE)
 def q_gate_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = _toks()
-    d = table(spark, sf_dir, "documents").select(
-        F.size(w).alias("n_words"),
-        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))).alias("n_alpha"),
+    # r13 (second pass): grid / gate / windows as parsed SQL (1:1
+    # transliteration of the former Column chain)
+    d = table(spark, sf_dir, "documents").selectExpr(
+        "size(split(text, ' ')) AS n_words",
+        "size(filter(split(text, ' '), x -> x RLIKE '[A-Za-z]'))"
+        " AS n_alpha",
     )
-    grid = F.array(*[F.lit(5 * i) for i in range(_SWEEP_STEPS)])
-    kept = F.col("t100") * F.col("n_words") <= 100 * F.col("n_alpha")
+    grid = ", ".join(str(5 * i) for i in range(_SWEEP_STEPS))
+    kept = "t100 * n_words <= 100 * n_alpha"
     sweep = (
-        d.select("n_words", "n_alpha", F.explode(grid).alias("t100"))
+        d.selectExpr("n_words", "n_alpha", f"explode(array({grid})) AS t100")
         .groupBy("t100")
         .agg(
-            F.count(F.when(kept, 1)).alias("n_kept"),
-            F.coalesce(
-                F.sum(F.when(kept, F.col("n_words"))), F.lit(0)
+            F.expr(f"COUNT(CASE WHEN {kept} THEN 1 END)").alias("n_kept"),
+            F.expr(
+                f"coalesce(SUM(CASE WHEN {kept} THEN n_words END), 0)"
             ).alias("w_kept"),
         )
     )
-    everything = Window.partitionBy()
     return (
-        sweep.withColumn("n_all", F.max("n_kept").over(everything))
-        .withColumn("w_all", F.max("w_kept").over(everything))
-        .select(
+        sweep.selectExpr("*", "MAX(n_kept) OVER () AS n_all")
+        .selectExpr("*", "MAX(w_kept) OVER () AS w_all")
+        .selectExpr(
             "t100",
             "n_kept",
-            F.round(F.col("n_kept").cast("double") / F.col("n_all"), 6).alias(
-                "kept_frac"
-            ),
-            F.round(F.col("w_kept").cast("double") / F.col("w_all"), 6).alias(
-                "words_kept_frac"
-            ),
-            F.round(F.col("w_kept").cast("double") / F.col("n_kept"), 6).alias(
-                "mean_words_kept"
-            ),
+            "round(CAST(n_kept AS DOUBLE) / n_all, 6) AS kept_frac",
+            "round(CAST(w_kept AS DOUBLE) / w_all, 6) AS words_kept_frac",
+            "round(CAST(w_kept AS DOUBLE) / n_kept, 6) AS mean_words_kept",
         )
         .orderBy("t100")
     )

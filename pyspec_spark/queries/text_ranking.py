@@ -192,48 +192,43 @@ LIMIT 20
 @query("q_bm25_topk", oracle=_BM25_ORACLE)
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    dl = docs.select("doc_id", F.size(F.split("text", " ")).alias("dl"))
+    # r13 (second pass): projections + BM25 arithmetic as parsed SQL
+    # (1:1 transliteration; Python-folded float literals — 2.2 = k1+1,
+    # 0.25 = 1-b — carried as 'D'-pinned doubles exactly as lit() did)
+    dl = docs.selectExpr("doc_id", "size(split(text, ' ')) AS dl")
     stats = dl.agg(
-        F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+        F.count("*").alias("n_docs"),
+        F.expr("AVG(CAST(dl AS DOUBLE))").alias("avgdl"),
     )
+    terms_in = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-        .where(F.col("term").isin(*_BM25_TERMS))
+        docs.selectExpr("doc_id", "explode(split(text, ' ')) AS term")
+        .where(f"term IN ({terms_in})")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
     idf = (
         tf.crossJoin(F.broadcast(stats))
         .groupBy("term", "n_docs")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .select(
+        .agg(F.expr("COUNT(DISTINCT doc_id)").alias("df"))
+        .selectExpr(
             "term",
-            F.round(
-                F.log(
-                    1.0
-                    + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-                ),
-                6,
-            ).alias("idf"),
+            "round(ln(1.0D + (n_docs - df + 0.5D) / (df + 0.5D)), 6)"
+            " AS idf",
         )
     )
-    part = F.round(
-        F.col("idf")
-        * (F.col("tf") * (_BM25_K1 + 1.0))
-        / (
-            F.col("tf")
-            + _BM25_K1
-            * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
-        ),
-        6,
+    part = (
+        f"round(idf * (tf * {_BM25_K1 + 1.0!r}D)"
+        f" / (tf + {_BM25_K1!r}D * ({1.0 - _BM25_B!r}D"
+        f" + {_BM25_B!r}D * dl / avgdl)), 6)"
     )
     return (
         tf.join(F.broadcast(idf), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", part.alias("part"))
+        .selectExpr("doc_id", f"{part} AS part")
         .groupBy("doc_id")
-        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+        .agg(F.expr("round(SUM(part), 6)").alias("bm25"))
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
