@@ -645,7 +645,7 @@ GROUP BY source
 def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     keep_exact = (
-        d.groupBy(F.md5(F.col("text").cast("binary")).alias("h"))
+        d.groupBy(F.expr("md5(CAST(text AS BINARY))").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
@@ -681,28 +681,21 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = (
         sizes.join(hits, "doc_id", "left")
         .where(
-            F.round(
-                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_sh"),
-                6,
-            )
-            >= _CONTAM_MIN
+            "round(CAST(coalesce(n_hit, 0) AS DOUBLE) / n_sh, 6)"
+            f" >= {_CONTAM_MIN}D"
         )
         .select("doc_id")
     )
     d4 = gated.join(flagged, "doc_id", "left_anti")
-    w = (
-        Window.partitionBy("source")
-        .orderBy(
-            F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id"
-        )
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    kept = d4.withColumn("cum", F.sum("n_tokens").over(w)).where(
-        F.col("cum") <= _PIPE_BUDGET
-    )
+    kept = d4.selectExpr(
+        "*",
+        "SUM(n_tokens) OVER (PARTITION BY source"
+        " ORDER BY md5(CAST(CAST(doc_id AS STRING) AS BINARY)), doc_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum",
+    ).where(f"cum <= {_PIPE_BUDGET}")
     return kept.groupBy("source").agg(
         F.count("*").alias("n_docs"),
-        F.sum("n_tokens").alias("tokens_kept"),
+        F.expr("SUM(n_tokens)").alias("tokens_kept"),
     )
 
 
@@ -806,22 +799,27 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus passes per build (model count + the scoring join).
     from pyspec_spark.registry import PERSIST_SEQ, track_persist
 
-    tgt = F.col("doc_id") < _DSIR_TARGET_MAX
+    tgt = f"doc_id < {_DSIR_TARGET_MAX}"
     bc = track_persist(
         spark,
         f"q_dsir_weights#bc#{next(PERSIST_SEQ)}",
         b.groupBy("bucket").agg(
-            F.sum(F.when(tgt, 1).otherwise(0)).cast("long").alias("tc"),
-            F.sum(F.when(~tgt, 1).otherwise(0)).cast("long").alias("rc"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN {tgt} THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("tc"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN NOT ({tgt}) THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("rc"),
         ),
     )
     tot = bc.agg(
-        F.coalesce(F.sum("tc"), F.lit(0)).alias("t"),
-        F.coalesce(F.sum("rc"), F.lit(0)).alias("r"),
+        F.expr("coalesce(SUM(tc), 0)").alias("t"),
+        F.expr("coalesce(SUM(rc), 0)").alias("r"),
     )
     from pyspec_spark.functions.determinism import _fixed6_sql
 
-    buckets = spark.range(_DSIR_M).select(F.col("id").alias("bucket"))
+    buckets = spark.range(_DSIR_M).selectExpr("id AS bucket")
     lr = (
         buckets.join(F.broadcast(bc), "bucket", "left")
         .crossJoin(F.broadcast(tot))
@@ -834,21 +832,21 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = (
-        b.where(F.col("doc_id") >= _DSIR_TARGET_MAX)
+        b.where(f"doc_id >= {_DSIR_TARGET_MAX}")
         .join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_grams"),
-            F.sum("lr_micro").alias("w_micro"),
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_grams"),
+            F.expr("SUM(lr_micro)").alias("w_micro"),
         )
     )
     return (
-        w.orderBy(F.col("w_micro").desc(), "doc_id")
+        w.orderBy(F.desc("w_micro"), "doc_id")
         .limit(_DSIR_TOPK)
-        .select(
+        .selectExpr(
             "doc_id",
             "n_grams",
-            F.round(F.col("w_micro") / 1e6, 6).alias("dsir_logweight"),
+            "round(w_micro / 1e6, 6) AS dsir_logweight",
         )
     )
 
@@ -1125,25 +1123,28 @@ ORDER BY doc_id
 
 @query("q_soft_dedup", oracle=_SOFT_DEDUP_ORACLE)
 def q_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 (second pass): projections/aggregates as parsed SQL (1:1
+    # transliteration of the former Column chain)
     ex = (
         _shingled(spark, sf_dir)
-        .where(F.size("shingles") > 0)
-        .select("doc_id", F.explode("shingles").alias("shingle"))
+        .where("size(shingles) > 0")
+        .selectExpr("doc_id", "explode(shingles) AS shingle")
     )
     df = ex.groupBy("shingle").agg(F.count("*").alias("df"))
     d = (
         ex.join(df, "shingle")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_sh"), F.sum("df").alias("sum_df"))
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.expr("SUM(df)").alias("sum_df"),
+        )
     )
-    return d.select(
+    return d.selectExpr(
         "doc_id",
         "n_sh",
         "sum_df",
-        F.round(F.col("n_sh").cast("double") / F.col("sum_df"), 6).alias(
-            "weight"
-        ),
-        (F.col("sum_df") >= 2 * F.col("n_sh")).alias("dup_heavy"),
+        "round(CAST(n_sh AS DOUBLE) / sum_df, 6) AS weight",
+        "(sum_df >= 2 * n_sh) AS dup_heavy",
     ).orderBy("doc_id")
 
 
@@ -1619,7 +1620,7 @@ def _alloc_micro_over(docs_tok: DataFrame) -> DataFrame:
     from pyspec_spark.registry import track_persist
 
     s = docs_tok.groupBy("source").agg(
-        F.sum("n_tokens").cast("bigint").alias("n_tokens")
+        F.expr("CAST(SUM(n_tokens) AS BIGINT)").alias("n_tokens")
     )
     # r13 optimization (guide §1.2/§5): the chain below references this
     # |sources|-row aggregate four times (twt, mix, tot, alloc) and
@@ -2053,7 +2054,7 @@ ORDER BY pos
 
 @query("q_train_mix_delta", oracle=_train_mix_delta_oracle())
 def q_train_mix_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspec_spark.operators.ordering import _idiv, global_order_index
+    from pyspec_spark.operators.ordering import global_order_index
 
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(_toks()).alias("n_tokens")
@@ -2066,25 +2067,26 @@ def q_train_mix_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under ITS OWN allocation — order-free (one map-side explode +
     # 1-row count; no base ordering work is ever redone)
     nb = _replicate_copies(base, _alloc_micro_over(base), "#epoch").agg(
-        F.count("*").cast("bigint").alias("_nb")
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("_nb")
     )
 
     # the extension: delta docs under the FULL-corpus allocation,
     # version-seeded two-level rank among themselves
     keyed = _replicate_copies(delta, _alloc_micro_over(d), "#epoch")
     ordered = global_order_index(keyed, "_rid", seed=_TMIXD_SEED)
-    gpos = (F.col("pos") + F.col("_nb")).cast("long")
+    # r13 (second pass): offset/shard arithmetic as parsed SQL (the
+    # exact faces of the former gpos/_idiv/pmod Column chain)
+    gpos = "CAST(pos + _nb AS BIGINT)"
     return (
         ordered.crossJoin(F.broadcast(nb))
-        .select(
+        .selectExpr(
             "doc_id",
             "replica",
             "source",
-            gpos.alias("pos"),
-            _idiv(gpos, F.lit(_TMIX_SHARD)).alias("shard"),
-            F.pmod(gpos, F.lit(_TMIX_SHARD)).cast("long").alias(
-                "pos_in_shard"
-            ),
+            f"{gpos} AS pos",
+            f"CAST((({gpos}) - pmod({gpos}, {_TMIX_SHARD}))"
+            f" / {_TMIX_SHARD} AS BIGINT) AS shard",
+            f"CAST(pmod({gpos}, {_TMIX_SHARD}) AS BIGINT) AS pos_in_shard",
         )
         .orderBy("pos")
     )

@@ -134,7 +134,7 @@ def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
         emb.crossJoin(F.broadcast(cents))
         .groupBy("vec_id")
         .agg(F.expr(f"min(struct(({dist}) AS dist, cid AS cid)) AS best"))
-        .select("vec_id", F.col("best.cid").alias("cid"))
+        .selectExpr("vec_id", "best.cid AS cid")
     )
 
 
@@ -607,11 +607,10 @@ def semdedup_pairs(
     grow with the corpus — a fixed k scales quadratically (measured in
     SCALING.md).  ``emb`` needs (vec_id, embedding); init = the first
     k ids, two Lloyd rounds, then the cluster-scoped pair scan."""
-    c0 = emb.where(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("cid"),
-        F.transform(
-            F.slice("embedding", 1, _D), lambda x: x.cast("double")
-        ).alias("c"),
+    c0 = emb.where(f"vec_id < {k}").selectExpr(
+        "vec_id AS cid",
+        f"transform(slice(embedding, 1, {_D}),"
+        " x -> CAST(x AS DOUBLE)) AS c",
     )
     asg2 = _assign(emb, _update(emb, _assign(emb, c0)))
 
@@ -696,8 +695,8 @@ def semdedup_pairs(
         _cluster_pairs, "cid long, id_a long, id_b long, cos_raw double"
     )
     return (
-        pairs.withColumn("cos_sim", F.round("cos_raw", 6))
-        .where(F.col("cos_sim") >= tau)
+        pairs.selectExpr("*", "round(cos_raw, 6) AS cos_sim")
+        .where(f"cos_sim >= {tau!r}D")
         .select("cid", "id_a", "id_b", "cos_sim")
     )
 

@@ -215,25 +215,29 @@ GROUP BY lang, source
 """,
 )
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 (second pass): gate + aggregates as parsed SQL (1:1
+    # transliteration; 'D' suffixes pin the former float literals)
     d = table(spark, sf_dir, "documents")
-    toks = _toks()
-    n_tokens = F.size(toks)
-    dup_frac = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n_tokens
-    cpt = F.length("text").cast("double") / n_tokens
+    toks = "split(text, ' ')"
+    n_tokens = f"size({toks})"
+    dup_frac = (
+        f"1.0D - CAST(size(array_distinct({toks})) AS DOUBLE) / {n_tokens}"
+    )
+    cpt = f"CAST(length(text) AS DOUBLE) / {n_tokens}"
     passes = (
-        n_tokens.between(_MIN_TOKENS, _MAX_TOKENS)
-        & (dup_frac <= _MAX_DUP_FRAC)
-        & cpt.between(_MIN_CPT, _MAX_CPT)
-    ).cast("int")
+        f"CAST(({n_tokens} BETWEEN {_MIN_TOKENS} AND {_MAX_TOKENS})"
+        f" AND (({dup_frac}) <= {_MAX_DUP_FRAC}D)"
+        f" AND (({cpt}) BETWEEN {_MIN_CPT!r}D AND {_MAX_CPT!r}D) AS INT)"
+    )
     return (
-        d.select("lang", "source", passes.alias("pass"))
+        d.selectExpr("lang", "source", f"{passes} AS pass")
         .groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("pass").cast("bigint").alias("n_pass"),
-            F.round(F.sum("pass").cast("double") / F.count("*"), 6).alias(
-                "pass_rate"
-            ),
+            F.expr("CAST(SUM(pass) AS BIGINT)").alias("n_pass"),
+            F.expr(
+                "round(CAST(SUM(pass) AS DOUBLE) / COUNT(*), 6)"
+            ).alias("pass_rate"),
         )
     )
 
@@ -1417,33 +1421,30 @@ ORDER BY lang
 
 @query("q_token_fertility", oracle=_FERTILITY_ORACLE)
 def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select(
+    # r13 (second pass): projections/aggregates as parsed SQL (1:1
+    # transliteration of the former Column chain)
+    d = table(spark, sf_dir, "documents").selectExpr(
         "lang",
-        F.size(_toks()).alias("n_words"),
-        F.size(F.regexp_extract_all("text", F.lit(_FERTILITY_RE), 0)).alias(
-            "n_sub"
-        ),
-        F.octet_length("text").alias("n_bytes"),
+        "size(split(text, ' ')) AS n_words",
+        f"size(regexp_extract_all(text, '{_FERTILITY_RE}', 0)) AS n_sub",
+        "octet_length(text) AS n_bytes",
     )
     return (
         d.groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum("n_words").alias("n_words"),
-            F.sum("n_sub").alias("n_subwords"),
-            F.sum("n_bytes").alias("n_bytes"),
+            F.expr("SUM(n_words)").alias("n_words"),
+            F.expr("SUM(n_sub)").alias("n_subwords"),
+            F.expr("SUM(n_bytes)").alias("n_bytes"),
         )
-        .select(
+        .selectExpr(
             "lang",
             "n_docs",
             "n_words",
             "n_subwords",
-            F.round(
-                F.col("n_subwords").cast("double") / F.col("n_words"), 6
-            ).alias("fertility"),
-            F.round(
-                F.col("n_bytes").cast("double") / F.col("n_subwords"), 6
-            ).alias("bytes_per_subword"),
+            "round(CAST(n_subwords AS DOUBLE) / n_words, 6) AS fertility",
+            "round(CAST(n_bytes AS DOUBLE) / n_subwords, 6)"
+            " AS bytes_per_subword",
         )
         .orderBy("lang")
     )

@@ -36,7 +36,7 @@ from pyspec_spark.tables import table
 def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        docs.selectExpr("doc_id", "explode(split(text, ' ')) AS term")
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -109,27 +109,29 @@ WHERE rn <= 3
 """,
 )
 def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 (second pass): score + rank as parsed SQL (1:1
+    # transliteration of the former Column chain)
     tf = _tf(spark, sf_dir)
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(df, "term")
         .crossJoin(F.broadcast(_n_docs(spark, sf_dir)))
-        .select(
+        .selectExpr(
             "doc_id",
             "term",
             "tf",
             "df",
-            F.round(
-                F.col("tf")
-                * F.round(F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 6),
-                6,
-            ).alias("tfidf"),
+            "round(tf * round(ln((n_docs + 1.0D) / (df + 1.0D)), 6), 6)"
+            " AS tfidf",
         )
     )
-    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
+        scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY doc_id"
+            " ORDER BY tfidf DESC, term) AS rn",
+        )
+        .where("rn <= 3")
         .drop("rn")
     )
 
