@@ -391,6 +391,83 @@ def _ngrams_with_pos(toks: DataFrame, n: int) -> DataFrame:
     )
 
 
+def _ngrams_with_pos_arrow(
+    df: DataFrame, n: int, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, start, g) from raw (id, text) rows — the byte-slice
+    mapInArrow form of :func:`_ngrams_with_pos` (r13 session 4, guide
+    §4.2, the queries/llm._grams8_md5 precedent).  PROVEN AND SHELVED:
+    measured in duplicated_span_stats and rejected on the sf0.1 wall
+    (see the note there) — kept, regression-pinned against the JVM
+    form, as the drop-in for corpora where gram-construction CPU is
+    the actual wall.
+
+    Because the tokenizer is a SINGLE-SPACE split and the gram joiner a
+    single space, text == ' '.join(text.split(' ')) holds for every
+    string, so the n-token gram at 1-based position i is exactly the
+    BYTE SLICE of the UTF-8 text between token i's first byte and token
+    (i+n-1)'s last byte (0x20 cannot occur inside a multi-byte UTF-8
+    sequence).  One np.flatnonzero over the byte buffer finds every
+    boundary; each gram is a bytes slice handed to Arrow as-is — no
+    per-position JVM array slice + concat_ws allocation (the dominant
+    stage CPU of the JVM form: profiled 8.9 s across
+    q_substr_dup_spans' stages at sf0.1, the gram subtree evaluated
+    once per consuming stage, vs 0.23 s single-thread for this kernel
+    over the same corpus).  Gram STRINGS are bit-identical to the
+    zip_with/transform form (same bytes), proven as a full-corpus
+    (doc_id, start, g) multiset equality at sf0.1 plus the edge-case
+    pin in tests/test_llm_ops.py; sub-n-token and NULL texts emit
+    nothing and `start` stays int32 — same contract as
+    :func:`_ngrams_with_pos`.
+
+    doc_id values pass through Arrow `take` untouched (any id type);
+    only (id, text) cross the Python boundary (guide §4.1).
+    """
+    import pyarrow as pa
+
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import numpy as np
+
+        for batch in batches:
+            texts = batch.column(1).to_pylist()
+            idxs: list[int] = []
+            out_start: list[int] = []
+            out_g: list[bytes] = []
+            for row_no, txt in enumerate(texts):
+                if txt is None:
+                    continue
+                b = txt.encode("utf-8")
+                arr = np.frombuffer(b, dtype=np.uint8)
+                sp = np.flatnonzero(arr == 32)
+                n_tok = len(sp) + 1
+                if n_tok < n:
+                    continue
+                starts = np.empty(n_tok, dtype=np.int64)
+                starts[0] = 0
+                starts[1:] = sp + 1
+                ends = np.empty(n_tok, dtype=np.int64)
+                ends[:-1] = sp
+                ends[-1] = len(b)
+                for i in range(n_tok - n + 1):
+                    idxs.append(row_no)
+                    out_start.append(i + 1)
+                    out_g.append(b[starts[i] : ends[i + n - 1]])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0).take(pa.array(idxs, type=pa.int64())),
+                    pa.array(out_start, type=pa.int32()),
+                    pa.array(out_g, type=pa.string()),
+                ],
+                names=["doc_id", "start", "g"],
+            )
+
+    return df.selectExpr(f"{id_col} AS doc_id", f"{text_col} AS text").mapInArrow(
+        kernel, f"doc_id {id_type}, start int, g string"
+    )
+
+
 def _interval_cover(ss_col, n: int):
     """Union length of intervals [s, s+n-1] over the SORTED start array:
     n for the first + min(n, gap) per successive start."""
@@ -439,9 +516,19 @@ def duplicated_span_stats(
     or cleaning a page."""
     # r13 (second pass): projections/filters/coverage as parsed SQL
     # (1:1 transliteration; same plan, ~700 fewer py4j round trips)
+    # r13 session 4: a byte-slice mapInArrow gram build
+    # (_ngrams_with_pos_arrow, multiset-identity-proven) was measured
+    # here and REJECTED: executor CPU halves (the gram subtree is
+    # re-evaluated by three stages) but cold wall regresses ~0.3 s at
+    # BOTH 32 and 8 cores — the kernel itself is 0.23 s single-thread
+    # for the whole sf0.1 corpus, so the delta is pure per-stage
+    # Python-boundary latency, paid twice (dup side + join side).
+    # Switch to the kernel if per-byte CPU ever becomes this query's
+    # wall (long-doc corpora / real cluster scale).
     toks = df.selectExpr(
         f"{id_col} AS doc_id", f"split({text_col}, ' ') AS t"
     ).selectExpr("*", "size(t) AS n_tokens")
+    base = toks.select("doc_id", "n_tokens")
     grams = _ngrams_with_pos(toks, n)
     dup = (
         grams.groupBy("g")
@@ -463,8 +550,7 @@ def duplicated_span_stats(
         )
     )
     return (
-        toks.select("doc_id", "n_tokens")
-        .join(per, "doc_id", "left")
+        base.join(per, "doc_id", "left")
         .selectExpr(
             "doc_id",
             "n_tokens",

@@ -782,6 +782,39 @@ def test_duplicated_span_stats_golden(spark, span_docs):
     assert got[5] == (13, 4, 12, round(12 / 13, 6))
 
 
+def test_ngrams_with_pos_kernel_matches_jvm_reference(spark):
+    """The byte-slice mapInArrow gram kernel (r13 session 4) emits the
+    EXACT (doc_id, start, g) multiset of the JVM zip_with/transform
+    reference form — including multi-space runs (empty tokens), a
+    leading/trailing space, multi-byte UTF-8, sub-n docs, NULL and
+    empty texts — at n=2 and n=5."""
+    from pyspec_spark.operators.text import (
+        _ngrams_with_pos,
+        _ngrams_with_pos_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a  b c d e f"),          # empty token from the double space
+            (2, "héllo wörld déjà vu ok"),  # multi-byte UTF-8 boundaries
+            (3, "one"),                    # sub-n -> no rows
+            (4, None),                     # NULL -> no rows
+            (5, ""),                       # single empty token -> no rows
+            (6, " a b c d e "),            # leading+trailing empty tokens
+            (7, "a b c d e"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = docs.selectExpr("doc_id", "split(text, ' ') AS t").selectExpr(
+        "*", "size(t) AS n_tokens"
+    )
+    for n in (2, 5):
+        ref = sorted(map(tuple, _ngrams_with_pos(toks, n).collect()))
+        got = sorted(map(tuple, _ngrams_with_pos_arrow(docs, n).collect()))
+        assert got == ref, f"n={n}: kernel diverged from JVM reference"
+    assert ref, "reference emitted nothing — fixture lost its teeth"
+
+
 def test_remove_duplicated_spans_keep_first(spark, span_docs):
     """The lowest (doc_id, start) occurrence survives; every other
     copy's tokens are excised — including the second INTERNAL copy in
