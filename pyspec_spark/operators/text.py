@@ -396,11 +396,11 @@ def _ngrams_with_pos_arrow(
 ) -> DataFrame:
     """(doc_id, start, g) from raw (id, text) rows — the byte-slice
     mapInArrow form of :func:`_ngrams_with_pos` (r13 session 4, guide
-    §4.2, the queries/llm._grams8_md5 precedent).  PROVEN AND SHELVED:
-    measured in duplicated_span_stats and rejected on the sf0.1 wall
-    (see the note there) — kept, regression-pinned against the JVM
-    form, as the drop-in for corpora where gram-construction CPU is
-    the actual wall.
+    §4.2, the queries/llm._grams8_md5 precedent).  Reached via
+    ``duplicated_span_stats(..., arrow=True)`` — the scale knob for
+    corpora where gram-construction CPU is the actual wall (SCALING.md
+    r13d measures the crossover); the bench-scale default stays the
+    JVM form (see the note there).
 
     Because the tokenizer is a SINGLE-SPACE split and the gram joiner a
     single space, text == ' '.join(text.split(' ')) holds for every
@@ -508,28 +508,38 @@ def duplicated_span_stats(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    arrow: bool = False,
 ) -> DataFrame:
     """Per-doc stats of token spans whose exact n-gram occurs in
     >= min_docs distinct documents: (doc_id, n_tokens, dup_ngrams,
     dup_cover, dup_frac).  dup_cover is the merged-interval token count
     — the fraction every curation stack thresholds on before dropping
-    or cleaning a page."""
+    or cleaning a page.
+
+    ``arrow``: build the gram stream with the byte-slice mapInArrow
+    kernel (:func:`_ngrams_with_pos_arrow`) instead of the JVM
+    zip_with/transform form.  Value-identical by construction (multiset
+    identity pinned in tests); a WALL knob, not a semantics knob.  The
+    default stays False because at the bench corpus (short docs, ~50
+    tokens) the per-stage Python-boundary latency exceeds the JVM CPU
+    saved (r13 session 4: +0.3 s at both 32 and 8 cores); past that
+    corpus the kernel is never worse and wins up to ~1.4x in the
+    mid-density range — SCALING.md r13d measures the crossover
+    (ratios jvm/kernel across two runs: 1.09-1.16 at 150 tok/doc,
+    1.23-1.42 at 300, ~parity at 1200 where the 24M-row gram shuffle
+    dominates both arms) — so dense-corpus deployments, where
+    gram-construction CPU is the per-byte bill, should pass True."""
     # r13 (second pass): projections/filters/coverage as parsed SQL
     # (1:1 transliteration; same plan, ~700 fewer py4j round trips)
-    # r13 session 4: a byte-slice mapInArrow gram build
-    # (_ngrams_with_pos_arrow, multiset-identity-proven) was measured
-    # here and REJECTED: executor CPU halves (the gram subtree is
-    # re-evaluated by three stages) but cold wall regresses ~0.3 s at
-    # BOTH 32 and 8 cores — the kernel itself is 0.23 s single-thread
-    # for the whole sf0.1 corpus, so the delta is pure per-stage
-    # Python-boundary latency, paid twice (dup side + join side).
-    # Switch to the kernel if per-byte CPU ever becomes this query's
-    # wall (long-doc corpora / real cluster scale).
     toks = df.selectExpr(
         f"{id_col} AS doc_id", f"split({text_col}, ' ') AS t"
     ).selectExpr("*", "size(t) AS n_tokens")
     base = toks.select("doc_id", "n_tokens")
-    grams = _ngrams_with_pos(toks, n)
+    grams = (
+        _ngrams_with_pos_arrow(df, n, text_col, id_col)
+        if arrow
+        else _ngrams_with_pos(toks, n)
+    )
     dup = (
         grams.groupBy("g")
         .agg(F.expr("COUNT(DISTINCT doc_id)").alias("nd"))

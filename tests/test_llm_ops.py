@@ -766,20 +766,26 @@ def span_docs(spark):
 
 def test_duplicated_span_stats_golden(spark, span_docs):
     """Hand-derivable coverage: two overlapping 5-grams merge to a
-    6-token interval (5 + min(5, 1)); clean/short docs report zero."""
+    6-token interval (5 + min(5, 1)); clean/short docs report zero.
+    Pinned for BOTH gram-build arms (arrow=False JVM default and the
+    arrow=True byte-slice kernel — the r13 scale knob)."""
     from pyspec_spark.operators.text import duplicated_span_stats
 
-    got = {
-        r["doc_id"]: (r["n_tokens"], r["dup_ngrams"], r["dup_cover"], r["dup_frac"])
-        for r in duplicated_span_stats(span_docs, n=5).collect()
-    }
-    assert got[1] == (9, 2, 6, round(6 / 9, 6))
-    assert got[2] == (9, 2, 6, round(6 / 9, 6))
-    assert got[3] == (9, 0, 0, 0.0)
-    assert got[4] == (2, 0, 0, 0.0)
-    # doc 5: both copies of the run are cross-doc duplicated -> 4 gram
-    # occurrences (2 per copy), two disjoint 6-token intervals = 12
-    assert got[5] == (13, 4, 12, round(12 / 13, 6))
+    for arrow in (False, True):
+        got = {
+            r["doc_id"]: (
+                r["n_tokens"], r["dup_ngrams"], r["dup_cover"], r["dup_frac"]
+            )
+            for r in duplicated_span_stats(span_docs, n=5, arrow=arrow).collect()
+        }
+        assert got[1] == (9, 2, 6, round(6 / 9, 6)), f"arrow={arrow}"
+        assert got[2] == (9, 2, 6, round(6 / 9, 6))
+        assert got[3] == (9, 0, 0, 0.0)
+        assert got[4] == (2, 0, 0, 0.0)
+        # doc 5: both copies of the run are cross-doc duplicated -> 4
+        # gram occurrences (2 per copy), two disjoint 6-token
+        # intervals = 12
+        assert got[5] == (13, 4, 12, round(12 / 13, 6))
 
 
 def test_ngrams_with_pos_kernel_matches_jvm_reference(spark):
