@@ -280,11 +280,17 @@ def main() -> None:
     sys.stdout.flush()
     print(json.dumps(payload, separators=(",", ":")), flush=True)
     # The driver captures only a ~2000-char stdout tail; the full line
-    # above exceeds it at 47 queries, so its parse came back null two
-    # rounds running.  Emit a compact summary as the LAST line — same
-    # contract keys, `queries` trimmed to the 5 worst warm-vs-oracle
-    # ratios — so the driver-side record parses while the full data
-    # lives in BENCH_full_r{N}.json.
+    # above exceeds it, so a compact summary is emitted as the LAST
+    # line.  r14 measurement-bug fix (VERDICT r13 item 2): the r13
+    # summary trimmed `queries` to the 5 WORST warm-vs-oracle RATIOS —
+    # rotating membership + ratio units made the driver's
+    # round-over-round diff report phantom drops and compare ratios
+    # against seconds.  `queries` is now the FIXED-membership warm
+    # SECONDS dict for all headline queries (same names every round,
+    # same unit as `value`), and the worst-5 ratios keep flowing under
+    # their own key (`worst5_warm_ratio_vs_duckdb` — the r13-era
+    # numbers stay comparable there).  Full detail still lives in
+    # BENCH_full_r{N}.json.
     ratios = {
         n: round(times[n] / (oracle_ms.get(n) / 1000.0), 2)
         for n in times
@@ -295,8 +301,9 @@ def main() -> None:
         "metric": "headline_suite_warm_total",
         "value": total,
         "unit": "sec",
-        "queries": worst5,
-        "queries_unit": "warm_ratio_vs_duckdb",
+        "queries": times,
+        "queries_unit": "sec",
+        "worst5_warm_ratio_vs_duckdb": worst5,
         "cold_reexec_total": payload["cold_reexec_total"],
         "median_warm_ratio": (
             round(sorted(ratios.values())[len(ratios) // 2], 3) if ratios else None
@@ -307,7 +314,7 @@ def main() -> None:
         "full": "BENCH_full_r{N}.json in-repo has per-query detail",
     }
     line = json.dumps(summary, separators=(",", ":"))
-    assert len(line) < 1900, "summary line must fit the driver tail window"
+    assert len(line) < 1950, "summary line must fit the driver tail window"
     print(line, flush=True)
 
 

@@ -74,12 +74,53 @@ def shingles(df: DataFrame, text_col: str = "text", k: int = 2) -> DataFrame:
     return df.withColumn("_shingles", F.expr(guarded))
 
 
+# Broadcast budget for the distinct-shingle hash table (r14, VERDICT
+# r13 item 3).  The table's built size is ~n_hashes * 48 bytes per
+# DISTINCT shingle (64 boxed 32-hex-char UTF8Strings per row), so it is
+# VOCABULARY-bounded, not corpus-bounded — but vocabulary grows with
+# corpus bytes (Heaps), and an explicit broadcast() hint is exempt from
+# AQE demotion, so past some input size the hint must be dropped, not
+# demoted at runtime.  The gate is driver-side and job-free (the fanout
+# estimator's discipline): sum of the frame's input file sizes vs this
+# threshold.  4 MB of compressed parquet gives ~7x headroom over the
+# bench corpus (594 KB -> 931 distinct shingles -> ~2.9 MB built table,
+# measured r14) while even an adversarial all-unique-token corpus at
+# the threshold stays bounded (~4 MB/6 B/token * 3.1 KB/row ~ low GB,
+# never the 100 TB regime); real corpora flip to the shuffled-hash arm
+# long before the table could approach executor memory.  The non-
+# broadcast arm pins the BUILD SIDE via a SHUFFLE_HASH hint on the
+# hash table — left to its estimates the planner inverted the join
+# (broadcast the corpus-sized pair side, serializing the downstream
+# aggregation onto one AQE-coalesced task; measured 10.6 s at sf0.1,
+# r13) — and stays a shingle-keyed equi-join whose skew AQE splits.
+_BCAST_HASHES_MAX_INPUT_BYTES = 4 * 1024 * 1024
+
+
+def _local_input_bytes(df: DataFrame) -> int | None:
+    """Sum of the frame's local input file sizes; None when any input
+    is remote or the estimate fails (callers treat None as 'big')."""
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        total = 0
+        for uri in df.inputFiles():
+            p = urlparse(uri)
+            if p.scheme not in ("file", ""):
+                return None
+            total += os.path.getsize(p.path)
+        return total
+    except Exception:
+        return None
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n_hashes: int = 64,
     shingle_k: int = 2,
+    broadcast_hashes: bool | None = None,
 ) -> DataFrame:
     """(id, sig ARRAY<STRING>[n_hashes]) via explode + n_hashes min
     aggregates — one shuffle of per-doc partial signatures.
@@ -109,12 +150,21 @@ def minhash_signatures(
     pairs by an equi-join on the shingle before the per-doc min
     aggregation.  Every md5 input is unchanged, so the signatures are
     bit-identical.  The hash table costs one aggregation exchange of
-    the (shingle) partials; the join is left to the planner — AQE
-    converts it to a runtime broadcast when the table is actually
-    small (the local case), and at corpus scale, where the distinct-
-    shingle table outgrows any broadcast budget, it stays a shingle-
-    keyed equi-join whose skew AQE splits (a hot shingle is bounded by
-    its document frequency, the same quantity the Jaccard path caps).
+    the (shingle) partials.
+
+    r14 (VERDICT r13 item 3): the join strategy is size-GATED instead
+    of unconditionally hinted.  ``broadcast_hashes=None`` derives the
+    arm from the input's estimated on-disk bytes
+    (`_BCAST_HASHES_MAX_INPUT_BYTES` — rationale and measurements
+    above): small inputs pin ``broadcast(hashed)`` (the r13 behavior;
+    an unhinted plan inverts the join, see the constant's note), large
+    or remote inputs pin the hash table as the SHUFFLE_HASH build side
+    of a shingle-keyed equi-join — no driver/executor broadcast of a
+    vocabulary-sized table, and AQE splits hot-shingle skew (a hot
+    shingle is bounded by its document frequency, the same quantity
+    the Jaccard path caps).  Both arms are the same equi-join on the
+    same bit-identical inputs, so results cannot move (probe:
+    tools/scale_probe_r14a.py, SCALING.md r14a).
     """
     with_sh = shingles(df, text_col, shingle_k)
     # Sub-k-token docs have no shingles and therefore no signature: the
@@ -144,7 +194,13 @@ def minhash_signatures(
             ",".join(f"min(_hs[{i}])" for i in range(n_hashes))
         )
     )
-    return ex.join(F.broadcast(hashed), "_sh").groupBy("id").agg(sig)
+    if broadcast_hashes is None:
+        nbytes = _local_input_bytes(df)
+        broadcast_hashes = (
+            nbytes is not None and nbytes <= _BCAST_HASHES_MAX_INPUT_BYTES
+        )
+    build = F.broadcast(hashed) if broadcast_hashes else hashed.hint("SHUFFLE_HASH")
+    return ex.join(build, "_sh").groupBy("id").agg(sig)
 
 
 def band_hashes_from_sigs(
@@ -235,7 +291,18 @@ def minhash_neardup(
     full-text shuffle would be pure cost."""
     if pre_partition:
         df = df.repartition(pre_partition, id_col)
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes, shingle_k).cache()
+    # Tracked persist (r14, VERDICT r13 item 5): the signature table
+    # feeds three consumers (candidates + both verify join sides); a
+    # bare .cache() here lived for the session — harnesses cleared it,
+    # but a long-lived production session would accumulate executor
+    # memory.  track_persist bounds it and release_persisted() drains.
+    from pyspec_spark.registry import PERSIST_SEQ, track_persist
+
+    sigs = track_persist(
+        df.sparkSession,
+        f"minhash_neardup#sigs#{next(PERSIST_SEQ)}",
+        minhash_signatures(df, id_col, text_col, n_hashes, shingle_k),
+    )
     cand = lsh_candidates(sigs, bands, n_hashes=n_hashes)
     sa = sigs.selectExpr("id AS id_a", "sig AS sig_a")
     sb = sigs.selectExpr("id AS id_b", "sig AS sig_b")
@@ -354,7 +421,15 @@ def simhash_neardup(
     few-partition inputs; leave None on a real cluster."""
     if pre_partition:
         df = df.repartition(pre_partition, id_col)
-    sh = simhash32(df, id_col, text_col).cache()
+    # Tracked persist: 3 consumers (banding + both verify sides); see
+    # minhash_neardup's note.
+    from pyspec_spark.registry import PERSIST_SEQ, track_persist
+
+    sh = track_persist(
+        df.sparkSession,
+        f"simhash_neardup#sh#{next(PERSIST_SEQ)}",
+        simhash32(df, id_col, text_col),
+    )
     banded = sh.select(
         "id",
         F.posexplode(
@@ -406,7 +481,14 @@ def simhash_neardup64(
     by pytest (planted dups + scaling probe), not a DuckDB oracle."""
     if pre_partition:
         df = df.repartition(pre_partition, id_col)
-    sh = simhash(df, id_col, text_col).cache()
+    # Tracked persist: 3 consumers; see minhash_neardup's note.
+    from pyspec_spark.registry import PERSIST_SEQ, track_persist
+
+    sh = track_persist(
+        df.sparkSession,
+        f"simhash_neardup64#sh#{next(PERSIST_SEQ)}",
+        simhash(df, id_col, text_col),
+    )
     banded = sh.select(
         "id",
         F.posexplode(

@@ -1080,19 +1080,20 @@ def write_norms(dl: DataFrame, path: str, shard_size: int | None = None) -> None
     dl = dl.select(
         F.col("doc_id").cast("long"), F.col("dl").cast("long")
     ).persist()
-    if shard_size is not None:
-        (
-            dl.withColumn(
-                "nb", (F.col("doc_id") / F.lit(shard_size)).cast("long")
+    try:  # r14: the norms write moved inside — a failing first write
+        # previously left dl persisted for the session
+        if shard_size is not None:
+            (
+                dl.withColumn(
+                    "nb", (F.col("doc_id") / F.lit(shard_size)).cast("long")
+                )
+                .repartition(F.col("nb"))
+                .write.partitionBy("nb")
+                .mode("append")
+                .parquet(f"{path}/{_NORMS_DIR}")
             )
-            .repartition(F.col("nb"))
-            .write.partitionBy("nb")
-            .mode("append")
-            .parquet(f"{path}/{_NORMS_DIR}")
-        )
-    else:
-        dl.write.mode("append").parquet(f"{path}/{_NORMS_DIR}")
-    try:
+        else:
+            dl.write.mode("append").parquet(f"{path}/{_NORMS_DIR}")
         (
             dl.agg(
                 F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")

@@ -126,25 +126,33 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE scan + one integer distinct, and every shuffle afterwards
     # carries 3 longs instead of 2 strings.  Measured cold re-exec at
     # sf0.1: 5.36 -> 1.4 s, identical output (oracle hash-green).
+    from pyspec_spark.registry import PERSIST_SEQ, track_persist
+
     li = table(spark, sf_dir, "lineitem")
-    pairs = (
+    # Tracked persists (r14, VERDICT r13 item 5 — formerly bare
+    # .cache()s that lived for the session; release_persisted drains).
+    pairs = track_persist(
+        spark,
+        f"q_pagerank#pairs#{next(PERSIST_SEQ)}",
         li.selectExpr(
             "CAST(l_partkey AS BIGINT) AS p",
             "CAST(l_suppkey AS BIGINT) AS s",
-        )
-        .distinct()
-        .cache()
+        ).distinct(),
     )
     edges = pairs.selectExpr(
         "explode(array(named_struct('src', p * 2, 'dst', s * 2 + 1),"
         " named_struct('src', s * 2 + 1, 'dst', p * 2))) AS e"
     ).select("e.src", "e.dst")
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    # cache(): the one edge materialization every reference shares
-    # (the in-plan equivalent of the "materialize edges once" posture
-    # the module docstring prescribes for production).  cache() is
-    # lazy: zero jobs at build (gate).
-    edges_deg = edges.join(deg, "src").select("src", "dst", "deg").cache()
+    # the one edge materialization every reference shares (the in-plan
+    # equivalent of the "materialize edges once" posture the module
+    # docstring prescribes for production).  persist() is lazy: zero
+    # jobs at build (gate).
+    edges_deg = track_persist(
+        spark,
+        f"q_pagerank#edges_deg#{next(PERSIST_SEQ)}",
+        edges.join(deg, "src").select("src", "dst", "deg"),
+    )
     nodes = edges_deg.selectExpr("src AS node").distinct()
     n = nodes.agg(F.count("*").alias("n"))
     pr = nodes.crossJoin(F.broadcast(n)).selectExpr(
@@ -283,14 +291,16 @@ def triangle_memberships(edges: DataFrame, orient: str = "id") -> DataFrame:
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspec_spark.queries.llm import jaccard_pairs
 
-    # cache the edge list once (the pagerank precedent): without it,
+    from pyspec_spark.registry import PERSIST_SEQ, track_persist
+
+    # persist the edge list once (the pagerank precedent): without it,
     # every self-join alias re-runs the whole shingle/jaccard pipeline —
     # the as-built plan showed 72 parquet scans, vs 1 pipeline + 3
-    # in-memory reads here
-    e = (
-        jaccard_pairs(spark, sf_dir)
-        .selectExpr("doc_a AS a", "doc_b AS b")
-        .cache()
+    # in-memory reads here.  Tracked (r14): release_persisted drains.
+    e = track_persist(
+        spark,
+        f"q_triangles#edges#{next(PERSIST_SEQ)}",
+        jaccard_pairs(spark, sf_dir).selectExpr("doc_a AS a", "doc_b AS b"),
     )
     tri = triangle_memberships(e, orient="id")
     m = (

@@ -614,16 +614,20 @@ def semdedup_pairs(
     )
     asg2 = _assign(emb, _update(emb, _assign(emb, c0)))
 
-    # cache(), REPARTITIONED BY cid: the member table (cluster, id,
-    # embedding) is the single input of the pair scan; caching it
-    # already hash-partitioned on cid lets the groupBy below reuse the
-    # cached partitioning (EnsureRequirements adds no exchange), so
-    # the kmeans training chain executes exactly once per run.
-    m = (
+    # Tracked persist (r14 — formerly a bare .cache()), REPARTITIONED
+    # BY cid: the member table (cluster, id, embedding) is the single
+    # input of the pair scan; persisting it already hash-partitioned
+    # on cid lets the groupBy below reuse the cached partitioning
+    # (EnsureRequirements adds no exchange), so the kmeans training
+    # chain executes exactly once per run.  release_persisted drains.
+    from pyspec_spark.registry import PERSIST_SEQ, track_persist
+
+    m = track_persist(
+        emb.sparkSession,
+        f"semdedup_pairs#members#{next(PERSIST_SEQ)}",
         emb.join(asg2, "vec_id")
         .select("cid", "vec_id", "embedding")
-        .repartition(F.col("cid"))
-        .cache()
+        .repartition(F.col("cid")),
     )
 
     # r13 optimization (guide §4.1/§2.3): the previous shape was a

@@ -1354,14 +1354,19 @@ ORDER BY st.source
 @query("q_source_kl", oracle=_KL_ORACLE)
 def q_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    # cache(): st is consumed three times (tot, ns, main join); without
-    # it Spark re-scans and re-explodes the whole corpus per consumer —
-    # the dominant cost at 100 TB.  Lazy, so zero jobs at build (gate).
-    st = (
+    # Tracked persist (r14 — formerly a bare .cache()): st is consumed
+    # three times (tot, ns, main join); without it Spark re-scans and
+    # re-explodes the whole corpus per consumer — the dominant cost at
+    # 100 TB.  Lazy, so zero jobs at build (gate); release_persisted
+    # drains.
+    from pyspec_spark.registry import PERSIST_SEQ, track_persist
+
+    st = track_persist(
+        spark,
+        f"q_source_kl#st#{next(PERSIST_SEQ)}",
         d.select("source", F.explode(_toks()).alias("tok"))
         .groupBy("source", "tok")
-        .agg(F.count("*").alias("c"))
-        .cache()
+        .agg(F.count("*").alias("c")),
     )
     tot = st.groupBy("tok").agg(F.sum("c").alias("ct"))
     ns = st.groupBy("source").agg(F.sum("c").alias("ns"))

@@ -973,10 +973,18 @@ LIMIT {_BASKET_TOPK}
 @query("q_copurchase", oracle=_COPURCHASE_ORACLE)
 def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    # cache(): four consumers (both pair sides, item counts, order
-    # count) would otherwise each re-run the scan+distinct (measured
-    # 1.7 s -> 0.6 s warm at sf0.1); two long columns, safely cacheable
-    items = li.select("l_orderkey", "l_partkey").distinct().cache()
+    # Tracked persist (r14, VERDICT r13 item 5 — formerly a bare
+    # .cache() that lived for the session): four consumers (both pair
+    # sides, item counts, order count) would otherwise each re-run the
+    # scan+distinct (measured 1.7 s -> 0.6 s warm at sf0.1); two long
+    # columns, safely cacheable.  release_persisted() drains it.
+    from pyspec_spark.registry import PERSIST_SEQ, track_persist
+
+    items = track_persist(
+        spark,
+        f"q_copurchase#items#{next(PERSIST_SEQ)}",
+        li.select("l_orderkey", "l_partkey").distinct(),
+    )
     n_ord = items.select("l_orderkey").distinct().agg(
         F.count("*").alias("n")
     )
